@@ -1,0 +1,56 @@
+"""Table IO over the driver-generated parquet testdata.
+
+Reference analog: the reference reads full tables via
+``pd.read_sql_table`` (scripts/run_pipeline.py:227-240, operator S5 in
+SURVEY.md §2.1) — here a columnar parquet scan with Catalyst pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_oracle_compat
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Column pruning + predicate pushdown are
+    Catalyst's job — callers express plain select/filter.
+
+    events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    default: read it as raw int64 nanos and truncate to a microsecond
+    timestamp (integer division — matches every µs engine's ns
+    truncation).
+    """
+    ensure_oracle_compat(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # integer division — a double quotient would lose precision on
+        # ~1.7e18 nanosecond epoch values (53-bit mantissa)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,164 @@
+"""Aggregation operators (SURVEY.md §2.4 A1–A11) rebuilt Spark-first.
+
+Each function takes (spark, sf_dir) and returns a lazy DataFrame whose
+plan Catalyst compiles to two-phase HashAggregate with partial
+(map-side) aggregation — the distributed analog of the reference's
+single-node pandas/Postgres aggregates.
+
+Scale notes: group-by keys here are low-cardinality (dates, categories,
+flags) so the shuffle after partial agg moves only #groups × #partitions
+rows; COUNT(DISTINCT) triggers a two-pass expand — swap to
+approx_count_distinct (HLL) at 100TB where exactness isn't contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_sum, dsum, exact_avg
+from ..io import table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary over lineitem.
+
+    Reference analog: the gold-layer KPI aggregates
+    (database/layers/gold/publish_gold.py:28-34 — SUM/AVG/COUNT over a
+    filtered slice), widened to the canonical multi-measure scan-agg.
+    One pass over the fact table; filter pushed to the parquet scan.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, "decimal(28,6)").alias("sum_disc_price"),
+            dsum(charge, "decimal(28,8)").alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount", "decimal(18,4)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: group-by-date revenue rollup — vw_daily_revenue
+    (database/db_setup.py:346-357): COUNT, SUM(COALESCE), AVG,
+    COUNT(DISTINCT) keyed on CAST(ts AS DATE). orders stands in for
+    silver.carts (FIXTURES.md §1 mapping).
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("activity_date"))
+        .agg(
+            F.count("o_orderkey").alias("orders_count"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias(
+                "total_revenue"
+            ),
+            exact_avg("o_totalprice").alias("avg_order_value"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+    )
+
+
+def category_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-category price profile — vw_product_catalog
+    (database/db_setup.py:360-370): COUNT/MIN/MAX/AVG GROUP BY category.
+    part.p_type stands in for product category."""
+    p = table(spark, sf_dir, "part")
+    return p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("product_count"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        exact_avg("p_retailprice").alias("avg_price"),
+    )
+
+
+def finance_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: global filtered aggregate — the finance mart's daily KPIs
+    (database/layers/gold/publish_gold.py:28-34): one-day slice →
+    SUM / AVG / COUNT / COUNT(DISTINCT) as a single scalar row.
+    The date predicate prunes at the scan (or partition, if
+    date-partitioned at scale)."""
+    o = table(spark, sf_dir, "orders")
+    day = o.select(F.max(F.to_date("o_orderdate")).alias("d"))
+    return (
+        o.join(F.broadcast(day), F.to_date("o_orderdate") == F.col("d"))
+        .agg(
+            dsum("o_totalprice").alias("total_revenue"),
+            exact_avg("o_totalprice").alias("average_order_value"),
+            F.count(F.lit(1)).alias("orders_count"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+    )
+
+
+def duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: duplicate-detection aggregate — GROUP BY key HAVING COUNT>1
+    (database/layers/quality/quality_checks.py:34-50). Applied to
+    events (user_id, event_type) which genuinely repeats."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: null-count quality check
+    (database/layers/quality/quality_checks.py:21-32) — one pass,
+    conditional-sum per column instead of a COUNT(*) per column."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_orderkey"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_totalprice"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+def value_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: frequency distribution top-k — value_counts().head(10)
+    (randomuser_ingestor.py:608-625). Catalyst compiles the
+    orderBy+limit to TakeOrderedAndProject (true top-k, no global
+    sort). Deterministic tiebreak on the key itself."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+        .limit(10)
+    )
+
+
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: min/max/mean/median summary (randomuser_ingestor.py:613-619)
+    over customer account balance. Median is exact here for oracle
+    parity; at 100TB use percentile_approx."""
+    c = table(spark, sf_dir, "customer")
+    return c.agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        exact_avg("c_acctbal").alias("avg_bal"),
+        F.median("c_acctbal").alias("median_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def count_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: ingestion count-by-day report (scripts/backfill.py:269-283):
+    GROUP BY DATE(ts) ORDER BY 1 DESC LIMIT 10 over events."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("day"))
+        .limit(10)
+    )

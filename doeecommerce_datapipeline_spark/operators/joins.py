@@ -1,0 +1,105 @@
+"""Join operators (SURVEY.md §2.3 J1–J3 + scale extensions).
+
+The reference has one declared join — users LEFT JOIN carts feeding a
+grouped engagement view (database/db_setup.py:373-385) — plus the
+anti-join hiding inside its upsert (transform_silver.py:106-109).
+Here each is an explicit, broadcast-aware DataFrame op, and the
+extension surface (semi/anti, multi-way star join) is first-class.
+
+Scale: dimension sides (customer at 150·SF rows, nation/region at
+fixed 25/5) are broadcast — the fact side never shuffles for the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..io import table
+
+
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A3: vw_user_activity (database/db_setup.py:373-385) —
+    users LEFT JOIN carts ON user_id, grouped per user:
+    COUNT(DISTINCT cart), SUM(COALESCE(total,0)), MAX(last_updated).
+    customer⋈orders is the testdata stand-in (FIXTURES.md §1).
+
+    customer is the small side → broadcast; orders never shuffles.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = F.broadcast(c.select("c_custkey", "c_name")).join(
+        o.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        c.c_custkey == o.o_custkey,
+        "left",
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.countDistinct("o_orderkey").alias("order_count"),
+        dsum(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias(
+            "total_order_value"
+        ),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+    )
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: lineitem⋈orders⋈customer⋈nation⋈region →
+    exact revenue per region. The three dimension joins broadcast;
+    only lineitem⋈orders shuffles (both sides large).
+
+    Extension beyond the reference's single join — the canonical
+    e-commerce rollup its gold layer implies.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        l.select("l_orderkey", rev.alias("rev"))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+    )
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (semi): customers having ≥1 open-priority order — EXISTS as a
+    left-semi join (no row multiplication, no dedup needed)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o.where(F.col("o_orderstatus") == "O").select("o_custkey"),
+        c.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (anti): the upsert's delete-matching-keys half
+    (transform_silver.py:106-109) generalized — NOT EXISTS as a
+    left-anti join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")

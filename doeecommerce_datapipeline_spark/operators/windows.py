@@ -1,0 +1,135 @@
+"""Window operators: dedup-by-recency and ranking (SURVEY.md §2.5 W1–W4).
+
+The reference's entire silver layer hangs on latest-record-wins dedup
+(`sort_values(ts).drop_duplicates(subset=[key], keep='last')`,
+database/layers/silver/transform_silver.py:28-30,40-41,53-55,66-67).
+The Spark-native mapping is a ranking window: row_number() over
+(PARTITION BY key ORDER BY ts DESC) == 1 — a single shuffle on the key,
+no global sort, fully distributed.
+
+Determinism: pandas keep='last' depends on input order under timestamp
+ties (SURVEY §7.4 risk 3); here every window carries an explicit total
+order (unique id tiebreaker), so results are stable under any
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+
+
+def latest_wins(
+    df: DataFrame, keys: list[str], order: list[Column]
+) -> DataFrame:
+    """W1/W2: keep the most recent row per key.
+
+    `order` must be a deterministic total order (descending recency
+    first, unique tiebreaker last).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def first_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """W3: keep the earliest row per key (drop_duplicates keep='first',
+    randomuser_ingestor.py:575-577) — same window, ascending order."""
+    return latest_wins(df, keys, order)
+
+
+def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 on the events table: one latest event per user.
+
+    event_id is the unique tiebreaker for equal timestamps.
+    """
+    e = table(spark, sf_dir, "events")
+    return latest_wins(
+        e.select("event_id", "user_id", "event_type", "ts", "value"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+
+
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 on events: the first-ever event per (user, event_type)."""
+    e = table(spark, sf_dir, "events")
+    return first_wins(
+        e.select("event_id", "user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+    )
+
+
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: full-row distinct on a projection
+    (transform_silver.py:34,47,60,80 trailing .drop_duplicates())."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def top_products_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mart column the reference declares but never populates
+    (`sales_mart.top_products`, database/db_setup.py:272; omitted at
+    publish_gold.py:52-58) — implemented as its evident intent: rank
+    parts per ship-month by exact revenue, keep top 3.
+
+    Revenue is an exact decimal sum, so ranking is deterministic; ties
+    broken by partkey.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    monthly = (
+        l.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("ship_month").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        monthly.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "ship_month",
+            "l_partkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec analytics beyond the reference's surface: per-customer
+    running order total + order sequence number + gap to previous order
+    (lag). Exercises rows-between frames, lag, and rank in one window
+    family (one shuffle on o_custkey)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate", 1).over(w)
+        ).cast("long").alias("days_since_prev"),
+    )
