@@ -19,8 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from doeecommerce_datapipeline_spark.operators import (
     aggregates as A,
+    dedup as D,
     joins as J,
     projections as P,
+    similarity as S,
+    textops as T,
     windows as W,
 )
 
@@ -62,6 +65,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_math": P.date_math,
         "bucketize": P.bucketize,
         "json_extract": P.json_extract,
+        # north star: text analysis (documents)
+        "text_stats": T.text_stats,
+        "doc_fingerprint": T.doc_fingerprint,
+        "lang_id": T.lang_id,
+        "quality_by_source": T.quality_by_source,
+        # north star: dedup suite
+        "exact_dedup_groups": D.exact_dedup_groups,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "embedding_near_dups": D.embedding_near_dups,
+        "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
+        "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only (hash-seeded)
+        # north star: similarity search (embeddings)
+        "embedding_topk": S.brute_force_topk,
+        "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
+        "embedding_norms": S.embedding_norms,
     }
 
 
@@ -298,5 +316,132 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS prop_k_mod
             FROM events
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars_actual,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
+                   CASE WHEN length(text) > 0 THEN
+                        (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
+                        / length(text)
+                        ELSE 0.0 END AS punct_ratio
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "lang_id": """
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS score_de,
+                       len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS score_en,
+                       len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS score_es,
+                       len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est)\\b')) AS score_fr,
+                       len(regexp_extract_all(lower(text), '\\b(de|shi|le|bu|wo)\\b')) AS score_zh
+                FROM documents
+            )
+            SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+                   CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                        WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                        WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                        WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                        ELSE 'zh' END AS pred_lang
+            FROM scored
+        """,
+        "quality_by_source": """
+            WITH t AS (
+                SELECT source, length(text) AS n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+                FROM documents
+            )
+            SELECT source,
+                   COUNT(*) AS docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+                   MIN(n_tok) AS min_tokens,
+                   MAX(n_tok) AS max_tokens
+            FROM t GROUP BY source
+        """,
+        "exact_dedup_groups": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS dup_count
+            FROM documents
+            GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE doc_id < 1000
+            ), shingles AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d,
+                       sqrt(list_aggregate(list_transform(list_zip(a.embedding, a.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS na,
+                       sqrt(list_aggregate(list_transform(list_zip(b.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS nb
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b,
+                   CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) END AS cos
+            FROM pairs
+            WHERE (CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) END) >= 0.4
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id, e.label,
+                       list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d,
+                       sqrt(list_aggregate(list_transform(list_zip(e.embedding, e.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS ne,
+                       sqrt(list_aggregate(list_transform(list_zip(q.qv, q.qv),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS nq
+                FROM embeddings e, q
+                WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, label,
+                   CASE WHEN ne > 0 AND nq > 0 THEN d / (ne * nq) END AS cos
+            FROM scored
+            ORDER BY cos DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   CAST(len(embedding) AS INTEGER) AS dim,
+                   sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS l2_norm,
+                   CASE WHEN len(embedding) > 0 THEN
+                       list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+                       / len(embedding) END AS elem_mean
+            FROM embeddings
         """,
     }

@@ -1,0 +1,101 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd) — language ID,
+quality scoring, token counting, fingerprinting. No Python UDFs: at
+100 TB these run inside whole-stage codegen next to the parquet scan.
+
+Extension surface beyond the reference (BASELINE.json north star);
+operates on the `documents` test table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization. split(trim(x), '\\s+')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword proxy: count of word-piece matches
+    (letter-runs, digit-runs, single punctuation) — the standard
+    regex pre-tokenizer shape used by BPE tokenizers."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")).cast("long")
+
+
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length = len(text without whitespace) / token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    return F.when(n > 0, F.length(F.regexp_replace(c, r"\s+", "")) / n)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (quality signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+# Small per-language stopword marker sets. Word-boundary regexes keep
+# the scoring a single codegen'd pass; counts are exact integers so the
+# argmax is engine-independent.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def lang_marker_count(col: Column | str, lang: str) -> Column:
+    """Exact count of language-marker word hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pattern)).cast("long")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Marker-stopword hits / token count (quality signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    return F.when(n > 0, lang_marker_count(c, lang) / n).otherwise(F.lit(0.0))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    Content-defined, order-free — the exact-dedup key. (The reference's
+    dedup keys on business ids, transform_silver.py:28-30; a content
+    fingerprint is the training-data analog.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> — the MinHash /
+    Jaccard unit. Documents shorter than n words yield the whole text
+    as one shingle."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(ngrams)

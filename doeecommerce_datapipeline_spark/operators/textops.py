@@ -1,0 +1,85 @@
+"""Text-analysis queries over the documents table (north-star ops:
+language ID, quality scoring, token counting, fingerprinting).
+
+Every expression is a single codegen'd pass over the scan — at 100 TB
+these are scan-bound, shuffle-free (the groupBys are on tiny keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_marker_count,
+    punct_ratio,
+    token_count,
+)
+from ..io import table
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: chars, whitespace tokens, BPE-ish
+    tokens, punctuation ratio. All exact-integer or single-division
+    doubles → engine-independent."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per document (md5 of normalized text)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: exact marker-stopword counts per language,
+    argmax with deterministic tiebreak (marker count desc, lang asc).
+
+    The integer scores make the argmax engine-independent — no float
+    comparisons in the decision.
+    """
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            lang_marker_count("text", lang).alias(f"score_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    # argmax via greatest + first matching CASE (ties → alphabetical)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col(f"score_{langs[0]}") == best, langs[0])
+    for lang in langs[1:]:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[f"score_{lang}" for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality rollup per source: doc counts, exact char
+    sums, mean tokens-per-doc — the pre-training data triage query."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.min(n_tok).alias("min_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+    )

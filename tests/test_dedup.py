@@ -1,0 +1,67 @@
+"""Recall tests for the hash-seeded (rows-only) dedup/ANN operators —
+these have no SQL oracle, so planted duplicates are the ground truth."""
+
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from doeecommerce_datapipeline_spark.operators.similarity import lsh_bucket
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    near = base.replace("lazy", "sleepy")  # one word differs
+    other = "completely different words about spark query engines and parquet columnar files"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 0.3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "unrelated totally different content here")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert bin(sigs[1] ^ sigs[3]).count("1") > 3
+
+
+def test_lsh_bucket_duplicate_vector_shares_bucket(spark):
+    v = [float(i % 7) / 7.0 - 0.4 for i in range(64)]
+    w = [1.0] + [0.0] * 63
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, w)], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    buckets = {r["vec_id"]: r["bucket"] for r in lsh_bucket(df).collect()}
+    assert buckets[0] == buckets[1]
+
+
+def test_minhash_on_documents_overlaps_exact_jaccard(spark, sf_dir):
+    """The LSH candidates at est≥0.5 must all be genuine high-jaccard
+    pairs found by the exact operator (precision check on real data)."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        minhash_dedup_docs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    cand = [
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_dedup_docs(spark, sf_dir).collect()
+        if r["id_a"] < 1000 and r["id_b"] < 1000
+    ]
+    for a, b, est in cand:
+        assert (a, b) in exact, f"LSH pair ({a},{b}) est={est} not in exact jaccard pairs"
