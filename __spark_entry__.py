@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from doeecommerce_datapipeline_spark.operators import (
     aggregates as A,
     dedup as D,
+    events as E,
     joins as J,
     projections as P,
     similarity as S,
@@ -80,6 +81,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": S.brute_force_topk,
         "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
         "embedding_norms": S.embedding_norms,
+        # event-stream operators (batch formulations)
+        "tumbling_hourly": E.tumbling_hourly,
+        "sessionize": E.sessionize,
+        "session_stats": E.session_stats,
+        "asof_join_last_order": E.asof_join_last_order,
+        "range_join_same_day": E.range_join_same_day,
     }
 
 
@@ -443,5 +450,72 @@ def oracle_sql() -> dict[str, str]:
                        list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
                        / len(embedding) END AS elem_mean
             FROM embeddings
+        """,
+        "tumbling_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH x AS (
+                SELECT event_id, user_id, ts, event_type,
+                       CASE WHEN date_diff('second', LAG(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS gap
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT event_id, user_id, ts, event_type,
+                   CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        AS session_idx
+            FROM x
+        """,
+        "session_stats": """
+            WITH x AS (
+                SELECT event_id, user_id, ts, value,
+                       CASE WHEN date_diff('second', LAG(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS gap
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+                SELECT event_id, user_id, ts, value,
+                       CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                            AS session_idx
+                FROM x
+            )
+            SELECT user_id, session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   date_diff('second', MIN(ts), MAX(ts)) AS duration_sec,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+            FROM s GROUP BY 1, 2
+        """,
+        "asof_join_last_order": """
+            WITH o1 AS (
+                SELECT o_custkey AS key, o_orderdate AS t,
+                       MAX(o_orderkey) AS ord_key,
+                       arg_max(o_totalprice, o_orderkey) AS ord_price
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   o.ord_key AS last_orderkey,
+                   o.ord_price AS last_orderprice
+            FROM events e ASOF LEFT JOIN o1 o
+              ON e.user_id = o.key AND e.ts >= o.t
+        """,
+        "range_join_same_day": """
+            SELECT a.event_id, a.user_id,
+                   COUNT(DISTINCT b.event_id) AS neighbors_1h
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.event_id <> a.event_id
+             AND abs(date_diff('second', a.ts, b.ts)) <= 3600
+            GROUP BY 1, 2
         """,
     }

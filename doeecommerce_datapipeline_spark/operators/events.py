@@ -1,0 +1,192 @@
+"""Event-stream operators over the events table (batch formulations;
+streaming/ has the readStream variants).
+
+The reference is strictly batch (SURVEY.md §2.9) — these are the
+extension surface its `events` fixture exists for: tumbling-window
+rollups, gap-based sessionization, and the as-of join Spark lacks
+natively.
+
+Scale notes: sessionize and as-of both shuffle once on the entity key
+and sort within partitions — the window never sees more than one
+entity's timeline. At 100 TB the entity-key shuffle is the cost; salt
+or pre-bucket by entity if one user dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..io import table
+
+SESSION_GAP_MINUTES = 30
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate per event type: the batch analog
+    of a Structured Streaming windowed agg (F.window equivalent via
+    date_trunc so the oracle twin is exact)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "decimal(18,6)").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds 30 minutes.
+
+    lag → gap flag → running sum = session index. One shuffle on
+    user_id; both windows share the same partitioning (single sort).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_flag = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+        > SESSION_GAP_MINUTES * 60,
+        1,
+    ).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(gap_flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_idx"),
+    )
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup on top of sessionize: length, duration,
+    value — the session-level feature table."""
+    s = sessionize(spark, sf_dir)
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    return (
+        s.join(e, "event_id")
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_sec"
+            ),
+            dsum("value", "decimal(18,6)").alias("session_value"),
+        )
+    )
+
+
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each event picks the most
+    recent order of the same user at-or-before the event time.
+
+    Spark-first formulation: union the two timelines, one window pass
+    per user carries the last-seen order forward (last_value with
+    ignoreNulls over rows-unbounded-preceding), keep event rows.
+    This is a single shuffle on the key — no per-group pandas needed.
+
+    Orders are pre-deduped to one per (custkey, date) — max orderkey
+    wins — because as-of among equal timestamps is otherwise
+    nondeterministic in any engine.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    o1 = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by(
+            F.struct("o_orderkey", "o_totalprice"), F.col("o_orderkey")
+        ).alias("ord"))
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").alias("t"),
+            F.col("ord.o_orderkey").alias("ord_key"),
+            F.col("ord.o_totalprice").alias("ord_price"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+        )
+    )
+    e1 = e.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("ord_key"),
+        F.lit(None).cast("double").alias("ord_price"),
+        F.lit(1).alias("side"),
+        "event_id",
+        "event_type",
+    )
+    merged = o1.unionByName(e1)
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.select(
+            "key",
+            "t",
+            "side",
+            "event_id",
+            "event_type",
+            F.last("ord_key", ignorenulls=True).over(w).alias("last_orderkey"),
+            F.last("ord_price", ignorenulls=True).over(w).alias("last_orderprice"),
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("t").alias("ts"),
+            "event_type",
+            "last_orderkey",
+            "last_orderprice",
+        )
+    )
+
+
+def range_join_same_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: pair each event with the count of other events of the
+    same user within ±1 hour — the generic interval-join shape, realized
+    as a self-join on (user, hour-bucket grid) then range filter, so the
+    join is equi on (user, bucket) rather than a cross product."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.col("ts").cast("long").alias("sec")
+    )
+    # each row lands in its bucket plus the two neighbors → candidate
+    # pairs always share a bucket; exact range filter afterwards
+    probe = e.select(
+        "event_id", "user_id", "sec", F.explode(
+            F.array(
+                (F.col("sec") / 3600).cast("long") - 1,
+                (F.col("sec") / 3600).cast("long"),
+                (F.col("sec") / 3600).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    build = e.select(
+        F.col("event_id").alias("other_id"),
+        F.col("user_id").alias("u2"),
+        F.col("sec").alias("sec2"),
+        (F.col("sec") / 3600).cast("long").alias("bucket2"),
+    )
+    pairs = probe.join(
+        build,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("bucket") == F.col("bucket2"))
+        & (F.col("other_id") != F.col("event_id"))
+        & (F.abs(F.col("sec2") - F.col("sec")) <= 3600),
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(F.countDistinct("other_id").alias("neighbors_1h"))
+    )
