@@ -1,0 +1,103 @@
+"""Structured Streaming formulations of the reference's batch
+semantics (SURVEY.md §2.9 mapping):
+
+- late/re-delivered data (the reference's latest-wins W1 + keyed
+  upsert S8) → watermark + dropDuplicatesWithinWatermark
+- daily KPI recompute (S9) → windowed aggregate + foreachBatch MERGE
+  (here: the parquet upsert sink)
+
+The reference is daily-batch; these make the same pipeline incremental
+without changing any downstream contract — the gold marts produced by
+foreachBatch are byte-compatible with the batch publisher's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sinks.parquet_sinks import upsert
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-based streaming source (one file per micro-batch in tests;
+    kafka in production — same downstream graph either way)."""
+    return (
+        spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Online W1: drop re-delivered event_ids within the watermark.
+    State is bounded by the watermark — the streaming analog of the
+    reference's idempotent re-ingestion (SURVEY.md §2.9)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_windowed_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Online A1: tumbling 1-hour revenue rollup with late-data cutoff."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def foreach_batch_upsert(path: str, keys: list[str]):
+    """Online S8/S9: exactly-once-ish keyed upsert per micro-batch —
+    the streaming publisher for silver/gold tables. With Delta this is
+    foreachBatch + MERGE INTO."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            upsert(batch_df.sparkSession, batch_df, path, keys)
+
+    return _write
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Test harness: drive the streaming graph to completion over the
+    currently-available files, results in an in-memory table.
+
+    Aggregations need output_mode='complete' here: with a single
+    micro-batch the watermark never advances past the last window, so
+    append mode would emit nothing.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

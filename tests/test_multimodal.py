@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: the decode stage's Spark mechanics are
+real (schemas, Arrow batches, fan-out); the codec is a deterministic
+stub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.multimodal.decode import (
+    MEDIA_SCHEMA,
+    decode_media,
+    frame_sample_plan,
+    resize_stub,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-bytes-1", (64, 64, None)),
+        (2, "image", "image/png", b"\x89PNG-fake-bytes-2", (128, 128, None)),
+        (3, "video", "video/mp4", b"\x00mp4-fake", (640, 480, 3500)),
+        (4, "audio", "audio/wav", None, (None, None, 2000)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_media_stub_features(spark, media):
+    out = decode_media(media).collect()
+    assert len(out) == 4
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id[1]["features"]) == 16
+    assert by_id[1]["sha256"] != by_id[2]["sha256"]
+    # determinism: same payload → same features
+    again = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert by_id[1]["features"] == again[1]["features"]
+    assert by_id[4]["n_bytes"] == 0  # null payload handled
+
+
+def test_decode_real_path_is_explicit_stub(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_media(media, real_decode=True).collect()
+
+
+def test_frame_sample_plan(spark, media):
+    samples = frame_sample_plan(media, every_ms=1000).collect()
+    # video id=3, duration 3500ms → samples at 0,1000,2000,3000
+    assert [r["sample_at_ms"] for r in samples] == [0, 1000, 2000, 3000]
+
+
+def test_resize_stub_updates_meta(spark, media):
+    out = resize_stub(media, 32, 32).select("meta.width").distinct().collect()
+    assert [r["width"] for r in out] == [32]
