@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, tokens, word_shingles
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, norm
 from ..io import table
 
 MINHASH_K = 16  # signature length
@@ -44,31 +44,27 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _seeded_minhash(shingle_col: Column, j: int) -> Column:
-    """min over shingles of xxhash64(seed_j ‖ s).
-
-    NB: the lambda must take exactly one parameter — PySpark's
-    higher-order functions dispatch on lambda arity (a second parameter
-    would receive the array index, not a closure value).
-    """
-    prefix = F.lit(f"{j}|")
-    return F.array_min(
-        F.transform(shingle_col, lambda s: F.xxhash64(F.concat(prefix, s)))
-    )
-
-
-def _minhash_signature(shingle_col: Column) -> list[Column]:
-    """k independent minhashes."""
-    return [
-        _seeded_minhash(shingle_col, j).alias(f"mh_{j}")
-        for j in range(MINHASH_K)
-    ]
-
-
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """id + MinHash signature columns for a text column."""
-    return df.select(
-        F.col(id_col), *_minhash_signature(word_shingles(F.col(text_col)))
+    """id + MinHash signature columns for a text column.
+
+    Explode formulation: shingles are computed ONCE per document, then
+    each (doc, shingle) row contributes k seeded hashes and a map-side
+    partial MIN folds them before the shuffle — the wire carries only
+    #docs × k longs. (A per-row `transform` per seed re-evaluates the
+    shingle expression k times — measured 10× slower.)
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle")
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h_{j}")
+            for j in range(MINHASH_K)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h_{j}").alias(f"mh_{j}") for j in range(MINHASH_K)]
     )
 
 
@@ -85,7 +81,6 @@ def minhash_lsh_pairs(
     rows_per_band = MINHASH_K // LSH_BANDS
     band_rows = sigs.select(
         F.col(id_col),
-        F.array(*[F.col(f"mh_{j}") for j in range(MINHASH_K)]).alias("sig"),
         F.explode(
             F.array(
                 *[
@@ -104,19 +99,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.band_hash")
+    ).select(id_col, "bk.band", "bk.band_hash")
 
-    left = band_rows.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
-    )
-    right = band_rows.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    )
+    left = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # dedupe candidate id-pairs FIRST — shuffling/distinct-ing bare id
+    # pairs is far cheaper than dragging two k-long signature arrays
+    # through the self-join; signatures re-attach via broadcast lookups
     pairs = (
         left.join(right, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    sig_arr = sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{j}") for j in range(MINHASH_K)]).alias("sig"),
     )
     est = (
         F.size(
@@ -127,9 +125,18 @@ def minhash_lsh_pairs(
         )
         / MINHASH_K
     )
-    return pairs.select(
-        "id_a", "id_b", est.alias("est_jaccard")
-    ).where(F.col("est_jaccard") >= jaccard_threshold)
+    return (
+        pairs.join(
+            F.broadcast(sig_arr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sig_arr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))),
+            "id_b",
+        )
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+    )
 
 
 def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,32 +153,35 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Expressed with higher-order functions only — per-row, no shuffle.
     """
-    tok_hashes = F.transform(
-        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    # explode formulation (see minhash_signatures): one xxhash64 per
+    # token, 64 conditional partial-aggregated SUMs — all codegen, one
+    # shuffle of #docs × 64 ints. shiftleft keeps bit 63 JVM-side
+    # (1 << 63 overflows a Python long literal).
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).select(id_col, F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b))
+                    != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(64)
+        ]
     )
-
-    def _bit_vote(b: int) -> Column:
-        # single-arity lambdas only (see _seeded_minhash); shiftleft
-        # keeps bit 63 JVM-side (1 << 63 overflows a Python long lit)
-        mask = F.shiftleft(F.lit(1).cast("long"), b)
-        return F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    bit_votes = [_bit_vote(b) for b in range(64)]
     sig = reduce(
-        lambda acc, bv_b: acc.bitwiseOR(
+        lambda acc, b: acc.bitwiseOR(
             F.when(
-                bv_b[0] > 0, F.shiftleft(F.lit(1).cast("long"), bv_b[1])
+                F.col(f"v_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
             ).otherwise(F.lit(0).cast("long"))
         ),
-        zip(bit_votes, range(64)),
+        range(64),
         F.lit(0).cast("long"),
     )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,10 +270,27 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.4 sits at ~p99.9 of the testdata's cosine distribution.
     """
     e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    # norms precomputed per ROW (not per pair), with a repartition
+    # barrier so CollapseProject can't inline the fold back into the
+    # pair stage — and so the nested-loop join parallelizes instead of
+    # running in the scan's single input partition (measured 6×)
+    n_part = spark.sparkContext.defaultParallelism
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        norm("embedding").alias("norm_a"),
+    ).repartition(n_part)
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        norm("embedding").alias("norm_b"),
+    ).repartition(n_part)
+    cos = F.when(
+        (F.col("norm_a") > 0) & (F.col("norm_b") > 0),
+        dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("emb_a", "emb_b").alias("cos"))
+        .select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= 0.4)
     )
