@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from doeecommerce_datapipeline_spark.operators import (
     aggregates as A,
+    analytics as X,
     dedup as D,
     events as E,
     joins as J,
@@ -87,6 +88,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": E.session_stats,
         "asof_join_last_order": E.asof_join_last_order,
         "range_join_same_day": E.range_join_same_day,
+        # OLAP analytics extensions
+        "rollup_revenue": X.rollup_revenue,
+        "cube_order_counts": X.cube_order_counts,
+        "pivot_linestatus": X.pivot_linestatus,
+        "grouping_sets_revenue": X.grouping_sets_revenue,
+        "approx_aggregates": X.approx_aggregates,  # rows-only (sketches)
     }
 
 
@@ -517,5 +524,36 @@ def oracle_sql() -> dict[str, str]:
              AND b.event_id <> a.event_id
              AND abs(date_diff('second', a.ts, b.ts)) <= 3600
             GROUP BY 1, 2
+        """,
+        "rollup_revenue": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS order_month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (order_year, order_month)
+        """,
+        "cube_order_counts": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_linestatus": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS revenue_f,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS revenue_o
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "grouping_sets_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
     }

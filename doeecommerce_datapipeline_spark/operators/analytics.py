@@ -1,0 +1,89 @@
+"""OLAP analytics beyond the reference's flat GROUP BYs: rollup, cube,
+pivot, and the approximate-aggregate scale variants (SURVEY.md §2.4
+notes "no grouping sets / cube / rollup in the reference" — these are
+the engine's extension surface, free via Catalyst).
+
+Scale: rollup/cube compile to a single Expand + hash-agg pass (no
+re-scan per grouping); pivot is one agg with conditional measures; the
+approx_* variants (HLL / GK-sketch) are the 100 TB substitutes for
+exact COUNT(DISTINCT)/median — mergeable, single-pass, bounded memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..io import table
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by year ⊃ (year, month) ⊃ grand total in one pass."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            "o_totalprice",
+        )
+        .rollup("order_year", "order_month")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts over every subset of {status, priority}."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: returnflag rows × linestatus columns of exact revenue.
+    The explicit value list keeps the plan a single pass (no distinct
+    pre-scan) — required practice at scale."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_extendedprice"))
+        .withColumnRenamed("F", "revenue_f")
+        .withColumnRenamed("O", "revenue_o")
+    )
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variants: HLL distinct + GK approximate quantiles.
+
+    rows-only check (approximation is engine-specific by design);
+    tests/test_analytics.py bounds them against the exact answers.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.median("l_extendedprice").alias("exact_median_price"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — the general form
+    rollup/cube specialize; one Expand pass, not two scans."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
