@@ -65,11 +65,25 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_analytics.py bounds them against the exact answers.
     """
     l = table(spark, sf_dir, "lineitem")
-    return l.agg(
+    # one agg per distinct-class aggregate: combining countDistinct +
+    # median (both Expand/ordered-set class) in a single agg forces a
+    # multi-pass fallback plan — measured 36s vs ~6s split (sf0.1).
+    # Single-row results recombine with broadcast cross joins.
+    approx = l.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.median("l_extendedprice").alias("exact_median_price"),
+    )
+    exact_distinct = l.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    exact_median = l.agg(F.median("l_extendedprice").alias("exact_median_price"))
+    return (
+        approx.crossJoin(F.broadcast(exact_distinct))
+        .crossJoin(F.broadcast(exact_median))
+        .select(
+            "approx_orders",
+            "exact_orders",
+            "approx_median_price",
+            "exact_median_price",
+        )
     )
 
 

@@ -53,7 +53,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     #docs × k longs. (A per-row `transform` per seed re-evaluates the
     shingle expression k times — measured 10× slower.)
     """
-    sh = df.select(
+    # small-file scans arrive as ONE input partition; repartition before
+    # the explode so shingling/hashing uses every core (docs are tiny
+    # rows — the shuffle is negligible next to 32× parallelism)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(n_part).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("shingle")
     )
     hashed = sh.select(
@@ -157,9 +161,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # token, 64 conditional partial-aggregated SUMs — all codegen, one
     # shuffle of #docs × 64 ints. shiftleft keeps bit 63 JVM-side
     # (1 << 63 overflows a Python long literal).
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
-    ).select(id_col, F.xxhash64("tok").alias("h"))
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(n_part)
+        .select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+        )
+        .select(id_col, F.xxhash64("tok").alias("h"))
+    )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -233,7 +242,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH variants above are the scale path.
     """
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    sh = d.select(
+    sh = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local testdata ships as one small parquet file per table — at
+        # the default 128MB/4MB (maxPartitionBytes/openCost) every scan
+        # lands in ONE task and heavy per-row ops run single-threaded.
+        # A fine split grain restores full-core scans here; production
+        # deployments override via env (128MB+ is right at 100 TB).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", "0")
     )
     if extra_conf:
         for k, v in extra_conf.items():
