@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator via applyInPandasWithState —
+the escape hatch for semantics watermarked windows can't express
+(SURVEY.md §2.9 mapping).
+
+Implemented operator: per-user running session tracker. For each user
+the state carries (current session start, last event time, event
+count); an event more than GAP seconds after the previous one closes
+the open session and emits it, then starts a new one. Timed-out state
+flushes the final open session — so every session is emitted exactly
+once, append-mode.
+
+This is the online variant of operators/events.py:sessionize (the
+batch lag+cumsum formulation) — same session boundaries, incremental
+state instead of a window over history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SEC = 30 * 60
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+STATE_SCHEMA = "start long, last long, n long"
+
+
+def _make_tracker(use_timeout: bool):
+    def _track_sessions(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Fold this micro-batch's events of one user into session
+        state, emitting every session that closed."""
+        (user_id,) = key
+        if use_timeout and state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start, unit="s")],
+                        "session_end": [pd.Timestamp(last, unit="s")],
+                        "n_events": [n],
+                    }
+                )
+            return
+
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(v.timestamp()) for v in pdf["ts"])
+        ts.sort()
+
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > SESSION_GAP_SEC:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        if use_timeout:
+            state.setTimeoutDuration(60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in closed],
+                    "n_events": [n_ for _, _, n_ in closed],
+                }
+            )
+
+    return _track_sessions
+
+
+def sessionize_stream(events: DataFrame, flush_open_sessions: bool = False) -> DataFrame:
+    """events stream → closed-session stream (append mode).
+
+    flush_open_sessions=True adds a processing-time timeout that emits
+    the final open session of an idle user — correct for continuous
+    production triggers, but with trigger(availableNow) it spins
+    endless timeout-check micro-batches after input is drained, so
+    bounded runs keep the default False (open sessions simply stay
+    open, exactly like the batch formulation's last session per user).
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_open_sessions
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_tracker(flush_open_sessions),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
