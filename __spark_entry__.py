@@ -26,6 +26,7 @@ from doeecommerce_datapipeline_spark.operators import (
     projections as P,
     similarity as S,
     textops as T,
+    tpch as Q,
     windows as W,
 )
 
@@ -94,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_linestatus": X.pivot_linestatus,
         "grouping_sets_revenue": X.grouping_sets_revenue,
         "approx_aggregates": X.approx_aggregates,  # rows-only (sketches)
+        # classic OLAP shapes (TPC-H-style)
+        "simple_filter_agg": Q.simple_filter_agg,
+        "shipping_priority": Q.shipping_priority,
+        "large_volume_customers": Q.large_volume_customers,
     }
 
 
@@ -555,5 +560,44 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "simple_filter_agg": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS order_date,
+                   o.o_orderpriority,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1995-03-01 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300
+            )
+            SELECT c.c_custkey, c.c_name, b.l_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS order_date,
+                   o.o_totalprice AS order_price,
+                   b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
         """,
     }

@@ -1,0 +1,59 @@
+"""Skew utilities: salting must preserve exact semantics."""
+
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_left,
+)
+
+
+def _skewed(spark):
+    # 90% of rows on one hot key
+    hot = spark.range(9000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = _skewed(spark)
+    plain = {
+        r["k"]: (float(r["s"]), r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (float(r["s"]), r["c"], r["mn"], r["mx"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"s": ("v", "sum"), "c": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_broadcast_left_matches_plain(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [("hot", "H"), ("c1", "C1"), ("c2", "C2")], "k string, tag string"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["tag"]) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in salted_broadcast_left(big, small, "k").collect()
+    )
+    assert plain == salted
