@@ -34,8 +34,13 @@ def non_negative(col: str) -> Rule:
 
 
 def valid_email(col: str) -> Rule:
-    """Email format (validator.py:47-53)."""
-    return Rule(f"{col}_valid_email", F.col(col).isNull() | F.col(col).rlike(EMAIL_RE))
+    """Email format (validator.py:47-53). Validated on the trimmed
+    value — raw feeds arrive padded, and quarantining rows the silver
+    normalizer (F1 lower+trim) would fix anyway is false rejection."""
+    return Rule(
+        f"{col}_valid_email",
+        F.col(col).isNull() | F.trim(F.col(col)).rlike(EMAIL_RE),
+    )
 
 
 def in_range(col: str, lo, hi) -> Rule:

@@ -1,0 +1,57 @@
+"""Plan-regression tests: the physical properties PLANS.md documents
+must survive operator edits — pushdown, pruning, broadcast choice,
+single-exchange windows."""
+
+import io
+import contextlib
+
+import pytest
+
+import __spark_entry__ as m
+
+QUERIES = m.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p  # predicate reached the scan
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]  # pruned
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_user_activity_broadcasts_dimension(spark, sf_dir):
+    p = _plan(spark, sf_dir, "user_activity")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dedup_window_single_exchange(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dedup_latest_event")
+    # one hash-partitioning exchange feeding the ranking window, with
+    # WindowGroupLimit pushing the rn==1 top-k below the shuffle
+    assert p.count("+- Exchange") == 1
+    assert "hashpartitioning" in p
+    assert "WindowGroupLimit" in p
+    assert "row_number" in p
+
+
+def test_simple_filter_agg_all_predicates_pushed(spark, sf_dir):
+    p = _plan(spark, sf_dir, "simple_filter_agg")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    semi = _plan(spark, sf_dir, "customers_with_orders")
+    anti = _plan(spark, sf_dir, "customers_without_orders")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
