@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_filter_agg": Q.simple_filter_agg,
         "shipping_priority": Q.shipping_priority,
         "large_volume_customers": Q.large_volume_customers,
+        "small_quantity_revenue": Q.small_quantity_revenue,
     }
 
 
@@ -599,5 +600,17 @@ def oracle_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON b.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "small_quantity_revenue": """
+            WITH per_part AS (
+                SELECT l_partkey AS pk,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                   COUNT(*) AS n_small
+            FROM lineitem l JOIN per_part p ON l.l_partkey = p.pk
+            WHERE l.l_quantity < 0.2 * p.avg_qty
         """,
     }

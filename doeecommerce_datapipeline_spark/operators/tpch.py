@@ -64,6 +64,28 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery — lineitems whose quantity
+    is below 20% of their part's average. Expressed as a self-agg join
+    (what Catalyst's decorrelation produces anyway): per-part avg is a
+    small aggregate, broadcast back onto the fact scan."""
+    l = table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(per_part), l.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: HAVING over a big aggregation, then dimension join.
     The having-filter runs on the aggregated (small) side before the
