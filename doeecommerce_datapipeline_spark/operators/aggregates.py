@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dec_sum, dsum, exact_avg
+from ..functions.scalars import dsum, exact_avg
 from ..io import table
 
 

@@ -16,7 +16,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine, norm
 from ..io import table
 
 N_PLANES = 12  # 4096 buckets

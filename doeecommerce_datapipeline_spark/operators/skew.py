@@ -17,7 +17,7 @@ MIN/MAX — decimal sums stay exact and order-free).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -3,7 +3,6 @@ real (schemas, Arrow batches, fan-out); the codec is a deterministic
 stub."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from doeecommerce_datapipeline_spark.multimodal.decode import (
     MEDIA_SCHEMA,

@@ -5,8 +5,6 @@ single-exchange windows."""
 import io
 import contextlib
 
-import pytest
-
 import __spark_entry__ as m
 
 QUERIES = m.queries()

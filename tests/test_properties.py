@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the semantics the oracle
+can't fuzz: dedup tie-break determinism under shuffling, guarded
+division bounds, upsert algebra, union null-handling."""
+
+from datetime import datetime, timedelta
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.functions.scalars import guarded_pct
+from doeecommerce_datapipeline_spark.operators.windows import latest_wins
+
+BASE = datetime(2024, 1, 1)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key
+        st.integers(0, 3),  # ts offset (collisions likely)
+        st.integers(0, 10_000),  # unique-ish payload seed
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_latest_wins_deterministic_under_partitioning(spark, rows):
+    """Same input in any partitioning/order → same surviving rows."""
+    data = [
+        (k, BASE + timedelta(hours=ts), i)  # i = unique tiebreaker
+        for i, (k, ts, _) in enumerate(rows)
+    ]
+    df1 = spark.createDataFrame(data, "k long, ts timestamp, uid long")
+    df2 = spark.createDataFrame(list(reversed(data)), "k long, ts timestamp, uid long").repartition(7)
+    order = [F.col("ts").desc(), F.col("uid").desc()]
+    r1 = {(r["k"], r["uid"]) for r in latest_wins(df1, ["k"], order).collect()}
+    r2 = {(r["k"], r["uid"]) for r in latest_wins(df2, ["k"], order).collect()}
+    assert r1 == r2
+    assert len(r1) == len({k for k, _, _ in rows})  # one row per key
+
+
+@given(
+    totals=st.lists(
+        st.tuples(
+            st.decimals(min_value=0, max_value=10**6, places=2),
+            st.decimals(min_value=0, max_value=10**6, places=2),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_guarded_pct_bounds_and_zero_guard(spark, totals):
+    """pct is NULL-free, 0 when total==0, and equals the exact decimal
+    formula otherwise."""
+    data = [(Decimal(t), Decimal(d)) for t, d in totals]
+    df = spark.createDataFrame(data, "total decimal(15,2), disc decimal(15,2)")
+    out = df.select(
+        "total", "disc", guarded_pct("total", "disc").alias("pct")
+    ).collect()
+    for r in out:
+        assert r["pct"] is not None
+        if r["total"] == 0:
+            assert r["pct"] == 0
+        else:
+            expected = ((r["total"] - r["disc"]) / r["total"] * 100).quantize(
+                Decimal("0.01")
+            )
+            assert r["pct"] == expected
+
+
+@given(
+    old_keys=st.sets(st.integers(0, 20), min_size=1, max_size=10),
+    new_keys=st.sets(st.integers(0, 20), min_size=1, max_size=10),
+)
+@_settings
+def test_upsert_algebra(spark, tmp_path_factory, old_keys, new_keys):
+    """After upsert: keys = old ∪ new; every overlapping key carries the
+    new payload."""
+    from doeecommerce_datapipeline_spark.sinks.parquet_sinks import upsert
+
+    p = str(tmp_path_factory.mktemp("ups") / "t")
+    spark.createDataFrame(
+        [(k, "old") for k in old_keys], "id long, v string"
+    ).write.parquet(p)
+    upsert(
+        spark,
+        spark.createDataFrame([(k, "new") for k in new_keys], "id long, v string"),
+        p,
+        ["id"],
+    )
+    got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert set(got) == old_keys | new_keys
+    for k in new_keys:
+        assert got[k] == "new"
+    for k in old_keys - new_keys:
+        assert got[k] == "old"

@@ -2,7 +2,6 @@
 lag+cumsum sessionizer on the same data."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from doeecommerce_datapipeline_spark.io import table
 from doeecommerce_datapipeline_spark.operators.events import session_stats
