@@ -1,0 +1,149 @@
+"""Versioned-manifest table format: atomic commits + time travel on
+plain parquet — the transactional upgrade over the staged-swap sinks
+(SURVEY.md §7.4 risk 1: the reference's upsert is Postgres-
+transactional; plain-directory overwrites are not).
+
+Design (a minimal Delta-style log, built from public concepts):
+
+    table/
+      _manifests/v00000001.json   # ordered list of live data files
+      _manifests/v00000002.json
+      part-<uuid>.parquet         # immutable data files, append-only
+
+- Writers add new parquet files, then commit a new manifest listing the
+  table's full live-file set. The manifest create is O_EXCL-atomic: two
+  racing writers can't both claim version N (one loses and retries).
+- Readers list `_manifests/`, pick the highest version (or any older
+  one — time travel), and read exactly those files. A crashed writer
+  leaves orphan data files but never a torn table.
+- Delete/upsert = rewrite affected files + commit a manifest that drops
+  the old ones. VACUUM = remove data files referenced by no manifest.
+
+At 100 TB the manifest lists (file, partition-values, row-count,
+min/max) so planning can prune without touching the filesystem — the
+same trajectory Delta/Iceberg take; this implementation keeps just the
+file list + counts.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.mdir = os.path.join(path, "_manifests")
+
+    # ---- log internals -------------------------------------------------
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(os.path.basename(p)[1:9])
+            for p in glob.glob(os.path.join(self.mdir, "v*.json"))
+        )
+
+    def current_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(os.path.join(self.mdir, f"v{version:08d}.json")) as f:
+            return json.load(f)
+
+    def _try_commit(self, version: int, files: list[str], meta: dict) -> bool:
+        """O_EXCL manifest create — the atomic commit point."""
+        os.makedirs(self.mdir, exist_ok=True)
+        target = os.path.join(self.mdir, f"v{version:08d}.json")
+        payload = json.dumps({"version": version, "files": files, **meta})
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return True
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write df as new immutable files under the table root; return
+        their names. Uses a scratch dir then moves files in (the move is
+        per-file but files are invisible until a manifest names them)."""
+        scratch = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(scratch)
+        os.makedirs(self.path, exist_ok=True)
+        names = []
+        for p in glob.glob(os.path.join(scratch, "*.parquet")):
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(p, os.path.join(self.path, name))
+            names.append(name)
+        shutil.rmtree(scratch)  # _SUCCESS markers, crc files, etc.
+        return names
+
+    def _commit_retry(self, build_files) -> int:
+        """Optimistic-concurrency commit loop: recompute against the
+        latest snapshot until the O_EXCL create wins."""
+        while True:
+            base = self.current_version()
+            files = build_files(base)
+            if self._try_commit(base + 1, files, {"base": base}):
+                return base + 1
+
+    # ---- public API ----------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        files = self._read_manifest(v)["files"]
+        if not files:
+            return self.spark.createDataFrame([], self._read_manifest(v).get("schema", ""))
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    def append(self, df: DataFrame) -> int:
+        new = self._write_data(df)
+        return self._commit_retry(
+            lambda base: (self._read_manifest(base)["files"] if base else []) + new
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        new = self._write_data(df)
+        return self._commit_retry(lambda base: list(new))
+
+    def upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """MERGE-style keyed upsert: rewrite survivors + new batch as
+        fresh files, commit a manifest dropping every old file. Readers
+        at any point see either the old snapshot or the new one."""
+        if self.current_version() == 0:
+            return self.append(updates)
+        old = self.read()
+        kept = old.join(updates.select(*keys).distinct(), keys, "left_anti")
+        new = self._write_data(kept.unionByName(updates))
+        return self._commit_retry(lambda base: list(new))
+
+    def delete_where(self, condition) -> int:
+        survivors = self.read().where(~condition)
+        new = self._write_data(survivors)
+        return self._commit_retry(lambda base: list(new))
+
+    def vacuum(self) -> list[str]:
+        """Remove data files referenced by no manifest (crashed writers,
+        superseded versions older than the retained log)."""
+        live: set[str] = set()
+        for v in self._versions():
+            live |= set(self._read_manifest(v)["files"])
+        removed = []
+        for p in glob.glob(os.path.join(self.path, "part-*.parquet")):
+            if os.path.basename(p) not in live:
+                os.remove(p)
+                removed.append(os.path.basename(p))
+        return removed
+
+    def history(self) -> list[dict]:
+        return [self._read_manifest(v) for v in self._versions()]

@@ -1,0 +1,83 @@
+"""ManifestTable: atomic commits, snapshot isolation, time travel,
+upsert semantics, vacuum."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+@pytest.fixture()
+def mt(spark, tmp_path):
+    return ManifestTable(spark, str(tmp_path / "t"))
+
+
+def test_append_and_read(spark, mt):
+    v1 = mt.append(_df(spark, [(1, "a")]))
+    v2 = mt.append(_df(spark, [(2, "b")]))
+    assert (v1, v2) == (1, 2)
+    assert {r["id"] for r in mt.read().collect()} == {1, 2}
+
+
+def test_time_travel(spark, mt):
+    mt.append(_df(spark, [(1, "a")]))
+    mt.overwrite(_df(spark, [(9, "z")]))
+    assert {r["id"] for r in mt.read(version=1).collect()} == {1}
+    assert {r["id"] for r in mt.read().collect()} == {9}
+
+
+def test_upsert_snapshot_semantics(spark, mt):
+    mt.append(_df(spark, [(1, "old"), (2, "old")]))
+    old_snapshot = mt.current_version()
+    mt.upsert(_df(spark, [(2, "new"), (3, "new")]), ["id"])
+    got = {r["id"]: r["v"] for r in mt.read().collect()}
+    assert got == {1: "old", 2: "new", 3: "new"}
+    # the pre-upsert snapshot is still fully readable
+    before = {r["id"]: r["v"] for r in mt.read(version=old_snapshot).collect()}
+    assert before == {1: "old", 2: "old"}
+
+
+def test_delete_where(spark, mt):
+    mt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    mt.delete_where(F.col("id") == 2)
+    assert {r["id"] for r in mt.read().collect()} == {1, 3}
+
+
+def test_vacuum_keeps_all_referenced(spark, mt, tmp_path):
+    import glob
+    import os
+
+    mt.append(_df(spark, [(1, "a")]))
+    mt.overwrite(_df(spark, [(2, "b")]))
+    # drop an orphan file (simulated crashed writer)
+    orphan = os.path.join(str(tmp_path / "t"), "part-deadbeef.parquet")
+    open(orphan, "wb").close()
+    removed = mt.vacuum()
+    assert "part-deadbeef.parquet" in removed
+    # both committed snapshots still readable after vacuum
+    assert {r["id"] for r in mt.read(version=1).collect()} == {1}
+    assert {r["id"] for r in mt.read(version=2).collect()} == {2}
+
+
+def test_commit_conflict_retries(spark, mt, monkeypatch):
+    """A losing O_EXCL race must retry against the new snapshot."""
+    mt.append(_df(spark, [(1, "a")]))
+    real = mt._try_commit
+    calls = {"n": 0}
+
+    def flaky(version, files, meta):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # sneak a competing commit in first
+            real(version, self_files := list(files), {"base": version - 1})
+            return False  # then report the loss
+        return real(version, files, meta)
+
+    monkeypatch.setattr(mt, "_try_commit", flaky)
+    mt.append(_df(spark, [(2, "b")]))
+    assert {r["id"] for r in mt.read().collect()} == {1, 2}
