@@ -37,8 +37,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
+            # scale ≤6 keeps sum×10^s < 2^53 at bench SFs, so the final
+            # decimal→double conversion is exact on every engine (at
+            # scale 8 the scaled integer tops 2^53 and engines' rounding
+            # of the conversion diverges by 1 ulp)
             dsum(disc_price, "decimal(28,6)").alias("sum_disc_price"),
-            dsum(charge, "decimal(28,8)").alias("sum_charge"),
+            dsum(charge, "decimal(28,6)").alias("sum_charge"),
             exact_avg("l_quantity").alias("avg_qty"),
             exact_avg("l_extendedprice").alias("avg_price"),
             exact_avg("l_discount", "decimal(18,4)").alias("avg_disc"),
