@@ -114,10 +114,21 @@ def run_ingestion(spark: SparkSession, base: str, ledger: AuditLedger, tables: l
 
 
 def run_transformation(spark: SparkSession, base: str, tables: list[str]) -> None:
+    from .silver import transform_cart_items
+
     for t in tables:
         fn, pk = TRANSFORMS[t]
         raw = spark.read.parquet(f"{base}/bronze/{t}_raw")
         upsert(spark, fn(raw), f"{base}/silver/{t}", [pk])
+        if t == "carts":
+            # line-item fact table (the reference's TEXT column can't);
+            # keyed on cart_id so a re-ingested cart replaces its lines
+            upsert(
+                spark,
+                transform_cart_items(raw),
+                f"{base}/silver/cart_items",
+                ["cart_id"],
+            )
 
 
 def run_quality(spark: SparkSession, base: str) -> bool:

@@ -89,6 +89,36 @@ def transform_orders(raw: DataFrame, now: Column | None = None) -> DataFrame:
     ).distinct()
 
 
+def transform_cart_items(raw: DataFrame, now: Column | None = None) -> DataFrame:
+    """The table the reference CANNOT build: per-line cart items.
+
+    The reference serializes cart lines to TEXT at ingest
+    (dummyjson_ingestor.py:541-547, db_setup.py:524), destroying them
+    for analysis. With native ArrayType they explode into a proper
+    line-item fact table — dedup first (latest cart wins), then fan
+    out, so re-ingested carts never double their lines.
+    """
+    now = now if now is not None else F.current_timestamp()
+    deduped = latest_wins(raw, ["id"], _recency_order(raw))
+    line = F.explode(F.col("products")).alias("line")
+    return deduped.select(
+        F.col("id").cast("long").alias("cart_id"),
+        F.col("userId").cast("long").alias("user_id"),
+        line,
+        now.alias("last_updated"),
+    ).select(
+        "cart_id",
+        "user_id",
+        F.col("line.productId").cast("long").alias("product_id"),
+        F.col("line.quantity").cast("int").alias("quantity"),
+        F.col("line.price").cast("decimal(15,2)").alias("unit_price"),
+        (F.col("line.quantity") * F.col("line.price"))
+        .cast("decimal(18,2)")
+        .alias("line_total"),
+        "last_updated",
+    )
+
+
 TRANSFORMS = {
     "products": (transform_products, "product_id"),
     "carts": (transform_carts, "cart_id"),

@@ -11,9 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+# nullable: sources may deliver rows before the ingestor stamps them
+# (with_lineage fills whatever is missing at load time)
 LINEAGE_FIELDS = [
-    T.StructField("_ingestion_timestamp", T.TimestampType(), False),
-    T.StructField("_source_name", T.StringType(), False),
+    T.StructField("_ingestion_timestamp", T.TimestampType(), True),
+    T.StructField("_source_name", T.StringType(), True),
     T.StructField("_endpoint", T.StringType(), True),
     T.StructField("_table_name", T.StringType(), True),
 ]

@@ -38,13 +38,22 @@ except Exception:  # pragma: no cover
 def with_lineage(
     df: DataFrame, source_name: str, endpoint: str | None = None, table_name: str | None = None
 ) -> DataFrame:
-    """P3: lineage-column injection."""
-    return (
-        df.withColumn("_ingestion_timestamp", F.current_timestamp())
-        .withColumn("_source_name", F.lit(source_name))
-        .withColumn("_endpoint", F.lit(endpoint))
-        .withColumn("_table_name", F.lit(table_name))
-    )
+    """P3: lineage-column injection. Source-provided lineage values are
+    preserved (replays/backfills carry their original stamps — that's
+    what makes latest-wins dedup meaningful); only missing pieces are
+    filled at load time."""
+    defaults = {
+        "_ingestion_timestamp": F.current_timestamp(),
+        "_source_name": F.lit(source_name),
+        "_endpoint": F.lit(endpoint),
+        "_table_name": F.lit(table_name),
+    }
+    for col, default in defaults.items():
+        if col in df.columns:
+            df = df.withColumn(col, F.coalesce(F.col(col), default))
+        else:
+            df = df.withColumn(col, default)
+    return df
 
 
 class RecordsSource:
@@ -58,12 +67,12 @@ class RecordsSource:
         self.schema = schema
 
     def to_df(self, records: Iterable[dict]) -> DataFrame:
-        data_fields = [
-            f for f in self.schema.fields if not f.name.startswith("_")
-        ]
+        """All schema fields, lineage included — records that carry
+        stamps (replays, fixtures) keep them; absent keys become typed
+        nulls for with_lineage to fill."""
         return self.spark.createDataFrame(
-            (tuple(r.get(f.name) for f in data_fields) for r in records),
-            T.StructType(data_fields),
+            (tuple(r.get(f.name) for f in self.schema.fields) for r in records),
+            self.schema,
         )
 
 
