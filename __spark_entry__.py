@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": S.embedding_norms,
         # event-stream operators (batch formulations)
         "tumbling_hourly": E.tumbling_hourly,
+        "sliding_hourly": E.sliding_hourly,
         "sessionize": E.sessionize,
         "session_stats": E.session_stats,
         "asof_join_last_order": E.asof_join_last_order,
@@ -100,6 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": Q.shipping_priority,
         "large_volume_customers": Q.large_volume_customers,
         "small_quantity_revenue": Q.small_quantity_revenue,
+        "volume_shipping": Q.volume_shipping,
+        "best_supplier_per_part": Q.best_supplier_per_part,
+        "promo_part_suppliers": Q.promo_part_suppliers,
     }
 
 
@@ -473,6 +477,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "sliding_hourly": """
+            WITH expanded AS (
+                SELECT make_timestamp(
+                           (epoch_us(ts) // 1800000000 - t.k) * 1800000000
+                       ) AS window_start,
+                       event_type, value
+                FROM events CROSS JOIN unnest([0, 1]) AS t(k)
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 60 MINUTE AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+            FROM expanded
+            GROUP BY 1, 2, 3
+        """,
         "sessionize": """
             WITH x AS (
                 SELECT event_id, user_id, ts, event_type,
@@ -612,5 +632,63 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_small
             FROM lineitem l JOIN per_part p ON l.l_partkey = p.pk
             WHERE l.l_quantity < 0.2 * p.avg_qty
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "best_supplier_per_part": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), cand AS (
+                SELECT p.p_partkey, p.p_name,
+                       s.s_suppkey, s.s_name, s.s_acctbal,
+                       n.n_name AS supp_nation,
+                       ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                          ORDER BY s.s_acctbal DESC,
+                                                   s.s_suppkey ASC) AS rn
+                FROM pairs
+                JOIN part p ON pairs.l_partkey = p.p_partkey
+                JOIN supplier s ON pairs.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE p.p_name LIKE 'blue%'
+            )
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, supp_nation
+            FROM cand WHERE rn = 1
+        """,
+        "promo_part_suppliers": """
+            WITH agg AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'small%')
+                GROUP BY l_suppkey
+            ), thr AS (
+                SELECT CAST(SUM(qty_dec) AS DOUBLE) / COUNT(*) AS avg_qty
+                FROM agg
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   n.n_name AS supp_nation,
+                   CAST(a.qty_dec AS DOUBLE) AS total_qty
+            FROM agg a
+            CROSS JOIN thr
+            JOIN supplier s ON a.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE CAST(a.qty_dec AS DOUBLE) > 1.5 * thr.avg_qty
         """,
     }

@@ -41,6 +41,36 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1 h window, 30 min slide): the
+    overlapping-window Structured Streaming shape, in batch. ``F.window``
+    with a slide fans each event into exactly window/slide = 2 windows
+    before the hash agg — no self-join, and the expansion happens
+    map-side so only (window, event_type) groups shuffle.
+
+    Window starts are epoch-aligned µs arithmetic, so the oracle twin
+    reproduces them exactly with make_timestamp(epoch_us // slide).
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "decimal(18,6)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to
     the previous event of the same user exceeds 30 minutes.

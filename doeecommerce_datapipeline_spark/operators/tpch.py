@@ -6,10 +6,10 @@ shapes SURVEY.md §7.2's bench hardening calls for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dsum
+from ..functions.scalars import dec_sum, dsum
 from ..io import table
 
 
@@ -82,6 +82,162 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_extendedprice").alias("total_price"),
             F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: trade volume between a nation pair, by shipping year.
+
+    The scale move: resolve both nation filters onto the small dims
+    FIRST, so the broadcast joins against supplier and customer prune
+    lineitem/orders before the one big orderkey shuffle. Filtering
+    after a 6-way join (the naive SQL shape) would shuffle the whole
+    fact table; this plan shuffles only the two nations' traffic.
+    """
+    nation_a, nation_b = "NATION_1", "NATION_2"
+    n = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "decimal(28,6)",
+            ).alias("revenue")
+        )
+    )
+
+
+def best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated min/max subquery — for each filtered part,
+    the richest supplier that has ever shipped it (ties broken by the
+    lowest suppkey, so the answer is total-ordered and deterministic).
+
+    Spark-first: instead of decorrelating into a window rank over the
+    distinct part↔supplier pairs (two shuffles: distinct + window), one
+    ``max_by`` aggregation over a lexicographic struct key picks the
+    winner in a single shuffle with map-side partial agg — duplicate
+    pairs never need a separate dedup pass. (The struct agg buffer
+    makes this a SortAggregate, not hash — still partial+final, and
+    strictly less data movement than distinct-then-rank.)
+    """
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("blue"))
+        .select("p_partkey", "p_name")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("supp_nation"))
+    )
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = pairs.groupBy("p_partkey", "p_name").agg(
+        F.max_by(
+            F.struct("s_suppkey", "s_name", "s_acctbal", "supp_nation"),
+            F.struct(F.col("s_acctbal"), -F.col("s_suppkey")),
+        ).alias("best")
+    )
+    return best.select(
+        "p_partkey",
+        "p_name",
+        F.col("best.s_suppkey").alias("s_suppkey"),
+        F.col("best.s_name").alias("s_name"),
+        F.col("best.s_acctbal").alias("s_acctbal"),
+        F.col("best.supp_nation").alias("supp_nation"),
+    )
+
+
+def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN-subquery chain — suppliers whose shipped
+    quantity of 'small *' parts exceeds 1.5× the average per-supplier
+    quantity of those parts.
+
+    Part filter → broadcast LEFT SEMI prunes the fact scan. The
+    relative threshold (a scalar aggregate OF the aggregate) is a
+    global window over the per-supplier rows rather than a separate
+    agg + crossJoin: the naive two-branch plan re-evaluates the whole
+    semi-join + agg subtree (Spark has no automatic CTE reuse), i.e.
+    scans lineitem twice. The empty-partition window touches only the
+    already-aggregated |suppliers| rows — one fact scan total.
+    Quantities sum as exact decimals; the 1.5× compare happens on
+    identically-derived doubles in both engines.
+    """
+    sp = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    shipped = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(sp), F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
+    )
+    per_supp = shipped.groupBy("l_suppkey").agg(
+        dec_sum("l_quantity", "decimal(18,2)").alias("qty_dec")
+    )
+    w_all = Window.partitionBy()
+    per_supp = per_supp.withColumn(
+        "avg_qty",
+        F.sum("qty_dec").over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all),
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        per_supp.where(F.col("qty_dec").cast("double") > 1.5 * F.col("avg_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "supp_nation",
+            F.col("qty_dec").cast("double").alias("total_qty"),
         )
     )
 

@@ -53,3 +53,28 @@ def test_semi_and_anti_join_strategies(spark, sf_dir):
     anti = _plan(spark, sf_dir, "customers_without_orders")
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_volume_shipping_no_sort_merge(spark, sf_dir):
+    # both nation-filtered dims broadcast; shipdate window pushed down
+    p = _plan(spark, sf_dir, "volume_shipping")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, "shipdate range should reach the lineitem scan"
+
+
+def test_promo_part_suppliers_single_fact_scan(spark, sf_dir):
+    # threshold-as-window formulation: lineitem must be scanned ONCE
+    # (the agg+crossJoin shape re-evaluates the subtree and scans twice)
+    p = _plan(spark, sf_dir, "promo_part_suppliers")
+    scans = p.count("lineitem.parquet")
+    assert scans == 1, f"expected 1 lineitem scan, plan has {scans}"
+    assert "LeftSemi" in p
+
+
+def test_sliding_hourly_expand_single_exchange(spark, sf_dir):
+    # F.window with slide = Expand fan-out map-side + one agg shuffle
+    p = _plan(spark, sf_dir, "sliding_hourly")
+    assert "Expand" in p
+    assert p.count("+- Exchange") == 1
