@@ -73,11 +73,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": T.doc_fingerprint,
         "lang_id": T.lang_id,
         "quality_by_source": T.quality_by_source,
+        "vocab_topk": T.vocab_topk,
         # north star: dedup suite
         "exact_dedup_groups": D.exact_dedup_groups,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "embedding_near_dups": D.embedding_near_dups,
         "dedup_components": D.dedup_components,
+        "levenshtein_near_dups": D.levenshtein_near_dups,
         "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
         "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only (hash-seeded)
         # north star: similarity search (embeddings)
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": E.session_stats,
         "asof_join_last_order": E.asof_join_last_order,
         "range_join_same_day": E.range_join_same_day,
+        "funnel_conversion": E.funnel_conversion,
         # OLAP analytics extensions
         "rollup_revenue": X.rollup_revenue,
         "cube_order_counts": X.cube_order_counts,
@@ -422,6 +425,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "vocab_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM toks
+            WHERE token != ''
+            GROUP BY token
+            ORDER BY tf DESC, token ASC
+            LIMIT 25
+        """,
+        "levenshtein_near_dups": """
+            WITH d AS (
+                SELECT doc_id, text, length(text) AS ln
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+            FROM d a JOIN d b
+              ON a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 25
+            WHERE levenshtein(a.text, b.text) <= 25
+        """,
+        "funnel_conversion": """
+            WITH v AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+                FROM events GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) AS fc
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.fv
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS fp
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.fc
+                GROUP BY e.user_id
+            ), u AS (
+                SELECT v.user_id, v.fv, c.fc, p.fp
+                FROM v
+                LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id
+            )
+            SELECT COUNT(fv) AS n_viewed,
+                   COUNT(fc) AS n_clicked_after,
+                   COUNT(fp) AS n_purchased_after,
+                   CAST(COUNT(fp) AS DOUBLE) / COUNT(fv) AS view_to_purchase_rate
+            FROM u
         """,
         "dedup_components": """
             WITH RECURSIVE toks AS (

@@ -370,3 +370,43 @@ def dedup_components(
             ).alias("component"),
         )
     return labels
+
+
+def levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the character-level modality the
+    shingle/hash families miss (transposed words, small in-place edits).
+
+    Scale levers: a length-difference prefilter inside the join
+    condition (|len_a − len_b| ≤ t is necessary for distance ≤ t) keeps
+    most pairs from ever running the DP, and Spark's thresholded
+    ``levenshtein(l, r, t)`` early-exits at O(len × t) instead of
+    O(len²). Bounded to doc_id < 200 like the other exact-pair ops —
+    LSH banding is the 100 TB candidate-generation path.
+    """
+    t = 25
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text", F.length("text").alias("ln"))
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.col("ln").alias("ln_a"),
+    ).repartition(n_part)
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+        F.col("ln").alias("ln_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= t),
+        )
+        .withColumn("edit_dist", F.levenshtein("text_a", "text_b", t))
+        .where(F.col("edit_dist") >= 0)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -220,3 +220,54 @@ def range_join_same_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("event_id", "user_id")
         .agg(F.countDistinct("other_id").alias("neighbors_1h"))
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: of users who viewed, how many clicked after
+    their first view, then purchased after that first click — the
+    product-analytics sequence operator.
+
+    One shuffle total: the three conditional-min window passes are all
+    unordered over the same user_id partitioning (each stage's anchor
+    timestamp feeds the next stage's condition), and the final global
+    rollup is a single row. COUNT(col) counts non-null anchors, so
+    stage reach falls out without explicit flags.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn(
+        "fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    d = d.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("fc")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("fv").alias("fv"),
+        F.max("fc").alias("fc"),
+        F.max("fp").alias("fp"),
+    )
+    return per_user.agg(
+        F.count("fv").alias("n_viewed"),
+        F.count("fc").alias("n_clicked_after"),
+        F.count("fp").alias("n_purchased_after"),
+        (F.count("fp").cast("double") / F.count("fv")).alias(
+            "view_to_purchase_rate"
+        ),
+    )

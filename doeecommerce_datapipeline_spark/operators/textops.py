@@ -17,6 +17,7 @@ from ..functions.text import (
     lang_marker_count,
     punct_ratio,
     token_count,
+    tokens,
 )
 from ..io import table
 
@@ -82,4 +83,31 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         F.min(n_tok).alias("min_tokens"),
         F.max(n_tok).alias("max_tokens"),
+    )
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency for the
+    top 25 whitespace tokens — the first pass of any tokenizer/vocab
+    build over a training corpus.
+
+    explode → single hash agg with count + countDistinct; top-k via
+    TakeOrderedAndProject (never a global sort). Ties break on the
+    token string, so the cut is total-ordered. Repartition before the
+    explode so the token fan-out uses every core (small-file scans
+    arrive as one input partition).
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(n_part)
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(25)
     )
