@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_projection": W.distinct_projection,
         "top_products_daily": W.top_products_daily,
         "running_totals": W.running_totals,
+        "moving_avg_7d": W.moving_avg_7d,
+        "customer_deciles": W.customer_deciles,
         # §2.3 joins
         "user_activity": J.user_activity,
         "revenue_by_region": J.revenue_by_region,
@@ -108,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": Q.volume_shipping,
         "best_supplier_per_part": Q.best_supplier_per_part,
         "promo_part_suppliers": Q.promo_part_suppliers,
+        "last_shipper_wins": Q.last_shipper_wins,
     }
 
 
@@ -238,6 +241,23 @@ def oracle_sql() -> dict[str, str]:
                              CAST(o_orderdate AS DATE)) AS days_since_prev
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        "moving_avg_7d": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(o_orderdate AS DATE) AS order_date,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       / COUNT(o_totalprice) OVER w AS avg_7d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        """,
+        "customer_deciles": """
+            SELECT c_custkey, c_acctbal,
+                   NTILE(10) OVER w AS decile,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume
+            FROM customer
+            WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
         """,
         "user_activity": """
             SELECT c.c_custkey, c.c_name,
@@ -783,5 +803,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON a.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE CAST(a.qty_dec AS DOUBLE) > 1.5 * thr.avg_qty
+        """,
+        "last_shipper_wins": """
+            WITH per AS (
+                SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+                FROM lineitem GROUP BY 1, 2
+            ), marked AS (
+                SELECT l_orderkey, l_suppkey, s_max,
+                       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                       MAX(s_max) OVER (PARTITION BY l_orderkey) AS top1,
+                       COUNT(*) OVER (PARTITION BY l_orderkey, s_max) AS cnt_at_max
+                FROM per
+            )
+            SELECT s.s_suppkey, s.s_name, COUNT(*) AS orders_won
+            FROM marked m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+            WHERE m.n_supp > 1 AND m.s_max = m.top1 AND m.cnt_at_max = 1
+            GROUP BY s.s_suppkey, s.s_name
         """,
     }

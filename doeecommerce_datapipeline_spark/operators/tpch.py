@@ -266,3 +266,44 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+def last_shipper_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: double-correlated EXISTS / NOT EXISTS — in orders
+    served by several suppliers, which supplier shipped strictly last?
+    (EXISTS another supplier in the order; NOT EXISTS one shipping
+    later; shipdate ties disqualify the order, keeping the winner
+    unique and deterministic.)
+
+    Spark-first decorrelation: pre-aggregate to one row per
+    (order, supplier), then three unordered window aggregates over the
+    orderkey partitioning replace both correlated subqueries — the
+    fact table shuffles once on (orderkey, suppkey) and once on
+    orderkey, never self-joins.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    w_o = Window.partitionBy("l_orderkey")
+    w_om = Window.partitionBy("l_orderkey", "s_max")
+    marked = per.select(
+        "l_orderkey",
+        "l_suppkey",
+        "s_max",
+        F.count(F.lit(1)).over(w_o).alias("n_supp"),
+        F.max("s_max").over(w_o).alias("top1"),
+        F.count(F.lit(1)).over(w_om).alias("cnt_at_max"),
+    )
+    winners = marked.where(
+        (F.col("n_supp") > 1)
+        & (F.col("s_max") == F.col("top1"))
+        & (F.col("cnt_at_max") == 1)
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        winners.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("orders_won"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "orders_won")
+    )

@@ -133,3 +133,53 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate", F.lag("o_orderdate", 1).over(w)
         ).cast("long").alias("days_since_prev"),
     )
+
+
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per customer, the average
+    order value over the trailing 7 calendar days at each order — the
+    frame class rows-frames can't express (it widens and narrows with
+    the data's timestamps, and same-day orders always share a frame).
+
+    One shuffle on o_custkey; the frame bound is epoch-seconds
+    arithmetic so the oracle's INTERVAL 6 DAY PRECEDING is exact on
+    day-aligned dates. Sum-as-decimal / count keeps the average
+    order-independent.
+    """
+    o = table(spark, sf_dir, "orders")
+    # orderdate is TIMESTAMP_NTZ: no direct long cast — go via
+    # timestamp (session tz is pinned UTC, so epoch == naive oracle)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("o_totalprice").over(w)
+        ).alias("avg_7d"),
+    )
+
+
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks: ntile/percent_rank/cume_dist over account
+    balance with a unique tiebreaker, so every rank is total-ordered
+    and engine-independent.
+
+    A global ORDER BY window is a single-partition sort — acceptable
+    for a dimension table; for a 100 TB fact column compute the same
+    deciles from approx_percentile bounds + a broadcast range join.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
