@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_supplier_per_part": Q.best_supplier_per_part,
         "promo_part_suppliers": Q.promo_part_suppliers,
         "last_shipper_wins": Q.last_shipper_wins,
+        "order_count_histogram": Q.order_count_histogram,
+        "part_supplier_counts": Q.part_supplier_counts,
     }
 
 
@@ -803,6 +805,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON a.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE CAST(a.qty_dec AS DOUBLE) > 1.5 * thr.avg_qty
+        """,
+        "order_count_histogram": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+                FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            SELECT n_orders, COUNT(*) AS n_customers
+            FROM per_cust GROUP BY n_orders
+        """,
+        "part_supplier_counts": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size IN (1, 5, 9, 13)
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%'
+              )
+            GROUP BY p.p_brand, p.p_type, p.p_size
         """,
         "last_shipper_wins": """
             WITH per AS (

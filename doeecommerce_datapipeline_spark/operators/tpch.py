@@ -307,3 +307,53 @@ def last_shipper_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "orders_won")
     )
+
+
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of orders-per-customer INCLUDING the
+    zero bucket — a left outer join into two stacked aggregations.
+
+    The outer join is what makes it Q13: an inner join would silently
+    drop never-ordered customers, and the 0-orders bucket is usually
+    the business-interesting one. First agg keys on custkey (big),
+    second on the count (tiny) — the second shuffle moves almost
+    nothing.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct suppliers per part attribute group, with a
+    NOT-IN supplier exclusion — the anti-join + count-distinct combo.
+
+    The excluded-supplier set is an aggregate-free dimension filter:
+    broadcast LEFT ANTI against the (partkey, suppkey) pairs before
+    the group-by, so excluded rows never enter the shuffle.
+    """
+    p = table(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13))
+    excluded = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "leftanti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
