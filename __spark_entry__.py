@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": T.lang_id,
         "quality_by_source": T.quality_by_source,
         "vocab_topk": T.vocab_topk,
+        "corpus_filter": T.corpus_filter,
         # north star: dedup suite
         "exact_dedup_groups": D.exact_dedup_groups,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_shipper_wins": Q.last_shipper_wins,
         "order_count_histogram": Q.order_count_histogram,
         "part_supplier_counts": Q.part_supplier_counts,
+        "idle_rich_customers": Q.idle_rich_customers,
     }
 
 
@@ -498,6 +500,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(fp) AS n_purchased_after,
                    CAST(COUNT(fp) AS DOUBLE) / COUNT(fv) AS view_to_purchase_rate
             FROM u
+        """,
+        "corpus_filter": """
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CASE WHEN n_tokens < 30 THEN 'too_short'
+                        WHEN lang != 'en' THEN 'non_target_lang'
+                        ELSE 'ok' END AS reason,
+                   (CASE WHEN n_tokens < 30 THEN 'too_short'
+                         WHEN lang != 'en' THEN 'non_target_lang'
+                         ELSE 'ok' END) = 'ok' AS keep
+            FROM scored
+        """,
+        "idle_rich_customers": """
+            WITH avg_bal AS (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(c_acctbal) AS ab
+                FROM customer
+            )
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM customer c CROSS JOIN avg_bal
+            WHERE c.c_acctbal > avg_bal.ab
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
         """,
         "dedup_components": """
             WITH RECURSIVE toks AS (

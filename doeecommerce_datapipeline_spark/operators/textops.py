@@ -111,3 +111,30 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(25)
     )
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-pattern corpus filter: every document gets a keep
+    verdict plus the FIRST failing rule as its reason — the queryable
+    form of the reference's validate-then-split gate (P9), applied to
+    a training corpus.
+
+    Rules evaluate as one chained CASE inside a single codegen'd scan:
+    no UDFs, no shuffle, and `df.where(keep)` / `df.where(~keep)`
+    downstream is the keep/quarantine split. Rule order is the
+    contract: a short non-English doc reports 'too_short'.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    reason = (
+        F.when(n_tok < 30, F.lit("too_short"))
+        .when(F.col("lang") != "en", F.lit("non_target_lang"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

@@ -357,3 +357,31 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no orders,
+    rolled up by market segment — scalar subquery threshold + anti-join.
+
+    The global average broadcasts as a one-row crossJoin onto the
+    dimension scan; NOT EXISTS is a left-anti join against only the
+    custkey column of orders. Averages divide an exact decimal sum by
+    the count, so the > threshold compare is engine-independent.
+    """
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.agg(
+        (
+            dec_sum("c_acctbal").cast("double") / F.count("c_acctbal")
+        ).alias("ab")
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
