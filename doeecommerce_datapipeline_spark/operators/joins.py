@@ -25,21 +25,36 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT cart), SUM(COALESCE(total,0)), MAX(last_updated).
     customer⋈orders is the testdata stand-in (FIXTURES.md §1).
 
-    customer is the small side → broadcast; orders never shuffles.
+    Spark cannot broadcast the PRESERVED side of an outer join (every
+    preserved row must be emitted exactly once; a broadcast copy per
+    task would duplicate unmatched rows — the hint is ignored with a
+    warning). The scale-correct shape: aggregate the fact FIRST on the
+    eventual group key (map-side partial agg, one shuffle of the
+    dimension-sized result), then broadcast that aggregate onto the
+    preserved dimension — the outer join degrades to a broadcast
+    lookup and the fact rows never carry customer columns.
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    joined = F.broadcast(c.select("c_custkey", "c_name")).join(
-        o.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
-        c.c_custkey == o.o_custkey,
-        "left",
+    per_cust = (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderkey").alias("_cnt"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias("_total"),
+            F.max(F.to_date("o_orderdate")).alias("_last"),
+        )
     )
-    return joined.groupBy("c_custkey", "c_name").agg(
-        F.countDistinct("o_orderkey").alias("order_count"),
-        dsum(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias(
-            "total_order_value"
-        ),
-        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+    return (
+        c.select("c_custkey", "c_name")
+        .join(F.broadcast(per_cust), c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("_cnt"), F.lit(0)).alias("order_count"),
+            F.coalesce(F.col("_total"), F.lit(0.0)).alias("total_order_value"),
+            F.col("_last").alias("last_order_date"),
+        )
     )
 
 
