@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_count_histogram": Q.order_count_histogram,
         "part_supplier_counts": Q.part_supplier_counts,
         "idle_rich_customers": Q.idle_rich_customers,
+        "late_ship_priority_counts": Q.late_ship_priority_counts,
+        "returned_top_customers": Q.returned_top_customers,
+        "promo_revenue_pct": Q.promo_revenue_pct,
     }
 
 
@@ -859,6 +862,51 @@ def oracle_sql() -> dict[str, str]:
                   SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%'
               )
             GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "late_ship_priority_counts": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o.o_orderdate < TIMESTAMP '1995-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
+              )
+            GROUP BY o_orderpriority
+        """,
+        "returned_top_customers": """
+            WITH per_cust AS (
+                SELECT o.o_custkey,
+                       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(28,6))) AS DOUBLE) AS lost_revenue
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY o.o_custkey
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name AS nation, p.lost_revenue
+            FROM per_cust p
+            JOIN customer c ON p.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY p.lost_revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "promo_revenue_pct": """
+            WITH agg AS (
+                SELECT SUM(CASE WHEN p.p_name LIKE 'small%'
+                                THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(28,6))
+                                ELSE CAST(0 AS DECIMAL(28,6)) END) AS promo,
+                       SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))) AS total
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+                  AND l.l_shipdate < TIMESTAMP '1995-10-01'
+            )
+            SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_pct,
+                   CAST(promo AS DOUBLE) AS promo_revenue,
+                   CAST(total AS DOUBLE) AS total_revenue
+            FROM agg
         """,
         "last_shipper_wins": """
             WITH per AS (

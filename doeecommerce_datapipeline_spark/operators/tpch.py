@@ -385,3 +385,102 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS correlated subquery → LEFT SEMI join. Orders
+    (in one quarter) having at least one line shipped more than 30
+    days after the order date, counted by priority.
+
+    The semi join keeps order rows at most once however many lines
+    match, and the date-window filter prunes the orders scan before
+    the join. The ship-lag predicate lives in the join condition, so
+    only matching (orderkey) pairs survive the shuffle.
+    """
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), 30)
+            ),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer, top 20. The
+    returnflag filter reaches the lineitem scan as a pushed predicate;
+    customer+nation broadcast onto the aggregated (not raw) rows; the
+    top-k is TakeOrderedAndProject with a unique tiebreaker.
+    """
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "decimal(28,6)",
+            ).alias("lost_revenue")
+        )
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "nation", "lost_revenue")
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-sum ratio — the percentage of one month's
+    revenue coming from 'small *' parts. Both sums accumulate as exact
+    decimals in ONE aggregate pass (the promo arm is a CASE inside the
+    sum, not a second scan); the only float op is the final division
+    of two exactly-reproducible doubles.
+    """
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_name").startswith("small").alias("is_promo")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0).cast("decimal(28,6)"))).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("promo_pct"),
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+        )
+    )
