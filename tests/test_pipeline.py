@@ -50,6 +50,20 @@ def test_silver_users_normalized(spark, warehouse):
     assert bad.isEmpty()
 
 
+def test_silver_cart_items_exploded(spark, warehouse):
+    items = spark.read.parquet(f"{warehouse}/silver/cart_items")
+    carts = spark.read.parquet(f"{warehouse}/silver/carts")
+    # every deduped cart contributes its line items, no orphans
+    assert items.select("cart_id").distinct().count() == carts.count()
+    assert items.where(F.col("line_total") != F.col("quantity") * F.col("unit_price")).isEmpty()
+    # re-running the transform must not double the lines (keyed upsert)
+    from doeecommerce_datapipeline_spark.pipelines.runner import run_transformation
+
+    before = items.count()
+    run_transformation(spark, warehouse, ["carts"])
+    assert spark.read.parquet(f"{warehouse}/silver/cart_items").count() == before
+
+
 def test_transformation_idempotent(spark, warehouse):
     from doeecommerce_datapipeline_spark.pipelines.runner import run_transformation
 
