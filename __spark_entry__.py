@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_ship_priority_counts": Q.late_ship_priority_counts,
         "returned_top_customers": Q.returned_top_customers,
         "promo_revenue_pct": Q.promo_revenue_pct,
+        "market_share": Q.market_share,
+        "profit_by_nation_year": Q.profit_by_nation_year,
     }
 
 
@@ -862,6 +864,40 @@ def oracle_sql() -> dict[str, str]:
                   SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%'
               )
             GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "market_share": """
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                            THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(28,6))
+                            ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS region_revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'REGION_1'
+            GROUP BY 1
+        """,
+        "profit_by_nation_year": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 - p.p_retailprice * l.l_quantity
+                            AS DECIMAL(28,6))) AS DOUBLE) AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%rod%'
+            GROUP BY 1, 2
         """,
         "late_ship_priority_counts": """
             SELECT o_orderpriority, COUNT(*) AS order_count

@@ -484,3 +484,101 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_total").cast("double").alias("total_revenue"),
         )
     )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's customer revenue, by
+    order year — a conditional-sum ratio per group.
+
+    Both the numerator (CASE on supplier nation) and denominator
+    accumulate as exact decimals in the SAME aggregate pass; the share
+    is one double division per year row. Region/nation filters resolve
+    onto the dims before their broadcasts, so the fact joins carry a
+    single boolean instead of nation strings.
+    """
+    region = "REGION_1"
+    nation = "NATION_5"
+    n_reg = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").where(F.col("r_name") == region)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n_reg), F.col("c_nationkey") == F.col("n_nationkey"), "leftsemi")
+        .select("c_custkey")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("sn_key"), "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", (F.col("n_name") == nation).alias("is_target"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    joined = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("is_target"), rev).otherwise(F.lit(0).cast("decimal(28,6)"))).alias("_t"),
+            F.sum(rev).alias("_all"),
+        )
+        .select(
+            "o_year",
+            (F.col("_t").cast("double") / F.col("_all").cast("double")).alias("mkt_share"),
+            F.col("_all").cast("double").alias("region_revenue"),
+        )
+    )
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per supplier nation per year. The reference
+    schema has no partsupp, so part retail price stands in for supply
+    cost: profit = revenue − retailprice × quantity, both arms exact
+    decimals folded in one aggregate.
+
+    The part filter ('%rod%', Q9's LIKE on p_name) prunes via the
+    broadcast inner join before the orderkey shuffle.
+    """
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("rod"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,6)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
