@@ -71,3 +71,42 @@ def test_clustered_layout_prunes_point_lookups(spark, sf_dir, tmp_path):
         spark.read.parquet(clustered).exceptAll(o).isEmpty()
         and o.exceptAll(spark.read.parquet(clustered)).isEmpty()
     )
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    from doeecommerce_datapipeline_spark.layout import write_zordered
+
+    zpath = str(tmp_path / "orders_zorder")
+    rpath = str(tmp_path / "orders_range")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_day",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).cast("long"),
+    )
+    write_zordered(o, zpath, ["o_custkey", "order_day"], n_files=8)
+    write_clustered(o, rpath, ["o_custkey"], n_files=8)
+
+    def total_span(path, col):
+        r = file_column_ranges(path, col)
+        return sum(hi - lo for lo, hi in r), len(r)
+
+    # single-column range clustering: custkey bands are tight but the
+    # second column is scrambled (each file spans ~the full day range)
+    r_cust, nr = total_span(rpath, "o_custkey")
+    r_day, _ = total_span(rpath, "order_day")
+    z_cust, nz = total_span(zpath, "o_custkey")
+    z_day, _ = total_span(zpath, "order_day")
+    assert nr >= 4 and nz >= 4
+
+    full_day_span = (
+        o.agg((F.max("order_day") - F.min("order_day")).alias("s")).collect()[0]["s"]
+    )
+    # z-order: BOTH dimensions' summed per-file spans beat the
+    # scrambled baseline (n_files × full span); range clustering only
+    # narrows the column it sorts on
+    assert z_day < 0.8 * nr * full_day_span
+    assert r_day > 0.9 * nr * full_day_span
+    assert z_cust < 0.8 * r_day  # custkey also retains locality
+
+    # content identical
+    z = spark.read.parquet(zpath)
+    assert z.exceptAll(o).isEmpty() and o.exceptAll(z).isEmpty()
