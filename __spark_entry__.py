@@ -22,7 +22,9 @@ from doeecommerce_datapipeline_spark.operators import (
     analytics as X,
     dedup as D,
     events as E,
+    ivf as IVF,
     joins as J,
+    mllib_lsh as L,
     projections as P,
     similarity as S,
     textops as T,
@@ -37,73 +39,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = driver check order; the driver's CORRECTNESS gate
+    runs the FIRST 50 entries at sf0.01.
+
+    Rotation policy (round 2): entries unverified in round 1 (the
+    funnel/OLAP/TPC-H tail), queries whose semantics changed this round,
+    and brand-new queries come first; round-1-green unchanged queries
+    rotate to the tail so every query accumulates a green row across
+    rounds.
+    """
     return {
-        # §2.4 aggregations
-        "pricing_summary": A.pricing_summary,
-        "daily_revenue": A.daily_revenue,
-        "category_profile": A.category_profile,
-        "finance_kpis": A.finance_kpis,
-        "duplicate_check": A.duplicate_check,
-        "null_counts": A.null_counts,
-        "value_counts_topk": A.value_counts_topk,
-        "summary_stats": A.summary_stats,
-        "count_by_day": A.count_by_day,
-        # §2.5 windows / dedup
-        "dedup_latest_event": W.dedup_latest_event,
-        "dedup_first_event": W.dedup_first_event,
-        "distinct_projection": W.distinct_projection,
-        "top_products_daily": W.top_products_daily,
-        "running_totals": W.running_totals,
-        "moving_avg_7d": W.moving_avg_7d,
-        "customer_deciles": W.customer_deciles,
-        # §2.3 joins
-        "user_activity": J.user_activity,
-        "revenue_by_region": J.revenue_by_region,
-        "customers_with_orders": J.customers_with_orders,
-        "customers_without_orders": J.customers_without_orders,
-        # §2.2 / §2.7 / §2.8 projections, filters, unions, scalar fns
-        "silver_products": P.silver_products,
-        "daily_slice": P.daily_slice,
-        "ts_range_filter": P.ts_range_filter,
-        "multi_source_union": P.multi_source_union,
-        "string_normalize": P.string_normalize,
-        "date_math": P.date_math,
-        "bucketize": P.bucketize,
-        "json_extract": P.json_extract,
-        # north star: text analysis (documents)
-        "text_stats": T.text_stats,
-        "doc_fingerprint": T.doc_fingerprint,
-        "lang_id": T.lang_id,
-        "quality_by_source": T.quality_by_source,
-        "vocab_topk": T.vocab_topk,
-        "corpus_filter": T.corpus_filter,
-        # north star: dedup suite
-        "exact_dedup_groups": D.exact_dedup_groups,
-        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
-        "embedding_near_dups": D.embedding_near_dups,
-        "dedup_components": D.dedup_components,
-        "levenshtein_near_dups": D.levenshtein_near_dups,
-        "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
-        "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only (hash-seeded)
-        # north star: similarity search (embeddings)
-        "embedding_topk": S.brute_force_topk,
-        "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
-        "embedding_norms": S.embedding_norms,
-        # event-stream operators (batch formulations)
-        "tumbling_hourly": E.tumbling_hourly,
-        "sliding_hourly": E.sliding_hourly,
-        "sessionize": E.sessionize,
-        "session_stats": E.session_stats,
-        "asof_join_last_order": E.asof_join_last_order,
-        "range_join_same_day": E.range_join_same_day,
-        "funnel_conversion": E.funnel_conversion,
-        # OLAP analytics extensions
+        # --- round-2 checked window -----------------------------------
+        # OLAP analytics extensions (unchecked in r1)
         "rollup_revenue": X.rollup_revenue,
         "cube_order_counts": X.cube_order_counts,
         "pivot_linestatus": X.pivot_linestatus,
         "grouping_sets_revenue": X.grouping_sets_revenue,
         "approx_aggregates": X.approx_aggregates,  # rows-only (sketches)
-        # classic OLAP shapes (TPC-H-style)
+        "funnel_conversion": E.funnel_conversion,
+        # classic OLAP shapes, TPC-H-style (unchecked in r1)
         "simple_filter_agg": Q.simple_filter_agg,
         "shipping_priority": Q.shipping_priority,
         "large_volume_customers": Q.large_volume_customers,
@@ -120,6 +74,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_pct": Q.promo_revenue_pct,
         "market_share": Q.market_share,
         "profit_by_nation_year": Q.profit_by_nation_year,
+        # changed this round (decimal surface fix / df-cap / convergence)
+        "silver_products": P.silver_products,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "dedup_components": D.dedup_components,
+        "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only (hash-seeded)
+        # new this round (rows-only: seeded-model ANN paths)
+        "ivf_topk": IVF.ivf_topk,
+        "mllib_lsh_join": L.mllib_similarity_join,
+        # round-1-green fillers (re-verified this round)
+        "pricing_summary": A.pricing_summary,
+        "daily_revenue": A.daily_revenue,
+        "category_profile": A.category_profile,
+        "finance_kpis": A.finance_kpis,
+        "duplicate_check": A.duplicate_check,
+        "null_counts": A.null_counts,
+        "value_counts_topk": A.value_counts_topk,
+        "summary_stats": A.summary_stats,
+        "count_by_day": A.count_by_day,
+        "dedup_latest_event": W.dedup_latest_event,
+        "dedup_first_event": W.dedup_first_event,
+        "distinct_projection": W.distinct_projection,
+        "top_products_daily": W.top_products_daily,
+        "running_totals": W.running_totals,
+        "moving_avg_7d": W.moving_avg_7d,
+        "customer_deciles": W.customer_deciles,
+        "user_activity": J.user_activity,
+        "revenue_by_region": J.revenue_by_region,
+        "customers_with_orders": J.customers_with_orders,
+        "customers_without_orders": J.customers_without_orders,
+        "daily_slice": P.daily_slice,
+        "ts_range_filter": P.ts_range_filter,
+        # --- tail: round-1-green, unchanged ---------------------------
+        "multi_source_union": P.multi_source_union,
+        "string_normalize": P.string_normalize,
+        "date_math": P.date_math,
+        "bucketize": P.bucketize,
+        "json_extract": P.json_extract,
+        "text_stats": T.text_stats,
+        "doc_fingerprint": T.doc_fingerprint,
+        "lang_id": T.lang_id,
+        "quality_by_source": T.quality_by_source,
+        "vocab_topk": T.vocab_topk,
+        "corpus_filter": T.corpus_filter,
+        "exact_dedup_groups": D.exact_dedup_groups,
+        "embedding_near_dups": D.embedding_near_dups,
+        "levenshtein_near_dups": D.levenshtein_near_dups,
+        "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
+        "embedding_topk": S.brute_force_topk,
+        "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
+        "embedding_norms": S.embedding_norms,
+        "tumbling_hourly": E.tumbling_hourly,
+        "sliding_hourly": E.sliding_hourly,
+        "sessionize": E.sessionize,
+        "session_stats": E.session_stats,
+        "asof_join_last_order": E.asof_join_last_order,
+        "range_join_same_day": E.range_join_same_day,
     }
 
 
@@ -301,7 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "silver_products": """
             SELECT CAST(p_partkey AS BIGINT) AS product_id,
                    p_name AS title,
-                   CAST(p_retailprice AS DECIMAL(15,2)) AS price,
+                   CAST(CAST(p_retailprice AS DECIMAL(15,2)) AS DOUBLE) AS price,
                    p_type AS category,
                    p_size > 0 AS is_available
             FROM part
@@ -435,11 +445,18 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
                 FROM documents WHERE doc_id < 1000
-            ), shingles AS (
+            ), all_shingles AS (
                 SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
                 FROM (SELECT doc_id, t,
                              unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
                       FROM toks)
+            ), shingles AS (
+                -- stop-shingle df-cap, mirroring NGRAM_DF_CAP in dedup.py
+                SELECT doc_id, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > 50
+                )
             ), sizes AS (
                 SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
             ), inter AS (
@@ -542,11 +559,18 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE toks AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
                 FROM documents WHERE doc_id < 1000
-            ), shingles AS (
+            ), all_shingles AS (
                 SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
                 FROM (SELECT doc_id, t,
                              unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
                       FROM toks)
+            ), shingles AS (
+                -- stop-shingle df-cap, mirroring NGRAM_DF_CAP in dedup.py
+                SELECT doc_id, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > 50
+                )
             ), sizes AS (
                 SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
             ), inter AS (

@@ -155,12 +155,16 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, each bit votes ±1 weighted by
     term frequency; signature bit b is 1 iff the vote sum is positive.
 
-    Expressed with higher-order functions only — per-row, no shuffle.
+    SWAR bit-slicing: ``(h >> j) & 0x0000000100000001`` packs the
+    per-token indicator of bits j and j+32 into one long (counter lanes
+    at positions 0 and 32), so the whole 64-bit vote needs 32 plain
+    arithmetic SUMs instead of 64 conditional ones — half the aggregate
+    buffers and no branches in the codegen'd update path (the 64-way
+    conditional-SUM formulation measured 7.9 s at sf0.1; this one ~4×
+    less aggregate work). Lanes can't carry into each other below 2^32
+    tokens per document. Bit b is then set iff 2·count(b) > n_tokens —
+    exactly the old ±1-vote sign, so signatures are bit-identical.
     """
-    # explode formulation (see minhash_signatures): one xxhash64 per
-    # token, 64 conditional partial-aggregated SUMs — all codegen, one
-    # shuffle of #docs × 64 ints. shiftleft keeps bit 63 JVM-side
-    # (1 << 63 overflows a Python long literal).
     n_part = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.repartition(n_part)
@@ -169,22 +173,26 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select(id_col, F.xxhash64("tok").alias("h"))
     )
+    pack = F.lit((1 << 32) | 1)
     votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[
-            F.sum(
-                F.when(
-                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b))
-                    != 0,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v_{b}")
-            for b in range(64)
-        ]
+            F.sum(F.shiftright("h", j).bitwiseAND(pack)).alias(f"acc_{j}")
+            for j in range(32)
+        ],
     )
+
+    def bit_count_col(b: int):
+        acc = F.col(f"acc_{b % 32}")
+        if b >= 32:
+            return F.shiftright(acc, 32)  # acc >= 0, arithmetic shift safe
+        return acc.bitwiseAND(F.lit(0xFFFFFFFF))
+
     sig = reduce(
         lambda acc, b: acc.bitwiseOR(
             F.when(
-                F.col(f"v_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                bit_count_col(b) * 2 > F.col("n_tok"),
+                F.shiftleft(F.lit(1).cast("long"), b),
             ).otherwise(F.lit(0).cast("long"))
         ),
         range(64),
@@ -232,6 +240,9 @@ def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_DF_CAP = 50  # stop-shingle rule: drop shingles in > this many docs
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, oracle-checkable.
 
@@ -240,11 +251,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersections, Jaccard = |∩| / (|A|+|B|-|∩|). Bounded to documents
     with doc_id < 1000 so the pair space stays small at every SF — the
     LSH variants above are the scale path.
+
+    Hot-shingle guard: a shingle present in d documents contributes
+    O(d²) join rows, so one stop-shingle in 10% of the corpus makes the
+    inverted-index join quadratic on that key. Standard fix is a
+    document-frequency cap — shingles with df > NGRAM_DF_CAP are
+    dropped from BOTH the index and the per-doc sizes (the oracle SQL
+    applies the identical rule). The hot set is tiny, so it anti-joins
+    as a broadcast.
     """
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    sh = d.repartition(spark.sparkContext.defaultParallelism).select(
+    return jaccard_pairs_over(d)
+
+
+def jaccard_pairs_over(
+    d: DataFrame, df_cap: int = NGRAM_DF_CAP, threshold: float = 0.2
+) -> DataFrame:
+    """Inverted-index Jaccard over a (doc_id, text) DataFrame — the
+    engine behind ngram_jaccard_pairs, exposed for unit tests on
+    synthetic/skewed corpora."""
+    sh = d.repartition(d.sparkSession.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
+    # word_shingles is distinct-per-doc, so df == row count per shingle
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -267,7 +303,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.2)
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -305,48 +341,35 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_components(
-    spark: SparkSession, sf_dir: str, rounds: int = 3
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
 ) -> DataFrame:
-    """Near-dup clustering: connected components over the deterministic
-    n-gram Jaccard pair graph — the step after pair generation that a
-    training-data pipeline uses to keep ONE canonical doc per duplicate
-    cluster (the cluster's min doc_id).
+    """Min-label propagation to FIX-POINT over an undirected graph.
 
-    Spark-first iterative min-label propagation, fully lazy: labels
-    start as each doc's own id; each round every node takes the min
-    label over itself and its direct neighbors. `rounds` bounds the
-    reachable component diameter (observed testdata clusters are
-    cliques, diameter 1; the oracle flags any violation rather than
-    letting it pass silently).
+    ``nodes`` has one ``doc_id`` column; ``edges`` has (src, dst) and
+    must already contain both directions. Labels start as each node's
+    own id; each round every node takes the min label over itself and
+    its direct neighbors, and the loop stops the first round that
+    changes nothing — so components of ANY diameter converge (a fixed
+    round count silently splits components whose radius from their
+    min-id node exceeds it; e.g. chain-shaped near-dup clusters).
 
-    The edge list is materialized ONCE via localCheckpoint before the
-    rounds — iterative algorithms must cut lineage, or every round
-    re-evaluates the expensive pair-generation subtree (measured: 64
-    document scans and 4× the runtime for 3 rounds; optimizer
-    rewrites make the per-round subtrees non-identical, so
-    ReusedExchange can't save it). At 100 TB the unroll becomes a
-    convergence loop checkpointing labels each round, or alternating
-    small-star/large-star (same join primitive, provably few rounds
-    on skewed graphs).
+    Iterative-algorithm mechanics: labels are localCheckpointed every
+    round (lazy iteration re-evaluates the whole prior-round subtree —
+    measured 64 document scans for 3 rounds — and optimizer rewrites
+    make per-round subtrees non-identical, so ReusedExchange can't save
+    it). The convergence probe is a LIMIT-1 count over the
+    just-checkpointed round, so it reads materialized blocks, not the
+    lineage. ``max_rounds`` is a runaway guard; hitting it raises
+    rather than returning silently-wrong labels. At 100 TB swap
+    localCheckpoint for reliable checkpoint() and consider
+    small-star/large-star (same join primitive, provably O(log n)
+    rounds on skewed graphs).
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-            )
-        )
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .localCheckpoint()
-    )
-    labels = (
-        table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 1000)
-        .select("doc_id")
-        .withColumn("component", F.col("doc_id"))
-    )
-    for _ in range(rounds):
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
         nbr = (
             edges.join(
                 labels.select(
@@ -358,18 +381,56 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("_nb_comp").alias("nbr_min"))
         )
-        labels = labels.join(
-            nbr.select(F.col("src").alias("_s"), "nbr_min"),
-            F.col("doc_id") == F.col("_s"),
-            "left",
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_min"), F.col("component")),
-            ).alias("component"),
+        stepped = (
+            labels.join(
+                nbr.select(F.col("src").alias("_s"), "nbr_min"),
+                F.col("doc_id") == F.col("_s"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+            .localCheckpoint()
         )
-    return labels
+        labels = stepped.select("doc_id", "component")
+        if stepped.where(F.col("_changed")).limit(1).count() == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the deterministic
+    n-gram Jaccard pair graph — the step after pair generation that a
+    training-data pipeline uses to keep ONE canonical doc per duplicate
+    cluster (the cluster's min doc_id).
+
+    Runs min-label propagation to fix-point (see connected_components);
+    the edge list is materialized ONCE via localCheckpoint before the
+    loop so pair generation runs exactly once.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint()
+    )
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 1000)
+        .select("doc_id")
+    )
+    return connected_components(nodes, edges)
 
 
 def levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

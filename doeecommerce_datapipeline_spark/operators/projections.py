@@ -18,12 +18,16 @@ from ..io import table
 def silver_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2/P8: column subset + rename map + casts — the bronze→silver
     projection (load_bronze.py:71-73 mapping, transform_silver.py:31-34)
-    applied to part as the products stand-in."""
+    applied to part as the products stand-in.
+
+    ``price`` goes through the canonical decimal(15,2) rounding step but
+    is surfaced as DOUBLE per the repo-wide determinism contract (money
+    columns cross the engine boundary as double; decimal is internal)."""
     p = table(spark, sf_dir, "part")
     return p.select(
         F.col("p_partkey").cast("long").alias("product_id"),
         F.col("p_name").alias("title"),
-        F.col("p_retailprice").cast("decimal(15,2)").alias("price"),
+        F.col("p_retailprice").cast("decimal(15,2)").cast("double").alias("price"),
         F.col("p_type").alias("category"),
         (F.col("p_size") > 0).alias("is_available"),
     )

@@ -46,6 +46,48 @@ def test_lsh_bucket_duplicate_vector_shares_bucket(spark):
     assert buckets[0] == buckets[1]
 
 
+def test_connected_components_converges_on_chain(spark):
+    """A diameter-4 chain (1-2-3-4-5) needs 4 propagation rounds — a
+    fixed 3-round unroll mislabels the far end. The fix-point loop must
+    collapse the whole chain to component 1."""
+    from doeecommerce_datapipeline_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], ["src", "dst"]
+    )
+    labels = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7}
+
+
+def test_jaccard_df_cap_drops_stop_shingles(spark):
+    """Docs that only share a corpus-wide boilerplate phrase must NOT
+    pair up once the shingle's document frequency exceeds the cap —
+    while genuinely near-duplicate docs still do."""
+    from doeecommerce_datapipeline_spark.operators.dedup import jaccard_pairs_over
+
+    boiler = "all rights reserved by the publisher"
+    rows = [
+        (
+            i,
+            f"alpha{i} bravo{i} charlie{i} delta{i} echo{i} foxtrot{i} {boiler}",
+        )
+        for i in range(20)
+    ]
+    # one genuine near-dup pair sharing rare shingles
+    rows += [
+        (100, "spark shuffles partition data across the cluster tonight"),
+        (101, "spark shuffles partition data across the cluster today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs_over(df, df_cap=10).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), f"boilerplate-only pairs leaked: {pairs}"
+
+
 def test_minhash_on_documents_overlaps_exact_jaccard(spark, sf_dir):
     """The LSH candidates at est≥0.5 must all be genuine high-jaccard
     pairs found by the exact operator (precision check on real data)."""
