@@ -85,13 +85,22 @@ class ManifestTable:
         shutil.rmtree(scratch)  # _SUCCESS markers, crc files, etc.
         return names
 
-    def _commit_retry(self, build_files) -> int:
-        """Optimistic-concurrency commit loop: recompute against the
-        latest snapshot until the O_EXCL create wins."""
+    def _commit_retry(self, build) -> int:
+        """Optimistic-concurrency commit loop. ``build(base)`` must
+        compute the new live-file set AGAINST snapshot ``base`` and
+        return (files, schema_json) — so when the O_EXCL create loses a
+        race, the next iteration recomputes the rewrite from the
+        advanced snapshot instead of committing a stale file list (the
+        lost-update hazard: a concurrent append landing between read
+        and commit would otherwise be silently dropped). Losing
+        iterations may leave orphan data files; vacuum() collects them
+        after the retention window."""
         while True:
             base = self.current_version()
-            files = build_files(base)
-            if self._try_commit(base + 1, files, {"base": base}):
+            files, schema_json = build(base)
+            if self._try_commit(
+                base + 1, files, {"base": base, "schema": schema_json}
+            ):
                 return base + 1
 
     # ---- public API ----------------------------------------------------
@@ -99,48 +108,88 @@ class ManifestTable:
         v = version if version is not None else self.current_version()
         if v == 0:
             raise FileNotFoundError(f"no committed version in {self.path}")
-        files = self._read_manifest(v)["files"]
-        if not files:
-            return self.spark.createDataFrame([], self._read_manifest(v).get("schema", ""))
+        man = self._read_manifest(v)
+        if not man["files"]:
+            schema_json = man.get("schema")
+            if not schema_json:
+                raise ValueError(
+                    f"manifest v{v} is empty and predates schema tracking"
+                )
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
         return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in files]
+            *[os.path.join(self.path, f) for f in man["files"]]
         )
 
     def append(self, df: DataFrame) -> int:
+        """Appends commute: the new files are written once, and on a
+        lost race the retry just re-reads the advanced base's file list."""
         new = self._write_data(df)
+        schema_json = df.schema.json()
         return self._commit_retry(
-            lambda base: (self._read_manifest(base)["files"] if base else []) + new
+            lambda base: (
+                (self._read_manifest(base)["files"] if base else []) + new,
+                schema_json,
+            )
         )
 
     def overwrite(self, df: DataFrame) -> int:
+        """Full replacement — last writer wins BY DESIGN: whatever
+        snapshot is current at commit time is superseded wholesale, so
+        there is nothing to recompute on a lost race."""
         new = self._write_data(df)
-        return self._commit_retry(lambda base: list(new))
+        schema_json = df.schema.json()
+        return self._commit_retry(lambda base: (list(new), schema_json))
 
     def upsert(self, updates: DataFrame, keys: list[str]) -> int:
         """MERGE-style keyed upsert: rewrite survivors + new batch as
-        fresh files, commit a manifest dropping every old file. Readers
-        at any point see either the old snapshot or the new one."""
-        if self.current_version() == 0:
-            return self.append(updates)
-        old = self.read()
-        kept = old.join(updates.select(*keys).distinct(), keys, "left_anti")
-        new = self._write_data(kept.unionByName(updates))
-        return self._commit_retry(lambda base: list(new))
+        fresh files, commit a manifest dropping every old one. The
+        rewrite runs INSIDE the commit loop against the base snapshot,
+        so a concurrent append that wins the race is merged on retry,
+        never dropped. Readers at any point see either the old snapshot
+        or the new one."""
+
+        def build(base: int) -> tuple[list[str], str]:
+            if base == 0:
+                return self._write_data(updates), updates.schema.json()
+            old = self.read(base)
+            kept = old.join(updates.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(updates)
+            return self._write_data(merged), merged.schema.json()
+
+        return self._commit_retry(build)
 
     def delete_where(self, condition) -> int:
-        survivors = self.read().where(~condition)
-        new = self._write_data(survivors)
-        return self._commit_retry(lambda base: list(new))
+        """Predicate delete, recomputed against the base snapshot on a
+        lost race (same reasoning as upsert)."""
 
-    def vacuum(self) -> list[str]:
+        def build(base: int) -> tuple[list[str], str]:
+            if base == 0:
+                raise FileNotFoundError(f"no committed version in {self.path}")
+            survivors = self.read(base).where(~condition)
+            return self._write_data(survivors), survivors.schema.json()
+
+        return self._commit_retry(build)
+
+    def vacuum(self, min_age_sec: float = 3600.0) -> list[str]:
         """Remove data files referenced by no manifest (crashed writers,
-        superseded versions older than the retained log)."""
+        losing commit attempts). Files younger than ``min_age_sec`` are
+        kept: an in-flight writer moves data files in BEFORE its
+        manifest commit names them, so reaping by reference-count alone
+        would tear that writer's table. The default window (1 h) must
+        exceed the longest plausible write-to-commit gap."""
+        import time
+
         live: set[str] = set()
         for v in self._versions():
             live |= set(self._read_manifest(v)["files"])
+        cutoff = time.time() - min_age_sec
         removed = []
         for p in glob.glob(os.path.join(self.path, "part-*.parquet")):
-            if os.path.basename(p) not in live:
+            if os.path.basename(p) not in live and os.path.getmtime(p) <= cutoff:
                 os.remove(p)
                 removed.append(os.path.basename(p))
         return removed

@@ -57,7 +57,7 @@ def test_vacuum_keeps_all_referenced(spark, mt, tmp_path):
     # drop an orphan file (simulated crashed writer)
     orphan = os.path.join(str(tmp_path / "t"), "part-deadbeef.parquet")
     open(orphan, "wb").close()
-    removed = mt.vacuum()
+    removed = mt.vacuum(min_age_sec=0)
     assert "part-deadbeef.parquet" in removed
     # both committed snapshots still readable after vacuum
     assert {r["id"] for r in mt.read(version=1).collect()} == {1}
@@ -81,3 +81,45 @@ def test_commit_conflict_retries(spark, mt, monkeypatch):
     monkeypatch.setattr(mt, "_try_commit", flaky)
     mt.append(_df(spark, [(2, "b")]))
     assert {r["id"] for r in mt.read().collect()} == {1, 2}
+
+
+def test_upsert_merges_concurrent_append(spark, mt, tmp_path, monkeypatch):
+    """Lost-update guard: an append that commits between the upsert's
+    snapshot read and its commit must survive — the upsert recomputes
+    its rewrite against the advanced base instead of dropping it."""
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+
+    mt.append(_df(spark, [(1, "old"), (2, "old")]))
+    competitor = ManifestTable(spark, str(tmp_path / "t"))
+    real = mt._try_commit
+    calls = {"n": 0}
+
+    def flaky(version, files, meta):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            competitor.append(_df(spark, [(99, "concurrent")]))
+            return False  # our first commit attempt loses the race
+        return real(version, files, meta)
+
+    monkeypatch.setattr(mt, "_try_commit", flaky)
+    mt.upsert(_df(spark, [(2, "new"), (3, "new")]), ["id"])
+    got = {r["id"]: r["v"] for r in mt.read().collect()}
+    assert got == {1: "old", 2: "new", 3: "new", 99: "concurrent"}
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, mt):
+    mt.append(_df(spark, [(1, "a"), (2, "b")]))
+    mt.delete_where(F.col("id") > 0)
+    out = mt.read()
+    assert out.count() == 0
+    assert out.columns == ["id", "v"]
+
+
+def test_vacuum_retention_spares_young_orphans(spark, mt, tmp_path):
+    import os
+
+    mt.append(_df(spark, [(1, "a")]))
+    orphan = os.path.join(str(tmp_path / "t"), "part-young.parquet")
+    open(orphan, "wb").close()
+    assert mt.vacuum(min_age_sec=3600) == []  # young in-flight file kept
+    assert os.path.exists(orphan)
