@@ -106,3 +106,72 @@ def test_audit_ledger_lifecycle(spark, warehouse):
     assert states <= {"SUCCESS", "PARTIAL"}
     assert cur.count() == 4  # one run per table
     assert ledger.history().count() == 8  # open + close per run
+
+
+# ---- additive schema evolution (dummyjson_ingestor.py:358-405 analog) ----
+
+
+def test_evolution_new_column_appears_null_for_history(spark, tmp_path):
+    """An evolving API payload grows a column; historic rows read back
+    NULL for it — the mergeSchema analog of ALTER TABLE ADD COLUMN."""
+    from doeecommerce_datapipeline_spark.evolution import (
+        append_evolving,
+        read_evolving,
+    )
+
+    path = str(tmp_path / "bronze_products")
+    v1 = spark.createDataFrame([(1, "widget")], "id long, title string")
+    v2 = spark.createDataFrame(
+        [(2, "gadget", 9.5)], "id long, title string, rating double"
+    )
+    append_evolving(spark, v1, path)
+    append_evolving(spark, v2, path)
+    out = {r["id"]: r for r in read_evolving(spark, path).collect()}
+    assert set(out[1].asDict()) == {"id", "title", "rating"}
+    assert out[1]["rating"] is None
+    assert out[2]["rating"] == 9.5
+
+
+def test_evolution_narrow_batch_cast_up_no_rewrite(spark, tmp_path):
+    """A batch arriving with int where the table holds long is cast up;
+    the historic files are untouched."""
+    import glob
+
+    from doeecommerce_datapipeline_spark.evolution import append_evolving
+
+    path = str(tmp_path / "t")
+    append_evolving(spark, spark.createDataFrame([(10,)], "n long"), path)
+    before = sorted(glob.glob(path + "/*.parquet"))
+    append_evolving(spark, spark.createDataFrame([(11,)], "n int"), path)
+    assert sorted(set(before) & set(glob.glob(path + "/*.parquet"))) == before
+    out = spark.read.parquet(path)
+    assert out.schema["n"].dataType.simpleString() == "bigint"
+    assert {r["n"] for r in out.collect()} == {10, 11}
+
+
+def test_evolution_wider_batch_rewrites_history(spark, tmp_path):
+    """int table + double batch → one-time widening rewrite; both eras
+    read back as double."""
+    from doeecommerce_datapipeline_spark.evolution import (
+        append_evolving,
+        read_evolving,
+    )
+
+    path = str(tmp_path / "t")
+    append_evolving(spark, spark.createDataFrame([(1,)], "price int"), path)
+    append_evolving(spark, spark.createDataFrame([(2.5,)], "price double"), path)
+    out = read_evolving(spark, path)
+    assert out.schema["price"].dataType.simpleString() == "double"
+    assert {r["price"] for r in out.collect()} == {1.0, 2.5}
+
+
+def test_evolution_incompatible_change_raises(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.evolution import (
+        SchemaEvolutionError,
+        append_evolving,
+    )
+
+    path = str(tmp_path / "t")
+    append_evolving(spark, spark.createDataFrame([("x",)], "v string"), path)
+    with pytest.raises(SchemaEvolutionError):
+        append_evolving(spark, spark.createDataFrame([(1,)], "v int"), path)
