@@ -57,3 +57,127 @@ def test_foreach_batch_upsert(spark, stream_dir, tmp_path):
     q.stop()
     got = spark.read.parquet(out)
     assert got.count() == got.select("event_id").distinct().count() == 200
+
+
+# ---- late-data semantics (synthetic lateness; testdata is ordered) ----
+
+
+def _stage_batches(spark, base_dir, batches):
+    """Write each logical batch as ONE parquet file with strictly
+    increasing mtimes so the file source (maxFilesPerTrigger=1) replays
+    them as separate micro-batches in order — the watermark then
+    advances between batches exactly as it would on a live stream."""
+    import glob
+    import os
+    import shutil
+
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    os.makedirs(base_dir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        staging = os.path.join(base_dir, f"_stg{i}")
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.parquet(
+            staging
+        )
+        [part] = glob.glob(os.path.join(staging, "*.parquet"))
+        dst = os.path.join(base_dir, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(staging)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+
+def test_stream_dedup_late_redelivery(spark, tmp_path):
+    """Watermark = 1 h; re-deliveries split across micro-batches, with
+    genuinely late rows in the final batch.
+
+    The operator's contract (verified here against real watermark
+    advancement, not ordered testdata): re-delivered keys are dropped —
+    both while the original is within the watermark AND best-effort
+    after it has aged out — while late-but-novel and out-of-order rows
+    pass through (dropDuplicatesWithinWatermark bounds STATE, it is
+    not an input late-filter; the windowed-aggregate test below covers
+    the hard late-row drop)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ts):
+        return (eid, ts, 1, "view", 1.0, "{}")
+
+    batches = [
+        # batch 0: originals → watermark after: t0-50m
+        [ev(1, t0), ev(2, t0 + timedelta(minutes=10))],
+        # batch 1: dup of 1 within watermark (dropped) + clock advance
+        # → watermark after: t0+2h
+        [ev(1, t0), ev(3, t0 + timedelta(hours=3))],
+        # batch 2 (watermark t0+2h):
+        #   dup of 1 at t0        → still dropped (re-delivery)
+        #   fresh event 4         → kept
+        #   out-of-order 5 at 2h05 (above watermark) → kept
+        #   late-but-novel 6 at 1h (below watermark) → kept: the
+        #     operator does not filter late inputs
+        [
+            ev(1, t0),
+            ev(4, t0 + timedelta(hours=3, minutes=10)),
+            ev(5, t0 + timedelta(hours=2, minutes=5)),
+            ev(6, t0 + timedelta(hours=1)),
+        ],
+    ]
+    base = str(tmp_path / "late_in")
+    _stage_batches(spark, base, batches)
+    deduped = stream_dedup(read_event_stream(spark, base), watermark="1 hour")
+    run_stream_to_memory(deduped, "late_out")
+    rows = spark.sql("SELECT event_id FROM late_out").collect()
+    got = sorted(r["event_id"] for r in rows)
+    assert got == [1, 2, 3, 4, 5, 6], f"dedup semantics changed: {got}"
+    assert got.count(1) == 1, "re-delivered key emitted twice"
+
+
+def test_stream_windowed_agg_drops_beyond_watermark_rows(spark, tmp_path):
+    """The windowed aggregate is where the watermark HARD-drops late
+    rows: a row whose event time is below the watermark when it arrives
+    must not resurrect an already-emitted window, while a late-but-
+    above-watermark row is still accepted into its (open) window."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ts):
+        return (eid, ts, 1, "view", 1.0, "{}")
+
+    batches = [
+        # window [00:00,01:00): two rows
+        [ev(1, t0 + timedelta(minutes=5)), ev(2, t0 + timedelta(minutes=20))],
+        # advance clock → watermark t0+2h30 closes+emits [00:00,01:00)
+        [ev(3, t0 + timedelta(hours=3, minutes=30))],
+        # one more batch so the advanced watermark is committed into the
+        # operator's late-row filter (the filter uses the watermark as
+        # of the START of the batch; a row arriving in the same batch
+        # the watermark jumps is still admitted — measured)
+        [ev(9, t0 + timedelta(hours=3, minutes=31))],
+        # late row at 00:40 (below watermark) → dropped pre-aggregation;
+        # 02:40 (above watermark) → accepted into its open window
+        [ev(4, t0 + timedelta(minutes=40)), ev(5, t0 + timedelta(hours=2, minutes=40))],
+    ]
+    base = str(tmp_path / "late_agg_in")
+    _stage_batches(spark, base, batches)
+    agg = stream_windowed_agg(read_event_stream(spark, base), watermark="1 hour")
+    # append mode: only watermark-closed windows are emitted — exactly
+    # the late-data contract under test
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_agg_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT window_start, n_events FROM late_agg_out ORDER BY window_start"
+    ).collect()
+    emitted = [(str(r["window_start"]), r["n_events"]) for r in rows]
+    # one closed window, with the late row NOT counted
+    assert emitted == [("2024-01-01 00:00:00", 2)], emitted
