@@ -50,6 +50,60 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    driver: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """S5 JDBC scan — the reference's actual storage path
+    (``pd.read_sql_table`` over Postgres, scripts/run_pipeline.py:
+    227-240), which pulls the whole table through ONE driver-side
+    connection. The Spark analog splits the scan into
+    ``num_partitions`` range queries on ``partition_column`` (one
+    connection per executor task) — at 100 TB the partitioned form is
+    the only viable one, and the column should be an indexed,
+    roughly-uniform key. Catalyst pushes filters into the remote query
+    (shows as PushedFilters on the JDBCRelation scan)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions or 8))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str | None = None,
+    **options: str,
+) -> None:
+    """JDBC sink (the reference's ``to_sql``; each partition writes
+    over its own connection — batched inserts via the standard
+    ``batchsize`` option)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        w = w.option("driver", driver)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for the SQL API)."""
     for name in TABLES:
