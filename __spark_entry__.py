@@ -82,6 +82,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (rows-only: seeded-model ANN paths)
         "ivf_topk": IVF.ivf_topk,
         "mllib_lsh_join": L.mllib_similarity_join,
+        # new this round: remaining classic OLAP shapes
+        "local_supplier_revenue": Q.local_supplier_revenue,
+        "part_value_concentration": Q.part_value_concentration,
+        "top_supplier_revenue": Q.top_supplier_revenue,
+        "bracket_revenue": Q.bracket_revenue,
+        # new this round: corpus-prep operators
+        "tfidf_topk": T.tfidf_topk,
+        "hash_split": T.hash_split,
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -922,6 +930,101 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE p.p_name LIKE '%rod%'
             GROUP BY 1, 2
+        """,
+        "local_supplier_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = 'REGION_1'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY n.n_name
+        """,
+        "part_value_concentration": """
+            WITH total AS (
+                SELECT CAST(SUM(CAST(l_extendedprice * l_quantity
+                            AS DECIMAL(28,6))) AS DOUBLE) AS t
+                FROM lineitem
+            )
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice * l_quantity
+                        AS DECIMAL(28,6))) AS DOUBLE) AS part_value
+            FROM lineitem, total
+            GROUP BY l_partkey, total.t
+            HAVING CAST(SUM(CAST(l_extendedprice * l_quantity
+                        AS DECIMAL(28,6))) AS DOUBLE) > total.t * 0.001
+        """,
+        "top_supplier_revenue": """
+            WITH per_supp AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate < TIMESTAMP '1995-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, p.total_revenue
+            FROM per_supp p
+            JOIN supplier s ON p.l_suppkey = s.s_suppkey
+            WHERE p.total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+        """,
+        "bracket_revenue": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks WHERE term != ''
+                GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score
+                FROM tf JOIN dfq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, score, rnk
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "hash_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(
+                           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                           1, 8)) AS BIGINT) % 100 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "late_ship_priority_counts": """
             SELECT o_orderpriority, COUNT(*) AS order_count

@@ -46,7 +46,12 @@ def build_ivf_index(
     feat = df.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
+    # maxIter=8: coarse quantizers don't need tight convergence — probe
+    # recall is insensitive to late-stage centroid drift (recall@10 unit
+    # guards this), and the fit dominates index-build wall time
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=8, featuresCol="features"
+    ).fit(feat)
     assigned = model.transform(feat).withColumnRenamed(
         "prediction", "cluster_id"
     ).drop("features")

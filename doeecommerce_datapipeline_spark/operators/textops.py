@@ -7,7 +7,7 @@ these are scan-bound, shuffle-free (the groupBys are on tiny keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -137,4 +137,69 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
+    )
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Uses the rational idf (N/df, log-free): every arithmetic step is
+    integer-exact products/divisions in IEEE double, so scores are
+    bit-identical across engines — the log-idf variant differs by ulps
+    between libm implementations and would break hash equality (BM25
+    has the same issue; swap the score expression at deployment if
+    log-damped weights are wanted — the plan shape is unchanged).
+
+    Plan: explode tokens → per-(doc,term) counts (one shuffle) →
+    broadcast the per-term df join? No: df re-aggregates the SAME
+    shuffled partitioning (term not in the key — second shuffle on
+    term), then a window ranks per doc. Three exchanges total; each
+    post-explode stage carries only (ids, counts)."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny driver-side scalar, like the reference's audits
+    toks = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (80/10/10).
+
+    Bucketing on md5 of the NORMALIZED text (the exact-dedup
+    fingerprint) rather than on doc_id means byte-identical documents
+    always land in the same split — no train/test leakage through
+    duplicates, the standard LLM-corpus practice. md5 is available and
+    bit-identical in every engine, so the assignment is reproducible
+    anywhere (xxhash/seeded hashes are engine-specific). Pure per-row
+    expression — scan-bound, shuffle-free at any scale."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(fingerprint("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
     )

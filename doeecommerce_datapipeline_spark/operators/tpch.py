@@ -582,3 +582,113 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("profit"))
     )
+
+
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way star join where customer and supplier must share
+    a nation (the extra c_nationkey = s_nationkey equi-condition), date
+    + region filters, revenue by nation. Dimensions resolve before
+    broadcast; the only big shuffle is lineitem⋈orders."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "decimal(28,6)",
+            ).alias("revenue")
+        )
+    )
+
+
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-group value vs a scalar-subquery threshold over
+    the SAME aggregate (group sum > fraction × global sum). One scan
+    feeds both aggregates; the single-row global total broadcasts onto
+    the per-part rollup (never a shuffle)."""
+    l = table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = l.groupBy("l_partkey").agg(
+        dsum(value, "decimal(28,6)").alias("part_value")
+    )
+    total = l.agg(dsum(value, "decimal(28,6)").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("_total") * 0.001)
+        .select("l_partkey", "part_value")
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: windowed revenue rollup per supplier, then the
+    supplier(s) hitting the MAX via a scalar subquery — equality on
+    bit-identical decimal-sourced doubles, so ties resolve the same on
+    every engine."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    per_supp = l.groupBy("l_suppkey").agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "decimal(28,6)",
+        ).alias("total_revenue")
+    )
+    best = per_supp.agg(F.max("total_revenue").alias("_best"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("_best"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive brackets spanning both
+    join sides (brand/size on part × quantity on lineitem). The shared
+    p_partkey equi-join broadcasts part; the OR-of-ANDs residual
+    filters after the join — Catalyst still pushes the per-side
+    implied predicates (size ranges, quantity bounds) into the scans."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(bracket).agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "decimal(28,6)",
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

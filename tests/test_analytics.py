@@ -11,3 +11,21 @@ def test_approx_within_bounds(spark, sf_dir):
         / r["exact_median_price"]
         < 0.05
     )
+
+
+def test_hash_split_no_duplicate_leakage(spark):
+    """Byte-identical (post-normalization) documents must land in the
+    same split — the content-hash property that prevents train/test
+    leakage through duplicates."""
+    from doeecommerce_datapipeline_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "The  Quick   brown fox"), (2, "the quick brown fox"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    bucket = (
+        F.conv(F.substring(fingerprint("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    got = {r["doc_id"]: r["b"] for r in df.select("doc_id", bucket.alias("b")).collect()}
+    assert got[1] == got[2]
