@@ -150,23 +150,21 @@ def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     has the same issue; swap the score expression at deployment if
     log-damped weights are wanted — the plan shape is unchanged).
 
-    Plan: explode tokens → per-(doc,term) counts (one shuffle) →
-    broadcast the per-term df join? No: df re-aggregates the SAME
-    shuffled partitioning (term not in the key — second shuffle on
-    term), then a window ranks per doc. Three exchanges total; each
-    post-explode stage carries only (ids, counts)."""
+    Plan: explode tokens → per-(doc,term) counts → df as an unordered
+    COUNT window over the tf rows (partitionBy term) → rank window per
+    doc. Three exchanges, ONE explode: deriving df by re-aggregating tf
+    and joining back re-evaluates the whole exploded-token subtree
+    (Spark shares no non-exchange subtrees — measured two Generate
+    nodes in the plan); the window formulation reads tf once."""
     d = table(spark, sf_dir, "documents")
     n_docs = d.count()  # tiny driver-side scalar, like the reference's audits
     toks = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("term")
-    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .select(
             "doc_id",
             "term",
@@ -176,7 +174,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
                 "score"
             ),
         )
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w_rank))
         .where(F.col("rnk") <= k)
     )
 

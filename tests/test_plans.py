@@ -78,3 +78,37 @@ def test_sliding_hourly_expand_single_exchange(spark, sf_dir):
     p = _plan(spark, sf_dir, "sliding_hourly")
     assert "Expand" in p
     assert p.count("+- Exchange") == 1
+
+
+def test_bracket_revenue_pushes_implied_bounds(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs must not block pushdown of the
+    per-side implied ranges; part broadcasts onto lineitem."""
+    p = _plan(spark, sf_dir, "bracket_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # implied single-side bounds reach the scans
+    assert "l_quantity" in p and "PushedFilters" in p
+
+
+def test_part_value_concentration_single_row_broadcast(spark, sf_dir):
+    """Q11 shape: the global-total threshold must arrive as a broadcast
+    (nested-loop of a 1-row relation), never a shuffle join."""
+    p = _plan(spark, sf_dir, "part_value_concentration")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_top_supplier_revenue_window_pushed(spark, sf_dir):
+    """Q15 shape: the 3-month shipdate window must be scan-pushed."""
+    p = _plan(spark, sf_dir, "top_supplier_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+
+
+def test_tfidf_no_raw_token_rejoin(spark, sf_dir):
+    """tfidf's df-count and rank windows run over the (doc,term)
+    counts — the exploded raw token stream must be generated exactly
+    once (a df re-aggregate + join-back would re-evaluate the explode
+    subtree; each plan node appears twice in formatted output)."""
+    p = _plan(spark, sf_dir, "tfidf_topk")
+    assert p.count("Generate") == 2  # one node: tree line + detail line
