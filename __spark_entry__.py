@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from doeecommerce_datapipeline_spark.operators import (
     aggregates as A,
     analytics as X,
+    corpus as CP,
     dedup as D,
     events as E,
     ivf as IVF,
@@ -90,6 +91,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: corpus-prep operators
         "tfidf_topk": T.tfidf_topk,
         "hash_split": T.hash_split,
+        "decontaminate": CP.decontaminate,
+        "gopher_quality": CP.gopher_quality,
+        "source_mix_sample": CP.source_mix_sample,
+        "pack_sequences": CP.pack_sequences,
+        "pseudonymize_events": CP.pseudonymize_events,
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1025,6 +1031,106 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 90 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+                      FROM toks)
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 7
+            ), hits AS (
+                SELECT s.doc_id, COUNT(*) AS n_hits
+                FROM sh s JOIN bench USING (shingle)
+                WHERE s.doc_id % 20 <> 7
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 20 <> 7
+        """,
+        "gopher_quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS chars,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), w AS (
+                SELECT doc_id, chars, unnest(t) AS word FROM toks
+            ), pw AS (
+                SELECT doc_id, chars, word, COUNT(*) AS c
+                FROM w GROUP BY 1, 2, 3
+            ), s AS (
+                SELECT doc_id, chars,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_distinct,
+                       MAX(c) AS top_count
+                FROM pw GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   n_tokens,
+                   CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+                   CAST(top_count AS DOUBLE) / n_tokens AS top_frac,
+                   CAST(chars AS DOUBLE) / n_tokens AS mean_wlen,
+                   CASE WHEN n_tokens < 20 THEN 'too_short'
+                        WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.35
+                            THEN 'repetitive'
+                        WHEN CAST(top_count AS DOUBLE) / n_tokens > 0.125
+                            THEN 'dominant_word'
+                        ELSE 'ok' END AS reason,
+                   CASE WHEN n_tokens < 20 THEN FALSE
+                        WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.35
+                            THEN FALSE
+                        WHEN CAST(top_count AS DOUBLE) / n_tokens > 0.125
+                            THEN FALSE
+                        ELSE TRUE END AS keep
+            FROM s
+        """,
+        "source_mix_sample": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       30 + (CAST(substr(source, 4, 8) AS INT) % 5) * 10
+                           AS rate_pct,
+                       CAST(concat('0x', substr(
+                           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                           9, 8)) AS BIGINT) % 100 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, source, rate_pct, bucket
+            FROM b WHERE bucket < rate_pct
+        """,
+        "pack_sequences": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split_regex(trim(text), '\\s+'))
+                           AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum_before
+                FROM d
+            )
+            SELECT doc_id, source, n_tokens,
+                   cum_before // 512 AS seq_id,
+                   cum_before % 512 AS seq_offset
+            FROM c
+        """,
+        "pseudonymize_events": """
+            SELECT event_id,
+                   substr(md5(concat('uid:', CAST(user_id AS VARCHAR))), 1, 16)
+                       AS user_token,
+                   event_type,
+                   CAST(ts AS DATE) AS day
+            FROM events
         """,
         "late_ship_priority_counts": """
             SELECT o_orderpriority, COUNT(*) AS order_count

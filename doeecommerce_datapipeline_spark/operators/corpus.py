@@ -1,0 +1,219 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Beyond-the-reference extension surface (the reference pipeline stops at
+BI gold marts; these are the operations a training-data pipeline needs
+on top of the same engine): benchmark decontamination, heuristic
+quality filtering, source-mixture sampling, sequence packing, and
+identifier pseudonymization. All are pure DataFrame plans — no Python
+in the hot path — and every one is DuckDB-oracle-paired in
+`__spark_entry__.py`.
+
+Scale posture, per operator, is documented on the function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens, word_shingles
+from ..io import table
+
+# Decontamination shingle width: wide enough that organic n-gram
+# collisions are rare, narrow enough to catch paraphrased overlap.
+DECONTAM_NGRAM = 5
+
+# Quality-rule thresholds (Gopher/C4-style heuristics, re-centered on
+# the synthetic corpus' measured distributions so the split is
+# non-trivial at every SF).
+MIN_TOKENS = 20
+MIN_DISTINCT_RATIO = 0.35
+MAX_TOP_WORD_FRAC = 0.125
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def contamination_hits(
+    train: DataFrame, bench: DataFrame, id_col: str, text_col: str,
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Per-train-document count of distinct word n-grams shared with a
+    benchmark set (id, n_hits, contaminated).
+
+    The standard eval-decontamination primitive: any train document
+    sharing an n-gram with a held-out benchmark is suspect. Benchmark
+    sets are small (MBs of eval data vs TBs of corpus), so the
+    benchmark shingle set is BROADCAST — the corpus side streams
+    through a map-side hash join next to the scan with no shuffle of
+    the big table; only the per-doc count aggregation shuffles, keyed
+    by id. At 100 TB that is one scan + one narrow agg.
+    """
+    sh = F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    train_sh = train.select(F.col(id_col), sh)
+    bench_sh = bench.select(sh).distinct()
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry shape: docs with doc_id % 20 == 7 stand in for the
+    benchmark; every other document is scored against them."""
+    d = table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 7)
+    train = d.where(F.col("doc_id") % 20 != 7)
+    return contamination_hits(train, bench, "doc_id", "text")
+
+
+def quality_rules(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality filter.
+
+    Per document: token count, distinct-word ratio, top-word fraction
+    (mass of the single most frequent word), mean word length; then a
+    keep flag plus the first failed rule's name. All ratios are
+    int/int divisions in IEEE double, so verdicts are bit-identical
+    across engines.
+
+    One explode → two-level aggregate, keyed by the document id — the
+    natural parallel shape; no joins, no global state. The repartition
+    spreads the explode across cores (testdata tables arrive as one
+    parquet row-group; on a real cluster the scan is already split).
+    """
+    spark = docs.sparkSession
+    chars = F.length(
+        F.regexp_replace(F.col(text_col), r"\s+", "")
+    ).alias("chars")
+    toks = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col(id_col), chars,
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    per_word = toks.groupBy(id_col, "chars", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = per_word.groupBy(id_col, "chars").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_count").cast("double") / F.col("n_tokens")
+    mean_wlen = F.col("chars").cast("double") / F.col("n_tokens")
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(distinct_ratio < MIN_DISTINCT_RATIO, "repetitive")
+        .when(top_frac > MAX_TOP_WORD_FRAC, "dominant_word")
+        .otherwise("ok")
+    )
+    return stats.select(
+        id_col,
+        "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_frac"),
+        mean_wlen.alias("mean_wlen"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_rules(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture (data-mixing) sampler: per-source keep rates
+    applied via a deterministic content-hash bucket.
+
+    Mixing weights are the knob a pretraining pipeline turns to
+    up/down-weight sources; here each source's rate derives from its
+    numeric suffix (30–70%) so the demo is self-contained. The bucket
+    reuses the content fingerprint (hex chars 9–16, disjoint from
+    hash_split's 1–8, so split and sampling stay independent) — a
+    per-row expression with no shuffle: the sampler is scan-bound at
+    any scale, and re-running it reproduces the same sample anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        F.lit(30)
+        + (F.substring("source", 4, 8).cast("int") % 5) * F.lit(10)
+    ).alias("rate_pct")
+    bucket = (
+        F.conv(F.substring(fingerprint("text"), 9, 8), 16, 10).cast("long")
+        % 100
+    ).alias("bucket")
+    return d.select("doc_id", "source", rate, bucket).where(
+        F.col("bucket") < F.col("rate_pct")
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed token-budget training sequences via
+    per-source prefix sums (doc_id, source, n_tokens, seq_id,
+    seq_offset).
+
+    Greedy bin packing is inherently sequential; the scalable
+    formulation is budget partitioning on a running token count:
+    seq_id = floor(exclusive_cumsum / budget) within each source
+    shard, ordered by doc_id. Documents may straddle a boundary (the
+    chunk-then-pack convention) but every sequence's start offset is
+    exact, deterministic, and computed by ONE window per shard — at
+    100 TB each source partitions independently; no global order, no
+    driver loop. Integer arithmetic end-to-end, so engine-identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / PACK_BUDGET).alias("seq_id"),
+            (F.col("cum_before") % PACK_BUDGET).alias("seq_offset"),
+        )
+    )
+
+
+def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII tokenization: replace user identifiers with a salted-hash
+    token (event_id, user_token, event_type, day).
+
+    The corpus-side privacy primitive — joinable pseudonyms without
+    the raw id. A keyed-salt md5 keeps the mapping deterministic
+    (same user → same token, so downstream sessionization still
+    works) yet non-invertible without the salt. Pure per-row
+    expression: scan-bound, shuffle-free, identical output in any
+    engine. Real deployments rotate the salt per release; it is a
+    literal here so the oracle can mirror it.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.substring(
+            F.md5(F.concat(F.lit("uid:"), F.col("user_id").cast("string"))),
+            1,
+            16,
+        ).alias("user_token"),
+        "event_type",
+        F.to_date("ts").alias("day"),
+    )

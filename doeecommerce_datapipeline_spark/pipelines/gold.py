@@ -10,7 +10,7 @@ its evident intent — the day's top-3 products by cart line revenue.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dsum, exact_avg
@@ -82,15 +82,31 @@ def sales_mart(
     column the reference never fills: top-3 product titles ranked by
     catalog price as the day's headline products."""
     day = carts.where(F.to_date("last_updated") == F.lit(kpi_date))
+    # Top-3 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + a 3-row driver merge) rather than a global ORDER BY
+    # window, which would sort the whole table on one partition. The
+    # array_sort re-derives the rank order because collect_list gives
+    # no ordering guarantee after the exchange.
     top = (
-        products.withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.desc("price"), F.asc("product_id"))
-            ),
+        products.orderBy(F.desc("price"), F.asc("product_id"))
+        .limit(3)
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("price").cast("double")).alias("neg"),
+                                F.col("product_id").alias("pid"),
+                                F.col("title").alias("title"),
+                            )
+                        )
+                    ),
+                    lambda s: s["title"],
+                ),
+            ).alias("top_products")
         )
-        .where(F.col("rnk") <= 3)
-        .agg(F.concat_ws(",", F.collect_list("title")).alias("top_products"))
     )
     counts = day.agg(
         F.lit(kpi_date).cast("date").alias("date"),

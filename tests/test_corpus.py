@@ -1,0 +1,103 @@
+"""Semantic-property tests for the corpus-prep operators.
+
+The oracle parity test (test_parity.py) proves engine equality; these
+prove the operators mean what they claim — contamination flags planted
+overlap, quality rules fire on the pathologies they name, packing
+respects the budget, pseudonyms are consistent and salt-dependent.
+"""
+
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.operators.corpus import (
+    PACK_BUDGET,
+    contamination_hits,
+    pack_sequences,
+    pseudonymize_events,
+    quality_rules,
+    source_mix_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_contamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 5-gram "gamma delta epsilon zeta eta"
+            (1, "prefix words gamma delta epsilon zeta eta suffix tail end"),
+            (2, "completely unrelated content about spark parquet shuffle joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_hits(train, bench, "doc_id", "text").collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+
+
+def test_quality_rules_fire_on_named_pathologies(spark):
+    ok = " ".join(f"w{i}" for i in range(30))
+    short = "just five words right here"
+    repetitive = " ".join(["spam"] * 15 + ["a", "b", "c", "d", "e"] * 3)
+    df = spark.createDataFrame(
+        [(1, ok), (2, short), (3, repetitive)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in quality_rules(df, "doc_id", "text").collect()
+    }
+    assert out[1] == ("ok", True)
+    assert out[2] == ("too_short", False)
+    assert out[3][1] is False and out[3][0] in ("repetitive", "dominant_word")
+
+
+def test_source_mix_is_deterministic_and_rate_bounded(spark):
+    a = source_mix_sample(spark, SF)
+    b = source_mix_sample(spark, SF)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    assert a.where(F.col("bucket") >= F.col("rate_pct")).count() == 0
+    # rates genuinely differ by source (the mixing knob does something)
+    assert a.select("rate_pct").distinct().count() > 1
+
+
+def test_pack_sequences_prefix_sums_are_consistent(spark):
+    rows = pack_sequences(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for docs in by_src.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            assert r["seq_id"] == cum // PACK_BUDGET
+            assert r["seq_offset"] == cum % PACK_BUDGET
+            cum += r["n_tokens"]
+        # every budget boundary was crossed in order: seq_ids are a
+        # non-decreasing sequence starting at 0
+        assert docs[0]["seq_id"] == 0
+
+
+def test_pseudonyms_consistent_within_user_distinct_across(spark):
+    out = pseudonymize_events(spark, SF)
+    from doeecommerce_datapipeline_spark.io import table
+
+    per_user = out.join(
+        table(spark, SF, "events").select("event_id", "user_id"), "event_id"
+    )
+    g = per_user.groupBy("user_id").agg(
+        F.countDistinct("user_token").alias("n_tokens")
+    )
+    assert g.where(F.col("n_tokens") != 1).count() == 0
+    n_users = per_user.select("user_id").distinct().count()
+    n_tokens = per_user.select("user_token").distinct().count()
+    assert n_tokens == n_users
+    # raw ids never appear in the output schema
+    assert "user_id" not in out.columns
