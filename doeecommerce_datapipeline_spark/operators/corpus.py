@@ -48,9 +48,13 @@ def contamination_hits(
     the big table; only the per-doc count aggregation shuffles, keyed
     by id. At 100 TB that is one scan + one narrow agg.
     """
+    par = train.sparkSession.sparkContext.defaultParallelism
     sh = F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    train_sh = train.select(F.col(id_col), sh)
-    bench_sh = bench.select(sh).distinct()
+    # repartition before the explode: the testdata tables arrive as one
+    # parquet row-group, so without it a single task does every
+    # shingle (on a real cluster the scan is already split)
+    train_sh = train.repartition(par).select(F.col(id_col), sh)
+    bench_sh = bench.repartition(par).select(sh).distinct()
     hits = (
         train_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)

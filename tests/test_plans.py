@@ -3,6 +3,7 @@ must survive operator edits — pushdown, pruning, broadcast choice,
 single-exchange windows."""
 
 import io
+import re
 import contextlib
 
 import __spark_entry__ as m
@@ -112,3 +113,31 @@ def test_tfidf_no_raw_token_rejoin(spark, sf_dir):
     subtree; each plan node appears twice in formatted output)."""
     p = _plan(spark, sf_dir, "tfidf_topk")
     assert p.count("Generate") == 2  # one node: tree line + detail line
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set (small eval data) must be the
+    broadcast build side; the corpus stream joins it map-side with no
+    shuffle of the exploded corpus shingles."""
+    p = _plan(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in p
+    # exactly one shingle-keyed exchange: the bench-side distinct.
+    # The corpus shingle stream reaches the join map-side — a second
+    # shingle exchange would mean the big side is being shuffled.
+    assert len(re.findall(r"hashpartitioning\(shingle", p)) == 1
+
+
+def test_source_mix_sample_is_pure_scan(spark, sf_dir):
+    """Deterministic sampling is a per-row expression: no exchange,
+    no aggregate — scan-bound at any scale."""
+    p = _plan(spark, sf_dir, "source_mix_sample")
+    assert "Exchange" not in p
+    assert "HashAggregate" not in p
+
+
+def test_pack_sequences_single_exchange_window(spark, sf_dir):
+    """Prefix-sum packing = one hash exchange on the shard key plus
+    one window; no joins, no second shuffle."""
+    p = _plan(spark, sf_dir, "pack_sequences")
+    assert p.count("+- Exchange") == 1
+    assert "Join" not in p
