@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": CP.gopher_quality,
         "source_mix_sample": CP.source_mix_sample,
         "pack_sequences": CP.pack_sequences,
+        "chunk_documents": CP.chunk_documents,
         "pseudonymize_events": CP.pseudonymize_events,
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
@@ -1123,6 +1124,21 @@ def oracle_sql() -> dict[str, str]:
                    cum_before // 512 AS seq_id,
                    cum_before % 512 AS seq_offset
             FROM c
+        """,
+        "chunk_documents": """
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), s AS (
+                SELECT doc_id, t, len(t) AS n,
+                       unnest(range(1, greatest(len(t), 1) + 1, 24)) AS start
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST((start - 1) // 24 AS INT) AS chunk_id,
+                   CAST(least(32, n - start + 1) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(t[start:start+31], ' ') AS chunk_text
+            FROM s
         """,
         "pseudonymize_events": """
             SELECT event_id,

@@ -32,6 +32,9 @@ MAX_TOP_WORD_FRAC = 0.125
 
 PACK_BUDGET = 512  # tokens per packed training sequence
 
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # chunk start spacing (CHUNK_SIZE - overlap)
+
 
 def contamination_hits(
     train: DataFrame, bench: DataFrame, id_col: str, text_col: str,
@@ -196,6 +199,46 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_before") % PACK_BUDGET).alias("seq_offset"),
         )
     )
+
+
+def chunk_tokens(
+    docs: DataFrame, id_col: str, text_col: str,
+    size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows
+    (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    The pre-packing step for documents longer than the training
+    context: chunk starts advance by `stride` tokens (overlap =
+    size - stride preserves context across boundaries), the final
+    chunk is the ragged remainder. Chunking is per-row — an explode
+    with NO shuffle, so it parallelizes as a flatMap over the scan at
+    any scale; downstream packing/dedup key on (id, chunk_id).
+    """
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(stride))
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.least(
+            F.lit(size), F.size("_t") - F.col("_start") + 1
+        ).cast("long").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("_t"), F.col("_start"), size), " "
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return chunk_tokens(d.repartition(par), "doc_id", "text")
 
 
 def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:

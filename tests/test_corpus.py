@@ -101,3 +101,25 @@ def test_pseudonyms_consistent_within_user_distinct_across(spark):
     assert n_tokens == n_users
     # raw ids never appear in the output schema
     assert "user_id" not in out.columns
+
+
+def test_chunk_tokens_overlap_and_remainder(spark):
+    from doeecommerce_datapipeline_spark.operators.corpus import chunk_tokens
+
+    words = [f"w{i}" for i in range(40)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    chunks = sorted(
+        chunk_tokens(df, "doc_id", "text", size=16, stride=12).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 1, 13, 25, 37 -> 4 chunks; last is the 4-token remainder
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in chunks] == [16, 16, 16, 4]
+    assert chunks[0]["chunk_text"].split() == words[0:16]
+    assert chunks[1]["chunk_text"].split() == words[12:28]  # 4-token overlap
+    assert chunks[3]["chunk_text"].split() == words[36:40]
+    # every token position is covered
+    covered = set()
+    for r in chunks:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(words)

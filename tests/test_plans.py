@@ -141,3 +141,12 @@ def test_pack_sequences_single_exchange_window(spark, sf_dir):
     p = _plan(spark, sf_dir, "pack_sequences")
     assert p.count("+- Exchange") == 1
     assert "Join" not in p
+
+
+def test_chunk_documents_is_shuffle_free_flatmap(spark, sf_dir):
+    """Chunking is per-row: one Generate, no hash exchange, no join —
+    it must parallelize as a flatMap over the scan."""
+    p = _plan(spark, sf_dir, "chunk_documents")
+    assert p.count("Generate") == 2  # one node: tree line + detail line
+    assert "hashpartitioning" not in p
+    assert "Join" not in p
