@@ -83,6 +83,27 @@ def foreach_batch_upsert(path: str, keys: list[str]):
     return _write
 
 
+def foreach_batch_manifest_upsert(path: str, keys: list[str]):
+    """Streaming publisher into the transactional manifest table —
+    the ACID variant of ``foreach_batch_upsert``.
+
+    Each micro-batch MERGEs under the manifest's optimistic-commit
+    loop, so a concurrent batch writer (e.g. a backfill) can share the
+    table: a lost race re-reads the new snapshot and recomputes the
+    rewrite instead of clobbering it. Combined with the stream
+    checkpoint, a replayed epoch re-upserts the same keys — idempotent
+    by construction — which is the exactly-once story Delta's
+    foreachBatch + MERGE INTO gives, built on the same primitives.
+    """
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            ManifestTable(batch_df.sparkSession, path).upsert(batch_df, keys)
+
+    return _write
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test harness: drive the streaming graph to completion over the
     currently-available files, results in an in-memory table.

@@ -181,3 +181,43 @@ def test_stream_windowed_agg_drops_beyond_watermark_rows(spark, tmp_path):
     emitted = [(str(r["window_start"]), r["n_events"]) for r in rows]
     # one closed window, with the late row NOT counted
     assert emitted == [("2024-01-01 00:00:00", 2)], emitted
+
+
+def test_foreach_batch_manifest_upsert_transactional(spark, stream_dir, tmp_path):
+    """Streaming into the ACID manifest table: re-delivered keys
+    don't duplicate, every micro-batch is a committed version, and
+    time travel still sees the pre-stream snapshot."""
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_manifest_upsert,
+    )
+
+    out = str(tmp_path / "silver_events_acid")
+    t = ManifestTable(spark, out)
+    # a batch writer seeds the table before the stream starts
+    seed = table(spark, "/root/testdata/sf0.001", "events").orderBy(
+        "event_id"
+    ).limit(10).select("event_id", "user_id", "event_type", "ts")
+    v_seed = t.append(seed)
+
+    deduped = stream_dedup(read_event_stream(spark, stream_dir)).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    q = (
+        deduped.writeStream.foreachBatch(
+            foreach_batch_manifest_upsert(out, ["event_id"])
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_acid"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = t.read()
+    # 200 distinct stream events; the 10 seeded rows overlap them by key
+    assert got.count() == got.select("event_id").distinct().count() == 200
+    # the stream committed at least one version on top of the seed
+    assert t.current_version() > v_seed
+    # time travel: the seed snapshot is intact underneath
+    assert t.read(version=v_seed).count() == 10
