@@ -174,6 +174,26 @@ class ManifestTable:
 
         return self._commit_retry(build)
 
+    def compact(self, target_files: int = 1) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite the current
+        snapshot into ``target_files`` larger files and commit it as a
+        new version — no logical data change. Streaming upserts and
+        frequent appends accrete one-file-per-batch tables; bin-packing
+        them back together is the standard table-format maintenance op
+        (Delta OPTIMIZE / Iceberg rewrite_data_files). Runs inside the
+        commit loop, so a concurrent writer that wins the race just
+        triggers recompaction of the advanced snapshot — never a lost
+        update. Old versions still reference the old files, so time
+        travel survives until vacuum() reaps them."""
+
+        def build(base: int) -> tuple[list[str], str]:
+            if base == 0:
+                raise FileNotFoundError(f"no committed version in {self.path}")
+            df = self.read(base).coalesce(target_files)
+            return self._write_data(df), df.schema.json()
+
+        return self._commit_retry(build)
+
     def vacuum(self, min_age_sec: float = 3600.0) -> list[str]:
         """Remove data files referenced by no manifest (crashed writers,
         losing commit attempts). Files younger than ``min_age_sec`` are

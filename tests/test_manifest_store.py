@@ -123,3 +123,24 @@ def test_vacuum_retention_spares_young_orphans(spark, mt, tmp_path):
     open(orphan, "wb").close()
     assert mt.vacuum(min_age_sec=3600) == []  # young in-flight file kept
     assert os.path.exists(orphan)
+
+
+def test_compact_bin_packs_without_data_change(spark, mt):
+    for i in range(5):
+        mt.append(_df(spark, [(i, f"v{i}")]))
+    before = mt._read_manifest(mt.current_version())["files"]
+    assert len(before) >= 5  # one file per append
+    v_pre = mt.current_version()
+
+    v = mt.compact(target_files=1)
+    after = mt._read_manifest(v)["files"]
+    assert len(after) == 1
+    assert {(r["id"], r["v"]) for r in mt.read().collect()} == {
+        (i, f"v{i}") for i in range(5)
+    }
+    # time travel to the pre-compaction snapshot still works (old
+    # files stay on disk until vacuum)
+    assert mt.read(version=v_pre).count() == 5
+    # vacuum keeps everything: old files are still referenced by the
+    # pre-compaction manifests
+    assert mt.vacuum(min_age_sec=0.0) == []
