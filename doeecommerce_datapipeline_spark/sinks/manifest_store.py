@@ -194,6 +194,27 @@ class ManifestTable:
 
         return self._commit_retry(build)
 
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level change feed between two snapshots: rows in
+        ``v_to`` but not ``v_from`` tagged ``insert``, rows gone from
+        ``v_from`` tagged ``delete`` (an update surfaces as
+        delete+insert, multiset semantics via exceptAll). This is what
+        lets downstream consumers process a table INCREMENTALLY —
+        recompute only what changed since the version they last saw —
+        instead of full-table rescans; versions already give exact
+        boundaries, so the diff needs no extra bookkeeping at write
+        time. Two shuffles over the two snapshots' width; at 100 TB
+        prefer diffing a key projection, then joining back."""
+        new = self.read(v_to if v_to is not None else self.current_version())
+        old = self.read(v_from)
+        from pyspark.sql import functions as F
+
+        return new.exceptAll(old).withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(
+            old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        )
+
     def vacuum(self, min_age_sec: float = 3600.0) -> list[str]:
         """Remove data files referenced by no manifest (crashed writers,
         losing commit attempts). Files younger than ``min_age_sec`` are

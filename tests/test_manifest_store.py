@@ -144,3 +144,28 @@ def test_compact_bin_packs_without_data_change(spark, mt):
     # vacuum keeps everything: old files are still referenced by the
     # pre-compaction manifests
     assert mt.vacuum(min_age_sec=0.0) == []
+
+
+def test_changes_feed_tracks_upsert_and_delete(spark, mt):
+    v1 = mt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v2 = mt.upsert(_df(spark, [(2, "B"), (4, "d")]), ["id"])
+    v3 = mt.delete_where(F.col("id") == 1)
+
+    step1 = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in mt.changes(v1, v2).collect()
+    }
+    # update of 2 surfaces as delete+insert; 4 is a pure insert
+    assert step1 == {(2, "b", "delete"), (2, "B", "insert"), (4, "d", "insert")}
+
+    step2 = {
+        (r["id"], r["_change_type"]) for r in mt.changes(v2, v3).collect()
+    }
+    assert step2 == {(1, "delete")}
+
+    # full-range diff composes the steps
+    full = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in mt.changes(v1).collect()
+    }
+    assert (1, "a", "delete") in full and (4, "d", "insert") in full
