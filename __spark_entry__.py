@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": CP.pack_sequences,
         "chunk_documents": CP.chunk_documents,
         "pseudonymize_events": CP.pseudonymize_events,
+        "split_leakage_pairs": CP.split_leakage_pairs,
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1124,6 +1125,55 @@ def oracle_sql() -> dict[str, str]:
                    cum_before // 512 AS seq_id,
                    cum_before % 512 AS seq_offset
             FROM c
+        """,
+        "split_leakage_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE doc_id < 1000
+            ), all_shingles AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), shingles AS (
+                SELECT doc_id, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > 50
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b,
+                       CAST(n_common AS DOUBLE)
+                           / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_common AS DOUBLE)
+                          / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+            ), sp AS (
+                SELECT doc_id,
+                       CASE WHEN CAST(concat('0x', substr(
+                                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                                1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                            WHEN CAST(concat('0x', substr(
+                                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                                1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT id_a, id_b, jaccard,
+                   a.split AS split_a, b.split AS split_b,
+                   a.split <> b.split AS leaks
+            FROM pairs
+            JOIN sp a ON a.doc_id = id_a
+            JOIN sp b ON b.doc_id = id_b
         """,
         "chunk_documents": """
             WITH d AS (

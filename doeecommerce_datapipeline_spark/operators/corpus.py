@@ -241,6 +241,46 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_tokens(d.repartition(par), "doc_id", "text")
 
 
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs annotated with their train/val/test assignment
+    (id_a, id_b, jaccard, split_a, split_b, leaks).
+
+    The content-hash split keeps BYTE-identical documents in one split,
+    but near-duplicates can still straddle the boundary — the subtle
+    train/test contamination channel in LLM corpora. This audit
+    composes the inverted-index Jaccard pairs with the split
+    assignment; `leaks` marks pairs whose members land in different
+    splits (the rows a decontamination pass must resolve). The pair
+    set is tiny relative to the corpus, so the two id joins
+    broadcast; at scale the pair input comes from the LSH path and
+    the shape is unchanged.
+    """
+    from .dedup import jaccard_pairs_over
+    from .textops import hash_split
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    pairs = jaccard_pairs_over(d)
+    splits = hash_split(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+    )
+
+
 def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII tokenization: replace user identifiers with a salted-hash
     token (event_id, user_token, event_type, day).

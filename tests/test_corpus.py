@@ -123,3 +123,16 @@ def test_chunk_tokens_overlap_and_remainder(spark):
     for r in chunks:
         covered.update(r["chunk_text"].split())
     assert covered == set(words)
+
+
+def test_split_leakage_flags_cross_split_pairs(spark, sf_dir):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        split_leakage_pairs,
+    )
+
+    rows = split_leakage_pairs(spark, sf_dir).collect()
+    assert rows  # planted near-dups exist at every SF
+    for r in rows:
+        assert r["leaks"] == (r["split_a"] != r["split_b"])
+        assert r["jaccard"] >= 0.2
+        assert r["id_a"] < r["id_b"]
