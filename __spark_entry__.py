@@ -25,6 +25,7 @@ from doeecommerce_datapipeline_spark.operators import (
     events as E,
     ivf as IVF,
     joins as J,
+    scd as SCD,
     mllib_lsh as L,
     projections as P,
     similarity as S,
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": CP.chunk_documents,
         "pseudonymize_events": CP.pseudonymize_events,
         "split_leakage_pairs": CP.split_leakage_pairs,
+        "scd2_customer_priority": SCD.scd2_customer_priority,
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1174,6 +1176,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN sp a ON a.doc_id = id_a
             JOIN sp b ON b.doc_id = id_b
+        """,
+        "scd2_customer_priority": """
+            WITH seq AS (
+                SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                       CASE WHEN lag(o_orderpriority) OVER w
+                                 IS DISTINCT FROM o_orderpriority
+                            THEN 1 ELSE 0 END AS chg
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ), isl AS (
+                SELECT o_custkey, o_orderpriority, o_orderdate,
+                       SUM(chg) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM seq
+            ), grp AS (
+                SELECT o_custkey AS customer_id,
+                       o_orderpriority AS priority,
+                       island,
+                       MIN(CAST(o_orderdate AS DATE)) AS effective_from,
+                       COUNT(*) AS n_rows
+                FROM isl GROUP BY 1, 2, 3
+            )
+            SELECT customer_id, priority, effective_from,
+                   LEAD(effective_from) OVER w2 AS effective_to,
+                   LEAD(effective_from) OVER w2 IS NULL AS is_current,
+                   n_rows
+            FROM grp
+            WINDOW w2 AS (PARTITION BY customer_id ORDER BY island)
         """,
         "chunk_documents": """
             WITH d AS (

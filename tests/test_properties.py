@@ -3,7 +3,7 @@ can't fuzz: dedup tie-break determinism under shuffling, guarded
 division bounds, upsert algebra, union null-handling."""
 
 from datetime import datetime, timedelta
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -72,8 +72,11 @@ def test_guarded_pct_bounds_and_zero_guard(spark, totals):
         if r["total"] == 0:
             assert r["pct"] == 0
         else:
+            # Spark decimal casts round HALF_UP (java.math.BigDecimal);
+            # Python's quantize defaults to HALF_EVEN — pin the mode or
+            # exact .5 ticks (e.g. -115.625) diverge by one cent.
             expected = ((r["total"] - r["disc"]) / r["total"] * 100).quantize(
-                Decimal("0.01")
+                Decimal("0.01"), rounding=ROUND_HALF_UP
             )
             assert r["pct"] == expected
 

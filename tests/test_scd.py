@@ -1,0 +1,60 @@
+"""SCD Type 2 gaps-and-islands semantics."""
+
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.operators.scd import (
+    scd2,
+    scd2_customer_priority,
+)
+
+
+def test_scd2_collapses_runs_and_reopens(spark):
+    """A -> A -> B -> A yields THREE intervals (the second A run is a
+    new interval, not merged with the first), closed end-to-end."""
+    rows = [
+        (1, "A", "2024-01-01", 1),
+        (1, "A", "2024-01-05", 2),
+        (1, "B", "2024-02-01", 3),
+        (1, "A", "2024-03-01", 4),
+        (2, "X", "2024-01-02", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, attr string, d string, id long"
+    ).withColumn("d", F.to_date("d"))
+    out = scd2(
+        df,
+        key="k",
+        attr="attr",
+        order=[F.col("d").asc(), F.col("id").asc()],
+        event_date=F.col("d"),
+    )
+    got = {
+        (r["k"], str(r["effective_from"])): r for r in out.collect()
+    }
+    assert len(got) == 4
+    a1 = got[(1, "2024-01-01")]
+    assert (a1["attr"], a1["n_rows"], str(a1["effective_to"])) == (
+        "A", 2, "2024-02-01",
+    )
+    b = got[(1, "2024-02-01")]
+    assert (b["attr"], str(b["effective_to"])) == ("B", "2024-03-01")
+    a2 = got[(1, "2024-03-01")]
+    assert (a2["attr"], a2["effective_to"], a2["is_current"]) == (
+        "A", None, True,
+    )
+    assert got[(2, "2024-01-02")]["is_current"]
+
+
+def test_scd2_one_open_interval_per_key(spark, sf_dir):
+    out = scd2_customer_priority(spark, sf_dir)
+    per_key = (
+        out.groupBy("customer_id")
+        .agg(
+            F.sum(F.col("is_current").cast("long")).alias("n_open"),
+            F.sum(F.when(F.col("effective_to").isNull(), 1).otherwise(0)).alias(
+                "n_null_to"
+            ),
+        )
+        .where((F.col("n_open") != 1) | (F.col("n_null_to") != 1))
+    )
+    assert per_key.count() == 0
