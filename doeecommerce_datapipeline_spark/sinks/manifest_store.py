@@ -19,14 +19,25 @@ Design (a minimal Delta-style log, built from public concepts):
 - Delete/upsert = rewrite affected files + commit a manifest that drops
   the old ones. VACUUM = remove data files referenced by no manifest.
 
-At 100 TB the manifest lists (file, partition-values, row-count,
-min/max) so planning can prune without touching the filesystem — the
-same trajectory Delta/Iceberg take; this implementation keeps just the
-file list + counts.
+At 100 TB the manifest lists (file, row-count, per-column min/max) so
+planning can prune without touching the data — the same trajectory
+Delta/Iceberg take. Stats are harvested from the parquet FOOTERS the
+writer already produced (no extra data pass), carried forward across
+commits, and drive two pruning paths:
+
+- ``read(..., where=[(col, op, lit), ...])`` skips files whose stats
+  prove no row can match, then applies the exact predicate to the
+  survivors (pruning is a performance fact, never a semantic one).
+- ``upsert`` rewrites ONLY the files whose key range intersects the
+  update batch's key range — a disjoint file provably contains none of
+  the updated keys, so it is carried into the new manifest untouched
+  (Delta-style MERGE file pruning; without it every upsert rewrites
+  the whole table).
 """
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
@@ -34,6 +45,52 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: predicate operators usable in ``where=[(col, op, literal), ...]``
+_OPS = ("==", "<", "<=", ">", ">=")
+
+
+def _stat_value(v):
+    """JSON-encode a footer stat; None = unusable (pruning disabled
+    for that column). Dates/timestamps go to ISO strings, which order
+    lexicographically like their values."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None
+
+
+def _normalize_literal(v):
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _may_match(stats: dict | None, col: str, op: str, value) -> bool:
+    """False only when the file's footer stats PROVE no row matches."""
+    if not stats or col not in stats:
+        return True
+    lo, hi = stats[col].get("min"), stats[col].get("max")
+    if lo is None or hi is None:
+        return True
+    value = _normalize_literal(value)
+    try:
+        if op == "==":
+            return not (value < lo or value > hi)
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True  # incomparable types: never prune on a guess
+    raise ValueError(f"unsupported predicate op {op!r} (use one of {_OPS})")
 
 
 class ManifestTable:
@@ -85,31 +142,103 @@ class ManifestTable:
         shutil.rmtree(scratch)  # _SUCCESS markers, crc files, etc.
         return names
 
+    def _stats_for(self, names: list[str]) -> dict[str, dict]:
+        """Per-file row count + column min/max, read from the parquet
+        footers the writer just produced — metadata-only, no data scan.
+        Columns whose stats aren't JSON/order-safe (binary, decimal,
+        nested) are simply absent, which disables pruning on them."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for name in names:
+            md = pq.ParquetFile(os.path.join(self.path, name)).metadata
+            cols: dict[str, dict] = {}
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = _stat_value(st.min), _stat_value(st.max)
+                    if lo is None or hi is None:
+                        continue
+                    name_c = col.path_in_schema
+                    if "." in name_c:
+                        continue  # nested leaves: no top-level pruning
+                    cur = cols.get(name_c)
+                    if cur is None:
+                        cols[name_c] = {"min": lo, "max": hi}
+                    else:
+                        cur["min"] = min(cur["min"], lo)
+                        cur["max"] = max(cur["max"], hi)
+            out[name] = {"rows": md.num_rows, "cols": cols}
+        return out
+
     def _commit_retry(self, build) -> int:
         """Optimistic-concurrency commit loop. ``build(base)`` must
         compute the new live-file set AGAINST snapshot ``base`` and
-        return (files, schema_json) — so when the O_EXCL create loses a
-        race, the next iteration recomputes the rewrite from the
-        advanced snapshot instead of committing a stale file list (the
-        lost-update hazard: a concurrent append landing between read
-        and commit would otherwise be silently dropped). Losing
+        return (files, schema_json, stats) — so when the O_EXCL create
+        loses a race, the next iteration recomputes the rewrite from
+        the advanced snapshot instead of committing a stale file list
+        (the lost-update hazard: a concurrent append landing between
+        read and commit would otherwise be silently dropped). Losing
         iterations may leave orphan data files; vacuum() collects them
         after the retention window."""
         while True:
             base = self.current_version()
-            files, schema_json = build(base)
+            files, schema_json, stats = build(base)
             if self._try_commit(
-                base + 1, files, {"base": base, "schema": schema_json}
+                base + 1,
+                files,
+                {"base": base, "schema": schema_json, "stats": stats},
             ):
                 return base + 1
 
+    def _carried_stats(self, base: int, files: list[str]) -> dict:
+        """Stats for files inherited from snapshot ``base`` (empty for
+        files committed before stats tracking — they just never prune)."""
+        if base == 0:
+            return {}
+        old = self._read_manifest(base).get("stats") or {}
+        return {f: old[f] for f in files if f in old}
+
     # ---- public API ----------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def candidate_files(
+        self, where: list[tuple], version: int | None = None
+    ) -> list[str]:
+        """The files whose footer stats ALLOW a match for the ANDed
+        ``(col, op, literal)`` predicates — the planning half of a
+        pruned read, exposed so tests (and curious users) can see the
+        skip count."""
         v = version if version is not None else self.current_version()
         if v == 0:
             raise FileNotFoundError(f"no committed version in {self.path}")
         man = self._read_manifest(v)
-        if not man["files"]:
+        stats = man.get("stats") or {}
+        return [
+            f
+            for f in man["files"]
+            if all(
+                _may_match(stats.get(f, {}).get("cols"), col, op, val)
+                for col, op, val in where
+            )
+        ]
+
+    def read(
+        self, version: int | None = None, where: list[tuple] | None = None
+    ) -> DataFrame:
+        """Snapshot read; with ``where`` the manifest stats skip files
+        first, then the exact predicate filters the survivors (so the
+        result is identical to an unpruned read + filter)."""
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        man = self._read_manifest(v)
+        files = (
+            self.candidate_files(where, version=v) if where else man["files"]
+        )
+        if not files:
             schema_json = man.get("schema")
             if not schema_json:
                 raise ValueError(
@@ -120,45 +249,101 @@ class ManifestTable:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in man["files"]]
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
         )
+        if where:
+            from pyspark.sql import functions as F
+
+            for col, op, val in where:
+                c = F.col(col)
+                df = df.where(
+                    {
+                        "==": c == F.lit(val),
+                        "<": c < F.lit(val),
+                        "<=": c <= F.lit(val),
+                        ">": c > F.lit(val),
+                        ">=": c >= F.lit(val),
+                    }[op]
+                )
+        return df
 
     def append(self, df: DataFrame) -> int:
         """Appends commute: the new files are written once, and on a
         lost race the retry just re-reads the advanced base's file list."""
         new = self._write_data(df)
+        new_stats = self._stats_for(new)
         schema_json = df.schema.json()
-        return self._commit_retry(
-            lambda base: (
-                (self._read_manifest(base)["files"] if base else []) + new,
+
+        def build(base: int):
+            carried = self._read_manifest(base)["files"] if base else []
+            return (
+                carried + new,
                 schema_json,
+                {**self._carried_stats(base, carried), **new_stats},
             )
-        )
+
+        return self._commit_retry(build)
 
     def overwrite(self, df: DataFrame) -> int:
         """Full replacement — last writer wins BY DESIGN: whatever
         snapshot is current at commit time is superseded wholesale, so
         there is nothing to recompute on a lost race."""
         new = self._write_data(df)
+        new_stats = self._stats_for(new)
         schema_json = df.schema.json()
-        return self._commit_retry(lambda base: (list(new), schema_json))
+        return self._commit_retry(
+            lambda base: (list(new), schema_json, dict(new_stats))
+        )
 
     def upsert(self, updates: DataFrame, keys: list[str]) -> int:
-        """MERGE-style keyed upsert: rewrite survivors + new batch as
-        fresh files, commit a manifest dropping every old one. The
+        """MERGE-style keyed upsert with FILE PRUNING: the update
+        batch's key range (one metadata-cheap agg) is intersected with
+        each live file's footer stats; provably-disjoint files carry
+        into the new manifest untouched, and only intersecting files
+        are anti-joined and rewritten together with the batch. The
         rewrite runs INSIDE the commit loop against the base snapshot,
         so a concurrent append that wins the race is merged on retry,
         never dropped. Readers at any point see either the old snapshot
         or the new one."""
+        from pyspark.sql import functions as F
 
-        def build(base: int) -> tuple[list[str], str]:
+        bounds = updates.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).collect()[0]
+
+        def build(base: int):
             if base == 0:
-                return self._write_data(updates), updates.schema.json()
-            old = self.read(base)
-            kept = old.join(updates.select(*keys).distinct(), keys, "left_anti")
-            merged = kept.unionByName(updates)
-            return self._write_data(merged), merged.schema.json()
+                new = self._write_data(updates)
+                return new, updates.schema.json(), self._stats_for(new)
+            touched = self.candidate_files(
+                [(keys[0], ">=", bounds["lo"]), (keys[0], "<=", bounds["hi"])],
+                version=base,
+            )
+            untouched = [
+                f
+                for f in self._read_manifest(base)["files"]
+                if f not in set(touched)
+            ]
+            if touched:
+                old = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in touched]
+                )
+                kept = old.join(
+                    updates.select(*keys).distinct(), keys, "left_anti"
+                )
+                merged = kept.unionByName(updates)
+            else:
+                merged = updates
+            new = self._write_data(merged)
+            return (
+                untouched + new,
+                merged.schema.json(),
+                {
+                    **self._carried_stats(base, untouched),
+                    **self._stats_for(new),
+                },
+            )
 
         return self._commit_retry(build)
 
@@ -166,11 +351,12 @@ class ManifestTable:
         """Predicate delete, recomputed against the base snapshot on a
         lost race (same reasoning as upsert)."""
 
-        def build(base: int) -> tuple[list[str], str]:
+        def build(base: int):
             if base == 0:
                 raise FileNotFoundError(f"no committed version in {self.path}")
             survivors = self.read(base).where(~condition)
-            return self._write_data(survivors), survivors.schema.json()
+            new = self._write_data(survivors)
+            return new, survivors.schema.json(), self._stats_for(new)
 
         return self._commit_retry(build)
 
@@ -186,11 +372,12 @@ class ManifestTable:
         update. Old versions still reference the old files, so time
         travel survives until vacuum() reaps them."""
 
-        def build(base: int) -> tuple[list[str], str]:
+        def build(base: int):
             if base == 0:
                 raise FileNotFoundError(f"no committed version in {self.path}")
             df = self.read(base).coalesce(target_files)
-            return self._write_data(df), df.schema.json()
+            new = self._write_data(df)
+            return new, df.schema.json(), self._stats_for(new)
 
         return self._commit_retry(build)
 

@@ -146,6 +146,61 @@ def test_compact_bin_packs_without_data_change(spark, mt):
     assert mt.vacuum(min_age_sec=0.0) == []
 
 
+def test_stats_pruned_read_skips_disjoint_files(spark, mt):
+    """Three appends with disjoint id ranges → a range predicate plans
+    exactly one candidate file, and the pruned read equals the
+    unpruned-read-then-filter result."""
+    for lo in (0, 100, 200):
+        mt.append(
+            _df(spark, [(lo + i, f"v{lo + i}") for i in range(100)]).coalesce(1)
+        )
+    man = mt._read_manifest(mt.current_version())
+    assert len(man["files"]) == 3
+    assert set(man["stats"]) == set(man["files"])  # footer stats on all
+
+    cands = mt.candidate_files([("id", ">=", 250)])
+    assert len(cands) == 1
+    got = {r["id"] for r in mt.read(where=[("id", ">=", 250)]).collect()}
+    assert got == set(range(250, 300))
+
+    # equality probe plans one file too
+    assert len(mt.candidate_files([("id", "==", 150)])) == 1
+    assert {r["id"] for r in mt.read(where=[("id", "==", 150)]).collect()} == {150}
+
+    # an impossible predicate plans zero files but still returns a
+    # well-typed empty frame
+    assert mt.candidate_files([("id", ">", 10_000)]) == []
+    empty = mt.read(where=[("id", ">", 10_000)])
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+
+
+def test_string_and_multi_predicate_pruning(spark, mt):
+    mt.append(_df(spark, [(1, "apple"), (2, "banana")]).coalesce(1))
+    mt.append(_df(spark, [(3, "yam"), (4, "zucchini")]).coalesce(1))
+    assert len(mt.candidate_files([("v", ">=", "x")])) == 1
+    # ANDed predicates intersect their prunes
+    assert mt.candidate_files([("id", "<=", 2), ("v", ">=", "x")]) == []
+
+
+def test_upsert_rewrites_only_intersecting_files(spark, mt):
+    """Files whose key range is disjoint from the update batch survive
+    by NAME (no rewrite); only the intersecting file is replaced."""
+    for lo in (0, 100, 200):
+        mt.append(_df(spark, [(lo + i, "old") for i in range(100)]).coalesce(1))
+    before = set(mt._read_manifest(mt.current_version())["files"])
+
+    mt.upsert(_df(spark, [(150, "new"), (151, "new")]), ["id"])
+    after = set(mt._read_manifest(mt.current_version())["files"])
+
+    survivors = before & after
+    assert len(survivors) == 2  # the 0-99 and 200-299 files untouched
+    got = {r["id"]: r["v"] for r in mt.read().collect()}
+    assert len(got) == 300
+    assert got[150] == "new" and got[151] == "new" and got[0] == "old"
+    # carried files keep their stats → pruning still works post-upsert
+    assert len(mt.candidate_files([("id", "<", 100)])) == 1
+
+
 def test_changes_feed_tracks_upsert_and_delete(spark, mt):
     v1 = mt.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
     v2 = mt.upsert(_df(spark, [(2, "B"), (4, "d")]), ["id"])
