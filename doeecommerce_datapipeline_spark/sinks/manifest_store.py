@@ -175,7 +175,12 @@ class ManifestTable:
             out[name] = {"rows": md.num_rows, "cols": cols}
         return out
 
-    def _commit_retry(self, build) -> int:
+    def _commit_retry(
+        self,
+        build,
+        extra_meta: dict | None = None,
+        carry_meta: bool = False,
+    ) -> int:
         """Optimistic-concurrency commit loop. ``build(base)`` must
         compute the new live-file set AGAINST snapshot ``base`` and
         return (files, schema_json, stats) — so when the O_EXCL create
@@ -184,14 +189,34 @@ class ManifestTable:
         (the lost-update hazard: a concurrent append landing between
         read and commit would otherwise be silently dropped). Losing
         iterations may leave orphan data files; vacuum() collects them
-        after the retention window."""
+        after the retention window. ``extra_meta`` rides in the commit
+        payload — state a writer needs atomically-with-the-data (e.g.
+        the incremental-view source-version pointer). ``carry_meta``
+        re-commits the BASE snapshot's custom meta keys: logical
+        no-ops (compact) must not erase another writer's pointers."""
+        reserved = {"version", "files", "base", "schema", "stats"}
         while True:
             base = self.current_version()
             files, schema_json, stats = build(base)
+            carried = (
+                {
+                    k: v
+                    for k, v in self._read_manifest(base).items()
+                    if k not in reserved
+                }
+                if carry_meta and base
+                else {}
+            )
             if self._try_commit(
                 base + 1,
                 files,
-                {"base": base, "schema": schema_json, "stats": stats},
+                {
+                    "base": base,
+                    "schema": schema_json,
+                    "stats": stats,
+                    **carried,
+                    **(extra_meta or {}),
+                },
             ):
                 return base + 1
 
@@ -285,7 +310,7 @@ class ManifestTable:
 
         return self._commit_retry(build)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, extra_meta: dict | None = None) -> int:
         """Full replacement — last writer wins BY DESIGN: whatever
         snapshot is current at commit time is superseded wholesale, so
         there is nothing to recompute on a lost race."""
@@ -293,10 +318,17 @@ class ManifestTable:
         new_stats = self._stats_for(new)
         schema_json = df.schema.json()
         return self._commit_retry(
-            lambda base: (list(new), schema_json, dict(new_stats))
+            lambda base: (list(new), schema_json, dict(new_stats)),
+            extra_meta=extra_meta,
         )
 
-    def upsert(self, updates: DataFrame, keys: list[str]) -> int:
+    def upsert(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        retire_keys: DataFrame | None = None,
+        extra_meta: dict | None = None,
+    ) -> int:
         """MERGE-style keyed upsert with FILE PRUNING: the update
         batch's key range (one metadata-cheap agg) is intersected with
         each live file's footer stats; provably-disjoint files carry
@@ -305,10 +337,17 @@ class ManifestTable:
         rewrite runs INSIDE the commit loop against the base snapshot,
         so a concurrent append that wins the race is merged on retry,
         never dropped. Readers at any point see either the old snapshot
-        or the new one."""
+        or the new one.
+
+        ``retire_keys`` deletes those keys in the SAME commit (MERGE's
+        WHEN MATCHED THEN DELETE clause) — the incremental-view layer
+        needs update+delete to be one atomic snapshot transition."""
         from pyspark.sql import functions as F
 
-        bounds = updates.agg(
+        drop = updates.select(*keys).distinct()
+        if retire_keys is not None:
+            drop = drop.unionByName(retire_keys.select(*keys).distinct())
+        bounds = drop.agg(
             F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
         ).collect()[0]
 
@@ -319,7 +358,7 @@ class ManifestTable:
             touched = self.candidate_files(
                 [(keys[0], ">=", bounds["lo"]), (keys[0], "<=", bounds["hi"])],
                 version=base,
-            )
+            ) if bounds["lo"] is not None else []
             untouched = [
                 f
                 for f in self._read_manifest(base)["files"]
@@ -329,9 +368,7 @@ class ManifestTable:
                 old = self.spark.read.parquet(
                     *[os.path.join(self.path, f) for f in touched]
                 )
-                kept = old.join(
-                    updates.select(*keys).distinct(), keys, "left_anti"
-                )
+                kept = old.join(drop, keys, "left_anti")
                 merged = kept.unionByName(updates)
             else:
                 merged = updates
@@ -345,7 +382,7 @@ class ManifestTable:
                 },
             )
 
-        return self._commit_retry(build)
+        return self._commit_retry(build, extra_meta=extra_meta)
 
     def delete_where(self, condition) -> int:
         """Predicate delete, recomputed against the base snapshot on a
@@ -360,7 +397,25 @@ class ManifestTable:
 
         return self._commit_retry(build)
 
-    def compact(self, target_files: int = 1) -> int:
+    def delete_keys(self, keys_df: DataFrame, key_cols: list[str]) -> int:
+        """Anti-join delete: drop every row whose key appears in
+        ``keys_df``. The set-valued twin of ``delete_where`` (a Column
+        predicate can't reference another DataFrame); used by the
+        incremental-view layer to retire emptied groups."""
+        probe = keys_df.select(*key_cols).distinct()
+
+        def build(base: int):
+            if base == 0:
+                raise FileNotFoundError(f"no committed version in {self.path}")
+            survivors = self.read(base).join(probe, key_cols, "left_anti")
+            new = self._write_data(survivors)
+            return new, survivors.schema.json(), self._stats_for(new)
+
+        return self._commit_retry(build)
+
+    def compact(
+        self, target_files: int = 1, cluster_by: list[str] | None = None
+    ) -> int:
         """OPTIMIZE-style small-file compaction: rewrite the current
         snapshot into ``target_files`` larger files and commit it as a
         new version — no logical data change. Streaming upserts and
@@ -370,16 +425,28 @@ class ManifestTable:
         commit loop, so a concurrent writer that wins the race just
         triggers recompaction of the advanced snapshot — never a lost
         update. Old versions still reference the old files, so time
-        travel survives until vacuum() reaps them."""
+        travel survives until vacuum() reaps them.
+
+        ``cluster_by`` range-partitions the rewrite on those columns
+        (OPTIMIZE ... ZORDER's single-dimension cousin; compose with
+        ``layout.zorder_key`` for multi-dimension). Clustered files
+        carry tight footer min/max on the cluster columns, which is
+        what makes the stats pruning in ``read``/``upsert`` actually
+        skip files — a coalesce-only compaction mixes key ranges and
+        every file stays a candidate for every predicate."""
 
         def build(base: int):
             if base == 0:
                 raise FileNotFoundError(f"no committed version in {self.path}")
-            df = self.read(base).coalesce(target_files)
+            df = self.read(base)
+            if cluster_by:
+                df = df.repartitionByRange(target_files, *cluster_by)
+            else:
+                df = df.coalesce(target_files)
             new = self._write_data(df)
             return new, df.schema.json(), self._stats_for(new)
 
-        return self._commit_retry(build)
+        return self._commit_retry(build, carry_meta=True)
 
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Row-level change feed between two snapshots: rows in
