@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize_events": CP.pseudonymize_events,
         "split_leakage_pairs": CP.split_leakage_pairs,
         "scd2_customer_priority": SCD.scd2_customer_priority,
+        "source_overlap_matrix": CP.source_overlap_matrix,
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1176,6 +1177,48 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN sp a ON a.doc_id = id_a
             JOIN sp b ON b.doc_id = id_b
+        """,
+        "source_overlap_matrix": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE doc_id < 1000
+            ), all_shingles AS (
+                SELECT DISTINCT doc_id, source,
+                       array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, source, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), shingles AS (
+                SELECT doc_id, source, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > 50
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.source AS sa, b.source AS sb, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ), pairs AS (
+                SELECT sa, sb,
+                       CAST(n_common AS DOUBLE)
+                           / (x.n_sh + y.n_sh - n_common) AS jaccard
+                FROM inter
+                JOIN sizes x ON x.doc_id = id_a
+                JOIN sizes y ON y.doc_id = id_b
+                WHERE CAST(n_common AS DOUBLE)
+                          / (x.n_sh + y.n_sh - n_common) >= 0.2
+            )
+            SELECT least(sa, sb) AS source_a,
+                   greatest(sa, sb) AS source_b,
+                   COUNT(*) AS n_pairs,
+                   MAX(jaccard) AS max_jaccard
+            FROM pairs
+            GROUP BY 1, 2
         """,
         "scd2_customer_priority": """
             WITH seq AS (

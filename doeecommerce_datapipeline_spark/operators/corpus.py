@@ -281,6 +281,41 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: near-dup pair counts per
+    unordered source pair (source_a <= source_b), with the strongest
+    overlap per cell (source_a, source_b, n_pairs, max_jaccard).
+
+    The corpus-owner's dedup dashboard — crawl snapshots, mirrors, and
+    re-scrapes show up as hot cells, telling you which source to drop
+    wholesale BEFORE paying for pairwise dedup of its documents. Built
+    on the same inverted-index Jaccard pairs as the dedup path (so the
+    matrix agrees with what dedup would actually remove); the
+    aggregate is over the PAIR set — tiny relative to the corpus — and
+    max() keeps it order-free (a double avg would be re-association-
+    sensitive).
+    """
+    from .dedup import jaccard_pairs_over
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    pairs = jaccard_pairs_over(d)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII tokenization: replace user identifiers with a salted-hash
     token (event_id, user_token, event_type, day).

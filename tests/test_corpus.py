@@ -125,6 +125,23 @@ def test_chunk_tokens_overlap_and_remainder(spark):
     assert covered == set(words)
 
 
+def test_source_overlap_matrix_is_canonical_and_complete(spark, sf_dir):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        source_overlap_matrix,
+        split_leakage_pairs,
+    )
+
+    rows = source_overlap_matrix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]  # unordered-pair canon
+        assert 0.2 <= r["max_jaccard"] <= 1.0
+        assert r["n_pairs"] >= 1
+    # every near-dup pair lands in exactly one cell
+    n_pairs_total = sum(r["n_pairs"] for r in rows)
+    assert n_pairs_total == split_leakage_pairs(spark, sf_dir).count()
+
+
 def test_split_leakage_flags_cross_split_pairs(spark, sf_dir):
     from doeecommerce_datapipeline_spark.operators.corpus import (
         split_leakage_pairs,
