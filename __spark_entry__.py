@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_pairs": CP.split_leakage_pairs,
         "scd2_customer_priority": SCD.scd2_customer_priority,
         "source_overlap_matrix": CP.source_overlap_matrix,
+        "near_dedup_corpus": D.near_dedup_corpus,
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -618,6 +619,57 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(LEAST(c.src, c.min_reach), d.doc_id) AS component
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
             WHERE d.doc_id < 1000
+        """,
+        "near_dedup_corpus": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE doc_id < 1000
+            ), all_shingles AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), shingles AS (
+                SELECT doc_id, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > 50
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ), comp AS (
+                SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src
+            ), comp_all AS (
+                SELECT d.doc_id, d.source,
+                       COALESCE(LEAST(c.src, c.min_reach), d.doc_id) AS component
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+                WHERE d.doc_id < 1000
+            ), sz AS (
+                SELECT component, COUNT(*) AS cluster_size
+                FROM comp_all GROUP BY 1
+            )
+            SELECT a.doc_id, a.source, sz.cluster_size
+            FROM comp_all a JOIN sz USING (component)
+            WHERE a.doc_id = a.component
         """,
         "embedding_near_dups": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),

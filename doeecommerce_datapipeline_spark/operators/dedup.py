@@ -433,6 +433,36 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, edges)
 
 
+def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL product: the corpus with every
+    near-dup cluster collapsed to its canonical member
+    (doc_id, source, cluster_size).
+
+    Composes pair generation → connected components → representative
+    selection. Min-label propagation converges each component to its
+    minimum doc_id, so the canonical row is exactly ``doc_id ==
+    component`` — no extra ranking pass. ``cluster_size`` (1 for
+    unique docs) is what survives for mixture re-weighting: dropping
+    N−1 copies changes the source distribution, and samplers downstream
+    need to know by how much.
+    """
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 1000)
+        .select("doc_id", "source")
+    )
+    return (
+        comp.where(F.col("doc_id") == F.col("component"))
+        .join(sizes, "component")
+        .join(docs, "doc_id")
+        .select("doc_id", "source", "cluster_size")
+    )
+
+
 def levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs — the character-level modality the
     shingle/hash families miss (transposed words, small in-place edits).

@@ -107,3 +107,28 @@ def test_minhash_on_documents_overlaps_exact_jaccard(spark, sf_dir):
     ]
     for a, b, est in cand:
         assert (a, b) in exact, f"LSH pair ({a},{b}) est={est} not in exact jaccard pairs"
+
+
+def test_near_dedup_corpus_keeps_one_canonical_per_cluster(spark, sf_dir):
+    """Kept docs are each cluster's min id; cluster sizes partition the
+    corpus; removed docs are exactly the non-canonical members."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        dedup_components,
+        near_dedup_corpus,
+    )
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(spark, sf_dir).collect()
+    }
+    kept = {
+        r["doc_id"]: r["cluster_size"]
+        for r in near_dedup_corpus(spark, sf_dir).collect()
+    }
+    # every kept doc is its own component's label (the min member)
+    for d in kept:
+        assert comp[d] == d
+    # the kept set is exactly the distinct component labels
+    assert set(kept) == set(comp.values())
+    # cluster sizes partition the corpus
+    assert sum(kept.values()) == len(comp)
