@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_priority": SCD.scd2_customer_priority,
         "source_overlap_matrix": CP.source_overlap_matrix,
         "near_dedup_corpus": D.near_dedup_corpus,
+        "stratified_sample": CP.stratified_sample,
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1229,6 +1230,19 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN sp a ON a.doc_id = id_a
             JOIN sp b ON b.doc_id = id_b
+        """,
+        "stratified_sample": """
+            WITH fp AS (
+                SELECT doc_id, source,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents
+            ), ranked AS (
+                SELECT doc_id, source, fp,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY fp, doc_id) AS rn
+                FROM fp
+            )
+            SELECT doc_id, source, fp FROM ranked WHERE rn <= 10
         """,
         "source_overlap_matrix": """
             WITH toks AS (

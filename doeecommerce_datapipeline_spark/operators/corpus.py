@@ -281,6 +281,37 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, n_per_class: int = 10
+) -> DataFrame:
+    """Exact-count class-balanced sample: the first ``n_per_class``
+    documents per source in CONTENT-HASH order (doc_id, source, fp).
+
+    ``source_mix_sample`` takes per-source *rates*; this takes exact
+    *counts* — the eval-set / few-shot-pool builder, where "give me
+    exactly 100 per class, reproducibly" is the contract. Hash order
+    makes the pick pseudorandom yet engine-independent and stable
+    under re-partitioning (doc_id breaks fp collisions).
+
+    One shuffle (window on source). A per-class window is a per-class
+    total order — fine while classes fit a task; the 100 TB path keeps
+    the same semantics in two phases: estimate the per-class hash
+    threshold from a sample, rank only the sub-threshold sliver, union
+    the slivers.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("fp").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_per_class)
+        .select("doc_id", "source", "fp")
+    )
+
+
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which sources duplicate each other: near-dup pair counts per
     unordered source pair (source_a <= source_b), with the strongest

@@ -125,6 +125,24 @@ def test_chunk_tokens_overlap_and_remainder(spark):
     assert covered == set(words)
 
 
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        stratified_sample,
+    )
+
+    s1 = stratified_sample(spark, sf_dir, n_per_class=5).collect()
+    per_class = {}
+    for r in s1:
+        per_class.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in per_class.values())
+    # deterministic under re-evaluation
+    s2 = stratified_sample(spark, sf_dir, n_per_class=5).collect()
+    assert {(r["doc_id"]) for r in s1} == {(r["doc_id"]) for r in s2}
+    # a larger n strictly extends the smaller sample (prefix property)
+    s3 = stratified_sample(spark, sf_dir, n_per_class=8).collect()
+    assert {r["doc_id"] for r in s1} <= {r["doc_id"] for r in s3}
+
+
 def test_source_overlap_matrix_is_canonical_and_complete(spark, sf_dir):
     from doeecommerce_datapipeline_spark.operators.corpus import (
         source_overlap_matrix,
