@@ -122,3 +122,38 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def foreach_batch_incremental_view(
+    source_path: str,
+    view_path: str,
+    view_keys: list[str],
+    sum_cols: list[str],
+):
+    """Streaming publisher that keeps a gold aggregate CURRENT: each
+    micro-batch appends to the source manifest table, then advances
+    the incremental view by exactly that delta — so the aggregate's
+    refresh cost is per-batch, not per-table, and BOTH tables expose
+    ACID snapshots + time travel to concurrent readers.
+
+    This is the streaming completion of the medallion story: bronze
+    stream → ACID silver (``foreach_batch_manifest_upsert``) → gold
+    aggregate maintained by change feed, all on one commit protocol.
+    On epoch replay the append re-commits its rows, and the view
+    pointer (stored in the view commit meta) makes the refresh pick up
+    from the exact source version it last applied.
+    """
+    from ..sinks.incremental_view import IncrementalView
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        src = ManifestTable(spark, source_path)
+        src.append(batch_df)
+        IncrementalView(
+            spark, src, view_path, keys=view_keys, sum_cols=sum_cols
+        ).refresh()
+
+    return _write

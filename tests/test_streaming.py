@@ -221,3 +221,57 @@ def test_foreach_batch_manifest_upsert_transactional(spark, stream_dir, tmp_path
     assert t.current_version() > v_seed
     # time travel: the seed snapshot is intact underneath
     assert t.read(version=v_seed).count() == 10
+
+
+def test_foreach_batch_incremental_view(spark, stream_dir, tmp_path):
+    """Stream → ACID source manifest → change-feed-maintained gold
+    aggregate: after the stream drains, the view equals a full
+    recompute of the source, without ever rescanning it."""
+    from doeecommerce_datapipeline_spark.sinks.incremental_view import (
+        IncrementalView,
+    )
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_incremental_view,
+    )
+    from pyspark.sql import functions as F
+
+    src_path = str(tmp_path / "src_acid")
+    view_path = str(tmp_path / "gold_view")
+    events = stream_dedup(read_event_stream(spark, stream_dir)).select(
+        "event_id", "event_type", "user_id"
+    )
+    q = (
+        events.writeStream.foreachBatch(
+            foreach_batch_incremental_view(
+                src_path, view_path, ["event_type"], ["user_id"]
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_iv"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    src = ManifestTable(spark, src_path)
+    iv = IncrementalView(
+        spark, src, view_path, keys=["event_type"], sum_cols=["user_id"]
+    )
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_user_id"])
+        for r in iv.read().collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in src.read()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s"))
+        .collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) == 200
+    # the view advanced through the stream's commits, not one big one
+    assert iv.last_applied() == src.current_version() >= 1
