@@ -150,3 +150,22 @@ def test_chunk_documents_is_shuffle_free_flatmap(spark, sf_dir):
     assert p.count("Generate") == 2  # one node: tree line + detail line
     assert "hashpartitioning" not in p
     assert "Join" not in p
+
+
+def test_scd2_single_exchange_for_whole_pipeline(spark, sf_dir):
+    """lag-window, island running-sum, (key, island) groupBy, and the
+    closing lead-window all reuse the one custkey hash partitioning —
+    HashPartitioning(key) satisfies ClusteredDistribution(key, island),
+    so the gaps-and-islands pipeline is a single shuffle end to end."""
+    p = _plan(spark, sf_dir, "scd2_customer_priority")
+    assert p.count("+- Exchange") == 1
+    assert p.count("Window") >= 3  # lag + running-sum + lead
+    assert p.count("+- HashAggregate") == 2  # partial+final island agg
+
+
+def test_stratified_sample_single_exchange_with_group_limit(spark, sf_dir):
+    """One shuffle on source; WindowGroupLimit pre-truncates each
+    class below the shuffle so only ~n rows per class cross it."""
+    p = _plan(spark, sf_dir, "stratified_sample")
+    assert p.count("+- Exchange") == 1
+    assert "WindowGroupLimit" in p
