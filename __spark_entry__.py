@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": CP.source_overlap_matrix,
         "near_dedup_corpus": D.near_dedup_corpus,
         "stratified_sample": CP.stratified_sample,
+        # rows-only entries that had no r1 row — pull into the window
+        "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
+        "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
         # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -141,9 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": D.exact_dedup_groups,
         "embedding_near_dups": D.embedding_near_dups,
         "levenshtein_near_dups": D.levenshtein_near_dups,
-        "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
         "embedding_topk": S.brute_force_topk,
-        "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
         "embedding_norms": S.embedding_norms,
         "tumbling_hourly": E.tumbling_hourly,
         "sliding_hourly": E.sliding_hourly,
