@@ -37,6 +37,7 @@ commits, and drive two pruning paths:
 
 from __future__ import annotations
 
+import base64
 import datetime
 import glob
 import json
@@ -94,10 +95,31 @@ def _may_match(stats: dict | None, col: str, op: str, value) -> bool:
 
 
 class ManifestTable:
-    def __init__(self, spark: SparkSession, path: str):
+    """``bloom_cols`` opts columns into per-file Bloom filters for
+    EQUALITY pruning — the complement to min/max stats: a
+    high-cardinality key (uuid, content hash) interleaves across files,
+    so every file's [min, max] covers every probe and range stats prune
+    nothing, while a few hundred bytes of Bloom bits per file answer
+    "definitely not here" almost always. Bits are computed
+    EXECUTOR-side in one extra job over the just-written files (the
+    only stats input the footers don't already hold) and ride in the
+    manifest like the range stats do."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 4,
+    ):
         self.spark = spark
         self.path = path
         self.mdir = os.path.join(path, "_manifests")
+        self.bloom_cols = bloom_cols or []
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
+        self._pending_blooms: dict[str, dict[str, str]] = {}
 
     # ---- log internals -------------------------------------------------
     def _versions(self) -> list[int]:
@@ -131,16 +153,103 @@ class ManifestTable:
         """Write df as new immutable files under the table root; return
         their names. Uses a scratch dir then moves files in (the move is
         per-file but files are invisible until a manifest names them)."""
+        import pyarrow.parquet as pq
+
         scratch = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(scratch)
+        blooms = self._blooms_for_scratch(scratch, df)
         os.makedirs(self.path, exist_ok=True)
         names = []
         for p in glob.glob(os.path.join(scratch, "*.parquet")):
+            # zero-row part files (empty write partitions) carry no
+            # footer stats, so they'd defeat every pruning check —
+            # and they hold nothing. Never commit them.
+            if pq.ParquetFile(p).metadata.num_rows == 0:
+                continue
             name = f"part-{uuid.uuid4().hex}.parquet"
             os.rename(p, os.path.join(self.path, name))
             names.append(name)
+            if os.path.basename(p) in blooms:
+                self._pending_blooms[name] = blooms[os.path.basename(p)]
         shutil.rmtree(scratch)  # _SUCCESS markers, crc files, etc.
         return names
+
+    def _hash_positions(self, col):
+        """The k Bloom bit positions of a column value, as a Spark
+        expression — the SAME expression hashes writes (executor-side,
+        per row) and probes (one-row driver job), so the two can never
+        disagree."""
+        from pyspark.sql import functions as F
+
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(self.bloom_bits))
+                for i in range(self.bloom_hashes)
+            ]
+        )
+
+    def _blooms_for_scratch(
+        self, scratch: str, df: DataFrame
+    ) -> dict[str, dict[str, str]]:
+        """Per-scratch-file Bloom bitmaps (base64) for each bloom_col —
+        one executor-side aggregation over the freshly-written files."""
+        from pyspark.sql import functions as F
+
+        cols = [c for c in self.bloom_cols if c in df.columns]
+        if not cols:
+            return {}
+        raw = self.spark.read.parquet(scratch)
+        out: dict[str, dict[str, str]] = {}
+        for c in cols:
+            rows = (
+                raw.select(
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("_f"),
+                    F.explode(self._hash_positions(F.col(c))).alias("_p"),
+                )
+                .groupBy("_f")
+                .agg(F.collect_set("_p").alias("_ps"))
+                .collect()
+            )
+            for r in rows:
+                bm = bytearray(self.bloom_bits // 8)
+                for p in r["_ps"]:
+                    bm[p // 8] |= 1 << (p % 8)
+                out.setdefault(r["_f"], {})[c] = base64.b64encode(
+                    bytes(bm)
+                ).decode()
+        return out
+
+    def _probe_positions(self, col: str, value) -> list[int] | None:
+        """Bit positions for an equality literal, evaluated through the
+        same Spark expression that built the file blooms. Returns None
+        (no pruning) when the column's type can't be recovered."""
+        from pyspark.sql.types import StructField, StructType
+
+        v = self.current_version()
+        schema_json = self._read_manifest(v).get("schema") if v else None
+        if not schema_json:
+            return None
+        schema = StructType.fromJson(json.loads(schema_json))
+        fields = [f for f in schema.fields if f.name == col]
+        if not fields:
+            return None
+        probe_df = self.spark.createDataFrame(
+            [(value,)], StructType([StructField(col, fields[0].dataType)])
+        )
+        from pyspark.sql import functions as F
+
+        return list(
+            probe_df.select(
+                self._hash_positions(F.col(col)).alias("p")
+            ).head()["p"]
+        )
+
+    @staticmethod
+    def _bloom_may_contain(b64: str, positions: list[int]) -> bool:
+        bm = base64.b64decode(b64)
+        return all(bm[p // 8] & (1 << (p % 8)) for p in positions)
 
     def _stats_for(self, names: list[str]) -> dict[str, dict]:
         """Per-file row count + column min/max, read from the parquet
@@ -173,6 +282,8 @@ class ManifestTable:
                         cur["min"] = min(cur["min"], lo)
                         cur["max"] = max(cur["max"], hi)
             out[name] = {"rows": md.num_rows, "cols": cols}
+            if name in self._pending_blooms:
+                out[name]["bloom"] = self._pending_blooms[name]
         return out
 
     def _commit_retry(
@@ -241,14 +352,30 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed version in {self.path}")
         man = self._read_manifest(v)
         stats = man.get("stats") or {}
-        return [
-            f
-            for f in man["files"]
-            if all(
-                _may_match(stats.get(f, {}).get("cols"), col, op, val)
-                for col, op, val in where
-            )
-        ]
+        # Bloom probes: hash each equality literal once (one-row job),
+        # only for columns some file actually carries a bloom for.
+        probes: dict = {}
+        for col, op, val in where:
+            if op != "==" or col in probes:
+                continue
+            if any(
+                (stats.get(f) or {}).get("bloom", {}).get(col)
+                for f in man["files"]
+            ):
+                probes[col] = self._probe_positions(col, val)
+
+        def keep(f: str) -> bool:
+            fs = stats.get(f) or {}
+            for col, op, val in where:
+                if not _may_match(fs.get("cols"), col, op, val):
+                    return False
+                if op == "==" and probes.get(col) is not None:
+                    b64 = fs.get("bloom", {}).get(col)
+                    if b64 and not self._bloom_may_contain(b64, probes[col]):
+                        return False
+            return True
+
+        return [f for f in man["files"] if keep(f)]
 
     def read(
         self, version: int | None = None, where: list[tuple] | None = None

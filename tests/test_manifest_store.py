@@ -224,3 +224,51 @@ def test_changes_feed_tracks_upsert_and_delete(spark, mt):
         for r in mt.changes(v1).collect()
     }
     assert (1, "a", "delete") in full and (4, "d", "insert") in full
+
+
+def test_bloom_pruning_on_interleaved_keys(spark, tmp_path):
+    """Keys interleave mod-3 across files, so every file's [min,max]
+    covers every probe — range stats prune NOTHING — while the Bloom
+    bits still isolate the one file that can hold the key."""
+    mt = ManifestTable(spark, str(tmp_path / "tb"), bloom_cols=["id"])
+    for r in range(3):
+        mt.append(
+            _df(spark, [(i * 3 + r, f"v{i * 3 + r}") for i in range(100)])
+            .coalesce(1)
+        )
+    man = mt._read_manifest(mt.current_version())
+    assert len(man["files"]) == 3
+    assert all("bloom" in man["stats"][f] for f in man["files"])
+
+    # range stats alone cannot prune an interior probe
+    # (id=151 ≡ 1 mod 3 → only the r=1 file may contain it)
+    cands = mt.candidate_files([("id", "==", 151)])
+    assert len(cands) == 1
+    got = {r["id"] for r in mt.read(where=[("id", "==", 151)]).collect()}
+    assert got == {151}
+
+    # an absent key inside every file's range: blooms prune all files
+    # (8192 bits / 100 keys ⇒ false-positive odds are negligible)
+    assert mt.candidate_files([("id", "==", 152_000)]) == []
+
+    # blooms survive carry-forward through an upsert of other keys
+    mt.upsert(_df(spark, [(300, "new")]), ["id"])
+    assert len(mt.candidate_files([("id", "==", 1)])) == 1
+
+
+def test_bloom_pruning_on_string_keys(spark, tmp_path):
+    """String equality — where min/max is weakest (uuid-ish keys)."""
+    mt = ManifestTable(spark, str(tmp_path / "ts"), bloom_cols=["v"])
+    mt.append(_df(spark, [(1, "aaa"), (2, "zzz")]).coalesce(1))
+    mt.append(_df(spark, [(3, "abc"), (4, "zzy")]).coalesce(1))
+    assert len(mt.candidate_files([("v", "==", "abc")])) == 1
+    assert mt.candidate_files([("v", "==", "nope")]) == []
+    got = {r["id"] for r in mt.read(where=[("v", "==", "abc")]).collect()}
+    assert got == {3}
+
+
+def test_tables_without_bloom_cols_unchanged(spark, mt):
+    mt.append(_df(spark, [(1, "a")]).coalesce(1))
+    man = mt._read_manifest(mt.current_version())
+    assert all("bloom" not in s for s in man["stats"].values())
+    assert len(mt.candidate_files([("id", "==", 1)])) == 1
