@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": CP.source_overlap_matrix,
         "near_dedup_corpus": D.near_dedup_corpus,
         "stratified_sample": CP.stratified_sample,
+        "bigram_lm": T.bigram_lm,
         # rows-only entries that had no r1 row — pull into the window
         "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
         "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
@@ -1231,6 +1232,28 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN sp a ON a.doc_id = id_a
             JOIN sp b ON b.doc_id = id_b
+        """,
+        "bigram_lm": """
+            WITH toks AS (
+                SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), bigrams AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+            ), pair AS (
+                SELECT w1, w2, COUNT(*) AS n_pair
+                FROM bigrams GROUP BY 1, 2
+            ), headed AS (
+                SELECT w1, w2, n_pair,
+                       SUM(n_pair) OVER (PARTITION BY w1) AS n_head,
+                       ROW_NUMBER() OVER (PARTITION BY w1
+                                          ORDER BY n_pair DESC, w2) AS rnk
+                FROM pair
+            )
+            SELECT w1, w2, n_pair, CAST(n_head AS BIGINT) AS n_head,
+                   CAST(n_pair AS DOUBLE) / n_head AS p_cond, rnk
+            FROM headed
+            WHERE n_head >= 50 AND rnk <= 3
         """,
         "stratified_sample": """
             WITH fp AS (

@@ -201,3 +201,59 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model head table: the top-3 continuations of
+    each frequent head token with exact conditional probabilities
+    (w1, w2, n_pair, n_head, p_cond, rnk).
+
+    The n-gram LM / next-token-statistics pass over a training corpus
+    (vocab_topk's sequel: from unigram counts to transition counts).
+    Adjacent-token pairs come from ONE lambda over the token array —
+    no self-join of exploded tokens (that shape shuffles the corpus
+    twice and re-associates on position). n_head is a window SUM over
+    the pair counts (same trick as tfidf's df — never a re-aggregate +
+    join), so the whole query is explode → one (w1,w2) agg → one w1
+    window. p_cond = n_pair/n_head is a single double division of two
+    exact longs — engine-independent. Ties rank by w2 so the top-3 cut
+    is total-ordered.
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(n_part)
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(lower(text)),"
+                " '\\\\s+')) - 1, 0)),"
+                " i -> struct(split(trim(lower(text)), '\\\\s+')[i-1] AS w1,"
+                "             split(trim(lower(text)), '\\\\s+')[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    # one hash shuffle on w1 serves the (w1,w2) agg AND both w1
+    # windows: HashPartitioning(w1) satisfies the agg's clustered
+    # distribution on (w1,w2) by the subset rule, so neither the agg
+    # nor the windows re-exchange (same single-shuffle shape as scd2)
+    pair = (
+        bigrams.repartition("w1")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    w_head = Window.partitionBy("w1")
+    w_rank = Window.partitionBy("w1").orderBy(
+        F.desc("n_pair"), F.asc("w2")
+    )
+    return (
+        pair.withColumn("n_head", F.sum("n_pair").over(w_head))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .where((F.col("n_head") >= 50) & (F.col("rnk") <= 3))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_head",
+            (F.col("n_pair") / F.col("n_head")).alias("p_cond"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -169,3 +169,12 @@ def test_stratified_sample_single_exchange_with_group_limit(spark, sf_dir):
     p = _plan(spark, sf_dir, "stratified_sample")
     assert p.count("+- Exchange") == 1
     assert "WindowGroupLimit" in p
+
+
+def test_bigram_lm_shares_one_content_shuffle(spark, sf_dir):
+    """Exchange (a): round-robin spread for the explode. Exchange (b):
+    the single w1 hash that the (w1,w2) aggregate AND both w1 windows
+    reuse (subset-clustering rule) — no per-stage re-exchange."""
+    p = _plan(spark, sf_dir, "bigram_lm")
+    assert p.count("+- Exchange") == 2
+    assert p.count("hashpartitioning(w1") == 1
