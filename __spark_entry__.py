@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_corpus": D.near_dedup_corpus,
         "stratified_sample": CP.stratified_sample,
         "bigram_lm": T.bigram_lm,
+        "orders_asof_priority_regime": SCD.orders_asof_priority_regime,
         # rows-only entries that had no r1 row — pull into the window
         "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
         "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
@@ -1232,6 +1233,49 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN sp a ON a.doc_id = id_a
             JOIN sp b ON b.doc_id = id_b
+        """,
+        "orders_asof_priority_regime": """
+            WITH seq AS (
+                SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                       CASE WHEN lag(o_orderpriority) OVER w
+                                 IS DISTINCT FROM o_orderpriority
+                            THEN 1 ELSE 0 END AS chg
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ), isl AS (
+                SELECT o_custkey, o_orderpriority, o_orderdate,
+                       SUM(chg) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM seq
+            ), grp AS (
+                SELECT o_custkey AS customer_id,
+                       o_orderpriority AS priority,
+                       island,
+                       MIN(CAST(o_orderdate AS DATE)) AS effective_from
+                FROM isl GROUP BY 1, 2, 3
+            ), dim AS (
+                SELECT customer_id, priority, effective_from,
+                       LEAD(effective_from) OVER w2 AS effective_to,
+                       LEAD(effective_from) OVER w2 IS NULL AS is_current
+                FROM grp
+                WINDOW w2 AS (PARTITION BY customer_id ORDER BY island)
+            )
+            SELECT o.o_orderkey,
+                   o.o_custkey AS customer_id,
+                   CAST(o.o_orderdate AS DATE) AS order_date,
+                   o.o_orderpriority AS own_priority,
+                   d.priority AS regime_priority,
+                   d.effective_from AS regime_from,
+                   d.is_current AS regime_is_current,
+                   o.o_orderpriority <> d.priority AS switched_within_regime
+            FROM orders o
+            JOIN dim d
+              ON d.customer_id = o.o_custkey
+             AND CAST(o.o_orderdate AS DATE) >= d.effective_from
+             AND (d.effective_to IS NULL
+                  OR CAST(o.o_orderdate AS DATE) < d.effective_to)
         """,
         "bigram_lm": """
             WITH toks AS (

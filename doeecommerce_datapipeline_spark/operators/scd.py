@@ -71,6 +71,39 @@ def scd2(
     )
 
 
+def asof_enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_date: Column,
+    prefix: str = "regime_",
+) -> DataFrame:
+    """Join facts to the SCD2 interval covering their own date — the
+    AS OF lookup that Type 2 history exists for. Equi-join on the key
+    with the interval containment as a residual condition (half-open
+    [from, to): a same-grain attribute flip yields an empty interval
+    that can never match, so every fact matches EXACTLY one interval).
+    One shuffle per side on the key; interval sets per key are tiny, so
+    the residual filter is cheap post-hash-join work."""
+    d = dim.select(
+        F.col(key).alias("_k"),
+        F.col("effective_from").alias(f"{prefix}from"),
+        F.col("effective_to").alias(f"{prefix}to"),
+        F.col("is_current").alias(f"{prefix}is_current"),
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in dim.columns
+            if c not in (key, "effective_from", "effective_to", "is_current")
+        ],
+    )
+    cond = (
+        (fact[key] == d["_k"])
+        & (fact_date >= d[f"{prefix}from"])
+        & (d[f"{prefix}to"].isNull() | (fact_date < d[f"{prefix}to"]))
+    )
+    return fact.join(d, cond).drop("_k")
+
+
 def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 over orders: each customer's order-priority regime as
     validity intervals — consecutive same-priority orders collapse into
@@ -91,4 +124,39 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effective_to",
         "is_current",
         "n_rows",
+    )
+
+
+def orders_asof_priority_regime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every order annotated with the priority REGIME active at its
+    date (the AS OF join against the SCD2 dimension) — exactly one
+    regime row per order by the half-open-interval invariant.
+    ``switched_within_regime`` flags orders whose own priority differs
+    from the regime's (only possible when a same-day flip collapsed
+    their island to an empty interval)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("customer_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority").alias("own_priority"),
+    )
+    dim = scd2_customer_priority(spark, sf_dir).select(
+        "customer_id", "priority", "effective_from", "effective_to", "is_current"
+    )
+    out = asof_enrich(
+        o, dim, key="customer_id", fact_date=F.col("order_date")
+    )
+    return out.select(
+        "o_orderkey",
+        "customer_id",
+        "order_date",
+        "own_priority",
+        F.col("regime_priority"),
+        F.col("regime_from"),
+        F.col("regime_is_current"),
+        (F.col("own_priority") != F.col("regime_priority")).alias(
+            "switched_within_regime"
+        ),
     )

@@ -58,3 +58,21 @@ def test_scd2_one_open_interval_per_key(spark, sf_dir):
         .where((F.col("n_open") != 1) | (F.col("n_null_to") != 1))
     )
     assert per_key.count() == 0
+
+
+def test_asof_enrich_matches_every_order_exactly_once(spark, sf_dir):
+    from doeecommerce_datapipeline_spark.io import table
+    from doeecommerce_datapipeline_spark.operators.scd import (
+        orders_asof_priority_regime,
+    )
+
+    out = orders_asof_priority_regime(spark, sf_dir)
+    n_orders = table(spark, sf_dir, "orders").count()
+    rows = out.collect()
+    assert len(rows) == n_orders  # exactly one regime per order
+    assert len({r["o_orderkey"] for r in rows}) == n_orders
+    # a mismatch is only legal when the island collapsed (same-day
+    # flip); regime priority must match own priority otherwise
+    mismatch = [r for r in rows if r["switched_within_regime"]]
+    for r in mismatch:
+        assert r["order_date"] == r["regime_from"]
