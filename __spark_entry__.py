@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": T.bigram_lm,
         "orders_asof_priority_regime": SCD.orders_asof_priority_regime,
         # rows-only entries that had no r1 row — pull into the window
+        "fact_deciles_scalable": X.fact_deciles_scalable,  # rows-only (sketch)
         "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
         "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
         # round-1-green fillers (re-verified this round)

@@ -101,3 +101,39 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+
+def fact_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB decile path `customer_deciles` documents: a global
+    ORDER BY window is a single-task sort, so at fact scale the same
+    deciles come from GK-sketch bounds + a per-row bucket expression
+    (decile, n_rows, lo, hi).
+
+    Two passes, NO global sort: (1) approx_percentile computes the 9
+    cut points in one sketch aggregate (mergeable, bounded memory);
+    (2) every row buckets against the broadcast-literal bounds in a
+    codegen'd comparison chain, then a 10-group agg. Rows-only check:
+    the cut points are sketch-accuracy-dependent by design (the unit
+    bounds each decile's mass against the exact answer).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = l.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), 10_000
+        ).alias("b")
+    ).head()["b"]
+    price = F.col("l_extendedprice")
+    bucket = sum(
+        (price > F.lit(float(b))).cast("int") for b in bounds
+    ) + F.lit(1)
+    return (
+        l.select(bucket.cast("long").alias("decile"), price.alias("p"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+        )
+        .orderBy("decile")
+    )

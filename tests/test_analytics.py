@@ -29,3 +29,19 @@ def test_hash_split_no_duplicate_leakage(spark):
     )
     got = {r["doc_id"]: r["b"] for r in df.select("doc_id", bucket.alias("b")).collect()}
     assert got[1] == got[2]
+
+
+def test_fact_deciles_scalable_mass_balance(spark, sf_dir):
+    """Sketch-bounded deciles: 10 buckets, monotone ranges, and every
+    bucket within 3% relative mass of the ideal n/10."""
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        fact_deciles_scalable,
+    )
+
+    rows = fact_deciles_scalable(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    total = sum(r["n_rows"] for r in rows)
+    for r in rows:
+        assert abs(r["n_rows"] - total / 10) / (total / 10) < 0.03
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
