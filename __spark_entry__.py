@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from doeecommerce_datapipeline_spark.multimodal import media as M
 from doeecommerce_datapipeline_spark.operators import (
     aggregates as A,
     analytics as X,
@@ -107,9 +108,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_asof_priority_regime": SCD.orders_asof_priority_regime,
         # rows-only entries that had no r1 row — pull into the window
         "fact_deciles_scalable": X.fact_deciles_scalable,  # rows-only (sketch)
+        # new this round: multimodal decode plumbing, oracle-paired
+        "media_decode": M.media_decode,
+        "media_frame_sample": M.media_frame_sample,
+        # round-1-green fillers (re-verified this round); minhash/ann
+        # already have r1 rows-only CORRECTNESS rows, so they yield
+        # their window slots to the new oracle-paired media queries
         "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
         "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
-        # round-1-green fillers (re-verified this round)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
         "category_profile": A.category_profile,
@@ -1299,6 +1305,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_pair AS DOUBLE) / n_head AS p_cond, rnk
             FROM headed
             WHERE n_head >= 50 AND rnk <= 3
+        """,
+        "media_decode": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "media_frame_sample": """
+            SELECT doc_id AS media_id,
+                   unnest(range(0, n_chars * 10 + 1, 1000)) AS sample_at_ms
+            FROM documents
+            WHERE doc_id % 3 = 2
         """,
         "stratified_sample": """
             WITH fp AS (

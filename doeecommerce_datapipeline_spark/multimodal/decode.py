@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..pyfiles import ensure_shipped
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -91,6 +93,9 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                 }
             )
 
+    # the closure references this package by module name — ship it so
+    # workers can import it regardless of driver cwd/sys.path
+    ensure_shipped(df.sparkSession)
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..pyfiles import ensure_shipped
+
 try:  # optional: not needed for file-based runs/tests
     import requests  # noqa: F401
 
@@ -168,6 +170,7 @@ def distributed_fetch(
                 )
             yield pd.DataFrame(rows, columns=data_fields)
 
+    ensure_shipped(spark)  # closure must be importable on workers
     pages = spark.range(n_pages).repartition(partitions or min(n_pages, 64))
     return pages.mapInPandas(fetch_pages, schema)
 

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..pyfiles import ensure_shipped
+
 SESSION_GAP_SEC = 30 * 60
 
 OUTPUT_SCHEMA = (
@@ -97,6 +99,7 @@ def sessionize_stream(events: DataFrame, flush_open_sessions: bool = False) -> D
         if flush_open_sessions
         else GroupStateTimeout.NoTimeout
     )
+    ensure_shipped(events.sparkSession)  # state fn must import on workers
     return events.groupBy("user_id").applyInPandasWithState(
         _make_tracker(flush_open_sessions),
         outputStructType=OUTPUT_SCHEMA,

@@ -49,3 +49,57 @@ def test_frame_sample_plan(spark, media):
 def test_resize_stub_updates_meta(spark, media):
     out = resize_stub(media, 32, 32).select("meta.width").distinct().collect()
     assert [r["width"] for r in out] == [32]
+
+
+def test_media_table_derivation(spark, sf_dir):
+    from doeecommerce_datapipeline_spark.multimodal.media import media_table
+
+    m = media_table(spark, sf_dir)
+    rows = m.collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    for r in rows:
+        assert r["payload"] is not None and len(r["payload"]) > 0
+        if r["kind"] == "image":
+            assert r["meta"]["width"] is not None
+            assert r["meta"]["duration_ms"] is None
+        else:
+            assert r["meta"]["duration_ms"] is not None
+            assert r["meta"]["duration_ms"] % 10 == 0
+
+
+def test_media_decode_pipeline_matches_python_hash(spark, sf_dir):
+    import hashlib
+
+    from doeecommerce_datapipeline_spark.io import table
+    from doeecommerce_datapipeline_spark.multimodal.media import media_decode
+
+    docs = {r["doc_id"]: r["text"] for r in table(spark, sf_dir, "documents").collect()}
+    out = media_decode(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        payload = docs[r["media_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(payload)
+        assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_media_frame_sample_bounds(spark, sf_dir):
+    from doeecommerce_datapipeline_spark.multimodal.media import (
+        media_frame_sample,
+        media_table,
+    )
+
+    durations = {
+        r["media_id"]: r["meta"]["duration_ms"]
+        for r in media_table(spark, sf_dir).where("kind = 'video'").collect()
+    }
+    import collections
+
+    counts = collections.Counter()
+    for r in media_frame_sample(spark, sf_dir).collect():
+        assert r["sample_at_ms"] % 1000 == 0
+        assert 0 <= r["sample_at_ms"] <= durations[r["media_id"]]
+        counts[r["media_id"]] += 1
+    assert set(counts) == set(durations)
+    for mid, d in durations.items():
+        assert counts[mid] == d // 1000 + 1
