@@ -138,6 +138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": J.customers_without_orders,
         "daily_slice": P.daily_slice,
         "ts_range_filter": P.ts_range_filter,
+        # --- new this round, past the 50-entry window: locally
+        # parity-tested now, rotate into the window next round --------
+        "user_retention_cohorts": E.user_retention_cohorts,
+        "value_zscore_outliers": E.value_zscore_outliers,
+        "event_type_cooccurrence": E.event_type_cooccurrence,
+        "price_histogram": X.price_histogram,
         # --- tail: round-1-green, unchanged ---------------------------
         "multi_source_union": P.multi_source_union,
         "string_normalize": P.string_normalize,
@@ -801,6 +807,67 @@ def oracle_sql() -> dict[str, str]:
                    o.ord_price AS last_orderprice
             FROM events e ASOF LEFT JOIN o1 o
               ON e.user_id = o.key AND e.ts >= o.t
+        """,
+        "user_retention_cohorts": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), f AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, d.day) AS INTEGER)
+                       AS day_offset,
+                   COUNT(*) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "value_zscore_outliers": """
+            WITH s AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       SUM(CAST(value AS DECIMAL(28,10))) AS s1,
+                       SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+                FROM events GROUP BY 1
+            ), st AS (
+                SELECT event_type,
+                       CAST(s1 AS DOUBLE) / n AS mu,
+                       sqrt((CAST(s2 AS DOUBLE)
+                             - n * (CAST(s1 AS DOUBLE) / n)
+                                 * (CAST(s1 AS DOUBLE) / n)) / (n - 1))
+                           AS sigma
+                FROM s
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   (e.value - st.mu) / st.sigma AS zscore
+            FROM events e JOIN st USING (event_type)
+            WHERE abs((e.value - st.mu) / st.sigma) > 2.5
+        """,
+        "event_type_cooccurrence": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+                FROM events
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_baskets
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "price_histogram": """
+            WITH r AS (
+                SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+                FROM lineitem
+            )
+            SELECT LEAST(CAST(FLOOR((l_extendedprice - mn)
+                                    / ((mx - mn) / 20.0)) AS BIGINT),
+                         19) AS bucket,
+                   mn + LEAST(CAST(FLOOR((l_extendedprice - mn)
+                                         / ((mx - mn) / 20.0)) AS BIGINT),
+                              19) * ((mx - mn) / 20.0) AS bucket_lo,
+                   COUNT(*) AS n_rows
+            FROM lineitem CROSS JOIN r
+            GROUP BY 1, 2
         """,
         "range_join_same_day": """
             SELECT a.event_id, a.user_id,

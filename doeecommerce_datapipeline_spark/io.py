@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .session import ensure_oracle_compat
 
@@ -34,19 +35,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Column pruning + predicate pushdown are
     Catalyst's job — callers express plain select/filter.
 
-    events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    default: read it as raw int64 nanos and truncate to a microsecond
-    timestamp (integer division — matches every µs engine's ns
-    truncation).
+    events.ts has shipped as both TIMESTAMP(NANOS) — which Spark 4
+    rejects by default — and plain TIMESTAMP(MICROS), depending on the
+    generator version. Handle both: enable the nanos-as-long fallback,
+    then convert only if the column actually surfaced as int64 nanos
+    (integer division — a double quotient would lose precision on
+    ~1.7e18 nanosecond epoch values, 53-bit mantissa).
     """
     ensure_oracle_compat(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer division — a double quotient would lose precision on
-        # ~1.7e18 nanosecond epoch values (53-bit mantissa)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # parquet timestamp without isAdjustedToUTC surfaces as
+            # TIMESTAMP_NTZ; the session tz is pinned UTC, so this cast
+            # is value-preserving and keeps one ts type everywhere
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -137,3 +137,35 @@ def fact_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram over l_extendedprice — the
+    profiling/EDA shape every engine ships as HISTOGRAM/width_bucket.
+
+    Two passes: a scalar MIN/MAX aggregate (order-independent, exact on
+    doubles) broadcast to every row, then a codegen'd
+    floor((x-mn)/width) bucket expression feeding a 20-group hash agg —
+    no sort, no sketch, identical arithmetic on both engines. The max
+    value lands in bucket 20 and is clamped into 19 (right-closed last
+    bucket), the standard width_bucket edge rule.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    rng = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+        F.lit(19).cast("long"),
+    )
+    return (
+        li.crossJoin(F.broadcast(rng))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("mn") + bucket.cast("double") * width).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -222,6 +222,93 @@ def range_join_same_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted at each day-offset they return — the product-analytics
+    retention matrix.
+
+    Shape: distinct (user, day) → per-user min day → join back on
+    user_id → rollup. The join key equals the aggregation key, so the
+    per-user aggregate and the join reuse ONE hash partitioning (no
+    second shuffle of the activity set); the final (cohort, offset)
+    rollup is the only other exchange. Rows after the first distinct
+    are ≤ users × active-days, already far below the raw event count.
+    """
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        # (user, day) is distinct, so plain COUNT is the user count
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5) — the statistical
+    anomaly-detection shape.
+
+    Determinism: mean and variance are derived from EXACT decimal sums
+    (Σv, Σv²) — per-element double squaring is deterministic, the
+    decimal sums are order-independent, and the closing mean/variance/
+    sqrt arithmetic is all-double on bit-identical operands — so z is
+    bit-identical across engines and the threshold can't flip rows.
+
+    Scale: one partial-aggregated shuffle to a tiny per-type stats
+    table, broadcast back over the fact — no second fact shuffle.
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+        F.sum(
+            (F.col("value") * F.col("value")).cast("decimal(28,10)")
+        ).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("n") * mu * mu) / (F.col("n") - 1)
+    stats = stats.select(
+        "event_type", mu.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+    )
+
+
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each pair of event types, on how
+    many (user, day) baskets both appear.
+
+    The self-join is equi on (user_id, day) with type_a < type_b, so
+    per-basket fan-out is bounded by the event-type vocabulary squared
+    (a handful), never by basket size — the distinct() before the join
+    is what keeps a heavy user from going quadratic.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+    )
+    a = d.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = d.select("user_id", "day", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: of users who viewed, how many clicked after
     their first view, then purchased after that first click — the
