@@ -144,6 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_zscore_outliers": E.value_zscore_outliers,
         "event_type_cooccurrence": E.event_type_cooccurrence,
         "price_histogram": X.price_histogram,
+        "user_set_ops": P.user_set_ops,
+        "part_metrics_unpivot": X.part_metrics_unpivot,
+        "returnflag_price_quartiles": A.returnflag_price_quartiles,
+        "daily_revenue_gapfilled": W.daily_revenue_gapfilled,
         # --- tail: round-1-green, unchanged ---------------------------
         "multi_source_union": P.multi_source_union,
         "string_normalize": P.string_normalize,
@@ -868,6 +872,56 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem CROSS JOIN r
             GROUP BY 1, 2
+        """,
+        "user_set_ops": """
+            WITH e AS (SELECT DISTINCT user_id FROM events),
+                 o AS (SELECT DISTINCT o_custkey AS user_id FROM orders)
+            SELECT 'intersect' AS set_op, COUNT(*) AS n_users
+              FROM (SELECT user_id FROM e INTERSECT SELECT user_id FROM o)
+            UNION ALL
+            SELECT 'except_events_only', COUNT(*)
+              FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM o)
+            UNION ALL
+            SELECT 'union', COUNT(*)
+              FROM (SELECT user_id FROM e UNION SELECT user_id FROM o)
+        """,
+        "part_metrics_unpivot": """
+            SELECT p_partkey, 'p_retailprice' AS metric,
+                   CAST(p_retailprice AS DOUBLE) AS value
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE)
+            FROM part
+        """,
+        "returnflag_price_quartiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS q1_price,
+                   quantile_cont(l_extendedprice, 0.5) AS median_price,
+                   quantile_cont(l_extendedprice, 0.75) AS q3_price
+            FROM lineitem
+            GROUP BY 1
+        """,
+        "daily_revenue_gapfilled": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS revenue
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                GROUP BY 1
+            ), spine AS (
+                SELECT unnest(generate_series(
+                           (SELECT MIN(day) FROM daily),
+                           (SELECT MAX(day) FROM daily),
+                           INTERVAL 1 DAY)) :: DATE AS day
+            )
+            SELECT s.day, d.revenue,
+                   last_value(d.revenue IGNORE NULLS) OVER (
+                       ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS revenue_filled,
+                   d.revenue IS NULL AS is_gap
+            FROM spine s LEFT JOIN daily d USING (day)
         """,
         "range_join_same_day": """
             SELECT a.event_id, a.user_id,

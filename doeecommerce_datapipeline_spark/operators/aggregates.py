@@ -166,3 +166,30 @@ def count_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("day"))
         .limit(10)
     )
+
+
+def returnflag_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quartiles: q1/median/q3 of l_extendedprice per
+    return flag — the ordered-set-aggregate (PERCENTILE_CONT) shape.
+
+    ``F.percentile`` is the exact sort-based aggregate (the sketch
+    variant lives in approx_aggregates); linear interpolation between
+    the same two order statistics is one double expression, so values
+    are engine-identical and order-independent. Per-group state is the
+    group's value list — fine for bounded groups like the 3 return
+    flags; at unbounded-group scale the sketch path is the answer.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    qs = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(qs.alias("q"))
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("q1_price"),
+            F.col("q")[1].alias("median_price"),
+            F.col("q")[2].alias("q3_price"),
+        )
+    )

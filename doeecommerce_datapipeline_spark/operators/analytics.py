@@ -169,3 +169,25 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): widen-to-long over part's numeric measures —
+    the inverse of pivot_linestatus, completing the reshape pair.
+
+    Spark's native ``unpivot`` compiles to Expand (each input row emits
+    one output row per measure map-side, no shuffle at all); the
+    measures are cast to one common DOUBLE type first, as unpivot
+    requires.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return p.unpivot(
+        ids="p_partkey",
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -158,3 +158,34 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
         (F.get_json_object("props", "$.k").cast("long") % 10).alias("prop_k_mod"),
     )
+
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator family in one query: the distinct user-id universes
+    of events vs orders combined with INTERSECT, EXCEPT, and UNION
+    (set_op, n_users).
+
+    The reference has no INTERSECT/EXCEPT (SURVEY.md §2.7 — its only
+    except-like behavior is the upsert anti-join); a complete engine
+    needs them. Each branch distincts a single id column first, so the
+    set operation shuffles bare longs — never whole rows — and the
+    three single-row counts union at the end (no data co-location
+    needed between branches).
+    """
+    e = table(spark, sf_dir, "events").select("user_id").distinct()
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"))
+        .distinct()
+    )
+
+    def labeled(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("set_op"), "n_users"
+        )
+
+    return (
+        labeled("intersect", e.intersect(o))
+        .unionByName(labeled("except_events_only", e.subtract(o)))
+        .unionByName(labeled("union", e.union(o).distinct()))
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import dsum
 from ..io import table
 
 
@@ -182,4 +183,39 @@ def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).alias("decile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling with forward fill: every day between
+    the first and last urgent-order date gets a row; days with no
+    orders carry the last seen revenue forward (day, revenue,
+    revenue_filled, is_gap).
+
+    The spine is ``sequence(min_day, max_day)`` exploded from a
+    single-row aggregate — no driver loop, no external calendar table.
+    The forward-fill window is a global ORDER BY, which is safe HERE
+    because it runs over the already-aggregated day grain (#days rows,
+    thousands), never the fact table; at fact scale the same fill
+    partitions by month with a carried-in boundary value.
+    """
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum("o_totalprice", "decimal(18,2)").alias("revenue")
+    )
+    spine = (
+        daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            "revenue",
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
+            F.col("revenue").isNull().alias("is_gap"),
+        )
     )
