@@ -178,3 +178,37 @@ def test_bigram_lm_shares_one_content_shuffle(spark, sf_dir):
     p = _plan(spark, sf_dir, "bigram_lm")
     assert p.count("+- Exchange") == 2
     assert p.count("hashpartitioning(w1") == 1
+
+
+def test_zscore_outliers_broadcasts_stats(spark, sf_dir):
+    """The per-type stats table is a handful of rows — it must come
+    back over the fact as a broadcast, never a second fact shuffle."""
+    p = _plan(spark, sf_dir, "value_zscore_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_price_histogram_no_sort(spark, sf_dir):
+    """min/max broadcast (nested-loop over a 1-row build side) + a
+    codegen'd bucket expression — a histogram never needs a sort."""
+    p = _plan(spark, sf_dir, "price_histogram")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Sort " not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_unpivot_is_shuffle_free_expand(spark, sf_dir):
+    """unpivot compiles to Expand: each row emits one output row per
+    measure map-side — zero exchanges in the whole plan."""
+    p = _plan(spark, sf_dir, "part_metrics_unpivot")
+    assert "Expand" in p
+    assert "Exchange" not in p
+
+
+def test_gapfill_pushes_priority_filter(spark, sf_dir):
+    """The urgent-orders predicate must reach the parquet scan; the
+    forward-fill window exists only above the day-grain aggregate."""
+    p = _plan(spark, sf_dir, "daily_revenue_gapfilled")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l and "o_orderpriority" in l]
+    assert pushed, "o_orderpriority filter did not reach the scan"
+    assert "Window" in p
