@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_metrics_unpivot": X.part_metrics_unpivot,
         "returnflag_price_quartiles": A.returnflag_price_quartiles,
         "daily_revenue_gapfilled": W.daily_revenue_gapfilled,
+        "doc_repetition_metrics": CP.doc_repetition_metrics,
+        "active_users_trailing_7d": E.active_users_trailing_7d,
+        "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
         # --- tail: round-1-green, unchanged ---------------------------
         "multi_source_union": P.multi_source_union,
         "string_normalize": P.string_normalize,
@@ -872,6 +875,72 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem CROSS JOIN r
             GROUP BY 1, 2
+        """,
+        "doc_repetition_metrics": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), bi AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                      FROM toks)
+            ), per AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS c
+                FROM bi GROUP BY 1, 2, 3
+            ), stats AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       COUNT(*) AS n_distinct,
+                       MAX(c) AS top_count
+                FROM per GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   1.0 - (CAST(n_distinct AS DOUBLE)
+                          / CAST(n_bigrams AS DOUBLE)) AS dup_bigram_frac,
+                   CAST(top_count AS DOUBLE)
+                       / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+                   (1.0 - (CAST(n_distinct AS DOUBLE)
+                           / CAST(n_bigrams AS DOUBLE))) > 0.2 AS repetitive
+            FROM stats
+        """,
+        "active_users_trailing_7d": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), ex AS (
+                SELECT user_id, day,
+                       CAST(unnest(generate_series(
+                           day, day + INTERVAL 6 DAY, INTERVAL 1 DAY
+                       )) AS DATE) AS target_day
+                FROM d
+            ), agg AS (
+                SELECT target_day,
+                       COUNT(DISTINCT user_id) AS t7au,
+                       COUNT(DISTINCT CASE WHEN day = target_day
+                                           THEN user_id END) AS dau
+                FROM ex GROUP BY 1
+            )
+            SELECT target_day AS day, dau, t7au,
+                   CAST(dau AS DOUBLE) / t7au AS stickiness
+            FROM agg
+            WHERE target_day IN (SELECT day FROM d)
+        """,
+        "daily_orders_vs_events_full_outer": """
+            WITH o_daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       COUNT(*) AS n_orders,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS order_revenue
+                FROM orders GROUP BY 1
+            ), e_daily AS (
+                SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT day,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   order_revenue,
+                   COALESCE(n_events, 0) AS n_events
+            FROM o_daily FULL JOIN e_daily USING (day)
         """,
         "user_set_ops": """
             WITH e AS (SELECT DISTINCT user_id FROM events),

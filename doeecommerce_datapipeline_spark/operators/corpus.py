@@ -370,3 +370,47 @@ def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.to_date("ts").alias("day"),
     )
+
+
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics over adjacent-token bigrams:
+    total bigrams, duplicate-bigram fraction, top-bigram mass — the
+    Gopher-style repetition filters that catch boilerplate and
+    keyword-stuffed documents (quality_rules sees only unigrams).
+
+    Same single-lambda bigram construction as bigram_lm (no positional
+    self-join), then a two-level aggregate keyed by doc_id — one
+    shuffle, map-side partials absorb the fan-out. Documents with
+    fewer than two tokens have no bigrams and drop out (both engines
+    agree). All fractions are int/int divisions in IEEE double.
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(n_part)
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(lower(text)),"
+                " '\\\\s+')) - 1, 0)),"
+                " i -> struct(split(trim(lower(text)), '\\\\s+')[i-1] AS w1,"
+                "             split(trim(lower(text)), '\\\\s+')[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    per = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    dup_frac = F.lit(1.0) - (
+        F.col("n_distinct").cast("double") / F.col("n_bigrams").cast("double")
+    )
+    top_frac = F.col("top_count").cast("double") / F.col("n_bigrams").cast("double")
+    return stats.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (dup_frac > 0.2).alias("repetitive"),
+    )

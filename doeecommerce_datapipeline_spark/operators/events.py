@@ -358,3 +358,44 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_to_purchase_rate"
         ),
     )
+
+
+def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU and trailing-7-day active users (the DAU/WAU
+    "stickiness" metric) — the rolling COUNT(DISTINCT) every product
+    dashboard needs and no engine does naively at scale.
+
+    A windowed count-distinct cannot merge partial states, so the
+    scalable shape is contribute-then-aggregate: each distinct
+    (user, day) row fans out to the 7 window anchors it belongs to
+    (a bounded ×7 map-side explode of bare (user, date) pairs — tiny
+    next to the raw events), then ONE hash aggregate per anchor day
+    counts distinct users; DAU rides along as a conditional distinct
+    over the same shuffle. Anchors past the observed range are
+    dropped with a semi-join against the real day set.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = d.select("day").distinct().withColumnRenamed("day", "target_day")
+    ex = d.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias(
+            "target_day"
+        ),
+    )
+    agg = ex.groupBy("target_day").agg(
+        F.countDistinct("user_id").alias("t7au"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("target_day"), F.col("user_id"))
+        ).alias("dau"),
+    )
+    return agg.join(days, "target_day", "semi").select(
+        F.col("target_day").alias("day"),
+        "dau",
+        "t7au",
+        (F.col("dau").cast("double") / F.col("t7au")).alias("stickiness"),
+    )

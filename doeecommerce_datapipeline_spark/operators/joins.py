@@ -118,3 +118,33 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def daily_orders_vs_events_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full outer join at day grain: order activity reconciled against
+    event activity, keeping days that appear on either side only —
+    the reconciliation shape (and the one outer-join type the engine
+    had not exercised; both sides are preserved, so neither can be
+    broadcast and a sort-merge join is the correct plan).
+
+    Both inputs aggregate to day grain BEFORE the join — the join
+    touches #days rows, never the facts. Counts coalesce to 0;
+    revenue stays NULL on event-only days (0 would be a lie).
+    """
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    o_daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "decimal(18,2)").alias("order_revenue"),
+    )
+    e_daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return o_daily.join(e_daily, ["day"], "full").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "order_revenue",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )

@@ -71,6 +71,43 @@ def stream_windowed_agg(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "1 hour",
+    max_delay_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    views from the preceding ``max_delay_minutes`` — the online
+    attribution shape (click ← candidate impressions).
+
+    Both sides carry a watermark AND the join condition bounds the two
+    event times against each other; together they let the engine
+    expire buffered state (without the time-range predicate a
+    stream-stream join must hold both streams forever). One shuffle on
+    user_id per side; state per key is bounded by watermark + delay.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {max_delay_minutes} MINUTES")
+        ),
+    ).select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+
+
 def foreach_batch_upsert(path: str, keys: list[str]):
     """Online S8/S9: exactly-once-ish keyed upsert per micro-batch —
     the streaming publisher for silver/gold tables. With Delta this is
