@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returnflag_price_quartiles": A.returnflag_price_quartiles,
         "daily_revenue_gapfilled": W.daily_revenue_gapfilled,
         "doc_repetition_metrics": CP.doc_repetition_metrics,
+        "ship_latency_quartiles": A.ship_latency_quartiles,
         "active_users_trailing_7d": E.active_users_trailing_7d,
         "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
         # --- tail: round-1-green, unchanged ---------------------------
@@ -875,6 +876,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem CROSS JOIN r
             GROUP BY 1, 2
+        """,
+        "ship_latency_quartiles": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+                                           CAST(l_shipdate AS DATE)), 0.25)
+                       AS q1_days,
+                   quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+                                           CAST(l_shipdate AS DATE)), 0.5)
+                       AS median_days,
+                   quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+                                           CAST(l_shipdate AS DATE)), 0.75)
+                       AS q3_days,
+                   CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
+                                      CAST(l_shipdate AS DATE))) AS INTEGER)
+                       AS max_latency_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
         "doc_repetition_metrics": """
             WITH toks AS (

@@ -193,3 +193,45 @@ def returnflag_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q")[2].alias("q3_price"),
         )
     )
+
+
+def ship_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    q1/median/q3/max of days between order date and line-item ship
+    date — the fulfillment-SLA percentile query.
+
+    The lineitem⋈orders join is on the natural key (orderkey): both
+    sides hash-partition on it, AQE picks SMJ/broadcast by size — the
+    canonical big-big fact join. The percentile aggregate then runs
+    over 5 small priority groups; latencies are exact integer days so
+    the interpolated quartiles are engine-identical doubles.
+    """
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("order_day"),
+    )
+    lat = F.datediff("ship_day", "order_day")
+    qs = F.percentile(
+        lat, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        l.join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            qs.alias("q"),
+            F.max(lat).alias("max_latency_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            F.col("q")[0].alias("q1_days"),
+            F.col("q")[1].alias("median_days"),
+            F.col("q")[2].alias("q3_days"),
+            "max_latency_days",
+        )
+    )

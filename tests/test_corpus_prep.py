@@ -1,0 +1,101 @@
+"""End-to-end invariants of the corpus-preparation pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.functions.text import (
+    fingerprint,
+    word_shingles,
+)
+from doeecommerce_datapipeline_spark.io import table
+from doeecommerce_datapipeline_spark.operators.corpus import (
+    DECONTAM_NGRAM,
+    PACK_BUDGET,
+)
+from doeecommerce_datapipeline_spark.pipelines.corpus_prep import prepare_corpus
+
+
+@pytest.fixture(scope="module")
+def stages(spark, sf_dir):
+    return prepare_corpus(spark, sf_dir)
+
+
+def test_funnel_monotonic_and_reconciles(spark, stages):
+    rows = {r["stage"]: r["n_docs"] for r in stages["funnel"].collect()}
+    order = sorted(rows)
+    # each stage can only drop documents, until packing which is 1:1
+    assert rows["0_input"] >= rows["1_quality"] >= rows["2_exact_dedup"]
+    assert rows["2_exact_dedup"] >= rows["3_decontaminated"]
+    assert rows["3_decontaminated"] == rows["4_split"] == rows["5_packed"]
+    assert rows["5_packed"] > 0
+    # and the stages must actually discriminate on this corpus
+    assert rows["1_quality"] < rows["0_input"]
+    assert rows["3_decontaminated"] < rows["2_exact_dedup"]
+    assert order[0] == "0_input"
+
+
+def test_no_duplicate_fingerprints_survive(stages):
+    dupes = (
+        stages["deduped"]
+        .groupBy("fp")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_no_contaminated_doc_survives(spark, sf_dir, stages):
+    docs = table(spark, sf_dir, "documents")
+    bench_sh = (
+        docs.where(F.col("doc_id") % 20 == 7)
+        .select(F.explode(word_shingles(F.col("text"), DECONTAM_NGRAM)).alias("s"))
+        .distinct()
+    )
+    leaked = (
+        stages["clean"]
+        .select("doc_id", F.explode(word_shingles(F.col("text"), DECONTAM_NGRAM)).alias("s"))
+        .join(bench_sh, "s")
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_split_is_content_stable_and_complete(stages):
+    s = stages["split"]
+    assert s.where(~F.col("split").isin("train", "val", "test")).count() == 0
+    # identical content must always land in one split (leakage-proof)
+    cross = (
+        s.select(fingerprint("text").alias("fp"), "split")
+        .distinct()
+        .groupBy("fp")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert cross == 0
+    # all three splits are populated at this corpus size
+    assert s.select("split").distinct().count() == 3
+
+
+def test_packing_offsets_are_exact_prefix_sums(stages):
+    p = stages["packed"]
+    # within each (split, source, seq), offsets are strictly increasing
+    # and each doc starts exactly where the previous one ended
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("split", "source").orderBy("doc_id")
+    q = p.withColumn(
+        "expected",
+        F.coalesce(
+            F.lag(F.col("seq_offset") + F.col("n_tokens")).over(w), F.lit(0)
+        ),
+    )
+    assert q.where(F.col("seq_offset") != F.col("expected")).count() == 0
+    # every sequence starts below the budget boundary it belongs to
+    assert (
+        p.where(
+            F.col("seq_offset") - F.col("seq_id") * PACK_BUDGET >= PACK_BUDGET
+        ).count()
+        == 0
+    )
