@@ -40,7 +40,23 @@ def main() -> None:
 
     for t in TABLES:
         table(spark, sf_dir, t).limit(1).collect()
-    table(spark, sf_dir, "lineitem").agg(F.sum("l_quantity")).collect()
+    # exercise each execution-engine class once (hash agg, broadcast
+    # join, window, explode) so C2/codegen compilation of those code
+    # paths isn't billed to whichever registry query happens to run
+    # first — measured ~4x inflation on the first agg-heavy query
+    # without this
+    from pyspark.sql import Window  # noqa: E402
+
+    li = table(spark, sf_dir, "lineitem").limit(10_000)
+    li.agg(F.sum("l_quantity"), F.countDistinct("l_orderkey")).collect()
+    n = table(spark, sf_dir, "nation")
+    li.join(F.broadcast(n), li.l_suppkey == n.n_nationkey, "left").count()
+    li.select(
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy("l_linenumber"))
+        .alias("rn")
+    ).count()
+    li.select(F.explode(F.array("l_quantity", "l_tax"))).count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -99,3 +99,40 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.array_distinct(ngrams)
+
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent-token bigrams as array<struct<w1,w2>> (lowercased,
+    whitespace-tokenized). Empty array for documents with fewer than
+    two tokens: the two shifted slices are each size-1 elements long
+    (zero when size is 1), so there is NO index arithmetic to go out
+    of bounds — ``transform(sequence(1, size-1), i -> t[i])`` crashes
+    under ANSI mode when size == 1 because sequence(1, 0) counts DOWN
+    to [1, 0] and evaluates t[-1]/t[size].
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(F.lower(c))
+    n = F.size(t)
+    return F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def content_bucket(fp_col: Column | str) -> Column:
+    """0-99 bucket from a content fingerprint (first 8 hex chars of the
+    md5) — the deterministic, engine-portable assignment unit shared by
+    hash_split and the corpus-prep pipeline (one definition, so the
+    80/10/10 thresholds can never drift between them)."""
+    c = F.col(fp_col) if isinstance(fp_col, str) else fp_col
+    return F.conv(F.substring(c, 1, 8), 16, 10).cast("long") % 100
+
+
+def bucket_split(bucket_col: Column) -> Column:
+    """80/10/10 train/val/test assignment for a content bucket."""
+    return (
+        F.when(bucket_col < 80, "train")
+        .when(bucket_col < 90, "val")
+        .otherwise("test")
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, tokens, word_shingles
+from ..functions.text import bigrams, fingerprint, tokens, word_shingles
 from ..io import table
 
 # Decontamination shingle width: wide enough that organic n-gram
@@ -179,24 +179,40 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB each source partitions independently; no global order, no
     driver loop. Integer arithmetic end-to-end, so engine-identical.
     """
-    d = table(spark, sf_dir, "documents")
+    return pack_by_budget(
+        table(spark, sf_dir, "documents"), "doc_id", "text", ["source"]
+    )
+
+
+def pack_by_budget(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    partition_cols: list[str],
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """The packing engine behind pack_sequences (and the corpus-prep
+    pipeline): per-shard exclusive prefix sums of token counts →
+    seq_id = floor(cum/budget), seq_offset = cum % budget (the offset
+    WITHIN the sequence — one definition, one meaning). One window per
+    shard, integer arithmetic end-to-end."""
     w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
+        Window.partitionBy(*partition_cols)
+        .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
     return (
-        d.select("doc_id", "source", n_tok.alias("n_tokens"))
+        docs.select(id_col, *partition_cols, n_tok.alias("n_tokens"))
         .withColumn(
             "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         )
         .select(
-            "doc_id",
-            "source",
+            id_col,
+            *partition_cols,
             "n_tokens",
-            F.floor(F.col("cum_before") / PACK_BUDGET).alias("seq_id"),
-            (F.col("cum_before") % PACK_BUDGET).alias("seq_offset"),
+            F.floor(F.col("cum_before") / budget).alias("seq_id"),
+            (F.col("cum_before") % budget).alias("seq_offset"),
         )
     )
 
@@ -378,24 +394,17 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher-style repetition filters that catch boilerplate and
     keyword-stuffed documents (quality_rules sees only unigrams).
 
-    Same single-lambda bigram construction as bigram_lm (no positional
-    self-join), then a two-level aggregate keyed by doc_id — one
-    shuffle, map-side partials absorb the fan-out. Documents with
-    fewer than two tokens have no bigrams and drop out (both engines
-    agree). All fractions are int/int divisions in IEEE double.
+    Shared slice/zip_with bigram builder (functions.text.bigrams — one
+    per-row lambda, no positional self-join, ANSI-safe on sub-2-token
+    documents which yield no bigrams and drop out, matching the
+    oracle), then a two-level aggregate keyed by doc_id — one shuffle,
+    map-side partials absorb the fan-out. All fractions are int/int
+    divisions in IEEE double.
     """
     n_part = spark.sparkContext.defaultParallelism
     d = table(spark, sf_dir, "documents").repartition(n_part)
     bi = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(trim(lower(text)),"
-                " '\\\\s+')) - 1, 0)),"
-                " i -> struct(split(trim(lower(text)), '\\\\s+')[i-1] AS w1,"
-                "             split(trim(lower(text)), '\\\\s+')[i] AS w2))"
-            )
-        ).alias("b"),
+        "doc_id", F.explode(bigrams(F.col("text"))).alias("b")
     ).select("doc_id", "b.w1", "b.w2")
     per = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     stats = per.groupBy("doc_id").agg(

@@ -228,11 +228,12 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention matrix.
 
     Shape: distinct (user, day) → per-user min day → join back on
-    user_id → rollup. The join key equals the aggregation key, so the
-    per-user aggregate and the join reuse ONE hash partitioning (no
-    second shuffle of the activity set); the final (cohort, offset)
-    rollup is the only other exchange. Rows after the first distinct
-    are ≤ users × active-days, already far below the raw event count.
+    user_id → rollup. The distinct partitions on (user_id, day), so
+    the per-user aggregate re-exchanges on user_id alone — and the
+    tiny per-user cohort table then comes back over the activity set
+    as a broadcast (AQE's call at these sizes). Rows after the first
+    distinct are ≤ users × active-days, already far below the raw
+    event count, so every post-distinct exchange is small.
     """
     e = (
         table(spark, sf_dir, "events")

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     LANG_MARKERS,
+    bigrams,
     bpe_ish_token_count,
+    bucket_split,
+    content_bucket,
     fingerprint,
     lang_marker_count,
     punct_ratio,
@@ -190,16 +193,11 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere (xxhash/seeded hashes are engine-specific). Pure per-row
     expression — scan-bound, shuffle-free at any scale."""
     d = table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(fingerprint("text"), 1, 8), 16, 10).cast("long") % 100
-    )
+    bucket = content_bucket(fingerprint("text"))
     return d.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
+        bucket_split(bucket).alias("split"),
     )
 
 
@@ -221,22 +219,17 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_part = spark.sparkContext.defaultParallelism
     d = table(spark, sf_dir, "documents").repartition(n_part)
-    bigrams = d.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(trim(lower(text)),"
-                " '\\\\s+')) - 1, 0)),"
-                " i -> struct(split(trim(lower(text)), '\\\\s+')[i-1] AS w1,"
-                "             split(trim(lower(text)), '\\\\s+')[i] AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    # shared slice/zip_with bigram builder (functions.text.bigrams) —
+    # ANSI-safe on sub-2-token documents, still one per-row lambda
+    pairs_src = d.select(F.explode(bigrams(F.col("text"))).alias("b")).select(
+        "b.w1", "b.w2"
+    )
     # one hash shuffle on w1 serves the (w1,w2) agg AND both w1
     # windows: HashPartitioning(w1) satisfies the agg's clustered
     # distribution on (w1,w2) by the subset rule, so neither the agg
     # nor the windows re-exchange (same single-shuffle shape as scd2)
     pair = (
-        bigrams.repartition("w1")
+        pairs_src.repartition("w1")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )

@@ -6,11 +6,16 @@ content-hash split → sequence packing — and emits a per-stage funnel
 report (the medallion-pipeline analog for training data; the reference
 stops at BI gold marts, SURVEY.md §2).
 
-Every stage is a pure DataFrame plan over the previous stage's output:
-no driver-side loops, no collected intermediates. The funnel counts use
-``count()`` per stage boundary (actions on narrow aggregates), matching
-the reference's audit posture (records_fetched/loaded per stage,
-ingestion/base_generator.py:177-228).
+Every stage REUSES the oracle-verified operator it corresponds to
+(quality_rules, contamination_hits, content_bucket/bucket_split,
+pack_by_budget) — one definition per semantic, so the pipeline and the
+registry queries cannot drift.
+
+Stage outputs are materialized with ``localCheckpoint`` at each
+boundary: the funnel counts plus the downstream stages would otherwise
+re-execute the whole shared lineage once per consumer (measured ~6×
+the document scan); at cluster scale the same barriers are
+persist/checkpoint calls on the (much smaller) surviving sets.
 
 Scale posture: quality and split are scan-bound per-row expressions;
 exact dedup is one fingerprint shuffle; decontamination broadcasts the
@@ -21,12 +26,16 @@ to the corpus on any single node.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, tokens, word_shingles
+from ..functions.text import bucket_split, content_bucket, fingerprint
 from ..io import table
-from ..operators.corpus import DECONTAM_NGRAM, PACK_BUDGET, quality_rules
+from ..operators.corpus import (
+    contamination_hits,
+    pack_by_budget,
+    quality_rules,
+)
 
 
 def prepare_corpus(
@@ -46,6 +55,8 @@ def prepare_corpus(
     - ``clean``: decontaminated survivors
     - ``split``: clean docs with train/val/test assignment
     - ``packed``: token-budget sequence assignments per (split, source)
+      (pack_by_budget semantics: seq_offset is the offset WITHIN the
+      sequence)
     - ``funnel``: (stage, n_docs) — the audit report
     """
     docs = table(spark, sf_dir, "documents")
@@ -56,12 +67,14 @@ def prepare_corpus(
     verdicts = quality_rules(corpus, "doc_id", "text")
     quality = corpus.join(
         verdicts.where(F.col("keep")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint()
 
     # 2. exact dedup: min doc_id wins per content fingerprint — one
     # shuffle on the fingerprint, min_by avoids a ranking window
     deduped = (
-        quality.select("doc_id", "source", "text", fingerprint("text").alias("fp"))
+        quality.select(
+            "doc_id", "source", "text", fingerprint("text").alias("fp")
+        )
         .groupBy("fp")
         .agg(
             F.min_by(F.struct("doc_id", "source", "text"), F.col("doc_id")).alias(
@@ -69,64 +82,38 @@ def prepare_corpus(
             )
         )
         .select("d.doc_id", "d.source", "d.text", "fp")
+        .localCheckpoint()
     )
 
-    # 3. decontamination: drop any doc sharing an n-gram with the
-    # benchmark (broadcast bench shingles; anti-join keeps the rest)
-    sh = F.explode(
-        word_shingles(F.col("text"), DECONTAM_NGRAM)
-    ).alias("shingle")
-    bench_sh = bench.select(sh).distinct()
-    hit_ids = (
-        deduped.select("doc_id", sh)
-        .join(F.broadcast(bench_sh), "shingle")
-        .select("doc_id")
-        .distinct()
-    )
-    clean = deduped.join(hit_ids, "doc_id", "left_anti")
+    # 3. decontamination via the shared operator: drop any doc sharing
+    # an n-gram with the benchmark (broadcast bench shingles inside)
+    hits = contamination_hits(deduped, bench, "doc_id", "text")
+    clean = deduped.join(
+        hits.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    ).localCheckpoint()
 
-    # 4. split: content-hash buckets (fingerprint already computed)
-    bucket = F.conv(F.substring("fp", 1, 8), 16, 10).cast("long") % 100
+    # 4. split: shared content-hash bucket (fingerprint already there)
     split = clean.select(
         "doc_id",
         "source",
         "text",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
+        bucket_split(content_bucket(F.col("fp"))).alias("split"),
     )
 
-    # 5. packing: budget partitioning via per-(split, source) prefix
-    # sums — each shard packs independently, no global order
-    w = (
-        Window.partitionBy("split", "source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
-    packed = split.select(
-        "doc_id",
-        "split",
-        "source",
-        n_tok.alias("n_tokens"),
-        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("seq_offset"),
-    ).withColumn(
-        "seq_id", (F.col("seq_offset") / F.lit(PACK_BUDGET)).cast("long")
-    )
+    # 5. packing: the shared budget partitioner, sharded per
+    # (split, source) — each shard packs independently
+    packed = pack_by_budget(split, "doc_id", "text", ["split", "source"])
 
-    funnel = (
-        spark.createDataFrame(
-            [
-                ("0_input", corpus.count()),
-                ("1_quality", quality.count()),
-                ("2_exact_dedup", deduped.count()),
-                ("3_decontaminated", clean.count()),
-                ("4_split", split.count()),
-                ("5_packed", packed.count()),
-            ],
-            "stage string, n_docs long",
-        )
+    funnel = spark.createDataFrame(
+        [
+            ("0_input", corpus.count()),
+            ("1_quality", quality.count()),
+            ("2_exact_dedup", deduped.count()),
+            ("3_decontaminated", clean.count()),
+            ("4_split", split.count()),
+            ("5_packed", packed.count()),
+        ],
+        "stage string, n_docs long",
     )
     return {
         "quality": quality,

@@ -171,3 +171,26 @@ def test_split_leakage_flags_cross_split_pairs(spark, sf_dir):
         assert r["leaks"] == (r["split_a"] != r["split_b"])
         assert r["jaccard"] >= 0.2
         assert r["id_a"] < r["id_b"]
+
+
+def test_bigrams_safe_on_short_documents(spark):
+    """sequence(1, size-1) counts DOWN to [1, 0] when size == 1 and
+    crashes under ANSI mode — the shared slice/zip_with builder must
+    yield an empty array instead (matching the DuckDB oracle, which
+    emits nothing for sub-2-token docs)."""
+    from pyspark.sql import functions as F
+
+    from doeecommerce_datapipeline_spark.functions.text import bigrams
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "   "), (4, "two words"),
+         (5, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(bigrams(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}

@@ -80,22 +80,20 @@ def test_split_is_content_stable_and_complete(stages):
 
 def test_packing_offsets_are_exact_prefix_sums(stages):
     p = stages["packed"]
-    # within each (split, source, seq), offsets are strictly increasing
-    # and each doc starts exactly where the previous one ended
+    # pack_by_budget contract: seq_id*budget + seq_offset reconstructs
+    # the exclusive cumulative token count, so each doc must start
+    # exactly where the previous one ended within its shard
     from pyspark.sql import Window
 
+    cum = F.col("seq_id") * PACK_BUDGET + F.col("seq_offset")
     w = Window.partitionBy("split", "source").orderBy("doc_id")
     q = p.withColumn(
-        "expected",
-        F.coalesce(
-            F.lag(F.col("seq_offset") + F.col("n_tokens")).over(w), F.lit(0)
-        ),
+        "expected", F.coalesce(F.lag(cum + F.col("n_tokens")).over(w), F.lit(0))
     )
-    assert q.where(F.col("seq_offset") != F.col("expected")).count() == 0
-    # every sequence starts below the budget boundary it belongs to
-    assert (
-        p.where(
-            F.col("seq_offset") - F.col("seq_id") * PACK_BUDGET >= PACK_BUDGET
-        ).count()
-        == 0
-    )
+    assert q.where(cum != F.col("expected")).count() == 0
+    # the within-sequence offset is always inside the budget
+    assert p.where(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= PACK_BUDGET)
+    ).count() == 0
+    # and matches the registry operator's semantics on shared shards:
+    # same column name, same meaning (offset within the sequence)
