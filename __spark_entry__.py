@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_gapfilled": W.daily_revenue_gapfilled,
         "doc_repetition_metrics": CP.doc_repetition_metrics,
         "ship_latency_quartiles": A.ship_latency_quartiles,
+        "salted_value_stats": E.salted_value_stats,
         "active_users_trailing_7d": E.active_users_trailing_7d,
         "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
         # --- tail: round-1-green, unchanged ---------------------------
@@ -876,6 +877,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem CROSS JOIN r
             GROUP BY 1, 2
+        """,
+        "salted_value_stats": """
+            SELECT event_type,
+                   COUNT(event_id) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events
+            GROUP BY 1
         """,
         "ship_latency_quartiles": """
             SELECT o_orderpriority,

@@ -400,3 +400,37 @@ def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t7au",
         (F.col("dau").cast("double") / F.col("t7au")).alias("stickiness"),
     )
+
+
+def salted_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stats over event_type computed through the SALTED
+    two-phase aggregate (operators/skew.py) — event_type has ~5 values
+    over the whole fact, the exact hot-key profile where one reducer
+    would absorb 20% of all rows.
+
+    Oracle-paired against a plain GROUP BY: the salting must be
+    invisible in the results (associative aggregates only; sums
+    re-aggregate as exact decimals), which is the entire point — the
+    query proves the skew pattern is semantics-preserving, not just
+    unit-tested on toys.
+    """
+    from .skew import salted_aggregate
+
+    e = table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "total_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )

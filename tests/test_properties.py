@@ -107,3 +107,62 @@ def test_upsert_algebra(spark, tmp_path_factory, old_keys, new_keys):
         assert got[k] == "new"
     for k in old_keys - new_keys:
         assert got[k] == "old"
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab x"),  # spaces → variable token counts
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_bigram_count_is_tokens_minus_one(spark, texts):
+    """bigrams() must yield exactly max(0, n_tokens - 1) pairs for ANY
+    text — including empty, whitespace-only, and single-token docs
+    (the ANSI-mode crash class)."""
+    from doeecommerce_datapipeline_spark.functions.text import bigrams, tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = df.select(
+        "id",
+        F.size(bigrams(F.col("text"))).alias("n_bi"),
+        F.size(tokens(F.lower(F.col("text")))).alias("n_tok"),
+    ).collect()
+    for r in rows:
+        assert r["n_bi"] == max(0, r["n_tok"] - 1)
+
+
+@given(
+    toks=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+    budget=st.integers(8, 64),
+)
+@_settings
+def test_pack_by_budget_prefix_sum_invariants(spark, toks, budget):
+    """For any token-count sequence: seq_id*budget + seq_offset must be
+    the exact exclusive prefix sum, offsets stay inside the budget, and
+    seq_ids are non-decreasing."""
+    from doeecommerce_datapipeline_spark.operators.corpus import pack_by_budget
+
+    df = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(toks)],
+        "id long, src string, text string",
+    )
+    rows = sorted(
+        pack_by_budget(df, "id", "text", ["src"], budget=budget).collect(),
+        key=lambda r: r["id"],
+    )
+    cum = 0
+    prev_seq = 0
+    for r, n in zip(rows, toks):
+        assert r["n_tokens"] == n
+        assert r["seq_id"] * budget + r["seq_offset"] == cum
+        assert 0 <= r["seq_offset"] < budget
+        assert r["seq_id"] >= prev_seq
+        prev_seq = r["seq_id"]
+        cum += n
