@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_metrics": CP.doc_repetition_metrics,
         "ship_latency_quartiles": A.ship_latency_quartiles,
         "salted_value_stats": E.salted_value_stats,
+        "session_event_paths": E.session_event_paths,
+        "sketch_rollup_daily_users": X.sketch_rollup_daily_users,  # rows-only (sketch)
         "active_users_trailing_7d": E.active_users_trailing_7d,
         "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
         # --- tail: round-1-green, unchanged ---------------------------
@@ -877,6 +879,36 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem CROSS JOIN r
             GROUP BY 1, 2
+        """,
+        "session_event_paths": """
+            WITH x AS (
+                SELECT event_id, user_id, ts, event_type,
+                       CASE WHEN date_diff('second', LAG(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS gap
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+                SELECT event_id, user_id, ts, event_type,
+                       CAST(SUM(gap) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS session_idx
+                FROM x
+            ), seq AS (
+                SELECT user_id, session_idx, event_type, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                                          ORDER BY ts ASC, event_id ASC) AS rn
+                FROM s
+            ), p AS (
+                SELECT user_id, session_idx,
+                       string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC)
+                           AS path
+                FROM seq WHERE rn <= 5 GROUP BY 1, 2
+            )
+            SELECT path, COUNT(*) AS n_sessions
+            FROM p GROUP BY 1
+            ORDER BY n_sessions DESC, path ASC
+            LIMIT 10
         """,
         "salted_value_stats": """
             SELECT event_type,

@@ -191,3 +191,34 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pre-aggregation: per-day HLL sketches of the
+    user set, UNIONED up to month grain and compared against the exact
+    monthly COUNT(DISTINCT) — (month, exact_users, approx_users).
+
+    This is THE 100 TB distinct-count pattern: daily sketch tables are
+    tiny, additive, and re-aggregatable to any coarser grain without
+    touching raw events again (exact distinct states can't merge, so
+    every re-grain re-scans the fact). rows-only check: sketch
+    estimates are engine-specific; the unit bounds relative error
+    against the exact answer.
+    """
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.trunc(F.to_date("ts"), "month").alias("month"),
+        "user_id",
+    )
+    daily = e.groupBy("month", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    approx = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("month").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(approx, "month").select(
+        "month", "exact_users", "approx_users"
+    )

@@ -434,3 +434,37 @@ def salted_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session opening paths: the ordered sequence of the first
+    5 event types per session, counted across sessions — the
+    path-analysis / clickstream-pattern query.
+
+    collect_list in a groupBy is UNORDERED; the deterministic form is
+    collect_list over a fully-ordered window (ts, event_id tiebreak),
+    which reuses the sessionizer's (user) partitioning. Top-10 via
+    TakeOrderedAndProject with a path tiebreak, so the cut is
+    total-ordered and engine-identical.
+    """
+    s = sessionize(spark, sf_dir)
+    w = Window.partitionBy("user_id", "session_idx").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = s.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    path = F.array_join(
+        F.collect_list("event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+        ">",
+    )
+    per_session = (
+        seq.withColumn("path", path).where(F.col("rn") == 1)
+        .select("user_id", "session_idx", "path")
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )

@@ -45,3 +45,17 @@ def test_fact_deciles_scalable_mass_balance(spark, sf_dir):
         assert abs(r["n_rows"] - total / 10) / (total / 10) < 0.03
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_sketch_rollup_error_bounded(spark, sf_dir):
+    """Merged daily HLL sketches must land within 5% of the exact
+    monthly distinct count (HLL default lgConfigK=12 → ~1.6% rsd)."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["sketch_rollup_daily_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_users"] - r["exact_users"]) / max(
+            r["exact_users"], 1
+        )
+        assert rel < 0.05, f"{r['month']}: rel err {rel:.3f}"
