@@ -58,7 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_counts": X.cube_order_counts,
         "pivot_linestatus": X.pivot_linestatus,
         "grouping_sets_revenue": X.grouping_sets_revenue,
-        "approx_aggregates": X.approx_aggregates,  # rows-only (sketches)
+        # oracle-paired newcomers take the window slots of two rows-only
+        # entries (approx_aggregates, simhash — simhash already has an
+        # r1 rows-only record): a hash check beats a rows-only record
+        "value_zscore_outliers": E.value_zscore_outliers,
         "funnel_conversion": E.funnel_conversion,
         # classic OLAP shapes, TPC-H-style (unchecked in r1)
         "simple_filter_agg": Q.simple_filter_agg,
@@ -81,7 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silver_products": P.silver_products,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "dedup_components": D.dedup_components,
-        "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only (hash-seeded)
+        "session_event_paths": E.session_event_paths,
         # new this round (rows-only: seeded-model ANN paths)
         "ivf_topk": IVF.ivf_topk,
         "mllib_lsh_join": L.mllib_similarity_join,
@@ -116,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their window slots to the new oracle-paired media queries
         "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
         "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
+        "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only (r1 record)
+        "approx_aggregates": X.approx_aggregates,  # rows-only (sketches)
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
         "category_profile": A.category_profile,
@@ -141,7 +146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round, past the 50-entry window: locally
         # parity-tested now, rotate into the window next round --------
         "user_retention_cohorts": E.user_retention_cohorts,
-        "value_zscore_outliers": E.value_zscore_outliers,
         "event_type_cooccurrence": E.event_type_cooccurrence,
         "price_histogram": X.price_histogram,
         "user_set_ops": P.user_set_ops,
@@ -151,7 +155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_metrics": CP.doc_repetition_metrics,
         "ship_latency_quartiles": A.ship_latency_quartiles,
         "salted_value_stats": E.salted_value_stats,
-        "session_event_paths": E.session_event_paths,
         "sketch_rollup_daily_users": X.sketch_rollup_daily_users,  # rows-only (sketch)
         "active_users_trailing_7d": E.active_users_trailing_7d,
         "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
