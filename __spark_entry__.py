@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_daily_users": X.sketch_rollup_daily_users,  # rows-only (sketch)
         "active_users_trailing_7d": E.active_users_trailing_7d,
         "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
+        "referential_audit": J.referential_audit,
         # --- tail: round-1-green, unchanged ---------------------------
         "multi_source_union": P.multi_source_union,
         "string_normalize": P.string_normalize,
@@ -989,6 +990,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dau AS DOUBLE) / t7au AS stickiness
             FROM agg
             WHERE target_day IN (SELECT day FROM d)
+        """,
+        "referential_audit": """
+            SELECT 'lineitem->orders' AS relation,
+                   (SELECT COUNT(*) FROM lineitem) AS n_rows,
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                       AS n_orphans
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            UNION ALL
+            SELECT 'customer->nation',
+                   (SELECT COUNT(*) FROM customer),
+                   (SELECT COUNT(*) FROM customer
+                    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            UNION ALL
+            SELECT 'supplier->nation',
+                   (SELECT COUNT(*) FROM supplier),
+                   (SELECT COUNT(*) FROM supplier
+                    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            UNION ALL
+            SELECT 'lineitem->supplier',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
         """,
         "daily_orders_vs_events_full_outer": """
             WITH o_daily AS (

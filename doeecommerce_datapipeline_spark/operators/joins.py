@@ -148,3 +148,46 @@ def daily_orders_vs_events_full_outer(
         "order_revenue",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
     )
+
+
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: one row per
+    FK relation with total and orphan counts (relation, n_rows,
+    n_orphans) — the quality-suite extension (C4) that catches broken
+    foreign keys before they silently drop rows in inner joins.
+
+    Each relation is a distinct-keys anti-join: the child's DISTINCT
+    key set (small) anti-joins the parent's key set, then one count —
+    so the audit shuffles bare keys, never fact rows, and all five
+    relations run as independent jobs unioned at the end.
+    """
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+                name: str) -> DataFrame:
+        keys = child.select(F.col(ckey).alias("k"))
+        total = keys.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphan = (
+            keys.distinct()
+            .join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
+            .join(keys, "k")  # back to row grain: count affected rows
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return total.crossJoin(F.broadcast(orphan)).select(
+            F.lit(name).alias("relation"), "n_rows", "n_orphans"
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    checks = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+        orphans(s, "s_nationkey", n, "n_nationkey", "supplier->nation"),
+        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out
