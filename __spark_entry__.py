@@ -995,28 +995,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lineitem->orders' AS relation,
                    (SELECT COUNT(*) FROM lineitem) AS n_rows,
                    (SELECT COUNT(*) FROM lineitem
-                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                    WHERE NOT EXISTS (SELECT 1 FROM orders
+                                      WHERE o_orderkey = l_orderkey))
                        AS n_orphans
             UNION ALL
             SELECT 'orders->customer',
                    (SELECT COUNT(*) FROM orders),
                    (SELECT COUNT(*) FROM orders
-                    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                    WHERE NOT EXISTS (SELECT 1 FROM customer
+                                      WHERE c_custkey = o_custkey))
             UNION ALL
             SELECT 'customer->nation',
                    (SELECT COUNT(*) FROM customer),
                    (SELECT COUNT(*) FROM customer
-                    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                    WHERE NOT EXISTS (SELECT 1 FROM nation
+                                      WHERE n_nationkey = c_nationkey))
             UNION ALL
             SELECT 'supplier->nation',
                    (SELECT COUNT(*) FROM supplier),
                    (SELECT COUNT(*) FROM supplier
-                    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                    WHERE NOT EXISTS (SELECT 1 FROM nation
+                                      WHERE n_nationkey = s_nationkey))
             UNION ALL
             SELECT 'lineitem->supplier',
                    (SELECT COUNT(*) FROM lineitem),
                    (SELECT COUNT(*) FROM lineitem
-                    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+                    WHERE NOT EXISTS (SELECT 1 FROM supplier
+                                      WHERE s_suppkey = l_suppkey))
         """,
         "daily_orders_vs_events_full_outer": """
             WITH o_daily AS (

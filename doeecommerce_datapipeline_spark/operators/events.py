@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import dsum
 from ..io import table
+from .skew import salted_aggregate
 
 SESSION_GAP_MINUTES = 30
 
@@ -414,8 +415,6 @@ def salted_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     query proves the skew pattern is semantics-preserving, not just
     unit-tested on toys.
     """
-    from .skew import salted_aggregate
-
     e = table(spark, sf_dir, "events")
     out = salted_aggregate(
         e,

@@ -163,13 +163,19 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
                 name: str) -> DataFrame:
-        keys = child.select(F.col(ckey).alias("k"))
-        total = keys.agg(F.count(F.lit(1)).alias("n_rows"))
+        # pre-aggregate to (key, row-count) FIRST: the anti-join then
+        # runs over distinct keys only, and the orphan row count is a
+        # SUM of the surviving counts — one partial-aggregated shuffle
+        # of bare keys, no second row-grain shuffle
+        keys = (
+            child.select(F.col(ckey).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        total = keys.agg(F.sum("c").cast("long").alias("n_rows"))
         orphan = (
-            keys.distinct()
-            .join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
-            .join(keys, "k")  # back to row grain: count affected rows
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            keys.join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_orphans"))
         )
         return total.crossJoin(F.broadcast(orphan)).select(
             F.lit(name).alias("relation"), "n_rows", "n_orphans"

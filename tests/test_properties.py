@@ -122,8 +122,9 @@ def test_upsert_algebra(spark, tmp_path_factory, old_keys, new_keys):
 @_settings
 def test_bigram_count_is_tokens_minus_one(spark, texts):
     """bigrams() must yield exactly max(0, n_tokens - 1) pairs for ANY
-    text — including empty, whitespace-only, and single-token docs
-    (the ANSI-mode crash class)."""
+    text, where n_tokens is tokens()'s count (split of a blank string
+    is [''], so empty/whitespace-only docs count ONE token and must
+    yield zero bigrams — the ANSI-mode crash class)."""
     from doeecommerce_datapipeline_spark.functions.text import bigrams, tokens
 
     df = spark.createDataFrame(
