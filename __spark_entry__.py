@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users_trailing_7d": E.active_users_trailing_7d,
         "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
         "referential_audit": J.referential_audit,
+        "activity_streaks": E.activity_streaks,
+        "revenue_pareto": E.revenue_pareto,
         # --- tail: round-1-green, unchanged ---------------------------
         "multi_source_union": P.multi_source_union,
         "string_normalize": P.string_normalize,
@@ -990,6 +992,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dau AS DOUBLE) / t7au AS stickiness
             FROM agg
             WHERE target_day IN (SELECT day FROM d)
+        """,
+        "activity_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), runs AS (
+                SELECT user_id, day,
+                       day - CAST(ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY day
+                       ) AS INTEGER) AS island
+                FROM d
+            ), s AS (
+                SELECT user_id, island, COUNT(*) AS len
+                FROM runs GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   MAX(len) AS longest_streak
+            FROM s GROUP BY 1
+        """,
+        "revenue_pareto": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), t AS (SELECT SUM(rev) AS tot FROM pc),
+            r AS (
+                SELECT CAST(SUM(rev) OVER (
+                           ORDER BY rev DESC, o_custkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+                FROM pc, t
+            )
+            SELECT CAST(SUM(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END) + 1
+                        AS BIGINT) AS n_customers_80pct,
+                   COUNT(*) AS total_customers,
+                   CAST(SUM(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END) + 1
+                        AS DOUBLE) / COUNT(*) AS top_share
+            FROM r
         """,
         "referential_audit": """
             SELECT 'lineitem->orders' AS relation,

@@ -467,3 +467,70 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (user_id,
+    n_active_days, longest_streak) — the gaps-and-islands shape on a
+    date grid (scd2 does it on ordered change rows; this is the
+    calendar variant).
+
+    day − row_number is constant within a run of consecutive days, so
+    the island key needs ONE window then one two-level aggregate — all
+    three steps reuse the user_id hash partitioning (subset rule), a
+    single shuffle end to end over the distinct (user, day) set.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = d.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = runs.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration: how many customers produce 80% of
+    order revenue (n_customers_80pct, total_customers, top_share).
+
+    The cumulative-share window is a global ORDER BY — safe because it
+    runs over the aggregated per-customer table (thousands of rows),
+    never the orders fact; revenue comes from exact decimal sums so
+    the 0.8 threshold cut is engine-stable, with custkey as the
+    total-order tiebreak for equal revenues.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    total = per_cust.agg(F.sum("rev").alias("tot"))
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_cust.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        (
+            F.sum("rev").over(w).cast("double") / F.col("tot").cast("double")
+        ).alias("cum_share"),
+    )
+    flagged = ranked.select(
+        (F.col("cum_share") < 0.8).cast("long").alias("below"),
+        F.lit(1).alias("one"),
+    )
+    return flagged.agg(
+        # first customer AT or past 0.8 still counts toward the 80%
+        (F.sum("below") + F.lit(1)).cast("long").alias("n_customers_80pct"),
+        F.sum("one").cast("long").alias("total_customers"),
+        (
+            (F.sum("below") + F.lit(1)).cast("double") / F.sum("one")
+        ).alias("top_share"),
+    )
