@@ -45,92 +45,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check order; the driver's CORRECTNESS gate
     runs the FIRST 50 entries at sf0.01.
 
-    Rotation policy (round 2): entries unverified in round 1 (the
-    funnel/OLAP/TPC-H tail), queries whose semantics changed this round,
-    and brand-new queries come first; round-1-green unchanged queries
-    rotate to the tail so every query accumulates a green row across
-    rounds. Rows-only entries that already hold a record yield window
-    slots to oracle-paired queries (a hash check beats a rows-only row).
+    Rotation policy (round 3): the 17 entries with no driver record yet
+    (the post-window round-2 newcomers plus the two never-windowed
+    rows-only sketches) take the head of the window; next come the four
+    highest-divergence-risk round-1/2 greens (decimal surfaces, ordered
+    collects, float thresholds), then the entries whose code changed
+    this round, then round-1-only-record re-checks. Round-2-green
+    unchanged entries rotate to the tail — each already holds a driver
+    record from CORRECTNESS_r02.
 
-    Local insurance for the unchecked tail: ALL registry entries were
+    Record ledger (round each entry's latest driver record came from):
+    r1 = CORRECTNESS_r01, r2 = CORRECTNESS_r02, none = no record yet.
+    Inline comments below mark the "none" and changed entries; the tail
+    section headers carry the round tag for the rest.
+
+    Local insurance for the unchecked tail: ALL registry entries are
     hash-verified against the DuckDB oracle at sf0.01 under a vanilla
-    foreign-cwd SparkSession at the end of round 2 (zero failures), and
+    foreign-cwd SparkSession before each round ends, and
     tests/test_parity.py re-verifies every oracle pair at sf0.001 in CI.
-
-    Round-3 rotation TODO: move this round's post-window newcomers
-    (user_retention_cohorts ... revenue_pareto) plus any still-rowless
-    entries into the first 50.
     """
     return {
-        # --- round-2 checked window -----------------------------------
-        # OLAP analytics extensions (unchecked in r1)
-        "rollup_revenue": X.rollup_revenue,
-        "cube_order_counts": X.cube_order_counts,
-        "pivot_linestatus": X.pivot_linestatus,
-        "grouping_sets_revenue": X.grouping_sets_revenue,
-        # oracle-paired newcomers take the window slots of two rows-only
-        # entries (approx_aggregates, simhash — simhash already has an
-        # r1 rows-only record): a hash check beats a rows-only record
-        "value_zscore_outliers": E.value_zscore_outliers,
-        "funnel_conversion": E.funnel_conversion,
-        # classic OLAP shapes, TPC-H-style (unchecked in r1)
-        "simple_filter_agg": Q.simple_filter_agg,
-        "shipping_priority": Q.shipping_priority,
-        "large_volume_customers": Q.large_volume_customers,
-        "small_quantity_revenue": Q.small_quantity_revenue,
-        "volume_shipping": Q.volume_shipping,
-        "best_supplier_per_part": Q.best_supplier_per_part,
-        "promo_part_suppliers": Q.promo_part_suppliers,
-        "last_shipper_wins": Q.last_shipper_wins,
-        "order_count_histogram": Q.order_count_histogram,
-        "part_supplier_counts": Q.part_supplier_counts,
-        "idle_rich_customers": Q.idle_rich_customers,
-        "late_ship_priority_counts": Q.late_ship_priority_counts,
-        "returned_top_customers": Q.returned_top_customers,
-        "promo_revenue_pct": Q.promo_revenue_pct,
-        "market_share": Q.market_share,
-        "profit_by_nation_year": Q.profit_by_nation_year,
-        # changed this round (decimal surface fix / df-cap / convergence)
+        # --- round-3 window ------------------------------------------
+        # (a) no driver record yet: round-2 post-window newcomers
+        "user_retention_cohorts": E.user_retention_cohorts,
+        "event_type_cooccurrence": E.event_type_cooccurrence,
+        "price_histogram": X.price_histogram,
+        "user_set_ops": P.user_set_ops,
+        "part_metrics_unpivot": X.part_metrics_unpivot,
+        "returnflag_price_quartiles": A.returnflag_price_quartiles,
+        "daily_revenue_gapfilled": W.daily_revenue_gapfilled,
+        "doc_repetition_metrics": CP.doc_repetition_metrics,
+        "ship_latency_quartiles": A.ship_latency_quartiles,
+        "salted_value_stats": E.salted_value_stats,
+        "sketch_rollup_daily_users": X.sketch_rollup_daily_users,  # rows-only (sketch)
+        "active_users_trailing_7d": E.active_users_trailing_7d,
+        "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
+        "referential_audit": J.referential_audit,
+        "activity_streaks": E.activity_streaks,
+        "revenue_pareto": E.revenue_pareto,
+        "approx_aggregates": X.approx_aggregates,  # rows-only (sketches); never windowed
+        # (b) high-divergence-risk re-checks (r2 green; decimal surface,
+        # ordered collect, float threshold, SCD interval semantics)
         "silver_products": P.silver_products,
-        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
-        "dedup_components": D.dedup_components,
         "session_event_paths": E.session_event_paths,
-        # new this round (rows-only: seeded-model ANN paths)
-        "ivf_topk": IVF.ivf_topk,
-        "mllib_lsh_join": L.mllib_similarity_join,
-        # new this round: remaining classic OLAP shapes
-        "local_supplier_revenue": Q.local_supplier_revenue,
-        "part_value_concentration": Q.part_value_concentration,
-        "top_supplier_revenue": Q.top_supplier_revenue,
-        "bracket_revenue": Q.bracket_revenue,
-        # new this round: corpus-prep operators
-        "tfidf_topk": T.tfidf_topk,
-        "hash_split": T.hash_split,
-        "decontaminate": CP.decontaminate,
-        "gopher_quality": CP.gopher_quality,
-        "source_mix_sample": CP.source_mix_sample,
-        "pack_sequences": CP.pack_sequences,
-        "chunk_documents": CP.chunk_documents,
-        "pseudonymize_events": CP.pseudonymize_events,
-        "split_leakage_pairs": CP.split_leakage_pairs,
+        "value_zscore_outliers": E.value_zscore_outliers,
         "scd2_customer_priority": SCD.scd2_customer_priority,
-        "source_overlap_matrix": CP.source_overlap_matrix,
-        "near_dedup_corpus": D.near_dedup_corpus,
-        "stratified_sample": CP.stratified_sample,
-        "bigram_lm": T.bigram_lm,
-        "orders_asof_priority_regime": SCD.orders_asof_priority_regime,
-        # rows-only entries that had no r1 row — pull into the window
-        "fact_deciles_scalable": X.fact_deciles_scalable,  # rows-only (sketch)
-        # new this round: multimodal decode plumbing, oracle-paired
+        # (c) code changed this round (quantizer hardening, real codec)
+        "ivf_topk": IVF.ivf_topk,  # rows-only; k-means|| style init this round
         "media_decode": M.media_decode,
         "media_frame_sample": M.media_frame_sample,
-        # round-1-green fillers (re-verified this round); minhash/ann
-        # already have r1 rows-only CORRECTNESS rows, so they yield
-        # their window slots to the new oracle-paired media queries
-        "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only (hash-seeded)
-        "ann_topk_lsh": S.ann_topk_lsh,  # rows-only (LSH recall unit-tested)
-        "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only (r1 record)
-        "approx_aggregates": X.approx_aggregates,  # rows-only (sketches)
+        # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
         "category_profile": A.category_profile,
@@ -153,28 +117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": J.customers_without_orders,
         "daily_slice": P.daily_slice,
         "ts_range_filter": P.ts_range_filter,
-        # --- new this round, past the 50-entry window: locally
-        # parity-tested now, rotate into the window next round --------
-        "user_retention_cohorts": E.user_retention_cohorts,
-        "event_type_cooccurrence": E.event_type_cooccurrence,
-        "price_histogram": X.price_histogram,
-        "user_set_ops": P.user_set_ops,
-        "part_metrics_unpivot": X.part_metrics_unpivot,
-        "returnflag_price_quartiles": A.returnflag_price_quartiles,
-        "daily_revenue_gapfilled": W.daily_revenue_gapfilled,
-        "doc_repetition_metrics": CP.doc_repetition_metrics,
-        "ship_latency_quartiles": A.ship_latency_quartiles,
-        "salted_value_stats": E.salted_value_stats,
-        "sketch_rollup_daily_users": X.sketch_rollup_daily_users,  # rows-only (sketch)
-        "active_users_trailing_7d": E.active_users_trailing_7d,
-        "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
-        "referential_audit": J.referential_audit,
-        "activity_streaks": E.activity_streaks,
-        "revenue_pareto": E.revenue_pareto,
-        # --- tail: round-1-green, unchanged ---------------------------
         "multi_source_union": P.multi_source_union,
         "string_normalize": P.string_normalize,
         "date_math": P.date_math,
+        # ---- end of 50-entry driver window --------------------------
+        # --- tail: r1-record, unchanged ------------------------------
         "bucketize": P.bucketize,
         "json_extract": P.json_extract,
         "text_stats": T.text_stats,
@@ -194,6 +141,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": E.session_stats,
         "asof_join_last_order": E.asof_join_last_order,
         "range_join_same_day": E.range_join_same_day,
+        "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only, r1 record
+        "ann_topk_lsh": S.ann_topk_lsh,  # rows-only, r1 record
+        "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only, r1 record
+        # --- tail: r2-record, unchanged ------------------------------
+        "rollup_revenue": X.rollup_revenue,
+        "cube_order_counts": X.cube_order_counts,
+        "pivot_linestatus": X.pivot_linestatus,
+        "grouping_sets_revenue": X.grouping_sets_revenue,
+        "funnel_conversion": E.funnel_conversion,
+        "simple_filter_agg": Q.simple_filter_agg,
+        "shipping_priority": Q.shipping_priority,
+        "large_volume_customers": Q.large_volume_customers,
+        "small_quantity_revenue": Q.small_quantity_revenue,
+        "volume_shipping": Q.volume_shipping,
+        "best_supplier_per_part": Q.best_supplier_per_part,
+        "promo_part_suppliers": Q.promo_part_suppliers,
+        "last_shipper_wins": Q.last_shipper_wins,
+        "order_count_histogram": Q.order_count_histogram,
+        "part_supplier_counts": Q.part_supplier_counts,
+        "idle_rich_customers": Q.idle_rich_customers,
+        "late_ship_priority_counts": Q.late_ship_priority_counts,
+        "returned_top_customers": Q.returned_top_customers,
+        "promo_revenue_pct": Q.promo_revenue_pct,
+        "market_share": Q.market_share,
+        "profit_by_nation_year": Q.profit_by_nation_year,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "dedup_components": D.dedup_components,
+        "mllib_lsh_join": L.mllib_similarity_join,  # rows-only, r2 record
+        "local_supplier_revenue": Q.local_supplier_revenue,
+        "part_value_concentration": Q.part_value_concentration,
+        "top_supplier_revenue": Q.top_supplier_revenue,
+        "bracket_revenue": Q.bracket_revenue,
+        "tfidf_topk": T.tfidf_topk,
+        "hash_split": T.hash_split,
+        "decontaminate": CP.decontaminate,
+        "gopher_quality": CP.gopher_quality,
+        "source_mix_sample": CP.source_mix_sample,
+        "pack_sequences": CP.pack_sequences,
+        "chunk_documents": CP.chunk_documents,
+        "pseudonymize_events": CP.pseudonymize_events,
+        "split_leakage_pairs": CP.split_leakage_pairs,
+        "source_overlap_matrix": CP.source_overlap_matrix,
+        "near_dedup_corpus": D.near_dedup_corpus,
+        "stratified_sample": CP.stratified_sample,
+        "bigram_lm": T.bigram_lm,
+        "orders_asof_priority_regime": SCD.orders_asof_priority_regime,
+        "fact_deciles_scalable": X.fact_deciles_scalable,  # rows-only, r2 record
     }
 
 
@@ -855,14 +849,17 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(value AS DECIMAL(28,10))) AS s1,
                        SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
                 FROM events GROUP BY 1
-            ), st AS (
+            ), st0 AS (
                 SELECT event_type,
                        CAST(s1 AS DOUBLE) / n AS mu,
-                       sqrt((CAST(s2 AS DOUBLE)
+                       sqrt(GREATEST((CAST(s2 AS DOUBLE)
                              - n * (CAST(s1 AS DOUBLE) / n)
-                                 * (CAST(s1 AS DOUBLE) / n)) / (n - 1))
-                           AS sigma
+                                 * (CAST(s1 AS DOUBLE) / n)) / (n - 1),
+                             0.0)) AS sigma
                 FROM s
+                WHERE n > 1
+            ), st AS (
+                SELECT * FROM st0 WHERE sigma > 0
             )
             SELECT e.event_id, e.event_type, e.value,
                    (e.value - st.mu) / st.sigma AS zscore
@@ -1112,9 +1109,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "returnflag_price_quartiles": """
             SELECT l_returnflag,
-                   quantile_cont(l_extendedprice, 0.25) AS q1_price,
-                   quantile_cont(l_extendedprice, 0.5) AS median_price,
-                   quantile_cont(l_extendedprice, 0.75) AS q3_price
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price
             FROM lineitem
             GROUP BY 1
         """,

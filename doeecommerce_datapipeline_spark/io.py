@@ -37,25 +37,67 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     events.ts has shipped as both TIMESTAMP(NANOS) — which Spark 4
     rejects by default — and plain TIMESTAMP(MICROS), depending on the
-    generator version. Handle both: enable the nanos-as-long fallback,
-    then convert only if the column actually surfaced as int64 nanos
-    (integer division — a double quotient would lose precision on
-    ~1.7e18 nanosecond epoch values, 53-bit mantissa).
+    generator version. Handle both: sniff the footer with pyarrow (a
+    KB-sized metadata read), and only for genuinely-nanos files enable
+    the nanos-as-long fallback, scoped set/restore around the read so
+    the shared session's conf is untouched for every other parquet
+    read (restore-after-read is safe: Spark converts the parquet
+    schema eagerly at read resolution, verified by a collect after
+    restore on a nanos file). The int64-nanos column then converts via
+    integer division — a double quotient would lose precision on
+    ~1.7e18 nanosecond epoch values, 53-bit mantissa.
     """
     ensure_oracle_compat(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if _events_ts_is_nanos(path):
+            conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+            prev = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            return df
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            # parquet timestamp without isAdjustedToUTC surfaces as
-            # TIMESTAMP_NTZ; the session tz is pinned UTC, so this cast
-            # is value-preserving and keeps one ts type everywhere
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        # parquet timestamp without isAdjustedToUTC surfaces as
+        # TIMESTAMP_NTZ; the session tz is pinned UTC, so this cast
+        # is value-preserving and keeps one ts type everywhere
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer-only probe for a TIMESTAMP(NANOS) ts column. Parquet
+    datasets may be a directory of part files — probe the first one."""
+    try:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if not parts:
+                return False
+            probe = os.path.join(path, parts[0])
+        schema = pq.read_schema(probe)
+        if "ts" not in schema.names:
+            return False
+        return str(schema.field("ts").type) == "timestamp[ns]"
+    except Exception:
+        # no pyarrow / unreadable footer: fall through to the plain
+        # read path and let Spark surface the real error
+        return False
 
 
 def read_jdbc(

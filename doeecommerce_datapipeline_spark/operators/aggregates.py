@@ -173,9 +173,12 @@ def returnflag_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag — the ordered-set-aggregate (PERCENTILE_CONT) shape.
 
     ``F.percentile`` is the exact sort-based aggregate (the sketch
-    variant lives in approx_aggregates); linear interpolation between
-    the same two order statistics is one double expression, so values
-    are engine-identical and order-independent. Per-group state is the
+    variant lives in approx_aggregates). Engines may spell the linear
+    interpolation differently (lo + (hi-lo)*f vs lo*(1-f) + hi*f), a
+    1-ulp divergence on double prices, so both sides round to 4
+    decimals: prices carry 2 decimals and f ∈ {.25,.5,.75}, so the
+    ideal quartile has at most 4 decimal digits — rounding is exact
+    (never a half-way tie) and absorbs the ulp. Per-group state is the
     group's value list — fine for bounded groups like the 3 return
     flags; at unbounded-group scale the sketch path is the answer.
     """
@@ -188,9 +191,9 @@ def returnflag_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(qs.alias("q"))
         .select(
             "l_returnflag",
-            F.col("q")[0].alias("q1_price"),
-            F.col("q")[1].alias("median_price"),
-            F.col("q")[2].alias("q3_price"),
+            F.round(F.col("q")[0], 4).alias("q1_price"),
+            F.round(F.col("q")[1], 4).alias("median_price"),
+            F.round(F.col("q")[2], 4).alias("q3_price"),
         )
     )
 

@@ -265,6 +265,14 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one partial-aggregated shuffle to a tiny per-type stats
     table, broadcast back over the fact — no second fact shuffle.
+
+    Degenerate groups are excluded up front: n <= 1 has no sample
+    variance, and FP cancellation on a near-constant group can push the
+    computed variance epsilon-negative, where Spark's sqrt returns NaN
+    but an oracle engine may hard-error — so the variance is clamped at
+    zero and zero-sigma groups (which would make z a 0/0 NaN with
+    engine-dependent ordering) are dropped: a constant group has no
+    outliers by definition.
     """
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     stats = e.groupBy("event_type").agg(
@@ -276,8 +284,14 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.col("s1").cast("double") / F.col("n")
     var = (F.col("s2").cast("double") - F.col("n") * mu * mu) / (F.col("n") - 1)
-    stats = stats.select(
-        "event_type", mu.alias("mu"), F.sqrt(var).alias("sigma")
+    stats = (
+        stats.where(F.col("n") > 1)
+        .select(
+            "event_type",
+            mu.alias("mu"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma"),
+        )
+        .where(F.col("sigma") > 0)
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
