@@ -2,77 +2,192 @@
 quantizer + cluster-bucketed exact search — the standard ANN scale
 path when hyperplane LSH recall plateaus.
 
-Build: fit KMeans on (a sample of) the embeddings; assign every vector
-to its nearest centroid (one narrow pass). Persist partitioned by
-cluster id — a probe then reads only n_probe partitions (partition
-pruning IS the index).
+Build: seeded k-means++ init on a bounded deterministic sample
+(driver-side, the sample is ≤2k vectors), then a few DISTRIBUTED Lloyd
+iterations over the FULL table. The per-vector kernel (argmin over k
+centroid distances) is a k×dim matmul — exactly the shape where an
+Arrow-batched numpy kernel beats codegen'd per-element HOF expressions
+(a 16-centroid × 64-dim zip_with/aggregate tree costs seconds of
+analysis/codegen PER PLAN; measured 10× slower end-to-end), so
+assignment is a scalar pandas_udf and the centroid update is a
+mapInPandas partial-sum pass emitting k rows per partition — map-side
+combine with NO shuffle, nothing driver-side ever exceeds
+k × n_partitions × dim cells. Every Lloyd pass is one scan, one job.
 
 Query: find the n_probe centroids nearest the query vector (tiny,
 driver-side — centroids are k×dim floats), then exact cosine over just
-those clusters' members.
+those clusters' members. Persist partitioned by cluster id — a probe
+then reads only n_probe partitions (partition pruning IS the index).
 
-rows-only correctness (k-means init is seeded but implementation-
-specific); recall vs the exact brute force is unit-tested.
+rows-only correctness (FP summation order across partitions makes the
+trained centroids implementation-specific); recall@10 vs the exact
+brute force is unit-tested with an explicit floor.
+
+Reference analog: none — the reference has no similarity search; this
+is north-star surface (SURVEY.md §2.3 planned-extension note).
 """
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine
 from ..io import table
-
-try:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    HAVE_ML = True
-except Exception:  # pragma: no cover
-    HAVE_ML = False
+from ..pyfiles import ensure_shipped
 
 N_CLUSTERS = 16
 N_PROBE = 4
 FIT_SAMPLE = 2048
+LLOYD_ITERS = 3
+
+
+def _assign_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment: per batch one
+    n×k distance matrix via ||x||² - 2 x·Cᵀ + ||c||², then argmin.
+    Ties break to the lowest centroid id (np.argmin is first-match,
+    matching SQL array_position semantics)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)  # k × dim
+    cnorm2 = (cents * cents).sum(axis=1)  # k
+
+    @pandas_udf("int")
+    def assign(emb):
+        import pandas as pd
+
+        x = np.asarray(emb.tolist(), dtype=np.float64)  # n × dim
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cents.T) + cnorm2
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return assign
+
+
+def _partial_sums_fn(centroids: list[list[float]]):
+    """mapInPandas stage: per partition, sum member vectors per
+    cluster — emits ≤k rows of (cid, count, sums), the map-side
+    combine that makes the centroid update shuffle-free."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm2 = (cents * cents).sum(axis=1)
+    k, dim = cents.shape
+
+    def partial(batches):
+        import pandas as pd
+
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for pdf in batches:
+            x = np.asarray(pdf["_emb"].tolist(), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cents.T) + cnorm2
+            cid = np.argmin(d2, axis=1)
+            np.add.at(counts, cid, 1)
+            np.add.at(sums, cid, x)
+        live = np.nonzero(counts)[0]
+        yield pd.DataFrame(
+            {
+                "cid": live.astype("int32"),
+                "cnt": counts[live],
+                # explicit object dtype: an all-empty partition would
+                # otherwise coerce the column to float64 ndarray, which
+                # Arrow can't convert to list<double>
+                "sums": pd.Series(
+                    [sums[i].tolist() for i in live], dtype="object"
+                ),
+            }
+        )
+
+    return partial
+
+
+def _kmeanspp_init(
+    sample: list[list[float]], k: int, seed: int
+) -> list[list[float]]:
+    """Seeded k-means++ on the driver-side sample: first centroid by
+    seeded choice, then each next centroid drawn with probability
+    proportional to squared distance from the nearest chosen one."""
+    import numpy as np
+
+    pts = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = [pts[int(rng.integers(len(pts)))]]
+    d2 = np.full(len(pts), np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((pts - centroids[-1]) ** 2).sum(axis=1))
+        total = d2.sum()
+        if total <= 0:
+            centroids.append(pts[int(rng.integers(len(pts)))])
+            continue
+        centroids.append(pts[int(rng.choice(len(pts), p=d2 / total))])
+    return [list(map(float, c)) for c in centroids]
 
 
 def build_ivf_index(
-    df: DataFrame, n_clusters: int = N_CLUSTERS, seed: int = 42
+    df: DataFrame,
+    n_clusters: int = N_CLUSTERS,
+    seed: int = 42,
+    lloyd_iters: int = LLOYD_ITERS,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Returns (vectors + cluster_id, centroid list)."""
-    if not HAVE_ML:
-        raise ImportError("pyspark.ml unavailable")
-    feat = df.withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    import numpy as np
+
+    spark = df.sparkSession
+    ensure_shipped(spark)  # mapInPandas/pandas_udf closures on workers
+    vecs = df.select(
+        "*", F.col("embedding").cast("array<double>").alias("_emb")
     )
-    # Train the coarse quantizer on a bounded DETERMINISTIC sample
-    # (every stride-th vec_id): k-means iterations then cost O(sample)
-    # instead of O(table), which is the textbook IVF build — a coarse
-    # quantizer's centroids stabilize long before the sample stops
-    # being representative (recall@10 unit guards this). The full table
-    # is still assigned, but that's ONE narrow pass.
-    n = feat.count()
-    stride = max(1, n // FIT_SAMPLE)
-    # coalesce(1): a ≤2k-vector fit is scheduling-bound on a wide
-    # cluster — one task per k-means pass beats 32 near-empty ones.
-    # random init skips k-means||'s extra distributed passes; a coarse
-    # quantizer only needs roughly-spread centroids.
-    fit_on = feat.where(F.pmod("vec_id", F.lit(stride)) == 0).coalesce(1)
-    # maxIter=8: probe recall is insensitive to late-stage drift
-    model = KMeans(
-        k=n_clusters,
-        seed=seed,
-        maxIter=8,
-        initMode="random",
-        featuresCol="features",
-    ).fit(fit_on)
-    assigned = model.transform(feat).withColumnRenamed(
-        "prediction", "cluster_id"
-    ).drop("features")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    return assigned, centroids
+    # iterated over once per Lloyd pass — keep the scan's columnar
+    # batches resident (at 100 TB: persist to executor storage or
+    # re-scan; either way the pass stays one scan, one job)
+    vecs = vecs.persist()
+    try:
+        # bounded deterministic sample (every stride-th vec_id) only
+        # SEEDS the centroids; unlike a sample-only fit, the Lloyd
+        # refinement below sees the full table
+        n = vecs.count()
+        stride = max(1, n // FIT_SAMPLE)
+        sample = [
+            [float(x) for x in r["_emb"]]
+            for r in vecs.where(F.pmod("vec_id", F.lit(stride)) == 0)
+            .select("_emb")
+            .collect()
+        ]
+        centroids = _kmeanspp_init(sample, n_clusters, seed)
+        for _ in range(lloyd_iters):
+            partials = (
+                vecs.select("_emb")
+                .mapInPandas(
+                    _partial_sums_fn(centroids),
+                    "cid int, cnt long, sums array<double>",
+                )
+                .collect()
+            )
+            counts = np.zeros(n_clusters, dtype=np.int64)
+            sums = np.zeros(
+                (n_clusters, len(centroids[0])), dtype=np.float64
+            )
+            for r in partials:
+                counts[r["cid"]] += r["cnt"]
+                sums[r["cid"]] += np.asarray(r["sums"])
+            # empty clusters keep their previous centroid
+            centroids = [
+                (sums[i] / counts[i]).tolist() if counts[i] else centroids[i]
+                for i in range(n_clusters)
+            ]
+        assigned = vecs.withColumn(
+            "cluster_id", _assign_udf(centroids)(F.col("_emb"))
+        ).drop("_emb")
+        return assigned, centroids
+    finally:
+        # the returned plan re-reads the (cheap) source scan; the
+        # persisted frame was only for the build loop
+        vecs.unpersist()
 
 
 def _nearest_clusters(
