@@ -90,7 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_event_paths": E.session_event_paths,
         "value_zscore_outliers": E.value_zscore_outliers,
         "scd2_customer_priority": SCD.scd2_customer_priority,
-        # (c) code changed this round (quantizer hardening, real codec)
+        # (c) new/changed this round (star CC, quantizer, real codec)
+        "dedup_components_star": D.dedup_components_star,
         "ivf_topk": IVF.ivf_topk,  # rows-only; k-means|| style init this round
         "media_decode": M.media_decode,
         "media_frame_sample": M.media_frame_sample,
@@ -119,9 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_filter": P.ts_range_filter,
         "multi_source_union": P.multi_source_union,
         "string_normalize": P.string_normalize,
-        "date_math": P.date_math,
         # ---- end of 50-entry driver window --------------------------
         # --- tail: r1-record, unchanged ------------------------------
+        "date_math": P.date_math,
         "bucketize": P.bucketize,
         "json_extract": P.json_extract,
         "text_stats": T.text_stats,
@@ -192,6 +193,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_literals()
+    # the star-rewrite CC produces labels identical to the fix-point
+    # loop by construction — same oracle
+    sql["dedup_components_star"] = sql["dedup_components"]
+    return sql
+
+
+def _oracle_sql_literals() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -61,6 +61,58 @@ def test_connected_components_converges_on_chain(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7}
 
 
+def test_star_cc_matches_fixpoint_on_skewed_graph(spark):
+    """Skewed star (hub 10 with 30 spokes) + a chain grafted onto one
+    spoke + isolated nodes: the alternating-star labels must equal the
+    fix-point labels node-for-node."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    star = [(10, s) for s in range(11, 41)]  # hub + 30 spokes
+    chain = [(40 + i, 41 + i) for i in range(6)]  # grafted at node 40
+    cross = [(5, 10)]  # drags the hub component's min below the hub
+    und = star + chain + cross
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(5, 50)], ["doc_id"]
+    )
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    fix = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    star_labels = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert star_labels == fix
+    # the whole star+chain collapses to min id 5; untouched ids isolate
+    assert star_labels[46] == 5 and star_labels[10] == 5
+    assert star_labels[6] == 6
+
+
+def test_star_cc_logarithmic_rounds_on_long_chain(spark):
+    """A 32-node chain: label propagation needs 31 rounds (one hop per
+    round); the star rewrite halves path lengths, so it must converge
+    in far fewer — the measurable O(log n) claim."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        _alternating_star_cc,
+    )
+
+    n = 32
+    chain = [(i, i + 1) for i in range(n - 1)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], ["src", "dst"]
+    )
+    labels, rounds = _alternating_star_cc(nodes, edges)
+    assert {r["component"] for r in labels.collect()} == {0}
+    assert rounds <= 8, f"expected O(log n) rounds, got {rounds}"
+
+
 def test_jaccard_df_cap_drops_stop_shingles(spark):
     """Docs that only share a corpus-wide boilerplate phrase must NOT
     pair up once the shingle's document frequency exceeds the cap —
