@@ -3,11 +3,15 @@ opaque binary columns + typed metadata, with decode / feature-extract /
 resize / frame-sample as Arrow-batched mapInPandas stages.
 
 The Spark side — schema, partitioning, UDF signatures, batch shapes —
-is real and tested. The codec itself is STUBBED: this container ships
-no image/audio libraries, so `decode_image_batch(real_decode=True)`
-raises NotImplementedError, and the default path produces a
-deterministic fake feature vector derived from the bytes (stable
-across engines and runs, so downstream plumbing is testable).
+is real and tested. The codec seam has two real pure-Python decoders
+for uncompressed containers — PPM (P6 binary / P3 ascii) images and
+RIFF/WAV PCM audio — dispatched on payload magic bytes;
+`real_decode=True` only raises NotImplementedError for formats that
+genuinely need external libraries (JPEG/PNG/MP3/...; PIL/torchaudio
+would slot into `_real_decode` unchanged). The default path produces
+a deterministic fake feature vector derived from the bytes (stable
+across engines and runs) so oracle-paired queries stay engine-neutral
+on the synthetic corpus, whose payloads are text bytes, not media.
 
 At 100 TB: binary payloads dominate row size → keep them in their own
 column family (parquet stores columns independently), repartition by
@@ -62,6 +66,132 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+def _pad16(vals: list[float]) -> list[float]:
+    return ([float(v) for v in vals] + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
+def _decode_ppm(payload: bytes) -> list[float]:
+    """Pure-Python PPM decoder (P6 binary and P3 ascii): header parse
+    honoring '#' comments, then per-channel pixel statistics.
+
+    Feature layout (16 floats): [1=image tag, width, height, maxval,
+    mean_r, mean_g, mean_b, min_lum, max_lum, mean_lum, n_pixels,
+    0...]. Channel means are normalized to [0,1] by maxval."""
+    import numpy as np
+
+    # tokenize the header: magic, width, height, maxval; comments run
+    # '#' to end-of-line and may appear between any tokens
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.find(b"\n", i)
+            if i < 0:
+                raise ValueError("PPM: unterminated comment")
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 4:
+        raise ValueError("PPM: truncated header")
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if w <= 0 or h <= 0 or maxval <= 0:
+        raise ValueError("PPM: bad dimensions")
+    n = w * h
+    if magic == b"P6":
+        # exactly ONE whitespace byte separates maxval from pixel data
+        if maxval > 255:
+            raise ValueError("PPM: 16-bit P6 unsupported")
+        raw = payload[i + 1 : i + 1 + 3 * n]
+        if len(raw) < 3 * n:
+            raise ValueError("PPM: truncated pixel data")
+        px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+    elif magic == b"P3":
+        vals = payload[i:].split()
+        if len(vals) < 3 * n:
+            raise ValueError("PPM: truncated pixel data")
+        px = np.array([int(v) for v in vals[: 3 * n]], dtype=np.float64)
+    else:
+        raise ValueError(f"PPM: unknown magic {magic!r}")
+    rgb = px.reshape(n, 3) / maxval
+    lum = rgb @ np.array([0.299, 0.587, 0.114])
+    means = rgb.mean(axis=0)
+    return _pad16(
+        [1.0, w, h, maxval, means[0], means[1], means[2],
+         lum.min(), lum.max(), lum.mean(), float(n)]
+    )
+
+
+def _decode_wav(payload: bytes) -> list[float]:
+    """Pure-Python RIFF/WAV decoder for PCM (format 1) 8/16/32-bit:
+    chunk walk for fmt + data, then amplitude statistics over samples
+    normalized to [-1, 1].
+
+    Feature layout (16 floats): [2=audio tag, channels, sample_rate,
+    bits, n_frames, duration_s, mean, rms, peak, 0...]."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("WAV: not a RIFF/WAVE container")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1:
+        raise ValueError(f"WAV: compressed format {audio_format} unsupported")
+    if bits == 8:  # unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"WAV: {bits}-bit PCM unsupported")
+    n_frames = len(x) // max(channels, 1)
+    duration_s = n_frames / rate if rate else 0.0
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    return _pad16(
+        [2.0, channels, rate, bits, n_frames, duration_s,
+         float(x.mean()) if len(x) else 0.0, rms,
+         float(np.abs(x).max()) if len(x) else 0.0]
+    )
+
+
+def _real_decode(payload: bytes) -> list[float]:
+    """Magic-byte dispatch to the real decoders; formats needing
+    external codec libraries raise (PIL/torchaudio slot in here)."""
+    p = payload or b""
+    if p[:2] in (b"P6", b"P3"):
+        return _decode_ppm(p)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return _decode_wav(p)
+    raise NotImplementedError(
+        f"no pure-Python decoder for payload magic {p[:4]!r} — "
+        "plug PIL/torchaudio here; the Spark plumbing is complete"
+    )
+
+
 def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode/feature-extract stage over a binary media column.
 
@@ -72,10 +202,7 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
 
     def _decode_one(payload: bytes) -> list[float]:
         if real_decode:
-            raise NotImplementedError(
-                "no image/audio codecs in this environment — "
-                "plug PIL/torchaudio here; the Spark plumbing is complete"
-            )
+            return _real_decode(payload)
         return _fake_features(payload)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

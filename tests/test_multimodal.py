@@ -35,9 +35,70 @@ def test_decode_media_stub_features(spark, media):
     assert by_id[4]["n_bytes"] == 0  # null payload handled
 
 
-def test_decode_real_path_is_explicit_stub(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+def test_decode_real_path_raises_on_unknown_magic(spark, media):
+    # fake-PNG / mp4 payloads have no pure-Python decoder — the
+    # NotImplementedError seam is still explicit for those formats
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
         decode_media(media, real_decode=True).collect()
+
+
+def _tiny_p6() -> bytes:
+    # 2x2: red, green, blue, white — with a header comment
+    return (
+        b"P6\n# tiny test image\n2 2\n255\n"
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    )
+
+
+def _tiny_p3() -> bytes:
+    return b"P3\n2 1\n255\n255 0 0  0 0 255\n"
+
+
+def _tiny_wav() -> bytes:
+    # a REAL wav file via the stdlib writer: mono 16-bit 8kHz square
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = [16384 if i % 8 < 4 else -16384 for i in range(800)]
+        w.writeframes(b"".join(struct.pack("<h", s) for s in frames))
+    return buf.getvalue()
+
+
+def test_real_decode_ppm_and_wav_through_spark(spark):
+    rows = [
+        (1, "image", "image/x-portable-pixmap", _tiny_p6(), (2, 2, None)),
+        (2, "image", "image/x-portable-pixmap", _tiny_p3(), (2, 1, None)),
+        (3, "audio", "audio/wav", _tiny_wav(), (None, None, 100)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_media(df, real_decode=True).collect()}
+    img = out[1]["features"]
+    # [tag, w, h, maxval, mean_r, mean_g, mean_b, ...]
+    assert img[0] == 1.0 and img[1] == 2.0 and img[2] == 2.0 and img[3] == 255.0
+    # each channel: one full pixel + white/4 → mean 0.5
+    assert img[4] == pytest.approx(0.5) and img[5] == pytest.approx(0.5)
+    p3 = out[2]["features"]
+    assert p3[1] == 2.0 and p3[2] == 1.0
+    assert p3[4] == pytest.approx(0.5) and p3[6] == pytest.approx(0.5)
+    wav = out[3]["features"]
+    # [tag, channels, rate, bits, n_frames, duration_s, mean, rms, peak]
+    assert wav[0] == 2.0 and wav[1] == 1.0 and wav[2] == 8000.0
+    assert wav[3] == 16.0 and wav[4] == 800.0
+    assert wav[5] == pytest.approx(0.1)
+    assert wav[7] == pytest.approx(0.5, abs=1e-4)  # square wave RMS = amp
+
+
+def test_ppm_decoder_rejects_truncated():
+    from doeecommerce_datapipeline_spark.multimodal.decode import _decode_ppm
+
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(b"P6\n4 4\n255\n\x00\x01")
 
 
 def test_frame_sample_plan(spark, media):
