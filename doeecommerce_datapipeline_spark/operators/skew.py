@@ -59,6 +59,72 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*phase2)
 
 
+def detect_hot_keys(
+    df: DataFrame, key: str, threshold_frac: float = 0.05, sample_frac: float = 0.1
+) -> list:
+    """Sampled hot-key probe: keys holding > ``threshold_frac`` of a
+    ``sample_frac`` sample. One cheap job over the sample; the result
+    is a tiny driver-side list (there can be at most 1/threshold_frac
+    such keys), which the splitter broadcasts via ``isin``."""
+    sample = df.sample(fraction=sample_frac, seed=42)
+    n = sample.count()
+    if n == 0:
+        return []
+    rows = (
+        sample.groupBy(key)
+        .count()
+        .where(F.col("count") > threshold_frac * n)
+        .select(key)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def salted_shuffle_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Inner join of TWO LARGE sides where the probe side has hot keys
+    — the profile AQE's skew-join split cannot fully fix: AQE splits an
+    oversized SKEWED partition into chunks but must then replicate the
+    matching build partition per chunk, and when the build side's hot
+    key rows are themselves large, or the join followed a
+    user-repartition AQE won't touch, the hot reducer survives.
+
+    Shape: split-and-salt. Hot-key rows on the skewed side get a
+    random salt in [0, n_salts); the other side's hot-key rows are
+    replicated once per salt (only the HOT slice is replicated — the
+    cost is n_salts × |other ∩ hot|, not n_salts × |other|). Both
+    branches are plain shuffle joins (sort-merge at size); their union
+    is exactly the unsalted join. Neither side is broadcast — this is
+    the big⋈big pattern; for a small build side use
+    ``salted_broadcast_left``.
+
+    Semantics-preserving for INNER joins on any data: salting only
+    refines the partitioning of identical-key pairs, it never drops or
+    duplicates a match (each skewed row carries ONE salt; each other-
+    side hot row appears once PER salt, so every (skewed, other) pair
+    meets exactly once).
+    """
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(skewed, key)
+    if not hot_keys:
+        return skewed.join(other, key)
+    is_hot = F.col(key).isin(hot_keys)
+    cold = skewed.where(~is_hot).join(other.where(~is_hot), key)
+    hot_s = skewed.where(is_hot).withColumn(
+        "_salt", (F.rand(seed=7) * n_salts).cast("int")
+    )
+    hot_o = other.where(is_hot).withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    hot = hot_s.join(hot_o, [key, "_salt"]).drop("_salt")
+    return cold.unionByName(hot)
+
+
 def salted_broadcast_left(
     big: DataFrame,
     small: DataFrame,

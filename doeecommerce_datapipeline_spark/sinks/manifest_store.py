@@ -511,6 +511,84 @@ class ManifestTable:
 
         return self._commit_retry(build, extra_meta=extra_meta)
 
+    def upsert_latest_wins(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        ts_col: str,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """Conditional MERGE — Delta's ``WHEN MATCHED AND s.ts > t.ts
+        THEN UPDATE``: an update only lands if it is NEWER than the row
+        it would replace, so late / out-of-order / replayed deliveries
+        can never regress the table. This is the CDC latest-wins merge
+        a streaming upsert needs (plain ``upsert`` is last-BATCH-wins,
+        which clobbers when a stale redelivery arrives after the fresh
+        row — see tests/test_stateful_streaming.py e2e).
+
+        Resolution runs INSIDE the commit loop against the base
+        snapshot: the batch is first reduced to its newest row per key,
+        then unioned with the touched files' rows and re-reduced —
+        newest ``ts_col`` wins, existing row wins ties (idempotent on
+        exact replay). File pruning is identical to ``upsert``.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w_batch = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+        batch = (
+            updates.withColumn("_rn", F.row_number().over(w_batch))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        bounds = batch.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).collect()[0]
+
+        def build(base: int):
+            if base == 0:
+                new = self._write_data(batch)
+                return new, batch.schema.json(), self._stats_for(new)
+            touched = self.candidate_files(
+                [(keys[0], ">=", bounds["lo"]), (keys[0], "<=", bounds["hi"])],
+                version=base,
+            ) if bounds["lo"] is not None else []
+            untouched = [
+                f
+                for f in self._read_manifest(base)["files"]
+                if f not in set(touched)
+            ]
+            if touched:
+                old = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in touched]
+                )
+                # _src: 0 = existing row, 1 = incoming — ties on ts_col
+                # keep the existing row (replay-idempotent)
+                combined = old.withColumn("_src", F.lit(0)).unionByName(
+                    batch.withColumn("_src", F.lit(1))
+                )
+                w = Window.partitionBy(*keys).orderBy(
+                    F.col(ts_col).desc(), F.col("_src").asc()
+                )
+                merged = (
+                    combined.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn", "_src")
+                )
+            else:
+                merged = batch
+            new = self._write_data(merged)
+            return (
+                untouched + new,
+                merged.schema.json(),
+                {
+                    **self._carried_stats(base, untouched),
+                    **self._stats_for(new),
+                },
+            )
+
+        return self._commit_retry(build, extra_meta=extra_meta)
+
     def delete_where(self, condition) -> int:
         """Predicate delete, recomputed against the base snapshot on a
         lost race (same reasoning as upsert)."""

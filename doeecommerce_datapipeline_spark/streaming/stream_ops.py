@@ -141,6 +141,31 @@ def foreach_batch_manifest_upsert(path: str, keys: list[str]):
     return _write
 
 
+def foreach_batch_latest_wins_upsert(path: str, keys: list[str], ts_col: str):
+    """Streaming publisher with LATEST-WINS merge semantics — the one
+    to use when the stream can deliver late or out-of-order versions
+    of a key (CDC feeds, at-least-once sources, backfill overlap).
+
+    ``foreach_batch_manifest_upsert`` is last-batch-wins: a stale
+    redelivery in micro-batch N+1 would overwrite the fresh row batch
+    N wrote. This variant routes every batch through
+    ``ManifestTable.upsert_latest_wins`` — a conditional MERGE that
+    only updates when the incoming row's ``ts_col`` is strictly newer
+    — so the table converges to the batch latest-wins answer no matter
+    how the rows were sliced into micro-batches or reordered across
+    them. Replayed epochs are no-ops (ties keep the existing row).
+    """
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            ManifestTable(batch_df.sparkSession, path).upsert_latest_wins(
+                batch_df, keys, ts_col
+            )
+
+    return _write
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Test harness: drive the streaming graph to completion over the
     currently-available files, results in an in-memory table.

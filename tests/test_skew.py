@@ -57,3 +57,43 @@ def test_salted_broadcast_left_matches_plain(spark):
         for r in salted_broadcast_left(big, small, "k").collect()
     )
     assert plain == salted
+
+
+def test_salted_shuffle_join_matches_plain(spark):
+    """Two large sides, 90%-hot probe key, multiple matching rows per
+    key on the other side (so the join fans out) — the salted big⋈big
+    join must reproduce the plain inner join exactly."""
+    from doeecommerce_datapipeline_spark.operators.skew import (
+        detect_hot_keys,
+        salted_shuffle_join,
+    )
+
+    skewed = _skewed(spark).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    # other side: 3 rows for the hot key, 1-2 for cold keys
+    other = (
+        spark.createDataFrame(
+            [("hot", i) for i in range(3)]
+            + [(f"c{j}", 0) for j in range(50)]
+            + [(f"c{j}", 1) for j in range(0, 50, 2)],
+            "k string, ver int",
+        )
+    )
+    hot = detect_hot_keys(skewed, "k", threshold_frac=0.5)
+    assert hot == ["hot"], f"hot-key probe missed: {hot}"
+
+    plain = sorted(
+        (r["k"], r["rid"], r["ver"]) for r in skewed.join(other, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["rid"], r["ver"])
+        for r in salted_shuffle_join(skewed, other, "k", hot_keys=hot).collect()
+    )
+    assert plain == salted
+    # auto-detect path agrees too
+    auto = sorted(
+        (r["k"], r["rid"], r["ver"])
+        for r in salted_shuffle_join(skewed, other, "k").collect()
+    )
+    assert plain == auto

@@ -44,3 +44,92 @@ def test_stateful_sessions_match_batch(spark, stateful_dir):
     assert not missing, f"online-only sessions: {sorted(missing)[:5]}"
     # and the stream must have closed most sessions (all but ≤1 open per user)
     assert len(online_keys) >= len(batch_keys) - 15
+
+
+def test_late_stream_upsert_matches_batch_latest_wins(spark, tmp_path):
+    """E2E tying the late-data stream fixtures to the ACID sink: the
+    SAME out-of-order micro-batches, driven through both streaming
+    publishers, must show (a) latest-wins converging to the batch
+    answer and (b) last-batch-wins diverging on the stale redelivery —
+    the contract that motivates ``upsert_latest_wins``."""
+    from datetime import datetime, timedelta
+
+    from test_streaming import _stage_batches
+
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_latest_wins_upsert,
+        foreach_batch_manifest_upsert,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ts, val):
+        return (eid, ts, 1, "view", val, "{}")
+
+    batches = [
+        # batch 0: first versions of keys 1 and 2
+        [ev(1, t0, 1.0), ev(2, t0 + timedelta(minutes=10), 1.0)],
+        # batch 1: key 1 updated (newer), key 3 appears
+        [ev(1, t0 + timedelta(hours=1), 2.0), ev(3, t0, 1.0)],
+        # batch 2: STALE redeliveries of 1 and 2 (older ts — must not
+        # clobber), novel-late key 4, fresh update of key 3
+        [
+            ev(1, t0, 9.0),
+            ev(2, t0 + timedelta(minutes=5), 9.0),
+            ev(4, t0, 1.0),
+            ev(3, t0 + timedelta(hours=2), 2.0),
+        ],
+    ]
+    base = str(tmp_path / "late_upsert_in")
+    _stage_batches(spark, base, batches)
+
+    def drive(sink_fn, out_name):
+        q = (
+            read_event_stream(spark, base)
+            .writeStream.foreachBatch(sink_fn)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{out_name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    lw_path = str(tmp_path / "tbl_latest_wins")
+    drive(foreach_batch_latest_wins_upsert(lw_path, ["event_id"], "ts"), "lw")
+
+    lbw_path = str(tmp_path / "tbl_last_batch_wins")
+    drive(foreach_batch_manifest_upsert(lbw_path, ["event_id"]), "lbw")
+
+    # batch latest-wins oracle over ALL input rows, computed in-memory
+    flat = [r for b in batches for r in b]
+    expect = {}
+    for eid, ts, _u, _t, val, _p in flat:
+        if eid not in expect or ts > expect[eid][0]:
+            expect[eid] = (ts, val)
+
+    got = {
+        r["event_id"]: (r["ts"], r["value"])
+        for r in ManifestTable(spark, lw_path).read().collect()
+    }
+    assert got == expect, f"latest-wins diverged from batch answer: {got}"
+
+    # the plain publisher took the stale batch-2 rows — shows WHY the
+    # conditional merge exists (key 1 regressed to the t0 redelivery)
+    naive = {
+        r["event_id"]: (r["ts"], r["value"])
+        for r in ManifestTable(spark, lbw_path).read().collect()
+    }
+    assert naive[1] == (t0, 9.0)
+    assert naive != expect
+
+    # replay idempotency: re-upserting the whole input changes nothing
+    all_rows = spark.createDataFrame(
+        flat, ManifestTable(spark, lw_path).read().schema
+    )
+    ManifestTable(spark, lw_path).upsert_latest_wins(all_rows, ["event_id"], "ts")
+    again = {
+        r["event_id"]: (r["ts"], r["value"])
+        for r in ManifestTable(spark, lw_path).read().collect()
+    }
+    assert again == expect
