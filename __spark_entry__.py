@@ -28,6 +28,7 @@ from doeecommerce_datapipeline_spark.operators import (
     joins as J,
     scd as SCD,
     mllib_lsh as L,
+    pq as PQ,
     projections as P,
     similarity as S,
     textops as T,
@@ -95,6 +96,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": IVF.ivf_topk,  # rows-only; k-means|| style init this round
         "media_decode": M.media_decode,
         "media_frame_sample": M.media_frame_sample,
+        # (c2) new this round — no record yet (cross-doc boilerplate,
+        # OOV quality filter, incremental ingest dedup, PQ-ADC ANN)
+        "boilerplate_fraction": CP.boilerplate_fraction,
+        "oov_ratio": T.oov_ratio,
+        "incremental_dedup_new_docs": D.incremental_dedup_new_docs,
+        "pq_topk": PQ.pq_topk,  # rows-only (trained codebook)
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -507,6 +514,61 @@ def _oracle_sql_literals() -> dict[str, str]:
                    COUNT(*) AS dup_count
             FROM documents
             GROUP BY 1
+        """,
+        "boilerplate_fraction": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), dfs AS (
+                SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN df > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   CAST(SUM(CASE WHEN df > 25 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) AS boiler_frac
+            FROM sh JOIN dfs USING (shingle)
+            GROUP BY 1
+        """,
+        "oov_ratio": """
+            WITH tk AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                    FROM documents
+                ) WHERE token != ''
+            ), vocab AS (
+                SELECT token FROM tk
+                GROUP BY token ORDER BY COUNT(*) DESC, token ASC LIMIT 20
+            )
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS oov_ratio
+            FROM tk t LEFT JOIN vocab v USING (token)
+            GROUP BY 1
+        """,
+        "incremental_dedup_new_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents
+            ), base AS (
+                SELECT DISTINCT fp FROM d WHERE doc_id % 5 != 0
+            ), batch AS (
+                SELECT * FROM d WHERE doc_id % 5 = 0
+            )
+            SELECT MIN(doc_id) AS doc_id, fp
+            FROM batch
+            WHERE fp NOT IN (SELECT fp FROM base)
+            GROUP BY fp
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -423,3 +423,49 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_bigram_frac"),
         (dup_frac > 0.2).alias("repetitive"),
     )
+
+
+BOILERPLATE_DF_CAP = 25
+
+
+def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate signal: the fraction of each doc's
+    distinct 3-gram shingles that are corpus-wide boilerplate (shingle
+    appears in > BOILERPLATE_DF_CAP distinct documents) — the
+    shingle-level analog of CCNet/RefinedWeb line-level dedup, which
+    strips headers, navigation chrome and license blocks repeated
+    across a crawl. (doc_repetition_metrics is the WITHIN-doc signal;
+    this one needs the global shingle document-frequency table.)
+
+    Plan: one shingle explode (per-doc distinct via word_shingles'
+    array_distinct, so count(*) per shingle IS its df), the df table
+    computed and joined back in the same shingle-keyed exchange, then
+    one doc_id agg. At 100 TB the df table is vocabulary-sized
+    (≪ corpus) and both aggregates are two-phase hash aggs; nothing
+    driver-side.
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(n_part)
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") > BOILERPLATE_DF_CAP, 1).otherwise(0)
+            ).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            (
+                F.col("n_boiler").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )

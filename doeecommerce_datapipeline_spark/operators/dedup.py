@@ -637,3 +637,66 @@ def levenshtein_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+INCR_BATCH_MOD = 5
+
+
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup: a new ingest batch deduplicated against
+    the fingerprints of the already-accepted corpus — the shape every
+    continuously-crawled training corpus needs (full-corpus re-dedup
+    per ingest is O(corpus), this is O(batch) + one semi-join against
+    the fingerprint table).
+
+    The batch is the doc_id % INCR_BATCH_MOD == 0 slice; the base is
+    everything else (a deterministic stand-in for 'previous ingests').
+    A batch doc is kept iff (a) its content fingerprint is absent from
+    the base fingerprint set (broadcast/shuffle anti-join over DISTINCT
+    fingerprints, never doc rows) and (b) it is the first occurrence of
+    that fingerprint WITHIN the batch (min doc_id — the same
+    first-wins rule as exact_dedup_groups). At scale the base
+    fingerprint set lives as its own compact table (see
+    tests/test_dedup.py for the ManifestTable-backed pipeline variant
+    that appends the survivors' fingerprints back).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    is_batch = F.pmod("doc_id", F.lit(INCR_BATCH_MOD)) == 0
+    base_fps = d.where(~is_batch).select("fp").distinct()
+    batch = d.where(is_batch)
+    novel = batch.join(base_fps, "fp", "left_anti")
+    return (
+        novel.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+    )
+
+
+def incremental_dedup_pipeline(
+    spark: SparkSession,
+    batch: DataFrame,
+    fp_table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateful version: dedup ``batch`` against the ACID fingerprint
+    table at ``fp_table_path``, then append the survivors' fingerprints
+    in the same call so the next ingest sees them. Returns the kept
+    rows. First ingest bootstraps the table."""
+    from ..sinks.manifest_store import ManifestTable
+
+    fps = batch.select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    )
+    first_in_batch = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    t = ManifestTable(spark, fp_table_path)
+    try:
+        seen = t.read().select("fp").distinct()
+        kept_ids = first_in_batch.join(seen, "fp", "left_anti")
+    except FileNotFoundError:
+        kept_ids = first_in_batch
+    kept = batch.join(kept_ids.select(id_col), id_col, "left_semi")
+    t.append(kept_ids.select("fp", id_col))
+    return kept

@@ -250,3 +250,52 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+OOV_VOCAB_SIZE = 20
+
+
+def oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary ratio per document: the fraction of token
+    OCCURRENCES outside the corpus's top-OOV_VOCAB_SIZE vocabulary —
+    the classic cheap quality/`weirdness` signal for training-data
+    filtering (high OOV ⇒ garbled text, wrong language, or markup).
+
+    Two passes over one token explode: (1) vocabulary = top-V tokens by
+    corpus term frequency (TakeOrderedAndProject, ties on the token
+    string so the cut is total-ordered), (2) per-doc OOV occurrence
+    count via a broadcast LEFT SEMI-style flag join against the tiny
+    vocab. Totals come from the same aggregate, so docs that are 100%
+    in-vocab still appear with ratio 0. At 100 TB the vocab is V rows —
+    always broadcastable — and the per-doc agg is one exchange.
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(n_part)
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).where(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oov_ratio"),
+        )
+    )

@@ -184,3 +184,34 @@ def test_near_dedup_corpus_keeps_one_canonical_per_cluster(spark, sf_dir):
     assert set(kept) == set(comp.values())
     # cluster sizes partition the corpus
     assert sum(kept.values()) == len(comp)
+
+
+def test_incremental_dedup_pipeline_across_ingests(spark, tmp_path):
+    """Two ingests against the ACID fingerprint table: batch-2 docs
+    whose content arrived in batch 1 are dropped; within-batch dups
+    keep the min id; the fingerprint table accumulates survivors."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        incremental_dedup_pipeline,
+    )
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+
+    fp_path = str(tmp_path / "corpus_fps")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "Alpha  beta GAMMA")],
+        "doc_id long, text string",
+    )
+    kept1 = incremental_dedup_pipeline(spark, b1, fp_path)
+    # 3 normalizes to 1's fingerprint → within-batch dup, min id wins
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+
+    b2 = spark.createDataFrame(
+        [(10, "delta epsilon"), (11, "zeta eta"), (12, "zeta  ETA"), (13, "theta")],
+        "doc_id long, text string",
+    )
+    kept2 = incremental_dedup_pipeline(spark, b2, fp_path)
+    # 10 duplicates batch-1 content; 12 duplicates 11 within-batch
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11, 13]
+
+    fps = ManifestTable(spark, fp_path).read()
+    assert fps.count() == 4  # 1, 2, 11, 13
+    assert fps.select("fp").distinct().count() == 4
