@@ -446,21 +446,33 @@ def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_part = spark.sparkContext.defaultParallelism
     d = table(spark, sf_dir, "documents").repartition(n_part)
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    return boilerplate_metrics(d, "doc_id", "text")
+
+
+def boilerplate_metrics(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    df_cap: int = BOILERPLATE_DF_CAP,
+) -> DataFrame:
+    """Core of boilerplate_fraction over any document frame (shared by
+    the registry query and the corpus-prep pipeline stage)."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col))).alias("shingle"),
     )
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df_tab, "shingle")
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("df") > BOILERPLATE_DF_CAP, 1).otherwise(0)
-            ).cast("long").alias("n_boiler"),
+            F.sum(F.when(F.col("df") > df_cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
         )
         .select(
-            "doc_id",
+            id_col,
             "n_shingles",
             "n_boiler",
             (

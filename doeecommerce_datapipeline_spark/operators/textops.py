@@ -271,19 +271,31 @@ def oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_part = spark.sparkContext.defaultParallelism
     d = table(spark, sf_dir, "documents").repartition(n_part)
-    toks = d.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    return oov_metrics(d, "doc_id", "text")
+
+
+def oov_metrics(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = OOV_VOCAB_SIZE,
+) -> DataFrame:
+    """Core of oov_ratio over any document frame (shared by the
+    registry query and the corpus-prep pipeline stage)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     ).where(F.col("token") != "")
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy(F.desc("tf"), F.asc("token"))
-        .limit(OOV_VOCAB_SIZE)
+        .limit(vocab_size)
         .select("token", F.lit(1).alias("_inv"))
     )
     return (
         toks.join(F.broadcast(vocab), "token", "left")
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
@@ -291,7 +303,7 @@ def oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oov"),
         )
         .select(
-            "doc_id",
+            id_col,
             "n_tokens",
             "n_oov",
             (

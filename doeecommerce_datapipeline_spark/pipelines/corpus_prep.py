@@ -51,6 +51,8 @@ def prepare_corpus(
     registry query). Returns the stage DataFrames:
 
     - ``quality``: docs surviving the Gopher-style rules
+    - ``filtered``: survivors of the corpus-level filters (boilerplate
+      shingle fraction, OOV ratio — computed over the quality set)
     - ``deduped``: one canonical doc per exact-content fingerprint
     - ``clean``: decontaminated survivors
     - ``split``: clean docs with train/val/test assignment
@@ -69,10 +71,31 @@ def prepare_corpus(
         verdicts.where(F.col("keep")).select("doc_id"), "doc_id"
     ).localCheckpoint()
 
+    # 1b. corpus-level quality: drop boilerplate-heavy docs (cross-doc
+    # shingle df) and high-OOV docs (corpus-vocabulary coverage) via
+    # the shared metric operators. Both metrics are computed over the
+    # quality survivors so the df/vocab tables reflect the corpus that
+    # actually ships.
+    from ..operators.corpus import boilerplate_metrics
+    from ..operators.textops import oov_metrics
+
+    boiler = boilerplate_metrics(quality, "doc_id", "text")
+    oov = oov_metrics(quality, "doc_id", "text")
+    filtered = (
+        quality.join(
+            boiler.where(F.col("boiler_frac") <= 0.5).select("doc_id"),
+            "doc_id",
+        )
+        .join(
+            oov.where(F.col("oov_ratio") <= 0.6).select("doc_id"), "doc_id"
+        )
+        .localCheckpoint()
+    )
+
     # 2. exact dedup: min doc_id wins per content fingerprint — one
     # shuffle on the fingerprint, min_by avoids a ranking window
     deduped = (
-        quality.select(
+        filtered.select(
             "doc_id", "source", "text", fingerprint("text").alias("fp")
         )
         .groupBy("fp")
@@ -108,6 +131,7 @@ def prepare_corpus(
         [
             ("0_input", corpus.count()),
             ("1_quality", quality.count()),
+            ("1b_corpus_quality", filtered.count()),
             ("2_exact_dedup", deduped.count()),
             ("3_decontaminated", clean.count()),
             ("4_split", split.count()),
@@ -117,6 +141,7 @@ def prepare_corpus(
     )
     return {
         "quality": quality,
+        "filtered": filtered,
         "deduped": deduped,
         "clean": clean,
         "split": split,

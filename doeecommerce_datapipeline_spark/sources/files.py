@@ -1,0 +1,98 @@
+"""File-format sources beyond parquet: CSV and JSON-lines with
+schema-on-read and corrupt-record QUARANTINE.
+
+Reference analog: the reference ingests REST JSON and DB tables only
+(ingestion/ingestion_util.py, scripts/run_pipeline.py:227-240); raw
+CSV/JSONL drops are the other ubiquitous landing-zone format, and the
+production requirement is that a malformed row never kills the job
+AND never silently disappears — it lands in a quarantine output with
+the raw line preserved (the same contract as quality/validators.py's
+predicate quarantine, applied at parse time).
+
+Implementation: Spark's PERMISSIVE parse mode with an explicit
+``columnNameOfCorruptRecord`` — malformed rows surface as NULLs plus
+the raw text in the corrupt column, split into (good, quarantined)
+DataFrames. Schema is REQUIRED: schema inference is a full extra pass
+over 100 TB and nondeterministic under sampling; landing-zone
+contracts are declared, not guessed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_field(schema: T.StructType) -> T.StructType:
+    """PERMISSIVE mode needs the corrupt column present in the schema."""
+    if CORRUPT_COL in schema.names:
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan → (good, quarantined).
+
+    good: rows that parsed clean, corrupt column dropped.
+    quarantined: the raw malformed line (one string column) for
+    replay/debug — rows where ANY field failed to parse.
+
+    The split is two filters over ONE cached parse plan; Spark pushes
+    the schema into the scan so good rows never materialize the raw
+    line. Multiline quoting, custom delimiters etc. pass through via
+    **options.
+    """
+    full = _with_corrupt_field(schema)
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .options(**options)
+        .csv(path)
+    )
+    # caching the parsed frame keeps the two filters one parse pass;
+    # at scale this is a persist on the (columnar) parsed batches
+    df = df.cache()
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_record")
+    )
+    return good, bad
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines scan → (good, quarantined); same contract as
+    ``read_csv_quarantine``. A line that is not valid JSON, or whose
+    fields can't coerce to the declared schema, quarantines with the
+    raw line intact."""
+    full = _with_corrupt_field(schema)
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .options(**options)
+        .json(path)
+    )
+    df = df.cache()
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_record")
+    )
+    return good, bad

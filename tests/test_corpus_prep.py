@@ -24,7 +24,8 @@ def test_funnel_monotonic_and_reconciles(spark, stages):
     rows = {r["stage"]: r["n_docs"] for r in stages["funnel"].collect()}
     order = sorted(rows)
     # each stage can only drop documents, until packing which is 1:1
-    assert rows["0_input"] >= rows["1_quality"] >= rows["2_exact_dedup"]
+    assert rows["0_input"] >= rows["1_quality"] >= rows["1b_corpus_quality"]
+    assert rows["1b_corpus_quality"] >= rows["2_exact_dedup"]
     assert rows["2_exact_dedup"] >= rows["3_decontaminated"]
     assert rows["3_decontaminated"] == rows["4_split"] == rows["5_packed"]
     assert rows["5_packed"] > 0
