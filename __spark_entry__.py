@@ -101,7 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_fraction": CP.boilerplate_fraction,
         "oov_ratio": T.oov_ratio,
         "incremental_dedup_new_docs": D.incremental_dedup_new_docs,
+        "temperature_mix_weights": CP.temperature_mix_weights,
         "pq_topk": PQ.pq_topk,  # rows-only (trained codebook)
+        "bpe_merges": T.bpe_merges,  # rows-only (iterative driver probe)
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -554,6 +556,20 @@ def _oracle_sql_literals() -> dict[str, str]:
                         AS DOUBLE) / COUNT(*) AS oov_ratio
             FROM tk t LEFT JOIN vocab v USING (token)
             GROUP BY 1
+        """,
+        "temperature_mix_weights": """
+            WITH c AS (
+                SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+            ), w AS (
+                SELECT source, n_docs,
+                       CAST(ROUND(SQRT(n_docs), 6) AS DECIMAL(18,6)) AS wq
+                FROM c
+            )
+            SELECT source, n_docs,
+                   CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS weight,
+                   CAST(FLOOR(CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE)
+                              * 10000) AS BIGINT) AS expected_docs
+            FROM w
         """,
         "incremental_dedup_new_docs": """
             WITH d AS (

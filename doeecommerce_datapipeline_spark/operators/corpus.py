@@ -481,3 +481,43 @@ def boilerplate_metrics(
             ).alias("boiler_frac"),
         )
     )
+
+
+MIX_BUDGET = 10_000
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (UNIMAX / multilingual-T5
+    style): per-source sampling weight ∝ n_docs^0.5, i.e. up-weight
+    small sources, and the doc budget each source gets under a fixed
+    total. Drives source_mix_sample's per-source rates from corpus
+    statistics instead of hand-set constants.
+
+    Determinism at the oracle boundary: sqrt(bigint) is IEEE
+    exact-rounded (bit-identical across engines), but the DENOMINATOR
+    is a float sum whose order Spark doesn't fix — so each summand is
+    quantized to DECIMAL(18,6) first (the repo's exact-decimal-sum
+    rule; a .5e-6 rounding tie on an irrational sqrt is measure-zero)
+    and the decimal total is exact and order-free. Budget allocation
+    uses FLOOR, which has one definition everywhere (ROUND half-up vs
+    half-even differs between engines).
+
+    One hash agg over the corpus; everything after runs on the
+    source-cardinality table (broadcast total).
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "_wq", F.round(F.sqrt("n_docs"), 6).cast("decimal(18,6)")
+    )
+    total = w.agg(F.sum("_wq").alias("_tot"))
+    weight = F.col("_wq").cast("double") / F.col("_tot").cast("double")
+    return (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            weight.alias("weight"),
+            F.floor(weight * MIX_BUDGET).cast("long").alias("expected_docs"),
+        )
+    )

@@ -311,3 +311,103 @@ def oov_metrics(
             ).alias("oov_ratio"),
         )
     )
+
+
+BPE_N_MERGES = 8
+
+
+def bpe_merge_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = BPE_N_MERGES,
+) -> DataFrame:
+    """Byte-pair-encoding merge induction — the tokenizer-training
+    primitive: learn the top-``n_merges`` character-pair merges from
+    corpus word frequencies. Returns (rank, left, right, merged,
+    pair_count), fully deterministic (integer counts; ties break on
+    (left, right) lexicographically).
+
+    Scale shape: the ONLY corpus-scale pass is the word-frequency
+    aggregate — everything after runs on the distinct-word table
+    (vocabulary-sized, ≪ corpus; the classic BPE trainer optimization).
+    Each merge round is one weighted pair-count aggregate over that
+    table (explode of adjacent symbol pairs, two-phase hash agg), a
+    1-row driver decision (exactly like connected_components' fix-point
+    probe), and one codegen'd fold that rewrites the symbol arrays
+    left-to-right (F.aggregate — leftmost-first application, the
+    standard BPE tie rule). The word table is localCheckpointed per
+    round so plans stay flat.
+    """
+    spark = docs.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    words = (
+        docs.repartition(n_part)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split(F.col("w"), "").alias("syms"), "freq")
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("left"), b.alias("right")
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(
+                F.desc("pair_count"), F.asc("left"), F.asc("right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rank, a, b, a + b, cnt))
+        la, lb = F.lit(a), F.lit(b)
+        words = words.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (s == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(la, lb)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+
+    return docs.sparkSession.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry shape: learn BPE_N_MERGES merges over the documents
+    corpus. rows-only check (iterative driver decisions aren't
+    SQL-expressible); tests/test_bpe.py pins the exact merge table on
+    a hand-computable corpus against a reference Python trainer."""
+    return bpe_merge_table(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )

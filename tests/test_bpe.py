@@ -1,0 +1,87 @@
+"""BPE merge induction: the distributed trainer must reproduce the
+classic sequential BPE algorithm exactly (leftmost-first application,
+count-then-lexicographic tie-break)."""
+
+from collections import Counter
+
+from doeecommerce_datapipeline_spark.operators.textops import (
+    bpe_merge_table,
+    bpe_merges,
+)
+
+
+def _ref_bpe(word_freqs: dict[str, int], n: int):
+    """Reference sequential trainer (the textbook algorithm)."""
+    words: dict[tuple, int] = {}
+    for w, f in word_freqs.items():
+        words[tuple(w)] = words.get(tuple(w), 0) + f
+    merges = []
+    for rank in range(n):
+        pc: Counter = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, cnt))
+        new: dict[tuple, int] = {}
+        for syms, f in words.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        words = new
+    return merges
+
+
+def test_bpe_matches_reference_trainer(spark):
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update(t.split())
+    expect = _ref_bpe(dict(wf), 6)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merge_table(docs, "doc_id", "text", 6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect, f"\ngot:    {got}\nexpect: {expect}"
+
+
+def test_bpe_overlapping_pairs_leftmost_first(spark):
+    """'aaaa'×3: merge 1 must be (a,a) with count 9 (three per word,
+    leftmost-first — NOT 3 overlapping pairs merged), merge 2 (aa,aa)."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_merge_table(docs, "doc_id", "text", 2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("a", "a", 9), ("aa", "aa", 3)]
+
+
+def test_bpe_registry_shape(spark):
+    out = bpe_merges(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 8
+    assert [r["rank"] for r in rows] == list(range(8))
+    # counts must be non-increasing (each merge consumes mass)
+    counts = [r["pair_count"] for r in rows]
+    assert all(c > 0 for c in counts)

@@ -272,3 +272,62 @@ def test_tables_without_bloom_cols_unchanged(spark, mt):
     man = mt._read_manifest(mt.current_version())
     assert all("bloom" not in s for s in man["stats"].values())
     assert len(mt.candidate_files([("id", "==", 1)])) == 1
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, ts long")
+
+
+def test_upsert_latest_wins_semantics(spark, mt):
+    """Stale updates never regress; fresh ones land; within-batch dups
+    reduce to newest; ties keep the existing row (replay no-op)."""
+    mt.append(_tdf(spark, [(1, "v1", 10), (2, "v1", 10)]))
+    mt.upsert_latest_wins(
+        _tdf(
+            spark,
+            [
+                (1, "stale", 5),      # older → must not clobber
+                (2, "fresh", 20),     # newer → lands
+                (3, "dup_old", 7),    # within-batch dup…
+                (3, "dup_new", 9),    # …newest wins
+            ],
+        ),
+        ["id"],
+        "ts",
+    )
+    got = {r["id"]: (r["v"], r["ts"]) for r in mt.read().collect()}
+    assert got == {1: ("v1", 10), 2: ("fresh", 20), 3: ("dup_new", 9)}
+    # exact replay: tie on ts keeps the existing rows — nothing moves
+    mt.upsert_latest_wins(
+        _tdf(spark, [(2, "replay", 20), (3, "replay", 9)]), ["id"], "ts"
+    )
+    again = {r["id"]: (r["v"], r["ts"]) for r in mt.read().collect()}
+    assert again == got
+
+
+def test_latest_wins_merges_concurrent_append(spark, mt, tmp_path, monkeypatch):
+    """Same lost-update guard as plain upsert: a concurrent append
+    committed mid-merge survives, and the conditional semantics still
+    hold against the ADVANCED snapshot."""
+    mt.append(_tdf(spark, [(1, "old", 10)]))
+    competitor = ManifestTable(spark, str(tmp_path / "t"))
+    real = mt._try_commit
+    calls = {"n": 0}
+
+    def flaky(version, files, meta):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # the competitor lands key 5 AND a NEWER version of key 1
+            competitor.append(_tdf(spark, [(5, "concurrent", 1), (1, "newer", 99)]))
+            return False
+        return real(version, files, meta)
+
+    monkeypatch.setattr(mt, "_try_commit", flaky)
+    # our batch carries ts=50 for key 1 — newer than the base snapshot
+    # (10) but OLDER than the competitor's 99; the retry must resolve
+    # against the advanced snapshot and keep 99
+    mt.upsert_latest_wins(_tdf(spark, [(1, "mine", 50), (4, "mine", 50)]), ["id"], "ts")
+    got = {r["id"]: (r["v"], r["ts"]) for r in mt.read().collect()}
+    assert got[5] == ("concurrent", 1)
+    assert got[4] == ("mine", 50)
+    assert got[1] == ("newer", 99), f"lost-update: {got[1]}"
