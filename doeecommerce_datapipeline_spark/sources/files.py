@@ -96,3 +96,58 @@ def read_jsonl_quarantine(
         F.col(CORRUPT_COL).alias("raw_record")
     )
     return good, bad
+
+
+def stream_quarantine_ingest(
+    spark: SparkSession,
+    src_path: str,
+    schema: T.StructType,
+    good_path: str,
+    quarantine_path: str,
+    fmt: str = "csv",
+    header: bool = True,
+    **options,
+):
+    """Streaming landing-zone ingest: watch ``src_path`` for new
+    CSV/JSONL files, split each micro-batch on parse validity, and
+    publish BOTH halves to ACID manifest tables — clean rows append to
+    ``good_path``, malformed raw lines (with the source epoch for
+    replay) to ``quarantine_path``. Returns the foreachBatch writer;
+    callers own the writeStream lifecycle.
+
+    The commit protocol makes the two appends per batch individually
+    atomic and concurrent-writer-safe; quarantine rows carry the epoch
+    so a fixed parser can replay exactly the affected batches.
+    """
+    from ..sinks.manifest_store import ManifestTable
+
+    full = _with_corrupt_field(schema)
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", 1)
+        .options(**options)
+    )
+    if fmt == "csv":
+        stream = reader.option("header", str(header).lower()).csv(src_path)
+    elif fmt == "json":
+        stream = reader.json(src_path)
+    else:
+        raise ValueError(f"unsupported stream format: {fmt}")
+
+    def _write(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        good = batch_df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        bad = batch_df.where(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw_record"),
+            F.lit(epoch_id).alias("epoch"),
+        )
+        if not good.isEmpty():
+            ManifestTable(sess, good_path).append(good)
+        if not bad.isEmpty():
+            ManifestTable(sess, quarantine_path).append(bad)
+
+    return stream, _write

@@ -56,3 +56,44 @@ def test_all_good_yields_empty_quarantine(spark, tmp_path):
     good, bad = read_csv_quarantine(spark, str(p), SCHEMA)
     assert good.count() == 2
     assert bad.count() == 0
+
+
+def test_stream_quarantine_ingest(spark, tmp_path):
+    """Streamed mixed-validity CSV files: clean rows land in the good
+    ACID table, malformed lines in the quarantine table with their
+    epoch, and nothing is lost or duplicated."""
+    import os
+
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+    from doeecommerce_datapipeline_spark.sources.files import (
+        stream_quarantine_ingest,
+    )
+
+    src = tmp_path / "landing"
+    os.makedirs(src)
+    (src / "f0.csv").write_text("id,name,amount\n1,a,1.0\nbad_id,b,2.0\n")
+    (src / "f1.csv").write_text("id,name,amount\n3,c,3.0\n4,d,bad_amount\n")
+
+    good_path = str(tmp_path / "good_tbl")
+    quar_path = str(tmp_path / "quar_tbl")
+    stream, writer = stream_quarantine_ingest(
+        spark, str(src), SCHEMA, good_path, quar_path
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    good = ManifestTable(spark, good_path).read()
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    quar = ManifestTable(spark, quar_path).read().collect()
+    raws = sorted(r["raw_record"] for r in quar)
+    assert len(raws) == 2
+    assert any("bad_id" in r for r in raws)
+    assert any("bad_amount" in r for r in raws)
+    # two source files → quarantine rows span ≥1 epochs, all recorded
+    assert all(r["epoch"] is not None for r in quar)
