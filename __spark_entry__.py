@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_ratio": T.oov_ratio,
         "incremental_dedup_new_docs": D.incremental_dedup_new_docs,
         "temperature_mix_weights": CP.temperature_mix_weights,
+        "value_drift_by_bucket": X.value_drift_by_bucket,
         "pq_topk": PQ.pq_topk,  # rows-only (trained codebook)
         "bpe_merges": T.bpe_merges,  # rows-only (iterative driver probe)
         # (d) round-1-only records — re-check before they go stale
@@ -556,6 +557,39 @@ def _oracle_sql_literals() -> dict[str, str]:
                         AS DOUBLE) / COUNT(*) AS oov_ratio
             FROM tk t LEFT JOIN vocab v USING (token)
             GROUP BY 1
+        """,
+        "value_drift_by_bucket": """
+            WITH e AS (
+                SELECT value, (day(ts) % 2 = 0) AS is_b FROM events
+            ), rng AS (
+                SELECT MIN(value) AS mn, MAX(value) AS mx FROM e
+            ), bucketed AS (
+                SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 20.0))
+                                  AS BIGINT), 19) AS bucket, is_b
+                FROM e, rng
+            ), counts AS (
+                SELECT bucket,
+                       CAST(SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                FROM bucketed GROUP BY 1
+            ), totals AS (
+                SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+                       CAST(SUM(n_b) AS BIGINT) AS tot_b
+                FROM counts
+            )
+            SELECT bucket, n_a, n_b,
+                   CAST(n_a AS DOUBLE) / tot_a AS p_a,
+                   CAST(n_b AS DOUBLE) / tot_b AS p_b,
+                   CASE WHEN CAST(n_a AS DOUBLE) / tot_a
+                             + CAST(n_b AS DOUBLE) / tot_b > 0
+                        THEN (CAST(n_a AS DOUBLE) / tot_a
+                              - CAST(n_b AS DOUBLE) / tot_b)
+                             * (CAST(n_a AS DOUBLE) / tot_a
+                                - CAST(n_b AS DOUBLE) / tot_b)
+                             / (CAST(n_a AS DOUBLE) / tot_a
+                                + CAST(n_b AS DOUBLE) / tot_b)
+                        ELSE 0.0 END AS chi2_contrib
+            FROM counts, totals
         """,
         "temperature_mix_weights": """
             WITH c AS (

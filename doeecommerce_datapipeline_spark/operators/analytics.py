@@ -222,3 +222,59 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(approx, "month").select(
         "month", "exact_users", "approx_users"
     )
+
+
+def value_drift_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: compare the event-value distribution
+    between two cohorts (odd vs even day-of-month — the stand-in for
+    'this ingest vs last ingest') over a fixed 20-bucket equi-width
+    grid, emitting per-bucket counts, proportions and the chi-square
+    contribution (p−q)²/(p+q). The drift STATISTIC is the trivial sum
+    of `chi2_contrib`; emitting per-bucket rows keeps every value a
+    pure rational expression of exact longs — no cross-row float sum,
+    so the oracle hash is bit-stable (and the per-bucket view is what
+    an alerting dashboard actually plots).
+
+    Plan: one scalar MIN/MAX broadcast (shared grid — drift between
+    cohorts must bucket on ONE grid), one conditional-count hash agg
+    over 20 buckets, totals broadcast back. Two scans of a projected
+    single column; scan-bound at any scale. A PSI variant is the same
+    plan with a log term (ln differs by ulps across engines — the
+    chi-square form is the cross-engine-exact choice).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "value", (F.dayofmonth("ts") % 2 == 0).alias("is_b")
+    )
+    rng = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / width), F.lit(19).cast("long")
+    )
+    counts = (
+        e.crossJoin(F.broadcast(rng))
+        .select(bucket.alias("bucket"), "is_b")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+    )
+    p = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
+    q = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            p.alias("p_a"),
+            q.alias("p_b"),
+            F.when(p + q > 0, (p - q) * (p - q) / (p + q))
+            .otherwise(F.lit(0.0))
+            .alias("chi2_contrib"),
+        )
+    )

@@ -70,25 +70,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, jaccard_threshold: float = 0.5
-) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH, verified with
-    the exact signature-estimated Jaccard.
-
-    Plan shape: signatures (narrow) → explode to b band rows → shuffle
-    on (band, band_hash) → bucket-local self-join → estimate filter.
-
-    Signatures are materialized (localCheckpoint) before fan-out:
-    Spark shares no subtrees across a self-join, so without the
-    barrier the whole explode+hash+min pipeline runs once per branch —
-    measured 4 evaluations (both join sides + both verify lookups).
-    At cluster scale the same barrier is a persist/checkpoint of
-    #docs × k longs, tiny next to recomputing the corpus scan.
-    """
-    sigs = minhash_signatures(df, id_col, text_col).localCheckpoint()
+def minhash_band_rows(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Signatures → (id, band, band_hash): one row per LSH band, the
+    unit the bucket join shuffles on (shared by the batch near-dup
+    pairing and the incremental index)."""
     rows_per_band = MINHASH_K // LSH_BANDS
-    band_rows = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -109,6 +96,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with
+    the exact signature-estimated Jaccard.
+
+    Plan shape: signatures (narrow) → explode to b band rows → shuffle
+    on (band, band_hash) → bucket-local self-join → estimate filter.
+
+    Signatures are materialized (localCheckpoint) before fan-out:
+    Spark shares no subtrees across a self-join, so without the
+    barrier the whole explode+hash+min pipeline runs once per branch —
+    measured 4 evaluations (both join sides + both verify lookups).
+    At cluster scale the same barrier is a persist/checkpoint of
+    #docs × k longs, tiny next to recomputing the corpus scan.
+    """
+    sigs = minhash_signatures(df, id_col, text_col).localCheckpoint()
+    band_rows = minhash_band_rows(sigs, id_col)
 
     left = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -699,4 +706,143 @@ def incremental_dedup_pipeline(
         kept_ids = first_in_batch
     kept = batch.join(kept_ids.select(id_col), id_col, "left_semi")
     t.append(kept_ids.select("fp", id_col))
+    return kept
+
+
+def incremental_near_dup_pipeline(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dedup: dedup an ingest batch
+    against a persistent LSH index instead of re-pairing the whole
+    corpus — near-dup ingest at O(batch) cost, the companion of
+    ``incremental_dedup_pipeline`` (which is exact-only).
+
+    The index is two ACID manifest tables under ``index_path``:
+    ``<path>/sigs`` (id, mh_0..mh_k) and ``<path>/bands``
+    (id, band, band_hash). Per ingest:
+
+    1. batch signatures + band rows (one corpus-scale pass, the rest
+       runs on signature-sized data);
+    2. batch→index candidates: band-bucket equi-join against the
+       stored band table — only colliding buckets shuffle, the classic
+       LSH join;
+    3. batch-internal candidates: band self-join (smaller-id wins);
+    4. both candidate sets verify on signature-estimated Jaccard
+       (broadcast signature lookups — candidates ≪ batch);
+    5. survivors' signatures and band rows append to the index in two
+       atomic commits, so the next ingest sees them.
+
+    Returns the kept batch rows. Drop rule: a batch doc is dropped iff
+    it verifies ≥ threshold against ANY indexed doc or against a
+    SMALLER-id batch survivor candidate (first-wins, matching
+    exact_dedup_groups / incremental_dedup_pipeline).
+    """
+    from ..sinks.manifest_store import ManifestTable
+
+    sigs = minhash_signatures(batch, id_col, text_col).localCheckpoint()
+    bands = minhash_band_rows(sigs, id_col)
+    sig_arr = sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{j}") for j in range(MINHASH_K)]).alias("sig"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / MINHASH_K
+    )
+
+    sig_t = ManifestTable(spark, f"{index_path}/sigs")
+    band_t = ManifestTable(spark, f"{index_path}/bands")
+    drop_ids = None
+    try:
+        idx_bands = band_t.read()
+        idx_sigs = sig_t.read().select(
+            F.col(id_col).alias("id_b"),
+            F.array(*[F.col(f"mh_{j}") for j in range(MINHASH_K)]).alias(
+                "sig_b"
+            ),
+        )
+        cand_vs_idx = (
+            bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+            .join(
+                idx_bands.select(
+                    F.col(id_col).alias("id_b"), "band", "band_hash"
+                ),
+                ["band", "band_hash"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        dup_vs_idx = (
+            cand_vs_idx.join(
+                F.broadcast(
+                    sig_arr.select(
+                        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+                    )
+                ),
+                "id_a",
+            )
+            .join(idx_sigs, "id_b")
+            .where(est >= jaccard_threshold)
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        drop_ids = dup_vs_idx
+    except FileNotFoundError:
+        pass  # first ingest bootstraps the index
+
+    # batch-internal near-dups: smaller id wins (checked among docs
+    # NOT already dropped against the index, so a doc can't be saved
+    # by matching an already-dropped one)
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    internal = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(
+            F.broadcast(
+                sig_arr.select(
+                    F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sig_arr.select(
+                    F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+                )
+            ),
+            "id_b",
+        )
+        .where(est >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    if drop_ids is not None:
+        # a pair's keeper must itself survive the index check
+        internal = internal.join(
+            drop_ids.select(F.col(id_col).alias("id_a")), "id_a", "left_anti"
+        )
+    internal_drops = internal.select(F.col("id_b").alias(id_col)).distinct()
+    all_drops = (
+        internal_drops
+        if drop_ids is None
+        else drop_ids.unionByName(internal_drops).distinct()
+    ).localCheckpoint()
+
+    kept = batch.join(all_drops, id_col, "left_anti")
+    kept_sigs = sigs.join(all_drops, id_col, "left_anti")
+    sig_t.append(kept_sigs)
+    band_t.append(minhash_band_rows(kept_sigs, id_col))
     return kept

@@ -215,3 +215,53 @@ def test_incremental_dedup_pipeline_across_ingests(spark, tmp_path):
     fps = ManifestTable(spark, fp_path).read()
     assert fps.count() == 4  # 1, 2, 11, 13
     assert fps.select("fp").distinct().count() == 4
+
+
+def test_incremental_near_dup_pipeline_across_ingests(spark, tmp_path):
+    """Near-dup index across two ingests: batch-2 docs near-duplicating
+    batch-1 content are dropped via the stored band table; within-batch
+    near-dups keep the smaller id; novel docs survive and extend the
+    index."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        incremental_near_dup_pipeline,
+    )
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carry heavy wooden crates across the shallow "
+        "river during a long summer afternoon near the old mill"
+    )
+    other = (
+        "completely different content about distributed query engines "
+        "optimizing shuffle partitions and broadcast joins under heavy "
+        "skew with adaptive execution and columnar parquet scans"
+    )
+    idx = str(tmp_path / "lsh_index")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    kept1 = incremental_near_dup_pipeline(spark, b1, idx)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+
+    near_base = base.replace("mill", "barn")  # 1 token changed
+    near_base2 = base.replace("summer", "winter")
+    novel = (
+        "a third unrelated passage describing byzantine consensus "
+        "protocols with quorum intersection leader election and log "
+        "replication across partitioned replicas in five data centers"
+    )
+    novel_near = novel.replace("five", "nine")
+    b2 = spark.createDataFrame(
+        [(10, near_base), (11, novel), (12, novel_near), (13, near_base2)],
+        "doc_id long, text string",
+    )
+    kept2 = incremental_near_dup_pipeline(spark, b2, idx)
+    # 10, 13 near-dup batch-1's doc 1 via the index; 12 near-dups 11
+    # within the batch (11 wins)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+
+    sigs = ManifestTable(spark, idx + "/sigs").read()
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 2, 11]
+    bands = ManifestTable(spark, idx + "/bands").read()
+    assert bands.select("doc_id").distinct().count() == 3
