@@ -259,14 +259,19 @@ def value_drift_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_b"),
         )
     )
-    totals = counts.agg(
-        F.sum("n_a").cast("long").alias("tot_a"),
-        F.sum("n_b").cast("long").alias("tot_b"),
-    )
+    # totals via an unpartitioned window over the 20-row bucket table:
+    # a separate agg + crossJoin would re-evaluate the whole fact scan
+    # in the totals branch (no shared subtrees) — the window keeps the
+    # plan ONE fact scan; 20 rows in a single window partition is free.
+    # Integer sums, so window order is irrelevant.
+    from pyspark.sql import Window as _W
+
+    w_all = _W.partitionBy()
     p = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
     q = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
     return (
-        counts.crossJoin(F.broadcast(totals))
+        counts.withColumn("tot_a", F.sum("n_a").over(w_all).cast("long"))
+        .withColumn("tot_b", F.sum("n_b").over(w_all).cast("long"))
         .select(
             "bucket",
             "n_a",

@@ -456,14 +456,21 @@ def boilerplate_metrics(
     df_cap: int = BOILERPLATE_DF_CAP,
 ) -> DataFrame:
     """Core of boilerplate_fraction over any document frame (shared by
-    the registry query and the corpus-prep pipeline stage)."""
+    the registry query and the corpus-prep pipeline stage).
+
+    df comes from an unordered COUNT window over the shingle rows, not
+    a groupBy+join-back: Spark shares no non-exchange subtrees, so the
+    join form evaluates the shingle explode TWICE (the tfidf_topk
+    lesson — measured two Generate nodes); the window form reads the
+    exploded rows once and reuses the shingle exchange."""
     sh = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col))).alias("shingle"),
     )
-    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
-        sh.join(df_tab, "shingle")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -510,10 +517,14 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = counts.withColumn(
         "_wq", F.round(F.sqrt("n_docs"), 6).cast("decimal(18,6)")
     )
-    total = w.agg(F.sum("_wq").alias("_tot"))
-    weight = F.col("_wq").cast("double") / F.col("_tot").cast("double")
+    # denominator via an unpartitioned window over the source-
+    # cardinality table (a separate agg + crossJoin re-evaluates the
+    # corpus scan in the total's branch); decimal sum → order-free
+    weight = F.col("_wq").cast("double") / F.sum("_wq").over(
+        Window.partitionBy()
+    ).cast("double")
     return (
-        w.crossJoin(F.broadcast(total))
+        w
         .select(
             "source",
             "n_docs",

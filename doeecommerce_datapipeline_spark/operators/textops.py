@@ -281,24 +281,37 @@ def oov_metrics(
     vocab_size: int = OOV_VOCAB_SIZE,
 ) -> DataFrame:
     """Core of oov_ratio over any document frame (shared by the
-    registry query and the corpus-prep pipeline stage)."""
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
-    ).where(F.col("token") != "")
+    registry query and the corpus-prep pipeline stage).
+
+    The token explode runs ONCE: it collapses straight to the
+    (doc, token) count grain, which is localCheckpointed so the vocab
+    branch and the per-doc branch don't each re-evaluate the explode
+    (no shared subtrees across join branches — the minhash barrier
+    pattern; the checkpointed grain is tokens-per-doc-distinct sized,
+    ≪ the exploded stream)."""
+    tf_doc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        tf_doc.groupBy("token")
+        .agg(F.sum("c").alias("tf"))
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(vocab_size)
         .select("token", F.lit(1).alias("_inv"))
     )
     return (
-        toks.join(F.broadcast(vocab), "token", "left")
+        tf_doc.join(F.broadcast(vocab), "token", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_oov"),
         )

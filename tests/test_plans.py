@@ -212,3 +212,36 @@ def test_gapfill_pushes_priority_filter(spark, sf_dir):
     pushed = [l for l in p.splitlines() if "PushedFilters" in l and "o_orderpriority" in l]
     assert pushed, "o_orderpriority filter did not reach the scan"
     assert "Window" in p
+
+
+def test_boilerplate_fraction_single_explode(spark, sf_dir):
+    """The shingle df must come from a window over the exploded rows —
+    a groupBy+join-back formulation re-evaluates the explode (two
+    Generate nodes), doubling the corpus-scale work."""
+    p = _plan(spark, sf_dir, "boilerplate_fraction")
+    # formatted explain mentions each node twice (tree + details):
+    # 2 occurrences == ONE Generate node
+    assert p.count("Generate") == 2
+    assert "Window" in p
+
+
+def test_value_drift_single_fact_agg(spark, sf_dir):
+    """Both cohorts count in ONE conditional hash agg over the shared
+    grid — not one scan per cohort; the range and totals attach as
+    broadcast single-row builds."""
+    p = _plan(spark, sf_dir, "value_drift_by_bucket")
+    # ONE join node (the rng attach; ×2 formatted mentions); TWO event
+    # scans (min/max pass + bucket pass — the histogram shape), NOT a
+    # third for totals: those come from a window over the bucket table
+    assert p.count("BroadcastNestedLoopJoin") == 2
+    assert p.count("Scan parquet") == 4
+    assert "SortMergeJoin" not in p
+
+
+def test_temperature_mix_single_corpus_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "temperature_mix_weights")
+    # ONE corpus scan (×2 formatted mentions): the weight denominator
+    # is a window over the source-cardinality table, never a second
+    # aggregate branch re-reading documents
+    assert p.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in p
