@@ -128,13 +128,10 @@ def _decode_ppm(payload: bytes) -> list[float]:
     )
 
 
-def _decode_wav(payload: bytes) -> list[float]:
-    """Pure-Python RIFF/WAV decoder for PCM (format 1) 8/16/32-bit:
-    chunk walk for fmt + data, then amplitude statistics over samples
-    normalized to [-1, 1].
-
-    Feature layout (16 floats): [2=audio tag, channels, sample_rate,
-    bits, n_frames, duration_s, mean, rms, peak, 0...]."""
+def _wav_samples(payload: bytes):
+    """RIFF chunk walk + PCM sample normalization to [-1, 1]; returns
+    (samples ndarray, channels, rate, bits). Shared by the summary
+    decoder and the windowed-energy fan-out."""
     import struct
 
     import numpy as np
@@ -168,6 +165,19 @@ def _decode_wav(payload: bytes) -> list[float]:
         x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
     else:
         raise ValueError(f"WAV: {bits}-bit PCM unsupported")
+    return x, channels, rate, bits
+
+
+def _decode_wav(payload: bytes) -> list[float]:
+    """Pure-Python RIFF/WAV decoder for PCM (format 1) 8/16/32-bit:
+    chunk walk for fmt + data, then amplitude statistics over samples
+    normalized to [-1, 1].
+
+    Feature layout (16 floats): [2=audio tag, channels, sample_rate,
+    bits, n_frames, duration_s, mean, rms, peak, 0...]."""
+    import numpy as np
+
+    x, channels, rate, bits = _wav_samples(payload)
     n_frames = len(x) // max(channels, 1)
     duration_s = n_frames / rate if rate else 0.0
     rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
@@ -255,4 +265,67 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 )
             ).alias("sample_at_ms"),
         )
+    )
+
+
+AUDIO_WINDOW_MS = 250
+SILENCE_RMS = 0.01
+
+AUDIO_WINDOWS_SCHEMA = (
+    "media_id long, window_idx long, t_start_s double, n_samples long, "
+    "rms double, peak double, is_silence boolean"
+)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    window_ms: int = AUDIO_WINDOW_MS,
+    silence_rms: float = SILENCE_RMS,
+) -> DataFrame:
+    """Windowed audio analysis over WAV payloads: REAL per-window RMS
+    energy + peak + silence flag — the segmentation primitive an
+    ASR/audio training pipeline runs first (split on silence, drop
+    dead air). One media row fans out to duration/window rows.
+
+    mapInPandas fan-out: each Arrow batch of (media_id, payload)
+    yields window rows computed by numpy over the decoded sample
+    array (channels are energy-pooled — interleaved frames reshape to
+    (frames, channels) and the window statistic runs over all
+    channels). A non-WAV or corrupt payload contributes zero rows
+    instead of failing the stage (quarantine-style skip; the summary
+    decoder is where strictness lives)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "window_idx": [], "t_start_s": [],
+                "n_samples": [], "rms": [], "peak": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    x, channels, rate, _bits = _wav_samples(payload or b"")
+                except ValueError:
+                    continue
+                if rate == 0 or len(x) == 0:
+                    continue
+                ch = max(channels, 1)
+                frames = x[: (len(x) // ch) * ch].reshape(-1, ch)
+                win = max(1, int(rate * window_ms / 1000))
+                for w_idx in range(0, (len(frames) + win - 1) // win):
+                    seg = frames[w_idx * win : (w_idx + 1) * win].ravel()
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(w_idx)
+                    out["t_start_s"].append(w_idx * win / rate)
+                    out["n_samples"].append(len(seg))
+                    out["rms"].append(float(np.sqrt((seg * seg).mean())))
+                    out["peak"].append(float(np.abs(seg).max()))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["is_silence"] = pdf_out["rms"] < silence_rms
+            yield pdf_out
+
+    ensure_shipped(df.sparkSession)
+    return df.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_WINDOWS_SCHEMA
     )

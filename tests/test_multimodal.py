@@ -164,3 +164,49 @@ def test_media_frame_sample_bounds(spark, sf_dir):
     assert set(counts) == set(durations)
     for mid, d in durations.items():
         assert counts[mid] == d // 1000 + 1
+
+
+def _segmented_wav(rate=1000, silence_s=0.5, tone_s=0.5) -> bytes:
+    """Mono 16-bit WAV: silence_s of zeros then tone_s of full-scale
+    alternating square wave (rms ≈ 1.0)."""
+    import io
+    import struct
+    import wave
+
+    n_sil = int(rate * silence_s)
+    n_tone = int(rate * tone_s)
+    frames = [0] * n_sil + [
+        32767 if i % 2 == 0 else -32767 for i in range(n_tone)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(frames)}h", *frames))
+    return buf.getvalue()
+
+
+def test_audio_window_energy_segments_silence(spark):
+    """Real DSP through the fan-out stage: 0.5 s silence + 0.5 s
+    full-scale square at 1 kHz, 250 ms windows → 4 windows, first two
+    silent, last two loud; a corrupt payload contributes zero rows."""
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        audio_window_energy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _segmented_wav()), (2, b"not a wav at all")],
+        "media_id long, payload binary",
+    )
+    rows = sorted(
+        audio_window_energy(df, window_ms=250).collect(),
+        key=lambda r: (r["media_id"], r["window_idx"]),
+    )
+    assert [r["media_id"] for r in rows] == [1, 1, 1, 1]
+    assert [r["window_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_samples"] for r in rows] == [250] * 4
+    assert [r["is_silence"] for r in rows] == [True, True, False, False]
+    assert rows[0]["rms"] == 0.0 and rows[3]["rms"] > 0.99
+    assert abs(rows[2]["t_start_s"] - 0.5) < 1e-9
+    assert rows[3]["peak"] > 0.99
