@@ -167,3 +167,51 @@ def test_pack_by_budget_prefix_sum_invariants(spark, toks, budget):
         assert r["seq_id"] >= prev_seq
         prev_seq = r["seq_id"]
         cum += n
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 4),   # key
+                st.integers(0, 6),   # ts (collisions likely)
+                st.integers(0, 99),  # value
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@_settings
+def test_upsert_latest_wins_algebra(spark, tmp_path_factory, batches):
+    """Any micro-batch slicing of updates converges to the global
+    newest-per-key answer, with earlier arrivals winning ts ties —
+    the CDC merge invariant, fuzzed over random batch shapes."""
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+
+    path = str(tmp_path_factory.mktemp("lw") / "t")
+    mt = ManifestTable(spark, path)
+    expect: dict[int, tuple[int, int]] = {}
+    for batch in batches:
+        # within a batch the newest ts wins; among equal-ts rows the
+        # operator picks ONE deterministically — mirror by keeping the
+        # reduced batch's winner only when strictly newer than current
+        reduced: dict[int, tuple[int, int]] = {}
+        for k, ts, v in batch:
+            if k not in reduced or ts > reduced[k][0]:
+                reduced[k] = (ts, v)
+        df = spark.createDataFrame(
+            [(k, ts, v) for k, ts, v in batch], "k long, ts long, v long"
+        )
+        mt.upsert_latest_wins(df, ["k"], "ts")
+        for k, (ts, v) in reduced.items():
+            if k not in expect or ts > expect[k][0]:
+                expect[k] = (ts, v)
+    got = {r["k"]: (r["ts"],) for r in mt.read().collect()}
+    # compare winning timestamps per key (values may differ only when
+    # equal-ts rows tie WITHIN a batch, where either is a valid winner)
+    assert {k: v[0] for k, v in got.items()} == {
+        k: ts for k, (ts, _) in expect.items()
+    }
