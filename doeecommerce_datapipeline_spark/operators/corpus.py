@@ -532,3 +532,55 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(weight * MIX_BUDGET).cast("long").alias("expected_docs"),
         )
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    partition_cols: list[str],
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """The EXPORT step after pack_by_budget: build the actual training
+    sequences — per (shard, seq_id), member docs concatenate in offset
+    order into one text row (seq-boundary-straddling docs stay whole:
+    the chunk-then-pack convention, so a sequence can exceed `budget`
+    by at most one document's tail; run chunk_tokens first for a hard
+    cap).
+
+    Shape: the packing assignment joins back to the doc texts on the
+    id (both sides hash-partition on it), then ONE (shard, seq_id)
+    aggregate builds each sequence via array_sort over (offset, text)
+    structs — collect_list alone is order-nondeterministic; the sort
+    key makes the concatenation deterministic everywhere. Sequences
+    are training-context-sized by construction, so the collected
+    groups are bounded — never corpus-scale state.
+    """
+    assignment = pack_by_budget(docs, id_col, text_col, partition_cols, budget)
+    joined = assignment.join(docs.select(id_col, text_col), id_col)
+    return (
+        joined.groupBy(*partition_cols, "seq_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seq_offset").alias("o"),
+                        F.col(id_col).alias("i"),
+                        F.col(text_col).alias("t"),
+                    )
+                )
+            ).alias("members"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            *partition_cols,
+            "seq_id",
+            F.array_join(
+                F.transform(F.col("members"), lambda m: m["t"]), " "
+            ).alias("seq_text"),
+            F.transform(F.col("members"), lambda m: m["i"]).alias("doc_ids"),
+            "seq_tokens",
+            "n_docs",
+        )
+    )

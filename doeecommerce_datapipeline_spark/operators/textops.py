@@ -329,6 +329,61 @@ def oov_metrics(
 BPE_N_MERGES = 8
 
 
+def _apply_merge(syms, a: str, b: str):
+    """Codegen'd leftmost-first merge of adjacent (a, b) → ab over a
+    symbol array — the BPE application fold (shared by training and
+    tokenization)."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(la, lb))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """APPLY learned BPE merges: per document, the subword token count
+    and per-word symbol arrays after running every merge in rank order
+    — the tokenizer's inference side, giving REAL subword counts for
+    budget packing (token_count's whitespace proxy over/under-counts
+    by the merge savings).
+
+    Words explode flat so the n_merges folds compose on a simple
+    array column (bounded expression depth — never nested inside a
+    per-row transform over the word array); the per-doc count is one
+    id-keyed aggregate. Merge rules ride the plan as literals:
+    codebook-as-closure, the same pattern as PQ's LUT.
+    """
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    syms = F.split(F.col("w"), "")
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return (
+        words.select(F.col(id_col), F.size(syms).cast("long").alias("n_syms"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+
+
 def bpe_merge_table(
     docs: DataFrame,
     id_col: str,
@@ -393,22 +448,8 @@ def bpe_merge_table(
             break
         a, b, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((rank, a, b, a + b, cnt))
-        la, lb = F.lit(a), F.lit(b)
         words = words.select(
-            F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == la)
-                    & (s == lb),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.concat(la, lb)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ).alias("syms"),
-            "freq",
+            _apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
         ).localCheckpoint()
 
     return docs.sparkSession.createDataFrame(

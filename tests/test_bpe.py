@@ -85,3 +85,46 @@ def test_bpe_registry_shape(spark):
     # counts must be non-increasing (each merge consumes mass)
     counts = [r["pair_count"] for r in rows]
     assert all(c > 0 for c in counts)
+
+
+def test_bpe_tokenize_matches_reference_apply(spark):
+    """Train on a corpus, apply the merges with the Spark fold, and
+    compare per-doc subword counts to a reference Python apply."""
+    from doeecommerce_datapipeline_spark.operators.textops import bpe_tokenize
+
+    texts = [
+        "low low lower lowest new newer",
+        "newest wide wider low new low",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update(t.split())
+    merges = [(a, b) for _, a, b, _, _ in _ref_bpe(dict(wf), 5)]
+
+    def ref_count(text):
+        n = 0
+        for w in text.split():
+            syms = list(w)
+            for a, b in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            n += len(syms)
+        return n
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_tokenize(docs, "doc_id", "text", merges).collect()
+    }
+    expect = {i: ref_count(t) for i, t in enumerate(texts)}
+    assert got == expect
+    # merges actually compress: fewer subwords than characters
+    chars = {i: sum(len(w) for w in t.split()) for i, t in enumerate(texts)}
+    assert all(got[i] < chars[i] for i in got)

@@ -98,3 +98,36 @@ def test_packing_offsets_are_exact_prefix_sums(stages):
     ).count() == 0
     # and matches the registry operator's semantics on shared shards:
     # same column name, same meaning (offset within the sequence)
+
+
+def test_materialize_sequences_roundtrip(spark):
+    """Every doc appears in exactly one sequence, in offset order, and
+    each sequence's token total stays under budget + one doc tail."""
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        materialize_sequences,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), " ".join(f"w{i}_{j}" for j in range(5 + i % 7)))
+         for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    seqs = materialize_sequences(docs, "doc_id", "text", ["source"], budget=20)
+    rows = seqs.collect()
+    # every doc exactly once
+    all_ids = sorted(i for r in rows for i in r["doc_ids"])
+    assert all_ids == list(range(40))
+    for r in rows:
+        # concatenation order = doc_id order within the shard (packing
+        # orders by id), so doc_ids must be strictly increasing
+        assert r["doc_ids"] == sorted(r["doc_ids"])
+        # the sequence text is exactly its members' texts joined
+        assert r["seq_text"].count(" ") + 1 == r["seq_tokens"]
+        # bounded overflow: a straddling doc adds at most its own size
+        assert r["seq_tokens"] <= 20 + 11
+    # reconstruction: total tokens conserved
+    total = docs.select(F.size(F.split("text", " ")).alias("n")).agg(
+        F.sum("n")
+    ).head()[0]
+    assert sum(r["seq_tokens"] for r in rows) == total
