@@ -27,6 +27,7 @@ from doeecommerce_datapipeline_spark.operators import (
     ivf as IVF,
     joins as J,
     scd as SCD,
+    graph as G,
     mllib_lsh as L,
     pq as PQ,
     projections as P,
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift_by_bucket": X.value_drift_by_bucket,
         "pq_topk": PQ.pq_topk,  # rows-only (trained codebook)
         "bpe_merges": T.bpe_merges,  # rows-only (iterative driver probe)
+        "supplier_influence_rank": G.supplier_influence_rank,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -563,6 +565,74 @@ def _oracle_sql_literals() -> dict[str, str]:
                         AS DOUBLE) / COUNT(*) AS oov_ratio
             FROM tk t LEFT JOIN vocab v USING (token)
             GROUP BY 1
+        """,
+        "supplier_influence_rank": """
+            WITH pairs AS (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                                's' || CAST(l_suppkey AS VARCHAR) AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), edges AS (
+                SELECT c AS src, s AS dst FROM pairs
+                UNION ALL
+                SELECT s AS src, c AS dst FROM pairs
+            ), nodes AS (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            ), nn AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+            ), outdeg AS (
+                SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+            ), r0 AS (
+                SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                FROM nodes CROSS JOIN nn
+            ), m1 AS (
+                SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / CAST(od.outdeg AS DOUBLE), 14)
+                                AS DECIMAL(28,14))) AS in_mass
+                FROM edges e
+                JOIN outdeg od ON e.src = od.src
+                JOIN r0 r ON r.node = e.src
+                GROUP BY 1
+            ), r1 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(m1.in_mass AS DOUBLE), 0.0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN m1 ON m1.node = nodes.node
+            ), m2 AS (
+                SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / CAST(od.outdeg AS DOUBLE), 14)
+                                AS DECIMAL(28,14))) AS in_mass
+                FROM edges e
+                JOIN outdeg od ON e.src = od.src
+                JOIN r1 r ON r.node = e.src
+                GROUP BY 1
+            ), r2 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(m2.in_mass AS DOUBLE), 0.0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN m2 ON m2.node = nodes.node
+            ), m3 AS (
+                SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / CAST(od.outdeg AS DOUBLE), 14)
+                                AS DECIMAL(28,14))) AS in_mass
+                FROM edges e
+                JOIN outdeg od ON e.src = od.src
+                JOIN r2 r ON r.node = e.src
+                GROUP BY 1
+            ), r3 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(m3.in_mass AS DOUBLE), 0.0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN m3 ON m3.node = nodes.node
+            )
+            SELECT node, rank AS pr FROM r3
+            ORDER BY pr DESC, node ASC
+            LIMIT 20
         """,
         "value_drift_by_bucket": """
             WITH e AS (

@@ -1,0 +1,116 @@
+"""Graph analytics on DataFrames: PageRank power iteration.
+
+Complements the connected-components family in dedup.py with the other
+canonical iterative-join graph algorithm. Each iteration is ONE
+edges⋈ranks join + ONE dst-keyed aggregate — the textbook distributed
+formulation (no driver-side adjacency, no per-node loops); rank state
+is #nodes rows, edges shuffle on src then dst.
+
+Cross-engine determinism (what makes this ORACLE-PAIRABLE, which
+iterative float algorithms normally aren't): per-edge contributions
+are quantized to DECIMAL(28,14) BEFORE the per-node sum, so the only
+cross-row float reduction becomes an exact decimal sum — order-free.
+Ranks then evolve through identical IEEE double ops on both engines,
+so after any fixed number of iterations the ranks are bit-identical
+(the DuckDB twin unrolls the same iterations as stacked CTEs).
+
+Reference analog: none — pure extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+PR_DAMPING = 0.85
+# NOT computed as 1.0 - PR_DAMPING: that IEEE expression yields
+# 0.15000000000000002, while an engine parsing the literal '0.15'
+# gets the nearest double to 0.15 — both sides must use the LITERAL
+PR_TELEPORT = 0.15
+PR_ITERS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    teleport: float = PR_TELEPORT,
+) -> DataFrame:
+    """Power iteration over directed (src, dst) string edges; returns
+    (node, rank). Nodes are the endpoints of the edge set; initial
+    rank 1/N; dangling mass follows the common ignored-leak variant
+    (every node in a symmetrized graph has out-edges anyway).
+
+    Each pass joins ranks to edges on src (both hash-partition on the
+    key), quantizes rank/outdeg per edge, and sums exactly per dst.
+    State between iterations is the (node, rank) table —
+    localCheckpointed so plans stay flat and the join side is
+    materialized, the same pattern as connected_components."""
+    edges = edges.localCheckpoint()  # read every iteration — one build
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.col("rank") / F.col("outdeg").cast("double"), 14
+                ).cast("decimal(28,14)").alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("in_mass"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.lit(float(n))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_mass").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def supplier_influence_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer↔supplier trade graph
+    (edge iff the customer ordered a line item from the supplier;
+    node ids namespaced 'c<key>' / 's<key>' — the raw key spaces
+    overlap numerically). Returns the top 20 nodes by influence.
+
+    The graph build is the scale-relevant part: one orders⋈lineitem
+    natural-key join, DISTINCT on the (cust, supp) pair — edge count
+    is bounded by distinct trading relationships, not fact rows.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return (
+        pagerank(edges)
+        .select("node", F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )
