@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": PQ.pq_topk,  # rows-only (trained codebook)
         "bpe_merges": T.bpe_merges,  # rows-only (iterative driver probe)
         "supplier_influence_rank": G.supplier_influence_rank,
+        "near_dup_triangles": G.near_dup_triangles,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -565,6 +566,42 @@ def _oracle_sql_literals() -> dict[str, str]:
                         AS DOUBLE) / COUNT(*) AS oov_ratio
             FROM tk t LEFT JOIN vocab v USING (token)
             GROUP BY 1
+        """,
+        "near_dup_triangles": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE doc_id < 1000
+            ), all_shingles AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), shingles AS (
+                SELECT doc_id, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > 50
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a AS u, id_b AS v
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+            )
+            SELECT e1.u AS id_a, e1.v AS id_b, e2.v AS id_c
+            FROM pairs e1
+            JOIN pairs e2 ON e1.v = e2.u
+            WHERE EXISTS (
+                SELECT 1 FROM pairs e3 WHERE e3.u = e1.u AND e3.v = e2.v
+            )
         """,
         "supplier_influence_rank": """
             WITH pairs AS (

@@ -114,3 +114,45 @@ def supplier_influence_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
     )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Enumerate triangles in an undirected graph given canonical
+    (u < v) edges: wedge join (u,v)⋈(v,w) + closing-edge join — the
+    standard distributed formulation. The u<v<w orientation means each
+    triangle materializes exactly once and every join shrinks the
+    candidate set; at scale, orient by (degree, id) instead of raw id
+    so high-degree hubs don't own every wedge."""
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .select(
+            F.col("a").alias("id_a"),
+            F.col("b").alias("id_b"),
+            F.col("c").alias("id_c"),
+        )
+    )
+
+
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the near-duplicate document graph (edges =
+    ngram_jaccard_pairs): triples of MUTUALLY similar documents — the
+    transitivity evidence behind clustering near-dups into components
+    (a pair graph with many open wedges but few triangles would make
+    single-linkage clustering over-merge).
+
+    The pair list is localCheckpointed before the three-way self-join:
+    each join branch would otherwise re-run the whole shingle
+    pipeline (the minhash-barrier lesson); the checkpointed edge list
+    is pairs-sized, tiny next to the corpus."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()
+    )
+    return triangles(pairs)

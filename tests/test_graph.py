@@ -35,3 +35,17 @@ def test_pagerank_degree_monotone_on_path(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank(e).collect()}
     assert ranks["c"] > ranks["a"] and ranks["c"] > ranks["e"]
     assert ranks["b"] > ranks["a"] and ranks["d"] > ranks["e"]
+
+
+def test_triangles_enumeration(spark):
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge (no new triangle)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "u long, v long",
+    )
+    from doeecommerce_datapipeline_spark.operators.graph import triangles
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["id_c"]) for r in triangles(edges).collect()
+    )
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
