@@ -653,6 +653,23 @@ class ManifestTable:
 
         return self._commit_retry(build, carry_meta=True)
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: re-commit an old snapshot's file list
+        as a NEW version. No data files move or rewrite — the manifest
+        just points back; history stays intact (the undone versions
+        remain time-travelable and their files stay vacuum-protected
+        while referenced). The standard bad-deploy rollback."""
+        man = self._read_manifest(version)
+
+        def build(base: int):
+            return (
+                list(man["files"]),
+                man.get("schema"),
+                dict(man.get("stats") or {}),
+            )
+
+        return self._commit_retry(build, extra_meta={"restored_from": version})
+
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Row-level change feed between two snapshots: rows in
         ``v_to`` but not ``v_from`` tagged ``insert``, rows gone from

@@ -331,3 +331,24 @@ def test_latest_wins_merges_concurrent_append(spark, mt, tmp_path, monkeypatch):
     assert got[5] == ("concurrent", 1)
     assert got[4] == ("mine", 50)
     assert got[1] == ("newer", 99), f"lost-update: {got[1]}"
+
+
+def test_restore_old_snapshot(spark, mt):
+    """RESTORE re-commits an old file list as a new version: data
+    rolls back, history stays time-travelable, no files rewritten."""
+    import glob
+    import os
+
+    mt.append(_df(spark, [(1, "a")]))          # v1
+    mt.overwrite(_df(spark, [(9, "bad")]))     # v2 — the bad deploy
+    files_before = set(glob.glob(os.path.join(mt.path, "*.parquet")))
+    v3 = mt.restore(1)
+    assert v3 == 3
+    assert {r["id"] for r in mt.read().collect()} == {1}
+    # the undone version is still readable (history intact)
+    assert {r["id"] for r in mt.read(version=2).collect()} == {9}
+    # restore moved the pointer only — zero new data files
+    assert set(glob.glob(os.path.join(mt.path, "*.parquet"))) == files_before
+    # and vacuum keeps every referenced file across all versions
+    assert mt.vacuum(min_age_sec=0) == []
+    assert {r["id"] for r in mt.read().collect()} == {1}
