@@ -48,7 +48,16 @@ def pagerank(
     State between iterations is the (node, rank) table —
     localCheckpointed so plans stay flat and the join side is
     materialized, the same pattern as connected_components."""
-    edges = edges.localCheckpoint()  # read every iteration — one build
+    # outdeg is loop-invariant: attach it to the edge list ONCE and
+    # checkpoint the joined table — each iteration then needs only the
+    # ranks join, not a re-join of the static degree table
+    edges = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+            "src",
+        )
+        .localCheckpoint()
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -56,12 +65,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     for _ in range(iters):
         contribs = (
-            edges.join(outdeg, "src")
-            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            edges.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.round(
@@ -97,20 +104,30 @@ def supplier_influence_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # the whole iteration runs on LONG node ids (2·custkey for
+    # customers, 2·suppkey+1 for suppliers — parity is the namespace):
+    # hashing/shuffling longs beats 8-char strings on every exchange;
+    # the display string materializes only on the final 20 rows
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    # the display string materializes BEFORE the top-k cut so rank
+    # ties break on the same string order as the oracle (the
+    # TakeOrderedAndProject runs over #nodes rows — negligible)
     return (
         pagerank(edges)
-        .select("node", F.col("rank").alias("pr"))
+        .select(node_str.alias("node"), F.col("rank").alias("pr"))
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
     )
