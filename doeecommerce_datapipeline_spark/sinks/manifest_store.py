@@ -653,6 +653,56 @@ class ManifestTable:
 
         return self._commit_retry(build, carry_meta=True)
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analog: one row per committed version —
+        (version, committed_at, n_files, base, meta json). Commit time
+        is the manifest file's mtime (the O_EXCL create IS the commit
+        point, so its timestamp is authoritative)."""
+        import datetime
+
+        rows = []
+        for v in range(1, self.current_version() + 1):
+            man = self._read_manifest(v)
+            path = os.path.join(self.mdir, f"v{v:08d}.json")
+            ts = datetime.datetime.fromtimestamp(
+                os.path.getmtime(path), tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
+            reserved = {"version", "files", "base", "schema", "stats"}
+            extra = {k: man[k] for k in man if k not in reserved}
+            rows.append(
+                (
+                    v,
+                    ts,
+                    len(man["files"]),
+                    man.get("base"),
+                    json.dumps(extra, sort_keys=True) if extra else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, committed_at timestamp, n_files long, "
+            "base long, meta string",
+        )
+
+    def version_as_of(self, ts: float) -> int:
+        """Highest version committed at or before unix time ``ts`` —
+        the TIMESTAMP AS OF resolver."""
+        best = 0
+        for v in range(1, self.current_version() + 1):
+            path = os.path.join(self.mdir, f"v{v:08d}.json")
+            if os.path.getmtime(path) <= ts:
+                best = v
+        if best == 0:
+            raise FileNotFoundError(
+                f"no version of {self.path} existed at ts={ts}"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF read: the snapshot current at unix time
+        ``ts``."""
+        return self.read(version=self.version_as_of(ts))
+
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: re-commit an old snapshot's file list
         as a NEW version. No data files move or rewrite — the manifest
@@ -711,5 +761,3 @@ class ManifestTable:
                 removed.append(os.path.basename(p))
         return removed
 
-    def history(self) -> list[dict]:
-        return [self._read_manifest(v) for v in self._versions()]

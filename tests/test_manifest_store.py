@@ -352,3 +352,29 @@ def test_restore_old_snapshot(spark, mt):
     # and vacuum keeps every referenced file across all versions
     assert mt.vacuum(min_age_sec=0) == []
     assert {r["id"] for r in mt.read().collect()} == {1}
+
+
+def test_history_and_timestamp_as_of(spark, mt):
+    import os
+
+    mt.append(_df(spark, [(1, "a")]))                   # v1
+    mt.append(_df(spark, [(2, "b")]))                   # v2
+    mt.restore(1)                                       # v3
+    # pin commit times: v1@1000, v2@2000, v3@3000
+    for v, t in ((1, 1000), (2, 2000), (3, 3000)):
+        p = os.path.join(mt.mdir, f"v{v:08d}.json")
+        os.utime(p, (t, t))
+
+    h = {r["version"]: r for r in mt.history().collect()}
+    assert sorted(h) == [1, 2, 3]
+    assert h[1]["base"] == 0 and h[2]["base"] == 1
+    assert '"restored_from": 1' in h[3]["meta"]
+    assert h[2]["committed_at"] > h[1]["committed_at"]
+
+    assert mt.version_as_of(1500) == 1
+    assert {r["id"] for r in mt.read_as_of(2500).collect()} == {1, 2}
+    assert {r["id"] for r in mt.read_as_of(9999).collect()} == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        mt.version_as_of(500)
