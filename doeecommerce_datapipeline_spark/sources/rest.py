@@ -89,6 +89,7 @@ class RestSource:
         timeout: float = 30.0,
         max_retries: int = 3,
         backoff: float = 2.0,
+        initial_delay: float = 1.0,
     ):
         if not HAVE_REQUESTS:
             raise ImportError("requests not available; use RecordsSource")
@@ -96,11 +97,12 @@ class RestSource:
         self.timeout = timeout
         self.max_retries = max_retries
         self.backoff = backoff
+        self.initial_delay = initial_delay
         self.session = requests.Session()
         self.session.headers["User-Agent"] = "doeecommerce-datapipeline-spark/0.1"
 
     def fetch(self, path: str, params: dict | None = None):
-        delay = 1.0
+        delay = self.initial_delay
         for attempt in range(self.max_retries + 1):
             try:
                 r = self.session.get(
