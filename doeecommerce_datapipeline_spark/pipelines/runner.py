@@ -85,31 +85,41 @@ FIXTURE_FN = {
 }
 
 
-def run_ingestion(spark: SparkSession, base: str, ledger: AuditLedger, tables: list[str]) -> None:
-    """Demo/file ingestion: fixture records through the same
-    RecordsSource seam a REST fetch would use."""
+def run_ingestion(
+    spark: SparkSession,
+    base: str,
+    ledger: AuditLedger,
+    tables: list[str],
+    records_fn: dict | None = None,
+    source_name: str = "demo",
+) -> None:
+    """Ingestion through the RecordsSource seam. By default the demo
+    fixture records; pass ``records_fn`` ({table: () -> list[dict]})
+    to ingest from anywhere — tests/test_rest_live.py plugs a LIVE
+    paginated HTTP fetch in here and runs the whole medallion."""
     cfg = bronze_cfg()
+    fns = records_fn or FIXTURE_FN
     for t in tables:
-        run_id = ledger.start_run("demo", f"{t}_raw")
+        run_id = ledger.start_run(source_name, f"{t}_raw")
         try:
-            records = FIXTURE_FN[t]()
+            records = fns[t]()
             df = RecordsSource(spark, RAW_SCHEMAS[t]).to_df(records)
             loaded, failed = load_to_bronze(
                 df,
                 f"{base}/bronze/{t}_raw",
                 cfg[t],
-                source_name="demo",
+                source_name=source_name,
                 endpoint=f"/{t}",
                 quarantine_path=f"{base}/quarantine/{t}_raw",
             )
             ledger.end_run(
                 run_id, "SUCCESS" if failed == 0 else "PARTIAL",
                 fetched=len(records), loaded=loaded, failed=failed,
-                source_name="demo", table_name=f"{t}_raw",
+                source_name=source_name, table_name=f"{t}_raw",
             )
         except Exception as exc:
             ledger.end_run(run_id, "FAILED", error=str(exc)[:500],
-                           source_name="demo", table_name=f"{t}_raw")
+                           source_name=source_name, table_name=f"{t}_raw")
             raise
 
 
@@ -157,11 +167,13 @@ def run_pipeline(
     sources: list[str] | None = None,
     skip_quality: bool = False,
     kpi_date=None,
+    records_fn: dict | None = None,
+    source_name: str = "demo",
 ) -> None:
     tables = sources or list(TRANSFORMS)
     ledger = AuditLedger(spark, f"{base}/audit/ingestion_log")
     if layer in ("all", "ingestion"):
-        run_ingestion(spark, base, ledger, tables)
+        run_ingestion(spark, base, ledger, tables, records_fn, source_name)
     if layer in ("all", "transformation"):
         run_transformation(spark, base, tables)
     if layer in ("all", "quality") and not skip_quality:

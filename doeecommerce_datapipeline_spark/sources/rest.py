@@ -177,6 +177,39 @@ def distributed_fetch(
     return pages.mapInPandas(fetch_pages, schema)
 
 
+def coerce_json_records(records: list[dict], schema: T.StructType) -> list[dict]:
+    """Schema-driven re-typing of freshly-parsed JSON records: JSON
+    carries only strings/numbers/bools, but the declared raw schema
+    knows which fields are decimals (money must NOT pass through
+    float) and which are timestamps — recursively coerced through
+    nested structs and arrays. The standard seam step between any
+    HTTP fetch and ``RecordsSource.to_df``."""
+    import datetime
+    from decimal import Decimal
+
+    def coerce(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, T.DecimalType) and isinstance(v, (int, float, str)):
+            # repr(float) is the shortest round-trip — exact for the
+            # 2-decimal money values APIs serve
+            return Decimal(str(v))
+        if isinstance(dt, T.TimestampType) and isinstance(v, str):
+            return datetime.datetime.fromisoformat(v)
+        if isinstance(dt, T.DateType) and isinstance(v, str):
+            return datetime.date.fromisoformat(v)
+        if isinstance(dt, T.StructType) and isinstance(v, dict):
+            return {f.name: coerce(v.get(f.name), f.dataType) for f in dt.fields}
+        if isinstance(dt, T.ArrayType) and isinstance(v, list):
+            return [coerce(x, dt.elementType) for x in v]
+        return v
+
+    return [
+        {f.name: coerce(r.get(f.name), f.dataType) for f in schema.fields}
+        for r in records
+    ]
+
+
 def records_from_json_file(path: str) -> list[dict]:
     """File-backed source for tests/fidelity runs."""
     with open(path) as f:
