@@ -219,3 +219,41 @@ def foreach_batch_incremental_view(
         ).refresh()
 
     return _write
+
+
+def foreach_batch_near_dedup(
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+):
+    """Streaming CORPUS ingest with near-dup filtering: each document
+    micro-batch dedups against the persistent MinHash-LSH index
+    (exact + near duplicates of anything already accepted are
+    dropped), survivors append to the ACID corpus table AND extend the
+    index — the online form of the crawl-ingest loop every
+    continuously-fed training corpus runs.
+
+    Ordering note: micro-batches process serially per stream, so the
+    index the batch sees always includes every prior batch's
+    survivors; replayed epochs re-check against an index that already
+    contains their docs and drop them — idempotent by construction."""
+    from ..operators.dedup import incremental_near_dup_pipeline
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = incremental_near_dup_pipeline(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            id_col,
+            text_col,
+            jaccard_threshold,
+        )
+        if not kept.isEmpty():
+            ManifestTable(batch_df.sparkSession, out_path).append(kept)
+
+    return _write

@@ -133,3 +133,78 @@ def test_late_stream_upsert_matches_batch_latest_wins(spark, tmp_path):
         for r in ManifestTable(spark, lw_path).read().collect()
     }
     assert again == expect
+
+
+def test_streaming_near_dedup_corpus_ingest(spark, tmp_path):
+    """Online crawl-ingest: document micro-batches dedup against the
+    persistent LSH index as they stream in — later batches drop near-
+    dups of EARLIER batches' survivors, the corpus table accumulates
+    only novel content."""
+    import glob
+    import os
+    import shutil
+
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_near_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carry heavy wooden crates across the shallow "
+        "river during a long summer afternoon near the old mill"
+    )
+    other = (
+        "completely different content about distributed query engines "
+        "optimizing shuffle partitions and broadcast joins under heavy "
+        "skew with adaptive execution and columnar parquet scans"
+    )
+    batches = [
+        [(1, base), (2, other)],
+        # near-dup of batch-1's doc 1 (known band collision: mill→barn)
+        # + a novel doc
+        [(10, base.replace("mill", "barn")), (11, "totally novel text about "
+          "byzantine consensus protocols with quorum intersection and "
+          "log replication across partitioned replicas everywhere")],
+    ]
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        stg = str(tmp_path / f"_s{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(stg)
+        [part] = glob.glob(os.path.join(stg, "*.parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        shutil.rmtree(stg)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_near_dedup(
+                str(tmp_path / "lsh_idx"), str(tmp_path / "corpus")
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    corpus = ManifestTable(spark, str(tmp_path / "corpus")).read()
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 11]
