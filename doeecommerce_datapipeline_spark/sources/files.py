@@ -151,3 +151,34 @@ def stream_quarantine_ingest(
             ManifestTable(sess, quarantine_path).append(bad)
 
     return stream, _write
+
+
+def replay_quarantine_csv(
+    spark: SparkSession,
+    quarantine_df: DataFrame,
+    schema: T.StructType,
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """Close the quarantine loop: re-parse quarantined raw CSV lines
+    under a (corrected) schema — rows that now parse return as typed
+    records, the rest stay quarantined. The operational flow is
+    quarantine → fix schema/upstream → replay → upsert the recovered
+    rows; nothing is ever lost to a parse bug.
+
+    Built on ``from_csv`` over the stored raw lines (no re-read of the
+    landing zone), so a replay is a scan of the quarantine table only.
+    """
+    full = _with_corrupt_field(schema)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    opts.update({k: str(v) for k, v in options.items()})
+    parsed = quarantine_df.select(
+        F.col("raw_record"),
+        F.from_csv(F.col("raw_record"), full.simpleString(), opts).alias("r"),
+    )
+    good = parsed.where(F.col(f"r.{CORRUPT_COL}").isNull()).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    still_bad = parsed.where(F.col(f"r.{CORRUPT_COL}").isNotNull()).select(
+        "raw_record"
+    )
+    return good, still_bad

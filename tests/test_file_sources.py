@@ -97,3 +97,34 @@ def test_stream_quarantine_ingest(spark, tmp_path):
     assert any("bad_amount" in r for r in raws)
     # two source files → quarantine rows span ≥1 epochs, all recorded
     assert all(r["epoch"] is not None for r in quar)
+
+
+def test_quarantine_replay_recovers_fixed_rows(spark, tmp_path):
+    """Rows quarantined under a narrow schema replay cleanly under the
+    corrected one; genuinely broken lines stay quarantined."""
+    from doeecommerce_datapipeline_spark.sources.files import (
+        replay_quarantine_csv,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,a,1.0\n"
+        "2,b,not_a_number\n"  # breaks under DoubleType amount
+        "x,c,3.0\n"  # broken id — unfixable by widening amount
+    )
+    good, bad = read_csv_quarantine(spark, str(p), SCHEMA)
+    assert good.count() == 1 and bad.count() == 2
+
+    # corrected schema: amount is a free-form string after all
+    fixed = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.StringType()),
+        ]
+    )
+    recovered, still_bad = replay_quarantine_csv(spark, bad, fixed)
+    rec = {r["id"]: r["amount"] for r in recovered.collect()}
+    assert rec == {2: "not_a_number"}
+    assert [r["raw_record"] for r in still_bad.collect()] == ["x,c,3.0"]

@@ -215,3 +215,43 @@ def test_upsert_latest_wins_algebra(spark, tmp_path_factory, batches):
     assert {k: v[0] for k, v in got.items()} == {
         k: ts for k, (ts, _) in expect.items()
     }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, payload)
+        min_size=1,
+        max_size=40,
+    ),
+    other=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9)),
+        min_size=1,
+        max_size=12,
+    ),
+    hot=st.lists(st.integers(0, 3), max_size=2),
+)
+@_settings
+def test_salted_shuffle_join_equals_plain_join(spark, rows, other, hot):
+    """For ANY data and ANY declared hot-key set (even wrongly-declared
+    ones), the salted big-big join must equal the plain inner join —
+    salting refines partitioning, never semantics."""
+    from doeecommerce_datapipeline_spark.operators.skew import (
+        salted_shuffle_join,
+    )
+
+    big = spark.createDataFrame(
+        [(k, i, p) for i, (k, p) in enumerate(rows)], "k long, rid long, p long"
+    )
+    small = spark.createDataFrame(
+        [(k, v) for k, v in other], "k long, ver long"
+    )
+    plain = sorted(
+        (r["k"], r["rid"], r["ver"]) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["rid"], r["ver"])
+        for r in salted_shuffle_join(
+            big, small, "k", n_salts=4, hot_keys=list(set(hot))
+        ).collect()
+    )
+    assert plain == salted
