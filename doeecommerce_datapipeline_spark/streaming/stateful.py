@@ -107,3 +107,64 @@ def sessionize_stream(events: DataFrame, flush_open_sessions: bool = False) -> D
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+VELOCITY_N = 3
+VELOCITY_WINDOW_SEC = 60
+
+ALERT_SCHEMA = (
+    "user_id long, alert_ts timestamp, n_in_window long, window_sec long"
+)
+
+
+def _track_velocity(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Sliding-count state: keep each user's event times from the last
+    VELOCITY_WINDOW_SEC; whenever the count reaches VELOCITY_N, emit
+    ONE alert and reset (re-arm) — the rate-limit/fraud-velocity rule.
+    State is bounded by the window (≤ N-1 timestamps survive a purge)."""
+    (user_id,) = key
+    ts: list[int] = []
+    for pdf in pdfs:
+        ts.extend(int(v.timestamp()) for v in pdf["ts"])
+    ts.sort()
+
+    recent: list[int] = list(state.get[0]) if state.exists else []
+    alerts: list[int] = []
+    for t in ts:
+        recent = [x for x in recent if t - x < VELOCITY_WINDOW_SEC]
+        recent.append(t)
+        if len(recent) >= VELOCITY_N:
+            alerts.append(t)
+            recent = []  # re-arm: one alert per burst
+    state.update((recent,))
+    if alerts:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(alerts),
+                "alert_ts": [pd.Timestamp(t, unit="s") for t in alerts],
+                "n_in_window": [VELOCITY_N] * len(alerts),
+                "window_sec": [VELOCITY_WINDOW_SEC] * len(alerts),
+            }
+        )
+
+
+def velocity_alert_stream(events: DataFrame) -> DataFrame:
+    """events stream → alert stream: one row each time a user fires
+    VELOCITY_N events inside VELOCITY_WINDOW_SEC (then re-arms). The
+    second applyInPandasWithState operator — unlike the sessionizer's
+    gap rule, this one needs a sliding SET of timestamps as state,
+    which no watermarked built-in window expresses."""
+    ensure_shipped(events.sparkSession)
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track_velocity,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType="recent array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -208,3 +208,52 @@ def test_streaming_near_dedup_corpus_ingest(spark, tmp_path):
 
     corpus = ManifestTable(spark, str(tmp_path / "corpus")).read()
     assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 11]
+
+
+def test_velocity_alerts_match_batch_rule(spark, tmp_path):
+    """The stateful velocity alert fires exactly where a batch replay
+    of the same rule fires — including a burst SPLIT ACROSS
+    micro-batches (the case that needs real cross-batch state)."""
+    from datetime import datetime, timedelta
+
+    from test_streaming import _stage_batches
+
+    from doeecommerce_datapipeline_spark.streaming.stateful import (
+        velocity_alert_stream,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, user, ts):
+        return (eid, ts, user, "view", 1.0, "{}")
+
+    batches = [
+        # user 1: two events — below threshold so far
+        [ev(1, 1, t0), ev(2, 1, t0 + timedelta(seconds=10))],
+        # user 1: third event 20s in → alert (burst spans batches);
+        # user 2: three events spread over 3 minutes → NO alert
+        [
+            ev(3, 1, t0 + timedelta(seconds=20)),
+            ev(4, 2, t0),
+            ev(5, 2, t0 + timedelta(seconds=90)),
+            ev(6, 2, t0 + timedelta(seconds=170)),
+        ],
+        # user 1 again: after the re-arm, a fresh 3-burst → second alert
+        [
+            ev(7, 1, t0 + timedelta(seconds=300)),
+            ev(8, 1, t0 + timedelta(seconds=301)),
+            ev(9, 1, t0 + timedelta(seconds=302)),
+        ],
+    ]
+    base = str(tmp_path / "vel_in")
+    _stage_batches(spark, base, batches)
+    alerts = velocity_alert_stream(read_event_stream(spark, base))
+    run_stream_to_memory(alerts, "vel_out")
+    rows = sorted(
+        spark.sql("SELECT user_id, alert_ts FROM vel_out").collect(),
+        key=lambda r: (r["user_id"], r["alert_ts"]),
+    )
+    assert [(r["user_id"], r["alert_ts"]) for r in rows] == [
+        (1, t0 + timedelta(seconds=20)),
+        (1, t0 + timedelta(seconds=302)),
+    ]
