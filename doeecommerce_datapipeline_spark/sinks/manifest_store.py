@@ -401,7 +401,19 @@ class ManifestTable:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-        df = self.spark.read.parquet(
+        # pin the COMMITTED schema: a bare multi-file read takes its
+        # schema from whichever file lists first, so an additive column
+        # could silently vanish behind old files. With the schema
+        # explicit, files missing a column yield typed NULLs and
+        # widened columns upcast — snapshot reads are deterministic
+        # regardless of file order.
+        reader = self.spark.read
+        schema_json = man.get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        df = reader.parquet(
             *[os.path.join(self.path, f) for f in files]
         )
         if where:
@@ -422,13 +434,31 @@ class ManifestTable:
 
     def append(self, df: DataFrame) -> int:
         """Appends commute: the new files are written once, and on a
-        lost race the retry just re-reads the advanced base's file list."""
+        lost race the retry just re-reads the advanced base's file list.
+
+        The committed schema is the ADDITIVE UNION of the base
+        snapshot's schema and the batch's (evolution.merge_schemas:
+        new columns append, shared columns widen along the explicit
+        lattice, incompatible changes raise) — so an evolving-schema
+        append never hides previous columns and reads stay total."""
         new = self._write_data(df)
         new_stats = self._stats_for(new)
-        schema_json = df.schema.json()
 
         def build(base: int):
-            carried = self._read_manifest(base)["files"] if base else []
+            schema_json = df.schema.json()
+            carried = []
+            if base:
+                man = self._read_manifest(base)
+                carried = man["files"]
+                prev = man.get("schema")
+                if prev:
+                    from pyspark.sql.types import StructType
+
+                    from ..evolution import merge_schemas
+
+                    schema_json = merge_schemas(
+                        StructType.fromJson(json.loads(prev)), df.schema
+                    ).json()
             return (
                 carried + new,
                 schema_json,

@@ -378,3 +378,35 @@ def test_history_and_timestamp_as_of(spark, mt):
 
     with _pytest.raises(FileNotFoundError):
         mt.version_as_of(500)
+
+
+def test_append_schema_evolution_union_and_pinned_reads(spark, mt):
+    """Additive/widening appends: the committed schema is the union
+    (old columns never vanish regardless of file listing order), old
+    rows surface NULLs for new columns, int widens to long, and
+    time travel sees each version's own schema."""
+    import pytest as _pytest
+
+    mt.append(spark.createDataFrame([(1, "a", 7)], "id long, v string, n int"))
+    mt.append(
+        spark.createDataFrame(
+            [(2, "b", 8, 9.5)], "id long, v string, n long, extra double"
+        )
+    )
+    out = mt.read()
+    assert out.columns == ["id", "v", "n", "extra"]
+    assert dict(out.dtypes)["n"] == "bigint"  # widened int -> long
+    got = {r["id"]: (r["n"], r["extra"]) for r in out.collect()}
+    assert got == {1: (7, None), 2: (8, 9.5)}
+    # a narrowing append (column gone from the batch) still unions
+    mt.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    out2 = mt.read()
+    assert out2.columns == ["id", "v", "n", "extra"]
+    assert out2.where("id = 3").head()["n"] is None
+    # time travel: v1's schema had no 'extra'
+    assert mt.read(version=1).columns == ["id", "v", "n"]
+    # incompatible type change raises (no silent corruption)
+    from doeecommerce_datapipeline_spark.evolution import SchemaEvolutionError
+
+    with _pytest.raises(SchemaEvolutionError):
+        mt.append(spark.createDataFrame([("x", "d")], "id string, v string"))
