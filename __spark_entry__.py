@@ -30,6 +30,7 @@ from doeecommerce_datapipeline_spark.operators import (
     graph as G,
     mllib_lsh as L,
     pq as PQ,
+    profiling as PR,
     projections as P,
     similarity as S,
     textops as T,
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": T.bpe_merges,  # rows-only (iterative driver probe)
         "supplier_influence_rank": G.supplier_influence_rank,
         "near_dup_triangles": G.near_dup_triangles,
+        "profile_events": PR.profile_events,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -566,6 +568,43 @@ def _oracle_sql_literals() -> dict[str, str]:
                         AS DOUBLE) / COUNT(*) AS oov_ratio
             FROM tk t LEFT JOIN vocab v USING (token)
             GROUP BY 1
+        """,
+        "profile_events": """
+                SELECT 'event_id' AS column, 'bigint' AS dtype,
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       COUNT(DISTINCT event_id) AS n_distinct
+                FROM events
+                UNION ALL
+                SELECT 'ts' AS column, 'timestamp' AS dtype,
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       COUNT(DISTINCT ts) AS n_distinct
+                FROM events
+                UNION ALL
+                SELECT 'user_id' AS column, 'bigint' AS dtype,
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       COUNT(DISTINCT user_id) AS n_distinct
+                FROM events
+                UNION ALL
+                SELECT 'event_type' AS column, 'string' AS dtype,
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       COUNT(DISTINCT event_type) AS n_distinct
+                FROM events
+                UNION ALL
+                SELECT 'value' AS column, 'double' AS dtype,
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       COUNT(DISTINCT value) AS n_distinct
+                FROM events
+                UNION ALL
+                SELECT 'props' AS column, 'string' AS dtype,
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       COUNT(DISTINCT props) AS n_distinct
+                FROM events
         """,
         "near_dup_triangles": """
             WITH toks AS (
