@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_influence_rank": G.supplier_influence_rank,
         "near_dup_triangles": G.near_dup_triangles,
         "profile_events": PR.profile_events,
+        "doc_perplexity": T.doc_perplexity,
+        "semdedup_keep": S.semdedup_keep,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1913,6 +1915,49 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(n_pair AS DOUBLE) / n_head AS p_cond, rnk
             FROM headed
             WHERE n_head >= 50 AND rnk <= 3
+        """,
+        "doc_perplexity": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), big AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+            ), scored AS (
+                SELECT doc_id,
+                       COUNT(*) OVER (PARTITION BY w1, w2) AS n_pair,
+                       COUNT(*) OVER (PARTITION BY w1) AS n_head
+                FROM big
+            ), per AS (
+                SELECT doc_id, COUNT(*) AS n_bigrams,
+                       CAST(SUM(CAST(round(-ln(CAST(n_pair AS DOUBLE) / n_head), 9)
+                                AS DECIMAL(18,9))) AS DOUBLE) AS sum_nll
+                FROM scored GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   round(sum_nll / n_bigrams, 6) AS avg_nll,
+                   round(exp(round(sum_nll / n_bigrams, 6)), 6) AS ppl
+            FROM per
+        """,
+        "semdedup_keep": """
+            WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+            dropped AS (
+                SELECT DISTINCT b.vec_id
+                FROM e a JOIN e b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE (
+                    SELECT CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) END
+                    FROM (SELECT
+                        list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d,
+                        sqrt(list_aggregate(list_transform(list_zip(a.embedding, a.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS na,
+                        sqrt(list_aggregate(list_transform(list_zip(b.embedding, b.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS nb)
+                ) >= 0.35
+            )
+            SELECT vec_id, label FROM e
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         "media_decode": """
             SELECT doc_id AS media_id,

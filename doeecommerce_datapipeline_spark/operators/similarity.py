@@ -207,3 +207,46 @@ def lsh_knn_join(
         .where(F.col("rnk") <= k)
         .select("id_a", "id_b", "label_b", "cos", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication INSIDE embedding clusters — a vector is a semantic
+    duplicate when some lower-id vector in the SAME cluster has cosine
+    ≥ SEMDEDUP_TAU; survivors (cluster representatives + everything
+    below the threshold) are kept. Returns (vec_id, label).
+
+    Cluster id here is the testdata's ``label`` column (its ground-
+    truth partition); at 100 TB the cluster id comes from the IVF
+    coarse quantizer (operators/ivf.py assign_clusters) — identical
+    downstream shape. The pairwise pass is label-blocked, so the join
+    is an equi-join on the cluster key and candidates are
+    |cluster|²-bounded, never corpus² — exactly why SemDeDup clusters
+    first. min-id keep rule makes the survivor set deterministic
+    without any float ordering; the output carries no floats at all,
+    so the hash check can't wobble on libm differences (the cosine
+    fold itself is already bit-identical across engines — in-order
+    fold, see functions/vectors.py).
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, "lbl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine("ea", "eb") >= SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")

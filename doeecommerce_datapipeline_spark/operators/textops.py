@@ -465,3 +465,60 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(
         table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document self-perplexity under the corpus's own bigram LM —
+    the classic LM-based quality filter (CCNet-style: score every doc
+    against a language model and cut the high-perplexity tail; here the
+    LM is the corpus itself, so the score flags statistically unusual
+    token transitions). Returns (doc_id, n_bigrams, avg_nll, ppl) for
+    every document with at least one bigram.
+
+    Shape: ONE bigram explode; n_pair/n_head come from two COUNT
+    windows over the same exploded rows (the bigram_lm/tfidf lesson —
+    a groupBy+join-back would evaluate the explode twice), then one
+    doc_id hash agg. After ``repartition(w1)`` the (w1, w2) window is
+    satisfied by the subset rule, so the whole query is two exchanges
+    (w1, then doc_id). At 100 TB the LM table is vocab²-bounded and
+    the alternative — aggregate it and broadcast-join the corpus —
+    becomes the better plan; this form keeps everything in one pass
+    and never materializes the LM at all.
+
+    Determinism: each per-bigram -ln(p) is rounded and quantized to
+    DECIMAL(18,9) BEFORE the per-doc sum (the PageRank trick —
+    graph.py quantizes contributions the same way), so the only
+    cross-row reduction is an exact decimal sum, order-free on both
+    engines. avg_nll and ppl are rounded doubles of that exact sum.
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(n_part)
+    inst = (
+        d.select("doc_id", F.explode(bigrams(F.col("text"))).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .repartition("w1")
+    )
+    w_pair = Window.partitionBy("w1", "w2")
+    w_head = Window.partitionBy("w1")
+    nll_q = F.round(
+        -F.log(F.col("n_pair").cast("double") / F.col("n_head").cast("double")),
+        9,
+    ).cast("decimal(18,9)")
+    per_doc = (
+        inst.withColumn("n_pair", F.count(F.lit(1)).over(w_pair))
+        .withColumn("n_head", F.count(F.lit(1)).over(w_head))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(nll_q).alias("sum_nll"),
+        )
+    )
+    avg = F.round(
+        F.col("sum_nll").cast("double") / F.col("n_bigrams").cast("double"), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 6).alias("ppl"),
+    )

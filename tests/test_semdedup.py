@@ -1,0 +1,95 @@
+"""SemDeDup (cluster-blocked cosine dedup) and bigram-LM perplexity
+semantics on hand-computable frames; the registry parity test covers
+the real tables."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.functions.vectors import cosine
+from doeecommerce_datapipeline_spark.operators.similarity import SEMDEDUP_TAU
+
+
+def _keep_ids(spark, rows):
+    """Run the semdedup keep rule on an in-memory embeddings frame."""
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, "lbl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine("ea", "eb") >= SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = e.join(dropped, "vec_id", "left_anti")
+    return sorted(r.vec_id for r in kept.collect())
+
+
+def test_semdedup_drops_planted_duplicate_keeps_min_id(spark):
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.001]),   # near-dup of 1 -> dropped (id 1 < 2)
+        (3, 0, [0.0, 1.0]),     # orthogonal -> kept
+        (4, 1, [1.0, 0.0]),     # same vector, DIFFERENT cluster -> kept
+    ]
+    assert _keep_ids(spark, rows) == [1, 3, 4]
+
+
+def test_semdedup_chain_keeps_only_representative(spark):
+    # 1~2, 2~3 but 1!~3: 2 drops (vs 1), 3 drops (vs 2) — the min-id
+    # survivor is the single representative even across a chain
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.9]),
+        (3, 0, [0.0, 1.0]),
+    ]
+    # check the chain premise with the same fold arithmetic
+    assert _keep_ids(spark, rows) == [1]
+
+
+def test_doc_perplexity_uniform_transitions_give_zero_nll(spark, tmp_path):
+    """A corpus where every head has exactly ONE continuation has
+    p(w2|w1)=1 for every bigram -> avg_nll=0, ppl=1."""
+    import doeecommerce_datapipeline_spark.operators.textops as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "b c")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "documents.parquet")
+    docs.write.parquet(out)
+    res = {
+        r.doc_id: r
+        for r in T.doc_perplexity(spark, str(tmp_path)).collect()
+    }
+    assert res[1].n_bigrams == 2 and res[1].avg_nll == 0.0 and res[1].ppl == 1.0
+    assert res[3].n_bigrams == 1 and res[3].ppl == 1.0
+
+
+def test_doc_perplexity_rare_transition_scores_higher(spark, tmp_path):
+    import doeecommerce_datapipeline_spark.operators.textops as T
+
+    # "a b" x3 vs one "a z": p(b|a)=3/4, p(z|a)=1/4
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a z")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "documents.parquet")
+    docs.write.parquet(out)
+    res = {
+        r.doc_id: r for r in T.doc_perplexity(spark, str(tmp_path)).collect()
+    }
+    assert res[4].avg_nll > res[1].avg_nll
+    assert abs(res[1].avg_nll - round(-math.log(0.75), 6)) < 1e-6
+    assert abs(res[4].avg_nll - round(-math.log(0.25), 6)) < 1e-6
