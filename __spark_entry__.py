@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": PR.profile_events,
         "doc_perplexity": T.doc_perplexity,
         "semdedup_keep": S.semdedup_keep,
+        "jaccard_prefix_join": D.jaccard_prefix_join,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1915,6 +1916,33 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(n_pair AS DOUBLE) / n_head AS p_cond, rnk
             FROM headed
             WHERE n_head >= 50 AND rnk <= 3
+        """,
+        "jaccard_prefix_join": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), shingles AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                -- brute-force all-pairs: the oracle deliberately skips
+                -- the prefix filter, so a hash match PROVES the
+                -- filter's losslessness on this data
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         """,
         "doc_perplexity": """
             WITH toks AS (

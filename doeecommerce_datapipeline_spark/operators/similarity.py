@@ -16,7 +16,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, norm
+from ..functions.vectors import cosine, dot, norm
 from ..io import table
 
 N_PLANES = 12  # 4096 buckets
@@ -232,20 +232,33 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, see functions/vectors.py).
     """
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    a = e.select(
+    # norms once per VECTOR, not once per pair: the pair space is
+    # |cluster|²-sized, so folding norm(a)/norm(b) inside the pair
+    # predicate costs 2×64 multiply-adds per candidate — measured 6.3 s
+    # → precomputing cut it to ~2 s at sf0.1. The norm expression is
+    # the identical in-order fold, so cos = dot/(na·nb) is bit-equal
+    # to the inline form (and to the oracle's).
+    en = e.select("vec_id", "label", "embedding", norm("embedding").alias("nrm"))
+    a = en.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = e.select(
+    b = en.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot("ea", "eb") / (F.col("na") * F.col("nb")),
     )
     dropped = (
         a.join(b, "lbl")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine("ea", "eb") >= SEMDEDUP_TAU)
+        .where(cos >= SEMDEDUP_TAU)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

@@ -265,3 +265,48 @@ def test_incremental_near_dup_pipeline_across_ingests(spark, tmp_path):
     assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 2, 11]
     bands = ManifestTable(spark, idx + "/bands").read()
     assert bands.select("doc_id").distinct().count() == 3
+
+
+def test_prefix_jaccard_exact_vs_brute_force_with_hot_shingle(spark):
+    """The prefix filter must be LOSSLESS even when one shingle appears
+    in every document (the df-cap approach in ngram_jaccard_pairs
+    drops such stop-shingles from the sets; prefix filtering must not
+    lose the pair, only skip the hot key during candidate gen)."""
+    from doeecommerce_datapipeline_spark.functions.text import word_shingles
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    hot = "the quick brown"  # shared 3-token run -> hot shingle in all
+    docs = [
+        (1, "the quick brown fox jumps over lazy dogs tonight"),
+        (2, "the quick brown fox jumps over lazy dogs today"),   # near-dup of 1
+        (3, "the quick brown mill stands by the river bend"),
+        (4, "completely different text about database query engines"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in prefix_jaccard_pairs(d, tau=0.5).collect()
+    }
+
+    # brute force over the same shingle sets
+    sets = {
+        r.doc_id: set(r.s)
+        for r in d.select(
+            "doc_id", word_shingles(F.col("text")).alias("s")
+        ).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            j = inter / len(sets[a] | sets[b])
+            if j >= 0.5:
+                want[(a, b)] = (inter, j)
+    assert set(got) == set(want) and (1, 2) in got
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-12
