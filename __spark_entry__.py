@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": T.doc_perplexity,
         "semdedup_keep": S.semdedup_keep,
         "jaccard_prefix_join": D.jaccard_prefix_join,
+        "numeric_corr_matrix": X.numeric_corr_matrix,
+        "winsorized_value_stats": X.winsorized_value_stats,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1916,6 +1918,88 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(n_pair AS DOUBLE) / n_head AS p_cond, rnk
             FROM headed
             WHERE n_head >= 50 AND rnk <= 3
+        """,
+        "numeric_corr_matrix": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS s_q,
+                    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS ss_q,
+                    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s_p,
+                    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS ss_p,
+                    SUM(CAST(l_discount AS DECIMAL(18,4))) AS s_d,
+                    SUM(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS ss_d,
+                    SUM(CAST(l_tax AS DECIMAL(18,4))) AS s_t,
+                    SUM(CAST(l_tax * l_tax AS DECIMAL(28,8))) AS ss_t,
+                    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS sp_q_p,
+                    SUM(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS sp_q_d,
+                    SUM(CAST(l_quantity * l_tax AS DECIMAL(28,8))) AS sp_q_t,
+                    SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS sp_p_d,
+                    SUM(CAST(l_extendedprice * l_tax AS DECIMAL(28,8))) AS sp_p_t,
+                    SUM(CAST(l_discount * l_tax AS DECIMAL(28,8))) AS sp_d_t
+                FROM lineitem
+            ), c AS (
+                SELECT n, CAST(n AS DOUBLE) AS nd,
+                    CAST(s_q AS DOUBLE) AS sq, CAST(ss_q AS DOUBLE) AS ssq,
+                    CAST(s_p AS DOUBLE) AS sp, CAST(ss_p AS DOUBLE) AS ssp,
+                    CAST(s_d AS DOUBLE) AS sd, CAST(ss_d AS DOUBLE) AS ssd,
+                    CAST(s_t AS DOUBLE) AS st, CAST(ss_t AS DOUBLE) AS sst,
+                    CAST(sp_q_p AS DOUBLE) AS xqp, CAST(sp_q_d AS DOUBLE) AS xqd,
+                    CAST(sp_q_t AS DOUBLE) AS xqt, CAST(sp_p_d AS DOUBLE) AS xpd,
+                    CAST(sp_p_t AS DOUBLE) AS xpt, CAST(sp_d_t AS DOUBLE) AS xdt
+                FROM s
+            )
+            SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+                   CASE WHEN sqrt(greatest(nd*ssq - sq*sq, 0.0)) * sqrt(greatest(nd*ssp - sp*sp, 0.0)) > 0
+                        THEN (nd*xqp - sq*sp) / (sqrt(greatest(nd*ssq - sq*sq, 0.0)) * sqrt(greatest(nd*ssp - sp*sp, 0.0))) END AS corr
+            FROM c
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', n,
+                   CASE WHEN sqrt(greatest(nd*ssq - sq*sq, 0.0)) * sqrt(greatest(nd*ssd - sd*sd, 0.0)) > 0
+                        THEN (nd*xqd - sq*sd) / (sqrt(greatest(nd*ssq - sq*sq, 0.0)) * sqrt(greatest(nd*ssd - sd*sd, 0.0))) END
+            FROM c
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax', n,
+                   CASE WHEN sqrt(greatest(nd*ssq - sq*sq, 0.0)) * sqrt(greatest(nd*sst - st*st, 0.0)) > 0
+                        THEN (nd*xqt - sq*st) / (sqrt(greatest(nd*ssq - sq*sq, 0.0)) * sqrt(greatest(nd*sst - st*st, 0.0))) END
+            FROM c
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount', n,
+                   CASE WHEN sqrt(greatest(nd*ssp - sp*sp, 0.0)) * sqrt(greatest(nd*ssd - sd*sd, 0.0)) > 0
+                        THEN (nd*xpd - sp*sd) / (sqrt(greatest(nd*ssp - sp*sp, 0.0)) * sqrt(greatest(nd*ssd - sd*sd, 0.0))) END
+            FROM c
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax', n,
+                   CASE WHEN sqrt(greatest(nd*ssp - sp*sp, 0.0)) * sqrt(greatest(nd*sst - st*st, 0.0)) > 0
+                        THEN (nd*xpt - sp*st) / (sqrt(greatest(nd*ssp - sp*sp, 0.0)) * sqrt(greatest(nd*sst - st*st, 0.0))) END
+            FROM c
+            UNION ALL
+            SELECT 'l_discount', 'l_tax', n,
+                   CASE WHEN sqrt(greatest(nd*ssd - sd*sd, 0.0)) * sqrt(greatest(nd*sst - st*st, 0.0)) > 0
+                        THEN (nd*xdt - sd*st) / (sqrt(greatest(nd*ssd - sd*sd, 0.0)) * sqrt(greatest(nd*sst - st*st, 0.0))) END
+            FROM c
+        """,
+        "winsorized_value_stats": """
+            WITH b AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.01), 4) AS lo,
+                       round(quantile_cont(value, 0.99), 4) AS hi
+                FROM events GROUP BY 1
+            ), j AS (
+                SELECT e.event_type, e.value, b.lo, b.hi,
+                       least(greatest(e.value, b.lo), b.hi) AS c
+                FROM events e JOIN b USING (event_type)
+            ), agg AS (
+                SELECT event_type, COUNT(*) AS n, MIN(lo) AS lo, MIN(hi) AS hi,
+                       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                       CAST(SUM(CAST(c AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(c * c AS DECIMAL(28,10))) AS DOUBLE) AS s2
+                FROM j GROUP BY 1
+            )
+            SELECT event_type, n, lo, hi, n_low, n_high,
+                   round(s1 / n, 8) AS mean_w,
+                   round(sqrt(greatest((s2 - n * (s1 / n) * (s1 / n)) / (n - 1), 0.0)), 8) AS sd_w
+            FROM agg
         """,
         "jaccard_prefix_join": """
             WITH toks AS (

@@ -283,3 +283,120 @@ def value_drift_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_contrib"),
         )
     )
+
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation across the lineitem measures in
+    ONE aggregate pass (col_x, col_y, n, corr) — the feature-screening
+    primitive that fronts model-input selection.
+
+    All C(4,2) pairs come from a single scan: the agg computes Σx, Σx²
+    per column and Σxy per pair as EXACT decimal sums (the zscore/
+    pricing determinism pattern — order-free across engines), then the
+    closing corr arithmetic is all-double on bit-identical operands.
+    The per-pair rows unpivot map-side from the single stats row; no
+    per-pair scans, no shuffle beyond the one partial-aggregated agg.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    # first powers sum as exact decimals of the raw values; products
+    # multiply in DOUBLE first (identical operands → identical IEEE
+    # product on any engine) and quantize the product — decimal×decimal
+    # overflows DuckDB's int64 storage at width 18, so the zscore
+    # Σv² pattern is the cross-engine-safe one
+    dec1 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    dec2 = lambda a, b: (F.col(a) * F.col(b)).cast("decimal(28,8)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(dec1(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec2(c, c)).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec2(a, b)).alias(f"sp_{a}_{b}"))
+    row = l.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sxx, syy = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sxy = F.col(f"sp_{a}_{b}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+            F.greatest(n * syy - sy * sy, F.lit(0.0))
+        )
+        return F.when(den > 0, num / den)
+
+    out = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("n").alias("n"),
+                    corr_expr(a, b).alias("corr"),
+                )
+                for a, b in pairs
+            ]
+        )
+    ).alias("p")
+    return row.select(out).select("p.col_x", "p.col_y", "p.n", "p.corr")
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized (P01/P99-clipped) robust statistics —
+    the outlier-resistant profiling companion to value_zscore_outliers
+    (event_type, n, lo, hi, n_low, n_high, mean_w, sd_w).
+
+    Shape: one partial-aggregated shuffle computes the per-type
+    percentile bounds (groups are tiny — exact interpolated
+    percentiles are fine; at unbounded group cardinality switch to the
+    sketch path, fact_deciles_scalable); the bounds broadcast back
+    over the fact, and the clipped moments come from exact decimal
+    sums — no second fact shuffle, deterministic across engines.
+    Bounds are rounded to 4 decimals on BOTH sides before clipping
+    (the quartile-interpolation 1-ulp guard from aggregates.py), so
+    the clip comparisons see identical doubles.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.01)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    stats = (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+            F.sum(clipped.cast("decimal(28,10)")).alias("s1"),
+            F.sum((clipped * clipped).cast("decimal(28,10)")).alias("s2"),
+        )
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("n") * mu * mu) / (F.col("n") - 1)
+    return stats.select(
+        "event_type",
+        "n",
+        "lo",
+        "hi",
+        "n_low",
+        "n_high",
+        F.round(mu, 8).alias("mean_w"),
+        # DECIMAL(38,10) → double conversion is correctly rounded in
+        # the JVM but double-divided in some engines — a 1-ulp seam on
+        # s2 observed at sf0.01; 8-decimal rounding on both sides
+        # closes it (the quartile guard, aggregates.py)
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 8).alias("sd_w"),
+    )

@@ -59,3 +59,33 @@ def test_sketch_rollup_error_bounded(spark, sf_dir):
             r["exact_users"], 1
         )
         assert rel < 0.05, f"{r['month']}: rel err {rel:.3f}"
+
+
+def test_numeric_corr_matrix_bounds_and_selfconsistency(spark, sf_dir):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        numeric_corr_matrix,
+    )
+
+    rows = numeric_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.corr is None or -1.0 <= r.corr <= 1.0
+    # quantity ⟂ price in TPC-H-ish generators: weak correlation
+    qp = {(r.col_x, r.col_y): r.corr for r in rows}[
+        ("l_quantity", "l_extendedprice")
+    ]
+    assert qp is not None
+
+
+def test_winsorized_stats_clip_counts_and_bounds(spark, sf_dir):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        winsorized_value_stats,
+    )
+
+    for r in winsorized_value_stats(spark, sf_dir).collect():
+        assert r.lo <= r.hi
+        # ~1% clipped each side by construction (small-n rounding slack)
+        assert r.n_low <= max(3, int(0.02 * r.n))
+        assert r.n_high <= max(3, int(0.02 * r.n))
+        assert r.lo <= r.mean_w <= r.hi
+        assert r.sd_w >= 0.0
