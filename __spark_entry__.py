@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_join": D.jaccard_prefix_join,
         "numeric_corr_matrix": X.numeric_corr_matrix,
         "winsorized_value_stats": X.winsorized_value_stats,
+        "order_rank_metrics": W.order_rank_metrics,
+        "revenue_attribution": E.revenue_attribution,
+        "daily_revenue_interpolated": W.daily_revenue_interpolated,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -1918,6 +1921,70 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(n_pair AS DOUBLE) / n_head AS p_cond, rnk
             FROM headed
             WHERE n_head >= 50 AND rnk <= 3
+        """,
+        "daily_revenue_interpolated": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS revenue
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                GROUP BY 1
+            ), spine AS (
+                SELECT unnest(generate_series(
+                           (SELECT MIN(day) FROM daily),
+                           (SELECT MAX(day) FROM daily),
+                           INTERVAL 1 DAY)) :: DATE AS day
+            ), g AS (
+                SELECT s.day, d.revenue,
+                       last_value(d.revenue IGNORE NULLS) OVER wp AS pv,
+                       last_value(CASE WHEN d.revenue IS NOT NULL THEN s.day END
+                                  IGNORE NULLS) OVER wp AS pd,
+                       first_value(d.revenue IGNORE NULLS) OVER wn AS nv,
+                       first_value(CASE WHEN d.revenue IS NOT NULL THEN s.day END
+                                   IGNORE NULLS) OVER wn AS nd
+                FROM spine s LEFT JOIN daily d USING (day)
+                WINDOW wp AS (ORDER BY s.day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wn AS (ORDER BY s.day
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT day, revenue,
+                   CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                             AND date_diff('day', pd, nd) > 0
+                        THEN pv + (nv - pv) *
+                             (CAST(date_diff('day', pd, day) AS DOUBLE)
+                              / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                        ELSE COALESCE(pv, nv) END AS revenue_interp,
+                   revenue IS NULL AS is_gap
+            FROM g
+        """,
+        "order_rank_metrics": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+        """,
+        "revenue_attribution": """
+            WITH e1 AS (
+                SELECT user_id AS key, CAST(ts AS DATE) AS t, event_type AS etype,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ), ed AS (
+                SELECT key, t, etype FROM e1 WHERE rn = 1
+            ), oa AS (
+                SELECT o.o_totalprice, ed.etype
+                FROM orders o ASOF LEFT JOIN ed
+                  ON o.o_custkey = ed.key AND CAST(o.o_orderdate AS DATE) >= ed.t
+            )
+            SELECT etype AS event_type, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM oa GROUP BY 1
         """,
         "numeric_corr_matrix": """
             WITH s AS (

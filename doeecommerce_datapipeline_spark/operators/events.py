@@ -548,3 +548,75 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("below") + F.lit(1)).cast("double") / F.sum("one")
         ).alias("top_share"),
     )
+
+
+def revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every order's revenue is
+    credited to the most recent event TYPE of the same user at or
+    before the order date (event_type, n_orders, revenue); orders with
+    no prior event land in the NULL bucket. The inverse direction of
+    asof_join_last_order (there events look back at orders), closed
+    with the revenue rollup marketers actually read.
+
+    Same single-shuffle union-timeline shape: events collapse to one
+    deterministic representative per (user, day) — max (ts, event_id)
+    wins — then both timelines union, one window per user carries the
+    last-seen event type forward (events sort before same-day orders:
+    a day's purchase credits that day's touch), and order rows
+    aggregate. No join at all — the as-of is a window over the union,
+    so the only exchanges are the user-key shuffle and the tiny final
+    agg. The DuckDB twin is a native ASOF LEFT JOIN — structurally
+    independent, same semantics.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    e1 = (
+        e.select(
+            F.col("user_id").alias("key"),
+            F.to_date("ts").alias("t"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .groupBy("key", "t")
+        .agg(
+            F.max_by(
+                F.col("event_type"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("etype")
+        )
+        .select(
+            "key",
+            "t",
+            "etype",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+        )
+    )
+    o1 = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("date").alias("t"),
+        F.lit(None).cast("string").alias("etype"),
+        F.lit(1).alias("side"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "side", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    timeline = e1.unionByName(o1).withColumn(
+        "attr_type", F.last("etype", ignorenulls=True).over(w)
+    )
+    return (
+        timeline.where(F.col("side") == 1)
+        .groupBy("attr_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.col("attr_type").alias("event_type"), "n_orders", "revenue"
+        )
+    )

@@ -219,3 +219,85 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").isNull().alias("is_gap"),
         )
     )
+
+
+def order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one window pass: rank,
+    percent_rank, cume_dist and quartile (ntile 4) of every order's
+    value within its priority class — the per-cohort scoring shape
+    (lead scoring, percentile pricing) that exercises each SQL ranking
+    primitive.
+
+    One exchange on o_orderpriority serves all four functions (same
+    window frame); the ordering carries the o_orderkey tiebreaker so
+    every rank-derived number is total-ordered — without it
+    percent_rank/ntile on tied prices are engine-ambiguous. At fact
+    scale this is the classic "global sort per group" window: the
+    partition count is the cohort count, so a skewed cohort needs the
+    two-level pre-aggregate variant (top_products_daily's shape)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling with LINEAR INTERPOLATION — the
+    time-series companion to daily_revenue_gapfilled's forward fill:
+    a gap day gets the straight line between its nearest real
+    neighbors, prev + (next−prev)·Δ/span (day, revenue,
+    revenue_interp, is_gap). Leading/trailing gaps coalesce to the
+    single available neighbor.
+
+    Two symmetric one-pass windows over the day grain: the preceding
+    window carries (last real value, its day) forward, the following
+    window carries the next pair backward — both ignorenulls over a
+    WHEN-guarded day column, so no join against a shifted copy. All
+    closing arithmetic is double over exact-decimal-derived revenues
+    and integer day distances — engine-exact, no rounding needed.
+    Global ORDER BY is safe at the day grain (thousands of rows; at
+    fact scale partition by month with carried boundaries, the
+    gapfilled note)."""
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    spine = (
+        daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    g = spine.join(daily, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    real_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+    g = g.select(
+        "day",
+        "revenue",
+        F.last("revenue", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(real_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("revenue", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(real_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    span = F.datediff("nd", "pd").cast("double")
+    frac = F.datediff("day", "pd").cast("double") / span
+    interp = F.when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull() & (span > 0),
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+    ).otherwise(F.coalesce("pv", "nv"))
+    return g.select(
+        "day",
+        "revenue",
+        interp.alias("revenue_interp"),
+        F.col("revenue").isNull().alias("is_gap"),
+    )
