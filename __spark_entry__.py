@@ -60,13 +60,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Record ledger (round each entry's latest driver record came from):
     r1 = CORRECTNESS_r01, r2 = CORRECTNESS_r02, none = no record yet.
     Inline comments below mark the "none" and changed entries; the tail
-    section headers carry the round tag for the rest. Section (c2)
-    holds the operators BUILT in round 3 (never driver-checked); all
-    were locally hash-verified at sf0.01 under a vanilla foreign-cwd
-    session before round end, along with the full 121-entry registry.
-    Round-4 rotation: (c2) keeps window priority until it has records;
-    the section-(d) r1-recheck tail (from pricing_summary on) has
-    cumulative r1 records and rotates through remaining slots.
+    section headers carry the round tag for the rest. Sections (c2) and
+    (c3) hold the operators BUILT in round 3 (never driver-checked);
+    all were locally hash-verified at sf0.01 under a vanilla
+    foreign-cwd session before round end, along with the full
+    133-entry registry. Round-4 rotation: (c2)/(c3) keep window
+    priority until they have records; the section-(d) r1-recheck tail
+    (from pricing_summary on) has cumulative r1 records and rotates
+    through remaining slots.
 
     Local insurance for the unchecked tail: ALL registry entries are
     hash-verified against the DuckDB oracle at sf0.01 under a vanilla
@@ -116,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_influence_rank": G.supplier_influence_rank,
         "near_dup_triangles": G.near_dup_triangles,
         "profile_events": PR.profile_events,
+        # (c3) built later in round 3 — no record yet (LM-perplexity
+        # scoring, SemDeDup, lossless PPJoin, corr matrix, winsorized
+        # stats, ranking surface, as-of attribution, linear gap fill)
         "doc_perplexity": T.doc_perplexity,
         "semdedup_keep": S.semdedup_keep,
         "jaccard_prefix_join": D.jaccard_prefix_join,

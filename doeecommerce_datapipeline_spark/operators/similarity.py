@@ -255,8 +255,14 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("na") > 0) & (F.col("nb") > 0),
         dot("ea", "eb") / (F.col("na") * F.col("nb")),
     )
+    # broadcast the probe side: the cluster key has only #clusters
+    # distinct values, so a shuffle join degenerates to #clusters
+    # tasks (one hot partition per cluster); broadcasting keeps the
+    # pair generation parallel over ALL of a's partitions. At 100 TB
+    # the equivalent is partitioning both sides by cluster id and
+    # joining cluster-locally (the IVF layout already is).
     dropped = (
-        a.join(b, "lbl")
+        a.join(F.broadcast(b), "lbl")
         .where(F.col("id_a") < F.col("id_b"))
         .where(cos >= SEMDEDUP_TAU)
         .select(F.col("id_b").alias("vec_id"))

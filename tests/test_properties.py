@@ -255,3 +255,45 @@ def test_salted_shuffle_join_equals_plain_join(spark, rows, other, hot):
         ).collect()
     )
     assert plain == salted
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 7), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    tau_pct=st.sampled_from([30, 50, 70]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_jaccard_lossless_on_random_corpora(spark, docs, tau_pct):
+    """PPJoin prefix+length+positional filters must be LOSSLESS: on
+    random tiny-vocab corpora (worst case for prefix filtering — every
+    shingle is hot) the filtered join equals brute force exactly."""
+    from doeecommerce_datapipeline_spark.functions.text import word_shingles
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    tau = tau_pct / 100.0
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.n_common) for r in prefix_jaccard_pairs(d, tau=tau).collect()
+    }
+    sets = {
+        r.doc_id: set(r.s)
+        for r in d.select("doc_id", word_shingles(F.col("text")).alias("s")).collect()
+    }
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= tau:
+                want.add((a, b, inter))
+    assert got == want
