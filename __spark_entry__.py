@@ -32,6 +32,7 @@ from doeecommerce_datapipeline_spark.operators import (
     pq as PQ,
     profiling as PR,
     projections as P,
+    retail as R,
     similarity as S,
     textops as T,
     tpch as Q,
@@ -128,10 +129,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rank_metrics": W.order_rank_metrics,
         "revenue_attribution": E.revenue_attribution,
         "daily_revenue_interpolated": W.daily_revenue_interpolated,
+        # (c4) built in round 3 continuation — no record yet (retail
+        # analytics: basket rules, RFM, cohort LTV, OLS trend)
+        "market_basket_lift": R.market_basket_lift,
+        "rfm_segments": R.rfm_segments,
+        "cohort_ltv": R.cohort_ltv,
+        "revenue_trend_ols": R.revenue_trend_ols,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
         "category_profile": A.category_profile,
+        # ---- end of 50-entry driver window --------------------------
         "finance_kpis": A.finance_kpis,
         "duplicate_check": A.duplicate_check,
         "null_counts": A.null_counts,
@@ -153,7 +161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_filter": P.ts_range_filter,
         "multi_source_union": P.multi_source_union,
         "string_normalize": P.string_normalize,
-        # ---- end of 50-entry driver window --------------------------
         # --- tail: r1-record, unchanged ------------------------------
         "date_math": P.date_math,
         "bucketize": P.bucketize,
@@ -2326,5 +2333,130 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM marked m JOIN supplier s ON m.l_suppkey = s.s_suppkey
             WHERE m.n_supp > 1 AND m.s_max = m.top1 AND m.cnt_at_max = 1
             GROUP BY s.s_suppkey, s.s_name
+        """,
+        "market_basket_lift": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pc AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       COUNT(*) AS n_ab
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            parts AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1),
+            n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+            SELECT part_a, part_b, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+                   CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+                   CAST(n_ab AS DOUBLE) / CAST(pa.n_part AS DOUBLE) AS confidence,
+                   CAST(n_ab * n_orders AS DOUBLE)
+                       / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+            FROM pc
+            JOIN parts pa ON pc.part_a = pa.l_partkey
+            JOIN parts pb ON pc.part_b = pb.l_partkey
+            CROSS JOIN n
+        """,
+        "rfm_segments": """
+            WITH ref AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders
+            ),
+            pc AS (
+                SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+                       COUNT(*) AS frequency,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                           AS monetary
+                FROM orders GROUP BY 1
+            ),
+            m AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', last_day, ref_day) AS BIGINT)
+                           AS recency_days,
+                       frequency, monetary
+                FROM pc CROSS JOIN ref
+            ),
+            scored AS (
+                SELECT o_custkey, recency_days, frequency, monetary,
+                       CAST(ntile(5) OVER (ORDER BY recency_days DESC,
+                                           o_custkey ASC) AS BIGINT) AS r_score,
+                       CAST(ntile(5) OVER (ORDER BY frequency ASC,
+                                           o_custkey ASC) AS BIGINT) AS f_score,
+                       CAST(ntile(5) OVER (ORDER BY monetary ASC,
+                                           o_custkey ASC) AS BIGINT) AS m_score
+                FROM m
+            )
+            SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                      || CAST(m_score AS VARCHAR) AS segment
+            FROM scored
+        """,
+        "cohort_ltv": """
+            WITH o AS (
+                SELECT o_custkey,
+                       date_trunc('month', CAST(o_orderdate AS DATE))
+                           AS order_month,
+                       o_totalprice
+                FROM orders
+            ),
+            f AS (SELECT o_custkey, MIN(order_month) AS cohort_month
+                  FROM o GROUP BY 1),
+            cs AS (SELECT cohort_month, COUNT(*) AS cohort_size
+                   FROM f GROUP BY 1),
+            aged AS (
+                SELECT f.cohort_month,
+                       date_diff('month', f.cohort_month, o.order_month)
+                           AS age_months,
+                       o.o_custkey, o.o_totalprice
+                FROM o JOIN f USING (o_custkey)
+            ),
+            grid AS (
+                SELECT cohort_month, age_months,
+                       COUNT(DISTINCT o_custkey) AS n_active,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM aged GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT cohort_month, age_months, n_active, rev,
+                       SUM(rev) OVER (PARTITION BY cohort_month
+                                      ORDER BY age_months
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_rev
+                FROM grid
+            )
+            SELECT c.cohort_month, CAST(age_months AS BIGINT) AS age_months,
+                   n_active, CAST(rev AS DOUBLE) AS revenue,
+                   CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+                       AS cum_ltv
+            FROM c JOIN cs USING (cohort_month)
+        """,
+        "revenue_trend_ols": """
+            WITH daily AS (
+                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1, 2
+            ),
+            st AS (
+                SELECT o_orderpriority, COUNT(*) AS n_days,
+                       SUM(x) AS sx, SUM(x * x) AS sxx, SUM(rev) AS sy,
+                       SUM(CAST(x AS DECIMAL(10,0)) * rev) AS sxy
+                FROM (SELECT o_orderpriority,
+                             date_diff('day', DATE '1992-01-01', day) AS x,
+                             rev
+                      FROM daily)
+                GROUP BY 1
+            ),
+            d AS (
+                SELECT o_orderpriority, n_days,
+                       CAST(n_days AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxy AS DOUBLE) AS sxyd
+                FROM st
+            ),
+            sl AS (
+                SELECT *, CASE WHEN nd * sxxd - sxd * sxd > 0
+                               THEN (nd * sxyd - sxd * syd)
+                                    / (nd * sxxd - sxd * sxd) END AS slope
+                FROM d
+            )
+            SELECT o_orderpriority, n_days, slope,
+                   (syd - slope * sxd) / nd AS intercept
+            FROM sl
         """,
     }

@@ -1,0 +1,271 @@
+"""Retail/e-commerce analytics: market-basket association rules, RFM
+segmentation, cohort LTV curves, and per-group OLS trend fitting.
+
+The reference pipeline stops at engagement aggregates
+(database/layers/gold/load_gold.py:21-90 computes user_activity /
+daily_revenue style rollups); these are the next analytics layer an
+e-commerce gold schema grows — all expressed as single-pass
+DataFrame plans over the same star schema, no new infrastructure.
+
+Determinism: counts stay BIGINT end to end; every ratio is ONE IEEE
+double division of exactly-reproducible operands (bigint products
+< 2^53, or exact decimal sums) so results are bit-identical across
+engines and row orders; every window carries a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_sum, dsum
+from ..io import table
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over parts bought in the same order:
+    (part_a, part_b, n_ab, n_a, n_b, support, confidence, lift) for
+    pairs co-purchased in ≥ 2 orders, part_a < part_b.
+
+    Pair generation is a self-join of the DISTINCT (order, part) set
+    on the order key with ``a.part < b.part`` — per-order cost is
+    C(items, 2) with TPC-H-bounded basket sizes (≤ 7), so candidates
+    grow linearly with orders, never quadratically with the catalog.
+    Both join sides share the orderkey hash partitioning (one
+    shuffle), the per-part order counts are catalog-sized and
+    BROADCAST back onto the pair aggregate, and the n_ab ≥ 2 cut
+    runs before the stats join so singleton pairs never leave the
+    aggregate. lift = (n_ab·N)/(n_a·n_b): both products are exact
+    bigints < 2^53, one double division — engine-exact.
+
+    At 100 TB the same plan holds: baskets stay small (pair fan-out
+    is bounded by max basket size choose 2), and the only large
+    exchange is the orderkey-partitioned self-join the fact table
+    already wants for any per-order analysis.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "okey").where(F.col("part_a") < F.col("part_b"))
+    pair_counts = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    part_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(
+                part_counts.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("n_part").alias("n_a"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                part_counts.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("n_part").alias("n_b"),
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double") / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer the recency (days since
+    last order, against the dataset's max order date), frequency
+    (order count) and monetary (exact-decimal revenue) metrics, each
+    scored into quintiles — 5 is best (most recent / most frequent /
+    highest spend) — plus the concatenated segment code.
+
+    One fact shuffle (the per-customer aggregate); the three ntile
+    windows run over the customers-sized result with the custkey as a
+    total-order tiebreak, so bucket boundaries are engine-stable. The
+    global sorts are over the DIMENSION cardinality, not the fact —
+    at 100 TB scale swap ntile for bucketing against broadcast
+    approx-quantile cut points to avoid the single-partition window
+    (same output contract, sketch-bounded boundaries).
+    """
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_day", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    # ntile buckets number 1..5 along the sort; each ORDER BY puts the
+    # WORST customers first so bucket 5 lands on the best, custkey
+    # breaks every tie in a fixed direction
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve by acquisition cohort: customers
+    cohort on their first order month; each later month contributes
+    revenue at ``age = months since acquisition``; the curve is the
+    cumulative revenue per cohort member (cohort_month, age_months,
+    n_active, revenue, cum_ltv).
+
+    The cohort assignment and the monthly rollup share the custkey
+    hash partitioning (the min-month aggregate IS the left side of
+    the join — one fact shuffle covers both); the cumulative window
+    runs over the cohort×age grid, thousands of rows at any scale.
+    LTV divides the exact-decimal cumulative sum by the cohort size
+    in one double division.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("order_month"),
+        "o_totalprice",
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.min("order_month").alias("cohort_month")
+    )
+    cohort_sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    aged = o.join(first, "o_custkey").select(
+        "cohort_month",
+        F.months_between("order_month", "cohort_month")
+        .cast("long")
+        .alias("age_months"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    grid = aged.groupBy("cohort_month", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        dec_sum("o_totalprice").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(F.broadcast(cohort_sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            "n_active",
+            F.col("rev").cast("double").alias("revenue"),
+            (
+                F.col("cum_rev").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("cum_ltv"),
+        )
+    )
+
+
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares revenue trend per order priority: fit
+    ``daily_revenue ~ slope·day + intercept`` over each priority's
+    daily series and report (o_orderpriority, n_days, slope,
+    intercept) — the regr_slope/regr_intercept surface built from
+    scratch on exact sufficient statistics.
+
+    Two cheap exchanges: the (priority, day) rollup, then the
+    per-priority reduction of the five OLS sufficient statistics
+    (n, Σx, Σx², Σy, Σxy) — x is the integer day offset from
+    1992-01-01, y the exact-decimal daily revenue, and Σxy multiplies
+    int-decimal into a widened decimal BEFORE summing, so every
+    statistic is order-free exact. The closed-form slope/intercept is
+    then a fixed dag of IEEE double ops on those exact stats —
+    bit-identical on any engine, no iterative fitting, one scan of
+    the fact at any scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(dec_sum("o_totalprice").alias("rev"))
+    stats = (
+        daily.select(
+            "o_orderpriority",
+            F.datediff("day", F.lit("1992-01-01").cast("date")).alias("x"),
+            "rev",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("rev").alias("sy"),
+            F.sum(F.col("x").cast("decimal(10,0)") * F.col("rev")).alias(
+                "sxy"
+            ),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = nd * sxx - sx * sx
+    slope = F.when(den > 0, (nd * sxy - sx * sy) / den)
+    return stats.select(
+        "o_orderpriority",
+        "n_days",
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+    )

@@ -1,0 +1,96 @@
+"""Invariant tests for the retail analytics operators (retail.py).
+
+Oracle parity at sf0.001 is covered by test_parity.py; these pin the
+semantic properties the hash check can't express.
+"""
+
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.operators import retail as R
+
+from tests.conftest import SF_DIR
+
+
+def test_market_basket_rule_bounds(spark):
+    df = R.market_basket_lift(spark, SF_DIR).cache()
+    rows = df.collect()
+    assert rows, "expected co-purchased pairs at sf0.001"
+    for r in rows:
+        # canonical orientation, pair support can't exceed either part's
+        assert r.part_a < r.part_b
+        assert r.n_ab >= 2
+        assert r.n_ab <= r.n_a and r.n_ab <= r.n_b
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+    # lift is symmetric in (a, b): n_ab*N/(n_a*n_b) — spot-check the
+    # identity confidence/P(b) == lift on every row
+    for r in rows:
+        n_orders = round(r.n_ab / r.support)
+        assert abs(r.lift - r.confidence / (r.n_b / n_orders)) < 1e-9
+    df.unpersist()
+
+
+def test_rfm_quintiles_balanced(spark):
+    df = R.rfm_segments(spark, SF_DIR).cache()
+    n = df.count()
+    for col in ["r_score", "f_score", "m_score"]:
+        sizes = {
+            r[col]: r["cnt"]
+            for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        # ntile buckets differ by at most one row
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sum(sizes.values()) == n
+    # best-recency customers must hold score 5: the single most recent
+    # customer's r_score is 5
+    top = df.orderBy(F.asc("recency_days"), F.desc("o_custkey")).first()
+    assert top.r_score == 5
+    seg = df.where(F.col("segment") != F.concat_ws(
+        "", F.col("r_score"), F.col("f_score"), F.col("m_score"))).count()
+    assert seg == 0
+    df.unpersist()
+
+
+def test_cohort_ltv_monotone(spark):
+    df = R.cohort_ltv(spark, SF_DIR)
+    rows = df.orderBy("cohort_month", "age_months").collect()
+    assert rows
+    prev = {}
+    for r in rows:
+        k = r.cohort_month
+        if k in prev:
+            # cumulative LTV never decreases with age
+            assert r.cum_ltv >= prev[k] - 1e-9
+        prev[k] = r.cum_ltv
+        assert r.age_months >= 0
+        assert r.n_active >= 1
+    # age 0 exists for every cohort (the acquisition month itself)
+    cohorts = {r.cohort_month for r in rows}
+    age0 = {r.cohort_month for r in rows if r.age_months == 0}
+    assert cohorts == age0
+
+
+def test_ols_recovers_planted_trend(spark):
+    # a synthetic exact linear series must come back with the planted
+    # slope/intercept to float precision
+    daily = spark.createDataFrame(
+        [("P", f"1992-01-{d:02d}", 100.0 + 7.5 * (d - 1)) for d in range(1, 29)],
+        "o_orderpriority string, day string, o_totalprice double",
+    ).select(
+        "o_orderpriority",
+        F.col("day").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        daily.write.parquet(f"{tmp}/orders.parquet")
+        out = R.revenue_trend_ols(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 28
+    assert abs(r.slope - 7.5) < 1e-9
+    # x is the offset from 1992-01-01, so intercept is the value at x=0
+    assert abs(r.intercept - 100.0) < 1e-6
