@@ -27,6 +27,8 @@ from doeecommerce_datapipeline_spark.operators import (
     ivf as IVF,
     joins as J,
     scd as SCD,
+    sketches as SK,
+    skew as SKW,
     graph as G,
     mllib_lsh as L,
     pq as PQ,
@@ -135,11 +137,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": R.rfm_segments,
         "cohort_ltv": R.cohort_ltv,
         "revenue_trend_ols": R.revenue_trend_ols,
+        "ewma_daily_revenue": W.ewma_daily_revenue,
+        "value_mad_outliers": E.value_mad_outliers,
+        "heavy_hitters_cms": SK.heavy_hitters_cms,
+        # ---- end of 50-entry driver window --------------------------
+        "key_skew_profile": SKW.key_skew_profile,
+        "trade_reach": G.trade_reach,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
         "category_profile": A.category_profile,
-        # ---- end of 50-entry driver window --------------------------
         "finance_kpis": A.finance_kpis,
         "duplicate_check": A.duplicate_check,
         "null_counts": A.null_counts,
@@ -2458,5 +2465,140 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT o_orderpriority, n_days, slope,
                    (syd - slope * sxd) / nd AS intercept
             FROM sl
+        """,
+        "ewma_daily_revenue": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ),
+            j AS (
+                SELECT a.day, a.rev, b.rev AS brev,
+                       date_diff('day', b.day, a.day) AS k
+                FROM daily a JOIN daily b
+                  ON b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+            )
+            SELECT day, CAST(rev AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(brev AS DECIMAL(18,2))
+                            * CAST(power(2.0, 13 - k) AS DECIMAL(5,0)))
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(power(2.0, 13 - k) AS BIGINT)) AS DOUBLE)
+                       AS ewma
+            FROM j GROUP BY day, rev
+        """,
+        "value_mad_outliers": """
+            WITH med AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.5), 4) AS med
+                FROM events GROUP BY 1
+            ),
+            dev AS (
+                SELECT e.event_type, e.value, m.med,
+                       abs(e.value - m.med) AS dev
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, round(quantile_cont(dev, 0.5), 4) AS mad
+                FROM dev GROUP BY 1
+            )
+            SELECT d.event_type, COUNT(*) AS n,
+                   MIN(d.med) AS med, MIN(m.mad) AS mad,
+                   SUM(CASE WHEN m.mad > 0 AND d.dev > 3.0 * m.mad
+                            THEN 1 ELSE 0 END) AS n_outliers
+            FROM dev d JOIN mad m USING (event_type)
+            GROUP BY 1
+        """,
+        "heavy_hitters_cms": """
+            WITH hh AS (
+                SELECT i, a, b FROM (VALUES
+                    (0, 1000003, 12345), (1, 1000033, 67891),
+                    (2, 1000037, 24680), (3, 1000039, 13579)) t(i, a, b)
+            ),
+            cells AS (
+                SELECT hh.i AS row_i,
+                       ((hh.a * (e.user_id % 2147483647) + hh.b)
+                        % 2147483647) % 1024 AS bucket,
+                       COUNT(*) AS cnt
+                FROM events e CROSS JOIN hh
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT user_id, COUNT(*) AS true_count
+                FROM events GROUP BY 1
+                ORDER BY true_count DESC, user_id ASC LIMIT 20
+            ),
+            probes AS (
+                SELECT t.user_id, t.true_count, hh.i AS row_i,
+                       ((hh.a * (t.user_id % 2147483647) + hh.b)
+                        % 2147483647) % 1024 AS bucket
+                FROM top t CROSS JOIN hh
+            )
+            SELECT p.user_id, p.true_count, MIN(c.cnt) AS cms_estimate,
+                   MIN(c.cnt) - p.true_count AS overestimate
+            FROM probes p JOIN cells c USING (row_i, bucket)
+            GROUP BY 1, 2
+        """,
+        "key_skew_profile": """
+            WITH counts AS (
+                SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
+                       MAX(cnt) AS max_cnt,
+                       round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+                       round(quantile_cont(cnt, 0.9), 4) AS p90_cnt,
+                       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+                FROM counts
+            ),
+            hot AS (
+                SELECT user_id AS hot_key FROM counts
+                ORDER BY cnt DESC, user_id ASC LIMIT 1
+            )
+            SELECT n_keys, CAST(n_rows AS BIGINT) AS n_rows, hot_key,
+                   max_cnt, p50_cnt, p90_cnt, p99_cnt,
+                   CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                       AS skew_ratio
+            FROM stats CROSS JOIN hot
+        """,
+        "trade_reach": """
+            WITH pairs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            edges AS (
+                SELECT c AS src, s AS dst FROM pairs
+                UNION ALL SELECT s AS src, c AS dst FROM pairs
+            ),
+            l0 AS (SELECT MIN(src) AS node FROM edges),
+            l1 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM edges e JOIN l0 ON e.src = l0.node
+                WHERE e.dst NOT IN (SELECT node FROM l0)
+            ),
+            l2 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM edges e JOIN l1 ON e.src = l1.node
+                WHERE e.dst NOT IN (SELECT node FROM l0)
+                  AND e.dst NOT IN (SELECT node FROM l1)
+            ),
+            l3 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM edges e JOIN l2 ON e.src = l2.node
+                WHERE e.dst NOT IN (SELECT node FROM l0)
+                  AND e.dst NOT IN (SELECT node FROM l1)
+                  AND e.dst NOT IN (SELECT node FROM l2)
+            ),
+            allv AS (
+                SELECT node, 0 AS dist FROM l0
+                UNION ALL SELECT node, 1 FROM l1
+                UNION ALL SELECT node, 2 FROM l2
+                UNION ALL SELECT node, 3 FROM l3
+            )
+            SELECT CASE WHEN node % 2 = 0
+                        THEN 'c' || CAST(node // 2 AS VARCHAR)
+                        ELSE 's' || CAST((node - 1) // 2 AS VARCHAR)
+                   END AS node,
+                   CAST(dist AS INTEGER) AS dist
+            FROM allv
         """,
     }

@@ -620,3 +620,49 @@ def revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("attr_type").alias("event_type"), "n_orders", "revenue"
         )
     )
+
+
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type anomaly summary via median absolute
+    deviation: (event_type, n, med, mad, n_outliers) where an outlier
+    is |value − med| > 3·MAD — the heavy-tail-safe companion to
+    value_zscore_outliers (one planted extreme value shifts a mean/
+    sigma fence but leaves a median/MAD fence intact).
+
+    Two percentile aggregates over bounded per-type groups (exact
+    F.percentile — the groups are the handful of event types; at
+    unbounded cardinality swap for percentile_approx, the
+    fact_deciles_scalable trade), each broadcast back onto the fact —
+    the fact itself shuffles zero times beyond the partial-aggregated
+    group splits. Median and MAD round to 4 dp on both engines before
+    the fence comparison (the returnflag_price_quartiles interpolation
+    seam), so the deviation arithmetic and the 3·MAD threshold run on
+    bit-identical doubles; constant groups (MAD = 0) report zero
+    outliers rather than flagging every off-median row.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.col("dev") > F.lit(3.0) * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -188,3 +188,79 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return triangles(pairs)
+
+
+def bfs_levels(
+    edges: DataFrame, source: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Frontier-expansion BFS over directed (src, dst) edges from the
+    `source` (node) rows: returns (node, dist) for every node within
+    ``max_depth`` hops. The textbook distributed formulation — each
+    round is one frontier⋈edges join (the frontier is node-bounded and
+    BROADCAST; the edge table never re-shuffles), a DISTINCT on the
+    new frontier, and an anti-join against the visited set. Rounds are
+    a fixed unroll (no driver probe): an empty frontier makes the
+    remaining rounds no-op joins, which AQE collapses at runtime.
+
+    At 1000-executor scale the same loop holds until the frontier
+    outgrows the broadcast budget (a high-diameter graph's middle
+    rounds); past that, drop the hint and the join degrades to the
+    shuffle formulation — the visited anti-join is already keyed for
+    it."""
+    visited = source.select("node").withColumn(
+        "dist", F.lit(0)
+    ).localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distances (≤ 3 hops) from the lowest-keyed customer over
+    the symmetrized customer↔supplier trade graph — supply-chain blast
+    radius: hop 1 = the customer's suppliers, hop 2 = those suppliers'
+    other customers, hop 3 = their suppliers. Returns (node, dist)
+    with the same namespaced display ids as supplier_influence_rank.
+
+    Graph build and node encoding are shared with PageRank (LONG ids,
+    parity namespace); the DuckDB twin unrolls the three frontier
+    rounds as chained anti-joined CTEs — level sets are DISTINCT, so
+    the unroll can't blow up on cycles the way a naive recursive
+    path-enumeration CTE would.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    edges = edges.localCheckpoint()
+    source = edges.agg(F.min("src").alias("node"))
+    out = bfs_levels(edges, source, max_depth=3)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+    )
+    return out.select(node_str.alias("node"), "dist")

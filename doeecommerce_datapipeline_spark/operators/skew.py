@@ -139,3 +139,53 @@ def salted_broadcast_left(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return big_s.join(F.broadcast(small_r), [key, "_salt"]).drop("_salt")
+
+
+def key_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnosis for a join/groupBy key: one row of
+    per-key-frequency distribution stats for events.user_id —
+    (n_keys, n_rows, hot_key, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+    skew_ratio). skew_ratio = max_cnt / mean_cnt is the number that
+    decides between the plain plan, AQE skew splitting, and the
+    salted operators above (rule of thumb: > ~20 on a shuffle key
+    means the hot task dominates the stage).
+
+    One fact shuffle to the per-key rollup; the percentile aggregate
+    and the top-1 probe (TakeOrderedAndProject with a key tiebreak)
+    both run over the keys-sized rollup, then broadcast-join into a
+    single row. skew_ratio multiplies exact bigints before ONE double
+    division; percentiles round to 4 dp at the interpolation seam.
+    """
+    from ..io import table
+
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 4).alias("p50_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.9)), 4).alias("p90_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_cnt"),
+    )
+    hot = (
+        counts.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(1)
+        .select(F.col("user_id").alias("hot_key"))
+    )
+    return stats.crossJoin(F.broadcast(hot)).select(
+        "n_keys",
+        "n_rows",
+        "hot_key",
+        "max_cnt",
+        "p50_cnt",
+        "p90_cnt",
+        "p99_cnt",
+        (
+            (F.col("max_cnt") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+    )

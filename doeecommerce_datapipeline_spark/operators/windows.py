@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dsum
+from ..functions.scalars import dec_sum, dsum
 from ..io import table
 
 
@@ -300,4 +300,59 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         interp.alias("revenue_interp"),
         F.col("revenue").isNull().alias("is_gap"),
+    )
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order revenue
+    with a 1-day half-life over a trailing 14-day horizon: (day,
+    revenue, ewma) for every day present in the data.
+
+    A recurrence like ewma[t] = α·x[t] + (1−α)·ewma[t−1] has no
+    distributed window form, but a FINITE-horizon EWMA is just a
+    weighted trailing sum — and built-in window frames can't weight
+    by offset, so this reuses the contribute-then-aggregate fan-out
+    from active_users_trailing_7d: each source day fans its revenue
+    out to the 14 target days it influences with weight 2^-age, and
+    one hash aggregate per target day sums contributions and weights.
+    The daily table the fan-out runs over is dates-sized — at 100 TB
+    the fact shuffle is the per-day rollup; everything after is
+    negligible and shuffle-local (the target-day aggregate reuses
+    nothing from the fact).
+
+    Engine-exactness: the 2^-k weights scale to INTEGER weights
+    2^(13−k) — the normalized ratio is unchanged, and weight·revenue
+    becomes a narrow exact decimal product, DECIMAL(24,2), instead of
+    a fractional-scale multiply that tops precision 38 and makes each
+    engine reduce scale its own way (DuckDB additionally overflows
+    rescaling scale-2 onto scale-15 in int64). The closing
+    normalization (Σw·x)/(Σw) is one double division of exact
+    operands. Weights renormalize over the days actually present
+    (series edges and interior gaps keep a proper weighted mean
+    instead of decaying toward zero).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice").alias("rev")
+    )
+    wts = F.array(*[F.lit(1 << (13 - i)) for i in range(14)])
+    contribs = daily.select(
+        "day", "rev", F.posexplode(wts).alias("k", "wt")
+    ).select(
+        F.date_add("day", F.col("k")).alias("tday"),
+        (
+            F.col("rev").cast("decimal(18,2)")
+            * F.col("wt").cast("decimal(5,0)")
+        ).alias("wr"),
+        "wt",
+    )
+    acc = contribs.groupBy("tday").agg(
+        F.sum("wr").alias("swr"), F.sum("wt").alias("sw")
+    )
+    return daily.join(acc, daily.day == acc.tday).select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("swr").cast("double") / F.col("sw").cast("double")).alias(
+            "ewma"
+        ),
     )
