@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of 50-entry driver window --------------------------
         "key_skew_profile": SKW.key_skew_profile,
         "trade_reach": G.trade_reach,
+        "blamed_suppliers": Q.blamed_suppliers,
+        "revenue_day_over_day": W.revenue_day_over_day,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -2600,5 +2602,45 @@ def _oracle_sql_literals() -> dict[str, str]:
                    END AS node,
                    CAST(dist AS INTEGER) AS dist
             FROM allv
+        """,
+        "blamed_suppliers": """
+            WITH per AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       MAX(CASE WHEN CAST(l.l_shipdate AS DATE) >
+                                     CAST(o.o_orderdate AS DATE) + 30
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1, 2
+            ),
+            flagged AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                       SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+                FROM per
+            )
+            SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+            FROM flagged f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+            WHERE f.late = 1 AND f.n_supp > 1 AND f.n_late = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s.s_suppkey ASC
+            LIMIT 20
+        """,
+        "revenue_day_over_day": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ),
+            l AS (
+                SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev
+                FROM daily
+            )
+            SELECT day, CAST(rev AS DOUBLE) AS revenue,
+                   CAST(prev AS DOUBLE) AS prev_revenue,
+                   CAST(rev - prev AS DOUBLE) AS delta,
+                   CASE WHEN prev <> 0
+                        THEN CAST(rev - prev AS DOUBLE)
+                             / CAST(prev AS DOUBLE)
+                   END AS pct_change
+            FROM l
         """,
     }

@@ -43,10 +43,15 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is the orderkey-partitioned self-join the fact table
     already wants for any per-order analysis.
     """
+    # the distinct basket table feeds FOUR consumers (both self-join
+    # sides, the per-part counts, the order count) — materialize it
+    # once or every branch re-scans the fact and re-runs the distinct
+    # (plan audit showed 5 scans / 9 exchanges without this)
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")

@@ -692,3 +692,58 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers-who-kept-waiting) on this schema's dates:
+    in orders with ≥ 2 distinct suppliers, find the supplier who was
+    the ONLY one to ship late (> 30 days after the order date) — the
+    one the delay can be blamed on — and count blamed orders per
+    supplier. Returns the top 20 (s_suppkey, s_name, numwait).
+
+    The reference Q21 is EXISTS + NOT EXISTS correlated subqueries;
+    the scale-safe Spark shape collapses both into ONE orderkey
+    aggregate + window pass: per-(order, supplier) lateness flags,
+    then n_suppliers / n_late counted over the order — `late ∧
+    n_supp > 1 ∧ n_late = 1` is exactly "this supplier late, no
+    other late, some other exists". The (okey, suppkey) aggregate and
+    the okey window share partitioning by the subset rule — one fact
+    shuffle end to end; the supplier dim broadcasts onto the
+    blamed-order survivors.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate").cast("date")
+                    > F.date_add(F.col("o_orderdate").cast("date"), 30)
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    )
+    blamed = flagged.where(
+        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )

@@ -356,3 +356,36 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma"
         ),
     )
+
+
+def revenue_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue deltas: (day, revenue, prev_revenue,
+    delta, pct_change) where prev is the previous PRESENT day's
+    revenue (lag over the observed series — gap-fill variants live in
+    daily_revenue_gapfilled/interpolated). The first day's prev/delta
+    and pct rows land NULL; pct guards prev = 0.
+
+    The lag window is a global ORDER BY over the dates-sized rollup —
+    thousands of rows at any fact scale. delta subtracts the exact
+    decimal sums BEFORE the double cast (order-free); pct_change is
+    one double division.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    d = daily.select(
+        "day", "rev", F.lag("rev", 1).over(w).alias("prev")
+    )
+    delta = F.col("rev") - F.col("prev")
+    return d.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("prev").cast("double").alias("prev_revenue"),
+        delta.cast("double").alias("delta"),
+        F.when(
+            F.col("prev") != 0,
+            delta.cast("double") / F.col("prev").cast("double"),
+        ).alias("pct_change"),
+    )

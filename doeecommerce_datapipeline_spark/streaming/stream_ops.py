@@ -257,3 +257,45 @@ def foreach_batch_near_dedup(
             ManifestTable(batch_df.sparkSession, out_path).append(kept)
 
     return _write
+
+
+def foreach_batch_cms_merge(cells_path: str, key_col: str = "user_id"):
+    """Streaming heavy-hitter state: each micro-batch folds its keys
+    into a persistent count-min cell table by cell-wise ADDITION —
+    the sketch's defining property (sketch(A ∪ B) = sketch(A) +
+    sketch(B), exactly) means the drained stream's table is
+    IDENTICAL to the batch-built sketch over the same rows, which the
+    e2e unit pins cell by cell.
+
+    This is the streaming face of operators/sketches.py: per-batch
+    cost is one aggregate over the batch plus an upsert of ≤ 4×1024
+    cell rows into the ACID table (snapshot-isolated for concurrent
+    estimate readers; epoch replay re-adds a batch, the documented
+    at-least-once caveat of count-based state — exactly-once needs
+    the epoch id folded into the commit meta, as
+    foreach_batch_incremental_view does with its source pointer).
+    At 100 TB the same plan holds: the merge state is 4096 rows no
+    matter the key cardinality — THE reason to sketch instead of
+    keeping exact per-key counts in a stateful operator.
+    """
+    from ..operators.sketches import cms_build
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        part = cms_build(batch_df, key_col)
+        tbl = ManifestTable(spark, cells_path)
+        if tbl.current_version() > 0:
+            merged = (
+                tbl.read()
+                .unionByName(part)
+                .groupBy("row_i", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = part
+        tbl.upsert(merged, keys=["row_i", "bucket"])
+
+    return _write

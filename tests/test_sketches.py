@@ -140,3 +140,45 @@ def test_trade_reach_alternates_namespaces(spark):
         # bipartite graph: even hops are customers, odd hops suppliers
         assert r.node[0] == ("c" if r.dist % 2 == 0 else "s")
     assert sum(1 for r in rows if r.dist == 0) == 1
+
+
+def test_streaming_cms_merge_equals_batch_sketch(spark, tmp_path):
+    """Drain a 3-file stream through foreach_batch_cms_merge and the
+    resulting ACID cell table must equal the batch-built sketch over
+    the union — CMS merge is exact, not approximate."""
+    from doeecommerce_datapipeline_spark.io import table
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_cms_merge,
+        read_event_stream,
+    )
+
+    src = table(spark, SF_DIR, "events").orderBy("event_id").limit(300)
+    base = str(tmp_path / "cms_in")
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        src.orderBy("event_id").offset(lo).limit(hi - lo).write.mode(
+            "append"
+        ).parquet(base)
+    cells = str(tmp_path / "cms_cells")
+    q = (
+        read_event_stream(spark, base)
+        .writeStream.foreachBatch(foreach_batch_cms_merge(cells))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.row_i, r.bucket): r.cnt
+        for r in ManifestTable(spark, cells).read().collect()
+    }
+    want = {
+        (r.row_i, r.bucket): r.cnt
+        for r in cms_build(spark.read.parquet(base), "user_id").collect()
+    }
+    assert got == want
