@@ -31,6 +31,7 @@ from doeecommerce_datapipeline_spark.operators import (
     skew as SKW,
     graph as G,
     mllib_lsh as L,
+    pca as PCA,
     pq as PQ,
     profiling as PR,
     projections as P,
@@ -145,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_reach": G.trade_reach,
         "blamed_suppliers": Q.blamed_suppliers,
         "revenue_day_over_day": W.revenue_day_over_day,
+        "boilerplate_removed": CP.boilerplate_removed,
+        "pca_embeddings": PCA.pca_embeddings,  # rows-only (eigenbasis)
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -2642,5 +2645,40 @@ def _oracle_sql_literals() -> dict[str, str]:
                              / CAST(prev AS DOUBLE)
                    END AS pct_change
             FROM l
+        """,
+        "boilerplate_removed": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 2, 1) + 1))
+                                 AS i
+                      FROM t)
+            ),
+            hot AS (
+                SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
+                                  FROM g GROUP BY 1)
+                WHERE df > 4
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, unnest(range(i, i + 3)) AS j
+                FROM g WHERE gram IN (SELECT gram FROM hot)
+            ),
+            covl AS (SELECT doc_id, list(j) AS cov FROM cov GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(t.toks) - len(list_filter(t.toks,
+                        (x, i) -> NOT list_contains(
+                            coalesce(covl.cov, CAST([] AS BIGINT[])), i)))
+                        AS BIGINT) AS n_removed,
+                   array_to_string(list_filter(t.toks,
+                        (x, i) -> NOT list_contains(
+                            coalesce(covl.cov, CAST([] AS BIGINT[])), i)),
+                        ' ') AS clean_text
+            FROM t LEFT JOIN covl USING (doc_id)
         """,
     }

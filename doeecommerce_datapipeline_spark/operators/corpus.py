@@ -584,3 +584,82 @@ def materialize_sequences(
             "n_docs",
         )
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    df_cap: int = BOILERPLATE_DF_CAP,
+) -> DataFrame:
+    """The TRANSFORM companion to boilerplate_metrics: rewrite each
+    document with cross-corpus boilerplate spans removed (the CCNet /
+    C4 crawl-cleanup move, done on word trigrams since this corpus has
+    no line structure). A token is dropped iff some trigram covering
+    it occurs in more than ``df_cap`` distinct documents; the cleaned
+    text is the surviving tokens re-joined in order. Returns (id,
+    n_tokens, n_removed, clean_text).
+
+    Shape: one trigram-keyed exchange for the document-frequency
+    aggregate; the hot-gram set is bounded by total_grams/df_cap (the
+    same bound that makes the ngram df-cap broadcast safe) so it
+    BROADCASTS back onto the gram stream; covered positions collapse
+    per doc and the rebuild is array-native (F.filter with index over
+    the original token array — no per-token shuffle, no re-sort of
+    exploded tokens). Gram positions are 1-based to match SQL slice
+    semantics; Spark's 0-based filter lambda shifts by one.
+    """
+    t = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    g = t.select(
+        id_col,
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+        ).alias("i"),
+    ).select(
+        id_col,
+        "i",
+        F.array_join(F.slice("toks", F.col("i"), 3), " ").alias("gram"),
+    )
+    hot = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("gram")
+    )
+    cov = (
+        g.join(F.broadcast(hot), "gram")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + 2)).alias("j"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    withcov = t.join(cov, id_col, "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<int>"))
+    )
+    clean = F.filter(
+        "toks", lambda x, i: ~F.array_contains("cov", (i + F.lit(1)).cast("int"))
+    )
+    return withcov.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(clean)).cast("long").alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text"),
+    )
+
+
+def boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of remove_boilerplate over the documents table.
+
+    The synthetic corpus' trigram document frequencies top out single-
+    digit (max df 7–9 at the test SFs — random small-vocab text has no
+    true boilerplate), so the registry query uses df > 4 to exercise
+    the removal path on real hot grams; production crawls calibrate
+    the cap as a corpus fraction."""
+    return remove_boilerplate(
+        table(spark, sf_dir, "documents"), "doc_id", "text", df_cap=4
+    )
