@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_day_over_day": W.revenue_day_over_day,
         "boilerplate_removed": CP.boilerplate_removed,
         "pca_embeddings": PCA.pca_embeddings,  # rows-only (eigenbasis)
+        "weighted_doc_sample": CP.weighted_doc_sample,
+        "revenue_changepoint": X.revenue_changepoint,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -2680,5 +2682,51 @@ def _oracle_sql_literals() -> dict[str, str]:
                             coalesce(covl.cov, CAST([] AS BIGINT[])), i)),
                         ' ') AS clean_text
             FROM t LEFT JOIN covl USING (doc_id)
+        """,
+        "weighted_doc_sample": r"""
+            WITH d AS (
+                SELECT source, doc_id, n_chars,
+                       pow(
+                         CAST(CAST('0x' || substr(md5(regexp_replace(
+                                  trim(lower(text)), '\s+', ' ', 'g')), 1, 13)
+                              AS BIGINT) AS DOUBLE)
+                         / 4503599627370496.0,
+                         1.0 / CAST(n_chars AS DOUBLE)
+                       ) AS key
+                FROM documents
+            ),
+            r AS (
+                SELECT source, doc_id, n_chars,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                               ORDER BY key DESC,
+                                                        doc_id ASC)
+                            AS BIGINT) AS rnk
+                FROM d
+            )
+            SELECT source, doc_id, n_chars, rnk FROM r WHERE rnk <= 50
+        """,
+        "revenue_changepoint": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ),
+            tot AS (
+                SELECT COUNT(*) AS n_days,
+                       CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_daily
+                FROM daily
+            ),
+            s AS (
+                SELECT day, n_days, mean_daily,
+                       CAST(SUM(rev) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DOUBLE)
+                       - CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE)
+                         * mean_daily AS cusum
+                FROM daily CROSS JOIN tot
+            )
+            SELECT day AS change_day, cusum AS cusum_value, mean_daily,
+                   n_days
+            FROM s ORDER BY abs(cusum) DESC, day ASC LIMIT 1
         """,
     }

@@ -11,7 +11,7 @@ exact COUNT(DISTINCT)/median — mergeable, single-pass, bounded memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dsum
@@ -399,4 +399,51 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # s2 observed at sf0.01; 8-decimal rounding on both sides
         # closes it (the quartile guard, aggregates.py)
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 8).alias("sd_w"),
+    )
+
+
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily revenue series: the
+    day where the cumulative deviation from the global daily mean
+    peaks in magnitude — the classic single-change-point estimator
+    (one row: change_day, cusum_value, mean_daily, n_days).
+
+    S_t = Σ_{i≤t} x_i − t·x̄ needs only a cumulative window over the
+    dates-sized rollup plus a broadcast of the single-row global
+    stats; the argmax is a TakeOrderedAndProject with the day as
+    tiebreak. Engine-exactness: the cumulative sum stays decimal, x̄
+    is double(exact sum)/n, and S_t = double(cum) − t·x̄ is two IEEE
+    ops on bit-identical operands — the |S| ranking can't diverge.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").alias("tot"),
+    ).select(
+        "n_days",
+        (F.col("tot").cast("double") / F.col("n_days")).alias("mean_daily"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    rn = Window.orderBy("day")
+    s = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        "mean_daily",
+        (
+            F.sum("rev").over(w).cast("double")
+            - F.row_number().over(rn).cast("double") * F.col("mean_daily")
+        ).alias("cusum"),
+    )
+    return (
+        s.orderBy(F.abs(F.col("cusum")).desc(), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("cusum").alias("cusum_value"),
+            "mean_daily",
+            "n_days",
+        )
     )

@@ -663,3 +663,47 @@ def boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate(
         table(spark, sf_dir, "documents"), "doc_id", "text", df_cap=4
     )
+
+
+SAMPLE_TOPN = 50
+# 13 hex chars = 52 bits — fits a double EXACTLY, so u survives the
+# long → double conversion bit-for-bit on every engine
+_U_DENOM = float(16**13)
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, per source:
+    the Efraimidis–Spirakis A-Res order — key = u^(1/w) with u a
+    content-hash uniform and w the document weight (n_chars here:
+    sample ∝ length, the token-budget-proportional choice) — keeps the
+    top-N keys per source. Returns (source, doc_id, n_chars, rnk).
+
+    Engine-portable randomness: u comes from the md5 content
+    fingerprint (13 hex chars = 52 bits, exact in a double), so the
+    'random' draw is reproducible anywhere and re-ingesting the same
+    corpus re-selects the same sample — the property ad-hoc rand()
+    sampling can't give. The ranking key stays UNROUNDED and is never
+    emitted: pow differs by ≤ 2 ulp across libm builds, so two keys
+    would have to collide within ~2^-51 relative to flip a rank —
+    measure-zero — while any rounded-and-emitted float column would
+    sit on a rounding boundary with ~1e-4 per-row probability.
+
+    Shape: per-row hash + pow (scan-bound), then one source-keyed
+    exchange where WindowGroupLimit truncates each source to N rows
+    below the shuffle (the stratified_sample plan).
+    """
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(fingerprint("text"), 1, 13), 16, 10).cast("double")
+        / F.lit(_U_DENOM)
+    )
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("key"), F.asc("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= SAMPLE_TOPN)
+        .select("source", "doc_id", "n_chars", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -94,3 +94,49 @@ def test_ols_recovers_planted_trend(spark):
     assert abs(r.slope - 7.5) < 1e-9
     # x is the offset from 1992-01-01, so intercept is the value at x=0
     assert abs(r.intercept - 100.0) < 1e-6
+
+
+def test_changepoint_finds_planted_step(spark):
+    import tempfile
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        revenue_changepoint,
+    )
+
+    # 30 days at 100, then 30 days at 900: CUSUM's |S| peaks exactly at
+    # the last pre-change day
+    rows = [(f"1995-01-{d:02d}", 100.0) for d in range(1, 31)] + [
+        (f"1995-03-{d:02d}", 900.0) for d in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "d string, o_totalprice double").select(
+        F.col("d").cast("timestamp").alias("o_orderdate"), "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/orders.parquet")
+        r = revenue_changepoint(spark, tmp).collect()[0]
+    assert str(r.change_day) == "1995-01-30"
+    assert r.n_days == 60
+    assert abs(r.mean_daily - 500.0) < 1e-9
+    # S at the boundary = 30*(100-500) = -12000
+    assert abs(r.cusum_value + 12000.0) < 1e-6
+
+
+def test_weighted_sample_reproducible_and_length_biased(spark):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        weighted_doc_sample,
+    )
+    from tests.conftest import SF_DIR
+
+    a = weighted_doc_sample(spark, SF_DIR).collect()
+    b = weighted_doc_sample(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # content-hash determinism
+    assert all(r.rnk <= 50 for r in a)
+    # A-Res with w = n_chars: sampled docs should skew longer than the
+    # corpus average (weak but directional check)
+    from doeecommerce_datapipeline_spark.io import table
+
+    corpus_avg = (
+        table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_avg = sum(r.n_chars for r in a) / len(a)
+    assert sample_avg > corpus_avg * 0.95
