@@ -182,3 +182,41 @@ def replay_quarantine_csv(
         "raw_record"
     )
     return good, still_bad
+
+
+def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
+    """Uniform multi-format reader: parquet / orc / csv / json are
+    native; avro is import-gated (the external spark-avro module isn't
+    bundled in every distribution — same seam as the REST source's
+    HTTP gate). One entry point so pipelines parameterize landing-zone
+    format instead of branching at every call site."""
+    fmt = fmt.lower()
+    if fmt in {"parquet", "orc", "csv", "json"}:
+        reader = spark.read.options(**options)
+        return getattr(reader, fmt)(path)
+    if fmt == "avro":
+        try:
+            return spark.read.options(**options).format("avro").load(path)
+        except Exception as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "avro requires the external spark-avro package"
+            ) from e
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
+              **options) -> None:
+    """Writer twin of read_any (same format gate)."""
+    fmt = fmt.lower()
+    if fmt in {"parquet", "orc", "csv", "json"}:
+        getattr(df.write.mode(mode).options(**options), fmt)(path)
+        return
+    if fmt == "avro":
+        try:
+            df.write.mode(mode).options(**options).format("avro").save(path)
+            return
+        except Exception as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "avro requires the external spark-avro package"
+            ) from e
+    raise ValueError(f"unsupported format: {fmt}")

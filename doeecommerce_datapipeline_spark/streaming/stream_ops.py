@@ -270,13 +270,15 @@ def foreach_batch_cms_merge(cells_path: str, key_col: str = "user_id"):
     This is the streaming face of operators/sketches.py: per-batch
     cost is one aggregate over the batch plus an upsert of ≤ 4×1024
     cell rows into the ACID table (snapshot-isolated for concurrent
-    estimate readers; epoch replay re-adds a batch, the documented
-    at-least-once caveat of count-based state — exactly-once needs
-    the epoch id folded into the commit meta, as
-    foreach_batch_incremental_view does with its source pointer).
-    At 100 TB the same plan holds: the merge state is 4096 rows no
-    matter the key cardinality — THE reason to sketch instead of
-    keeping exact per-key counts in a stateful operator.
+    estimate readers). EXACTLY-ONCE under epoch replay: the last
+    applied epoch id rides in the commit meta atomically with the
+    cells (the incremental-view source-pointer pattern), so a
+    restarted stream re-delivering an epoch is a no-op instead of
+    double-counting it — the failure mode additive state is
+    otherwise famous for. At 100 TB the same plan holds: the merge
+    state is 4096 rows no matter the key cardinality — THE reason to
+    sketch instead of keeping exact per-key counts in a stateful
+    operator.
     """
     from ..operators.sketches import cms_build
     from ..sinks.manifest_store import ManifestTable
@@ -285,17 +287,23 @@ def foreach_batch_cms_merge(cells_path: str, key_col: str = "user_id"):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        part = cms_build(batch_df, key_col)
         tbl = ManifestTable(spark, cells_path)
-        if tbl.current_version() > 0:
+        v = tbl.current_version()
+        if v > 0:
+            if tbl._read_manifest(v).get("cms_epoch", -1) >= epoch_id:
+                return  # replayed epoch: already folded in
             merged = (
                 tbl.read()
-                .unionByName(part)
+                .unionByName(cms_build(batch_df, key_col))
                 .groupBy("row_i", "bucket")
                 .agg(F.sum("cnt").alias("cnt"))
             )
         else:
-            merged = part
-        tbl.upsert(merged, keys=["row_i", "bucket"])
+            merged = cms_build(batch_df, key_col)
+        tbl.upsert(
+            merged,
+            keys=["row_i", "bucket"],
+            extra_meta={"cms_epoch": epoch_id},
+        )
 
     return _write

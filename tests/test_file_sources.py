@@ -128,3 +128,45 @@ def test_quarantine_replay_recovers_fixed_rows(spark, tmp_path):
     rec = {r["id"]: r["amount"] for r in recovered.collect()}
     assert rec == {2: "not_a_number"}
     assert [r["raw_record"] for r in still_bad.collect()] == ["x,c,3.0"]
+
+
+def test_read_write_any_roundtrip_all_native_formats(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.sources.files import (
+        read_any,
+        write_any,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id * 2.5 AS DOUBLE) AS v", "CAST(id AS STRING) AS s"
+    )
+    want = sorted((r.id, r.v, r.s) for r in df.collect())
+    for fmt, opts in [
+        ("parquet", {}),
+        ("orc", {}),
+        ("csv", {"header": "true", "inferSchema": "true"}),
+        ("json", {}),
+    ]:
+        p = str(tmp_path / f"rt_{fmt}")
+        write_any(df, p, fmt, header="true") if fmt == "csv" else write_any(
+            df, p, fmt
+        )
+        back = read_any(spark, p, fmt, **opts).selectExpr(
+            # csv's inferSchema can't know digits-only s was a string —
+            # normalize types before comparing values
+            "CAST(id AS BIGINT) AS id",
+            "CAST(v AS DOUBLE) AS v",
+            "CAST(s AS STRING) AS s",
+        )
+        got = sorted((r.id, r.v, r.s) for r in back.collect())
+        assert got == want, fmt
+
+
+def test_read_any_rejects_unknown_and_gates_avro(spark, tmp_path):
+    import pytest as _pytest
+
+    from doeecommerce_datapipeline_spark.sources.files import read_any
+
+    with _pytest.raises(ValueError):
+        read_any(spark, str(tmp_path), "xml")
+    with _pytest.raises((ImportError, Exception)):
+        read_any(spark, str(tmp_path), "avro")

@@ -182,3 +182,35 @@ def test_streaming_cms_merge_equals_batch_sketch(spark, tmp_path):
         for r in cms_build(spark.read.parquet(base), "user_id").collect()
     }
     assert got == want
+
+
+def test_cms_merge_epoch_replay_is_noop(spark, tmp_path):
+    """Re-delivering an epoch (the restart-recovery path) must not
+    double-count: the epoch pointer in the commit meta gates it."""
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_cms_merge,
+    )
+
+    cells = str(tmp_path / "cells")
+    batch = spark.createDataFrame([(i % 7,) for i in range(50)], "user_id long")
+    sink = foreach_batch_cms_merge(cells)
+    sink(batch, 0)
+    after_first = {
+        (r.row_i, r.bucket): r.cnt
+        for r in ManifestTable(spark, cells).read().collect()
+    }
+    sink(batch, 0)  # replay of epoch 0
+    after_replay = {
+        (r.row_i, r.bucket): r.cnt
+        for r in ManifestTable(spark, cells).read().collect()
+    }
+    assert after_replay == after_first
+    sink(batch, 1)  # genuinely new epoch doubles every touched cell
+    after_new = {
+        (r.row_i, r.bucket): r.cnt
+        for r in ManifestTable(spark, cells).read().collect()
+    }
+    assert after_new == {k: 2 * v for k, v in after_first.items()}
