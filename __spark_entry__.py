@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": PCA.pca_embeddings,  # rows-only (eigenbasis)
         "weighted_doc_sample": CP.weighted_doc_sample,
         "revenue_changepoint": X.revenue_changepoint,
+        "session_window_agg": E.session_window_agg,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -2728,5 +2729,29 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT day AS change_day, cusum AS cusum_value, mean_daily,
                    n_days
             FROM s ORDER BY abs(cusum) DESC, day ASC LIMIT 1
+        """,
+        "session_window_agg": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN CAST(ts AS TIMESTAMP)
+                                 - lag(CAST(ts AS TIMESTAMP)) OVER w
+                                 >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sess
+                FROM o
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS session_value
+            FROM s GROUP BY user_id, sess
         """,
     }

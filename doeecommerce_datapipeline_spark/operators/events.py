@@ -666,3 +666,39 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``F.session_window`` — the
+    declarative face of what sessionize() does with explicit
+    gaps-and-islands windows, and the construct that carries unchanged
+    into Structured Streaming (state-store-backed there). Returns
+    (user_id, session_start, session_end, n_events, session_value);
+    session_end is the engine's close time = last event + gap.
+
+    Boundary semantics (and the one divergence from sessionize): the
+    built-in closes a session when the next event arrives AT or past
+    gap expiry (gap ≥ 30 min starts a new session), while sessionize's
+    explicit lag test uses strictly-greater — the oracle mirrors the
+    built-in's ≥. One shuffle on (user, session) like any groupBy; the
+    session assignment itself is computed inside the aggregate
+    operator, no separate window pass.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "decimal(18,6)").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
