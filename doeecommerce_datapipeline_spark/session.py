@@ -52,6 +52,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)),
         )
         .config("spark.sql.files.openCostInBytes", "0")
+        # runtime row-group pruning on selective joins: build a Bloom
+        # filter from the small side and push it into the big side's
+        # scan — free at local SF, a major scan cut on 100 TB star
+        # joins (the manifest store's file-level Blooms prune FILES;
+        # this prunes row groups inside surviving files)
+        # (semiJoinReduction rewrite NOT enabled: on this Spark build
+        # flipping it on hangs planning of even trivial actions — the
+        # bloom-filter variant alone is the production-proven path)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -71,6 +71,40 @@ def stream_windowed_agg(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def stream_session_agg(
+    events: DataFrame, watermark: str | None = "1 hour"
+) -> DataFrame:
+    """Online sessionization with the SAME ``F.session_window`` the
+    batch operator uses (events.py:session_window_agg) — here the
+    engine keeps per-user open sessions in the state store, merges
+    windows as events arrive, and emits a session once the watermark
+    passes its close. The batch/streaming construct identity is the
+    point: one definition of 'session' across the medallion layers.
+
+    Pass ``watermark=None`` when chaining after another stateful
+    operator (e.g. ``stream_dedup``) that already declared the
+    watermark — Spark disallows redefining it mid-graph."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_stream_interval_join(
     clicks: DataFrame,
     views: DataFrame,

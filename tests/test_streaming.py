@@ -322,3 +322,51 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
     ).count()
     assert got["n"] == got["d"] == expected
     assert expected > 0  # the fixture must actually exercise the join
+
+
+def test_stream_session_windows_match_batch(spark, stream_dir):
+    """The streaming dedup→session_window pipeline (complete mode over
+    the drained stream) must produce the same sessions the batch
+    dedup + session_window twin computes on the same rows — one
+    'session' definition across batch and streaming, with the online
+    dedup absorbing the fixture's 50 re-deliveries. Chaining two
+    stateful operators exercises multi-stateful support; the dedup
+    stage owns the watermark (watermark=None downstream)."""
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        stream_session_agg,
+    )
+
+    agg = stream_session_agg(
+        stream_dedup(read_event_stream(spark, stream_dir)), watermark=None
+    )
+    run_stream_to_memory(agg, "sess_out", output_mode="complete")
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end)): (
+            r.n_events,
+            r.session_value,
+        )
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # batch twin: dedup (as the streaming graph does online) then the
+    # identical session_window aggregate
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(stream_dir)
+        .dropDuplicates(["event_id"])
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    want = {
+        (r.user_id, str(r["session_window"]["start"]), str(r["session_window"]["end"])): (
+            r.n,
+            r.v,
+        )
+        for r in batch.collect()
+    }
+    assert got == want
