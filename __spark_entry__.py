@@ -26,6 +26,7 @@ from doeecommerce_datapipeline_spark.operators import (
     events as E,
     ivf as IVF,
     joins as J,
+    quality_model as QM,
     scd as SCD,
     sketches as SK,
     skew as SKW,
@@ -68,10 +69,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (c3) hold the operators BUILT in round 3 (never driver-checked);
     all were locally hash-verified at sf0.01 under a vanilla
     foreign-cwd session before round end, along with the full
-    133-entry registry. Round-4 rotation: (c2)/(c3) keep window
-    priority until they have records; the section-(d) r1-recheck tail
-    (from pricing_summary on) has cumulative r1 records and rotates
-    through remaining slots.
+    registry. Round-4 rotation: post-window round-3 sections —
+    (c5) (part_match_blocking, collapse_adjacent_repeats,
+    quality_classifier_scores) and the (c4)-tail entries outside the
+    window (ewma onward through session_window_agg) — take the head;
+    then any window survivor that went red; then the section-(d)
+    r1-recheck tail (from pricing_summary on), which has cumulative r1
+    records and rotates through remaining slots.
 
     Local insurance for the unchecked tail: ALL registry entries are
     hash-verified against the DuckDB oracle at sf0.01 under a vanilla
@@ -151,6 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_doc_sample": CP.weighted_doc_sample,
         "revenue_changepoint": X.revenue_changepoint,
         "session_window_agg": E.session_window_agg,
+        # (c5) built after the r3 window froze — r4 rotation priority
+        # (blocked entity resolution, within-doc repetition removal,
+        # learned quality filter)
+        "part_match_blocking": D.part_match_blocking,
+        "collapse_adjacent_repeats": CP.collapse_adjacent_repeats,
+        "quality_classifier_scores": QM.quality_classifier_scores,  # rows-only (L-BFGS)
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -849,6 +859,38 @@ def _oracle_sql_literals() -> dict[str, str]:
             GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "part_match_blocking": """
+            WITH p AS (
+                SELECT p_partkey, p_name, p_brand,
+                       split_part(p_name, ' ', 2) AS ptype
+                FROM part
+            )
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   a.p_brand AS brand, a.ptype AS ptype,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INTEGER)
+                       AS edit_dist
+            FROM p a JOIN p b
+              ON a.ptype = b.ptype AND a.p_brand = b.p_brand
+             AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 5
+        """,
+        "collapse_adjacent_repeats": """
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_before,
+                   CAST(len(kept) AS BIGINT) AS n_after,
+                   CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+                   md5(array_to_string(kept, ' ')) AS clean_md5
+            FROM (
+                SELECT doc_id, toks,
+                       list_filter(
+                           toks, (x, i) -> i = 1 OR x != toks[i-1]
+                       ) AS kept
+                FROM (
+                    SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents
+                )
+            )
         """,
         "levenshtein_near_dups": """
             WITH d AS (

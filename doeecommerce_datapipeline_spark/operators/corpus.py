@@ -707,3 +707,31 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= SAMPLE_TOPN)
         .select("source", "doc_id", "n_chars", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def collapse_adjacent_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal: drop each token that exactly
+    repeats its predecessor ("the the", stutter artifacts from OCR /
+    crawl text), keeping first occurrences and original order — the
+    intra-document cleanup step that complements the cross-document
+    dedup family.
+
+    Executes as ONE higher-order-function expression per row (split →
+    indexed filter → rejoin), entirely inside codegen: no explode, no
+    shuffle, no UDF — the transform is scan-bound at any scale and the
+    cleaned text never leaves the row. The same indexed-lambda text
+    runs on the oracle side (Spark subscripts are 0-based, DuckDB's
+    1-based — each engine's `toks[i-1]` is its own 'previous token').
+    The md5 of the cleaned text makes content hash-checkable without
+    shipping full documents through the compare.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kept = F.expr("filter(split(text, ' '), (x, i) -> i = 0 OR x != split(text, ' ')[i-1])")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )

@@ -985,3 +985,64 @@ def prefix_jaccard_pairs(d: DataFrame, tau: float = PPJOIN_TAU) -> DataFrame:
     return scored.where(jac >= tau).select(
         "id_a", "id_b", "n_common", jac.alias("jaccard")
     )
+
+
+FUZZY_EDIT_MAX = 5
+
+
+def part_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over the part dimension: candidate
+    duplicate products are pairs sharing a blocking key — (product
+    type = second name token, brand) — whose full names sit within a
+    small edit distance. The classic record-linkage shape: blocking
+    turns the O(n²) all-pairs match into per-block quadratic work on
+    bounded blocks.
+
+    Scale levers: the self-join shuffles BOTH sides on the blocking
+    key, so candidate generation is hash-partitioned and each block's
+    pairs materialize on one executor; Spark's thresholded
+    ``levenshtein(l, r, t)`` early-exits at O(len × t). A hot block
+    (one dominant product type × brand) bounds the damage to that
+    block; adding a third key component (e.g. size decile) is the
+    block-splitting knob. Reference analog: none (the reference has no
+    fuzzy matching); this is the dedup-family completion — token sets
+    (n-gram Jaccard), hashes (minhash/simhash), characters
+    (levenshtein_near_dups), and now keyed entity resolution.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("ptype"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("ptype").alias("ptype_a"),
+        F.col("p_brand").alias("brand_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("ptype").alias("ptype_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ptype_a") == F.col("ptype_b"))
+            & (F.col("brand_a") == F.col("brand_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b", FUZZY_EDIT_MAX)
+        )
+        .where(F.col("edit_dist") >= 0)
+        .select(
+            "key_a",
+            "key_b",
+            F.col("brand_a").alias("brand"),
+            F.col("ptype_a").alias("ptype"),
+            "edit_dist",
+        )
+    )

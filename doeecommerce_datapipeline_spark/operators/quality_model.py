@@ -1,0 +1,111 @@
+"""Learned document-quality filter: a distributed logistic regression
+distilling the Gopher-style heuristic rules into a single calibrated
+score — the fasttext-style quality classifier every large corpus
+pipeline runs once hand rules stop scaling.
+
+Features are a hashed bag-of-words (HashingTF over whitespace tokens —
+the 100 TB-safe featurizer: stateless, no vocabulary broadcast, fixed
+width) concatenated with the four shape statistics the heuristic reads
+(token count, distinct ratio, top-word mass, mean word length). Labels
+come from ``corpus.quality_rules``; training is MLlib's L-BFGS logistic
+regression, whose gradient passes are treeAggregate reductions over the
+executors — the standard distributed-training shape, no driver-side
+data. Scoring is a single Arrow-free JVM transform.
+
+rows-only correctness: L-BFGS convergence is FP-summation-order
+sensitive, so scores are implementation-specific; the unit test bounds
+holdout ROC-AUC against the heuristic labels instead (tests/
+test_quality_model.py).
+
+Reference analog: none — the reference validates with hand predicates
+only (validation_util.py); this is north-star surface for the corpus
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from .corpus import quality_rules
+
+N_HASH_FEATURES = 256
+HOLDOUT_MOD = 5  # doc_id % 5 == 4 → holdout
+
+
+def _featurize(docs: DataFrame) -> DataFrame:
+    """tokens → hashed TF vector ⊕ shape stats, labeled by the rules."""
+    from pyspark.ml.feature import HashingTF, VectorAssembler
+
+    labeled = docs.join(
+        quality_rules(docs, "doc_id", "text").select(
+            "doc_id",
+            F.col("keep").cast("double").alias("label"),
+            "n_tokens",
+            "distinct_ratio",
+            "top_frac",
+            "mean_wlen",
+        ),
+        "doc_id",
+    ).withColumn("words", F.split(F.lower("text"), " "))
+    tf = HashingTF(
+        inputCol="words", outputCol="tf", numFeatures=N_HASH_FEATURES
+    )
+    asm = VectorAssembler(
+        inputCols=["tf", "n_tokens", "distinct_ratio", "top_frac", "mean_wlen"],
+        outputCol="features",
+    )
+    return asm.transform(tf.transform(labeled))
+
+
+def train_quality_classifier(docs: DataFrame):
+    """Fit on the doc_id % HOLDOUT_MOD != 4 slice; returns the model."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feat = _featurize(docs).where(
+        F.pmod("doc_id", F.lit(HOLDOUT_MOD)) != HOLDOUT_MOD - 1
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=30,
+        regParam=1e-3,
+        standardization=True,
+    )
+    return lr.fit(feat)
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score EVERY document with the trained filter: (doc_id, heuristic
+    label, p_keep, predicted keep, holdout flag)."""
+    from pyspark.ml.functions import vector_to_array
+
+    docs = table(spark, sf_dir, "documents")
+    model = train_quality_classifier(docs)
+    scored = model.transform(_featurize(docs))
+    p_keep = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("boolean").alias("heuristic_keep"),
+        p_keep.alias("p_keep"),
+        (F.col("prediction") > 0.5).alias("model_keep"),
+        (F.pmod("doc_id", F.lit(HOLDOUT_MOD)) == HOLDOUT_MOD - 1).alias(
+            "is_holdout"
+        ),
+    ).orderBy("doc_id")
+
+
+def holdout_auc(spark: SparkSession, sf_dir: str) -> float:
+    """ROC-AUC of p_keep vs the heuristic label on the held-out slice."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    docs = table(spark, sf_dir, "documents")
+    model = train_quality_classifier(docs)
+    holdout = _featurize(docs).where(
+        F.pmod("doc_id", F.lit(HOLDOUT_MOD)) == HOLDOUT_MOD - 1
+    )
+    ev = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    )
+    return float(ev.evaluate(model.transform(holdout)))

@@ -1,0 +1,32 @@
+"""Learned quality filter: the classifier must actually distill the
+heuristic (AUC floor on held-out docs), and the score surface must be
+complete and well-formed."""
+
+from doeecommerce_datapipeline_spark.operators.quality_model import (
+    HOLDOUT_MOD,
+    holdout_auc,
+    quality_classifier_scores,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_holdout_auc_floor(spark):
+    auc = holdout_auc(spark, SF)
+    assert auc >= 0.70, f"holdout AUC {auc:.3f} below floor"
+
+
+def test_scores_cover_every_document(spark):
+    rows = quality_classifier_scores(spark, SF).collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all(0.0 <= r["p_keep"] <= 1.0 for r in rows)
+    # holdout flag matches the documented slice
+    assert all(
+        r["is_holdout"] == (r["doc_id"] % HOLDOUT_MOD == HOLDOUT_MOD - 1)
+        for r in rows
+    )
+    # the model must agree with the heuristic on the vast majority —
+    # it is a distillation, not an independent signal
+    agree = sum(r["heuristic_keep"] == r["model_keep"] for r in rows)
+    assert agree / len(rows) >= 0.8
