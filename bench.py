@@ -58,6 +58,24 @@ def main() -> None:
     ).count()
     li.select(F.explode(F.array("l_quantity", "l_tax"))).count()
 
+    # full untimed warm pass (disable with SPARK_GRAFT_BENCH_WARM=0):
+    # JIT keeps compiling engine classes across the first ~30 queries,
+    # so whichever entries sit at the registry head absorb 2-4x
+    # inflation (measured: the round-3 window rotation made the SAME
+    # unchanged queries look 2x slower purely by moving them to the
+    # front). One warm execution of every query first makes the timed
+    # figures position-independent steady-state throughput — the
+    # number that actually compares across rounds. Data is re-read
+    # from parquet each run either way (nothing is persisted).
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+        for name, fn in entrymod.queries().items():
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # the timed loop surfaces real failures
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         # min of 2 runs: measured run-to-run variance on a noisy host
