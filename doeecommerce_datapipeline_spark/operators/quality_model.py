@@ -93,7 +93,8 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod("doc_id", F.lit(HOLDOUT_MOD)) == HOLDOUT_MOD - 1).alias(
             "is_holdout"
         ),
-    ).orderBy("doc_id")
+    )  # no orderBy: a global sort of a corpus-sized score table is a
+    # scale smell, and the rows-only check doesn't need row order
 
 
 def holdout_auc(spark: SparkSession, sf_dir: str) -> float:

@@ -341,3 +341,19 @@ def foreach_batch_cms_merge(cells_path: str, key_col: str = "user_id"):
         )
 
     return _write
+
+
+def stream_enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: the event stream left-joined to a
+    batch dimension table (user → nation here). Spark re-plans the
+    static side per micro-batch, so a dimension refreshed by an
+    upstream batch job is picked up on the next trigger without
+    restarting the stream; the dimension is broadcast (explicitly —
+    it is customer-projection-sized), so the stream side never
+    shuffles. The streaming face of J1's broadcast dimension join:
+    one enrichment definition across batch and streaming.
+    """
+    d = F.broadcast(dim)
+    return events.join(d, "user_id", "left").select(
+        "event_id", "user_id", "event_type", "ts", "nation_name"
+    )

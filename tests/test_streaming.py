@@ -370,3 +370,34 @@ def test_stream_session_windows_match_batch(spark, stream_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir):
+    """Stream-static broadcast enrichment must equal the same left join
+    run in batch over the drained rows."""
+    from pyspark.sql import functions as F
+
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        stream_enrich_with_dim,
+    )
+
+    cust = table(spark, "/root/testdata/sf0.001", "customer")
+    nat = table(spark, "/root/testdata/sf0.001", "nation")
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("n_name").alias("nation_name"),
+    )
+    enriched = stream_enrich_with_dim(read_event_stream(spark, stream_dir), dim)
+    run_stream_to_memory(enriched, "enrich_out")
+    got = {
+        (r.event_id, r.nation_name)
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    want = {
+        (r.event_id, r.nation_name)
+        for r in spark.read.parquet(stream_dir)
+        .join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "nation_name")
+        .collect()
+    }
+    assert got == want and len(got) > 0
