@@ -60,8 +60,25 @@ def _featurize(docs: DataFrame) -> DataFrame:
 
 
 def train_quality_classifier(docs: DataFrame):
-    """Fit on the doc_id % HOLDOUT_MOD != 4 slice; returns the model."""
-    from pyspark.ml.classification import LogisticRegression
+    """Fit on the doc_id % HOLDOUT_MOD != 4 slice; returns the model.
+
+    The fitted model is save/load round-tripped before returning: the
+    in-memory model drags a ``trainingSummary`` that holds the
+    SparkSession, and serializing THAT into scoring closures blows up
+    whenever the session's ObservationManager has been instantiated
+    (any ``df.observe`` earlier in the session — e.g. the bronze
+    loader's audit counts — triggers it; reproduced and pinned in
+    tests/test_quality_model.py). Persist-then-load is also the honest
+    production flow: score with the artifact you would deploy, not the
+    trainer's working state.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        LogisticRegressionModel,
+    )
 
     feat = _featurize(docs).where(
         F.pmod("doc_id", F.lit(HOLDOUT_MOD)) != HOLDOUT_MOD - 1
@@ -73,7 +90,13 @@ def train_quality_classifier(docs: DataFrame):
         regParam=1e-3,
         standardization=True,
     )
-    return lr.fit(feat)
+    fitted = lr.fit(feat)
+    tmp = tempfile.mkdtemp(prefix="quality_lr_")
+    try:
+        fitted.write().overwrite().save(tmp + "/model")
+        return LogisticRegressionModel.load(tmp + "/model")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

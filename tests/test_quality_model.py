@@ -30,3 +30,23 @@ def test_scores_cover_every_document(spark):
     # it is a distillation, not an independent signal
     agree = sum(r["heuristic_keep"] == r["model_keep"] for r in rows)
     assert agree / len(rows) >= 0.8
+
+
+def test_training_survives_session_observations(spark):
+    """Regression: once any df.observe instantiates the session's
+    ObservationManager, an in-memory LogisticRegressionModel's
+    trainingSummary (which holds the SparkSession) becomes
+    unserializable inside scoring closures. The trainer save/load
+    round-trips the model to strip the summary — bronze's audit
+    observations and MLlib scoring must coexist on one session."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("pollute")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert obs.get["n"] == 10
+    scored = quality_classifier_scores(spark, SF)
+    assert scored.count() > 0
+    assert holdout_auc(spark, SF) >= 0.70
