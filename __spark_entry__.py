@@ -71,8 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     foreign-cwd session before round end, along with the full
     registry. Round-4 rotation: post-window round-3 sections —
     (c5) (part_match_blocking, collapse_adjacent_repeats,
-    quality_classifier_scores) and the (c4)-tail entries outside the
-    window (ewma onward through session_window_agg) — take the head;
+    quality_classifier_scores, peak_concurrent_sessions, bm25_search)
+    and the (c4)-tail entries outside the window (ewma onward through
+    session_window_agg) — take the head;
     then any window survivor that went red; then the section-(d)
     r1-recheck tail (from pricing_summary on), which has cumulative r1
     records and rotates through remaining slots.
@@ -161,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_match_blocking": D.part_match_blocking,
         "collapse_adjacent_repeats": CP.collapse_adjacent_repeats,
         "quality_classifier_scores": QM.quality_classifier_scores,  # rows-only (L-BFGS)
+        "peak_concurrent_sessions": E.peak_concurrent_sessions,
+        "bm25_search": T.bm25_search,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -859,6 +862,106 @@ def _oracle_sql_literals() -> dict[str, str]:
             GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "peak_concurrent_sessions": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN CAST(ts AS TIMESTAMP)
+                                 - lag(CAST(ts AS TIMESTAMP)) OVER w
+                                 >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sess
+                FROM o
+            ),
+            sessions AS (
+                SELECT user_id, MIN(ts) AS s_start,
+                       MAX(ts) + INTERVAL 30 MINUTE AS s_end
+                FROM s GROUP BY user_id, sess
+            ),
+            endpoints AS (
+                SELECT CAST(s_start AS DATE) AS day, s_start AS ts,
+                       1 AS delta, user_id
+                FROM sessions
+                UNION ALL
+                SELECT CAST(s_end AS DATE) AS day, s_end AS ts,
+                       -1 AS delta, user_id
+                FROM sessions
+            ),
+            runs AS (
+                SELECT day,
+                       SUM(delta) OVER (PARTITION BY day
+                                        ORDER BY ts, delta, user_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS run
+                FROM endpoints
+            ),
+            day_peaks AS (
+                SELECT day, MAX(run) AS max_run FROM runs GROUP BY day
+            ),
+            carries AS (
+                SELECT CAST(d.day AS DATE) AS day, COUNT(*) AS carry_in
+                FROM sessions,
+                     LATERAL (SELECT UNNEST(generate_series(
+                         CAST(s_start AS DATE) + 1, CAST(s_end AS DATE),
+                         INTERVAL 1 DAY)) AS day) d
+                WHERE CAST(s_end AS DATE) > CAST(s_start AS DATE)
+                  AND s_end > CAST(d.day AS TIMESTAMP)
+                GROUP BY CAST(d.day AS DATE)
+            )
+            SELECT CAST(COALESCE(p.day, c.day) AS DATE) AS day,
+                   CAST(COALESCE(c.carry_in, 0) AS BIGINT) AS carry_in,
+                   CAST(COALESCE(c.carry_in, 0)
+                        + GREATEST(COALESCE(p.max_run, 0), 0) AS BIGINT)
+                       AS peak_concurrency
+            FROM day_peaks p FULL OUTER JOIN carries c ON p.day = c.day
+        """,
+        "bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word
+                FROM documents
+            ),
+            toks2 AS (SELECT doc_id, word FROM toks WHERE word != ''),
+            doclen AS (
+                SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM doclen
+            ),
+            tf AS (
+                SELECT doc_id, word, COUNT(*) AS tf FROM toks2
+                WHERE word IN ('table', 'join', 'spark')
+                GROUP BY doc_id, word
+            ),
+            dfa AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            term AS (
+                SELECT t.doc_id,
+                       CAST(ROUND(
+                           ln((CAST(s.n_docs AS DOUBLE)
+                               - CAST(f.df AS DOUBLE) + 0.5)
+                              / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                           * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)
+                              / (CAST(t.tf AS DOUBLE)
+                                 + 1.2 * (1.0 - 0.75
+                                          + 0.75 * CAST(l.dl AS DOUBLE)
+                                          / (CAST(s.total_len AS DOUBLE)
+                                             / CAST(s.n_docs AS DOUBLE))))),
+                           9) AS DECIMAL(18,9)) AS ts_q
+                FROM tf t JOIN doclen l USING (doc_id)
+                          JOIN dfa f USING (word)
+                          CROSS JOIN stats s
+            )
+            SELECT doc_id, ROUND(CAST(SUM(ts_q) AS DOUBLE), 6) AS bm25
+            FROM term GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 20
         """,
         "part_match_blocking": """
             WITH p AS (

@@ -702,3 +702,95 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning sweep:
+    how many user sessions were simultaneously open at the day's
+    busiest instant.
+
+    Classic sweep-line, made partition-parallel: each session (from
+    the built-in session_window grouping, end = last event + gap,
+    half-open [start, end)) emits +1 at start and −1 at end; the
+    running prefix sum IS the instantaneous concurrency. A single
+    global ordered sweep would serialize the fact, so the sweep is
+    two-level: (a) per-DAY running sums over that day's endpoints (the
+    shuffle key every window shares), (b) a per-day carry-in — the
+    sessions already open at the day's midnight, counted by exploding
+    each session to the later days it covers (bounded: sessions are
+    gap-closed, spans are short). peak(day) = carry + max(0, max
+    running) — the max over prefix sums is invariant to ordering among
+    equal (ts, delta) endpoints, so the result is deterministic with
+    no unique tiebreak needed. Endpoints at exactly midnight belong to
+    the closing side (end is exclusive).
+
+    The oracle mirrors the same two-level formulation; every value is
+    integer arithmetic — exact on any engine.
+    """
+    e = table(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        # the MERGED window's bounds come from the grouping column
+        # post-agg (an agg over session_window.* would see the per-row
+        # pre-merge windows and truncate the session at first_event+gap)
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+        )
+    )
+    starts = sessions.select(
+        F.to_date("s_start").alias("day"),
+        F.col("s_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+    )
+    ends = sessions.select(
+        F.to_date("s_end").alias("day"),
+        F.col("s_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+    )
+    endpoints = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    day_peaks = (
+        endpoints.withColumn("run", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("run").alias("max_run"))
+    )
+    # carry-in: a session open at day d's midnight contributes to every
+    # day in (date(start), date(end)]; exclusive end means a session
+    # ending exactly at midnight of d is NOT open during d
+    carries = (
+        sessions.where(F.to_date("s_end") > F.to_date("s_start"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.date_add(F.to_date("s_start"), 1), F.to_date("s_end")
+                )
+            ).alias("day"),
+            "s_end",
+        )
+        .where(F.col("s_end") > F.col("day").cast("timestamp"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("carry_in"))
+    )
+    joined = day_peaks.join(carries, "day", "full_outer").select(
+        "day",
+        F.coalesce("carry_in", F.lit(0)).cast("long").alias("carry_in"),
+        (
+            F.coalesce("carry_in", F.lit(0))
+            + F.greatest(F.coalesce("max_run", F.lit(0)), F.lit(0))
+        )
+        .cast("long")
+        .alias("peak_concurrency"),
+    )
+    return joined

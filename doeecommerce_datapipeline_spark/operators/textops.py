@@ -522,3 +522,79 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_nll"),
         F.round(F.exp(avg), 6).alias("ppl"),
     )
+
+
+BM25_QUERY_TERMS = ["table", "join", "spark"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed query —
+    the lexical-retrieval primitive (tfidf_topk profiles documents;
+    this RANKS them for a query, the search-index half of corpus
+    tooling).
+
+    Shape: one token explode feeds both per-doc lengths (all tokens)
+    and query-term tf (IN-list filtered before the aggregate — the
+    explode's fan-out for scoring is |query| terms, not the
+    vocabulary). df (|query| rows) and the (N, avgdl) stats row are
+    broadcast; the only fact-sized exchange is the per-doc tf/length
+    aggregate. Top-k via TakeOrderedAndProject.
+
+    Score = Σ_t idf(t) · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with the
+    Robertson idf ln((N−df+0.5)/(df+0.5)+1). idf/score are double
+    arithmetic with a libm ln — rounded to 6 decimals on BOTH engines
+    to absorb sub-ulp divergence (the quartile-rounding pattern,
+    aggregates.py:returnflag_price_quartiles).
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower("text"))).alias("word")
+    ).where(F.col("word") != "")
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tf = (
+        toks.where(F.col("word").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n
+    idf = F.log(
+        (n - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    term_score = idf * (
+        tfd
+        * (BM25_K1 + 1.0)
+        / (tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / avgdl))
+    )
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df_tbl), "word")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        # per-term scores quantize to DECIMAL(18,9) before the sum so
+        # the ≤|query|-way addition is order-free across partitions
+        # (doc_perplexity's NLL pattern), then one rounding at the seam
+        .agg(
+            F.round(
+                F.sum(F.round(term_score, 9).cast("decimal(18,9)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("bm25")
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP)
