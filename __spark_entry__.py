@@ -890,9 +890,13 @@ def _oracle_sql_literals() -> dict[str, str]:
                        1 AS delta, user_id
                 FROM sessions
                 UNION ALL
+                -- a close at exactly midnight belongs to no day's
+                -- sweep (session open only on previous days; the
+                -- day's carry-in already excluded it)
                 SELECT CAST(s_end AS DATE) AS day, s_end AS ts,
                        -1 AS delta, user_id
                 FROM sessions
+                WHERE s_end > CAST(CAST(s_end AS DATE) AS TIMESTAMP)
             ),
             runs AS (
                 SELECT day,

@@ -743,6 +743,14 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_window.end").alias("s_end"),
         )
     )
+    return peak_concurrency_by_day(sessions)
+
+
+def peak_concurrency_by_day(sessions: DataFrame) -> DataFrame:
+    """The partition-parallel sweep over an arbitrary interval table
+    (user_id, s_start, s_end half-open) — see peak_concurrent_sessions
+    for the construction; property-tested against a pure-Python brute
+    force on random intervals (tests/test_properties.py)."""
     starts = sessions.select(
         F.to_date("s_start").alias("day"),
         F.col("s_start").alias("ts"),
@@ -754,6 +762,14 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_end").alias("ts"),
         F.lit(-1).alias("delta"),
         "user_id",
+    ).where(
+        # a close at EXACTLY midnight belongs to no day's sweep: the
+        # session was open only on previous days (end exclusive), and
+        # the day's carry-in already excluded it — keeping the −1 here
+        # would double-decrement below the carry baseline (caught by
+        # the brute-force property test on a midnight-end + midnight-
+        # start adjacency)
+        F.col("ts") > F.col("day").cast("timestamp")
     )
     endpoints = starts.unionByName(ends)
     w = (

@@ -297,3 +297,73 @@ def test_prefix_jaccard_lossless_on_random_corpora(spark, docs, tau_pct):
             if inter and inter / len(sets[a] | sets[b]) >= tau:
                 want.add((a, b, inter))
     assert got == want
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # user
+        st.integers(min_value=0, max_value=96),  # start, hours from base
+        st.integers(min_value=1, max_value=40),  # duration, hours
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(ivs=intervals_strategy)
+@_settings
+def test_peak_concurrency_sweep_equals_brute_force(spark, ivs):
+    """The per-day two-level sweep (running sums + midnight carry-in)
+    must equal the brute-force 'evaluate concurrency at every endpoint
+    instant' answer on random multi-day intervals — including sessions
+    spanning several midnights, zero-length days, and endpoint ties."""
+    from datetime import date, timedelta as td
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        peak_concurrency_by_day,
+    )
+
+    base = datetime(2024, 3, 1)
+    sess = [
+        (u, base + td(hours=s), base + td(hours=s + d)) for u, s, d in ivs
+    ]
+    df = spark.createDataFrame(
+        sess, "user_id long, s_start timestamp, s_end timestamp"
+    )
+    got = {
+        r["day"]: (r["carry_in"], r["peak_concurrency"])
+        for r in peak_concurrency_by_day(df).collect()
+    }
+    # brute force: concurrency at instant t = #{[s, e) : s <= t < e};
+    # per day, evaluate at every endpoint in the day plus the day's
+    # midnight (the carry level), take the max
+    days = set()
+    for _, s, e in sess:
+        d = s.date()
+        while d <= e.date():
+            days.add(d)
+            d += td(days=1)
+    want = {}
+    for d in sorted(days):
+        midnight = datetime(d.year, d.month, d.day)
+        instants = [midnight] + [
+            t for _, s, e in sess for t in (s, e) if t.date() == d
+        ]
+        conc = lambda t: sum(1 for _, s, e in sess if s <= t < e)  # noqa: E731
+        # carry-in = sessions started STRICTLY before the day and still
+        # open at its midnight (a session starting exactly at midnight
+        # is the day's own +1 endpoint, not carried)
+        carry = sum(1 for _, s, e in sess if s < midnight < e)
+        peak = max(conc(t) for t in instants)
+        # the operator emits a day iff it has a surviving endpoint (a
+        # start on d, or an end on d strictly after midnight) or a
+        # positive carry; a day only "touched" by a close at exactly
+        # its midnight has no activity and no row
+        has_endpoint = any(
+            s.date() == d or (e.date() == d and e > midnight)
+            for _, s, e in sess
+        )
+        if carry == 0 and not has_endpoint:
+            continue
+        want[d] = (carry, peak)
+    assert got == want
