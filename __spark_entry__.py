@@ -71,7 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     foreign-cwd session before round end, along with the full
     registry. Round-4 rotation: post-window round-3 sections —
     (c5) (part_match_blocking, collapse_adjacent_repeats,
-    quality_classifier_scores, peak_concurrent_sessions, bm25_search)
+    quality_classifier_scores, peak_concurrent_sessions, bm25_search,
+    dow_baseline_anomalies)
     and the (c4)-tail entries outside the window (ewma onward through
     session_window_agg) — take the head;
     then any window survivor that went red; then the section-(d)
@@ -164,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": QM.quality_classifier_scores,  # rows-only (L-BFGS)
         "peak_concurrent_sessions": E.peak_concurrent_sessions,
         "bm25_search": T.bm25_search,
+        "dow_baseline_anomalies": X.dow_baseline_anomalies,
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -862,6 +864,36 @@ def _oracle_sql_literals() -> dict[str, str]:
             GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "dow_baseline_anomalies": """
+            WITH daily AS (
+                SELECT o_orderdate AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+                FROM orders GROUP BY o_orderdate
+            ),
+            win AS (
+                SELECT day, rev_dec,
+                       COUNT(*) OVER w AS n_prior,
+                       SUM(rev_dec) OVER w AS base_sum
+                FROM daily
+                WINDOW w AS (PARTITION BY dayofweek(day) ORDER BY day
+                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+            ),
+            scored AS (
+                SELECT day,
+                       CAST(rev_dec AS DOUBLE) AS revenue,
+                       CASE WHEN n_prior = 4
+                            THEN CAST(base_sum AS DOUBLE)
+                                 / CAST(n_prior AS DOUBLE) END AS baseline
+                FROM win
+            )
+            SELECT day, revenue, baseline,
+                   ROUND((revenue - baseline) / baseline, 6)
+                       AS deviation_pct,
+                   COALESCE(
+                       ABS(ROUND((revenue - baseline) / baseline, 6)) > 1.0,
+                       FALSE) AS is_anomaly
+            FROM scored
         """,
         "peak_concurrent_sessions": """
             WITH o AS (

@@ -447,3 +447,60 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+DOW_BASELINE_WEEKS = 4
+DOW_ANOMALY_PCT = 1.0
+
+
+def dow_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection on daily revenue: each day is
+    compared against the average of the SAME WEEKDAY's revenue over
+    the preceding 4 weeks — the baseline that doesn't false-alarm on
+    weekly shape (Mondays compare to Mondays). Flag when the day
+    misses its seasonal baseline by more than ±100% (calibrated to
+    ~p95 of this synthetic series' deviations; production tunes the
+    threshold per series).
+
+    Shape: one fact shuffle to the daily rollup (dates-sized from
+    there); the seasonal frame is a window PARTITIONED BY weekday,
+    ordered by day, ROWS 4 PRECEDING..1 PRECEDING — so the partition
+    key splits the tiny date spine seven ways and no frame ever spans
+    weekdays. Baseline = double(decimal window sum)/n (order-free
+    exact sum, one IEEE division — the repo determinism contract);
+    deviation rounds at 6dp on both engines. Days without the full
+    4-week history emit NULL baseline and never flag.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    w = (
+        Window.partitionBy(F.dayofweek("day"))
+        .orderBy("day")
+        .rowsBetween(-DOW_BASELINE_WEEKS, -1)
+    )
+    n_prior = F.count(F.lit(1)).over(w)
+    base = F.when(
+        n_prior == DOW_BASELINE_WEEKS,
+        F.sum("rev_dec").over(w).cast("double") / n_prior.cast("double"),
+    )
+    dev = F.round(
+        (F.col("revenue") - F.col("baseline")) / F.col("baseline"), 6
+    )
+    return (
+        daily.select(
+            "day",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            base.alias("baseline"),
+        )
+        .select(
+            "day",
+            "revenue",
+            "baseline",
+            dev.alias("deviation_pct"),
+            F.coalesce(
+                F.abs(dev) > F.lit(DOW_ANOMALY_PCT), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+    )
