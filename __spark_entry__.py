@@ -72,7 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry. Round-4 rotation: post-window round-3 sections —
     (c5) (part_match_blocking, collapse_adjacent_repeats,
     quality_classifier_scores, peak_concurrent_sessions, bm25_search,
-    dow_baseline_anomalies)
+    dow_baseline_anomalies, value_drift_ks)
     and the (c4)-tail entries outside the window (ewma onward through
     session_window_agg) — take the head;
     then any window survivor that went red; then the section-(d)
@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrent_sessions": E.peak_concurrent_sessions,
         "bm25_search": T.bm25_search,
         "dow_baseline_anomalies": X.dow_baseline_anomalies,
+        "value_drift_ks": PR.value_drift_ks,  # rows-only (float compare in UDF)
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,

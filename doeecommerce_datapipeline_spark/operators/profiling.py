@@ -65,3 +65,75 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry shape: exact profile of the events table (6 columns in
     one pass; the DuckDB twin recomputes each column's metrics)."""
     return profile(table(spark, sf_dir, "events"))
+
+
+KS_ALPHA = 0.01
+
+
+def value_drift_ks(
+    spark: SparkSession, sf_dir: str, alpha: float = KS_ALPHA
+) -> DataFrame:
+    """Per-event-type Kolmogorov–Smirnov two-sample drift test: the
+    first half of the date range is the reference window, the second
+    half the comparison; flag types whose `value` distribution shifted.
+    The continuous-distribution companion to the binned chi-square
+    monitor (analytics.value_drift_by_bucket) — KS needs the full
+    empirical CDFs, which is exactly the per-group computation SQL
+    can't express cleanly and pandas can: this is the repo's
+    grouped-map ``applyInPandas`` surface (each group's rows arrive as
+    ONE pandas frame; numpy sorts both samples and takes the sup of
+    the CDF gap).
+
+    Scale posture: the shuffle is one hash partition per event_type;
+    each group's values must fit one executor's frame — at 100 TB
+    subsample per group first (KS statistics converge at ~10^5
+    samples) with a deterministic content-hash filter, same plan
+    shape. Rows-only (the verdict depends on float comparison inside
+    the UDF); units plant a shifted window and a null case.
+    """
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(spark)
+    e = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = e.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).head()
+    lo, hi = bounds["lo"], bounds["hi"]
+    mid = lo + (hi - lo) / 2
+    tagged = e.select(
+        "event_type",
+        "value",
+        (F.col("ts") < F.lit(mid)).alias("is_ref"),
+    )
+    crit_coef = float((-0.5 * __import__("math").log(alpha / 2)) ** 0.5)
+
+    def ks(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = np.sort(pdf.loc[pdf["is_ref"], "value"].to_numpy(float))
+        b = np.sort(pdf.loc[~pdf["is_ref"], "value"].to_numpy(float))
+        n, m = len(a), len(b)
+        if n == 0 or m == 0:
+            stat, drift = float("nan"), False
+        else:
+            allv = np.concatenate([a, b])
+            cdf_a = np.searchsorted(a, allv, side="right") / n
+            cdf_b = np.searchsorted(b, allv, side="right") / m
+            stat = float(np.abs(cdf_a - cdf_b).max())
+            drift = stat > crit_coef * ((n + m) / (n * m)) ** 0.5
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_ref": [n],
+                "n_cur": [m],
+                "ks_stat": [stat],
+                "drift": [drift],
+            }
+        )
+
+    return tagged.groupBy("event_type").applyInPandas(
+        ks,
+        "event_type string, n_ref long, n_cur long, ks_stat double, "
+        "drift boolean",
+    )
