@@ -82,9 +82,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Local insurance for the unchecked tail: ALL registry entries are
     hash-verified against the DuckDB oracle at sf0.01 under a vanilla
     foreign-cwd SparkSession before each round ends, and
-    tests/test_parity.py re-verifies every oracle pair at sf0.001 in CI.
+    tests/test_parity.py re-verifies every oracle pair at sf0.001 in CI
+    — since round 4 with a TYPED comparator (tests/oracle.py) that
+    rejects the HUGEINT/BIGINT drift class the r3 driver caught.
+
+    ROUND-4 ORDER: the declaration order below is the historical
+    (r3) order kept for the ledger comments; the driver-visible order
+    is set by _R4_WINDOW at the end of this function — the r4 window
+    head is (1) value_mad_outliers (r3's one red row, oracle CAST
+    fixed), (2) the 16 record-less round-3 entries, (3) the three
+    queries whose output types were aligned by the new typed gate
+    (customer_deciles, tfidf_topk, corpus_filter), (4) operators
+    built in round 4, (5) r1-record re-checks filling the rest.
+    Everything else keeps its cumulative record and rotates behind.
     """
-    return {
+    q = {
         # --- round-3 window ------------------------------------------
         # (a) no driver record yet: round-2 post-window newcomers
         "user_retention_cohorts": E.user_retention_cohorts,
@@ -166,7 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrent_sessions": E.peak_concurrent_sessions,
         "bm25_search": T.bm25_search,
         "dow_baseline_anomalies": X.dow_baseline_anomalies,
-        "value_drift_ks": PR.value_drift_ks,  # rows-only (float compare in UDF)
+        "value_drift_ks": PR.value_drift_ks,  # oracle-paired r4 (exact KS)
         # (d) round-1-only records — re-check before they go stale
         "pricing_summary": A.pricing_summary,
         "daily_revenue": A.daily_revenue,
@@ -261,6 +273,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_asof_priority_regime": SCD.orders_asof_priority_regime,
         "fact_deciles_scalable": X.fact_deciles_scalable,  # rows-only, r2 record
     }
+    return {k: q[k] for k in _R4_WINDOW} | {
+        k: v for k, v in q.items() if k not in set(_R4_WINDOW)
+    }
+
+
+# Driver-visible head (first 50 entries = the r4 CORRECTNESS window).
+# Composition documented in queries.__doc__; every name must exist in
+# the declaration dict above (tests/test_registry_window.py asserts it).
+_R4_WINDOW = [
+    # (1) r3's one red row — oracle CAST fixed this round
+    "value_mad_outliers",
+    # (2) the 16 record-less round-3 entries, per the r3 rotation note
+    "part_match_blocking",
+    "collapse_adjacent_repeats",
+    "quality_classifier_scores",  # rows-only (L-BFGS)
+    "peak_concurrent_sessions",
+    "bm25_search",
+    "dow_baseline_anomalies",
+    "value_drift_ks",  # oracle-paired r4
+    "key_skew_profile",
+    "trade_reach",
+    "blamed_suppliers",
+    "revenue_day_over_day",
+    "boilerplate_removed",
+    "pca_embeddings",  # rows-only (eigenbasis)
+    "weighted_doc_sample",
+    "revenue_changepoint",
+    "session_window_agg",
+    # (3) output types aligned by the round-4 typed gate — re-check
+    "customer_deciles",
+    "tfidf_topk",
+    "corpus_filter",
+    # (4) operators built in round 4 (inserted as they land)
+    # (5) r1-record re-checks (decimal surfaces and window functions
+    # first, per the r3 verdict)
+    "pricing_summary",
+    "top_products_daily",
+    "running_totals",
+    "moving_avg_7d",
+    "daily_revenue",
+    "category_profile",
+    "finance_kpis",
+    "duplicate_check",
+    "null_counts",
+    "value_counts_topk",
+    "summary_stats",
+    "count_by_day",
+    "dedup_latest_event",
+    "dedup_first_event",
+    "distinct_projection",
+    "user_activity",
+    "revenue_by_region",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_slice",
+    "ts_range_filter",
+    "multi_source_union",
+    "string_normalize",
+    "date_math",
+    "bucketize",
+    "json_extract",
+    "text_stats",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_by_source",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -896,6 +974,63 @@ def _oracle_sql_literals() -> dict[str, str]:
                        FALSE) AS is_anomaly
             FROM scored
         """,
+        # KS drift oracle: every output double is exactly reproducible
+        # (integer-count CDF ratios, one IEEE division each, exact max,
+        # IEEE-exact sqrt) — mirrors profiling.value_drift_ks step for
+        # step; _KS_CRIT below is repr() of the same Python constant
+        # the Spark side multiplies by, so the drift boolean compares
+        # bit-identical doubles in both engines.
+        "value_drift_ks": """
+            WITH b AS (
+                SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+                FROM events
+            ),
+            tagged AS (
+                SELECT e.event_type, e.value,
+                       (epoch_us(e.ts) < b.lo + (b.hi - b.lo) // 2)
+                           AS is_ref
+                FROM events e, b
+            ),
+            stats AS (
+                SELECT event_type,
+                       CAST(COUNT(*) FILTER (WHERE is_ref) AS BIGINT)
+                           AS n_ref,
+                       CAST(COUNT(*) FILTER (WHERE NOT is_ref) AS BIGINT)
+                           AS n_cur
+                FROM tagged GROUP BY 1
+            ),
+            cum AS (
+                SELECT event_type, value,
+                       SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                           OVER w AS ca,
+                       SUM(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                           OVER w AS cb
+                FROM tagged
+                WINDOW w AS (PARTITION BY event_type ORDER BY value
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+            ),
+            sup AS (
+                SELECT c.event_type,
+                       MAX(ABS(CAST(c.ca AS DOUBLE)
+                                   / CAST(s.n_ref AS DOUBLE)
+                               - CAST(c.cb AS DOUBLE)
+                                   / CAST(s.n_cur AS DOUBLE))) AS stat
+                FROM cum c JOIN stats s USING (event_type)
+                WHERE s.n_ref > 0 AND s.n_cur > 0
+                GROUP BY c.event_type
+            )
+            SELECT s.event_type, s.n_ref, s.n_cur,
+                   CASE WHEN s.n_ref = 0 OR s.n_cur = 0
+                        THEN CAST('nan' AS DOUBLE) ELSE g.stat END
+                       AS ks_stat,
+                   CASE WHEN s.n_ref = 0 OR s.n_cur = 0 THEN FALSE
+                        ELSE g.stat > {ks_crit}
+                             * sqrt(CAST(s.n_ref + s.n_cur AS DOUBLE)
+                                    / CAST(s.n_ref * s.n_cur AS DOUBLE))
+                        END AS drift
+            FROM stats s LEFT JOIN sup g USING (event_type)
+        """.format(ks_crit=PR.ks_crit_coef_repr()),
         "peak_concurrent_sessions": """
             WITH o AS (
                 SELECT user_id, ts,
@@ -1078,7 +1213,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                            AS n_tokens
                 FROM documents
             )
-            SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CASE WHEN n_tokens < 30 THEN 'too_short'
                         WHEN lang != 'en' THEN 'non_target_lang'
                         ELSE 'ok' END AS reason,
@@ -2693,8 +2828,8 @@ def _oracle_sql_literals() -> dict[str, str]:
             )
             SELECT d.event_type, COUNT(*) AS n,
                    MIN(d.med) AS med, MIN(m.mad) AS mad,
-                   SUM(CASE WHEN m.mad > 0 AND d.dev > 3.0 * m.mad
-                            THEN 1 ELSE 0 END) AS n_outliers
+                   CAST(SUM(CASE WHEN m.mad > 0 AND d.dev > 3.0 * m.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM dev d JOIN mad m USING (event_type)
             GROUP BY 1
         """,

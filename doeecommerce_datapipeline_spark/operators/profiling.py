@@ -70,6 +70,15 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 KS_ALPHA = 0.01
 
 
+def ks_crit_coef_repr(alpha: float = KS_ALPHA) -> str:
+    """repr() of the KS critical coefficient sqrt(-ln(alpha/2)/2) —
+    embedded verbatim in the DuckDB oracle so both engines multiply
+    the exact same double when deciding `drift`."""
+    import math
+
+    return repr(float(math.sqrt(-0.5 * math.log(alpha / 2))))
+
+
 def value_drift_ks(
     spark: SparkSession, sf_dir: str, alpha: float = KS_ALPHA
 ) -> DataFrame:
@@ -88,26 +97,39 @@ def value_drift_ks(
     each group's values must fit one executor's frame — at 100 TB
     subsample per group first (KS statistics converge at ~10^5
     samples) with a deterministic content-hash filter, same plan
-    shape. Rows-only (the verdict depends on float comparison inside
-    the UDF); units plant a shifted window and a null case.
+    shape.
+
+    Oracle-paired (round 4): every number in the output is exactly
+    reproducible — the window split compares integer epoch-microseconds
+    (floor-div midpoint, no interval arithmetic), each CDF value is an
+    integer count divided once in IEEE double, the sup is an exact max,
+    and the drift verdict multiplies the same critical-coefficient
+    literal by `sqrt` (correctly rounded per IEEE) of an integer ratio.
+    The SQL twin mirrors each step with RANGE-peers-inclusive windows,
+    so the hash matches bit-for-bit like PageRank and CMS do.
     """
+    import math
+
     from ..pyfiles import ensure_shipped
 
     ensure_shipped(spark)
     e = table(spark, sf_dir, "events").select("event_type", "ts", "value")
     bounds = e.agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
     ).head()
-    lo, hi = bounds["lo"], bounds["hi"]
-    mid = lo + (hi - lo) / 2
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    mid = lo + (hi - lo) // 2
     tagged = e.select(
         "event_type",
         "value",
-        (F.col("ts") < F.lit(mid)).alias("is_ref"),
+        (F.unix_micros("ts") < F.lit(mid)).alias("is_ref"),
     )
-    crit_coef = float((-0.5 * __import__("math").log(alpha / 2)) ** 0.5)
+    crit_coef = float(math.sqrt(-0.5 * math.log(alpha / 2)))
 
     def ks(pdf):
+        import math
+
         import numpy as np
         import pandas as pd
 
@@ -121,7 +143,7 @@ def value_drift_ks(
             cdf_a = np.searchsorted(a, allv, side="right") / n
             cdf_b = np.searchsorted(b, allv, side="right") / m
             stat = float(np.abs(cdf_a - cdf_b).max())
-            drift = stat > crit_coef * ((n + m) / (n * m)) ** 0.5
+            drift = stat > crit_coef * math.sqrt((n + m) / (n * m))
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],

@@ -177,7 +177,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
                 "score"
             ),
         )
-        .withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
         .where(F.col("rnk") <= k)
     )
 

@@ -180,7 +180,7 @@ def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(10).over(w).alias("decile"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
