@@ -2973,11 +2973,13 @@ def _oracle_sql_literals() -> dict[str, str]:
                 FROM documents
             ),
             g AS (
+                -- docs with < 3 tokens emit no grams (mirrors the
+                -- Spark-side guard: short fragments must not enter
+                -- the trigram df aggregate)
                 SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram
                 FROM (SELECT doc_id, toks,
-                             unnest(range(1, greatest(len(toks) - 2, 1) + 1))
-                                 AS i
-                      FROM t)
+                             unnest(range(1, len(toks) - 2 + 1)) AS i
+                      FROM t WHERE len(toks) >= 3)
             ),
             hot AS (
                 SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df

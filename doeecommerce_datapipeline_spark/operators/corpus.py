@@ -612,11 +612,17 @@ def remove_boilerplate(
     t = docs.select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
     )
+    # docs with fewer than 3 tokens have NO trigrams: without the
+    # guard a 1- or 2-token fragment would enter the df aggregate and
+    # short documents could be wholly removed as "boilerplate"
     g = t.select(
         id_col,
         "toks",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+            F.when(
+                F.size("toks") >= 3,
+                F.sequence(F.lit(1), F.size("toks") - 2),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("i"),
     ).select(
         id_col,

@@ -99,13 +99,21 @@ def train_quality_classifier(docs: DataFrame):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_classifier_scores(
+    spark: SparkSession, sf_dir: str, model=None
+) -> DataFrame:
     """Score EVERY document with the trained filter: (doc_id, heuristic
-    label, p_keep, predicted keep, holdout flag)."""
+    label, p_keep, predicted keep, holdout flag).
+
+    ``model``: pass a pre-trained model to share one fit between
+    scoring and evaluation (holdout_auc accepts the same) — combined
+    quality reports must not run the full L-BFGS fit twice on
+    identical training data."""
     from pyspark.ml.functions import vector_to_array
 
     docs = table(spark, sf_dir, "documents")
-    model = train_quality_classifier(docs)
+    if model is None:
+        model = train_quality_classifier(docs)
     scored = model.transform(_featurize(docs))
     p_keep = F.element_at(vector_to_array(F.col("probability")), 2)
     return scored.select(
@@ -120,12 +128,16 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale smell, and the rows-only check doesn't need row order
 
 
-def holdout_auc(spark: SparkSession, sf_dir: str) -> float:
-    """ROC-AUC of p_keep vs the heuristic label on the held-out slice."""
+def holdout_auc(spark: SparkSession, sf_dir: str, model=None) -> float:
+    """ROC-AUC of p_keep vs the heuristic label on the held-out slice.
+
+    Accepts a pre-trained ``model`` so scoring + evaluation share one
+    fit (see quality_classifier_scores)."""
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     docs = table(spark, sf_dir, "documents")
-    model = train_quality_classifier(docs)
+    if model is None:
+        model = train_quality_classifier(docs)
     holdout = _featurize(docs).where(
         F.pmod("doc_id", F.lit(HOLDOUT_MOD)) == HOLDOUT_MOD - 1
     )

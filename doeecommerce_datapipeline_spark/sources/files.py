@@ -184,6 +184,20 @@ def replay_quarantine_csv(
     return good, still_bad
 
 
+def _is_missing_avro_source(e: Exception) -> bool:
+    """True only for the missing-data-source failure — an ordinary
+    error on the avro path (missing file, schema mismatch, permission
+    denied) must propagate unchanged, not masquerade as a missing
+    dependency."""
+    msg = str(e)
+    return (
+        "Failed to find data source: avro" in msg
+        or "FAILED_TO_LOAD_DATA_SOURCE" in msg
+        or "AvroFileFormat" in msg
+        and "ClassNotFoundException" in msg
+    )
+
+
 def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
     """Uniform multi-format reader: parquet / orc / csv / json are
     native; avro is import-gated (the external spark-avro module isn't
@@ -198,9 +212,11 @@ def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
         try:
             return spark.read.options(**options).format("avro").load(path)
         except Exception as e:  # pragma: no cover - env-dependent
-            raise ImportError(
-                "avro requires the external spark-avro package"
-            ) from e
+            if _is_missing_avro_source(e):
+                raise ImportError(
+                    "avro requires the external spark-avro package"
+                ) from e
+            raise  # real failure (missing path, schema, permissions)
     raise ValueError(f"unsupported format: {fmt}")
 
 
@@ -216,7 +232,9 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
             df.write.mode(mode).options(**options).format("avro").save(path)
             return
         except Exception as e:  # pragma: no cover - env-dependent
-            raise ImportError(
-                "avro requires the external spark-avro package"
-            ) from e
+            if _is_missing_avro_source(e):
+                raise ImportError(
+                    "avro requires the external spark-avro package"
+                ) from e
+            raise  # real failure (missing path, schema, permissions)
     raise ValueError(f"unsupported format: {fmt}")

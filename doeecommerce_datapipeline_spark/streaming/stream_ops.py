@@ -293,7 +293,11 @@ def foreach_batch_near_dedup(
     return _write
 
 
-def foreach_batch_cms_merge(cells_path: str, key_col: str = "user_id"):
+def foreach_batch_cms_merge(
+    cells_path: str,
+    key_col: str = "user_id",
+    lineage_id: str = "default",
+):
     """Streaming heavy-hitter state: each micro-batch folds its keys
     into a persistent count-min cell table by cell-wise ADDITION —
     the sketch's defining property (sketch(A ∪ B) = sketch(A) +
@@ -313,6 +317,17 @@ def foreach_batch_cms_merge(cells_path: str, key_col: str = "user_id"):
     state is 4096 rows no matter the key cardinality — THE reason to
     sketch instead of keeping exact per-key counts in a stateful
     operator.
+
+    ``lineage_id`` scopes the replay guard to one checkpoint lineage
+    (pass the checkpoint dir). Epoch ids restart at 0 when a NEW query
+    (fresh checkpoint) feeds an existing cells table; comparing epochs
+    alone would silently skip every batch of the new query. The guard
+    therefore skips only when BOTH the recorded lineage matches ours
+    AND the recorded epoch is >= ours; a different lineage always
+    applies and re-points the meta. Consequence: one cells table must
+    be fed by one query at a time — concurrent writers of different
+    lineages would ping-pong the pointer (document-level contract, as
+    for any foreachBatch sink keyed on epoch).
     """
     from ..operators.sketches import cms_build
     from ..sinks.manifest_store import ManifestTable
@@ -324,8 +339,12 @@ def foreach_batch_cms_merge(cells_path: str, key_col: str = "user_id"):
         tbl = ManifestTable(spark, cells_path)
         v = tbl.current_version()
         if v > 0:
-            if tbl._read_manifest(v).get("cms_epoch", -1) >= epoch_id:
-                return  # replayed epoch: already folded in
+            meta = tbl._read_manifest(v)
+            if (
+                meta.get("cms_run", "default") == lineage_id
+                and meta.get("cms_epoch", -1) >= epoch_id
+            ):
+                return  # replayed epoch of THIS lineage: already folded in
             merged = (
                 tbl.read()
                 .unionByName(cms_build(batch_df, key_col))
@@ -337,7 +356,7 @@ def foreach_batch_cms_merge(cells_path: str, key_col: str = "user_id"):
         tbl.upsert(
             merged,
             keys=["row_i", "bucket"],
-            extra_meta={"cms_epoch": epoch_id},
+            extra_meta={"cms_epoch": epoch_id, "cms_run": lineage_id},
         )
 
     return _write

@@ -168,5 +168,26 @@ def test_read_any_rejects_unknown_and_gates_avro(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_any(spark, str(tmp_path), "xml")
-    with _pytest.raises((ImportError, Exception)):
+    # in this env spark-avro is absent, so the gate raises ImportError
+    with _pytest.raises(ImportError):
         read_any(spark, str(tmp_path), "avro")
+
+
+def test_avro_gate_only_translates_missing_source():
+    """An ordinary failure on the avro path (missing file, schema
+    error, permissions) must NOT be reported as a missing dependency."""
+    from pyspark.errors import AnalysisException
+
+    from doeecommerce_datapipeline_spark.sources.files import (
+        _is_missing_avro_source,
+    )
+
+    assert _is_missing_avro_source(
+        AnalysisException("Failed to find data source: avro. Avro is "
+                          "built-in but external data source module")
+    )
+    assert not _is_missing_avro_source(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: "
+                          "file:/tmp/nope.avro")
+    )
+    assert not _is_missing_avro_source(PermissionError("denied"))

@@ -64,3 +64,20 @@ def test_remove_boilerplate_noop_below_cap(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = remove_boilerplate(df, "doc_id", "text", df_cap=10)
     assert out.agg(F.sum("n_removed")).collect()[0][0] == 0
+
+
+def test_remove_boilerplate_keeps_short_docs_whole(spark):
+    """1- and 2-token documents have no trigrams, so they can never be
+    flagged as boilerplate even when their words saturate the df cap
+    elsewhere. Regression for the i=1 gram emitted on short docs."""
+    rows = [(i, "common words repeated across docs") for i in range(20)]
+    rows += [(100, "common"), (101, "common words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate(df, "doc_id", "text", df_cap=5).collect()
+    }
+    assert out[100].n_removed == 0 and out[100].clean_text == "common"
+    assert out[101].n_removed == 0 and out[101].clean_text == "common words"
+    # the long docs ARE fully boilerplate at this cap
+    assert out[0].n_removed == out[0].n_tokens

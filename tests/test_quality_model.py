@@ -6,6 +6,7 @@ from doeecommerce_datapipeline_spark.operators.quality_model import (
     HOLDOUT_MOD,
     holdout_auc,
     quality_classifier_scores,
+    train_quality_classifier,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -50,3 +51,14 @@ def test_training_survives_session_observations(spark):
     scored = quality_classifier_scores(spark, SF)
     assert scored.count() > 0
     assert holdout_auc(spark, SF) >= 0.70
+
+
+def test_shared_model_fits_once(spark):
+    """Scoring + evaluation accept one pre-trained model, so a combined
+    quality report runs the L-BFGS fit exactly once."""
+    from doeecommerce_datapipeline_spark.io import table
+
+    model = train_quality_classifier(table(spark, SF, "documents"))
+    scored = quality_classifier_scores(spark, SF, model=model)
+    auc = holdout_auc(spark, SF, model=model)
+    assert scored.count() > 0 and auc >= 0.70

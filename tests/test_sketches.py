@@ -214,3 +214,41 @@ def test_cms_merge_epoch_replay_is_noop(spark, tmp_path):
         for r in ManifestTable(spark, cells).read().collect()
     }
     assert after_new == {k: 2 * v for k, v in after_first.items()}
+
+
+def test_cms_merge_new_lineage_is_not_skipped(spark, tmp_path):
+    """A FRESH streaming query (new checkpoint => epochs restart at 0)
+    feeding an existing cells table must still apply its batches; only
+    a replay within the SAME lineage is a no-op. Regression for the
+    epoch-only guard that silently dropped every batch of a new query."""
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_cms_merge,
+    )
+
+    cells = str(tmp_path / "cells")
+    batch = spark.createDataFrame([(i % 7,) for i in range(50)], "user_id long")
+    first = foreach_batch_cms_merge(cells, lineage_id="ckpt-A")
+    first(batch, 0)
+    first(batch, 1)
+    after_a = {
+        (r.row_i, r.bucket): r.cnt
+        for r in ManifestTable(spark, cells).read().collect()
+    }
+    # new query lineage: its epoch 0 < stored epoch 1 but must apply
+    second = foreach_batch_cms_merge(cells, lineage_id="ckpt-B")
+    second(batch, 0)
+    after_b = {
+        (r.row_i, r.bucket): r.cnt
+        for r in ManifestTable(spark, cells).read().collect()
+    }
+    assert after_b == {k: v + v // 2 for k, v in after_a.items()}
+    # and a replay within lineage B is still a no-op
+    second(batch, 0)
+    after_replay = {
+        (r.row_i, r.bucket): r.cnt
+        for r in ManifestTable(spark, cells).read().collect()
+    }
+    assert after_replay == after_b
