@@ -362,6 +362,46 @@ def foreach_batch_cms_merge(
     return _write
 
 
+def foreach_batch_session_sweep(sessions_path: str, peaks_path: str):
+    """Online capacity planning: closed sessions from the stateful
+    sessionizer land in an ACID interval table, and the per-day
+    peak-concurrency sweep re-materializes after every micro-batch —
+    so `peaks_path` always answers "how many sessions were open at the
+    busiest instant of each day" for everything closed so far, and
+    CONVERGES to the batch sweep once the stream drains (the e2e in
+    tests/test_stateful_streaming.py pins equality on the late-data
+    fixture).
+
+    Exactly-once: sessions upsert keyed (user_id, session_start) —
+    an epoch replay re-delivers the same closed sessions and the merge
+    is idempotent; the sweep is then a pure function of the table.
+    Scale posture: the sweep input is the SESSION table (orders of
+    magnitude smaller than events) and the sweep itself is the
+    partition-parallel two-level prefix-sum — no global ordered state.
+    For very long-running streams, bound the re-sweep to days touched
+    by the batch (merge into peaks by day) — same plan, pruned input.
+    """
+    from ..operators.events import peak_concurrency_by_day
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        stbl = ManifestTable(spark, sessions_path)
+        stbl.upsert(batch_df, keys=["user_id", "session_start"])
+        swept = peak_concurrency_by_day(
+            stbl.read().select(
+                "user_id",
+                F.col("session_start").alias("s_start"),
+                F.col("session_end").alias("s_end"),
+            )
+        )
+        ManifestTable(spark, peaks_path).overwrite(swept)
+
+    return _write
+
+
 def stream_enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment: the event stream left-joined to a
     batch dimension table (user → nation here). Spark re-plans the

@@ -245,3 +245,27 @@ def test_temperature_mix_single_corpus_agg(spark, sf_dir):
     # aggregate branch re-reading documents
     assert p.count("Scan parquet") == 2
     assert "SortMergeJoin" not in p
+
+
+def test_peak_concurrency_no_global_sort(spark, sf_dir):
+    # two-level sweep-line: every Sort in the plan must be partition-
+    # local (window partitionBy day / session_window grouping) — a
+    # global Sort would serialize the fact through one task
+    p = _plan(spark, sf_dir, "peak_concurrent_sessions")
+    assert "Sort " in p  # local sorts exist (windows need them)
+    sort_args = [
+        l for l in p.splitlines()
+        if re.match(r"^\s*Arguments: \[.*(ASC|DESC).*\], (true|false), \d", l)
+    ]
+    assert sort_args, "expected Sort argument lines in formatted plan"
+    global_sorts = [l for l in sort_args if re.search(r"\], true, \d", l)]
+    assert not global_sorts, f"global sort in sweep plan: {global_sorts}"
+
+
+def test_bm25_broadcasts_df_and_topk(spark, sf_dir):
+    # df + corpus stats broadcast onto the |query|-bounded tf stream;
+    # top-k is TakeOrderedAndProject, never a global sort
+    p = _plan(spark, sf_dir, "bm25_search")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p

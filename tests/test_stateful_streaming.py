@@ -257,3 +257,92 @@ def test_velocity_alerts_match_batch_rule(spark, tmp_path):
         (1, t0 + timedelta(seconds=20)),
         (1, t0 + timedelta(seconds=302)),
     ]
+
+
+def test_online_peak_concurrency_matches_batch(spark, tmp_path):
+    """E2E: stateful sessionizer → foreach_batch_session_sweep keeps an
+    ACID per-day peak-concurrency table that, after draining an
+    out-of-order event stream, EQUALS the batch sweep over the same
+    events — the online face of peak_concurrent_sessions. A sentinel
+    far-future event per user closes the final open sessions (the
+    bounded-run alternative to the processing-time timeout); sentinel
+    sessions themselves never close, so they never enter the table."""
+    from datetime import datetime, timedelta
+
+    from test_streaming import _stage_batches
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        peak_concurrency_by_day,
+        session_stats,
+    )
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import ManifestTable
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_session_sweep,
+        read_event_stream,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + timedelta(minutes=minutes), uid, "view", 1.0, "{}")
+
+    batches = [
+        [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 5)],
+        # u2@00:15 arrives AFTER u1@02:00 — out-of-order across users
+        [ev(4, 1, 20), ev(5, 1, 120), ev(6, 2, 15)],
+        [ev(7, 2, 180), ev(8, 1, 125)],
+        # sentinel: closes each user's final open session
+        [ev(98, 1, 60 * 24 * 10), ev(99, 2, 60 * 24 * 10)],
+    ]
+    base = str(tmp_path / "sweep_in")
+    _stage_batches(spark, base, batches)
+
+    sessions_path = str(tmp_path / "sessions_tbl")
+    peaks_path = str(tmp_path / "peaks_tbl")
+    q = (
+        sessionize_stream(read_event_stream(spark, base))
+        .writeStream.foreachBatch(
+            foreach_batch_session_sweep(sessions_path, peaks_path)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sweep"))
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # batch twin over the same REAL events (sentinels excluded)
+    real = [r for b in batches[:3] for r in b]
+    sf_like = str(tmp_path / "batch_sf")
+    spark.createDataFrame(
+        real,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, payload string",
+    ).write.parquet(sf_like + "/events.parquet")
+    batch_sessions = session_stats(spark, sf_like).select(
+        "user_id",
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+    )
+    want_sessions = {
+        (r.user_id, r.s_start, r.s_end) for r in batch_sessions.collect()
+    }
+    got_sessions = {
+        (r.user_id, r.session_start, r.session_end)
+        for r in ManifestTable(spark, sessions_path).read().collect()
+    }
+    assert got_sessions == want_sessions
+
+    want_peaks = {
+        (r.day, r.carry_in, r.peak_concurrency)
+        for r in peak_concurrency_by_day(batch_sessions).collect()
+    }
+    got_peaks = {
+        (r.day, r.carry_in, r.peak_concurrency)
+        for r in ManifestTable(spark, peaks_path).read().collect()
+    }
+    assert got_peaks == want_peaks
+    # and the fixture actually overlaps: the day's peak is 2, not 1
+    assert max(p for _, _, p in got_peaks) == 2
