@@ -272,6 +272,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": T.bigram_lm,
         "orders_asof_priority_regime": SCD.orders_asof_priority_regime,
         "fact_deciles_scalable": X.fact_deciles_scalable,  # rows-only, r2 record
+        # (e) built in round 4 — all oracle-paired (containment join,
+        # quality-aware canonical pick, eval-side decontamination,
+        # ExactSubstr-lite span coverage, Simpson mixture health,
+        # fixed-point tf-idf cosine, funnel latency quartiles)
+        "containment_pairs": D.containment_pairs,
+        "canonical_by_quality": D.canonical_by_quality,
+        "eval_overlap_fraction": CP.eval_overlap_fraction,
+        "duplicated_span_metrics": CP.duplicated_span_metrics,
+        "source_lang_diversity": X.source_lang_diversity,
+        "tfidf_cosine_pairs": S.tfidf_cosine_pairs,
+        "funnel_time_to_convert": E.funnel_time_to_convert,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -306,6 +317,13 @@ _R4_WINDOW = [
     "tfidf_topk",
     "corpus_filter",
     # (4) operators built in round 4 (inserted as they land)
+    "containment_pairs",
+    "canonical_by_quality",
+    "eval_overlap_fraction",
+    "duplicated_span_metrics",
+    "source_lang_diversity",
+    "tfidf_cosine_pairs",
+    "funnel_time_to_convert",
     # (5) r1-record re-checks (decimal surfaces and window functions
     # first, per the r3 verdict)
     "pricing_summary",
@@ -331,13 +349,6 @@ _R4_WINDOW = [
     "ts_range_filter",
     "multi_source_union",
     "string_normalize",
-    "date_math",
-    "bucketize",
-    "json_extract",
-    "text_stats",
-    "doc_fingerprint",
-    "lang_id",
-    "quality_by_source",
 ]
 
 
@@ -3072,5 +3083,239 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                        AS session_value
             FROM s GROUP BY user_id, sess
+        """,
+        "containment_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents WHERE doc_id < 1000
+            ), all_shingles AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), shingles AS (
+                SELECT doc_id, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > 50
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)
+                       AS containment_ab,
+                   CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)
+                       AS containment_ba
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.5
+               OR CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) >= 0.5
+        """,
+        "canonical_by_quality": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents WHERE doc_id < 1000
+            ), all_shingles AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), shingles AS (
+                SELECT doc_id, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > 50
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ), comp AS (
+                SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src
+            ), labels AS (
+                SELECT d.doc_id, d.n_chars,
+                       COALESCE(LEAST(c.src, c.min_reach), d.doc_id)
+                           AS component
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+                WHERE d.doc_id < 1000
+            ), ranked AS (
+                SELECT component, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY component
+                                          ORDER BY n_chars DESC, doc_id ASC)
+                           AS rn,
+                       COUNT(*) OVER (PARTITION BY component)
+                           AS cluster_size
+                FROM labels
+            )
+            SELECT component, doc_id AS canonical_doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(cluster_size AS BIGINT) AS cluster_size
+            FROM ranked WHERE rn = 1
+        """,
+        "eval_overlap_fraction": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+                      FROM toks)
+            ), bench AS (
+                SELECT doc_id, g FROM grams WHERE doc_id % 20 = 7
+            ), train_g AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 20 != 7
+            ), hits AS (
+                SELECT b.doc_id, COUNT(*) AS n_hit
+                FROM bench b JOIN train_g t ON b.g = t.g
+                GROUP BY 1
+            ), totals AS (
+                SELECT doc_id, COUNT(*) AS n_grams FROM bench GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_grams AS BIGINT) AS n_grams,
+                   CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                   COALESCE(CAST(h.n_hit AS DOUBLE)
+                            / CAST(t.n_grams AS DOUBLE), 0.0)
+                       AS overlap_frac,
+                   COALESCE(CAST(h.n_hit AS DOUBLE)
+                            / CAST(t.n_grams AS DOUBLE), 0.0) > 0.0 AS dirty
+            FROM totals t LEFT JOIN hits h USING (doc_id)
+        """,
+        "duplicated_span_metrics": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - 4 + 1)) AS i
+                      FROM toks WHERE len(t) >= 5)
+            ), dup AS (
+                SELECT gram FROM (
+                    SELECT gram, COUNT(DISTINCT doc_id) AS ddf
+                    FROM g GROUP BY 1
+                ) WHERE ddf >= 2
+            ), cov AS (
+                SELECT doc_id, COUNT(DISTINCT j) AS n_dup_covered
+                FROM (SELECT doc_id, unnest(range(i, i + 5)) AS j
+                      FROM g WHERE gram IN (SELECT gram FROM dup))
+                GROUP BY 1
+            )
+            SELECT tk.doc_id,
+                   CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(c.n_dup_covered, 0) AS BIGINT)
+                       AS n_dup_covered,
+                   CAST(COALESCE(c.n_dup_covered, 0) AS DOUBLE)
+                       / CAST(len(tk.t) AS DOUBLE) AS dup_frac
+            FROM toks tk LEFT JOIN cov c USING (doc_id)
+        """,
+        "source_lang_diversity": """
+            WITH by_lang AS (
+                SELECT source, lang, COUNT(*) AS cnt
+                FROM documents GROUP BY 1, 2
+            ), per AS (
+                SELECT source,
+                       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_langs,
+                       CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+                FROM by_lang GROUP BY 1
+            ), top AS (
+                SELECT source, lang AS top_lang, cnt AS top_cnt
+                FROM (SELECT source, lang, cnt,
+                             ROW_NUMBER() OVER (PARTITION BY source
+                                                ORDER BY cnt DESC, lang DESC)
+                                 AS rn
+                      FROM by_lang)
+                WHERE rn = 1
+            )
+            SELECT p.source, p.n_docs, p.n_langs,
+                   1.0 - CAST(p.sum_sq AS DOUBLE)
+                         / CAST(p.n_docs * p.n_docs AS DOUBLE) AS simpson,
+                   t.top_lang,
+                   CAST(t.top_cnt AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+                       AS top_lang_share
+            FROM per p JOIN top t USING (source)
+        """,
+        "tfidf_cosine_pairs": r"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 1000
+            ), n AS (SELECT COUNT(*) AS n_docs FROM d),
+            tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+'))
+                           AS term
+                FROM d
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM tok WHERE term != '' GROUP BY 1, 2
+            ), w AS (
+                SELECT doc_id, term,
+                       tf * ((n.n_docs * 1024)
+                             // COUNT(*) OVER (PARTITION BY term)) AS w
+                FROM tf, n
+            ), norms AS (
+                SELECT doc_id, SUM(w * w) AS norm_sq FROM w GROUP BY 1
+            ), dots AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       SUM(a.w * b.w) AS dot
+                FROM w a JOIN w b USING (term)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na.norm_sq AS DOUBLE))
+                      * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
+            FROM dots
+            JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+            WHERE CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.norm_sq AS DOUBLE))
+                     * sqrt(CAST(nb.norm_sq AS DOUBLE))) >= 0.4
+        """,
+        "funnel_time_to_convert": """
+            WITH fv AS (
+                SELECT user_id, MIN(ts) AS fv
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ), fp AS (
+                SELECT e.user_id, MIN(e.ts) AS fp
+                FROM events e JOIN fv ON e.user_id = fv.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > fv.fv
+                GROUP BY 1
+            ), conv AS (
+                SELECT epoch_us(fp.fp) - epoch_us(fv.fv) AS lat_us
+                FROM fv JOIN fp USING (user_id)
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                   quantile_cont(lat_us, 0.25) AS q1_us,
+                   quantile_cont(lat_us, 0.5) AS median_us,
+                   quantile_cont(lat_us, 0.75) AS q3_us,
+                   CAST(MAX(lat_us) AS BIGINT) AS max_us
+            FROM conv
         """,
     }

@@ -504,3 +504,48 @@ def dow_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition monitor: per source, how concentrated the
+    language mix is — (source, n_docs, n_langs, simpson, top_lang,
+    top_lang_share). `simpson` is the Simpson diversity index
+    1 − Σ pᵢ², the standard concentration measure that (unlike
+    Shannon entropy) needs no transcendental functions: computed as
+    1 − (Σ cntᵢ²)/total², ALL-INTEGER until a single final division,
+    so the value is bit-identical on any engine — the same
+    determinism seam PageRank and the KS test use, applied to a
+    mixture-health metric every multilingual data pipeline tracks.
+
+    Shape: one (source, lang) count agg, one per-source rollup with a
+    max_by for the dominant language — two narrow exchanges, counts
+    only; nothing driver-side, skew-free (languages per source is
+    tiny and bounded).
+    """
+    d = table(spark, sf_dir, "documents")
+    by_lang = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_src = by_lang.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+        F.max_by("lang", F.struct(F.col("cnt"), F.col("lang"))).alias(
+            "top_lang"
+        ),
+        F.max("cnt").cast("long").alias("top_cnt"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n_docs") * F.col("n_docs")).cast("double")
+        ).alias("simpson"),
+        "top_lang",
+        (
+            F.col("top_cnt").cast("double") / F.col("n_docs").cast("double")
+        ).alias("top_lang_share"),
+    )

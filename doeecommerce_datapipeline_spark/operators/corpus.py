@@ -741,3 +741,127 @@ def collapse_adjacent_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )
+
+
+def eval_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVAL-side decontamination metric (the complement of
+    `decontaminate`, which scores TRAIN docs by hit count): for each
+    benchmark document, the fraction of its distinct word n-grams that
+    appear anywhere in the train split — the GPT-3-style "dirty eval
+    doc" score used to decide whether a benchmark number is trustable
+    after training. (doc_id, n_grams, n_hit, overlap_frac, dirty).
+
+    Same split convention as decontaminate (doc_id % 20 == 7 is the
+    benchmark). Scale posture inverts the broadcast: the TRAIN shingle
+    set is corpus-sized, so here the small EVAL set's grams broadcast
+    onto the train gram stream, the hit set semi-joins map-side, and
+    only eval-doc-keyed rows (bounded by the eval set) ever shuffle.
+    overlap_frac is one int/int IEEE division — exact cross-engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 7)
+    train = d.where(F.col("doc_id") % 20 != 7)
+    par = spark.sparkContext.defaultParallelism
+    bench_sh = bench.repartition(par).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), DECONTAM_NGRAM)).alias("shingle")
+    )
+    train_sh = (
+        train.repartition(par)
+        .select(F.explode(word_shingles(F.col("text"), DECONTAM_NGRAM)).alias("shingle"))
+        .distinct()
+    )
+    # eval grams are few: broadcast them INTO the train stream to find
+    # which are hit, then broadcast the (even smaller) hit set back
+    hit = train_sh.join(
+        F.broadcast(bench_sh.select("shingle").distinct()), "shingle"
+    ).distinct()
+    scored = (
+        bench_sh.join(F.broadcast(hit), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = bench_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+    return (
+        totals.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
+            (F.coalesce(frac, F.lit(0.0)) > 0.0).alias("dirty"),
+        )
+    )
+
+
+DUP_SPAN_N = 5
+
+
+def duplicated_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): per document, how much of it sits
+    inside a ≥ DUP_SPAN_N-token span that also occurs verbatim in
+    ANOTHER document. The real ExactSubstr builds a corpus suffix
+    array; the scalable Spark rendition covers the same positions by
+    marking every DUP_SPAN_N-gram that occurs in ≥ 2 distinct docs and
+    taking the per-doc union of covered token positions — any maximal
+    duplicated span of length ≥ n is exactly a run of such grams, so
+    coverage (and the fraction) is IDENTICAL to the suffix-array
+    answer for spans ≥ n. (doc_id, n_tokens, n_dup_covered, dup_frac).
+
+    Shape: gram explode → df agg (one shingle-keyed exchange) →
+    cross-doc grams rejoined (the hot set is small: df>1 grams in a
+    deduped corpus) → per-doc position-set collapse, all array-native.
+    dup_frac is one int/int division — exact cross-engine.
+    """
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    n = DUP_SPAN_N
+    g = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
+    )
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("ddf"))
+        .where(F.col("ddf") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(F.broadcast(dup_grams), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (n - 1))
+            ).alias("j"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("j").alias("n_dup_covered"))
+    )
+    return (
+        t.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_covered", F.lit(0))
+            .cast("long")
+            .alias("n_dup_covered"),
+            (
+                F.coalesce("n_dup_covered", F.lit(0)).cast("double")
+                / F.size("toks").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -1046,3 +1046,111 @@ def part_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-SUBSET detection: n-gram containment
+    C(A→B) = |A∩B| / |A| over the same df-capped shingle index as
+    ngram_jaccard_pairs. Jaccard misses the clone-with-additions case
+    — a short document wholly pasted into a much longer one scores
+    |A|/|B| ≈ 0 Jaccard but 1.0 containment from the short side — and
+    containment is the standard complement (Broder's resemblance vs
+    containment split). Emits pairs where EITHER direction clears
+    CONTAINMENT_THRESHOLD, with both directed scores.
+
+    Plan shape is identical to the Jaccard join (inverted index +
+    df-cap guard), so the same 100 TB posture applies: the hot-shingle
+    cap bounds the per-key fan-out, sizes broadcast back, and the only
+    wide exchange is shingle-keyed. Reference parity anchor: the
+    reference dedups carts/orders by exact id only
+    (database/layers/silver/transform_silver.py:27-29); containment is
+    part of the near-dup extension family alongside MinHash/SimHash.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    sh = d.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+        )
+        .where(
+            (F.col("containment_ab") >= CONTAINMENT_THRESHOLD)
+            | (F.col("containment_ba") >= CONTAINMENT_THRESHOLD)
+        )
+    )
+
+
+def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the LONGEST document (n_chars desc, doc_id asc tiebreak)
+    instead of the min-id member — the production dedup policy when
+    duplicates differ by truncation and the fullest copy should
+    survive. Returns one row per cluster:
+    (component, canonical_doc_id, n_chars, cluster_size).
+
+    Composes the deterministic component labels (min-label
+    propagation over the Jaccard pair graph) with one ranking window
+    PARTITIONED BY component — bounded partitions (cluster-sized), so
+    the rank never needs a global sort. The recursive-CTE oracle
+    re-derives the same labels and applies the same window.
+    """
+    from pyspark.sql import Window
+
+    comp = dedup_components(spark, sf_dir)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 1000)
+        .select("doc_id", "n_chars")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

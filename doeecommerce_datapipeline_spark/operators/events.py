@@ -810,3 +810,59 @@ def peak_concurrency_by_day(sessions: DataFrame) -> DataFrame:
         .alias("peak_concurrency"),
     )
     return joined
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST view
+    to the first purchase AFTER it, then exact quartiles of that
+    latency — funnel_conversion tells how many users advance; this
+    tells how fast. One row: (n_converted, q1_sec, median_sec, q3_sec,
+    max_sec).
+
+    Same single-shuffle shape as funnel_conversion (two conditional-
+    min windows over one user_id partitioning, no ordering needed),
+    then a scalar percentile aggregate over the converted users —
+    bounded by the user count, not the event count. Latencies are
+    exact integer MICROSECONDS (timestamps carry sub-second parts;
+    epoch-seconds would need a float division before the quantile) —
+    quartile interpolation at f ∈ {¼,½,¾} over integers is exact
+    rational arithmetic in double, so the quartiles are bit-identical
+    on any engine (the ship_latency_quartiles seam, one level finer).
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn(
+        "fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    ).withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    conv = (
+        d.groupBy("user_id")
+        .agg(F.min("fv").alias("fv"), F.min("fp").alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .select(
+            (F.unix_micros("fp") - F.unix_micros("fv")).alias("lat_us")
+        )
+    )
+    qs = F.percentile(
+        F.col("lat_us"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        qs.alias("q"),
+        F.max("lat_us").alias("max_us"),
+    ).select(
+        "n_converted",
+        F.col("q")[0].alias("q1_us"),
+        F.col("q")[1].alias("median_us"),
+        F.col("q")[2].alias("q3_us"),
+        "max_us",
+    )

@@ -16,6 +16,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from ..functions.vectors import cosine, dot, norm
 from ..io import table
 
@@ -269,3 +270,67 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+TFIDF_COSINE_SCALE = 1024  # fixed-point idf quantum (see docstring)
+TFIDF_COSINE_THRESHOLD = 0.4
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored near-dup pairs by TF-IDF cosine over the shared-term
+    inverted index — the weighted upgrade of ngram_jaccard_pairs
+    (identical join shape; common terms stop dominating because idf
+    down-weights them instead of a hard df-cap).
+
+    Determinism seam: weights are FIXED-POINT — w = tf · ((N·1024)
+    div df), integer throughout — so dot products and norms are exact
+    BIGINT sums (order-independent, engine-independent; bounds: tf
+    ≲ 10², idf ≤ N·1024 ≈ 10⁶, dot ≤ 10¹⁶ « 2⁶³), and the only float
+    steps are final int→double conversions (correctly rounded per
+    IEEE on every engine), two sqrts (exact per IEEE) and one
+    multiply+divide — bit-identical everywhere, hence fully
+    oracle-pairable where a float-accumulated cosine would drift with
+    aggregation order. Norms computed ONCE per doc in the same pass
+    that builds the index; the pair join only touches docs sharing a
+    term.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    n_docs = d.count()  # tiny driver scalar, like tfidf_topk's
+    toks = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scaled_n = n_docs * TFIDF_COSINE_SCALE
+    w = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.expr(f"{scaled_n} div df")).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm_sq")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("id_a"), F.col("norm_sq").alias("na")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("id_b"), F.col("norm_sq").alias("nb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= TFIDF_COSINE_THRESHOLD)
+    )

@@ -1,0 +1,137 @@
+"""Round-4 operators: planted-case units beyond the oracle parity gate
+(containment join, quality-aware canonical pick, eval decontamination,
+ExactSubstr-lite coverage, Simpson diversity, fixed-point cosine,
+funnel latency quartiles)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doeecommerce_datapipeline_spark.operators.analytics import (
+    source_lang_diversity,
+)
+from doeecommerce_datapipeline_spark.operators.corpus import (
+    duplicated_span_metrics,
+    eval_overlap_fraction,
+)
+from doeecommerce_datapipeline_spark.operators.dedup import (
+    canonical_by_quality,
+    containment_pairs,
+)
+from doeecommerce_datapipeline_spark.operators.events import (
+    funnel_time_to_convert,
+)
+from doeecommerce_datapipeline_spark.operators.similarity import (
+    tfidf_cosine_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plant_docs(spark, tmp_path, rows):
+    """Write a synthetic documents table shaped like the testdata one;
+    operators take (spark, sf_dir) and read only documents.parquet."""
+    d = str(tmp_path / "sf_plant")
+    spark.createDataFrame(
+        [(i, t, "en", "src1", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    return d
+
+
+def test_containment_detects_near_subset(spark, tmp_path):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    # doc 2 = doc 1 plus a long unrelated tail: Jaccard is low but the
+    # short side's containment is 1.0 — the clone-with-additions case
+    tail = " ".join(f"word{i} extra{i} pad{i}" for i in range(30))
+    sf = _plant_docs(
+        spark,
+        tmp_path,
+        [(1, base), (2, base + " " + tail), (3, "totally different text here")],
+    )
+    rows = {(r.id_a, r.id_b): r for r in containment_pairs(spark, sf).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.containment_ab == 1.0  # doc 1 wholly inside doc 2
+    assert r.containment_ba < 0.5
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_canonical_pick_prefers_longest(spark, tmp_path):
+    a = "one two three four five six seven eight nine ten"
+    sf = _plant_docs(
+        spark,
+        tmp_path,
+        [
+            (1, a),
+            (2, a + " eleven twelve"),  # same cluster, longer → canonical
+            (7, "unrelated words nowhere near the cluster vocabulary"),
+        ],
+    )
+    got = {r.component: r for r in canonical_by_quality(spark, sf).collect()}
+    assert got[1].canonical_doc_id == 2  # NOT the min-id member
+    assert got[1].cluster_size == 2
+    assert got[7].canonical_doc_id == 7 and got[7].cluster_size == 1
+
+
+def test_eval_overlap_flags_only_contaminated(spark, tmp_path):
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(7, leak), (27, "clean eval doc with fresh unseen tokens only")]
+    rows += [(i, f"filler text number {i} nothing shared here at all") for i in range(1, 6)]
+    rows += [(8, "train doc containing " + leak + " verbatim copy")]
+    sf = _plant_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in eval_overlap_fraction(spark, sf).collect()}
+    # doc_id % 20 == 7 → docs 7 and 27 are the benchmark
+    assert set(got) == {7, 27}
+    assert got[7].dirty and got[7].overlap_frac > 0.9
+    assert not got[27].dirty and got[27].n_hit == 0
+
+
+def test_duplicated_span_coverage_exact(spark, tmp_path):
+    span = "s1 s2 s3 s4 s5 s6"  # 6 tokens → duplicated span of 6
+    sf = _plant_docs(
+        spark,
+        tmp_path,
+        [
+            (1, span + " unique1a unique1b unique1c unique1d"),
+            (2, "prefix2a prefix2b " + span),
+            (3, "no overlap at all with anything else whatsoever"),
+        ],
+    )
+    got = {r.doc_id: r for r in duplicated_span_metrics(spark, sf).collect()}
+    assert got[1].n_tokens == 10 and got[1].n_dup_covered == 6
+    assert got[1].dup_frac == 0.6
+    assert got[2].n_dup_covered == 6
+    assert got[3].n_dup_covered == 0 and got[3].dup_frac == 0.0
+
+
+def test_simpson_diversity_bounds_and_top(spark):
+    rows = source_lang_diversity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.simpson < 1.0
+        assert 0.0 < r.top_lang_share <= 1.0
+        assert r.n_langs >= 1 and r.n_docs >= r.n_langs
+        # single-language source ⇒ simpson exactly 0
+        if r.n_langs == 1:
+            assert r.simpson == 0.0
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark, tmp_path):
+    text = "apple banana cherry date elderberry fig grape honeydew"
+    sf = _plant_docs(
+        spark,
+        tmp_path,
+        [(1, text), (2, text), (3, "unrelated vocabulary entirely disjoint set")],
+    )
+    rows = {(r.id_a, r.id_b): r.cosine for r in tfidf_cosine_pairs(spark, sf).collect()}
+    # sqrt(n)*sqrt(n) reintroduces one ulp; the value is still exactly
+    # reproducible cross-engine (same rounding both sides)
+    assert rows[(1, 2)] == pytest.approx(1.0, abs=1e-12)
+    assert (1, 3) not in rows
+
+
+def test_funnel_latency_quartiles_well_formed(spark):
+    [r] = funnel_time_to_convert(spark, SF).collect()
+    assert r.n_converted > 0
+    assert 0 <= r.q1_us <= r.median_us <= r.q3_us <= r.max_us
