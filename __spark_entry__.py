@@ -283,6 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_diversity": X.source_lang_diversity,
         "tfidf_cosine_pairs": S.tfidf_cosine_pairs,
         "funnel_time_to_convert": E.funnel_time_to_convert,
+        # (f) round-4 continuation — all oracle-paired (Markov
+        # transition matrix, Benford digit screen, revenue ACF,
+        # per-source term lift, Bollinger volatility bands)
+        "markov_transitions": E.markov_transitions,
+        "benford_first_digit": X.benford_first_digit,
+        "daily_revenue_acf": X.daily_revenue_acf,
+        "distinctive_terms_by_source": T.distinctive_terms_by_source,
+        "bollinger_daily_revenue": W.bollinger_daily_revenue,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -324,6 +332,11 @@ _R4_WINDOW = [
     "source_lang_diversity",
     "tfidf_cosine_pairs",
     "funnel_time_to_convert",
+    "markov_transitions",
+    "benford_first_digit",
+    "daily_revenue_acf",
+    "distinctive_terms_by_source",
+    "bollinger_daily_revenue",
     # (5) r1-record re-checks (decimal surfaces and window functions
     # first, per the r3 verdict)
     "pricing_summary",
@@ -344,11 +357,6 @@ _R4_WINDOW = [
     "user_activity",
     "revenue_by_region",
     "customers_with_orders",
-    "customers_without_orders",
-    "daily_slice",
-    "ts_range_filter",
-    "multi_source_union",
-    "string_normalize",
 ]
 
 
@@ -3317,5 +3325,169 @@ def _oracle_sql_literals() -> dict[str, str]:
                    quantile_cont(lat_us, 0.75) AS q3_us,
                    CAST(MAX(lat_us) AS BIGINT) AS max_us
             FROM conv
+        """,
+        "markov_transitions": """
+            WITH nxt AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events
+            ), t AS (
+                SELECT event_type, next_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_trans
+                FROM nxt WHERE next_type IS NOT NULL
+                GROUP BY event_type, next_type
+            )
+            SELECT event_type, next_type, n_trans,
+                   CAST(n_trans AS DOUBLE)
+                   / CAST(SUM(n_trans) OVER (PARTITION BY event_type)
+                          AS DOUBLE) AS p
+            FROM t
+        """,
+        "benford_first_digit": """
+            WITH c AS (
+                SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                        AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders WHERE o_totalprice > 0
+                GROUP BY 1
+            ), e AS (
+                SELECT digit, n,
+                       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                           AS observed_p,
+                       CASE digit
+                           WHEN 1 THEN CAST('0.3010299956639812' AS DOUBLE)
+                           WHEN 2 THEN CAST('0.17609125905568124' AS DOUBLE)
+                           WHEN 3 THEN CAST('0.12493873660829992' AS DOUBLE)
+                           WHEN 4 THEN CAST('0.09691001300805642' AS DOUBLE)
+                           WHEN 5 THEN CAST('0.07918124604762482' AS DOUBLE)
+                           WHEN 6 THEN CAST('0.06694678963061322' AS DOUBLE)
+                           WHEN 7 THEN CAST('0.05799194697768673' AS DOUBLE)
+                           WHEN 8 THEN CAST('0.05115252244738129' AS DOUBLE)
+                           WHEN 9 THEN CAST('0.04575749056067514' AS DOUBLE)
+                       END AS expected_p
+                FROM c
+            )
+            SELECT digit, n, observed_p, expected_p,
+                   observed_p - expected_p AS excess_p
+            FROM e
+        """,
+        "daily_revenue_acf": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), lags AS (
+                SELECT CAST(UNNEST(range(1, 8)) AS INTEGER) AS lag
+            ), paired AS (
+                SELECT l.lag, a.rev AS x, b.rev AS y
+                FROM daily a CROSS JOIN lags l
+                JOIN daily b ON b.day = a.day + l.lag
+            ), stats AS (
+                SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+                FROM paired GROUP BY lag
+            )
+            SELECT lag, n_pairs,
+                   ROUND(CASE
+                       WHEN sqrt(GREATEST(CAST(n_pairs AS DOUBLE) * sxx
+                                          - sx * sx, 0.0))
+                            * sqrt(GREATEST(CAST(n_pairs AS DOUBLE) * syy
+                                            - sy * sy, 0.0)) > 0
+                       THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                            / (sqrt(GREATEST(CAST(n_pairs AS DOUBLE) * sxx
+                                             - sx * sx, 0.0))
+                               * sqrt(GREATEST(CAST(n_pairs AS DOUBLE) * syy
+                                               - sy * sy, 0.0)))
+                   END, 9) AS acf
+            FROM stats
+        """,
+        "distinctive_terms_by_source": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ), per AS (
+                SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_st
+                FROM toks WHERE token != '' GROUP BY source, token
+            ), tok_tot AS (
+                SELECT token, CAST(SUM(n_st) AS BIGINT) AS n_t
+                FROM per GROUP BY token
+            ), src_tot AS (
+                SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s
+                FROM per GROUP BY source
+            ), grand AS (
+                SELECT CAST(SUM(n_st) AS BIGINT) AS n_g FROM per
+            ), lifted AS (
+                SELECT p.source, p.token, p.n_st,
+                       (CAST(p.n_st AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+                       * (CAST(g.n_g AS DOUBLE) / CAST(t.n_t AS DOUBLE))
+                           AS lift
+                FROM per p
+                JOIN tok_tot t ON p.token = t.token AND t.n_t >= 10
+                JOIN src_tot s ON p.source = s.source
+                CROSS JOIN grand g
+            ), ranked AS (
+                SELECT source, token, n_st, lift,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY lift DESC, token ASC
+                       ) AS INTEGER) AS rank
+                FROM lifted
+            )
+            SELECT source, token, n_st, lift, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "bollinger_daily_revenue": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), win AS (
+                SELECT day,
+                       CAST(rev AS DOUBLE) AS revenue,
+                       CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+                       CAST(SUM(rev) OVER w AS DOUBLE) AS s,
+                       CAST(SUM(CAST(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
+                                     AS DECIMAL(38,6))) OVER w
+                            AS DOUBLE) AS ss
+                FROM daily
+                WINDOW w AS (ORDER BY day
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            ), bands AS (
+                SELECT day, revenue,
+                       ROUND(CASE WHEN n_win = 20
+                            THEN s / CAST(n_win AS DOUBLE) END, 6) AS mean20,
+                       ROUND(CASE WHEN n_win = 20
+                            THEN s / CAST(n_win AS DOUBLE)
+                                 + CAST('2.0' AS DOUBLE)
+                                 * sqrt(GREATEST(
+                                       (CAST(n_win AS DOUBLE) * ss - s * s)
+                                       / (CAST(n_win AS DOUBLE)
+                                          * (CAST(n_win AS DOUBLE) - 1)),
+                                       0.0)) END, 6) AS upper_band,
+                       ROUND(CASE WHEN n_win = 20
+                            THEN s / CAST(n_win AS DOUBLE)
+                                 - CAST('2.0' AS DOUBLE)
+                                 * sqrt(GREATEST(
+                                       (CAST(n_win AS DOUBLE) * ss - s * s)
+                                       / (CAST(n_win AS DOUBLE)
+                                          * (CAST(n_win AS DOUBLE) - 1)),
+                                       0.0)) END, 6) AS lower_band
+                FROM win
+            )
+            SELECT day, revenue, mean20, upper_band, lower_band,
+                   COALESCE(revenue > upper_band OR revenue < lower_band,
+                            FALSE) AS is_breach
+            FROM bands
         """,
     }

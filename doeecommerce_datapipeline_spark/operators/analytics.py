@@ -549,3 +549,117 @@ def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_cnt").cast("double") / F.col("n_docs").cast("double")
         ).alias("top_lang_share"),
     )
+
+
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud/quality screen on order totals: the observed
+    first-significant-digit distribution of o_totalprice next to the
+    Benford expectation log10(1+1/d), with the per-digit deviation —
+    the classic forensic test for fabricated or truncated monetary
+    data.
+
+    Digit extraction is string-of-decimal (leading char of the
+    DECIMAL(18,2) rendering) — no log10 on data values, so there is no
+    float boundary where the two engines could disagree about what the
+    first digit IS. One counts-only agg; the normalizer is a window
+    SUM over the ≤9-row result (the partition-less window is fine —
+    it sees 9 rows, never the fact). Expected shares are shared
+    decimal-string literals, parsed (correctly rounded) by each
+    engine, so observed−expected is arithmetic on identical doubles.
+    """
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.where(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.lit(None).cast("double")
+    for d, p in reversed(sorted(BENFORD_P.items())):
+        expected = F.when(F.col("digit") == d, F.lit(p)).otherwise(expected)
+    tot = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    return counts.select(
+        "digit",
+        "n",
+        obs.alias("observed_p"),
+        expected.alias("expected_p"),
+        (obs - expected).alias("excess_p"),
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7 —
+    (lag, n_pairs, acf) — the seasonality detector that tells a
+    forecaster whether a weekly cycle exists before fitting anything
+    (a spike at lag 7 = weekly seasonality).
+
+    Shape: one fact shuffle to the daily rollup; the lag spine
+    (7 rows) broadcasts onto it, and the shifted copy equi-joins back
+    on the date key — dates-sized work end-to-end after the rollup.
+    Determinism: daily revenue is an exact DECIMAL sum; per-lag
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) follow the
+    numeric_corr_matrix seam — cross products multiply in DOUBLE
+    (identical operands → identical IEEE product) and quantize to
+    DECIMAL before the order-free sum; the closing Pearson arithmetic
+    is a fixed dag of double ops on bit-identical operands.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_add("day", F.col("lag")).alias("day"),
+        F.col("rev").alias("x"),
+    )
+    paired = shifted.join(
+        daily.select("day", F.col("rev").alias("y")), "day"
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    prod = lambda a, b: (dd(a) * dd(b)).cast("decimal(38,6)")  # noqa: E731
+    stats = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(prod("x", "x")).alias("sxx"),
+        F.sum(prod("y", "y")).alias("syy"),
+        F.sum(prod("x", "y")).alias("sxy"),
+    )
+    n = dd("n_pairs")
+    sx, sy = dd("sx"), dd("sy")
+    sxx, syy, sxy = dd("sxx"), dd("syy"), dd("sxy")
+    num = n * sxy - sx * sy
+    den = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * syy - sy * sy, F.lit(0.0))
+    )
+    # 9dp rounding seam: the wide DECIMAL(38,6) sums exceed 2^53, and
+    # the two engines' decimal→double conversions can differ in the
+    # last ulp (DuckDB divides two doubles; Spark rounds once) — the
+    # same seam dow_baseline/KS use
+    return stats.select(
+        "lag",
+        "n_pairs",
+        F.round(F.when(den > 0, num / den), 9).alias("acf"),
+    )

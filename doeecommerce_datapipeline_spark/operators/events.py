@@ -866,3 +866,38 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q")[2].alias("q3_us"),
         "max_us",
     )
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: for every ordered
+    (current event_type → next event_type) pair across each user's
+    timeline, the transition count and conditional probability
+    P(next | current) — the sequence-mining primitive behind
+    next-action prediction and funnel drop-off analysis.
+
+    Shape: one shuffle on user_id for the lead() window (the same
+    exchange sessionize rides), then a counts-only agg on the 5×5
+    transition space; the per-state normalizer is a window SUM over
+    that tiny result, not the fact. The probability is a single IEEE
+    division of exact BIGINT counts — bit-identical on any engine.
+    The (ts, event_id) ordering tiebreaker makes the lead sequence
+    total-ordered, so the counts are deterministic.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = nxt.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    per_state = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(per_state).cast("double")
+        ).alias("p"),
+    )

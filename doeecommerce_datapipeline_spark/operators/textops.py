@@ -598,3 +598,64 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP)
+
+
+LIFT_MIN_TF = 10
+LIFT_TOP_PER_SOURCE = 10
+
+
+def distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction by frequency lift: the 10 terms
+    each source over-uses most relative to the whole corpus —
+    (source, token, n_in_source, lift, rank) where
+    lift = (tf_source / tokens_source) / (tf_corpus / tokens_corpus).
+    This is the corpus-composition diagnostic that surfaces what a
+    crawl slice is actually about (and catches boilerplate floods)
+    before the mix is weighted.
+
+    Shape: ONE token-explode agg on (source, token); every other input
+    — per-token corpus totals, per-source totals, the grand total — is
+    a re-aggregation of that counts table, never a second scan of the
+    fact. The token-keyed join is the only fact-sized exchange; source
+    totals and the grand total broadcast. Lift is two divisions and a
+    multiply in a fixed order on exact BIGINT counts (never a BIGINT
+    product, which could overflow past 2^53 at corpus scale), so the
+    double is bit-identical across engines. Rank ties break on the
+    token string; the df floor keeps one-off typos out.
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(n_part)
+    toks = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).where(F.col("token") != "")
+    per = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n_st")
+    )
+    per = per.localCheckpoint(eager=True)  # 3 consumers, 1 materialization
+    tok_tot = per.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    src_tot = per.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    grand = per.agg(F.sum("n_st").alias("n_g"))
+    lifted = (
+        per.join(tok_tot.where(F.col("n_t") >= LIFT_MIN_TF), "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "token",
+            "n_st",
+            (
+                (F.col("n_st").cast("double") / F.col("n_s").cast("double"))
+                * (F.col("n_g").cast("double") / F.col("n_t").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lift"), F.asc("token")
+    )
+    return (
+        lifted.select(
+            "source", "token", "n_st", "lift",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= LIFT_TOP_PER_SOURCE)
+    )

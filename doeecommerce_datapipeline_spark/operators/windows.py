@@ -389,3 +389,63 @@ def revenue_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta.cast("double") / F.col("prev").cast("double"),
         ).alias("pct_change"),
     )
+
+
+BOLLINGER_WINDOW = 20
+BOLLINGER_K = 2.0
+
+
+def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily revenue: the trailing-20-day rolling
+    mean ± 2σ envelope, with a breach flag when the day lands outside
+    it — the volatility-aware alternative to fixed-threshold revenue
+    alerts (the band widens in noisy periods instead of false-firing).
+
+    Shape: one fact shuffle to the daily rollup, then a rows-frame
+    window over the date spine — the ordered window sees the
+    dates-sized aggregate (~365·years rows), never the fact, so the
+    single-partition sort is bounded at any fact scale. Determinism:
+    windowed Σx and Σx² are exact DECIMAL sums (x² multiplies in
+    DOUBLE and quantizes first — the numeric_corr_matrix seam); mean
+    and the sample-variance closing arithmetic are a fixed dag of
+    IEEE double ops on those exact operands. Days without a full
+    20-day history emit NULL bands and never flag.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-(BOLLINGER_WINDOW - 1), 0)
+    revd = F.col("rev").cast("double")
+    sq = (revd * revd).cast("decimal(38,6)")
+    d = daily.select(
+        "day",
+        revd.alias("revenue"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("rev").over(w).alias("s"),
+        F.sum(sq).over(w).alias("ss"),
+    )
+    n = F.col("n_win").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * (n - 1))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    full = F.col("n_win") == BOLLINGER_WINDOW
+    # 6dp rounding seam on the band surface (the DECIMAL(38,6) window
+    # sums exceed 2^53 so the engines' decimal→double casts can differ
+    # in the last ulp); the breach flag compares against the ROUNDED
+    # bands so the boolean is deterministic too
+    upper = F.round(F.when(full, mean + F.lit(BOLLINGER_K) * sd), 6)
+    lower = F.round(F.when(full, mean - F.lit(BOLLINGER_K) * sd), 6)
+    return d.select(
+        "day",
+        "revenue",
+        F.round(F.when(full, mean), 6).alias("mean20"),
+        upper.alias("upper_band"),
+        lower.alias("lower_band"),
+        F.coalesce(
+            (F.col("revenue") > upper) | (F.col("revenue") < lower),
+            F.lit(False),
+        ).alias("is_breach"),
+    )

@@ -135,3 +135,100 @@ def test_funnel_latency_quartiles_well_formed(spark):
     [r] = funnel_time_to_convert(spark, SF).collect()
     assert r.n_converted > 0
     assert 0 <= r.q1_us <= r.median_us <= r.q3_us <= r.max_us
+
+
+# ---- round-4 continuation batch -------------------------------------
+
+from doeecommerce_datapipeline_spark.operators.analytics import (  # noqa: E402
+    BENFORD_P,
+    benford_first_digit,
+    daily_revenue_acf,
+)
+from doeecommerce_datapipeline_spark.operators.events import (  # noqa: E402
+    markov_transitions,
+)
+from doeecommerce_datapipeline_spark.operators.textops import (  # noqa: E402
+    distinctive_terms_by_source,
+)
+from doeecommerce_datapipeline_spark.operators.windows import (  # noqa: E402
+    bollinger_daily_revenue,
+)
+
+
+def test_markov_rows_are_conditional_distributions(spark):
+    rows = markov_transitions(spark, SF).collect()
+    assert rows
+    by_state = {}
+    for r in rows:
+        assert r.n_trans > 0 and 0.0 < r.p <= 1.0
+        by_state.setdefault(r.event_type, []).append(r.p)
+    for st, ps in by_state.items():
+        assert sum(ps) == pytest.approx(1.0, abs=1e-12), st
+
+
+def test_markov_planted_chain(spark, tmp_path):
+    # one user: a->b->a->b->a  => a->b twice, b->a twice
+    d = str(tmp_path / "sf_events")
+    spark.createDataFrame(
+        [(i, f"2024-01-01 00:0{i}:00", 1, t, 1.0, "{}")
+         for i, t in enumerate(["a", "b", "a", "b", "a"])],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(d + "/events.parquet")
+    got = {
+        (r.event_type, r.next_type): (r.n_trans, r.p)
+        for r in markov_transitions(spark, d).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (2, 1.0)}
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = benford_first_digit(spark, SF).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(r.observed_p for r in rows) == pytest.approx(1.0, abs=1e-12)
+    for r in rows:
+        assert r.expected_p == BENFORD_P[r.digit]
+        assert r.excess_p == r.observed_p - r.expected_p
+
+
+def test_acf_lag_bounds(spark):
+    rows = daily_revenue_acf(spark, SF).collect()
+    assert sorted(r.lag for r in rows) == list(range(1, 8))
+    for r in rows:
+        assert r.n_pairs > 0
+        if r.acf is not None:
+            assert -1.0 <= r.acf <= 1.0
+
+
+def test_distinctive_terms_topk_per_source(spark):
+    rows = distinctive_terms_by_source(spark, SF).collect()
+    assert rows
+    per_src = {}
+    for r in rows:
+        assert r.lift > 0 and 1 <= r.rank <= 10
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)), src
+        # rank order is lift-descending
+        by_rank = sorted(rs, key=lambda x: x.rank)
+        lifts = [x.lift for x in by_rank]
+        assert lifts == sorted(lifts, reverse=True), src
+
+
+def test_bollinger_bands_bracket_mean(spark):
+    rows = bollinger_daily_revenue(spark, SF).collect()
+    assert rows
+    n_banded = 0
+    for r in rows:
+        if r.mean20 is not None:
+            n_banded += 1
+            assert r.lower_band <= r.mean20 <= r.upper_band
+            if r.is_breach:
+                assert r.revenue > r.upper_band or r.revenue < r.lower_band
+        else:
+            assert not r.is_breach
+    assert n_banded > 0
