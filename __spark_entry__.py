@@ -291,6 +291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_acf": X.daily_revenue_acf,
         "distinctive_terms_by_source": T.distinctive_terms_by_source,
         "bollinger_daily_revenue": W.bollinger_daily_revenue,
+        # (g) round-4 continuation 2 — all oracle-paired (dedup
+        # cluster-size report, ExactSubstr-lite span removal,
+        # acquisition-vs-retention split, purchase-cadence quartiles,
+        # Theil–Sen robust trend, doc-length histogram)
+        "near_dup_cluster_sizes": D.near_dup_cluster_sizes,
+        "remove_duplicated_spans": CP.remove_duplicated_spans,
+        "new_vs_returning_monthly": R.new_vs_returning_monthly,
+        "order_gap_quartiles": R.order_gap_quartiles,
+        "theil_sen_trend": X.theil_sen_trend,
+        "token_len_histogram": T.token_len_histogram,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -337,6 +347,12 @@ _R4_WINDOW = [
     "daily_revenue_acf",
     "distinctive_terms_by_source",
     "bollinger_daily_revenue",
+    "near_dup_cluster_sizes",
+    "remove_duplicated_spans",
+    "new_vs_returning_monthly",
+    "order_gap_quartiles",
+    "theil_sen_trend",
+    "token_len_histogram",
     # (5) r1-record re-checks (decimal surfaces and window functions
     # first, per the r3 verdict)
     "pricing_summary",
@@ -351,12 +367,6 @@ _R4_WINDOW = [
     "value_counts_topk",
     "summary_stats",
     "count_by_day",
-    "dedup_latest_event",
-    "dedup_first_event",
-    "distinct_projection",
-    "user_activity",
-    "revenue_by_region",
-    "customers_with_orders",
 ]
 
 
@@ -365,6 +375,17 @@ def oracle_sql() -> dict[str, str]:
     # the star-rewrite CC produces labels identical to the fix-point
     # loop by construction — same oracle
     sql["dedup_components_star"] = sql["dedup_components"]
+    # cluster-size histogram composes over the SAME component labels
+    # (nested CTE keeps the two oracles definitionally in lockstep)
+    sql["near_dup_cluster_sizes"] = f"""
+        WITH comp_out AS ({sql["dedup_components"]})
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp_out GROUP BY component)
+        GROUP BY cluster_size
+    """
     return sql
 
 
@@ -3489,5 +3510,133 @@ def _oracle_sql_literals() -> dict[str, str]:
                    COALESCE(revenue > upper_band OR revenue < lower_band,
                             FALSE) AS is_breach
             FROM bands
+        """,
+        "remove_duplicated_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 4, 0) + 1))
+                                 AS i
+                      FROM toks)
+            ), dup AS (
+                SELECT gram FROM g
+                GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+            ), covered AS (
+                SELECT DISTINCT doc_id, j FROM (
+                    SELECT g.doc_id, unnest(range(g.i, g.i + 5)) AS j
+                    FROM g JOIN dup USING (gram))
+            ), pos AS (
+                SELECT doc_id, j, t[j] AS tok
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) + 1)) AS j
+                      FROM toks)
+            ), kept AS (
+                SELECT p.doc_id, p.j, p.tok
+                FROM pos p ANTI JOIN covered c
+                     ON p.doc_id = c.doc_id AND p.j = c.j
+            ), reb AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY j) AS cleaned_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(r.cleaned_text, '') AS cleaned_text
+            FROM toks t LEFT JOIN reb r USING (doc_id)
+        """,
+        "new_vs_returning_monthly": """
+            WITH per AS (
+                SELECT DISTINCT
+                       date_trunc('month', CAST(o_orderdate AS DATE))
+                           AS month,
+                       o_custkey
+                FROM orders
+            ), firsts AS (
+                SELECT o_custkey, MIN(month) AS first_month
+                FROM per GROUP BY o_custkey
+            )
+            SELECT month,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN first_month = month
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                   CAST(COUNT(*) - SUM(CASE WHEN first_month = month
+                                            THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returning
+            FROM per JOIN firsts USING (o_custkey)
+            GROUP BY month
+        """,
+        "order_gap_quartiles": """
+            WITH g AS (
+                SELECT o_custkey,
+                       date_diff('day',
+                                 LAG(CAST(o_orderdate AS DATE)) OVER (
+                                     PARTITION BY o_custkey
+                                     ORDER BY CAST(o_orderdate AS DATE),
+                                              o_orderkey),
+                                 CAST(o_orderdate AS DATE)) AS gap
+                FROM orders
+            )
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   quantile_cont(gap, 0.25) AS q1_days,
+                   quantile_cont(gap, 0.5) AS median_days,
+                   quantile_cont(gap, 0.75) AS q3_days,
+                   CAST(MAX(gap) AS BIGINT) AS max_days
+            FROM g JOIN customer ON c_custkey = o_custkey
+            WHERE gap IS NOT NULL
+            GROUP BY c_mktsegment
+        """,
+        "theil_sen_trend": """
+            WITH daily AS (
+                SELECT o_orderpriority,
+                       CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders
+                WHERE EXTRACT(year FROM o_orderdate) = 1995
+                GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+            ), pts AS (
+                SELECT o_orderpriority,
+                       date_diff('day', DATE '1995-01-01', day) AS x,
+                       CAST(rev AS DOUBLE) AS y
+                FROM daily
+            )
+            SELECT a.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   quantile_cont((b.y - a.y) / CAST(b.x - a.x AS DOUBLE),
+                                 0.5) AS theil_sen_slope
+            FROM pts a
+            JOIN pts b ON a.o_orderpriority = b.o_orderpriority
+                      AND b.x > a.x
+            GROUP BY a.o_orderpriority
+        """,
+        "token_len_histogram": """
+            WITH d AS (
+                SELECT source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_toks
+                FROM documents
+            ), c AS (
+                SELECT source,
+                       CAST(CASE WHEN n_toks >= 256 THEN 256
+                                 WHEN n_toks >= 128 THEN 128
+                                 WHEN n_toks >= 64 THEN 64
+                                 WHEN n_toks >= 32 THEN 32
+                                 WHEN n_toks >= 16 THEN 16
+                                 WHEN n_toks >= 8 THEN 8
+                                 ELSE 0 END AS INTEGER) AS bucket_lo,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM d GROUP BY 1, 2
+            )
+            SELECT source, bucket_lo, n_docs,
+                   CAST(n_docs AS DOUBLE)
+                   / CAST(SUM(n_docs) OVER (PARTITION BY source)
+                          AS DOUBLE) AS share
+            FROM c
         """,
     }

@@ -663,3 +663,56 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.when(den > 0, num / den), 9).alias("acf"),
     )
+
+
+THEIL_SEN_YEAR = 1995
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per order priority: the MEDIAN of all
+    pairwise slopes of the 1995 daily-revenue series — the
+    outlier-proof alternative to OLS (revenue_trend_ols): a handful
+    of blowout days can drag a least-squares slope arbitrarily; they
+    move the median of C(n,2) slopes almost not at all.
+
+    Shape: the quadratic pair blow-up happens on the DAILY spine
+    (≤365 rows/priority after the rollup — ~66k slope pairs each),
+    never the fact, so cost is calendar-bounded at any fact scale;
+    the one-year window keeps that contract explicit. Each slope is
+    one IEEE division of exact operands (decimal-exact daily revenue
+    cast to double — < 2^53 cents — over integer day deltas); the
+    median interpolates an identical multiset on both engines.
+    """
+    o = table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == THEIL_SEN_YEAR
+    )
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    pts = daily.select(
+        "o_orderpriority",
+        F.datediff(
+            "day", F.lit(f"{THEIL_SEN_YEAR}-01-01").cast("date")
+        ).alias("x"),
+        F.col("rev").cast("double").alias("y"),
+    )
+    b = pts.select(
+        "o_orderpriority",
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    slopes = (
+        pts.join(b, "o_orderpriority")
+        .where(F.col("x2") > F.col("x"))
+        .select(
+            "o_orderpriority",
+            (
+                (F.col("y2") - F.col("y"))
+                / (F.col("x2") - F.col("x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("theil_sen_slope"),
+    )

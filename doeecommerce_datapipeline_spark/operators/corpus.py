@@ -865,3 +865,73 @@ def duplicated_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite REMOVAL (the transform twin of
+    duplicated_span_metrics): rebuild each document with every token
+    that sits inside a ≥ DUP_SPAN_N-token cross-document duplicated
+    span dropped — (doc_id, n_tokens, n_kept, cleaned_text). This is
+    the actual training-data cleaning step of Lee et al. 2021: cut the
+    duplicated bytes, keep the unique remainder (even mid-document).
+
+    Shape: gram explode → cross-doc gram df (one shingle-keyed
+    exchange) → covered positions per doc → ANTI join against the
+    position-exploded tokens → per-doc ordered reassembly
+    (array_sort(collect_list(struct(pos, tok))) — the struct sort key
+    makes the rebuild order-exact without a sort exchange). Everything
+    is arrays + counts; no Python, no driver loops; the duplicated
+    gram set is small in a real corpus and broadcasts.
+    """
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    n = DUP_SPAN_N
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
+    )
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("ddf"))
+        .where(F.col("ddf") >= 2)
+        .select("gram")
+    )
+    covered = g.join(F.broadcast(dup_grams), "gram").select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("j"),
+    )
+    pos = t.select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
+    ).select("doc_id", (F.col("p") + 1).alias("j"), "tok")
+    kept = pos.join(covered, ["doc_id", "j"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

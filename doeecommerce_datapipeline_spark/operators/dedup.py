@@ -1154,3 +1154,31 @@ def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup reporting: the cluster-size histogram of the near-dup
+    component graph — (cluster_size, n_clusters, n_docs) — the number
+    every dedup run publishes ("N docs in M clusters of size k") to
+    show how much of the corpus near-duplication removes and whether
+    one mega-cluster (a boilerplate flood) dominates.
+
+    Built on dedup_components' labels; two counts-only aggs on the
+    component table (docs-sized, not pairs-sized), so the histogram
+    adds no fact-scale work beyond the clustering itself.
+    """
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

@@ -274,3 +274,85 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / nd).alias("intercept"),
     )
+
+
+def new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-vs-retention split: per calendar month, how many
+    distinct customers ordered, how many were NEW (their first-ever
+    order month) and how many were returning — the growth-accounting
+    table every e-commerce dashboard leads with.
+
+    Two counts-only exchanges over the (month, customer) distinct
+    pairs: the dedup agg and the per-customer first-month reduction
+    (re-aggregated from the same pairs, never a second fact scan);
+    the month rollup then joins customer-first-month back on the
+    customer key. All BIGINT arithmetic — nothing float anywhere.
+    """
+    o = table(spark, sf_dir, "orders")
+    per = o.select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        "o_custkey",
+    ).distinct()
+    firsts = per.groupBy("o_custkey").agg(
+        F.min("month").alias("first_month")
+    )
+    is_new = F.when(F.col("first_month") == F.col("month"), 1).otherwise(0)
+    return (
+        per.join(firsts, "o_custkey")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(is_new).cast("long").alias("n_new"),
+        )
+        .select(
+            "month",
+            "n_customers",
+            "n_new",
+            (F.col("n_customers") - F.col("n_new")).alias("n_returning"),
+        )
+    )
+
+
+def order_gap_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile: per market segment, the quartiles and
+    max of the day-gap between a customer's consecutive orders — the
+    re-order-cycle statistic that calibrates churn windows ("after
+    how many silent days is a BUILDING-segment customer abnormal?").
+
+    One shuffle on o_custkey for the lag() window (gaps never cross
+    customers), one segment join, one 5-group agg. The gap is exact
+    integer days; the quartiles are percentile() over integers —
+    linear interpolation on an identical multiset is bit-identical
+    cross-engine (the funnel_time_to_convert seam).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    qs = F.percentile(
+        F.col("gap"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        gaps.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            qs.alias("q"),
+            F.max("gap").cast("long").alias("max_days"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_gaps",
+            F.col("q")[0].alias("q1_days"),
+            F.col("q")[1].alias("median_days"),
+            F.col("q")[2].alias("q3_days"),
+            "max_days",
+        )
+    )

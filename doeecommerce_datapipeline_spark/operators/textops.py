@@ -659,3 +659,41 @@ def distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= LIFT_TOP_PER_SOURCE)
     )
+
+
+TOKEN_LEN_EDGES = [8, 16, 32, 64, 128, 256]
+
+
+def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source: docs bucketed by
+    whitespace token count into power-of-two bins — (source,
+    bucket_lo, n_docs, share) — the length profile that drives
+    training-sequence packing and min/max-length filter thresholds.
+
+    Bucket edges are INTEGER comparisons (never floor(log2(n)) — at
+    n = 2^k a float log can land on either side of the integer
+    boundary depending on the engine's libm). One counts-only agg;
+    share is one IEEE division of exact BIGINTs per row against the
+    per-source window total over the tiny bucket grid.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_toks")
+    )
+    bucket = F.lit(0)
+    for edge in TOKEN_LEN_EDGES:
+        bucket = F.when(F.col("n_toks") >= edge, F.lit(edge)).otherwise(
+            bucket
+        )
+    counts = d.groupBy("source", bucket.cast("int").alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_src = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "bucket_lo",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(per_src).cast("double")
+        ).alias("share"),
+    )

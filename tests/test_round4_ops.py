@@ -232,3 +232,123 @@ def test_bollinger_bands_bracket_mean(spark):
         else:
             assert not r.is_breach
     assert n_banded > 0
+
+
+# ---- round-4 continuation batch 2 ------------------------------------
+
+from doeecommerce_datapipeline_spark.operators.analytics import (  # noqa: E402
+    theil_sen_trend,
+)
+from doeecommerce_datapipeline_spark.operators.corpus import (  # noqa: E402
+    duplicated_span_metrics as _dsm,
+    remove_duplicated_spans,
+)
+from doeecommerce_datapipeline_spark.operators.dedup import (  # noqa: E402
+    near_dup_cluster_sizes,
+)
+from doeecommerce_datapipeline_spark.operators.retail import (  # noqa: E402
+    new_vs_returning_monthly,
+    order_gap_quartiles,
+)
+from doeecommerce_datapipeline_spark.operators.textops import (  # noqa: E402
+    TOKEN_LEN_EDGES,
+    token_len_histogram,
+)
+
+
+def test_cluster_size_histogram_accounts_for_every_doc(spark):
+    rows = near_dup_cluster_sizes(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    # every doc under the component cap appears in exactly one cluster
+    from doeecommerce_datapipeline_spark.io import table
+    n_capped = table(spark, SF, "documents").where("doc_id < 1000").count()
+    assert sum(r.n_docs for r in rows) == n_capped
+
+
+def test_remove_spans_consistent_with_metrics(spark):
+    removed = {
+        r.doc_id: r for r in remove_duplicated_spans(spark, SF).collect()
+    }
+    metrics = {r.doc_id: r for r in _dsm(spark, SF).collect()}
+    assert removed.keys() == metrics.keys()
+    for doc_id, r in removed.items():
+        m = metrics[doc_id]
+        assert r.n_tokens == m.n_tokens
+        # kept + covered partitions the token positions exactly
+        assert r.n_kept == m.n_tokens - m.n_dup_covered
+        n_rebuilt = len(r.cleaned_text.split()) if r.cleaned_text else 0
+        assert n_rebuilt == r.n_kept or (r.n_kept > 0 and n_rebuilt == 0)
+
+
+def test_remove_spans_planted_duplicate(spark, tmp_path):
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-gram
+    sf = _plant_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"unique one {shared}"),
+            (2, f"{shared} other tail words here"),
+            (3, "completely different text with no overlap at all"),
+        ],
+    )
+    got = {r.doc_id: r for r in remove_duplicated_spans(spark, sf).collect()}
+    assert got[1].cleaned_text == "unique one"
+    assert got[2].cleaned_text == "other tail words here"
+    assert got[3].n_kept == got[3].n_tokens
+
+
+def test_new_vs_returning_balances(spark):
+    rows = new_vs_returning_monthly(spark, SF).collect()
+    assert rows
+    first_month = min(r.month for r in rows)
+    for r in rows:
+        assert r.n_customers == r.n_new + r.n_returning
+        if r.month == first_month:
+            assert r.n_returning == 0
+    from doeecommerce_datapipeline_spark.io import table
+    n_cust = (
+        table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_new for r in rows) == n_cust
+
+
+def test_order_gap_quartiles_ordered(spark):
+    rows = order_gap_quartiles(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.q1_days <= r.median_days <= r.q3_days <= r.max_days
+
+
+def test_theil_sen_exact_on_planted_line(spark, tmp_path):
+    # revenue = 100 + 10*day: every pairwise slope is exactly 10.0
+    d = str(tmp_path / "sf_orders")
+    spark.createDataFrame(
+        [
+            (i, 1, f"1995-01-{i+1:02d}", 100.0 + 10.0 * i, "1-URGENT")
+            for i in range(10)
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string,"
+        " o_totalprice double, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice", "o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    [r] = theil_sen_trend(spark, d).collect()
+    assert r.n_pairs == 45
+    assert r.theil_sen_slope == 10.0
+
+
+def test_token_len_histogram_shares(spark):
+    rows = token_len_histogram(spark, SF).collect()
+    assert rows
+    allowed = {0, *TOKEN_LEN_EDGES}
+    per_src = {}
+    for r in rows:
+        assert r.bucket_lo in allowed
+        per_src.setdefault(r.source, []).append(r.share)
+    for src, shares in per_src.items():
+        assert sum(shares) == pytest.approx(1.0, abs=1e-12), src
