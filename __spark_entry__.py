@@ -301,6 +301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gap_quartiles": R.order_gap_quartiles,
         "theil_sen_trend": X.theil_sen_trend,
         "token_len_histogram": T.token_len_histogram,
+        # (h) round-4 continuation 3 — all oracle-paired (multi-touch
+        # attribution, brand loyalty, weekly seasonal index,
+        # chi-square contingency cells)
+        "linear_touch_attribution": E.linear_touch_attribution,
+        "brand_repeat_purchase": R.brand_repeat_purchase,
+        "weekday_seasonality_index": X.weekday_seasonality_index,
+        "part_size_price_contingency": X.part_size_price_contingency,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -353,6 +360,10 @@ _R4_WINDOW = [
     "order_gap_quartiles",
     "theil_sen_trend",
     "token_len_histogram",
+    "linear_touch_attribution",
+    "brand_repeat_purchase",
+    "weekday_seasonality_index",
+    "part_size_price_contingency",
     # (5) r1-record re-checks (decimal surfaces and window functions
     # first, per the r3 verdict)
     "pricing_summary",
@@ -363,10 +374,6 @@ _R4_WINDOW = [
     "category_profile",
     "finance_kpis",
     "duplicate_check",
-    "null_counts",
-    "value_counts_topk",
-    "summary_stats",
-    "count_by_day",
 ]
 
 
@@ -3638,5 +3645,94 @@ def _oracle_sql_literals() -> dict[str, str]:
                    / CAST(SUM(n_docs) OVER (PARTITION BY source)
                           AS DOUBLE) AS share
             FROM c
+        """,
+        "linear_touch_attribution": """
+            WITH touches AS (
+                SELECT DISTINCT user_id AS key,
+                       CAST(ts AS DATE) AS tday, event_type
+                FROM events
+                WHERE event_type <> 'purchase'
+            ), cand AS (
+                SELECT DISTINCT p.event_id, p.value, t.event_type
+                FROM events p JOIN touches t ON t.key = p.user_id
+                WHERE p.event_type = 'purchase'
+                  AND t.tday <= CAST(p.ts AS DATE)
+                  AND t.tday >= CAST(p.ts AS DATE) - 7
+            ), shares AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value
+                                  / CAST(COUNT(*) OVER (
+                                        PARTITION BY event_id) AS DOUBLE),
+                                  6) AS DECIMAL(18,6)) AS share
+                FROM cand
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_credited_purchases,
+                   CAST(SUM(share) AS DOUBLE) AS attributed_value
+            FROM shares GROUP BY event_type
+        """,
+        "brand_repeat_purchase": """
+            WITH per AS (
+                SELECT p_brand, o_custkey,
+                       COUNT(DISTINCT l_orderkey) AS n_orders
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN orders ON o_orderkey = l_orderkey
+                GROUP BY p_brand, o_custkey
+            )
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_buyers,
+                   CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeat_buyers,
+                   CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+            FROM per GROUP BY p_brand
+        """,
+        "weekday_seasonality_index": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), per_dow AS (
+                SELECT CAST(isodow(day) - 1 AS INTEGER) AS dow,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       SUM(rev) AS rev_dow
+                FROM daily GROUP BY 1
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                       SUM(rev) AS rev_all
+                FROM daily
+            )
+            SELECT dow, n_days,
+                   CAST(rev_dow AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       AS avg_revenue,
+                   (CAST(rev_dow AS DOUBLE) / CAST(n_days AS DOUBLE))
+                   / (CAST(rev_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+                       AS seasonality_index
+            FROM per_dow CROSS JOIN tot
+        """,
+        "part_size_price_contingency": """
+            WITH cells AS (
+                SELECT CASE WHEN p_size < 10 THEN 'small'
+                            WHEN p_size < 30 THEN 'medium'
+                            ELSE 'large' END AS size_bucket,
+                       CASE WHEN p_retailprice < 1000.0 THEN 'low'
+                            WHEN p_retailprice < 1500.0 THEN 'mid'
+                            ELSE 'high' END AS price_bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM part GROUP BY 1, 2
+            ), e AS (
+                SELECT size_bucket, price_bucket, n,
+                       CAST(SUM(n) OVER (PARTITION BY size_bucket) AS DOUBLE)
+                       * CAST(SUM(n) OVER (PARTITION BY price_bucket)
+                              AS DOUBLE)
+                       / CAST(SUM(n) OVER () AS DOUBLE) AS expected
+                FROM cells
+            )
+            SELECT size_bucket, price_bucket, n, expected,
+                   (CAST(n AS DOUBLE) - expected)
+                   * (CAST(n AS DOUBLE) - expected) / expected
+                       AS chi2_contrib
+            FROM e
         """,
     }

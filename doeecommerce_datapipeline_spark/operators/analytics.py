@@ -716,3 +716,96 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.percentile(F.col("slope"), F.lit(0.5)).alias("theil_sen_slope"),
     )
+
+
+def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal profile of daily revenue: per weekday (0=Mon),
+    the mean daily revenue and its ratio to the all-days mean — the
+    seasonal index a forecaster divides out before trend fitting
+    (and the summary behind dow_baseline_anomalies' frame choice).
+
+    One fact shuffle to the daily rollup; the weekday agg and the
+    global mean both re-aggregate that dates-sized table (the global
+    side broadcasts back as a single row). Means are
+    double(exact decimal sum)/count; the index is one further IEEE
+    division — a fixed dag on identical operands, engine-exact.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    per_dow = daily.groupBy(
+        F.weekday("day").cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").alias("rev_dow"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("rev").alias("rev_all")
+    )
+    avg_dow = F.col("rev_dow").cast("double") / F.col("n_days").cast(
+        "double"
+    )
+    avg_all = F.col("rev_all").cast("double") / F.col("n_all").cast(
+        "double"
+    )
+    return per_dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        avg_dow.alias("avg_revenue"),
+        (avg_dow / avg_all).alias("seasonality_index"),
+    )
+
+
+SIZE_EDGES = (10, 30)  # small < 10 <= medium < 30 <= large
+PRICE_EDGES = (1000.0, 1500.0)
+
+
+def part_size_price_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for part size × retail price: per
+    (size_bucket, price_bucket), the observed count, the
+    independence-expected count (row·col/grand), and the cell's χ²
+    contribution — the categorical-association screen that says
+    whether big parts actually price higher before anyone fits a
+    model on both features.
+
+    One counts-only agg over the 3×3 bucket grid; row/column/grand
+    totals are window SUMs over that 9-row result, never the fact.
+    Buckets are pure comparisons (no float binning arithmetic);
+    expected and the contribution are a fixed dag of IEEE ops on
+    exact BIGINT-derived doubles (products stay < 2^53 as doubles).
+    """
+    p = table(spark, sf_dir, "part")
+    size_b = (
+        F.when(F.col("p_size") < SIZE_EDGES[0], "small")
+        .when(F.col("p_size") < SIZE_EDGES[1], "medium")
+        .otherwise("large")
+    )
+    price_b = (
+        F.when(F.col("p_retailprice") < PRICE_EDGES[0], "low")
+        .when(F.col("p_retailprice") < PRICE_EDGES[1], "mid")
+        .otherwise("high")
+    )
+    cells = p.groupBy(
+        size_b.alias("size_bucket"), price_b.alias("price_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("size_bucket")
+    w_col = Window.partitionBy("price_bucket")
+    w_all = Window.partitionBy()
+    expected = (
+        F.sum("n").over(w_row).cast("double")
+        * F.sum("n").over(w_col).cast("double")
+    ) / F.sum("n").over(w_all).cast("double")
+    d = F.col("n").cast("double") - F.col("expected")
+    return cells.select(
+        "size_bucket",
+        "price_bucket",
+        "n",
+        expected.alias("expected"),
+    ).select(
+        "size_bucket",
+        "price_bucket",
+        "n",
+        "expected",
+        ((d * d) / F.col("expected")).alias("chi2_contrib"),
+    )

@@ -901,6 +901,9 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
     )
+    # two consumers (the df agg and the coverage join) — materialize
+    # the gram explode once instead of re-running it per branch
+    g = g.localCheckpoint(eager=True)
     dup_grams = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("ddf"))

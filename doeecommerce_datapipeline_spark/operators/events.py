@@ -901,3 +901,72 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_trans").over(per_state).cast("double")
         ).alias("p"),
     )
+
+
+ATTRIBUTION_LOOKBACK_DAYS = 7
+
+
+def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch (linear) marketing attribution within the event
+    stream: every PURCHASE event's value splits EQUALLY across the
+    distinct non-purchase event types the same user touched in the 7
+    days up to and including the purchase day —
+    (event_type, n_credited_purchases, attributed_value). The
+    multi-touch counterpart of revenue_attribution's last-touch model
+    (which credits one winner per conversion); intra-events because
+    the orders table's 1995–2001 dates never overlap the 2024 event
+    window, so a cross-table 7-day lookback is empty by construction.
+
+    Shape: touches dedup to (user, day, type) first, so the
+    user-keyed range join fans out by at most 8·|event types| per
+    purchase, never by raw event volume; one purchase-id window
+    counts the touch set; the final rollup is event-type-sized.
+    Determinism: each purchase's per-touch share is value/n rounded
+    at 6dp and QUANTIZED to DECIMAL(18,6) before the order-free sum —
+    the bm25 per-term seam — so the total is bit-identical on any
+    engine. Purchases with no touch in the window are excluded (the
+    untouched pool is last-touch's NULL bucket).
+    """
+    e = table(spark, sf_dir, "events")
+    touches = (
+        e.where(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("key"),
+            F.to_date("ts").alias("tday"),
+            "event_type",
+        )
+        .distinct()
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        F.to_date("ts").alias("pday"),
+        "event_id",
+        "value",
+    )
+    cand = (
+        purchases.join(touches, "key")
+        .where(
+            (F.col("tday") <= F.col("pday"))
+            & (
+                F.col("tday")
+                >= F.date_sub(F.col("pday"), ATTRIBUTION_LOOKBACK_DAYS)
+            )
+        )
+        .select("event_id", "value", "event_type")
+        .distinct()
+    )
+    w = Window.partitionBy("event_id")
+    shares = cand.select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.col("value") / F.count(F.lit(1)).over(w).cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("share"),
+    )
+    return shares.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_credited_purchases"),
+        F.sum("share").cast("double").alias("attributed_value"),
+    )

@@ -356,3 +356,47 @@ def order_gap_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_days",
         )
     )
+
+
+def brand_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand loyalty: per part brand, how many distinct customers
+    bought it at all, how many bought it in ≥ 2 separate orders, and
+    the repeat rate — the retention metric merchandising teams rank
+    brands by.
+
+    Shape: the lineitem→orders orderkey join is the one fact-sized
+    exchange (both sides arrive hash-partitioned on the key); the
+    brand dimension BROADCASTS onto lineitem before it; then two
+    counts-only reductions on (brand, customer). The rate is a single
+    IEEE division of exact BIGINTs.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    per_buyer = (
+        li.join(F.broadcast(p), "l_partkey")
+        .join(o, "l_orderkey")
+        .groupBy("p_brand", "o_custkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    repeat = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        per_buyer.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.sum(repeat).cast("long").alias("n_repeat_buyers"),
+        )
+        .select(
+            "p_brand",
+            "n_buyers",
+            "n_repeat_buyers",
+            (
+                F.col("n_repeat_buyers").cast("double")
+                / F.col("n_buyers").cast("double")
+            ).alias("repeat_rate"),
+        )
+    )

@@ -352,3 +352,83 @@ def test_token_len_histogram_shares(spark):
         per_src.setdefault(r.source, []).append(r.share)
     for src, shares in per_src.items():
         assert sum(shares) == pytest.approx(1.0, abs=1e-12), src
+
+
+# ---- round-4 continuation batch 3 ------------------------------------
+
+from doeecommerce_datapipeline_spark.operators.analytics import (  # noqa: E402
+    part_size_price_contingency,
+    weekday_seasonality_index,
+)
+from doeecommerce_datapipeline_spark.operators.events import (  # noqa: E402
+    linear_touch_attribution,
+)
+from doeecommerce_datapipeline_spark.operators.retail import (  # noqa: E402
+    brand_repeat_purchase,
+)
+
+
+def test_linear_attribution_conserves_touched_value(spark):
+    # attributed value totals the touched purchases' value to within
+    # the 6dp per-share quantization (n_shares * 5e-7 worst case)
+    rows = linear_touch_attribution(spark, SF).collect()
+    assert rows
+    assert all(r.event_type != "purchase" for r in rows)
+    total_attr = sum(r.attributed_value for r in rows)
+    n_shares = sum(r.n_credited_purchases for r in rows)
+    from doeecommerce_datapipeline_spark.io import table
+    from pyspark.sql import functions as FF
+    e = table(spark, SF, "events")
+    p = e.where(FF.col("event_type") == "purchase").select(
+        FF.col("user_id").alias("key"),
+        FF.to_date("ts").alias("pday"),
+        "event_id",
+        "value",
+    )
+    t = (
+        e.where(FF.col("event_type") != "purchase")
+        .select(
+            FF.col("user_id").alias("key"), FF.to_date("ts").alias("tday")
+        )
+        .distinct()
+    )
+    touched = (
+        p.join(t, "key")
+        .where(
+            (FF.col("tday") <= FF.col("pday"))
+            & (FF.col("tday") >= FF.date_sub("pday", 7))
+        )
+        .select("event_id", "value")
+        .distinct()
+        .agg(FF.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(total_attr - touched) <= n_shares * 5e-7 + 1e-6
+
+
+def test_brand_repeat_rate_bounds(spark):
+    rows = brand_repeat_purchase(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_repeat_buyers <= r.n_buyers
+        assert r.repeat_rate == pytest.approx(
+            r.n_repeat_buyers / r.n_buyers
+        )
+
+
+def test_weekday_index_weighted_mean_is_one(spark):
+    rows = weekday_seasonality_index(spark, SF).collect()
+    assert sorted(r.dow for r in rows) == list(range(7))
+    n_all = sum(r.n_days for r in rows)
+    weighted = sum(r.seasonality_index * r.n_days for r in rows) / n_all
+    assert weighted == pytest.approx(1.0, rel=1e-9)
+
+
+def test_contingency_margins(spark):
+    rows = part_size_price_contingency(spark, SF).collect()
+    assert rows
+    n_tot = sum(r.n for r in rows)
+    exp_tot = sum(r.expected for r in rows)
+    assert exp_tot == pytest.approx(n_tot, rel=1e-9)
+    for r in rows:
+        assert r.chi2_contrib >= 0
