@@ -308,6 +308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_repeat_purchase": R.brand_repeat_purchase,
         "weekday_seasonality_index": X.weekday_seasonality_index,
         "part_size_price_contingency": X.part_size_price_contingency,
+        # (i) round-4 continuation 4 — REAL WAV containers built and
+        # parsed in-engine; exact dyadic-rational sums make the audio
+        # doubles bit-identical to the SQL oracle (see
+        # decode.audio_pcm_summary)
+        "audio_pcm_metrics": M.audio_pcm_metrics,
+        "audio_window_report": M.audio_window_report,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -3734,5 +3740,51 @@ def _oracle_sql_literals() -> dict[str, str]:
                    * (CAST(n AS DOUBLE) - expected) / expected
                        AS chi2_contrib
             FROM e
+        """,
+        "audio_pcm_metrics": """
+            WITH a AS (
+                SELECT doc_id AS media_id,
+                       CAST(200 + n_chars % 1800 AS BIGINT) AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+                SELECT media_id, n, UNNEST(range(n)) AS i FROM a
+            ), x AS (
+                SELECT media_id, n,
+                       CAST((media_id * 2654435761 + i * 40503) % 65536
+                            - 32768 AS DOUBLE) / 32768.0 AS v
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n AS DOUBLE) / 8000.0 AS duration_s,
+                   SUM(v) / n AS mean_amp,
+                   SQRT(SUM(v * v) / n) AS rms,
+                   MAX(ABS(v)) AS peak
+            FROM x GROUP BY media_id, n
+        """,
+        "audio_window_report": """
+            WITH a AS (
+                SELECT doc_id AS media_id,
+                       CAST(200 + n_chars % 1800 AS BIGINT) AS n
+                FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+                SELECT media_id, UNNEST(range(n)) AS i FROM a
+            ), x AS (
+                SELECT media_id, i // 400 AS window_idx,
+                       CAST((media_id * 2654435761 + i * 40503) % 65536
+                            - 32768 AS DOUBLE) / 32768.0 AS v
+                FROM s
+            ), per AS (
+                SELECT media_id, window_idx,
+                       CAST(COUNT(*) AS BIGINT) AS n_samples,
+                       SQRT(SUM(v * v) / COUNT(*)) AS rms,
+                       MAX(ABS(v)) AS peak
+                FROM x GROUP BY media_id, window_idx
+            )
+            SELECT media_id, window_idx,
+                   CAST(window_idx * 400 AS DOUBLE) / 8000.0 AS t_start_s,
+                   n_samples, rms, peak,
+                   rms < 0.01 AS is_silence
+            FROM per
         """,
     }

@@ -329,3 +329,112 @@ def audio_window_energy(
     return df.select("media_id", "payload").mapInPandas(
         batches, AUDIO_WINDOWS_SCHEMA
     )
+
+SYNTH_RATE = 8000
+SYNTH_MUL = 2654435761  # Knuth multiplicative hash constant
+SYNTH_STEP = 40503
+
+
+def _synth_samples(media_id: int, n: int):
+    """Deterministic 16-bit PCM samples for media row `media_id`:
+    k_i = (media_id*SYNTH_MUL + i*SYNTH_STEP) mod 2^16 - 2^15. Pure
+    int64 arithmetic so ANY engine (numpy here, DuckDB SQL in the
+    oracle) reproduces the exact sample stream."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    k = (media_id * SYNTH_MUL + i * SYNTH_STEP) % 65536 - 32768
+    return k.astype("<i2")
+
+
+def _build_wav(samples_i16, rate: int = SYNTH_RATE) -> bytes:
+    """Minimal RIFF/WAVE container: PCM format-1, mono, 16-bit."""
+    import struct
+
+    data = samples_i16.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_pcm_wav(df: DataFrame, rate: int = SYNTH_RATE) -> DataFrame:
+    """(media_id, n_samples) -> (media_id, payload): build REAL
+    RIFF/WAV PCM bytes per row, Arrow batch at a time. The container
+    then round-trips through the real `_wav_samples` decoder, so the
+    byte-level writer and parser check each other."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _build_wav(_synth_samples(int(m), int(n)), rate)
+                        for m, n in zip(pdf["media_id"], pdf["n_samples"])
+                    ],
+                }
+            )
+
+    ensure_shipped(df.sparkSession)
+    return df.select("media_id", "n_samples").mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
+AUDIO_SUMMARY_SCHEMA = (
+    "media_id long, channels int, sample_rate int, bits int, "
+    "n_frames long, duration_s double, mean_amp double, rms double, "
+    "peak double"
+)
+
+
+def audio_pcm_summary(df: DataFrame) -> DataFrame:
+    """Per-file audio summary through the REAL WAV decoder, with
+    double-typed outputs (decode_media's feature vector is float32;
+    oracle pairing needs the full doubles).
+
+    Cross-engine exactness: samples are k/2^15 with |k| < 2^15, so
+    each x and x*x is an exact double (dyadic rational); partial sums
+    of <= 4096 terms stay under 53 mantissa bits, so the sum is EXACT
+    under any summation order (numpy pairwise here, sequential in the
+    oracle); mean/rms then differ from the oracle's by zero ulp."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "channels": [], "sample_rate": [],
+                "bits": [], "n_frames": [], "duration_s": [],
+                "mean_amp": [], "rms": [], "peak": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x, channels, rate, bits = _wav_samples(payload or b"")
+                n_frames = len(x) // max(channels, 1)
+                out["media_id"].append(mid)
+                out["channels"].append(channels)
+                out["sample_rate"].append(rate)
+                out["bits"].append(bits)
+                out["n_frames"].append(n_frames)
+                out["duration_s"].append(n_frames / rate if rate else 0.0)
+                out["mean_amp"].append(float(x.mean()) if len(x) else 0.0)
+                out["rms"].append(
+                    float(np.sqrt((x * x).mean())) if len(x) else 0.0
+                )
+                out["peak"].append(
+                    float(np.abs(x).max()) if len(x) else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    ensure_shipped(df.sparkSession)
+    return df.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_SUMMARY_SCHEMA
+    )

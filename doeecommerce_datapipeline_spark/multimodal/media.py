@@ -62,3 +62,56 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp 0..duration_ms step 1s."""
     m = media_table(spark, sf_dir)
     return frame_sample_plan(m, every_ms=1000)
+
+
+SYNTH_N_BASE = 200
+SYNTH_N_MOD = 1800
+AUDIO_REPORT_WINDOW_MS = 50  # 400 samples at the 8 kHz synth rate
+
+
+def synth_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real RIFF/WAV PCM payloads derived deterministically from the
+    documents table (audio rows = doc_id % 3 == 1, matching
+    media_table's kind assignment): n_samples = 200 + n_chars % 1800,
+    sample k_i = (doc_id*2654435761 + i*40503) mod 2^16 - 2^15. The
+    bytes are a REAL container the real decoder parses; the oracle
+    regenerates the identical sample stream in SQL."""
+    from .decode import synth_pcm_wav
+
+    d = table(spark, sf_dir, "documents")
+    audio = d.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(SYNTH_N_BASE) + F.col("n_chars") % SYNTH_N_MOD)
+        .cast("long")
+        .alias("n_samples"),
+    )
+    return synth_pcm_wav(audio)
+
+
+def audio_pcm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-audio-file amplitude metrics (frames, duration, mean, RMS,
+    peak) through the full build-container -> parse-container ->
+    numpy-statistics path. Scan-bound mapInPandas, no shuffle; the
+    exact-dyadic-sum argument in audio_pcm_summary makes every double
+    bit-identical to the SQL oracle."""
+    from .decode import audio_pcm_summary
+
+    return audio_pcm_summary(synth_audio_table(spark, sf_dir)).select(
+        "media_id", "n_frames", "duration_s", "mean_amp", "rms", "peak"
+    )
+
+
+def audio_window_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over the synth WAVs: 50 ms windows (400
+    samples), per-window RMS/peak/silence flag — the oracle-paired
+    face of audio_window_energy's segmentation fan-out. Each media row
+    fans out to ceil(n/400) rows inside the same Arrow batch; no
+    shuffle at all."""
+    from .decode import audio_window_energy
+
+    return audio_window_energy(
+        synth_audio_table(spark, sf_dir), window_ms=AUDIO_REPORT_WINDOW_MS
+    ).select(
+        "media_id", "window_idx", "t_start_s", "n_samples", "rms",
+        "peak", "is_silence",
+    )

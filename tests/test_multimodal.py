@@ -210,3 +210,70 @@ def test_audio_window_energy_segments_silence(spark):
     assert rows[0]["rms"] == 0.0 and rows[3]["rms"] > 0.99
     assert abs(rows[2]["t_start_s"] - 0.5) < 1e-9
     assert rows[3]["peak"] > 0.99
+
+
+# ---- synth-WAV seam: writer <-> real parser round-trip ----------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_synth_wav_roundtrips_through_real_parser():
+    """The byte-level RIFF writer and the chunk-walking parser check
+    each other: samples out == samples in, fmt fields preserved."""
+    import numpy as np
+
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        _build_wav,
+        _synth_samples,
+        _wav_samples,
+    )
+
+    k = _synth_samples(7, 500)
+    x, channels, rate, bits = _wav_samples(_build_wav(k))
+    assert (channels, rate, bits) == (1, 8000, 16)
+    assert np.array_equal((x * 32768.0).astype("<i2"), k)
+
+
+def test_audio_pcm_metrics_matches_bruteforce(spark):
+    """Engine RMS/mean/peak equal an independent per-doc numpy
+    recomputation bit-for-bit (the exact-dyadic-sum contract)."""
+    import numpy as np
+
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        _synth_samples,
+    )
+    from doeecommerce_datapipeline_spark.multimodal.media import (
+        audio_pcm_metrics,
+    )
+
+    rows = {r.media_id: r for r in audio_pcm_metrics(spark, SF_DIR).collect()}
+    assert rows
+    for mid, r in list(rows.items())[:10]:
+        x = _synth_samples(mid, r.n_frames).astype(np.float64) / 32768.0
+        assert r.mean_amp == x.mean()
+        assert r.rms == float(np.sqrt((x * x).mean()))
+        assert r.peak == float(np.abs(x).max())
+        assert r.duration_s == r.n_frames / 8000
+
+
+def test_audio_window_report_covers_every_sample(spark):
+    """Window fan-out partitions each file exactly: per-file window
+    sample counts sum to n_frames; full windows are 400 samples."""
+    from doeecommerce_datapipeline_spark.multimodal.media import (
+        audio_pcm_metrics,
+        audio_window_report,
+    )
+
+    n_frames = {
+        r.media_id: r.n_frames
+        for r in audio_pcm_metrics(spark, SF_DIR).collect()
+    }
+    per_file: dict = {}
+    for r in audio_window_report(spark, SF_DIR).collect():
+        per_file.setdefault(r.media_id, []).append(r)
+    assert set(per_file) == set(n_frames)
+    for mid, ws in per_file.items():
+        ws.sort(key=lambda r: r.window_idx)
+        assert sum(w.n_samples for w in ws) == n_frames[mid]
+        assert all(w.n_samples == 400 for w in ws[:-1])
+        assert all(not w.is_silence for w in ws)  # hash noise is loud
