@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode.audio_pcm_summary)
         "audio_pcm_metrics": M.audio_pcm_metrics,
         "audio_window_report": M.audio_window_report,
+        "image_ppm_metrics": M.image_ppm_metrics,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -3786,5 +3787,45 @@ def _oracle_sql_literals() -> dict[str, str]:
                    n_samples, rms, peak,
                    rms < 0.01 AS is_silence
             FROM per
+        """,
+        "image_ppm_metrics": """
+            WITH a AS (
+                SELECT doc_id AS media_id,
+                       CAST(8 + doc_id % 24 AS INTEGER) AS width,
+                       CAST(8 + n_chars % 24 AS INTEGER) AS height
+                FROM documents WHERE doc_id % 3 = 0
+            ), s AS (
+                SELECT media_id, width, height,
+                       UNNEST(range(3 * width * height)) AS i
+                FROM a
+            ), chan AS (
+                SELECT media_id, width, height, i // 3 AS px, i % 3 AS c,
+                       (media_id * 2654435761 + i * 40503) % 256 AS p
+                FROM s
+            ), perpx AS (
+                SELECT media_id, width, height, px,
+                       SUM(CASE c WHEN 0 THEN p ELSE 0 END) AS r,
+                       SUM(CASE c WHEN 1 THEN p ELSE 0 END) AS g,
+                       SUM(CASE c WHEN 2 THEN p ELSE 0 END) AS b
+                FROM chan GROUP BY 1, 2, 3, 4
+            ), lum AS (
+                SELECT media_id, width, height, r, g, b,
+                       299 * r + 587 * g + 114 * b AS l
+                FROM perpx
+            )
+            SELECT media_id, width, height,
+                   CAST(width AS BIGINT) * height AS n_pixels,
+                   CAST(SUM(r) AS DOUBLE)
+                       / CAST(255 * width * height AS DOUBLE) AS mean_r,
+                   CAST(SUM(g) AS DOUBLE)
+                       / CAST(255 * width * height AS DOUBLE) AS mean_g,
+                   CAST(SUM(b) AS DOUBLE)
+                       / CAST(255 * width * height AS DOUBLE) AS mean_b,
+                   CAST(MIN(l) AS DOUBLE) / 255000.0 AS min_lum,
+                   CAST(MAX(l) AS DOUBLE) / 255000.0 AS max_lum,
+                   CAST(SUM(l) AS DOUBLE)
+                       / CAST(CAST(255000 AS BIGINT) * width * height
+                              AS DOUBLE) AS mean_lum
+            FROM lum GROUP BY media_id, width, height
         """,
     }

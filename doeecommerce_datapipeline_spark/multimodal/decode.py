@@ -70,13 +70,11 @@ def _pad16(vals: list[float]) -> list[float]:
     return ([float(v) for v in vals] + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 
 
-def _decode_ppm(payload: bytes) -> list[float]:
-    """Pure-Python PPM decoder (P6 binary and P3 ascii): header parse
-    honoring '#' comments, then per-channel pixel statistics.
-
-    Feature layout (16 floats): [1=image tag, width, height, maxval,
-    mean_r, mean_g, mean_b, min_lum, max_lum, mean_lum, n_pixels,
-    0...]. Channel means are normalized to [0,1] by maxval."""
+def _ppm_pixels(payload: bytes):
+    """PPM container parse (P6 binary and P3 ascii): header tokenize
+    honoring '#' comments, then the raw integer pixel array. Returns
+    (width, height, maxval, px int64 ndarray of shape (n, 3)). Shared
+    by the float-feature decoder and the integer-domain summary."""
     import numpy as np
 
     # tokenize the header: magic, width, height, maxval; comments run
@@ -111,14 +109,29 @@ def _decode_ppm(payload: bytes) -> list[float]:
         raw = payload[i + 1 : i + 1 + 3 * n]
         if len(raw) < 3 * n:
             raise ValueError("PPM: truncated pixel data")
-        px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        px = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
     elif magic == b"P3":
         vals = payload[i:].split()
         if len(vals) < 3 * n:
             raise ValueError("PPM: truncated pixel data")
-        px = np.array([int(v) for v in vals[: 3 * n]], dtype=np.float64)
+        px = np.array([int(v) for v in vals[: 3 * n]], dtype=np.int64)
     else:
         raise ValueError(f"PPM: unknown magic {magic!r}")
+    return w, h, maxval, px.reshape(n, 3)
+
+
+def _decode_ppm(payload: bytes) -> list[float]:
+    """Pure-Python PPM decoder (P6 binary and P3 ascii): header parse
+    honoring '#' comments, then per-channel pixel statistics.
+
+    Feature layout (16 floats): [1=image tag, width, height, maxval,
+    mean_r, mean_g, mean_b, min_lum, max_lum, mean_lum, n_pixels,
+    0...]. Channel means are normalized to [0,1] by maxval."""
+    import numpy as np
+
+    w, h, maxval, pxi = _ppm_pixels(payload)
+    n = w * h
+    px = pxi.astype(np.float64).ravel()
     rgb = px.reshape(n, 3) / maxval
     lum = rgb @ np.array([0.299, 0.587, 0.114])
     means = rgb.mean(axis=0)
@@ -437,4 +450,97 @@ def audio_pcm_summary(df: DataFrame) -> DataFrame:
     ensure_shipped(df.sparkSession)
     return df.select("media_id", "payload").mapInPandas(
         batches, AUDIO_SUMMARY_SCHEMA
+    )
+
+LUM_R, LUM_G, LUM_B = 299, 587, 114  # BT.601 coefficients x1000
+
+
+def _synth_pixels(media_id: int, n_px: int):
+    """Deterministic 8-bit RGB stream: byte_i = (media_id*SYNTH_MUL +
+    i*SYNTH_STEP) mod 256 over the flat 3*n_px channel stream — the
+    same int64 hash family as the audio samples, reproducible in SQL."""
+    import numpy as np
+
+    i = np.arange(3 * n_px, dtype=np.int64)
+    return ((media_id * SYNTH_MUL + i * SYNTH_STEP) % 256).astype(np.uint8)
+
+
+def _build_ppm(media_id: int, w: int, h: int) -> bytes:
+    """Minimal P6 container (binary PPM, maxval 255) with a comment
+    line so the parser's comment path stays exercised in production."""
+    header = b"P6\n# synth media %d\n%d %d\n255\n" % (media_id, w, h)
+    return header + _synth_pixels(media_id, w * h).tobytes()
+
+
+def synth_ppm(df: DataFrame) -> DataFrame:
+    """(media_id, width, height) -> (media_id, payload): build REAL
+    P6 PPM bytes per row, Arrow batch at a time; the container
+    round-trips through the real `_ppm_pixels` parser."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _build_ppm(int(m), int(w), int(h))
+                        for m, w, h in zip(
+                            pdf["media_id"], pdf["width"], pdf["height"]
+                        )
+                    ],
+                }
+            )
+
+    ensure_shipped(df.sparkSession)
+    return df.select("media_id", "width", "height").mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
+IMAGE_SUMMARY_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, "
+    "min_lum double, max_lum double, mean_lum double"
+)
+
+
+def image_ppm_summary(df: DataFrame) -> DataFrame:
+    """Per-image channel/luminance summary through the REAL PPM
+    parser, computed in the INTEGER domain first: channel sums and
+    the x1000-scaled BT.601 luminance are exact int64, and each
+    output double is a single division of two exactly-representable
+    integers — bit-identical to the SQL oracle with no
+    summation-order caveat at all (stronger than the audio seam,
+    which needs the dyadic-rational argument)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "n_pixels": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "min_lum": [], "max_lum": [], "mean_lum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, maxval, px = _ppm_pixels(payload or b"")
+                n = w * h
+                sums = px.sum(axis=0)  # int64, exact
+                lum = LUM_R * px[:, 0] + LUM_G * px[:, 1] + LUM_B * px[:, 2]
+                lscale = 1000 * maxval
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                out["mean_r"].append(float(sums[0]) / float(maxval * n))
+                out["mean_g"].append(float(sums[1]) / float(maxval * n))
+                out["mean_b"].append(float(sums[2]) / float(maxval * n))
+                out["min_lum"].append(float(lum.min()) / float(lscale))
+                out["max_lum"].append(float(lum.max()) / float(lscale))
+                out["mean_lum"].append(
+                    float(lum.sum()) / float(lscale * n)
+                )
+            yield pd.DataFrame(out)
+
+    ensure_shipped(df.sparkSession)
+    return df.select("media_id", "payload").mapInPandas(
+        batches, IMAGE_SUMMARY_SCHEMA
     )

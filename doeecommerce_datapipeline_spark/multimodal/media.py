@@ -115,3 +115,37 @@ def audio_window_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "window_idx", "t_start_s", "n_samples", "rms",
         "peak", "is_silence",
     )
+
+
+IMG_DIM_BASE = 8
+IMG_DIM_MOD = 24
+
+
+def synth_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real P6 PPM payloads derived deterministically from documents
+    (image rows = doc_id % 3 == 0, matching media_table): width =
+    8 + doc_id % 24, height = 8 + n_chars % 24, pixel bytes from the
+    same int64 hash family as the audio samples."""
+    from .decode import synth_ppm
+
+    d = table(spark, sf_dir, "documents")
+    img = d.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(IMG_DIM_BASE) + F.col("doc_id") % IMG_DIM_MOD)
+        .cast("int")
+        .alias("width"),
+        (F.lit(IMG_DIM_BASE) + F.col("n_chars") % IMG_DIM_MOD)
+        .cast("int")
+        .alias("height"),
+    )
+    return synth_ppm(img)
+
+
+def image_ppm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel means and BT.601 luminance stats through the
+    full build-container -> parse-container path. Scan-bound
+    mapInPandas, no shuffle; integer-domain sums make every double a
+    single exact-int division, bit-identical to the SQL oracle."""
+    from .decode import image_ppm_summary
+
+    return image_ppm_summary(synth_image_table(spark, sf_dir))

@@ -277,3 +277,47 @@ def test_audio_window_report_covers_every_sample(spark):
         assert sum(w.n_samples for w in ws) == n_frames[mid]
         assert all(w.n_samples == 400 for w in ws[:-1])
         assert all(not w.is_silence for w in ws)  # hash noise is loud
+
+
+def test_synth_ppm_roundtrips_through_real_parser():
+    """P6 writer <-> chunk parser check each other, including the
+    comment line in the header."""
+    import numpy as np
+
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        _build_ppm,
+        _ppm_pixels,
+        _synth_pixels,
+    )
+
+    w, h, maxval, px = _ppm_pixels(_build_ppm(11, 9, 5))
+    assert (w, h, maxval) == (9, 5, 255)
+    assert np.array_equal(
+        px.ravel(), _synth_pixels(11, 45).astype(np.int64)
+    )
+
+
+def test_image_ppm_metrics_matches_bruteforce(spark):
+    """Engine channel/luminance stats equal an independent per-image
+    numpy recomputation bit-for-bit (exact integer-domain sums)."""
+    import numpy as np
+
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        _synth_pixels,
+    )
+    from doeecommerce_datapipeline_spark.multimodal.media import (
+        image_ppm_metrics,
+    )
+
+    rows = image_ppm_metrics(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:10]:
+        n = r.width * r.height
+        assert r.n_pixels == n
+        px = _synth_pixels(r.media_id, n).astype(np.int64).reshape(n, 3)
+        assert r.mean_r == float(px[:, 0].sum()) / float(255 * n)
+        lum = 299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]
+        assert r.min_lum == float(lum.min()) / 255000.0
+        assert r.max_lum == float(lum.max()) / 255000.0
+        assert r.mean_lum == float(lum.sum()) / float(255000 * n)
+        assert 0.0 <= r.min_lum <= r.mean_lum <= r.max_lum <= 1.0
