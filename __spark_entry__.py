@@ -2384,32 +2384,43 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM oa GROUP BY 1
         """,
         "numeric_corr_matrix": """
-            WITH s AS (
-                SELECT COUNT(*) AS n,
-                    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS s_q,
-                    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS ss_q,
-                    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s_p,
-                    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS ss_p,
-                    SUM(CAST(l_discount AS DECIMAL(18,4))) AS s_d,
-                    SUM(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS ss_d,
-                    SUM(CAST(l_tax AS DECIMAL(18,4))) AS s_t,
-                    SUM(CAST(l_tax * l_tax AS DECIMAL(28,8))) AS ss_t,
-                    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS sp_q_p,
-                    SUM(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS sp_q_d,
-                    SUM(CAST(l_quantity * l_tax AS DECIMAL(28,8))) AS sp_q_t,
-                    SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS sp_p_d,
-                    SUM(CAST(l_extendedprice * l_tax AS DECIMAL(28,8))) AS sp_p_t,
-                    SUM(CAST(l_discount * l_tax AS DECIMAL(28,8))) AS sp_d_t
+            WITH z AS (
+                SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                       CAST(round(l_discount * 100) AS BIGINT) AS d,
+                       CAST(round(l_tax * 100) AS BIGINT) AS t
                 FROM lineitem
+            ), s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    SUM(q) AS s_q, SUM(p) AS s_p,
+                    SUM(d) AS s_d, SUM(t) AS s_t,
+                    SUM((q*q) // 1000000000) AS hqq, SUM((q*q) % 1000000000) AS lqq,
+                    SUM((p*p) // 1000000000) AS hpp, SUM((p*p) % 1000000000) AS lpp,
+                    SUM((d*d) // 1000000000) AS hdd, SUM((d*d) % 1000000000) AS ldd,
+                    SUM((t*t) // 1000000000) AS htt, SUM((t*t) % 1000000000) AS ltt,
+                    SUM((q*p) // 1000000000) AS hqp, SUM((q*p) % 1000000000) AS lqp,
+                    SUM((q*d) // 1000000000) AS hqd, SUM((q*d) % 1000000000) AS lqd,
+                    SUM((q*t) // 1000000000) AS hqt, SUM((q*t) % 1000000000) AS lqt,
+                    SUM((p*d) // 1000000000) AS hpd, SUM((p*d) % 1000000000) AS lpd,
+                    SUM((p*t) // 1000000000) AS hpt, SUM((p*t) % 1000000000) AS lpt,
+                    SUM((d*t) // 1000000000) AS hdt, SUM((d*t) % 1000000000) AS ldt
+                FROM z
             ), c AS (
                 SELECT n, CAST(n AS DOUBLE) AS nd,
-                    CAST(s_q AS DOUBLE) AS sq, CAST(ss_q AS DOUBLE) AS ssq,
-                    CAST(s_p AS DOUBLE) AS sp, CAST(ss_p AS DOUBLE) AS ssp,
-                    CAST(s_d AS DOUBLE) AS sd, CAST(ss_d AS DOUBLE) AS ssd,
-                    CAST(s_t AS DOUBLE) AS st, CAST(ss_t AS DOUBLE) AS sst,
-                    CAST(sp_q_p AS DOUBLE) AS xqp, CAST(sp_q_d AS DOUBLE) AS xqd,
-                    CAST(sp_q_t AS DOUBLE) AS xqt, CAST(sp_p_d AS DOUBLE) AS xpd,
-                    CAST(sp_p_t AS DOUBLE) AS xpt, CAST(sp_d_t AS DOUBLE) AS xdt
+                    CAST(s_q AS DOUBLE) / 100.0 AS sq,
+                    CAST(s_p AS DOUBLE) / 100.0 AS sp,
+                    CAST(s_d AS DOUBLE) / 100.0 AS sd,
+                    CAST(s_t AS DOUBLE) / 100.0 AS st,
+                    (CAST(hqq AS DOUBLE) * 1000000000.0 + CAST(lqq AS DOUBLE)) / 10000.0 AS ssq,
+                    (CAST(hpp AS DOUBLE) * 1000000000.0 + CAST(lpp AS DOUBLE)) / 10000.0 AS ssp,
+                    (CAST(hdd AS DOUBLE) * 1000000000.0 + CAST(ldd AS DOUBLE)) / 10000.0 AS ssd,
+                    (CAST(htt AS DOUBLE) * 1000000000.0 + CAST(ltt AS DOUBLE)) / 10000.0 AS sst,
+                    (CAST(hqp AS DOUBLE) * 1000000000.0 + CAST(lqp AS DOUBLE)) / 10000.0 AS xqp,
+                    (CAST(hqd AS DOUBLE) * 1000000000.0 + CAST(lqd AS DOUBLE)) / 10000.0 AS xqd,
+                    (CAST(hqt AS DOUBLE) * 1000000000.0 + CAST(lqt AS DOUBLE)) / 10000.0 AS xqt,
+                    (CAST(hpd AS DOUBLE) * 1000000000.0 + CAST(lpd AS DOUBLE)) / 10000.0 AS xpd,
+                    (CAST(hpt AS DOUBLE) * 1000000000.0 + CAST(lpt AS DOUBLE)) / 10000.0 AS xpt,
+                    (CAST(hdt AS DOUBLE) * 1000000000.0 + CAST(ldt AS DOUBLE)) / 10000.0 AS xdt
                 FROM s
             )
             SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
