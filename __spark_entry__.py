@@ -315,6 +315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm_metrics": M.audio_pcm_metrics,
         "audio_window_report": M.audio_window_report,
         "image_ppm_metrics": M.image_ppm_metrics,
+        # (j) round-4 continuation 5 — retail science (RFM quintiles,
+        # revenue inequality, discount elasticity), all oracle-paired
+        "rfm_segments": R.rfm_segments,
+        "revenue_gini_by_nation": R.revenue_gini_by_nation,
+        "promo_lift_slope": X.promo_lift_slope,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -3838,5 +3843,106 @@ def _oracle_sql_literals() -> dict[str, str]:
                        / CAST(CAST(255000 AS BIGINT) * width * height
                               AS DOUBLE) AS mean_lum
             FROM lum GROUP BY media_id, width, height
+        """,
+        "rfm_segments": """
+            WITH per AS (
+                SELECT o_custkey AS custkey,
+                       MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+                FROM orders GROUP BY 1
+            ), mx AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+            ), base AS (
+                SELECT custkey,
+                       CAST(datediff('day', last_order, max_day)
+                            AS BIGINT) AS recency_days,
+                       frequency, monetary
+                FROM per CROSS JOIN mx
+            ), scored AS (
+                SELECT custkey, recency_days, frequency, monetary,
+                       CAST(NTILE(5) OVER (
+                           ORDER BY recency_days DESC, custkey
+                       ) AS INTEGER) AS r_score,
+                       CAST(NTILE(5) OVER (
+                           ORDER BY frequency ASC, custkey
+                       ) AS INTEGER) AS f_score,
+                       CAST(NTILE(5) OVER (
+                           ORDER BY monetary ASC, custkey
+                       ) AS INTEGER) AS m_score
+                FROM base
+            )
+            SELECT custkey, recency_days, frequency,
+                   CAST(monetary AS DOUBLE) AS monetary,
+                   r_score, f_score, m_score,
+                   CASE WHEN r_score >= 4 AND f_score >= 4
+                             AND m_score >= 4 THEN 'champion'
+                        WHEN f_score >= 4 THEN 'loyal'
+                        WHEN m_score >= 4 THEN 'big_spender'
+                        WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                        WHEN r_score <= 2 THEN 'hibernating'
+                        ELSE 'regular' END AS segment
+            FROM scored
+        """,
+        "revenue_gini_by_nation": """
+            WITH rev AS (
+                SELECT o_custkey AS custkey,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), tagged AS (
+                SELECT r.custkey, r.rev, n.n_name
+                FROM rev r
+                JOIN customer c ON c.c_custkey = r.custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ), ranked AS (
+                SELECT n_name, rev,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY n_name ORDER BY rev ASC, custkey ASC
+                       ) AS BIGINT) AS i
+                FROM tagged
+            ), agg AS (
+                SELECT n_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_customers,
+                       SUM(rev) AS total_rev,
+                       SUM(CAST(i * rev AS DECIMAL(38,2))) AS weighted
+                FROM ranked GROUP BY 1
+            )
+            SELECT n_name, n_customers,
+                   CAST(total_rev AS DOUBLE) AS total_revenue,
+                   (2.0 * CAST(weighted AS DOUBLE)
+                    - (CAST(n_customers AS DOUBLE) + 1.0)
+                      * CAST(total_rev AS DOUBLE))
+                   / (CAST(n_customers AS DOUBLE)
+                      * CAST(total_rev AS DOUBLE)) AS gini
+            FROM agg
+        """,
+        "promo_lift_slope": """
+            WITH z AS (
+                SELECT p.p_brand,
+                       CAST(round(l.l_discount * 100) AS BIGINT) AS d,
+                       CAST(round(l.l_quantity) AS BIGINT) AS q
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            ), s AS (
+                SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(d) AS sdi, SUM(q) AS sqi,
+                       SUM(d * d) AS sddi, SUM(d * q) AS sdqi
+                FROM z GROUP BY 1
+            ), c AS (
+                SELECT p_brand, n, CAST(n AS DOUBLE) AS nd,
+                       CAST(sdi AS DOUBLE) / 100.0 AS sd,
+                       CAST(sqi AS DOUBLE) AS sq,
+                       CAST(sddi AS DOUBLE) / 10000.0 AS sdd,
+                       CAST(sdqi AS DOUBLE) / 100.0 AS sdq
+                FROM s
+            )
+            SELECT p_brand, n,
+                   CASE WHEN nd * sdd - sd * sd > 0
+                        THEN (nd * sdq - sd * sq) / (nd * sdd - sd * sd)
+                   END AS slope,
+                   CASE WHEN nd * sdd - sd * sd > 0
+                        THEN (sq - ((nd * sdq - sd * sq)
+                                    / (nd * sdd - sd * sd)) * sd) / nd
+                   END AS intercept
+            FROM c
         """,
     }

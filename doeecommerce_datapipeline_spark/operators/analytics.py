@@ -826,3 +826,51 @@ def part_size_price_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected",
         ((d * d) / F.col("expected")).alias("chi2_contrib"),
     )
+
+
+def promo_lift_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount sensitivity: the OLS slope (and intercept)
+    of quantity on discount across a brand's lineitems — the
+    elasticity screen merchandising uses to see whether discounts
+    actually move volume for a brand.
+
+    Both regressors live on exact integer lattices (discount is 2dp
+    -> d100 = round(disc*100) in 0..10; quantity is integral), so
+    every OLS sum is an exact int64 with huge headroom (sum(d*q) <=
+    n*500 — fine beyond 10^15 rows), the whole agg is long-backed
+    codegen (the corr-matrix lesson), and slope/intercept are a fixed
+    IEEE dag on identical operands — engine-exact. One broadcast of
+    the part dim onto lineitem, one brand-keyed reduce; no window, no
+    second pass.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+    )
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    agg = li.join(F.broadcast(p), "l_partkey").groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("d") * F.col("q")).alias("sdq"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("sd").cast("double") / F.lit(100.0)
+    sq = F.col("sq").cast("double")
+    sdd = F.col("sdd").cast("double") / F.lit(10000.0)
+    sdq = F.col("sdq").cast("double") / F.lit(100.0)
+    den = nd * sdd - sd * sd
+    slope = F.when(den > 0, (nd * sdq - sd * sq) / den)
+    intercept = F.when(
+        den > 0, (sq - ((nd * sdq - sd * sq) / den) * sd) / nd
+    )
+    return agg.select(
+        "p_brand",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

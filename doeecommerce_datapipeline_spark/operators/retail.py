@@ -400,3 +400,114 @@ def brand_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat_rate"),
         )
     )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer with orders, recency
+    (days from last order to the corpus max date), frequency (order
+    count), monetary (revenue), each scored into quintiles 1-5, plus
+    the classic marketing segment label from the (R, F, M) triple.
+
+    Shape: one custkey-grain agg over orders; the corpus max date is
+    a single-row broadcast; the three ntile windows run over the
+    CUSTOMER grain (dimension-sized — the same documented contract as
+    customer_deciles; at fact scale the quintile bounds come from a
+    sketch + broadcast range join instead). Every window is
+    total-ordered via the custkey tiebreak, so ntile assignment is
+    engine-independent.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("max_day"))
+    base = per_cust.crossJoin(F.broadcast(mx)).select(
+        "custkey",
+        F.datediff("max_day", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    # recency: SMALLER days = better = higher score -> order desc
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+    r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    segment = (
+        F.when((r >= 4) & (f >= 4) & (m >= 4), "champion")
+        .when(f >= 4, "loyal")
+        .when(m >= 4, "big_spender")
+        .when((r <= 2) & (f >= 3), "at_risk")
+        .when(r <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        "r_score", "f_score", "m_score", segment.alias("segment"),
+    )
+
+
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue concentration —
+    the inequality metric behind 'whale' analyses: 0 = everyone spends
+    alike, ->1 = a few customers are all the revenue.
+
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over revenues x
+    sorted ascending within nation (custkey tiebreak). Shape: one
+    custkey agg on orders, broadcast customer->nation attach, a
+    PARTITIONED rank window (per-nation, never global), and a
+    nation-grain reduce. sum(i*x) stays an EXACT decimal (rank *
+    decimal revenue); the closing G is a fixed IEEE dag on exact
+    operands — engine-identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tagged = rev.join(F.broadcast(c), "custkey").join(
+        F.broadcast(n), "c_nationkey"
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("rev").asc(), F.col("custkey").asc()
+    )
+    ranked = tagged.select(
+        "n_name",
+        "rev",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("total_rev"),
+        F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)")).alias(
+            "weighted"
+        ),
+    )
+    nd = F.col("n_customers").cast("double")
+    tot = F.col("total_rev").cast("double")
+    wsum = F.col("weighted").cast("double")
+    gini = (F.lit(2.0) * wsum - (nd + F.lit(1.0)) * tot) / (nd * tot)
+    return agg.select(
+        "n_name",
+        "n_customers",
+        F.col("total_rev").cast("double").alias("total_revenue"),
+        gini.alias("gini"),
+    )

@@ -432,3 +432,77 @@ def test_contingency_margins(spark):
     assert exp_tot == pytest.approx(n_tot, rel=1e-9)
     for r in rows:
         assert r.chi2_contrib >= 0
+
+
+# ---- round-4 continuation batch 5 (retail science) --------------------
+
+from doeecommerce_datapipeline_spark.operators.analytics import (  # noqa: E402
+    promo_lift_slope,
+)
+from doeecommerce_datapipeline_spark.operators.retail import (  # noqa: E402
+    revenue_gini_by_nation,
+    rfm_segments,
+)
+
+
+def test_rfm_quintiles_balanced_and_labels_consistent(spark):
+    rows = rfm_segments(spark, SF).collect()
+    assert rows
+    n = len(rows)
+    for score_col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            s = getattr(r, score_col)
+            assert 1 <= s <= 5
+            counts[s] = counts.get(s, 0) + 1
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, score_col
+    for r in rows:
+        if r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4:
+            assert r.segment == "champion"
+        if r.segment == "hibernating":
+            assert r.r_score <= 2 and r.f_score < 4 and r.m_score < 4
+
+
+def test_gini_bounds_and_equal_distribution_zero(spark):
+    rows = revenue_gini_by_nation(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # finite-sample Gini lives in [0, (n-1)/n]
+        assert -1e-12 <= r.gini <= (r.n_customers - 1) / r.n_customers + 1e-12
+    # hand fixture: perfectly equal revenues -> gini == 0
+    import pandas as pd
+    eq = spark.createDataFrame(
+        pd.DataFrame({"rev": [10.0] * 4, "i": [1, 2, 3, 4]})
+    )
+    n, tot, w = 4, 40.0, sum(i * 10.0 for i in range(1, 5))
+    assert abs((2 * w - (n + 1) * tot) / (n * tot)) < 1e-12
+
+
+def test_promo_lift_slope_matches_numpy_ols(spark):
+    import numpy as np
+
+    rows = promo_lift_slope(spark, SF).collect()
+    assert rows
+    from doeecommerce_datapipeline_spark.io import table
+    from pyspark.sql import functions as FF
+    li = (
+        table(spark, SF, "lineitem")
+        .join(
+            FF.broadcast(
+                table(spark, SF, "part").select(
+                    FF.col("p_partkey").alias("l_partkey"), "p_brand"
+                )
+            ),
+            "l_partkey",
+        )
+        .select("p_brand", "l_discount", "l_quantity")
+        .toPandas()
+    )
+    for r in rows[:5]:
+        g = li[li.p_brand == r.p_brand]
+        if r.slope is None:
+            continue
+        slope, intercept = np.polyfit(g.l_discount, g.l_quantity, 1)
+        assert r.slope == pytest.approx(slope, rel=1e-6, abs=1e-6)
+        assert r.intercept == pytest.approx(intercept, rel=1e-6, abs=1e-6)
