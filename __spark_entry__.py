@@ -320,6 +320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": R.rfm_segments,
         "revenue_gini_by_nation": R.revenue_gini_by_nation,
         "promo_lift_slope": X.promo_lift_slope,
+        # (k) round-4 continuation 6 — corpus-statistics laws (Zipf
+        # slope, unigram Shannon entropy), oracle-paired via the bm25
+        # 9dp quantize-before-sum seam
+        "zipf_fit_by_source": T.zipf_fit_by_source,
+        "token_entropy_by_source": T.token_entropy_by_source,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -3944,5 +3949,81 @@ def _oracle_sql_literals() -> dict[str, str]:
                                     / (nd * sdd - sd * sd)) * sd) / nd
                    END AS intercept
             FROM c
+        """,
+        "zipf_fit_by_source": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ), tf AS (
+                SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE tok != '' GROUP BY 1, 2
+            ), ranked AS (
+                SELECT source, tf,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY tf DESC, tok ASC
+                       ) AS BIGINT) AS rank
+                FROM tf QUALIFY rank <= 200
+            ), q AS (
+                SELECT source,
+                       round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+                       round(ln(CAST(tf AS DOUBLE)), 9) AS y
+                FROM ranked
+            ), s AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                       SUM(CAST(x AS DECIMAL(18,9))) AS sx,
+                       SUM(CAST(y AS DECIMAL(18,9))) AS sy,
+                       SUM(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS sxx,
+                       SUM(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS sxy
+                FROM q GROUP BY 1
+            ), c AS (
+                SELECT source, n_terms, CAST(n_terms AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(sxy AS DOUBLE) AS sxyd
+                FROM s
+            )
+            SELECT source, n_terms,
+                   CASE WHEN nd * sxxd - sxd * sxd > 0
+                        THEN (nd * sxyd - sxd * syd)
+                             / (nd * sxxd - sxd * sxd)
+                   END AS slope,
+                   CASE WHEN nd * sxxd - sxd * sxd > 0
+                        THEN (syd - ((nd * sxyd - sxd * syd)
+                                     / (nd * sxxd - sxd * sxd)) * sxd) / nd
+                   END AS intercept
+            FROM c
+        """,
+        "token_entropy_by_source": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ), tf AS (
+                SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE tok != '' GROUP BY 1, 2
+            ), totals AS (
+                SELECT source, SUM(tf) AS total FROM tf GROUP BY 1
+            ), agg AS (
+                SELECT t.source,
+                       CAST(COUNT(*) AS BIGINT) AS n_terms,
+                       CAST(MAX(o.total) AS BIGINT) AS total_tokens,
+                       SUM(CAST(round(
+                           (CAST(t.tf AS DOUBLE) / CAST(o.total AS DOUBLE))
+                           * ln(CAST(t.tf AS DOUBLE)
+                                / CAST(o.total AS DOUBLE)),
+                           9) AS DECIMAL(18,9))) AS s
+                FROM tf t JOIN totals o ON o.source = t.source
+                GROUP BY 1
+            )
+            SELECT source, n_terms, total_tokens,
+                   (CAST(s AS DOUBLE) * -1.0) / ln(2.0) AS entropy_bits,
+                   CASE WHEN n_terms > 1
+                        THEN round((CAST(s AS DOUBLE) * -1.0)
+                                   / ln(CAST(n_terms AS DOUBLE)), 9)
+                   END AS normalized_entropy
+            FROM agg
         """,
     }

@@ -697,3 +697,100 @@ def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs").over(per_src).cast("double")
         ).alias("share"),
     )
+
+
+ZIPF_TOP_K = 200
+
+
+def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope/intercept of log(term
+    frequency) on log(rank) over the top-200 terms — natural text
+    sits near slope -1; synthetic or template-heavy sources drift
+    flat. The corpus-level health check that catches boilerplate
+    domination before training.
+
+    Shape: one (source, term) count shuffle; ranking is a window over
+    the per-source vocabulary (vocab-sized, never the token stream);
+    the OLS sums run over <= 200 rows per source. Determinism: each
+    log is rounded at 9 dp and QUANTIZED to DECIMAL(18,9) before the
+    sum (bm25's per-term seam) so the sums are order-free; the
+    closing slope/intercept arithmetic is a fixed IEEE dag on exact
+    operands.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("tok"))
+    ranked = (
+        tf.select(
+            "source", "tf", F.row_number().over(w).cast("long").alias("rank")
+        )
+        .where(F.col("rank") <= ZIPF_TOP_K)
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 9)
+    y = F.round(F.log(F.col("tf").cast("double")), 9)
+    dec = lambda c: c.cast("decimal(18,9)")  # noqa: E731
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(F.round(x * x, 9))).alias("sxx"),
+        F.sum(dec(F.round(x * y, 9))).alias("sxy"),
+    )
+    nd = F.col("n_terms").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    den = nd * sxx - sx * sx
+    slope = F.when(den > 0, (nd * sxy - sx * sy) / den)
+    intercept = F.when(
+        den > 0, (sy - ((nd * sxy - sx * sy) / den) * sx) / nd
+    )
+    return agg.select(
+        "source", "n_terms", slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each source's unigram distribution,
+    plus the ln-ratio normalized form in [0,1] — the diversity
+    counterpart of source_lang_diversity's Simpson index at the TOKEN
+    level: low entropy = repetitive/templated text.
+
+    Shape: one (source, term) count shuffle; per-source totals
+    re-aggregate the vocab table and broadcast back. Determinism: the
+    per-term p*ln(p) contribution rounds at 9 dp into DECIMAL(18,9)
+    before the order-free sum — NATURAL log on both sides (Spark's
+    log2 is computed as ln(x)/ln(2), which is NOT the bit-identical
+    twin of a native log2); bits and the normalized form are then
+    single end-of-dag divisions by ln(2)/ln(n) on exact operands.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.groupBy("source").agg(F.sum("tf").alias("total"))
+    p = F.col("tf").cast("double") / F.col("total").cast("double")
+    contrib = F.round(p * F.log(p), 9).cast("decimal(18,9)")
+    agg = (
+        tf.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.max("total").alias("total_tokens"),
+            F.sum(contrib).alias("s"),
+        )
+    )
+    nats = F.col("s").cast("double") * F.lit(-1.0)
+    nd = F.col("n_terms").cast("double")
+    normalized = F.when(
+        F.col("n_terms") > 1, F.round(nats / F.log(nd), 9)
+    )
+    return agg.select(
+        "source", "n_terms", "total_tokens",
+        (nats / F.log(F.lit(2.0))).alias("entropy_bits"),
+        normalized.alias("normalized_entropy"),
+    )

@@ -506,3 +506,48 @@ def test_promo_lift_slope_matches_numpy_ols(spark):
         slope, intercept = np.polyfit(g.l_discount, g.l_quantity, 1)
         assert r.slope == pytest.approx(slope, rel=1e-6, abs=1e-6)
         assert r.intercept == pytest.approx(intercept, rel=1e-6, abs=1e-6)
+
+
+# ---- round-4 continuation batch 6 (corpus statistics laws) -----------
+
+from doeecommerce_datapipeline_spark.operators.textops import (  # noqa: E402
+    token_entropy_by_source,
+    zipf_fit_by_source,
+)
+
+
+def test_zipf_planted_power_law(spark, tmp_path):
+    # plant a corpus whose term frequencies are exactly f(r) = 240/r:
+    # the log-log fit must recover slope ~ -1
+    import math
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * (240 // r)
+    text = " ".join(words)
+    sf = _plant_docs(spark, tmp_path, [(1, text)])
+    [row] = zipf_fit_by_source(spark, sf).collect()
+    assert row.n_terms == 20
+    assert row.slope == pytest.approx(-1.0, abs=0.08)
+    # intercept ~ ln(240)
+    assert row.intercept == pytest.approx(math.log(240), abs=0.15)
+
+
+def test_entropy_uniform_and_degenerate(spark, tmp_path):
+    import math
+    # doc 1 (source src1): 4 equally-frequent tokens -> H = 2 bits,
+    # normalized exactly 1
+    sf = _plant_docs(
+        spark, tmp_path, [(1, "a b c d " * 8)]
+    )
+    [row] = token_entropy_by_source(spark, sf).collect()
+    assert row.n_terms == 4 and row.total_tokens == 32
+    assert row.entropy_bits == pytest.approx(2.0, abs=1e-8)
+    assert row.normalized_entropy == pytest.approx(1.0, abs=1e-8)
+
+
+def test_entropy_single_token_is_zero(spark, tmp_path):
+    sf = _plant_docs(spark, tmp_path, [(1, "same same same same")])
+    [row] = token_entropy_by_source(spark, sf).collect()
+    assert row.n_terms == 1
+    assert row.entropy_bits == pytest.approx(0.0, abs=1e-12)
+    assert row.normalized_entropy is None
