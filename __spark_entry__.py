@@ -325,6 +325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 9dp quantize-before-sum seam
         "zipf_fit_by_source": T.zipf_fit_by_source,
         "token_entropy_by_source": T.token_entropy_by_source,
+        # (l) round-4 continuation 7 — recursive-seam EWMA (grouped
+        # map vs recursive CTE, floor-lattice rounding each step) and
+        # the cohort retention triangle
+        "ewma_daily_revenue": W.ewma_daily_revenue,
+        "cohort_retention_matrix": R.cohort_retention_matrix,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4025,5 +4030,54 @@ def _oracle_sql_literals() -> dict[str, str]:
                                    / ln(CAST(n_terms AS DOUBLE)), 9)
                    END AS normalized_entropy
             FROM agg
+        """,
+        "ewma_daily_revenue": """
+            WITH RECURSIVE daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS revenue
+                FROM orders GROUP BY 1
+            ), o AS (
+                SELECT day, revenue,
+                       CAST(ROW_NUMBER() OVER (ORDER BY day)
+                            AS BIGINT) AS rn
+                FROM daily
+            ), r AS (
+                SELECT rn, day, revenue,
+                       floor(revenue * 10000 + 0.5) / 10000 AS ewma
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.day, o.revenue,
+                       floor((0.3 * o.revenue + 0.7 * r.ewma) * 10000
+                             + 0.5) / 10000
+                FROM r JOIN o ON o.rn = r.rn + 1
+            )
+            SELECT day, revenue, ewma FROM r
+        """,
+        "cohort_retention_matrix": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(year(CAST(o_orderdate AS DATE)) * 12
+                            + month(CAST(o_orderdate AS DATE)) - 1
+                            AS BIGINT) AS ym
+                FROM orders
+            ), tagged AS (
+                SELECT o_custkey, ym,
+                       MIN(ym) OVER (PARTITION BY o_custkey) AS cohort_ym
+                FROM o
+            ), cells AS (
+                SELECT cohort_ym, ym - cohort_ym AS months_since,
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
+                FROM tagged GROUP BY 1, 2
+            ), sizes AS (
+                SELECT cohort_ym, n_active AS cohort_size
+                FROM cells WHERE months_since = 0
+            )
+            SELECT CAST(c.cohort_ym // 12 AS INTEGER) AS cohort_year,
+                   CAST(c.cohort_ym % 12 + 1 AS INTEGER) AS cohort_month,
+                   c.months_since, c.n_active, s.cohort_size,
+                   CAST(c.n_active AS DOUBLE)
+                       / CAST(s.cohort_size AS DOUBLE) AS retention
+            FROM cells c JOIN sizes s ON s.cohort_ym = c.cohort_ym
         """,
     }

@@ -511,3 +511,47 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_rev").cast("double").alias("total_revenue"),
         gini.alias("gini"),
     )
+
+
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention triangle: customers grouped by their
+    FIRST order month; for each (cohort, months-since) cell, how many
+    distinct cohort members ordered again and what share of the
+    cohort that is — the standard lifecycle view subscription and
+    repeat-purchase teams read weekly.
+
+    Shape: one custkey-partitioned window attaches each order's
+    cohort month (single fact shuffle; month index is pure integer
+    arithmetic year*12+month); the cell agg is a counts-only reduce;
+    cohort sizes come from the k=0 cells and BROADCAST back onto the
+    (cohorts x months) matrix — tiny. Retention is one IEEE division
+    of exact BIGINTs.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("ym"),
+    )
+    w = Window.partitionBy("o_custkey")
+    tagged = o.select(
+        "o_custkey", "ym", F.min("ym").over(w).alias("cohort_ym")
+    )
+    cells = tagged.groupBy(
+        "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("months_since")
+    ).agg(F.countDistinct("o_custkey").alias("n_active"))
+    sizes = cells.where(F.col("months_since") == 0).select(
+        "cohort_ym", F.col("n_active").alias("cohort_size")
+    )
+    out = cells.join(F.broadcast(sizes), "cohort_ym")
+    return out.select(
+        (F.col("cohort_ym") / 12).cast("int").alias("cohort_year"),
+        (F.col("cohort_ym") % 12 + 1).cast("int").alias("cohort_month"),
+        "months_since",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

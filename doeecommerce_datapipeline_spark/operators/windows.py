@@ -449,3 +449,54 @@ def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_breach"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue
+    (alpha = 0.3) — the smoothing recursion behind every ops
+    dashboard's trend line, and deliberately the repo's RECURSIVE
+    oracle pairing: e_t = alpha*x_t + (1-alpha)*e_{t-1} cannot be
+    phrased as a finite window aggregate, so Spark runs it as a
+    grouped-map over the DAY-GRAIN series (thousands of rows, the
+    documented bounded-group contract shared with value_drift_ks)
+    while the DuckDB twin is a recursive CTE.
+
+    Determinism across a 2400-step float recursion: each step rounds
+    via floor(v*1e4 + 0.5)/1e4 — EXPLICIT IEEE ops on both engines,
+    NOT each engine's round() builtin (library decimal-rounding
+    semantics diverge from scaled-double arithmetic at revenue
+    magnitudes; the floor form is the same bit pattern everywhere).
+    The fact shuffle is the one day rollup; the recursion input is
+    the aggregated series, never the fact.
+    """
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+    def fit(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = pdf["revenue"].to_numpy(float)
+        e = np.empty_like(x)
+        prev = np.floor(x[0] * 1e4 + 0.5) / 1e4
+        e[0] = prev
+        for i in range(1, len(x)):
+            v = EWMA_ALPHA * x[i] + (1.0 - EWMA_ALPHA) * prev
+            prev = np.floor(v * 1e4 + 0.5) / 1e4
+            e[i] = prev
+        pdf["ewma"] = e
+        return pdf[["day", "revenue", "ewma"]]
+
+    return daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        fit, "day date, revenue double, ewma double"
+    )

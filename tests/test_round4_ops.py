@@ -551,3 +551,45 @@ def test_entropy_single_token_is_zero(spark, tmp_path):
     assert row.n_terms == 1
     assert row.entropy_bits == pytest.approx(0.0, abs=1e-12)
     assert row.normalized_entropy is None
+
+
+# ---- round-4 continuation batch 7 ------------------------------------
+
+from doeecommerce_datapipeline_spark.operators.retail import (  # noqa: E402
+    cohort_retention_matrix,
+)
+from doeecommerce_datapipeline_spark.operators.windows import (  # noqa: E402
+    ewma_daily_revenue,
+)
+
+
+def test_ewma_matches_sequential_bruteforce(spark):
+    import numpy as np
+
+    rows = sorted(ewma_daily_revenue(spark, SF).collect(), key=lambda r: r.day)
+    assert len(rows) > 100
+    prev = np.floor(rows[0].revenue * 1e4 + 0.5) / 1e4
+    assert rows[0].ewma == prev
+    for r in rows[1:]:
+        prev = np.floor((0.3 * r.revenue + 0.7 * prev) * 1e4 + 0.5) / 1e4
+        assert r.ewma == prev  # bit-identical recursion
+    # smoothing: ewma variance strictly below raw variance
+    rev = np.array([r.revenue for r in rows])
+    ew = np.array([r.ewma for r in rows])
+    assert ew.var() < rev.var()
+
+
+def test_cohort_retention_triangle_invariants(spark):
+    rows = cohort_retention_matrix(spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        key = (r.cohort_year, r.cohort_month)
+        by_cohort.setdefault(key, {})[r.months_since] = r
+        assert 1 <= r.cohort_month <= 12
+        assert r.months_since >= 0
+        assert 0 < r.n_active <= r.cohort_size
+        assert r.retention == pytest.approx(r.n_active / r.cohort_size)
+    for key, cells in by_cohort.items():
+        assert 0 in cells, key
+        assert cells[0].retention == 1.0  # the k=0 cell defines the cohort
