@@ -95,6 +95,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (customer_deciles, tfidf_topk, corpus_filter), (4) operators
     built in round 4, (5) r1-record re-checks filling the rest.
     Everything else keeps its cumulative record and rotates behind.
+
+    ROUND-5 ROTATION PLAN: head = the operators built in round 4
+    AFTER the r4 window froze (sections (i)–(l): audio_pcm_metrics,
+    audio_window_report, image_ppm_metrics, rfm_segments,
+    revenue_gini_by_nation, promo_lift_slope, zipf_fit_by_source,
+    token_entropy_by_source, ewma_daily_revenue,
+    cohort_retention_matrix — all locally hash-verified at sf0.01
+    under a vanilla foreign-cwd session when built), plus
+    numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
+    its oracle changed with it) and remove_duplicated_spans (gram
+    explode gained a localCheckpoint barrier); then any r4-window red
+    rows; then the remaining section-(d) r1-recheck tail
+    (active_users_trailing_7d onward) filling the rest.
     """
     q = {
         # --- round-3 window ------------------------------------------

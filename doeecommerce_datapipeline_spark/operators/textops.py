@@ -771,7 +771,14 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     ).where(F.col("tok") != "")
-    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # two consumers (totals and the contribution join) — materialize
+    # the vocab-sized tf table once instead of re-running the token
+    # explode per branch (the remove_duplicated_spans lesson)
+    tf = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     totals = tf.groupBy("source").agg(F.sum("tf").alias("total"))
     p = F.col("tf").cast("double") / F.col("total").cast("double")
     contrib = F.round(p * F.log(p), 9).cast("decimal(18,9)")
