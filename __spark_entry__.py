@@ -98,9 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND-5 ROTATION PLAN: head = the operators built in round 4
     AFTER the r4 window froze (sections (i)–(l): audio_pcm_metrics,
-    audio_window_report, image_ppm_metrics, rfm_segments,
+    audio_window_report, image_ppm_metrics,
     revenue_gini_by_nation, promo_lift_slope, zipf_fit_by_source,
-    token_entropy_by_source, ewma_daily_revenue,
+    token_entropy_by_source, ewma_recursive_daily,
     cohort_retention_matrix — all locally hash-verified at sf0.01
     under a vanilla foreign-cwd session when built), plus
     numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
@@ -328,9 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm_metrics": M.audio_pcm_metrics,
         "audio_window_report": M.audio_window_report,
         "image_ppm_metrics": M.image_ppm_metrics,
-        # (j) round-4 continuation 5 — retail science (RFM quintiles,
-        # revenue inequality, discount elasticity), all oracle-paired
-        "rfm_segments": R.rfm_segments,
+        # (j) round-4 continuation 5 — retail science (revenue
+        # inequality, discount elasticity), all oracle-paired
         "revenue_gini_by_nation": R.revenue_gini_by_nation,
         "promo_lift_slope": X.promo_lift_slope,
         # (k) round-4 continuation 6 — corpus-statistics laws (Zipf
@@ -339,9 +338,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_by_source": T.zipf_fit_by_source,
         "token_entropy_by_source": T.token_entropy_by_source,
         # (l) round-4 continuation 7 — recursive-seam EWMA (grouped
-        # map vs recursive CTE, floor-lattice rounding each step) and
-        # the cohort retention triangle
-        "ewma_daily_revenue": W.ewma_daily_revenue,
+        # map vs recursive CTE, floor-lattice rounding each step; the
+        # true-recurrence companion of the finite-horizon
+        # ewma_daily_revenue) and the cohort retention triangle
+        "ewma_recursive_daily": W.ewma_recursive_daily,
         "cohort_retention_matrix": R.cohort_retention_matrix,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
@@ -3867,46 +3867,6 @@ def _oracle_sql_literals() -> dict[str, str]:
                               AS DOUBLE) AS mean_lum
             FROM lum GROUP BY media_id, width, height
         """,
-        "rfm_segments": """
-            WITH per AS (
-                SELECT o_custkey AS custkey,
-                       MAX(CAST(o_orderdate AS DATE)) AS last_order,
-                       CAST(COUNT(*) AS BIGINT) AS frequency,
-                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
-                FROM orders GROUP BY 1
-            ), mx AS (
-                SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders
-            ), base AS (
-                SELECT custkey,
-                       CAST(datediff('day', last_order, max_day)
-                            AS BIGINT) AS recency_days,
-                       frequency, monetary
-                FROM per CROSS JOIN mx
-            ), scored AS (
-                SELECT custkey, recency_days, frequency, monetary,
-                       CAST(NTILE(5) OVER (
-                           ORDER BY recency_days DESC, custkey
-                       ) AS INTEGER) AS r_score,
-                       CAST(NTILE(5) OVER (
-                           ORDER BY frequency ASC, custkey
-                       ) AS INTEGER) AS f_score,
-                       CAST(NTILE(5) OVER (
-                           ORDER BY monetary ASC, custkey
-                       ) AS INTEGER) AS m_score
-                FROM base
-            )
-            SELECT custkey, recency_days, frequency,
-                   CAST(monetary AS DOUBLE) AS monetary,
-                   r_score, f_score, m_score,
-                   CASE WHEN r_score >= 4 AND f_score >= 4
-                             AND m_score >= 4 THEN 'champion'
-                        WHEN f_score >= 4 THEN 'loyal'
-                        WHEN m_score >= 4 THEN 'big_spender'
-                        WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
-                        WHEN r_score <= 2 THEN 'hibernating'
-                        ELSE 'regular' END AS segment
-            FROM scored
-        """,
         "revenue_gini_by_nation": """
             WITH rev AS (
                 SELECT o_custkey AS custkey,
@@ -4044,7 +4004,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                    END AS normalized_entropy
             FROM agg
         """,
-        "ewma_daily_revenue": """
+        "ewma_recursive_daily": """
             WITH RECURSIVE daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS day,
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

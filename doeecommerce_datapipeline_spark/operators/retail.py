@@ -402,64 +402,6 @@ def brand_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation: per customer with orders, recency
-    (days from last order to the corpus max date), frequency (order
-    count), monetary (revenue), each scored into quintiles 1-5, plus
-    the classic marketing segment label from the (R, F, M) triple.
-
-    Shape: one custkey-grain agg over orders; the corpus max date is
-    a single-row broadcast; the three ntile windows run over the
-    CUSTOMER grain (dimension-sized — the same documented contract as
-    customer_deciles; at fact scale the quintile bounds come from a
-    sketch + broadcast range join instead). Every window is
-    total-ordered via the custkey tiebreak, so ntile assignment is
-    engine-independent.
-    """
-    o = table(spark, sf_dir, "orders")
-    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.to_date("o_orderdate")).alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-    )
-    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("max_day"))
-    base = per_cust.crossJoin(F.broadcast(mx)).select(
-        "custkey",
-        F.datediff("max_day", "last_order").cast("long").alias("recency_days"),
-        "frequency",
-        "monetary",
-    )
-    # recency: SMALLER days = better = higher score -> order desc
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
-    scored = base.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(w_r).cast("int").alias("r_score"),
-        F.ntile(5).over(w_f).cast("int").alias("f_score"),
-        F.ntile(5).over(w_m).cast("int").alias("m_score"),
-    )
-    r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
-    segment = (
-        F.when((r >= 4) & (f >= 4) & (m >= 4), "champion")
-        .when(f >= 4, "loyal")
-        .when(m >= 4, "big_spender")
-        .when((r <= 2) & (f >= 3), "at_risk")
-        .when(r <= 2, "hibernating")
-        .otherwise("regular")
-    )
-    return scored.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        F.col("monetary").cast("double").alias("monetary"),
-        "r_score", "f_score", "m_score", segment.alias("segment"),
-    )
-
-
 def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation Gini coefficient of customer revenue concentration —
     the inequality metric behind 'whale' analyses: 0 = everyone spends

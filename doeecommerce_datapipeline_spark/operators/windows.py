@@ -454,7 +454,7 @@ def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.3
 
 
-def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ewma_recursive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily revenue
     (alpha = 0.3) — the smoothing recursion behind every ops
     dashboard's trend line, and deliberately the repo's RECURSIVE

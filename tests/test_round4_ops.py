@@ -441,27 +441,7 @@ from doeecommerce_datapipeline_spark.operators.analytics import (  # noqa: E402
 )
 from doeecommerce_datapipeline_spark.operators.retail import (  # noqa: E402
     revenue_gini_by_nation,
-    rfm_segments,
 )
-
-
-def test_rfm_quintiles_balanced_and_labels_consistent(spark):
-    rows = rfm_segments(spark, SF).collect()
-    assert rows
-    n = len(rows)
-    for score_col in ("r_score", "f_score", "m_score"):
-        counts = {}
-        for r in rows:
-            s = getattr(r, score_col)
-            assert 1 <= s <= 5
-            counts[s] = counts.get(s, 0) + 1
-        # ntile balance: bucket sizes differ by at most 1
-        assert max(counts.values()) - min(counts.values()) <= 1, score_col
-    for r in rows:
-        if r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4:
-            assert r.segment == "champion"
-        if r.segment == "hibernating":
-            assert r.r_score <= 2 and r.f_score < 4 and r.m_score < 4
 
 
 def test_gini_bounds_and_equal_distribution_zero(spark):
@@ -559,14 +539,14 @@ from doeecommerce_datapipeline_spark.operators.retail import (  # noqa: E402
     cohort_retention_matrix,
 )
 from doeecommerce_datapipeline_spark.operators.windows import (  # noqa: E402
-    ewma_daily_revenue,
+    ewma_recursive_daily,
 )
 
 
 def test_ewma_matches_sequential_bruteforce(spark):
     import numpy as np
 
-    rows = sorted(ewma_daily_revenue(spark, SF).collect(), key=lambda r: r.day)
+    rows = sorted(ewma_recursive_daily(spark, SF).collect(), key=lambda r: r.day)
     assert len(rows) > 100
     prev = np.floor(rows[0].revenue * 1e4 + 0.5) / 1e4
     assert rows[0].ewma == prev
