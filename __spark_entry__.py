@@ -343,6 +343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ewma_daily_revenue) and the cohort retention triangle
         "ewma_recursive_daily": W.ewma_recursive_daily,
         "cohort_retention_matrix": R.cohort_retention_matrix,
+        # (m) round-4 continuation 8 — supplier reliability (Wilson
+        # bound, weighted median) and embedding class separability
+        "supplier_ontime_wilson": R.supplier_ontime_wilson,
+        "leadtime_weighted_median": R.leadtime_weighted_median,
+        "label_centroid_cosine": S.label_centroid_cosine,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4052,5 +4057,90 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(c.n_active AS DOUBLE)
                        / CAST(s.cohort_size AS DOUBLE) AS retention
             FROM cells c JOIN sizes s ON s.cohort_ym = c.cohort_ym
+        """,
+        "supplier_ontime_wilson": """
+            WITH j AS (
+                SELECT l.l_suppkey,
+                       CASE WHEN CAST(l.l_shipdate AS DATE)
+                                 <= CAST(o.o_orderdate AS DATE) + 30
+                            THEN 1 ELSE 0 END AS ontime
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            ), per AS (
+                SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                       CAST(SUM(ontime) AS BIGINT) AS n_ontime
+                FROM j GROUP BY 1
+            ), c AS (
+                SELECT p.l_suppkey AS suppkey, s.s_name, n_lines, n_ontime,
+                       CAST(n_lines AS DOUBLE) AS nd,
+                       CAST(n_ontime AS DOUBLE)
+                           / CAST(n_lines AS DOUBLE) AS p
+                FROM per p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+            )
+            SELECT suppkey, s_name, n_lines, n_ontime,
+                   p AS ontime_rate,
+                   (p + (1.96 * 1.96) / (2.0 * nd)
+                      - 1.96 * sqrt(p * (1.0 - p) / nd
+                                    + (1.96 * 1.96) / (4.0 * nd * nd)))
+                   / (1.0 + (1.96 * 1.96) / nd) AS wilson_lower
+            FROM c
+        """,
+        "leadtime_weighted_median": """
+            WITH grid AS (
+                SELECT n.n_name,
+                       CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE))
+                            AS BIGINT) AS delay_days,
+                       SUM(CAST(round(l.l_quantity) AS BIGINT)) AS wsum
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT n_name, delay_days,
+                       SUM(wsum) OVER (PARTITION BY n_name
+                                       ORDER BY delay_days) AS cum,
+                       SUM(wsum) OVER (PARTITION BY n_name) AS tot
+                FROM grid
+            )
+            SELECT n_name,
+                   MIN(delay_days) AS weighted_median_delay,
+                   CAST(MAX(tot) AS BIGINT) AS total_weight
+            FROM r WHERE cum * 2 >= tot GROUP BY n_name
+        """,
+        "label_centroid_cosine": """
+            WITH s AS (
+                SELECT label, embedding,
+                       UNNEST(range(len(embedding))) AS i
+                FROM embeddings
+            ), comp AS (
+                SELECT label, i AS idx,
+                       CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS k
+                FROM s
+            ), cent AS (
+                SELECT label, idx,
+                       CAST(SUM(k) AS DOUBLE)
+                           / CAST(COUNT(*) * 1048576 AS DOUBLE) AS c
+                FROM comp GROUP BY 1, 2
+            ), norms AS (
+                SELECT label,
+                       SUM(CAST(round(c * c, 9) AS DECIMAL(18,9))) AS nn
+                FROM cent GROUP BY 1
+            ), dots AS (
+                SELECT a.label AS label_a, b.label AS label_b,
+                       SUM(CAST(round(a.c * b.c, 9)
+                                AS DECIMAL(18,9))) AS dot
+                FROM cent a
+                JOIN cent b ON a.idx = b.idx AND a.label < b.label
+                GROUP BY 1, 2
+            )
+            SELECT d.label_a, d.label_b,
+                   CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(na.nn AS DOUBLE))
+                      * sqrt(CAST(nb.nn AS DOUBLE))) AS centroid_cosine
+            FROM dots d
+            JOIN norms na ON na.label = d.label_a
+            JOIN norms nb ON nb.label = d.label_b
         """,
     }

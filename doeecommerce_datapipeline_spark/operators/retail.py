@@ -497,3 +497,123 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+WILSON_Z = 1.96
+ONTIME_DAYS = 30
+
+
+def supplier_ontime_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier on-time-shipping rate with its Wilson-score lower
+    confidence bound — the ranking statistic that does NOT reward a
+    2-for-2 supplier over a 480-for-500 one the way the raw rate
+    does. On-time = line shipped within 30 days of the order date
+    (late_ship_priority_counts' lateness predicate, inverted).
+
+    Shape: the lineitem-orders orderkey join is the one fact-sized
+    exchange; the suppkey reduce is counts-only; the supplier dim
+    BROADCASTS onto the result. The Wilson bound is a fixed IEEE dag
+    (z = 1.96 literal, one sqrt) on exact BIGINT counts —
+    engine-identical.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    ontime = (
+        F.to_date("l_shipdate")
+        <= F.date_add(F.to_date("o_orderdate"), ONTIME_DAYS)
+    ).cast("int")
+    per_supp = (
+        li.join(o, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ontime).cast("long").alias("n_ontime"),
+        )
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    nd = F.col("n_lines").cast("double")
+    p = F.col("n_ontime").cast("double") / nd
+    z = F.lit(WILSON_Z)
+    z2 = z * z
+    wilson_lo = (
+        p
+        + z2 / (F.lit(2.0) * nd)
+        - z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+    ) / (F.lit(1.0) + z2 / nd)
+    return (
+        per_supp.join(F.broadcast(s), "l_suppkey")
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "n_lines",
+            "n_ontime",
+            p.alias("ontime_rate"),
+            wilson_lo.alias("wilson_lower"),
+        )
+    )
+
+
+def leadtime_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation QUANTITY-WEIGHTED median of supplier ship delay
+    (days from order date to line ship date) — the units-centric
+    latency figure logistics reads: a 10 000-unit line should move
+    the median more than a 1-unit one.
+
+    Shape: the orderkey fact join, then a (nation, delay)-grain
+    counts collapse — the weighted-median window runs over that
+    BOUNDED grid (nations x distinct delays, thousands of rows),
+    never the fact. Median = smallest delay whose running weight
+    doubles past the total (2*cum >= tot), all exact int64 — no
+    interpolation, engine-identical.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    grid = (
+        li.join(o, "l_orderkey")
+        .join(F.broadcast(s), "l_suppkey")
+        .join(F.broadcast(n), "s_nationkey")
+        .groupBy(
+            "n_name",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("delay_days"),
+        )
+        .agg(F.sum("w").alias("wsum"))
+    )
+    wcum = Window.partitionBy("n_name").orderBy("delay_days")
+    wall = Window.partitionBy("n_name")
+    ranked = grid.select(
+        "n_name",
+        "delay_days",
+        F.sum("wsum").over(wcum).alias("cum"),
+        F.sum("wsum").over(wall).alias("tot"),
+    )
+    return (
+        ranked.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("n_name")
+        .agg(
+            F.min("delay_days").alias("weighted_median_delay"),
+            F.max("tot").alias("total_weight"),
+        )
+    )

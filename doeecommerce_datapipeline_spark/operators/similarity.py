@@ -334,3 +334,81 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= TFIDF_COSINE_THRESHOLD)
     )
+
+
+CENTROID_SCALE = 1 << 20  # component quantization lattice
+
+
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-separability screen run before trusting
+    labels for curriculum/mixture decisions (near-parallel centroids
+    = labels the embedding space cannot distinguish).
+
+    Determinism on float input: raw float32 components are exact
+    doubles, but their SUMS are order-sensitive — so components
+    quantize to the 2^-20 integer lattice first (floor(v*2^20+0.5),
+    explicit IEEE ops), making every centroid component one exact
+    int64 sum + one division. Pair dot/norm contributions then round
+    at 9 dp into DECIMAL(18,9) (the bm25 seam) so the 64-way
+    reductions are order-free too. Shape: one explode to
+    (label, idx) grain, a counts-sized centroid table (labels x 64),
+    and a 45-pair self-join on idx — nothing fact-scale shuffles
+    twice.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("idx", "v")
+    ).select(
+        "label",
+        "idx",
+        F.floor(
+            F.col("v").cast("double") * F.lit(float(CENTROID_SCALE))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    cent = comp.groupBy("label", "idx").agg(
+        F.sum("k").alias("sk"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "label",
+        "idx",
+        (
+            F.col("sk").cast("double")
+            / (F.col("n") * F.lit(CENTROID_SCALE)).cast("double")
+        ).alias("c"),
+    )
+    # norms per label (decimal-quantized 64-way sums)
+    dec9 = lambda col: F.round(col, 9).cast("decimal(18,9)")  # noqa: E731
+    norms = cent.groupBy("label").agg(
+        F.sum(dec9(F.col("c") * F.col("c"))).alias("nn")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "idx", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "idx", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "idx")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(dec9(F.col("ca") * F.col("cb"))).alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("nn").alias("na")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("nn").alias("nb")
+    )
+    out = dots.join(F.broadcast(na), "label_a").join(
+        F.broadcast(nb), "label_b"
+    )
+    cosine_d = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double"))
+    )
+    return out.select(
+        "label_a", "label_b", cosine_d.alias("centroid_cosine")
+    )

@@ -573,3 +573,90 @@ def test_cohort_retention_triangle_invariants(spark):
     for key, cells in by_cohort.items():
         assert 0 in cells, key
         assert cells[0].retention == 1.0  # the k=0 cell defines the cohort
+
+
+# ---- round-4 continuation batch 8 ------------------------------------
+
+from doeecommerce_datapipeline_spark.operators.retail import (  # noqa: E402
+    leadtime_weighted_median,
+    supplier_ontime_wilson,
+)
+from doeecommerce_datapipeline_spark.operators.similarity import (  # noqa: E402
+    label_centroid_cosine,
+)
+
+
+def test_wilson_bound_below_rate_and_shrinks_small_n(spark):
+    rows = supplier_ontime_wilson(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_ontime <= r.n_lines
+        assert r.ontime_rate == pytest.approx(r.n_ontime / r.n_lines)
+        if 0 < r.n_ontime < r.n_lines:
+            assert r.wilson_lower < r.ontime_rate  # strict for 0<p<1
+        assert r.wilson_lower >= -1e-12
+    # Wilson penalizes thin evidence: p=1 with n=2 scores lower than
+    # p=0.96 with n=500
+    import math
+    def wl(p, n, z=1.96):
+        return (p + z*z/(2*n) - z*math.sqrt(p*(1-p)/n + z*z/(4*n*n))) / (1 + z*z/n)
+    assert wl(1.0, 2) < wl(0.96, 500)
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    from doeecommerce_datapipeline_spark.io import table
+    from pyspark.sql import functions as FF
+
+    rows = {r.n_name: r for r in leadtime_weighted_median(spark, SF).collect()}
+    assert rows
+    li = (
+        table(spark, SF, "lineitem")
+        .join(
+            table(spark, SF, "orders").select(
+                FF.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .join(
+            FF.broadcast(
+                table(spark, SF, "supplier").select(
+                    FF.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+                )
+            ),
+            "l_suppkey",
+        )
+        .join(
+            FF.broadcast(
+                table(spark, SF, "nation").select(
+                    FF.col("n_nationkey").alias("s_nationkey"), "n_name"
+                )
+            ),
+            "s_nationkey",
+        )
+        .select(
+            "n_name",
+            FF.datediff(FF.to_date("l_shipdate"), FF.to_date("o_orderdate"))
+            .cast("long")
+            .alias("delay"),
+            FF.round("l_quantity").cast("long").alias("w"),
+        )
+        .toPandas()
+    )
+    for name, g in li.groupby("n_name"):
+        g = g.sort_values("delay")
+        tot = g.w.sum()
+        cum = g.groupby("delay").w.sum().sort_index().cumsum()
+        expected = cum[cum * 2 >= tot].index[0]
+        assert rows[name].weighted_median_delay == expected, name
+        assert rows[name].total_weight == tot
+
+
+def test_centroid_cosine_all_pairs_bounded(spark):
+    rows = label_centroid_cosine(spark, SF).collect()
+    labels = set()
+    for r in rows:
+        labels.add(r.label_a); labels.add(r.label_b)
+        assert r.label_a < r.label_b
+        assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2  # every unordered pair once
