@@ -168,3 +168,75 @@ def velocity_alert_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_OUT_SCHEMA = "key string, seq long, x double, ewma double"
+EWMA_STATE_SCHEMA = "last_seq long, e double"
+
+
+def _track_ewma(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this micro-batch's (seq, x) points of one key into the
+    running EWMA. Points sort by seq inside the batch; a point at or
+    before the already-consumed frontier (cross-batch late/duplicate
+    delivery) is DROPPED — the recursion is order-defined, so a late
+    point cannot be retro-folded without replaying everything after
+    it (that replay path is the batch operator)."""
+    import numpy as np
+
+    from ..operators.windows import EWMA_ALPHA
+
+    (k,) = key
+    pts: list[tuple[int, float]] = []
+    for pdf in pdfs:
+        pts.extend(zip((int(s) for s in pdf["seq"]), map(float, pdf["x"])))
+    pts.sort()
+
+    if state.exists:
+        last_seq, e = state.get
+        have = True
+    else:
+        last_seq, e, have = -1, 0.0, False
+    out: dict = {"key": [], "seq": [], "x": [], "ewma": []}
+    for s, x in pts:
+        if have and s <= last_seq:
+            continue  # stale redelivery: frontier already passed it
+        if not have:
+            e = float(np.floor(x * 1e4 + 0.5) / 1e4)
+            have = True
+        else:
+            e = float(
+                np.floor(
+                    (EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * e) * 1e4 + 0.5
+                )
+                / 1e4
+            )
+        last_seq = s
+        out["key"].append(k)
+        out["seq"].append(s)
+        out["x"].append(x)
+        out["ewma"].append(e)
+    if have:
+        state.update((last_seq, e))
+    if out["seq"]:
+        yield pd.DataFrame(out)
+
+
+def ewma_stream(points: DataFrame) -> DataFrame:
+    """(key, seq, x) stream → (key, seq, x, ewma) stream: the ONLINE
+    form of operators/windows.py:ewma_recursive_daily — identical
+    floor-lattice step arithmetic, so a drained stream is
+    BIT-IDENTICAL to the batch recursion over the same series (the
+    e2e in tests/test_stateful_streaming.py pins this). State per key
+    is two scalars (frontier seq + current ewma) — constant memory at
+    any stream length; the third applyInPandasWithState operator,
+    needing ORDERED per-key state no watermarked window expresses."""
+    ensure_shipped(points.sparkSession)
+    return points.groupBy("key").applyInPandasWithState(
+        _track_ewma,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

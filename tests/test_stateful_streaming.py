@@ -346,3 +346,69 @@ def test_online_peak_concurrency_matches_batch(spark, tmp_path):
     assert got_peaks == want_peaks
     # and the fixture actually overlaps: the day's peak is 2, not 1
     assert max(p for _, _, p in got_peaks) == 2
+
+
+def test_online_ewma_matches_batch_recursion(spark, tmp_path):
+    """E2E: the daily-revenue series replayed as out-of-order-free
+    micro-batches through the stateful online EWMA equals the batch
+    recursive operator BIT-FOR-BIT, and a stale redelivery in a later
+    batch is dropped instead of corrupting the recursion."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from doeecommerce_datapipeline_spark.operators.windows import (
+        ewma_recursive_daily,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stateful import ewma_stream
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(
+        ewma_recursive_daily(spark, sf).collect(), key=lambda r: r.day
+    )
+    series = [
+        ("revenue", i, r.revenue) for i, r in enumerate(batch)
+    ]
+    third = len(series) // 3
+    batches = [
+        series[:third],
+        series[third: 2 * third] + [series[5]],  # stale redelivery
+        series[2 * third:],
+    ]
+    base = str(tmp_path / "ewma_in")
+    os.makedirs(base, exist_ok=True)
+    for i, rows in enumerate(batches):
+        stg = os.path.join(base, f"_stg{i}")
+        spark.createDataFrame(
+            rows, "key string, seq long, x double"
+        ).coalesce(1).write.parquet(stg)
+        [part] = glob.glob(os.path.join(stg, "*.parquet"))
+        dst = os.path.join(base, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stg)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema("key string, seq long, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["seq"]: r["ewma"]
+        for r in spark.sql("SELECT seq, ewma FROM ewma_out").collect()
+    }
+    assert len(got) == len(series)  # stale row emitted nothing extra
+    for i, r in enumerate(batch):
+        assert got[i] == r.ewma, f"seq {i}: {got[i]} != {r.ewma}"
