@@ -269,3 +269,54 @@ def test_bm25_broadcasts_df_and_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_media_seams_scan_bound_no_shuffle(spark, sf_dir):
+    # synth-build -> real-parse -> summarize is one mapInPandas chain
+    # per operator: zero exchanges, a single documents scan
+    for name in ("audio_pcm_metrics", "image_ppm_metrics"):
+        p = _plan(spark, sf_dir, name)
+        assert "Exchange" not in p, name
+        assert p.count("Scan parquet") == 2, name  # one scan, 2 mentions
+
+
+def test_promo_lift_broadcasts_part_dim(spark, sf_dir):
+    p = _plan(spark, sf_dir, "promo_lift_slope")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_gini_windows_are_nation_partitioned(spark, sf_dir):
+    # the rank window must be partitioned by nation — a global
+    # ORDER BY over all customers would single-task the rank
+    p = _plan(spark, sf_dir, "revenue_gini_by_nation")
+    sort_args = [
+        l for l in p.splitlines()
+        if re.match(r"^\s*Arguments: \[.*(ASC|DESC).*\], (true|false), \d", l)
+    ]
+    global_sorts = [l for l in sort_args if re.search(r"\], true, \d", l)]
+    assert not global_sorts, f"global sort in gini plan: {global_sorts}"
+
+
+def test_corr_matrix_long_backed_single_agg(spark, sf_dir):
+    # the int64-lattice rework: one scan, one partial+final agg pair,
+    # and NO decimal(28+) sum buffers (those force the object path)
+    p = _plan(spark, sf_dir, "numeric_corr_matrix")
+    assert p.count("Scan parquet") == 2  # one scan, 2 mentions
+    assert p.count("HashAggregate") >= 2
+    assert "decimal(28" not in p and "decimal(38" not in p
+
+
+def test_leadtime_median_window_over_grid_not_fact(spark, sf_dir):
+    # the weighted-median windows are n_name-partitioned over the
+    # (nation, delay) grid — no global sort anywhere in the plan
+    p = _plan(spark, sf_dir, "leadtime_weighted_median")
+    assert "Window" in p
+    sort_args = [
+        l for l in p.splitlines()
+        if re.match(r"^\s*Arguments: \[.*(ASC|DESC).*\], (true|false), \d", l)
+    ]
+    global_sorts = [l for l in sort_args if re.search(r"\], true, \d", l)]
+    assert not global_sorts, f"global sort in median plan: {global_sorts}"
+    # dims broadcast; the one real exchange family is the orderkey join
+    assert "BroadcastHashJoin" in p
