@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_ontime_wilson": R.supplier_ontime_wilson,
         "leadtime_weighted_median": R.leadtime_weighted_median,
         "label_centroid_cosine": S.label_centroid_cosine,
+        # (n) round-4 continuation 9 — oracle-paired HyperLogLog (the
+        # CMS trick extended to cardinality: integer mixing +
+        # string-domain bit length; estimate emitted beside exact)
+        "hll_distinct_users": SK.hll_distinct_users,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4142,5 +4146,63 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM dots d
             JOIN norms na ON na.label = d.label_a
             JOIN norms nb ON nb.label = d.label_b
+        """,
+        "hll_distinct_users": """
+            WITH h1 AS (
+                SELECT event_type,
+                       ((user_id % 4294967296) * 2654435761)
+                           % 4294967296 AS a
+                FROM events
+            ), h2 AS (
+                SELECT event_type,
+                       (xor(a, a >> 15) * 133371337) % 4294967296 AS b
+                FROM h1
+            ), hashed AS (
+                SELECT event_type,
+                       xor(b, b >> 13) % 64 AS bucket,
+                       xor(b, b >> 13) // 64 AS rest
+                FROM h2
+            ), regs AS (
+                SELECT event_type, bucket, MIN(rest) AS mx_rest
+                FROM hashed GROUP BY 1, 2
+            ), rho AS (
+                SELECT event_type, bucket,
+                       CASE WHEN mx_rest = 0 THEN 27
+                            ELSE 27 - length(bin(mx_rest)) END AS m_j
+                FROM regs
+            ), types AS (
+                SELECT DISTINCT event_type FROM events
+            ), spine AS (
+                SELECT t.event_type, s.i AS bucket
+                FROM types t,
+                     (SELECT UNNEST(range(64)) AS i) s
+            ), reg_full AS (
+                SELECT s.event_type, COALESCE(r.m_j, 0) AS m_j
+                FROM spine s
+                LEFT JOIN rho r ON r.event_type = s.event_type
+                                AND r.bucket = s.bucket
+            ), acc AS (
+                SELECT event_type,
+                       SUM(pow(2.0, -CAST(m_j AS DOUBLE))) AS z,
+                       CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS v
+                FROM reg_full GROUP BY 1
+            ), est AS (
+                SELECT event_type,
+                       CASE WHEN (0.709 * 4096.0 / z) <= 160.0 AND v > 0
+                            THEN round(64.0
+                                       * ln(64.0 / CAST(v AS DOUBLE)), 9)
+                            ELSE round(0.709 * 4096.0 / z, 9)
+                       END AS hll_estimate
+                FROM acc
+            ), exact AS (
+                SELECT event_type,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type, e.n_exact, s.hll_estimate,
+                   abs(s.hll_estimate - CAST(e.n_exact AS DOUBLE))
+                       / CAST(e.n_exact AS DOUBLE) AS rel_error
+            FROM exact e JOIN est s ON s.event_type = e.event_type
         """,
     }

@@ -14,7 +14,10 @@ unit test and the emitted `overestimate` column both pin.
 
 Everything is integer arithmetic on universal-hash buckets
 ((a·u + b) mod P mod W with P = 2^31 − 1), expressible identically in
-ANSI SQL — so unlike HLL sketches this one is fully oracle-paired.
+ANSI SQL — so the sketch is fully oracle-paired. The same trick now
+also pairs the HyperLogLog below (hll_distinct_users): deterministic
+integer mixing plus a string-domain bit-length for rho, no engine
+hash and no log2 anywhere in the register path.
 """
 
 from __future__ import annotations
@@ -90,4 +93,106 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_estimate",
             (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
         )
+    )
+
+
+HLL_M = 64  # registers
+HLL_ALPHA = 0.709  # alpha_64 constant from the HLL paper
+HLL_MUL1 = 2654435761  # Knuth multiplicative step
+HLL_MUL2 = 133371337  # second mixing multiply
+HLL_MOD = 1 << 32  # hash domain
+HLL_REST_BITS = 26  # 32 - log2(m) bits feed the rho count
+
+
+def _hll_hash(u):
+    """32-bit deterministic mix (multiply / xor-shift / multiply) in
+    pure int64-safe arithmetic — every product stays below 2^63, so
+    BOTH engines compute identical values with no wrap semantics."""
+    h1 = (u % F.lit(HLL_MOD) * F.lit(HLL_MUL1)) % F.lit(HLL_MOD)
+    h2 = (
+        h1.bitwiseXOR(F.shiftright(h1, 15)) * F.lit(HLL_MUL2)
+    ) % F.lit(HLL_MOD)
+    return h2.bitwiseXOR(F.shiftright(h2, 13))
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog distinct-user estimate per event type,
+    FULLY ORACLE-PAIRED — the cardinality companion of the CMS
+    frequency sketch (whose module docstring used to call HLL the
+    un-pairable one; deterministic integer mixing + string-domain
+    bit-length makes it pairable after all). Emits the estimate
+    beside the exact count so the output itself documents sketch
+    error: (event_type, n_exact, hll_estimate, rel_error).
+
+    Sketch shape: ONE groupBy over (type, bucket) — 64 registers per
+    type regardless of user cardinality, mergeable by MAX, the whole
+    point at 100 TB. rho (leading-zero run) comes from the BINARY
+    STRING length of the 26 post-bucket bits (conv/bin on both
+    engines — integer-exact, no log2). The closing estimate is
+    alpha*m^2 / sum(2^-M_j) on exact dyadic register powers (order-
+    free sums), with the standard small-range linear-counting switch;
+    its ln() rounds at 9 dp (the engine-log seam). The exact
+    countDistinct sits in a separate aggregate joined back — it is
+    the VERIFICATION column, not part of the sketch path.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = _hll_hash(F.col("user_id"))
+    hashed = e.select(
+        "event_type",
+        (h % F.lit(HLL_M)).alias("bucket"),
+        (h / F.lit(HLL_M)).cast("long").alias("rest"),
+    )
+    rho = F.when(
+        F.col("mx_rest") == 0, F.lit(HLL_REST_BITS + 1)
+    ).otherwise(
+        F.lit(HLL_REST_BITS + 1)
+        - F.length(F.conv(F.col("mx_rest").cast("string"), 10, 2))
+    )
+    # register value: max rho over the bucket = rho of the MIN rest?
+    # No — rho is monotone DECREASING in bit length, so max rho
+    # corresponds to the SMALLEST rest. One MIN aggregate suffices.
+    regs = (
+        hashed.groupBy("event_type", "bucket")
+        .agg(F.min("rest").alias("mx_rest"))
+        .select("event_type", "bucket", rho.alias("m_j"))
+    )
+    # every (type, bucket) cell, absent buckets count as register 0
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    full = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type",
+        F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j"),
+    )
+    acc = full.groupBy("event_type").agg(
+        # 2^-m_j is an exact dyadic double; 64-term sum is exact under
+        # any order (multiples of 2^-27 bounded by 64)
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j").cast("double"))).alias("z"),
+        F.sum((F.col("m_j") == 0).cast("int")).alias("v"),
+    )
+    m = float(HLL_M)
+    raw = F.lit(HLL_ALPHA) * F.lit(m * m) / F.col("z")
+    linear = F.round(
+        F.lit(m)
+        * F.log(F.lit(m) / F.col("v").cast("double")),
+        9,
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v") > 0), linear
+    ).otherwise(F.round(raw, 9))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    out = exact.join(F.broadcast(acc.select("event_type", est.alias("hll_estimate"))), "event_type")
+    return out.select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_error"),
     )

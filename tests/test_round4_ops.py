@@ -660,3 +660,34 @@ def test_centroid_cosine_all_pairs_bounded(spark):
         assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
     n = len(labels)
     assert len(rows) == n * (n - 1) // 2  # every unordered pair once
+
+
+# ---- round-4 continuation batch 9 (oracle-paired HLL) ----------------
+
+from doeecommerce_datapipeline_spark.operators.sketches import (  # noqa: E402
+    hll_distinct_users,
+)
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    rows = hll_distinct_users(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # m=64 → ~13% standard error; allow 3 sigma
+        assert r.rel_error < 0.40, (r.event_type, r.rel_error)
+        assert r.hll_estimate > 0
+
+
+def test_hll_hash_mixes_sequential_ids(spark):
+    # sequential user ids must spread across most of the 64 buckets
+    from doeecommerce_datapipeline_spark.operators.sketches import (
+        HLL_M,
+        _hll_hash,
+    )
+    from pyspark.sql import functions as FF
+
+    df = spark.range(1000).select(
+        (_hll_hash(FF.col("id")) % FF.lit(HLL_M)).alias("b")
+    )
+    n_buckets = df.distinct().count()
+    assert n_buckets >= 60  # near-full occupancy at 1000 keys
