@@ -352,6 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CMS trick extended to cardinality: integer mixing +
         # string-domain bit length; estimate emitted beside exact)
         "hll_distinct_users": SK.hll_distinct_users,
+        # (o) round-4 continuation 10 — Mann-Whitney U drift (the
+        # location companion of value_drift_ks, rank machinery on the
+        # doubled-rank integer lattice, no grouped-map needed)
+        "value_drift_mwu": PR.value_drift_mwu,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4204,5 +4208,55 @@ def _oracle_sql_literals() -> dict[str, str]:
                    abs(s.hll_estimate - CAST(e.n_exact AS DOUBLE))
                        / CAST(e.n_exact AS DOUBLE) AS rel_error
             FROM exact e JOIN est s ON s.event_type = e.event_type
+        """,
+        "value_drift_mwu": """
+            WITH b AS (
+                SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+                FROM events
+            ), grain AS (
+                SELECT e.event_type, e.value,
+                       CAST(COUNT(*) AS BIGINT) AS c,
+                       CAST(SUM(CASE WHEN epoch_us(e.ts)
+                                          < b.lo + (b.hi - b.lo) // 2
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c_ref
+                FROM events e, b
+                GROUP BY 1, 2
+            ), ranked AS (
+                SELECT event_type, c, c_ref,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                           - c + 1 AS min_rank
+                FROM grain
+            ), agg AS (
+                SELECT event_type,
+                       CAST(SUM(c_ref) AS BIGINT) AS n1,
+                       CAST(SUM(c - c_ref) AS BIGINT) AS n2,
+                       CAST(SUM(c_ref * (2 * min_rank + c - 1))
+                            AS BIGINT) AS r1_twice,
+                       CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+                FROM ranked GROUP BY 1
+            ), c2 AS (
+                SELECT event_type, n1, n2,
+                       CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                       CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd,
+                       CAST(r1_twice AS DOUBLE) / 2.0
+                           - CAST(n1 AS DOUBLE)
+                             * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u,
+                       CAST(tie_sum AS DOUBLE) AS tied
+                FROM agg
+            ), c3 AS (
+                SELECT event_type, n1, n2, u,
+                       n1d * n2d / 2.0 AS mu,
+                       sqrt(n1d * n2d / 12.0
+                            * ((nd + 1.0)
+                               - tied / (nd * (nd - 1.0)))) AS sigma
+                FROM c2
+            )
+            SELECT event_type, n1 AS n_ref, n2 AS n_cur, u,
+                   CASE WHEN sigma > 0 THEN (u - mu) / sigma END AS z,
+                   abs(CASE WHEN sigma > 0 THEN (u - mu) / sigma END)
+                       > 1.96 AS drift
+            FROM c3
         """,
     }

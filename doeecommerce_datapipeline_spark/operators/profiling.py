@@ -16,7 +16,7 @@ DataFrame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -158,4 +158,92 @@ def value_drift_ks(
         ks,
         "event_type string, n_ref long, n_cur long, ks_stat double, "
         "drift boolean",
+    )
+
+
+MWU_Z_CRIT = 1.96
+
+
+def value_drift_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann-Whitney U drift test over the same
+    first-half/second-half split as value_drift_ks — the LOCATION
+    companion of KS's shape test (U reacts to a median shift that KS
+    can under-weight, and vice versa). Output: (event_type, n_ref,
+    n_cur, u, z, drift) with drift = |z| > 1.96 under the
+    tie-corrected normal approximation.
+
+    Fully oracle-paired, and unlike KS it needs no grouped-map: the
+    rank machinery is one value-grain window per type. Exactness:
+    average ranks live on the half-integer lattice, so DOUBLED ranks
+    are exact int64 — R1 accumulates as Σ c_ref·(2·min_rank + c − 1),
+    the tie term as Σ(c³ − c), both pure integer sums; the closing
+    U/z arithmetic is a fixed IEEE dag on exact operands (one sqrt).
+    Shape: one event_type shuffle to the (type, value) grain (ties
+    collapse BEFORE ranking, so the window runs over distinct values,
+    not raw events), then a type-grain reduce.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).head()
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    mid = lo + (hi - lo) // 2
+    grain = (
+        e.select(
+            "event_type",
+            "value",
+            (F.unix_micros("ts") < F.lit(mid)).cast("int").alias("is_ref"),
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("is_ref").alias("c_ref"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = grain.select(
+        "event_type",
+        "c",
+        "c_ref",
+        (F.sum("c").over(w) - F.col("c") + F.lit(1)).alias("min_rank"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n1"),
+        F.sum(F.col("c") - F.col("c_ref")).alias("n2"),
+        F.sum(
+            F.col("c_ref")
+            * (F.lit(2) * F.col("min_rank") + F.col("c") - F.lit(1))
+        ).alias("r1_twice"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_sum"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    u = (
+        F.col("r1_twice").cast("double") / F.lit(2.0)
+        - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    )
+    mu = n1 * n2 / F.lit(2.0)
+    sigma = F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("tie_sum").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    z = F.when(sigma > 0, (u - mu) / sigma)
+    return agg.select(
+        "event_type",
+        F.col("n1").alias("n_ref"),
+        F.col("n2").alias("n_cur"),
+        u.alias("u"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(MWU_Z_CRIT)).alias("drift"),
     )

@@ -691,3 +691,72 @@ def test_hll_hash_mixes_sequential_ids(spark):
     )
     n_buckets = df.distinct().count()
     assert n_buckets >= 60  # near-full occupancy at 1000 keys
+
+
+# ---- round-4 continuation batch 10 (Mann-Whitney U drift) ------------
+
+from doeecommerce_datapipeline_spark.operators.profiling import (  # noqa: E402
+    value_drift_mwu,
+)
+
+
+def _plant_events(spark, tmp_path, rows):
+    d = str(tmp_path / "sf_mwu")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    return d
+
+
+def test_mwu_flags_planted_median_shift(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 'shifted': first half ~ N(0), second half ~ +10 — strong shift;
+    # 'stable': identical halves
+    for i in range(60):
+        rows.append((i, t0 + timedelta(minutes=i), 1, "shifted", float(i % 7), "{}"))
+        rows.append((1000 + i, t0 + timedelta(days=2, minutes=i), 1, "shifted", 10.0 + i % 7, "{}"))
+        rows.append((2000 + i, t0 + timedelta(minutes=i), 1, "stable", float(i % 5), "{}"))
+        rows.append((3000 + i, t0 + timedelta(days=2, minutes=i), 1, "stable", float(i % 5), "{}"))
+    d = _plant_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in value_drift_mwu(spark, d).collect()}
+    assert got["shifted"].drift and abs(got["shifted"].z) > 5
+    assert not got["stable"].drift and abs(got["stable"].z) < 1
+
+
+def test_mwu_u_statistic_matches_scipy_formula(spark, tmp_path):
+    # tie-corrected U against a brute-force rank computation
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    a = [1.0, 2.0, 2.0, 3.0, 5.0]
+    b = [2.0, 4.0, 4.0, 6.0]
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "x", v, "{}")
+        for i, v in enumerate(a)
+    ] + [
+        (100 + i, t0 + timedelta(days=2, minutes=i), 1, "x", v, "{}")
+        for i, v in enumerate(b)
+    ]
+    d = _plant_events(spark, tmp_path, rows)
+    [r] = value_drift_mwu(spark, d).collect()
+    import numpy as np
+    allv = np.array(a + b)
+    order = allv.argsort(kind="stable")
+    ranks = np.empty(len(allv))
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    r1 = ranks[: len(a)].sum()
+    u = r1 - len(a) * (len(a) + 1) / 2
+    assert r.n_ref == len(a) and r.n_cur == len(b)
+    assert r.u == pytest.approx(u, abs=1e-12)
