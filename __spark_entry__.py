@@ -97,12 +97,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Everything else keeps its cumulative record and rotates behind.
 
     ROUND-5 ROTATION PLAN: head = the operators built in round 4
-    AFTER the r4 window froze (sections (i)–(l): audio_pcm_metrics,
-    audio_window_report, image_ppm_metrics,
+    AFTER the r4 window froze (sections (i)–(o): audio_pcm_metrics,
+    audio_window_report, image_ppm_metrics, linear_touch_attribution,
+    brand_repeat_purchase, weekday_seasonality_index,
+    part_size_price_contingency,
     revenue_gini_by_nation, promo_lift_slope, zipf_fit_by_source,
     token_entropy_by_source, ewma_recursive_daily,
-    cohort_retention_matrix — all locally hash-verified at sf0.01
-    under a vanilla foreign-cwd session when built), plus
+    cohort_retention_matrix, supplier_ontime_wilson,
+    leadtime_weighted_median, label_centroid_cosine,
+    hll_distinct_users, value_drift_mwu — all locally hash-verified
+    at sf0.01 under a vanilla foreign-cwd session when built), plus
     numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
     its oracle changed with it) and remove_duplicated_spans (gram
     explode gained a localCheckpoint barrier); then any r4-window red
