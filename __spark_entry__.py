@@ -360,6 +360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # location companion of value_drift_ks, rank machinery on the
         # doubled-rank integer lattice, no grouped-map needed)
         "value_drift_mwu": PR.value_drift_mwu,
+        # (p) round-4 continuation 11 — survival analysis (KM churn
+        # curve with censoring), STL-lite decomposition, and Holt
+        # double-exponential smoothing (second recursive-seam entry)
+        "kaplan_meier_churn": X.kaplan_meier_churn,
+        "stl_daily_revenue": X.stl_daily_revenue,
+        "holt_linear_daily": W.holt_linear_daily,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4262,5 +4268,128 @@ def _oracle_sql_literals() -> dict[str, str]:
                    abs(CASE WHEN sigma > 0 THEN (u - mu) / sigma END)
                        > 1.96 AS drift
             FROM c3
+        """,
+        "kaplan_meier_churn": """
+            WITH mx AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day
+                FROM orders
+            ), per AS (
+                SELECT o_custkey,
+                       MIN(CAST(o_orderdate AS DATE)) AS fd,
+                       MAX(CAST(o_orderdate AS DATE)) AS ld
+                FROM orders GROUP BY 1
+            ), tagged AS (
+                SELECT CAST(datediff('day', fd, ld) AS BIGINT) AS duration,
+                       CASE WHEN datediff('day', ld, max_day) > 90
+                            THEN 1 ELSE 0 END AS churned
+                FROM per CROSS JOIN mx
+            ), grid AS (
+                SELECT duration,
+                       CAST(SUM(churned) AS BIGINT) AS d,
+                       CAST(SUM(1 - churned) AS BIGINT) AS c
+                FROM tagged GROUP BY 1
+            ), tot AS (SELECT SUM(d + c) AS n FROM grid),
+            staged AS (
+                SELECT duration, d, c,
+                       CAST(t.n AS BIGINT)
+                       - COALESCE(SUM(d + c) OVER (
+                             ORDER BY duration
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_risk
+                FROM grid, tot t
+            ), lnf AS (
+                SELECT duration, d, c, n_risk,
+                       CASE WHEN d > 0 AND d < n_risk
+                            THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE)), 9)
+                                      AS DECIMAL(18,9))
+                            ELSE CAST(0 AS DECIMAL(18,9)) END AS lnf,
+                       CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS exhausted
+                FROM staged
+            )
+            SELECT duration,
+                   CAST(n_risk AS BIGINT) AS n_at_risk,
+                   d AS n_events, c AS n_censored,
+                   CASE WHEN SUM(exhausted) OVER w > 0 THEN 0.0
+                        ELSE round(exp(CAST(SUM(lnf) OVER w AS DOUBLE)), 9)
+                   END AS survival
+            FROM lnf
+            WINDOW w AS (ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+        """,
+        "stl_daily_revenue": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), t AS (
+                SELECT day, CAST(rev AS DOUBLE) AS revenue,
+                       CASE WHEN COUNT(*) OVER w7 = 7
+                            THEN CAST(SUM(rev) OVER w7 AS DOUBLE) / 7.0
+                       END AS trend
+                FROM daily
+                WINDOW w7 AS (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), tq AS (
+                SELECT day, revenue, trend,
+                       CAST(round(revenue - trend, 6)
+                            AS DECIMAL(18,6)) AS detr_q,
+                       CAST(isodow(day) - 1 AS INTEGER) AS dow
+                FROM t
+            ), dw AS (
+                SELECT dow,
+                       CAST(SUM(detr_q) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS s_raw
+                FROM tq WHERE trend IS NOT NULL GROUP BY 1
+            ), sm AS (
+                SELECT CAST(SUM(CAST(round(s_raw, 9) AS DECIMAL(18,9)))
+                            AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS s_mean
+                FROM dw
+            ), cen AS (
+                SELECT dow, s_raw - s_mean AS seasonal
+                FROM dw CROSS JOIN sm
+            )
+            SELECT q.day, q.revenue, q.trend, c.seasonal,
+                   CASE WHEN q.trend IS NOT NULL
+                        THEN CAST(q.detr_q AS DOUBLE) - c.seasonal
+                   END AS residual
+            FROM tq q JOIN cen c ON c.dow = q.dow
+        """,
+        "holt_linear_daily": """
+            WITH RECURSIVE daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS revenue
+                FROM orders GROUP BY 1
+            ), o AS (
+                SELECT day, revenue,
+                       CAST(ROW_NUMBER() OVER (ORDER BY day)
+                            AS BIGINT) AS rn
+                FROM daily
+            ), x1 AS (SELECT revenue AS x0 FROM o WHERE rn = 1),
+            x2 AS (SELECT revenue AS x1v FROM o WHERE rn = 2),
+            r AS (
+                SELECT o.rn, o.day, o.revenue,
+                       floor(o.revenue * 10000 + 0.5) / 10000 AS level,
+                       floor((x2.x1v - x1.x0) * 10000 + 0.5) / 10000
+                           AS trend,
+                       CAST(NULL AS DOUBLE) AS forecast
+                FROM o, x1, x2 WHERE o.rn = 1
+                UNION ALL
+                SELECT o.rn, o.day, o.revenue,
+                       floor((0.3 * o.revenue
+                              + 0.7 * (r.level + r.trend)) * 10000
+                             + 0.5) / 10000,
+                       floor((0.1 * (floor((0.3 * o.revenue
+                                            + 0.7 * (r.level + r.trend))
+                                           * 10000 + 0.5) / 10000
+                                     - r.level)
+                              + 0.9 * r.trend) * 10000 + 0.5) / 10000,
+                       r.level + r.trend
+                FROM r JOIN o ON o.rn = r.rn + 1
+            )
+            SELECT day, revenue, level, trend, forecast FROM r
         """,
     }

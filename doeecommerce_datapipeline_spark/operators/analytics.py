@@ -874,3 +874,165 @@ def promo_lift_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+CHURN_HORIZON_DAYS = 90
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetime: duration =
+    days between a customer's first and last order; the customer
+    CHURNED (event) if their last order is more than 90 days before
+    the dataset's max date, otherwise they are right-CENSORED (still
+    alive at observation end) — the survival-analysis primitive
+    behind every retention curve, with censoring handled correctly
+    instead of dropped.
+
+    Shape: one custkey agg over orders; the KM table is the
+    DURATION-grain grid (thousands of rows — the documented
+    grid-grain global-window contract, never the fact). Determinism:
+    at-risk counts are exact integers; each hazard factor's
+    ln(1 - d/n) rounds at 9 dp into DECIMAL(18,9) before the running
+    sum (the engine-log seam), and S(t) = exp(cum) rounds once at
+    9 dp on output; a duration where events exhaust the risk set
+    sends survival exactly to 0 thereafter (no ln(0) enters the sum).
+    """
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("max_day"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_day"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+    tagged = per_cust.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("duration"),
+        (
+            F.datediff("max_day", "last_day") > CHURN_HORIZON_DAYS
+        ).cast("long").alias("churned"),
+    )
+    grid = tagged.groupBy("duration").agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c"),
+    )
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = grid.agg(F.sum(F.col("d") + F.col("c")).alias("n")).head()["n"]
+    at_risk = F.lit(int(total)) - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_cum), F.lit(0)
+    )
+    staged = grid.select(
+        "duration",
+        "d",
+        "c",
+        at_risk.alias("n_risk"),
+    ).select(
+        "duration",
+        "d",
+        "c",
+        "n_risk",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,9)"))
+        .alias("lnf"),
+        (F.col("d") >= F.col("n_risk")).cast("int").alias("exhausted"),
+    )
+    survival = F.when(
+        F.sum("exhausted").over(w_run) > 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.exp(F.sum("lnf").over(w_run).cast("double")), 9
+        )
+    )
+    return staged.select(
+        "duration",
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        survival.alias("survival"),
+    )
+
+
+STL_SEASON_DECIMALS = 6
+
+
+def stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (STL-lite):
+    trend = centered 7-day moving average (full windows only),
+    seasonal = mean-centered per-weekday average of the detrended
+    series, residual = the rest — the decomposition a forecaster
+    inspects before choosing a model, and the principled version of
+    what weekday_seasonality_index summarizes.
+
+    Shape: day rollup (one fact shuffle), a day-grain centered-MA
+    window, a 7-row weekday aggregate broadcast back, all over the
+    dates-sized series. Determinism: the trend mean is
+    double(exact decimal window sum)/7; detrended values QUANTIZE at
+    6 dp into DECIMAL(18,6) before the weekday sums and the 7-value
+    centering sum (order-free); every subtraction after that is a
+    fixed IEEE dag on identical operands.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.when(
+            F.count(F.lit(1)).over(w_ma) == 7,
+            F.sum("rev").over(w_ma).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+    ).withColumn(
+        "detr_q",
+        F.round(F.col("revenue") - F.col("trend"), STL_SEASON_DECIMALS)
+        .cast("decimal(18,6)"),
+    )
+    dow = trended.where(F.col("trend").isNotNull()).groupBy(
+        F.weekday("day").cast("int").alias("dow")
+    ).agg(
+        (
+            F.sum("detr_q").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("s_raw")
+    )
+    centered = dow.crossJoin(
+        F.broadcast(
+            dow.agg(
+                (
+                    F.sum(
+                        F.round(F.col("s_raw"), 9).cast("decimal(18,9)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("s_mean")
+            )
+        )
+    ).select(
+        "dow", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    out = trended.join(
+        F.broadcast(centered),
+        F.weekday(F.col("day")).cast("int") == F.col("dow"),
+    )
+    return out.select(
+        "day",
+        "revenue",
+        "trend",
+        "seasonal",
+        F.when(
+            F.col("trend").isNotNull(),
+            F.col("detr_q").cast("double") - F.col("seasonal"),
+        ).alias("residual"),
+    )

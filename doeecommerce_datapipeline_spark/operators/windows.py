@@ -500,3 +500,62 @@ def ewma_recursive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
         fit, "day date, revenue double, ewma double"
     )
+
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of daily revenue: coupled
+    level/trend recursions l_t = a*x_t + (1-a)*(l+b),
+    b_t = g*(l_t - l_prev) + (1-g)*b — the next step up from
+    ewma_recursive_daily (which has no trend state), emitting the
+    one-step-ahead forecast each day. Same recursive oracle class:
+    grouped-map over the day series vs a DuckDB recursive CTE, every
+    carried scalar rounded with the explicit floor(v*1e4 + 0.5)/1e4
+    lattice so a 2400-step double recursion stays bit-identical.
+    Seed: l_0 = x_0, b_0 = x_1 - x_0 (both lattice-rounded).
+    """
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+    def fit(pdf):
+        import numpy as np
+
+        q = lambda v: np.floor(v * 1e4 + 0.5) / 1e4  # noqa: E731
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = pdf["revenue"].to_numpy(float)
+        n = len(x)
+        level = np.full(n, np.nan)
+        trend = np.full(n, np.nan)
+        fc = np.full(n, np.nan)
+        if n >= 2:
+            lv = q(x[0])
+            bv = q(x[1] - x[0])
+            level[0], trend[0] = lv, bv
+            for i in range(1, n):
+                fc[i] = lv + bv
+                # literal 0.7/0.9 (not 1-alpha expressions) so the
+                # constants are the same double bits as the SQL twin's
+                new_l = q(0.3 * x[i] + 0.7 * (lv + bv))
+                bv = q(0.1 * (new_l - lv) + 0.9 * bv)
+                lv = new_l
+                level[i], trend[i] = lv, bv
+        pdf["level"] = level
+        pdf["trend"] = trend
+        pdf["forecast"] = fc
+        return pdf[["day", "revenue", "level", "trend", "forecast"]]
+
+    return daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        fit,
+        "day date, revenue double, level double, trend double,"
+        " forecast double",
+    )

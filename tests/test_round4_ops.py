@@ -760,3 +760,108 @@ def test_mwu_u_statistic_matches_scipy_formula(spark, tmp_path):
     u = r1 - len(a) * (len(a) + 1) / 2
     assert r.n_ref == len(a) and r.n_cur == len(b)
     assert r.u == pytest.approx(u, abs=1e-12)
+
+
+# ---- round-4 continuation batch 11 -----------------------------------
+
+from doeecommerce_datapipeline_spark.operators.analytics import (  # noqa: E402
+    kaplan_meier_churn,
+    stl_daily_revenue,
+)
+from doeecommerce_datapipeline_spark.operators.windows import (  # noqa: E402
+    holt_linear_daily,
+)
+
+
+def test_km_survival_monotone_and_bounded(spark):
+    rows = sorted(
+        kaplan_meier_churn(spark, SF).collect(), key=lambda r: r.duration
+    )
+    assert rows
+    prev = 1.0
+    total = rows[0].n_at_risk
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-12  # nonincreasing in t
+        prev = r.survival
+        assert 0 < r.n_at_risk <= total
+        assert r.n_events + r.n_censored <= r.n_at_risk
+    # at-risk counts telescope exactly
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_at_risk == a.n_at_risk - a.n_events - a.n_censored
+
+
+def test_km_no_censoring_equals_empirical_survival(spark, tmp_path):
+    # all-churned fixture: KM must equal the plain empirical tail
+    # distribution 1 - ECDF(duration)
+    import pandas as pd
+    d = str(tmp_path / "sf_km")
+    rows = []
+    # customer k orders on day 0 and day k (k = 1..10), max date far out
+    for k in range(1, 11):
+        rows.append((k * 10, k, "1994-01-01"))
+        rows.append((k * 10 + 1, k, f"1994-01-{k+1:02d}"))
+    rows.append((999, 99, "1999-12-31"))  # anchor: sets max_day
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    pdf["o_orderdate"] = pd.to_datetime(pdf["o_orderdate"])
+    pdf["o_totalprice"] = 1.0
+    spark.createDataFrame(pdf).write.parquet(d + "/orders.parquet")
+    got = {
+        r.duration: r.survival
+        for r in kaplan_meier_churn(spark, d).collect()
+    }
+    # 11 customers: durations 1..10 (churned) and 0 (the anchor, censored? no:
+    # last=first for anchor → duration 0, censored=False since its last order
+    # IS max_day → censored)
+    # survival at duration k (k>=1): fraction with duration > k among the
+    # 10 churned after removing the censored-at-0 anchor from risk... KM:
+    # S(k) = prod_{j<=k} (1 - d_j/n_j); censored-at-0 leaves risk set after t=0
+    n_risk = 11
+    s = 1.0
+    # duration 0: the anchor is censored (d=0, c=1) → factor 1
+    n_risk -= 1
+    import math
+    for k in range(1, 11):
+        s *= (1 - 1 / n_risk)
+        n_risk -= 1
+        assert got[k] == pytest.approx(s, abs=2e-9), k
+
+
+def test_stl_decomposition_reconstructs_series(spark):
+    rows = stl_daily_revenue(spark, SF).collect()
+    assert rows
+    n_trended = 0
+    for r in rows:
+        if r.trend is not None:
+            n_trended += 1
+            # additive identity up to the 6dp quantization of detr
+            assert r.revenue == pytest.approx(
+                r.trend + r.seasonal + r.residual, abs=1e-5
+            )
+    assert n_trended > 100
+    # seasonal components mean-center (weighted by construction seam)
+    dows = {}
+    for r in rows:
+        dows[r.seasonal] = True
+    assert len(dows) == 7  # one seasonal value per weekday
+
+
+def test_holt_tracks_linear_series_exactly(spark, tmp_path):
+    # y = 5 + 2t: after seeding, level ≈ y_t, trend ≈ 2, forecast exact
+    import pandas as pd
+    d = str(tmp_path / "sf_holt")
+    days = pd.date_range("1995-01-01", periods=40)
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(40),
+            "o_custkey": 1,
+            "o_orderdate": days,
+            "o_totalprice": [5.0 + 2.0 * t for t in range(40)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(d + "/orders.parquet")
+    rows = sorted(
+        holt_linear_daily(spark, d).collect(), key=lambda r: r.day
+    )
+    for r in rows[2:]:
+        assert r.forecast == pytest.approx(r.revenue, abs=1e-6)
+        assert r.trend == pytest.approx(2.0, abs=1e-6)
