@@ -97,21 +97,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Everything else keeps its cumulative record and rotates behind.
 
     ROUND-5 ROTATION PLAN: head = the operators built in round 4
-    AFTER the r4 window froze (sections (i)–(o): audio_pcm_metrics,
-    audio_window_report, image_ppm_metrics, linear_touch_attribution,
-    brand_repeat_purchase, weekday_seasonality_index,
-    part_size_price_contingency,
+    AFTER the r4 window froze — sections (i)-(p) in declaration
+    order: audio_pcm_metrics, audio_window_report, image_ppm_metrics,
+    linear_touch_attribution, brand_repeat_purchase,
+    weekday_seasonality_index, part_size_price_contingency,
     revenue_gini_by_nation, promo_lift_slope, zipf_fit_by_source,
     token_entropy_by_source, ewma_recursive_daily,
     cohort_retention_matrix, supplier_ontime_wilson,
     leadtime_weighted_median, label_centroid_cosine,
-    hll_distinct_users, value_drift_mwu — all locally hash-verified
-    at sf0.01 under a vanilla foreign-cwd session when built), plus
+    hll_distinct_users, value_drift_mwu, kaplan_meier_churn,
+    stl_daily_revenue, holt_linear_daily — all locally hash-verified
+    at sf0.01 under a vanilla foreign-cwd session when built; plus
     numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
-    its oracle changed with it) and remove_duplicated_spans (gram
-    explode gained a localCheckpoint barrier); then any r4-window red
-    rows; then the remaining section-(d) r1-recheck tail
-    (active_users_trailing_7d onward) filling the rest.
+    its oracle changed with it), remove_duplicated_spans and
+    token_entropy_by_source (gram/tf explode gained a localCheckpoint
+    barrier), and quality_classifier_scores (maxIter 30 -> 15); then
+    any r4-window red rows; then the remaining section-(d) r1-recheck
+    tail (active_users_trailing_7d onward) filling the rest.
     """
     q = {
         # --- round-3 window ------------------------------------------
