@@ -988,17 +988,24 @@ def stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
     w_ma = Window.orderBy("day").rowsBetween(-3, 3)
-    trended = daily.select(
-        "day",
-        F.col("rev").cast("double").alias("revenue"),
-        F.when(
-            F.count(F.lit(1)).over(w_ma) == 7,
-            F.sum("rev").over(w_ma).cast("double") / F.lit(7.0),
-        ).alias("trend"),
-    ).withColumn(
-        "detr_q",
-        F.round(F.col("revenue") - F.col("trend"), STL_SEASON_DECIMALS)
-        .cast("decimal(18,6)"),
+    # three consumers (weekday agg, centering, final join) — freeze
+    # the day-grain series once so the orders rollup isn't re-scanned
+    # per branch (the remove_duplicated_spans lesson)
+    trended = (
+        daily.select(
+            "day",
+            F.col("rev").cast("double").alias("revenue"),
+            F.when(
+                F.count(F.lit(1)).over(w_ma) == 7,
+                F.sum("rev").over(w_ma).cast("double") / F.lit(7.0),
+            ).alias("trend"),
+        )
+        .withColumn(
+            "detr_q",
+            F.round(F.col("revenue") - F.col("trend"), STL_SEASON_DECIMALS)
+            .cast("decimal(18,6)"),
+        )
+        .localCheckpoint(eager=True)
     )
     dow = trended.where(F.col("trend").isNotNull()).groupBy(
         F.weekday("day").cast("int").alias("dow")
