@@ -368,6 +368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_churn": X.kaplan_meier_churn,
         "stl_daily_revenue": X.stl_daily_revenue,
         "holt_linear_daily": W.holt_linear_daily,
+        # (q) round-4 continuation 12 — experimentation (two-
+        # proportion z-test) and the Lorenz curve behind the Gini
+        "ab_conversion_ztest": E.ab_conversion_ztest,
+        "lorenz_curve_deciles": R.lorenz_curve_deciles,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4393,5 +4397,73 @@ def _oracle_sql_literals() -> dict[str, str]:
                 FROM r JOIN o ON o.rn = r.rn + 1
             )
             SELECT day, revenue, level, trend, forecast FROM r
+        """,
+        "ab_conversion_ztest": """
+            WITH per_user AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1
+            ), arms AS (
+                SELECT user_id % 2 AS arm,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(conv) AS BIGINT) AS k
+                FROM per_user GROUP BY 1
+            ), one AS (
+                SELECT CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT)
+                           AS n0,
+                       CAST(SUM(CASE WHEN arm = 0 THEN k END) AS BIGINT)
+                           AS k0,
+                       CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT)
+                           AS n1,
+                       CAST(SUM(CASE WHEN arm = 1 THEN k END) AS BIGINT)
+                           AS k1
+                FROM arms
+            ), c AS (
+                SELECT n0, k0, n1, k1,
+                       CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+                       CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                       (CAST(k0 AS DOUBLE) + CAST(k1 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pool,
+                       CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d
+                FROM one
+            ), c2 AS (
+                SELECT n0, k0, n1, k1, p0, p1,
+                       sqrt(pool * (1.0 - pool)
+                            * (1.0 / n0d + 1.0 / n1d)) AS se
+                FROM c
+            )
+            SELECT n0, k0, n1, k1,
+                   p0 AS rate_a, p1 AS rate_b,
+                   CASE WHEN se > 0 THEN (p1 - p0) / se END AS z,
+                   abs(CASE WHEN se > 0 THEN (p1 - p0) / se END) > 1.96
+                       AS significant
+            FROM c2
+        """,
+        "lorenz_curve_deciles": """
+            WITH per AS (
+                SELECT o_custkey,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), deciled AS (
+                SELECT rev,
+                       CAST(NTILE(10) OVER (ORDER BY rev ASC, o_custkey ASC)
+                            AS INTEGER) AS decile
+                FROM per
+            ), tot AS (SELECT SUM(rev) AS tot FROM deciled),
+            per_dec AS (
+                SELECT decile,
+                       CAST(COUNT(*) AS BIGINT) AS n_customers,
+                       SUM(rev) AS dr
+                FROM deciled GROUP BY 1
+            )
+            SELECT d.decile, d.n_customers,
+                   CAST(d.dr AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                       AS revenue_share,
+                   CAST(SUM(d.dr) OVER (ORDER BY d.decile
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS DOUBLE)
+                       / CAST(t.tot AS DOUBLE) AS cum_revenue_share
+            FROM per_dec d, tot t
         """,
     }

@@ -970,3 +970,50 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_credited_purchases"),
         F.sum("share").cast("double").alias("attributed_value"),
     )
+
+
+AB_Z_CRIT = 1.96
+
+
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between a deterministic 50/50 user split
+    (arm = user_id % 2 — the synthetic stand-in for an experiment
+    assignment column): does purchase conversion differ between
+    arms? Output is one row: per-arm user and converter counts,
+    rates, the pooled z statistic, and the significance flag — the
+    experimentation primitive growth teams run hourly.
+
+    Shape: one user-grain agg (conversion = ANY purchase event),
+    then a 2-row arm rollup folded to one row via conditional sums.
+    The z arithmetic is a fixed IEEE dag (one sqrt) on exact BIGINT
+    counts — engine-identical. On a real experiment table the arm
+    expression is the assignment column; nothing else changes.
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arms = per_user.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    one = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
+    )
+    n0, k0 = F.col("n0").cast("double"), F.col("k0").cast("double")
+    n1, k1 = F.col("n1").cast("double"), F.col("k1").cast("double")
+    p0, p1 = k0 / n0, k1 / n1
+    pool = (k0 + k1) / (n0 + n1)
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    z = F.when(se > 0, (p1 - p0) / se)
+    return one.select(
+        "n0", "k0", "n1", "k1",
+        p0.alias("rate_a"),
+        p1.alias("rate_b"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(AB_Z_CRIT)).alias("significant"),
+    )

@@ -617,3 +617,44 @@ def leadtime_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").alias("total_weight"),
         )
     )
+
+
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue at decile resolution: decile
+    d holds the customers in the d-th tenth by ASCENDING revenue;
+    each row reports the decile's revenue share and the cumulative
+    share up to it — the curve whose area-deficit the Gini
+    coefficient (revenue_gini_by_nation) summarizes to one number.
+
+    Shape: custkey agg, one customers-grain ntile window (dimension
+    cardinality, custkey tiebreak — the customer_deciles contract),
+    then a 10-row rollup with a running-sum window over those 10
+    rows. Shares divide exact decimal sums as doubles once each.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    deciled = per_cust.select(
+        "rev", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+    total = deciled.agg(F.sum("rev").alias("tot"))
+    per_dec = (
+        deciled.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("dr"))
+        .crossJoin(F.broadcast(total))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = F.col("dr").cast("double") / F.col("tot").cast("double")
+    cum_share = (
+        F.sum("dr").over(w_cum).cast("double") / F.col("tot").cast("double")
+    )
+    return per_dec.select(
+        "decile",
+        "n_customers",
+        share.alias("revenue_share"),
+        cum_share.alias("cum_revenue_share"),
+    )

@@ -865,3 +865,47 @@ def test_holt_tracks_linear_series_exactly(spark, tmp_path):
     for r in rows[2:]:
         assert r.forecast == pytest.approx(r.revenue, abs=1e-6)
         assert r.trend == pytest.approx(2.0, abs=1e-6)
+
+
+# ---- round-4 continuation batch 12 -----------------------------------
+
+from doeecommerce_datapipeline_spark.operators.events import (  # noqa: E402
+    ab_conversion_ztest,
+)
+from doeecommerce_datapipeline_spark.operators.retail import (  # noqa: E402
+    lorenz_curve_deciles,
+)
+
+
+def test_ab_ztest_well_formed_and_null_on_identical(spark, tmp_path):
+    [r] = ab_conversion_ztest(spark, SF).collect()
+    assert r.n0 > 0 and r.n1 > 0
+    assert 0 <= r.rate_a <= 1 and 0 <= r.rate_b <= 1
+    # planted strong effect: arm 1 always converts, arm 0 never
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        et = "purchase" if u % 2 == 1 else "view"
+        rows.append((u, t0 + timedelta(minutes=u), u, et, 1.0, "{}"))
+    d = str(tmp_path / "sf_ab")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    [p] = ab_conversion_ztest(spark, d).collect()
+    assert p.rate_a == 0.0 and p.rate_b == 1.0
+    assert p.significant and p.z > 5
+
+
+def test_lorenz_curve_convex_and_complete(spark):
+    rows = sorted(
+        lorenz_curve_deciles(spark, SF).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert rows[-1].cum_revenue_share == pytest.approx(1.0, abs=1e-12)
+    # ascending-revenue deciles: shares nondecreasing (convex curve)
+    for a, b in zip(rows, rows[1:]):
+        assert b.revenue_share >= a.revenue_share - 1e-12
+    assert sum(r.revenue_share for r in rows) == pytest.approx(1.0, abs=1e-9)
