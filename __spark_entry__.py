@@ -106,7 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cohort_retention_matrix, supplier_ontime_wilson,
     leadtime_weighted_median, label_centroid_cosine,
     hll_distinct_users, value_drift_mwu, kaplan_meier_churn,
-    stl_daily_revenue, holt_linear_daily — all locally hash-verified
+    stl_daily_revenue, holt_linear_daily, ab_conversion_ztest,
+    lorenz_curve_deciles, kmeans_lattice_clusters — all locally
+    hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built; plus
     numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
     its oracle changed with it), remove_duplicated_spans and
@@ -372,6 +374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proportion z-test) and the Lorenz curve behind the Gini
         "ab_conversion_ztest": E.ab_conversion_ztest,
         "lorenz_curve_deciles": R.lorenz_curve_deciles,
+        # (r) round-4 continuation 13 — oracle-paired k-means (fixed
+        # 3-round Lloyd on the integer lattice; the PageRank/CMS
+        # determinism class extended to clustering)
+        "kmeans_lattice_clusters": S.kmeans_lattice_clusters,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4465,5 +4471,96 @@ def _oracle_sql_literals() -> dict[str, str]:
                                              AND CURRENT ROW) AS DOUBLE)
                        / CAST(t.tot AS DOUBLE) AS cum_revenue_share
             FROM per_dec d, tot t
+        """,
+        "kmeans_lattice_clusters": """
+            WITH comp AS (
+                SELECT vec_id, i AS dim,
+                       CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS k
+                FROM (SELECT vec_id, embedding,
+                             UNNEST(range(len(embedding))) AS i
+                      FROM embeddings)
+            ), seed_ids AS (
+                SELECT vec_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                            AS INTEGER) AS cid
+                FROM (SELECT vec_id FROM embeddings
+                      ORDER BY vec_id LIMIT 4)
+            ), cent0 AS (
+                SELECT s.cid, c.dim, c.k AS c
+                FROM comp c JOIN seed_ids s ON s.vec_id = c.vec_id
+            ), dist1 AS (
+                SELECT p.vec_id, ct.cid,
+                       SUM((p.k - ct.c) * (p.k - ct.c)) AS d2
+                FROM comp p JOIN cent0 ct ON ct.dim = p.dim
+                GROUP BY 1, 2
+            ), asg1 AS (
+                SELECT vec_id, cid, d2 FROM (
+                    SELECT vec_id, cid, d2,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cid) AS rn
+                    FROM dist1
+                ) WHERE rn = 1
+            ), cent1 AS (
+                SELECT a.cid, p.dim,
+                       CAST(TRUNC(CAST(SUM(p.k) AS DOUBLE)
+                                  / CAST(COUNT(*) AS DOUBLE))
+                            AS BIGINT) AS c
+                FROM comp p JOIN asg1 a ON a.vec_id = p.vec_id
+                GROUP BY 1, 2
+            ), dist2 AS (
+                SELECT p.vec_id, ct.cid,
+                       SUM((p.k - ct.c) * (p.k - ct.c)) AS d2
+                FROM comp p JOIN cent1 ct ON ct.dim = p.dim
+                GROUP BY 1, 2
+            ), asg2 AS (
+                SELECT vec_id, cid, d2 FROM (
+                    SELECT vec_id, cid, d2,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cid) AS rn
+                    FROM dist2
+                ) WHERE rn = 1
+            ), cent2 AS (
+                SELECT a.cid, p.dim,
+                       CAST(TRUNC(CAST(SUM(p.k) AS DOUBLE)
+                                  / CAST(COUNT(*) AS DOUBLE))
+                            AS BIGINT) AS c
+                FROM comp p JOIN asg2 a ON a.vec_id = p.vec_id
+                GROUP BY 1, 2
+            ), dist3 AS (
+                SELECT p.vec_id, ct.cid,
+                       SUM((p.k - ct.c) * (p.k - ct.c)) AS d2
+                FROM comp p JOIN cent2 ct ON ct.dim = p.dim
+                GROUP BY 1, 2
+            ), asg3 AS (
+                SELECT vec_id, cid, d2 FROM (
+                    SELECT vec_id, cid, d2,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cid) AS rn
+                    FROM dist3
+                ) WHERE rn = 1
+            ), cent3 AS (
+                SELECT a.cid, p.dim,
+                       CAST(TRUNC(CAST(SUM(p.k) AS DOUBLE)
+                                  / CAST(COUNT(*) AS DOUBLE))
+                            AS BIGINT) AS c
+                FROM comp p JOIN asg3 a ON a.vec_id = p.vec_id
+                GROUP BY 1, 2
+            ), dist4 AS (
+                SELECT p.vec_id, ct.cid,
+                       SUM((p.k - ct.c) * (p.k - ct.c)) AS d2
+                FROM comp p JOIN cent3 ct ON ct.dim = p.dim
+                GROUP BY 1, 2
+            ), asg4 AS (
+                SELECT vec_id, cid, d2 FROM (
+                    SELECT vec_id, cid, d2,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cid) AS rn
+                    FROM dist4
+                ) WHERE rn = 1
+            )
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(d2) AS BIGINT) AS inertia_lattice
+            FROM asg4 GROUP BY cid
         """,
     }

@@ -412,3 +412,93 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "label_a", "label_b", cosine_d.alias("centroid_cosine")
     )
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def kmeans_lattice_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-means over the embeddings, FULLY ORACLE-PAIRED —
+    the PageRank/CMS determinism trick applied to clustering: k = 4,
+    exactly 3 Lloyd iterations, seeds = the k lowest vec_ids, and
+    EVERY quantity stays on an integer lattice (components quantize
+    to 2^-20 ints; centroid update is integer floor-division mean;
+    distances are exact int64 sums of squares), so assignment,
+    centroids, sizes and inertia are bit-identical in any engine —
+    correctness discipline the MLlib/IVF paths (rows-only by
+    contract) can't offer, at toy scale. Production clustering stays
+    ivf.py (k-means++ init, float Lloyd, recall floors); THIS pins
+    the iteration MECHANICS against an independent engine.
+
+    Shape per iteration: points x centroids distance table is
+    (n·k·dim) exploded rows aggregated by exact int sums — two
+    exchanges per round, centroids broadcast back; 3 unrolled rounds
+    keep the whole thing one declarative dag (no driver loop state
+    beyond plan construction).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(
+            F.col("v").cast("double") * F.lit(float(CENTROID_SCALE))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("k"),
+    ).localCheckpoint(eager=True)  # reused by every iteration
+    # seeds: the K lowest vec_ids, centroid c = that point's lattice
+    seed_ids = e.select("vec_id").orderBy("vec_id").limit(KMEANS_K)
+    seeds = (
+        comp.join(F.broadcast(seed_ids), "vec_id")
+        .select("vec_id", "dim", "k")
+    )
+    w_seed = Window.orderBy("vec_id")
+    cid_map = seed_ids.select(
+        "vec_id",
+        (F.row_number().over(w_seed) - 1).cast("int").alias("cid"),
+    )
+    cents = seeds.join(F.broadcast(cid_map), "vec_id").select(
+        "cid", "dim", F.col("k").alias("c")
+    )
+
+    def assign(centroids):
+        d = comp.join(F.broadcast(centroids), "dim")
+        dist = d.groupBy("vec_id", "cid").agg(
+            F.sum(
+                (F.col("k") - F.col("c")) * (F.col("k") - F.col("c"))
+            ).alias("d2")
+        )
+        return dist.groupBy("vec_id").agg(
+            F.min_by(F.col("cid"), F.struct(F.col("d2"), F.col("cid"))).alias(
+                "cid"
+            ),
+            F.min(F.struct(F.col("d2"), F.col("cid")))["d2"].alias("d2"),
+        )
+
+    for _ in range(KMEANS_ITERS):
+        a = assign(cents)
+        # mean as trunc(double Σk / n): Σk < 2^31 is double-exact, the
+        # division is one IEEE op and long-cast truncation matches
+        # SQL TRUNC — identical bits on both engines even for the
+        # negative-component case where div/floor semantics differ
+        cents = (
+            comp.join(a.select("vec_id", "cid"), "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum("k").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("c")
+            )
+        )
+    final = assign(cents)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("d2").alias("inertia_lattice"),
+    )

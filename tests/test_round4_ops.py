@@ -909,3 +909,43 @@ def test_lorenz_curve_convex_and_complete(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.revenue_share >= a.revenue_share - 1e-12
     assert sum(r.revenue_share for r in rows) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kmeans_lattice_planted_clusters(spark, tmp_path):
+    """Four tight planted clusters whose seeds are the 4 lowest
+    vec_ids (one per cluster) must be recovered exactly: every point
+    lands with its planted centroid and inertia stays at the tiny
+    within-cluster jitter level."""
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        kmeans_lattice_clusters,
+    )
+
+    centers = [
+        [0.0, 0.0, 0.0],
+        [10.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0],
+        [0.0, 0.0, 10.0],
+    ]
+    rows = []
+    vid = 0
+    # vec_ids 0..3 are one exact center each -> they are the seeds
+    for c in centers:
+        rows.append((vid, c))
+        vid += 1
+    for j in range(40):
+        c = centers[j % 4]
+        jitter = [v + ((j * 7 + i) % 5 - 2) * 1e-3 for i, v in enumerate(c)]
+        rows.append((vid, jitter))
+        vid += 1
+    d = str(tmp_path / "sf_km")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(d + "/embeddings.parquet")
+    out = {r.cid: r for r in kmeans_lattice_clusters(spark, d).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert sum(r.n_points for r in out.values()) == len(rows)
+    assert all(r.n_points == 11 for r in out.values())
+    # jitter is <= 2e-3 per dim on a 2^20 lattice: within-cluster d2
+    # per point <= 3 * (2e-3 * 2^20)^2 ~ 1.3e7; planted separation is
+    # (10 * 2^20)^2 ~ 1e14 — inertia must stay at the jitter scale
+    assert all(r.inertia_lattice < 11 * 2 * 10**7 for r in out.values())
