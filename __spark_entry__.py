@@ -107,8 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     leadtime_weighted_median, label_centroid_cosine,
     hll_distinct_users, value_drift_mwu, kaplan_meier_churn,
     stl_daily_revenue, holt_linear_daily, ab_conversion_ztest,
-    lorenz_curve_deciles, kmeans_lattice_clusters — all locally
-    hash-verified
+    lorenz_curve_deciles, kmeans_lattice_clusters,
+    spearman_rank_corr, order_backlog_sweep, view_purchase_xcorr —
+    all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built; plus
     numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
     its oracle changed with it), remove_duplicated_spans and
@@ -378,6 +379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 3-round Lloyd on the integer lattice; the PageRank/CMS
         # determinism class extended to clustering)
         "kmeans_lattice_clusters": S.kmeans_lattice_clusters,
+        # (s) round-4 continuation 14 — rank/association statistics and
+        # the clamped-cumulative-sum sweep, all exact-integer cores
+        "spearman_rank_corr": X.spearman_rank_corr,
+        "order_backlog_sweep": X.order_backlog_sweep,
+        "view_purchase_xcorr": X.view_purchase_xcorr,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4562,5 +4568,196 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
                    CAST(SUM(d2) AS BIGINT) AS inertia_lattice
             FROM asg4 GROUP BY cid
+        """,
+        "spearman_rank_corr": """
+            WITH base AS (
+                SELECT l_quantity AS vq, l_discount AS vd, l_tax AS vt
+                FROM lineitem
+            ), mq AS (
+                SELECT v, 2 * CAST(COALESCE(SUM(cnt) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT)
+                         + cnt + 1 AS r
+                FROM (SELECT vq AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM base GROUP BY 1)
+            ), md AS (
+                SELECT v, 2 * CAST(COALESCE(SUM(cnt) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT)
+                         + cnt + 1 AS r
+                FROM (SELECT vd AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM base GROUP BY 1)
+            ), mt AS (
+                SELECT v, 2 * CAST(COALESCE(SUM(cnt) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT)
+                         + cnt + 1 AS r
+                FROM (SELECT vt AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM base GROUP BY 1)
+            ), ranked AS (
+                SELECT mq.r AS rq, md.r AS rd, mt.r AS rt
+                FROM base b
+                JOIN mq ON b.vq = mq.v
+                JOIN md ON b.vd = md.v
+                JOIN mt ON b.vt = mt.v
+            ), s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(rq) AS BIGINT) AS sq,
+                       CAST(SUM(rd) AS BIGINT) AS sd,
+                       CAST(SUM(rt) AS BIGINT) AS st,
+                       CAST(SUM((rq*rq) // 1000000000) AS BIGINT) AS hi_qq,
+                       CAST(SUM((rq*rq) %  1000000000) AS BIGINT) AS lo_qq,
+                       CAST(SUM((rd*rd) // 1000000000) AS BIGINT) AS hi_dd,
+                       CAST(SUM((rd*rd) %  1000000000) AS BIGINT) AS lo_dd,
+                       CAST(SUM((rt*rt) // 1000000000) AS BIGINT) AS hi_tt,
+                       CAST(SUM((rt*rt) %  1000000000) AS BIGINT) AS lo_tt,
+                       CAST(SUM((rq*rd) // 1000000000) AS BIGINT) AS hi_qd,
+                       CAST(SUM((rq*rd) %  1000000000) AS BIGINT) AS lo_qd,
+                       CAST(SUM((rq*rt) // 1000000000) AS BIGINT) AS hi_qt,
+                       CAST(SUM((rq*rt) %  1000000000) AS BIGINT) AS lo_qt,
+                       CAST(SUM((rd*rt) // 1000000000) AS BIGINT) AS hi_dt,
+                       CAST(SUM((rd*rt) %  1000000000) AS BIGINT) AS lo_dt
+                FROM ranked
+            ), px AS (
+                SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sq AS DOUBLE) AS sx, CAST(sd AS DOUBLE) AS sy,
+                       CAST(hi_qd AS DOUBLE) * 1000000000.0
+                           + CAST(lo_qd AS DOUBLE) AS sxy,
+                       CAST(hi_qq AS DOUBLE) * 1000000000.0
+                           + CAST(lo_qq AS DOUBLE) AS sxx,
+                       CAST(hi_dd AS DOUBLE) * 1000000000.0
+                           + CAST(lo_dd AS DOUBLE) AS syy
+                FROM s
+                UNION ALL
+                SELECT 'l_quantity', 'l_tax', n,
+                       CAST(n AS DOUBLE), CAST(sq AS DOUBLE),
+                       CAST(st AS DOUBLE),
+                       CAST(hi_qt AS DOUBLE) * 1000000000.0
+                           + CAST(lo_qt AS DOUBLE),
+                       CAST(hi_qq AS DOUBLE) * 1000000000.0
+                           + CAST(lo_qq AS DOUBLE),
+                       CAST(hi_tt AS DOUBLE) * 1000000000.0
+                           + CAST(lo_tt AS DOUBLE)
+                FROM s
+                UNION ALL
+                SELECT 'l_discount', 'l_tax', n,
+                       CAST(n AS DOUBLE), CAST(sd AS DOUBLE),
+                       CAST(st AS DOUBLE),
+                       CAST(hi_dt AS DOUBLE) * 1000000000.0
+                           + CAST(lo_dt AS DOUBLE),
+                       CAST(hi_dd AS DOUBLE) * 1000000000.0
+                           + CAST(lo_dd AS DOUBLE),
+                       CAST(hi_tt AS DOUBLE) * 1000000000.0
+                           + CAST(lo_tt AS DOUBLE)
+                FROM s
+            )
+            SELECT col_x, col_y, n,
+                   CASE WHEN sqrt(greatest(nd * sxx - sx * sx, 0.0))
+                           * sqrt(greatest(nd * syy - sy * sy, 0.0)) > 0
+                        THEN (nd * sxy - sx * sy)
+                           / (sqrt(greatest(nd * sxx - sx * sx, 0.0))
+                              * sqrt(greatest(nd * syy - sy * sy, 0.0)))
+                   END AS rho
+            FROM px
+        """,
+        "order_backlog_sweep": """
+            WITH j AS (
+                SELECT o.o_orderpriority AS priority,
+                       CAST(o.o_orderdate AS DATE) AS od,
+                       CAST(l.l_shipdate AS DATE) AS sd,
+                       CAST(l.l_quantity AS BIGINT) AS q
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), flows AS (
+                SELECT priority, od AS d, q AS f FROM j
+                UNION ALL
+                SELECT priority, sd AS d, -q AS f FROM j
+            ), daily AS (
+                SELECT priority, d, CAST(SUM(f) AS BIGINT) AS net
+                FROM flows GROUP BY 1, 2
+            ), cum AS (
+                SELECT priority, d,
+                       CAST(SUM(net) OVER (
+                           PARTITION BY priority ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum
+                FROM daily
+            ), swept AS (
+                SELECT priority, d,
+                       cum - LEAST(0, MIN(cum) OVER (
+                           PARTITION BY priority ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)) AS backlog
+                FROM cum
+            ), ranked AS (
+                SELECT priority, d, backlog,
+                       ROW_NUMBER() OVER (PARTITION BY priority
+                           ORDER BY backlog DESC, d) AS rn,
+                       ROW_NUMBER() OVER (PARTITION BY priority
+                           ORDER BY d DESC) AS drn
+                FROM swept
+            )
+            SELECT priority,
+                   CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+                   MAX(CASE WHEN rn = 1 THEN d END) AS peak_day,
+                   CAST(SUM(CASE WHEN backlog > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS days_backlogged,
+                   CAST(MAX(CASE WHEN drn = 1 THEN backlog END)
+                        AS BIGINT) AS end_backlog
+            FROM ranked GROUP BY priority
+        """,
+        "view_purchase_xcorr": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(SUM(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY 1
+            ), spine AS (
+                SELECT unnest(generate_series(
+                           (SELECT MIN(d) FROM daily),
+                           (SELECT MAX(d) FROM daily),
+                           INTERVAL 1 DAY)) :: DATE AS d
+            ), series AS (
+                SELECT s.d, COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+                FROM spine s LEFT JOIN daily USING (d)
+            ), lags AS (
+                SELECT CAST(unnest(range(8)) AS INTEGER) AS lag
+            ), agg AS (
+                SELECT l.lag,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(a.x) AS BIGINT) AS sx,
+                       CAST(SUM(b.y) AS BIGINT) AS sy,
+                       CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+                       CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+                       CAST(SUM(b.y * b.y) AS BIGINT) AS syy
+                FROM series a
+                CROSS JOIN lags l
+                JOIN series b ON a.d + l.lag = b.d
+                GROUP BY 1
+            )
+            SELECT CAST(lag AS BIGINT) AS lag, n_days,
+                   CASE WHEN sqrt(greatest(
+                               CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                               0.0))
+                          * sqrt(greatest(
+                               CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
+                               0.0)) > 0
+                        THEN (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(greatest(
+                                 CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                 0.0))
+                              * sqrt(greatest(
+                                 CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
+                                 0.0)))
+                   END AS xcorr
+            FROM agg ORDER BY lag
         """,
     }

@@ -1043,3 +1043,257 @@ def stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("detr_q").cast("double") - F.col("seasonal"),
         ).alias("residual"),
     )
+
+
+SPEARMAN_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation across the small-domain lineitem
+    measures WITHOUT a global sort — the monotone-association screen
+    that complements numeric_corr_matrix's Pearson.
+
+    The textbook formulation ranks the fact (a full-table window =
+    one global sort per column — the classic rank-statistic scale
+    killer). Here each column's domain is tiny (quantity 50,
+    discount 11, tax 9 distinct values), so average ranks come from
+    a VALUE-FREQUENCY MAP: group by value (partial-aggregated
+    shuffle of ≤|domain| rows), a window over the domain-sized map
+    gives cnt_less, and the DOUBLED average rank
+    r2 = 2*cnt_less + cnt + 1 is an exact integer (ties' .5 cleared
+    by doubling — the value_drift_mwu lattice trick). Three
+    broadcast joins attach r2 per row; one hash-agg computes every
+    pairwise Σr2a·r2b split hi/lo on 1e9 (exact to ~1e9 rows; past
+    that the hi sums graduate to decimal(38) — noted degrade path).
+    The 2× scaling cancels in the correlation, so rho is the exact
+    Spearman, reconstructed through a fixed IEEE dag — bit-identical
+    across engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    M = 1_000_000_000
+    base = li.select(
+        *[F.col(c).alias(f"v_{c}") for c in SPEARMAN_COLS]
+    )
+    ranked = base
+    for c in SPEARMAN_COLS:
+        freq = base.groupBy(F.col(f"v_{c}").alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        rmap = freq.select(
+            "v",
+            (
+                F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + F.lit(1)
+            ).alias(f"r_{c}"),
+        )
+        ranked = ranked.join(
+            F.broadcast(rmap), ranked[f"v_{c}"] == rmap["v"]
+        ).drop("v")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in SPEARMAN_COLS:
+        aggs.append(F.sum(f"r_{c}").alias(f"s_{c}"))
+    pairs2 = [
+        (a, b)
+        for i, a in enumerate(SPEARMAN_COLS)
+        for b in SPEARMAN_COLS[i:]
+    ]
+    for a, b in pairs2:
+        p = f"(r_{a} * r_{b})"
+        aggs.append(F.expr(f"sum({p} div {M})").alias(f"hi_{a}_{b}"))
+        aggs.append(F.expr(f"sum({p} % {M})").alias(f"lo_{a}_{b}"))
+    row = ranked.agg(*aggs)
+
+    def sum_xy(a: str, b: str):
+        return F.col(f"hi_{a}_{b}").cast("double") * F.lit(
+            float(M)
+        ) + F.col(f"lo_{a}_{b}").cast("double")
+
+    def rho_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{a}").cast("double")
+        sy = F.col(f"s_{b}").cast("double")
+        num = n * sum_xy(a, b) - sx * sy
+        den = F.sqrt(
+            F.greatest(n * sum_xy(a, a) - sx * sx, F.lit(0.0))
+        ) * F.sqrt(F.greatest(n * sum_xy(b, b) - sy * sy, F.lit(0.0)))
+        return F.when(den > 0, num / den)
+
+    pairs = [
+        (a, b)
+        for i, a in enumerate(SPEARMAN_COLS)
+        for b in SPEARMAN_COLS[i + 1 :]
+    ]
+    out = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("n").alias("n"),
+                    rho_expr(a, b).alias("rho"),
+                )
+                for a, b in pairs
+            ]
+        )
+    ).alias("p")
+    return row.select(out).select("p.col_x", "p.col_y", "p.n", "p.rho")
+
+
+def order_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority open-quantity backlog swept over time — quantity
+    enters the backlog on its order date and leaves on its ship date,
+    floored at zero (pre-history ships can't drive it negative).
+
+    The naive form is a stateful scan (backlog_t = max(0,
+    backlog_{t-1} + net_t)) — a driver loop. The closed form is two
+    windows on the DAY-GRAIN series: backlog = cumsum - least(0,
+    running_min(cumsum)) (the running-min absorbs exactly the
+    negative excursions a clamp would have zeroed). The fact-side
+    work is one orderkey join (co-partitioned SMJ) whose rows fan
+    out map-side into (order_date, +qty) / (ship_date, -qty) events
+    and partial-aggregate to priority x day (~5 x 2.4k rows) before
+    any window runs — the sweep itself is dimension-scale no matter
+    how large lineitem grows. Quantities are exact integers, so
+    peak/end backlogs are bit-identical; peak day ties break to the
+    earliest day.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.select("l_orderkey", "l_quantity", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    flows = j.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.to_date("o_orderdate").alias("d"),
+                    F.col("l_quantity").cast("long").alias("f"),
+                ),
+                F.struct(
+                    F.to_date("l_shipdate").alias("d"),
+                    (-F.col("l_quantity")).cast("long").alias("f"),
+                ),
+            )
+        ).alias("e"),
+    ).select("priority", "e.d", "e.f")
+    daily = flows.groupBy("priority", "d").agg(F.sum("f").alias("net"))
+    wc = Window.partitionBy("priority").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "priority", "d", F.sum("net").over(wc).alias("cum")
+    )
+    swept = cum.select(
+        "priority",
+        "d",
+        (
+            F.col("cum")
+            - F.least(F.lit(0), F.min("cum").over(wc))
+        ).alias("backlog"),
+    )
+    wr = Window.partitionBy("priority").orderBy(
+        F.col("backlog").desc(), F.col("d")
+    )
+    return (
+        swept.withColumn("rn", F.row_number().over(wr))
+        .groupBy("priority")
+        .agg(
+            F.max("backlog").alias("peak_backlog"),
+            F.min_by("d", "rn").alias("peak_day"),
+            F.sum(
+                F.when(F.col("backlog") > 0, 1).otherwise(0)
+            ).alias("days_backlogged"),
+            F.max_by("backlog", "d").alias("end_backlog"),
+        )
+        .select(
+            "priority",
+            "peak_backlog",
+            "peak_day",
+            F.col("days_backlogged").cast("long").alias(
+                "days_backlogged"
+            ),
+            "end_backlog",
+        )
+    )
+
+
+XCORR_MAX_LAG = 7
+
+
+def view_purchase_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily view and purchase
+    count series — "does browse volume lead buy volume, and by how
+    many days?" (lag L pairs views on day d with purchases on day
+    d+L, L = 0..7).
+
+    Both series are zero-filled onto one day spine (missing days ARE
+    zeros in a count series — skipping them would bias every lag)
+    built from sequence(min_d, max_d). All eight lags come from ONE
+    spine self-join (the left side fans out map-side over a lag
+    array; the join key is d+L) and one hash-agg of exact integer
+    sums — the fact is touched once, the day-grain series the sweep
+    actually runs on is tiny regardless of event volume, and the
+    closing Pearson is a fixed IEEE dag over integer operands.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    series = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # tiny; consumed by both join sides
+    )
+    lags = spark.range(XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    left = series.select("d", "x").crossJoin(F.broadcast(lags))
+    right = series.select(
+        F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    paired = left.join(
+        right, F.date_add(F.col("d"), F.col("lag")) == F.col("d2")
+    )
+    agg = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x") * F.col("y2")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        F.greatest(n * F.col("sxx").cast("double") - sx * sx, F.lit(0.0))
+    ) * F.sqrt(
+        F.greatest(n * F.col("syy").cast("double") - sy * sy, F.lit(0.0))
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        F.when(den > 0, num / den).alias("xcorr"),
+    ).orderBy("lag")

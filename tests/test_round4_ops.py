@@ -949,3 +949,119 @@ def test_kmeans_lattice_planted_clusters(spark, tmp_path):
     # per point <= 3 * (2e-3 * 2^20)^2 ~ 1.3e7; planted separation is
     # (10 * 2^20)^2 ~ 1e14 — inertia must stay at the jitter scale
     assert all(r.inertia_lattice < 11 * 2 * 10**7 for r in out.values())
+
+
+def test_order_backlog_sweep_matches_clamp_recurrence(spark, tmp_path):
+    """The prefix-min closed form must equal the stateful recurrence
+    backlog_t = max(0, backlog_{t-1} + net_t) on a planted series that
+    exercises the clamp (big early ship-out drives it negative)."""
+    from datetime import date, datetime
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        order_backlog_sweep,
+    )
+
+    d = str(tmp_path / "sf_bl")
+    # one priority, 4 orders; ship dates force a would-be-negative dip
+    orders = [
+        (1, 1, "O", 10.0, datetime(2024, 1, 2), "1-URGENT"),
+        (2, 1, "O", 10.0, datetime(2024, 1, 5), "1-URGENT"),
+    ]
+    lines = [
+        # (orderkey, partkey, suppkey, linenumber, qty, extprice,
+        #  discount, tax, rf, ls, shipdate)
+        (1, 1, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 3)),
+        # ships BEFORE any order entered the book -> clamp at 0
+        (2, 1, 1, 1, 7.0, 1.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    # brute-force recurrence at day grain
+    flows = {}
+    for ok, qty, ship in [(1, 5, date(2024, 1, 3)), (2, 7, date(2024, 1, 1))]:
+        od = date(2024, 1, 2) if ok == 1 else date(2024, 1, 5)
+        flows[od] = flows.get(od, 0) + qty
+        flows[ship] = flows.get(ship, 0) - qty
+    bl, peak, peak_day, days_pos = 0, -1, None, 0
+    for day in sorted(flows):
+        bl = max(0, bl + flows[day])
+        if bl > peak:
+            peak, peak_day = bl, day
+        if bl > 0:
+            days_pos += 1
+    [r] = order_backlog_sweep(spark, d).collect()
+    assert r.priority == "1-URGENT"
+    assert r.peak_backlog == peak and r.peak_day == peak_day
+    assert r.days_backlogged == days_pos and r.end_backlog == bl
+
+
+def test_spearman_perfect_monotone_and_antitone(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        spearman_rank_corr,
+    )
+
+    d = str(tmp_path / "sf_sp")
+    # quantity strictly increasing with discount, tax reversed, ties in
+    # none: rho(q,d)=+1, rho(q,t)=-1, rho(d,t)=-1
+    rows = [
+        (i, 1, 1, 1, float(i), 1.0, i * 0.01, (20 - i) * 0.01, "N", "O",
+         None)
+        for i in range(1, 11)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    out = {
+        (r.col_x, r.col_y): r.rho
+        for r in spearman_rank_corr(spark, d).collect()
+    }
+    assert out[("l_quantity", "l_discount")] == pytest.approx(1.0, abs=1e-12)
+    assert out[("l_quantity", "l_tax")] == pytest.approx(-1.0, abs=1e-12)
+    assert out[("l_discount", "l_tax")] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_xcorr_recovers_planted_lag(spark, tmp_path):
+    """Purchases are an exact 3-day-delayed copy of views: the lag-3
+    cross-correlation must be the (strict) maximum."""
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        view_purchase_xcorr,
+    )
+
+    d = str(tmp_path / "sf_xc")
+    t0 = datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    sig = [5, 1, 9, 2, 7, 3, 8, 1, 6, 4, 9, 2, 5, 7, 1, 8, 3, 6, 2, 9]
+    for day, n in enumerate(sig):
+        for _ in range(n):
+            rows.append((eid, t0 + timedelta(days=day), 1, "view", 1.0, "{}"))
+            eid += 1
+        for _ in range(n):  # delayed echo
+            rows.append(
+                (eid, t0 + timedelta(days=day + 3), 1, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.lag: r.xcorr for r in view_purchase_xcorr(spark, d).collect()}
+    assert out[3] == pytest.approx(1.0, abs=1e-9)
+    assert all(
+        out[lag] is None or out[lag] < 0.999 for lag in out if lag != 3
+    )
