@@ -108,7 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hll_distinct_users, value_drift_mwu, kaplan_meier_churn,
     stl_daily_revenue, holt_linear_daily, ab_conversion_ztest,
     lorenz_curve_deciles, kmeans_lattice_clusters,
-    spearman_rank_corr, order_backlog_sweep, view_purchase_xcorr —
+    spearman_rank_corr, order_backlog_sweep, view_purchase_xcorr,
+    rrf_fusion_search, welch_value_ttest, event_trigram_paths,
+    rolling_median_7d, embedding_dim_stats —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built; plus
     numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
@@ -384,6 +386,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_rank_corr": X.spearman_rank_corr,
         "order_backlog_sweep": X.order_backlog_sweep,
         "view_purchase_xcorr": X.view_purchase_xcorr,
+        # (t) round-4 continuation 15 — hybrid retrieval, two-sample
+        # means, journey trigrams, robust rolling stat, embedding
+        # feature health
+        "rrf_fusion_search": T.rrf_fusion_search,
+        "welch_value_ttest": E.welch_value_ttest,
+        "event_trigram_paths": E.event_trigram_paths,
+        "rolling_median_7d": W.rolling_median_7d,
+        "embedding_dim_stats": S.embedding_dim_stats,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4759,5 +4769,214 @@ def _oracle_sql_literals() -> dict[str, str]:
                                  0.0)))
                    END AS xcorr
             FROM agg ORDER BY lag
+        """,
+        "rrf_fusion_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word
+                FROM documents
+            ),
+            toks2 AS (SELECT doc_id, word FROM toks WHERE word != ''),
+            doclen AS (
+                SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM doclen
+            ),
+            tf AS (
+                SELECT doc_id, word, COUNT(*) AS tf FROM toks2
+                WHERE word IN ('table', 'join', 'spark')
+                GROUP BY doc_id, word
+            ),
+            dfa AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            term AS (
+                SELECT t.doc_id,
+                       CAST(ROUND(
+                           ln((CAST(s.n_docs AS DOUBLE)
+                               - CAST(f.df AS DOUBLE) + 0.5)
+                              / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                           * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)
+                              / (CAST(t.tf AS DOUBLE)
+                                 + 1.2 * (1.0 - 0.75
+                                          + 0.75 * CAST(l.dl AS DOUBLE)
+                                          / (CAST(s.total_len AS DOUBLE)
+                                             / CAST(s.n_docs AS DOUBLE))))),
+                           9) AS DECIMAL(18,9)) AS ts_q
+                FROM tf t JOIN doclen l USING (doc_id)
+                          JOIN dfa f USING (word)
+                          CROSS JOIN stats s
+            ),
+            lex AS (
+                SELECT doc_id, ROUND(CAST(SUM(ts_q) AS DOUBLE), 6) AS bm25
+                FROM term GROUP BY doc_id
+                ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+            ),
+            lexr AS (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC,
+                                               doc_id ASC) AS BIGINT)
+                           AS r_lex
+                FROM lex
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            sem AS (
+                SELECT e.vec_id AS doc_id,
+                       list_aggregate(list_transform(
+                           list_zip(e.embedding, q.qv),
+                           p -> CAST(p[1] AS DOUBLE)
+                                * CAST(p[2] AS DOUBLE)), 'sum')
+                       / (sqrt(list_aggregate(list_transform(
+                              list_zip(e.embedding, e.embedding),
+                              p -> CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE)), 'sum'))
+                          * sqrt(list_aggregate(list_transform(
+                              list_zip(q.qv, q.qv),
+                              p -> CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE)), 'sum')))
+                           AS cos
+                FROM embeddings e, q
+                WHERE e.vec_id <> 0
+                ORDER BY cos DESC, doc_id ASC LIMIT 20
+            ),
+            semr AS (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC,
+                                               doc_id ASC) AS BIGINT)
+                           AS r_sem
+                FROM sem
+            ),
+            fused AS (
+                SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                       l.r_lex, s.r_sem,
+                       COALESCE(1.0 / (60.0 + CAST(l.r_lex AS DOUBLE)),
+                                0.0)
+                       + COALESCE(1.0 / (60.0 + CAST(s.r_sem AS DOUBLE)),
+                                  0.0) AS rrf
+                FROM lexr l FULL OUTER JOIN semr s
+                  ON l.doc_id = s.doc_id
+            )
+            SELECT doc_id, r_lex, r_sem, rrf
+            FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        "welch_value_ttest": """
+            WITH st AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(value AS DECIMAL(28,10))) AS s1,
+                       SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+                GROUP BY event_type
+            ), a AS (
+                SELECT n AS n_a, s1 AS s1_a, s2 AS s2_a FROM st
+                WHERE event_type = 'purchase'
+            ), b AS (
+                SELECT n AS n_b, s1 AS s1_b, s2 AS s2_b FROM st
+                WHERE event_type = 'click'
+            ), c AS (
+                SELECT n_a, n_b,
+                       CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mua,
+                       CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mub,
+                       CAST(n_a AS DOUBLE) AS na,
+                       CAST(n_b AS DOUBLE) AS nb,
+                       CAST(s2_a AS DOUBLE) AS d2a,
+                       CAST(s2_b AS DOUBLE) AS d2b
+                FROM a, b
+            ), v AS (
+                SELECT *,
+                       greatest((d2a - na * mua * mua) / (na - 1.0),
+                                0.0) / na AS sea,
+                       greatest((d2b - nb * mub * mub) / (nb - 1.0),
+                                0.0) / nb AS seb
+                FROM c
+            ), w AS (
+                SELECT *, sqrt(sea + seb) AS se FROM v
+            )
+            SELECT 'purchase' AS type_a, 'click' AS type_b,
+                   n_a, n_b, mua AS mean_a, mub AS mean_b,
+                   CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+                        THEN (mua - mub) / se END AS t_stat,
+                   CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+                        THEN (sea + seb) * (sea + seb)
+                           / (sea * sea / (na - 1.0)
+                              + seb * seb / (nb - 1.0)) END AS df_welch,
+                   COALESCE(abs(CASE WHEN n_a > 1 AND n_b > 1 AND se > 0
+                                     THEN (mua - mub) / se END) > 1.96,
+                            FALSE) AS significant
+            FROM w
+        """,
+        "event_trigram_paths": """
+            WITH steps AS (
+                SELECT user_id, event_type AS e1,
+                       LEAD(event_type, 1) OVER w AS e2,
+                       LEAD(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            )
+            SELECT e1 || '>' || e2 || '>' || e3 AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM steps WHERE e3 IS NOT NULL
+            GROUP BY 1
+            ORDER BY n DESC, path ASC LIMIT 25
+        """,
+        "rolling_median_7d": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS revenue
+                FROM orders GROUP BY 1
+            ), lists AS (
+                SELECT d, revenue,
+                       list_sort(list(revenue) OVER (
+                           ORDER BY d
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                           AS ls
+                FROM daily
+            )
+            SELECT d, revenue,
+                   CAST(len(ls) AS BIGINT) AS n_window,
+                   CASE WHEN len(ls) % 2 = 1
+                        THEN ls[(len(ls) + 1) // 2]
+                        ELSE (ls[len(ls) // 2] + ls[len(ls) // 2 + 1])
+                             / 2.0
+                   END AS median_7
+            FROM lists
+        """,
+        "embedding_dim_stats": """
+            WITH comp AS (
+                SELECT CAST(i AS INTEGER) AS dim,
+                       CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS q
+                FROM (SELECT embedding,
+                             UNNEST(range(len(embedding))) AS i
+                      FROM embeddings)
+            ), g AS (
+                SELECT dim,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(q) AS BIGINT) AS s1,
+                       CAST(SUM((q * q) // 1000000000) AS BIGINT) AS hi,
+                       CAST(SUM((q * q) %  1000000000) AS BIGINT) AS lo,
+                       MIN(q) AS qmin, MAX(q) AS qmax
+                FROM comp GROUP BY dim
+            )
+            SELECT dim, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+                       AS mean,
+                   CASE WHEN n > 1 THEN
+                       sqrt(greatest(
+                           (CAST(hi AS DOUBLE) * 1000000000.0
+                            + CAST(lo AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                       / 1048576.0
+                   END AS sd,
+                   CAST(qmin AS DOUBLE) / 1048576.0 AS min_v,
+                   CAST(qmax AS DOUBLE) / 1048576.0 AS max_v
+            FROM g
         """,
     }

@@ -1017,3 +1017,115 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > F.lit(AB_Z_CRIT)).alias("significant"),
     )
+
+
+WELCH_TYPE_A = "purchase"
+WELCH_TYPE_B = "click"
+
+
+def welch_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on event value between two event
+    types — the two-sample mean-difference companion to
+    ab_conversion_ztest (which compares proportions).
+
+    Means and variances derive from EXACT decimal sums (Σv, Σv² —
+    the value_zscore_outliers discipline), so t and the
+    Welch–Satterthwaite degrees of freedom are a fixed IEEE dag over
+    order-independent operands. One partial-aggregated shuffle to a
+    2-row stats table; the closing scalar arithmetic joins two
+    single-row frames broadcast-side. Zero-variance or n<=1 arms
+    yield NULL t (no test) rather than an engine-dependent 0/0.
+    """
+    e = table(spark, sf_dir, "events")
+    st = (
+        e.where(F.col("event_type").isin([WELCH_TYPE_A, WELCH_TYPE_B]))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(28,10)")
+            ).alias("s2"),
+        )
+    )
+    a = st.where(F.col("event_type") == WELCH_TYPE_A).select(
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = st.where(F.col("event_type") == WELCH_TYPE_B).select(
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mua = F.col("s1_a").cast("double") / na
+    mub = F.col("s1_b").cast("double") / nb
+    va = F.greatest(
+        (F.col("s2_a").cast("double") - na * mua * mua) / (na - 1.0),
+        F.lit(0.0),
+    )
+    vb = F.greatest(
+        (F.col("s2_b").cast("double") - nb * mub * mub) / (nb - 1.0),
+        F.lit(0.0),
+    )
+    sea = va / na
+    seb = vb / nb
+    se = F.sqrt(sea + seb)
+    t = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0),
+        (mua - mub) / se,
+    )
+    dfw = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0),
+        (sea + seb) * (sea + seb)
+        / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)),
+    )
+    return j.select(
+        F.lit(WELCH_TYPE_A).alias("type_a"),
+        F.lit(WELCH_TYPE_B).alias("type_b"),
+        "n_a",
+        "n_b",
+        mua.alias("mean_a"),
+        mub.alias("mean_b"),
+        t.alias("t_stat"),
+        dfw.alias("df_welch"),
+        F.coalesce(F.abs(t) > 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+TRIGRAM_PATH_TOP = 25
+
+
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user journeys — markov_transitions generalized from
+    edges to length-3 paths (the funnel-discovery shape: which
+    view>click>purchase chains actually happen, and how often).
+
+    One shuffle on user_id sorts each user's timeline once; two LEADs
+    read the next two steps off that single sort (no self-joins — the
+    naive formulation is two fact-fact joins). (ts, event_id) is a
+    total order so the path table is deterministic; counts are exact
+    and top-k is TakeOrderedAndProject.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        steps.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(TRIGRAM_PATH_TOP)
+    )

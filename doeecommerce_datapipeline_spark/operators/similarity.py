@@ -502,3 +502,60 @@ def kmeans_lattice_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum("d2").alias("inertia_lattice"),
     )
+
+
+DIM_STATS_SCALE = 1 << 20
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding matrix (n, mean, sd,
+    min, max) — the feature-health check that catches dead dims,
+    scale drift, and un-normalized batches before they poison ANN
+    recall.
+
+    Components quantize to the 2^-20 integer lattice (the
+    kmeans_lattice trick), so Σq and Σq² are exact integer sums —
+    Σq² splits hi/lo on 1e9 to stay in int64 at any row count that
+    matters — and mean/sd reconstruct through a fixed IEEE dag.
+    min/max are exact lattice ints scaled back. One posexplode (dim-
+    bounded fan-out) and one partial-aggregated shuffle of |dim|
+    groups.
+    """
+    M = 1_000_000_000
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.floor(
+            F.col("v").cast("double") * F.lit(float(DIM_STATS_SCALE))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    g = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.expr(f"sum((q * q) div {M})").alias("hi"),
+        F.expr(f"sum((q * q) % {M})").alias("lo"),
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("hi").cast("double") * F.lit(float(M)) + F.col(
+        "lo"
+    ).cast("double")
+    sc = F.lit(float(DIM_STATS_SCALE))
+    mean = s1 / nd / sc
+    var_lat = (s2 - s1 * s1 / nd) / (nd - 1.0)
+    sd = F.sqrt(F.greatest(var_lat, F.lit(0.0))) / sc
+    return g.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        F.when(F.col("n") > 1, sd).alias("sd"),
+        (F.col("qmin").cast("double") / sc).alias("min_v"),
+        (F.col("qmax").cast("double") / sc).alias("max_v"),
+    )

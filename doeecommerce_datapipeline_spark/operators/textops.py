@@ -801,3 +801,60 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nats / F.log(F.lit(2.0))).alias("entropy_bits"),
         normalized.alias("normalized_entropy"),
     )
+
+
+RRF_K = 60.0
+RRF_TOP = 10
+
+
+def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    ranking and the semantic cosine ranking (doc_id = vec_id) —
+    rrf = Σ_side 1/(60 + rank), the standard score-free fusion that
+    needs no calibration between BM25 and cosine scales.
+
+    Both sides are already top-k (TakeOrderedAndProject) — ranking
+    the fused candidates is a ≤40-row full-outer join; the fact-side
+    work is exactly the two component queries'. Ranks are integers
+    with doc_id tiebreaks, so the fused ordering is deterministic
+    end-to-end; a doc present on one side only contributes that
+    side's term (COALESCE 0 on the other).
+    """
+    from ..functions.vectors import cosine as _cos
+
+    lex = bm25_search(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("r_lex")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        e.join(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cos("embedding", "qv").alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(20)
+    )
+    ws = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    semr = sem.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("r_sem")
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        fused.select("doc_id", "r_lex", "r_sem", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+    )

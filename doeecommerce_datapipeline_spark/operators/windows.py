@@ -559,3 +559,42 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day date, revenue double, level double, trend double,"
         " forecast double",
     )
+
+
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-observation rolling MEDIAN of daily revenue — the
+    robust counterpart of moving_avg_7d (one bad day skews a mean for
+    a week; it moves a median by at most one rank).
+
+    No engine has an exact median window aggregate with portable
+    semantics, so the frame is materialized explicitly: collect the
+    ≤7 trailing revenues, array_sort, index the middle (even frames
+    average the two middle elements — a 2-term double op). The fact
+    collapses to the day grain (exact decimal sums) BEFORE the window
+    runs, so the single-partition window sees ~2.4k rows regardless
+    of order volume; at a finer output grain the same frame
+    partitions by key. Sorting ≤7 doubles per row is O(1).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("revenue").over(w))
+    k = F.size(arr)
+    med = F.when(
+        k % 2 == 1,
+        F.element_at(arr, ((k + 1) / 2).cast("int")),
+    ).otherwise(
+        (
+            F.element_at(arr, (k / 2).cast("int"))
+            + F.element_at(arr, (k / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return daily.select(
+        "d",
+        "revenue",
+        k.cast("long").alias("n_window"),
+        med.alias("median_7"),
+    )
