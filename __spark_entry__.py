@@ -110,7 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lorenz_curve_deciles, kmeans_lattice_clusters,
     spearman_rank_corr, order_backlog_sweep, view_purchase_xcorr,
     rrf_fusion_search, welch_value_ttest, event_trigram_paths,
-    rolling_median_7d, embedding_dim_stats —
+    rolling_median_7d, embedding_dim_stats, jw_blocked_match,
+    forecast_backtest_mase —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built; plus
     numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
@@ -394,6 +395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigram_paths": E.event_trigram_paths,
         "rolling_median_7d": W.rolling_median_7d,
         "embedding_dim_stats": S.embedding_dim_stats,
+        # (u) round-4 continuation 16 — a custom Arrow string kernel
+        # cross-validated against an independent native implementation,
+        # and the forecast-accuracy gate for the smoothing family
+        "jw_blocked_match": D.jw_blocked_match,
+        "forecast_backtest_mase": W.forecast_backtest_mase,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -4978,5 +4984,59 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(qmin AS DOUBLE) / 1048576.0 AS min_v,
                    CAST(qmax AS DOUBLE) / 1048576.0 AS max_v
             FROM g
+        """,
+        "jw_blocked_match": """
+            WITH p AS (
+                SELECT p_partkey, p_name, p_brand,
+                       split_part(p_name, ' ', 2) AS ptype
+                FROM part
+            ), scored AS (
+                SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                       a.p_brand AS brand, a.ptype AS ptype,
+                       ROUND(jaro_winkler_similarity(a.p_name, b.p_name),
+                             6) AS jw
+                FROM p a JOIN p b
+                  ON a.ptype = b.ptype AND a.p_brand = b.p_brand
+                 AND a.p_partkey < b.p_partkey
+            )
+            SELECT key_a, key_b, brand, ptype, jw
+            FROM scored WHERE jw >= 0.9 AND jw < 1.0
+        """,
+        "forecast_backtest_mase": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS revenue
+                FROM orders GROUP BY 1
+            ), lagged AS (
+                SELECT d, revenue,
+                       LAG(revenue, 7) OVER (ORDER BY d) AS f_s7,
+                       LAG(revenue, 1) OVER (ORDER BY d) AS f_n1,
+                       ROW_NUMBER() OVER (ORDER BY d DESC) AS rn_desc
+                FROM daily
+            ), test AS (
+                SELECT * FROM lagged
+                WHERE rn_desc <= 28
+                  AND f_s7 IS NOT NULL AND f_n1 IS NOT NULL
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                       SUM(CAST(ROUND(abs(revenue - f_s7), 6)
+                                AS DECIMAL(18,6))) AS ae_s7,
+                       SUM(CAST(ROUND(abs(revenue - f_n1), 6)
+                                AS DECIMAL(18,6))) AS ae_n1
+                FROM test
+            )
+            SELECT n_test,
+                   CAST(ae_s7 AS DOUBLE) / CAST(n_test AS DOUBLE)
+                       AS mae_snaive7,
+                   CAST(ae_n1 AS DOUBLE) / CAST(n_test AS DOUBLE)
+                       AS mae_naive1,
+                   CASE WHEN CAST(ae_n1 AS DOUBLE)
+                             / CAST(n_test AS DOUBLE) > 0
+                        THEN (CAST(ae_s7 AS DOUBLE)
+                              / CAST(n_test AS DOUBLE))
+                           / (CAST(ae_n1 AS DOUBLE)
+                              / CAST(n_test AS DOUBLE)) END AS mase
+            FROM agg
         """,
     }

@@ -598,3 +598,56 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("long").alias("n_window"),
         med.alias("median_7"),
     )
+
+
+MASE_TEST_DAYS = 28
+
+
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive (lag-7) forecaster on daily
+    revenue, scored as MASE — the scale-free forecast-accuracy gate
+    that tells you whether holt_linear_daily/stl_daily_revenue
+    actually beat "same day last week". MASE < 1 ⇔ the seasonal
+    model out-forecasts the naive-1 random walk on the holdout.
+
+    The last 28 observed days are the holdout; both forecasts are
+    LAGs over the day-grain series (no model state). Per-day
+    absolute errors are differences of exact-decimal-sum doubles,
+    quantized to DECIMAL(18,6) before the mean so the ≤28-way sums
+    are order-free (the bm25 seam), and the closing MAE/MASE
+    arithmetic is a fixed IEEE dag. The fact collapses to the day
+    grain before any window runs.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("d")
+    wd = Window.orderBy(F.col("d").desc())
+    lagged = daily.select(
+        "d",
+        "revenue",
+        F.lag("revenue", 7).over(w).alias("f_s7"),
+        F.lag("revenue", 1).over(w).alias("f_n1"),
+        F.row_number().over(wd).alias("rn_desc"),
+    )
+    test = lagged.where(
+        (F.col("rn_desc") <= MASE_TEST_DAYS)
+        & F.col("f_s7").isNotNull()
+        & F.col("f_n1").isNotNull()
+    )
+    q = lambda c: F.round(F.abs(c), 6).cast("decimal(18,6)")  # noqa: E731
+    agg = test.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(q(F.col("revenue") - F.col("f_s7"))).alias("ae_s7"),
+        F.sum(q(F.col("revenue") - F.col("f_n1"))).alias("ae_n1"),
+    )
+    n = F.col("n_test").cast("double")
+    mae_s7 = F.col("ae_s7").cast("double") / n
+    mae_n1 = F.col("ae_n1").cast("double") / n
+    return agg.select(
+        "n_test",
+        mae_s7.alias("mae_snaive7"),
+        mae_n1.alias("mae_naive1"),
+        F.when(mae_n1 > 0, mae_s7 / mae_n1).alias("mase"),
+    )

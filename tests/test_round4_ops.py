@@ -1196,3 +1196,71 @@ def test_embedding_dim_stats_planted(spark, tmp_path):
     assert out[1].mean == pytest.approx(0.0)
     assert out[1].min_v == -1.0 and out[1].max_v == 1.0
     assert out[1].sd == pytest.approx((10 / 9) ** 0.5, rel=1e-6)
+
+
+def test_jw_kernel_matches_known_values():
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        _jaro_winkler,
+    )
+
+    assert _jaro_winkler("MARTHA", "MARHTA") == pytest.approx(
+        0.9611111111111111
+    )
+    assert _jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84)
+    assert _jaro_winkler("DIXON", "DICKSONX") == pytest.approx(
+        0.8133333333333332
+    )
+    # boost only above 0.7 jaro (verified = DuckDB semantics)
+    assert _jaro_winkler("abqqqqqq", "abzzzzzz") == 0.5
+    assert _jaro_winkler("ab", "ba") == 0.0
+    assert _jaro_winkler("", "abc") == 0.0
+    assert _jaro_winkler("same", "same") == 1.0
+
+
+def test_jw_blocked_match_plants_near_dup(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        jw_blocked_match,
+    )
+
+    d = str(tmp_path / "sf_jw")
+    rows = [
+        (1, "azure metallic crate", "Brand#1", 1, "m"),
+        (2, "azure metallic crte", "Brand#1", 1, "m"),  # near-dup
+        (3, "olive metallic tray", "Brand#1", 1, "m"),  # same block, far
+        (4, "azure metallic crate", "Brand#2", 1, "m"),  # other block
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_size long,"
+        " p_container string",
+    ).write.parquet(d + "/part.parquet")
+    out = jw_blocked_match(spark, d).collect()
+    assert [(r.key_a, r.key_b) for r in out] == [(1, 2)]
+    assert out[0].jw >= 0.9
+
+
+def test_mase_seasonal_signal_beats_naive(spark, tmp_path):
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.windows import (
+        forecast_backtest_mase,
+    )
+
+    d = str(tmp_path / "sf_mase")
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # strong weekly cycle: revenue = 100 * (1 + dow) — lag-7 is exact,
+    # lag-1 is not
+    for day in range(60):
+        price = 100.0 * (1 + day % 7)
+        rows.append((day, 1, "O", price, t0 + timedelta(days=day), "1-U"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    [r] = forecast_backtest_mase(spark, d).collect()
+    assert r.n_test == 28
+    assert r.mae_snaive7 == 0.0  # perfectly periodic
+    assert r.mae_naive1 > 0
+    assert r.mase == 0.0
