@@ -111,9 +111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     spearman_rank_corr, order_backlog_sweep, view_purchase_xcorr,
     rrf_fusion_search, welch_value_ttest, event_trigram_paths,
     rolling_median_7d, embedding_dim_stats, jw_blocked_match,
-    forecast_backtest_mase —
+    forecast_backtest_mase, chi2_independence_test,
+    doclen_percentile_by_source, user_event_entropy —
     all locally hash-verified
-    at sf0.01 under a vanilla foreign-cwd session when built; plus
+    at sf0.01 under a vanilla foreign-cwd session when built
+    (part_size_price_contingency's price edges moved to 910/940 in
+    r4 — the 1000/1500 edges left one bucket, a vacuous all-zero χ²
+    grid; it sits in the r4 WINDOW so the fixed form is
+    driver-checked this round); plus
     numeric_corr_matrix (reimplemented on the int64 lattice in r4 —
     its oracle changed with it), remove_duplicated_spans and
     token_entropy_by_source (gram/tf explode gained a localCheckpoint
@@ -400,6 +405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the forecast-accuracy gate for the smoothing family
         "jw_blocked_match": D.jw_blocked_match,
         "forecast_backtest_mase": W.forecast_backtest_mase,
+        # (v) round-4 continuation 17 — hypothesis-test summary over
+        # the contingency grid, sort-free rank normalization, and the
+        # engagement-diversity entropy histogram
+        "chi2_independence_test": X.chi2_independence_test,
+        "doclen_percentile_by_source": X.doclen_percentile_by_source,
+        "user_event_entropy": X.user_event_entropy,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -476,6 +487,37 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_components_star"] = sql["dedup_components"]
     # cluster-size histogram composes over the SAME component labels
     # (nested CTE keeps the two oracles definitionally in lockstep)
+    # the χ² summary composes over the SAME contingency-cell query
+    # (definitional lockstep — the near_dup_cluster_sizes pattern)
+    sql["chi2_independence_test"] = f"""
+        WITH cells_out AS ({sql["part_size_price_contingency"]}),
+        agg AS (
+            SELECT SUM(CAST(ROUND(chi2_contrib, 9) AS DECIMAL(18,9)))
+                       AS chi2_q,
+                   CAST(COUNT(DISTINCT size_bucket) AS BIGINT) AS n_r,
+                   CAST(COUNT(DISTINCT price_bucket) AS BIGINT) AS n_c
+            FROM cells_out
+        ), d AS (
+            SELECT CAST(chi2_q AS DOUBLE) AS chi2,
+                   CAST((n_r - 1) * (n_c - 1) AS BIGINT) AS dof
+            FROM agg
+        ), c AS (
+            SELECT chi2, dof,
+                   CAST(CASE dof WHEN 1 THEN 3.841458820694124
+                            WHEN 2 THEN 5.991464547107979
+                            WHEN 3 THEN 7.814727903251179
+                            WHEN 4 THEN 9.487729036781154
+                            WHEN 5 THEN 11.070497693516351
+                            WHEN 6 THEN 12.591587243743977
+                            WHEN 7 THEN 14.067140449340169
+                            WHEN 8 THEN 15.507313055865453
+                   END AS DOUBLE) AS crit_05
+            FROM d
+        )
+        SELECT chi2, dof, crit_05,
+               COALESCE(chi2 > crit_05, FALSE) AS significant
+        FROM c
+    """
     sql["near_dup_cluster_sizes"] = f"""
         WITH comp_out AS ({sql["dedup_components"]})
         SELECT cluster_size,
@@ -3819,8 +3861,8 @@ def _oracle_sql_literals() -> dict[str, str]:
                 SELECT CASE WHEN p_size < 10 THEN 'small'
                             WHEN p_size < 30 THEN 'medium'
                             ELSE 'large' END AS size_bucket,
-                       CASE WHEN p_retailprice < 1000.0 THEN 'low'
-                            WHEN p_retailprice < 1500.0 THEN 'mid'
+                       CASE WHEN p_retailprice < 910.0 THEN 'low'
+                            WHEN p_retailprice < 940.0 THEN 'mid'
                             ELSE 'high' END AS price_bucket,
                        CAST(COUNT(*) AS BIGINT) AS n
                 FROM part GROUP BY 1, 2
@@ -5038,5 +5080,59 @@ def _oracle_sql_literals() -> dict[str, str]:
                            / (CAST(ae_n1 AS DOUBLE)
                               / CAST(n_test AS DOUBLE)) END AS mase
             FROM agg
+        """,
+        "doclen_percentile_by_source": """
+            WITH d AS (
+                SELECT doc_id, source, n_chars FROM documents
+            ), freq AS (
+                SELECT source, n_chars,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM d GROUP BY 1, 2
+            ), rmap AS (
+                SELECT source, n_chars,
+                       CAST(COALESCE(SUM(cnt) OVER (
+                           PARTITION BY source ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS cnt_less,
+                       CAST(SUM(cnt) OVER (PARTITION BY source)
+                            AS BIGINT) AS n_src
+                FROM freq
+            )
+            SELECT doc_id, d.source, d.n_chars,
+                   CASE WHEN n_src > 1
+                        THEN CAST(cnt_less AS DOUBLE)
+                           / CAST(n_src - 1 AS DOUBLE)
+                        ELSE 0.0 END AS len_pct
+            FROM d JOIN rmap USING (source, n_chars)
+        """,
+        "user_event_entropy": """
+            WITH ut AS (
+                SELECT user_id, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT user_id, cnt,
+                       CAST(SUM(cnt) OVER (PARTITION BY user_id)
+                            AS BIGINT) AS total
+                FROM ut
+            ), pu AS (
+                SELECT user_id,
+                       CAST(SUM(CAST(ROUND(
+                           -(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                           * ln(CAST(cnt AS DOUBLE)
+                                / CAST(total AS DOUBLE)),
+                           9) AS DECIMAL(18,9))) AS DOUBLE) AS entropy
+                FROM t GROUP BY user_id
+            ), b AS (
+                SELECT CAST(FLOOR(entropy / 0.25) AS BIGINT) AS bucket,
+                       entropy
+                FROM pu
+            )
+            SELECT bucket,
+                   CAST(bucket AS DOUBLE) * 0.25 AS bucket_lo,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   MIN(entropy) AS min_entropy,
+                   MAX(entropy) AS max_entropy
+            FROM b GROUP BY bucket
         """,
     }

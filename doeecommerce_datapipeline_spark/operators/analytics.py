@@ -775,7 +775,11 @@ def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIZE_EDGES = (10, 30)  # small < 10 <= medium < 30 <= large
-PRICE_EDGES = (1000.0, 1500.0)
+# part retail prices span 900..1000 (900..920 at the smallest SF);
+# edges at 910/940 give a non-degenerate grid at EVERY SF (the
+# original 1000/1500 edges put the whole dimension in one bucket,
+# turning the χ² grid vacuous — every contribution exactly 0)
+PRICE_EDGES = (910.0, 940.0)
 
 
 def part_size_price_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,3 +1301,148 @@ def view_purchase_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.when(den > 0, num / den).alias("xcorr"),
     ).orderBy("lag")
+
+
+# chi-square upper critical values at alpha=0.05, dof 1..8 — literals
+# baked into both engines' plans so "significant" is a pure comparison
+CHI2_CRIT_05 = {
+    1: 3.841458820694124,
+    2: 5.991464547107979,
+    3: 7.814727903251179,
+    4: 9.487729036781154,
+    5: 11.070497693516351,
+    6: 12.591587243743977,
+    7: 14.067140449340169,
+    8: 15.507313055865453,
+}
+
+
+def chi2_independence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The χ² test of independence summarizing
+    part_size_price_contingency's cell grid into one decision row
+    (chi2, dof, critical value, significant) — the contingency screen
+    finished into an actual hypothesis test.
+
+    Composes over the SAME cell query (definitional lockstep with its
+    oracle, the near_dup_cluster_sizes pattern). Per-cell χ²
+    contributions quantize to DECIMAL(18,9) before the 9-way sum so
+    the total is order-free; dof comes from the observed grid shape;
+    the α=0.05 critical value is a baked literal per dof (no incomplete
+    -gamma at runtime — the test statistic's quantile table IS static).
+    """
+    cells = part_size_price_contingency(spark, sf_dir)
+    agg = cells.agg(
+        F.sum(
+            F.round(F.col("chi2_contrib"), 9).cast("decimal(18,9)")
+        ).alias("chi2_q"),
+        F.countDistinct("size_bucket").alias("n_rows"),
+        F.countDistinct("price_bucket").alias("n_cols"),
+    )
+    dof = (
+        (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    ).cast("long")
+    crit = F.lit(None).cast("double")
+    for k, v in sorted(CHI2_CRIT_05.items(), reverse=True):
+        crit = F.when(dof == k, F.lit(v)).otherwise(crit)
+    chi2 = F.col("chi2_q").cast("double")
+    return agg.select(
+        chi2.alias("chi2"),
+        dof.alias("dof"),
+        crit.alias("crit_05"),
+        F.coalesce(chi2 > crit, F.lit(False)).alias("significant"),
+    )
+
+
+def doclen_percentile_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document length percentile WITHIN its source — the
+    rank-normalization that makes length-based quality thresholds
+    comparable across sources with wildly different length scales.
+
+    percent_rank without the global sort (the spearman_rank_corr
+    move): group to the (source, n_chars) VALUE-FREQUENCY MAP, a
+    window over the map (|distinct lengths| rows per source, not
+    |docs|) gives cnt_less, and pct = cnt_less / (n_source - 1) —
+    exact integers into one fixed IEEE division. The map joins back
+    on (source, n_chars); the fact is never sorted, only hashed.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    freq = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("source")
+    rmap = freq.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(wsrc), F.lit(0)).alias(
+            "cnt_less"
+        ),
+        F.sum("cnt").over(wtot).alias("n_src"),
+    )
+    out = d.join(rmap, ["source", "n_chars"])
+    pct = F.when(
+        F.col("n_src") > 1,
+        F.col("cnt_less").cast("double")
+        / (F.col("n_src") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id", "source", "n_chars", pct.alias("len_pct")
+    )
+
+
+ENTROPY_BUCKET_W = 0.25
+
+
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user event-type Shannon entropy — the
+    engagement-diversity profile (0 nats = single-behavior users;
+    ln 5 ≈ 1.61 = uniform across all five types).
+
+    Per-user entropy is a ≤|event_types|-term sum of -p·ln p; each
+    term quantizes to DECIMAL(18,9) (bm25's ln seam) so the per-user
+    sum is order-free, then users bucket into 0.25-nat bins and only
+    the bin histogram leaves the executors. Two partial-aggregated
+    shuffles ((user,type) then user — the second input is already
+    nearly user-local) and a |bins|-row result regardless of user
+    count.
+    """
+    e = table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wtot = Window.partitionBy("user_id")
+    ut = ut.withColumn("total", F.sum("cnt").over(wtot))
+    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    per_user = ut.groupBy("user_id").agg(
+        F.sum(term).cast("double").alias("entropy"),
+        F.max("total").alias("n_events"),
+    )
+    bucket = F.floor(
+        F.col("entropy") / F.lit(ENTROPY_BUCKET_W)
+    ).cast("long")
+    return (
+        per_user.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("entropy").alias("min_entropy"),
+            F.max("entropy").alias("max_entropy"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * ENTROPY_BUCKET_W).alias(
+                "bucket_lo"
+            ),
+            "n_users",
+            "min_entropy",
+            "max_entropy",
+        )
+    )

@@ -1264,3 +1264,80 @@ def test_mase_seasonal_signal_beats_naive(spark, tmp_path):
     assert r.mae_snaive7 == 0.0  # perfectly periodic
     assert r.mae_naive1 > 0
     assert r.mase == 0.0
+
+
+def test_chi2_matches_cells_and_scipy_free_check(spark):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        chi2_independence_test,
+        part_size_price_contingency,
+    )
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        CHI2_CRIT_05,
+    )
+
+    [r] = chi2_independence_test(spark, SF).collect()
+    cells = part_size_price_contingency(spark, SF).collect()
+    n_r = len({c.size_bucket for c in cells})
+    n_c = len({c.price_bucket for c in cells})
+    assert n_c > 1, "price buckets degenerate — edges don't split data"
+    assert r.dof == (n_r - 1) * (n_c - 1) and r.dof > 0
+    assert r.crit_05 == pytest.approx(CHI2_CRIT_05[r.dof])
+    assert r.chi2 == pytest.approx(
+        sum(c.chi2_contrib for c in cells), rel=1e-9
+    )
+    assert r.significant == (r.chi2 > r.crit_05)
+
+
+def test_doclen_percentile_bounds_and_order(spark):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        doclen_percentile_by_source,
+    )
+
+    rows = doclen_percentile_by_source(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(0.0 <= r.len_pct <= 1.0 for r in rows)
+    # within a source, pct must be monotone in n_chars
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.n_chars, r.len_pct))
+    for src, vals in by_src.items():
+        vals.sort()
+        for (c1, p1), (c2, p2) in zip(vals, vals[1:]):
+            if c1 < c2:
+                assert p1 < p2, src
+            else:
+                assert p1 == p2, src
+
+
+def test_user_entropy_planted_uniform_and_constant(spark, tmp_path):
+    import math
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        user_event_entropy,
+    )
+
+    d = str(tmp_path / "sf_ent")
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: all 'view' -> entropy 0; user 2: uniform over 5 types
+    for i in range(10):
+        rows.append((eid, t0 + timedelta(minutes=i), 1, "view", 1.0, "{}"))
+        eid += 1
+    for i, et in enumerate(
+        ["view", "click", "purchase", "signup", "error"] * 2
+    ):
+        rows.append((eid, t0 + timedelta(minutes=i), 2, et, 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = sorted(user_event_entropy(spark, d).collect(),
+                 key=lambda r: r.bucket)
+    assert [r.bucket for r in out] == [0, 6]  # 0 nats; ln5=1.609 -> bin 6
+    assert out[0].n_users == 1 and out[0].min_entropy == 0.0
+    assert out[1].n_users == 1
+    assert out[1].min_entropy == pytest.approx(math.log(5), abs=1e-8)
