@@ -112,7 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rrf_fusion_search, welch_value_ttest, event_trigram_paths,
     rolling_median_7d, embedding_dim_stats, jw_blocked_match,
     forecast_backtest_mase, chi2_independence_test,
-    doclen_percentile_by_source, user_event_entropy —
+    doclen_percentile_by_source, user_event_entropy,
+    bootstrap_mean_ci, inverted_index_postings —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -411,6 +412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence_test": X.chi2_independence_test,
         "doclen_percentile_by_source": X.doclen_percentile_by_source,
         "user_event_entropy": X.user_event_entropy,
+        # (w) round-4 continuation 18 — deterministic Poisson
+        # bootstrap (md5-lattice draws) and the materialized
+        # impact-ordered inverted index
+        "bootstrap_mean_ci": X.bootstrap_mean_ci,
+        "inverted_index_postings": T.inverted_index_postings,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5134,5 +5140,88 @@ def _oracle_sql_literals() -> dict[str, str]:
                    MIN(entropy) AS min_entropy,
                    MAX(entropy) AS max_entropy
             FROM b GROUP BY bucket
+        """,
+        "bootstrap_mean_ci": """
+            WITH reps AS (
+                SELECT o_orderkey, o_totalprice,
+                       CAST(UNNEST(range(100)) AS INTEGER) AS b
+                FROM orders
+            ), u AS (
+                SELECT b, o_totalprice,
+                       CAST(concat('0x', substr(md5(
+                           concat(CAST(o_orderkey AS VARCHAR), '-',
+                                  CAST(b AS VARCHAR))), 1, 8))
+                            AS BIGINT) % 10000 AS u
+                FROM reps
+            ), wts AS (
+                SELECT b, o_totalprice,
+                       CASE WHEN u < 3679 THEN 0
+                            WHEN u < 7358 THEN 1
+                            WHEN u < 9197 THEN 2
+                            WHEN u < 9810 THEN 3
+                            WHEN u < 9963 THEN 4
+                            ELSE 5 END AS w
+                FROM u
+            ), per_rep AS (
+                SELECT b,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2)) * w)
+                           AS sw_price,
+                       CAST(SUM(w) AS BIGINT) AS sw
+                FROM wts GROUP BY b
+            ), means AS (
+                SELECT CAST(sw_price AS DOUBLE) / CAST(sw AS DOUBLE)
+                           AS rep_mean
+                FROM per_rep WHERE sw > 0
+            ), ci AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+                       list_sort(list(rep_mean)) AS ms
+                FROM means
+            ), fullt AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS sp
+                FROM orders
+            )
+            SELECT n_orders,
+                   sp / CAST(n_orders AS DOUBLE) AS mean_full,
+                   n_reps, ms[2] AS ci_lo, ms[99] AS ci_hi
+            FROM fullt, ci
+        """,
+        "inverted_index_postings": """
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word
+                FROM documents
+            ),
+            toks2 AS (SELECT doc_id, word FROM toks WHERE word != ''),
+            tf AS (
+                SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks2 GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+                       CAST(SUM(tf) AS BIGINT) AS total_tf
+                FROM tf GROUP BY word
+            ),
+            top_terms AS (
+                SELECT word, df, total_tf FROM stats
+                ORDER BY df DESC, word ASC LIMIT 30
+            ),
+            ranked AS (
+                SELECT t.word, t.doc_id, t.tf,
+                       ROW_NUMBER() OVER (PARTITION BY t.word
+                           ORDER BY t.tf DESC, t.doc_id ASC) AS rnk
+                FROM tf t JOIN top_terms USING (word)
+            ),
+            lists AS (
+                SELECT word,
+                       string_agg(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(tf AS VARCHAR),
+                                  ',' ORDER BY rnk) AS top_postings
+                FROM ranked WHERE rnk <= 10 GROUP BY word
+            )
+            SELECT t.word, t.df, t.total_tf, l.top_postings
+            FROM top_terms t JOIN lists l USING (word)
         """,
     }

@@ -1446,3 +1446,105 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_entropy",
         )
     )
+
+
+BOOT_B = 100
+# Poisson(1) CDF thresholds scaled to the md5-derived 10^4 lattice:
+# P(0)=.3679, P(<=1)=.7358, P(<=2)=.9197, P(<=3)=.9810, P(<=4)=.9963
+BOOT_CDF = (3679, 7358, 9197, 9810, 9963)
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value via
+    the POISSON bootstrap — the only bootstrap that works on a
+    cluster (classic resampling needs global indexed draws; Poisson
+    weights each row independently w ~ Poisson(1), so the resample is
+    a map-side expression and replicates are one grouped aggregate).
+
+    Determinism: the "randomness" is md5(orderkey-replicate) reduced
+    to a 10^4 lattice and pushed through the Poisson(1) CDF as a
+    CASE chain (the hash_split idiom) — identical draws in any
+    engine, no RNG state. Each replicate's weighted mean uses exact
+    decimal Σ(w·price); the B replicate means (a 50-row table) sort
+    once and the CI bounds are fixed order statistics (2.5%/97.5%).
+    Fan-out is ×B map-side with immediate partial aggregation to B
+    groups — the fact shuffles B rows per partition, nothing more.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_B - 1))
+        ).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10_000
+    )
+    w = (
+        F.when(u < BOOT_CDF[0], 0)
+        .when(u < BOOT_CDF[1], 1)
+        .when(u < BOOT_CDF[2], 2)
+        .when(u < BOOT_CDF[3], 3)
+        .when(u < BOOT_CDF[4], 4)
+        .otherwise(5)
+    )
+    per_rep = (
+        reps.select("b", "o_totalprice", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                (
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    * F.col("w")
+                )
+            ).alias("sw_price"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            (
+                F.col("sw_price").cast("double")
+                / F.col("sw").cast("double")
+            ).alias("rep_mean")
+        )
+    )
+    full = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    ).select(
+        "n_orders",
+        (F.col("sum_price") / F.col("n_orders").cast("double")).alias(
+            "mean_full"
+        ),
+    )
+    lo_i = max(1, int(0.025 * BOOT_B))  # 1-based order statistics
+    hi_i = BOOT_B - lo_i + 1
+    ci = per_rep.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.array_sort(F.collect_list("rep_mean")).alias("ms"),
+    ).select(
+        "n_reps",
+        F.element_at("ms", lo_i).alias("ci_lo"),
+        F.element_at("ms", hi_i).alias("ci_hi"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_orders", "mean_full", "n_reps", "ci_lo", "ci_hi"
+    )

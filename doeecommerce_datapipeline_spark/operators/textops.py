@@ -858,3 +858,67 @@ def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(RRF_TOP)
     )
+
+
+IDX_TOP_TERMS = 30
+IDX_POSTINGS = 10
+
+
+def inverted_index_postings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialize the search index itself: for the corpus's top-30
+    df terms, an IMPACT-ORDERED posting list — the top-10 docs by tf
+    (tiebreak doc_id) rendered "doc:tf,doc:tf,…" — plus df and total
+    tf. This is the artifact bm25_search implicitly recomputes per
+    query; indexing it once is how retrieval actually ships.
+
+    Scale: tf explode partial-aggregates to (word, doc) before any
+    ranking; per-term top-10 is a bounded window over the term's
+    postings (hash-partitioned by word — no global sort); only 30
+    index rows leave. Posting-list strings build from an array_sort
+    over (rank, doc, tf) structs, so the rendering is deterministic
+    in any engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower("text"))).alias("word")
+    ).where(F.col("word") != "")
+    tf = toks.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    top_terms = stats.orderBy(
+        F.desc("df"), F.asc("word")
+    ).limit(IDX_TOP_TERMS)
+    wt = Window.partitionBy("word").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    postings = (
+        tf.join(F.broadcast(top_terms.select("word")), "word")
+        .withColumn("rnk", F.row_number().over(wt))
+        .where(F.col("rnk") <= IDX_POSTINGS)
+    )
+    lists = postings.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("rnk", "doc_id", "tf")
+                    )
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["doc_id"].cast("string"),
+                    s["tf"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("top_postings")
+    )
+    return top_terms.join(lists, "word").select(
+        "word", "df", "total_tf", "top_postings"
+    )

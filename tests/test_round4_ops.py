@@ -1341,3 +1341,33 @@ def test_user_entropy_planted_uniform_and_constant(spark, tmp_path):
     assert out[0].n_users == 1 and out[0].min_entropy == 0.0
     assert out[1].n_users == 1
     assert out[1].min_entropy == pytest.approx(math.log(5), abs=1e-8)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        bootstrap_mean_ci,
+    )
+
+    [r1] = bootstrap_mean_ci(spark, SF).collect()
+    [r2] = bootstrap_mean_ci(spark, SF).collect()
+    assert r1 == r2  # hash-derived draws: bit-identical reruns
+    assert r1.n_reps == 100
+    assert r1.ci_lo < r1.mean_full < r1.ci_hi
+    # CI of a mean over n>100 samples is tight: within 20% of the mean
+    assert (r1.ci_hi - r1.ci_lo) < 0.4 * r1.mean_full
+
+
+def test_inverted_index_postings_shape(spark):
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        inverted_index_postings,
+    )
+
+    rows = inverted_index_postings(spark, SF).collect()
+    assert len(rows) == 30
+    for r in rows:
+        posts = r.top_postings.split(",")
+        assert 1 <= len(posts) <= 10
+        assert len(posts) == min(r.df, 10)
+        tfs = [int(p.split(":")[1]) for p in posts]
+        assert tfs == sorted(tfs, reverse=True)  # impact-ordered
+        assert r.total_tf >= r.df >= len(posts)
