@@ -113,7 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rolling_median_7d, embedding_dim_stats, jw_blocked_match,
     forecast_backtest_mase, chi2_independence_test,
     doclen_percentile_by_source, user_event_entropy,
-    bootstrap_mean_ci, inverted_index_postings —
+    bootstrap_mean_ci, inverted_index_postings, target_encode_loo,
+    twap_user_day, window_funnel_depth —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -417,6 +418,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # impact-ordered inverted index
         "bootstrap_mean_ci": X.bootstrap_mean_ci,
         "inverted_index_postings": T.inverted_index_postings,
+        # (x) round-4 continuation 19 — feature encoding, time-weighted
+        # averaging, and the time-constrained windowFunnel
+        "target_encode_loo": A.target_encode_loo,
+        "twap_user_day": E.twap_user_day,
+        "window_funnel_depth": E.window_funnel_depth,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5223,5 +5229,91 @@ def _oracle_sql_literals() -> dict[str, str]:
             )
             SELECT t.word, t.df, t.total_tf, l.top_postings
             FROM top_terms t JOIN lists l USING (word)
+        """,
+        "target_encode_loo": """
+            WITH stats AS (
+                SELECT o_orderpriority,
+                       CAST(COUNT(*) AS BIGINT) AS n_cat,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_cat
+                FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+                   CASE WHEN n_cat > 1
+                        THEN CAST(s_cat
+                                  - CAST(o.o_totalprice AS DECIMAL(18,2))
+                                  AS DOUBLE)
+                           / CAST(n_cat - 1 AS DOUBLE)
+                   END AS loo_mean_price
+            FROM orders o JOIN stats USING (o_orderpriority)
+        """,
+        "twap_user_day": """
+            WITH stepped AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, value,
+                       LEAD(epoch_us(ts), 1) OVER (
+                           PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts, event_id
+                       ) - epoch_us(ts) AS dt
+                FROM events
+            ), held AS (
+                SELECT user_id, day,
+                       SUM(CAST(value AS DECIMAL(12,2)) * dt)
+                           AS s_vdt,
+                       CAST(SUM(dt) AS BIGINT) AS s_dt
+                FROM stepped
+                WHERE dt IS NOT NULL AND dt > 0
+                GROUP BY 1, 2
+            ), days AS (
+                SELECT user_id, day,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM stepped GROUP BY 1, 2
+            )
+            SELECT d.user_id, d.day, d.n_events,
+                   CASE WHEN h.s_dt > 0
+                        THEN CAST(h.s_vdt AS DOUBLE)
+                           / CAST(h.s_dt AS DOUBLE) END AS twap
+            FROM days d LEFT JOIN held h
+              ON d.user_id = h.user_id AND d.day = h.day
+        """,
+        "window_funnel_depth": """
+            WITH s1 AS (
+                SELECT user_id, event_type, ts, event_id,
+                       epoch_us(ts) AS tus,
+                       MAX(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS last_view
+                FROM events
+            ), s2 AS (
+                SELECT user_id, event_type, tus,
+                       (event_type = 'click'
+                        AND last_view IS NOT NULL
+                        AND tus - last_view <= 86400000000
+                        AND tus - last_view > 0) AS click_ok,
+                       MAX(CASE WHEN event_type = 'click'
+                                 AND last_view IS NOT NULL
+                                 AND tus - last_view <= 86400000000
+                                 AND tus - last_view > 0
+                                THEN tus END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS last_good_click
+                FROM s1
+            ), pu AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                 AND last_good_click IS NOT NULL
+                                 AND tus - last_good_click
+                                     <= 86400000000
+                                 AND tus - last_good_click > 0
+                                THEN 3
+                                WHEN click_ok THEN 2
+                                WHEN event_type = 'view' THEN 1
+                                ELSE 0 END) AS depth
+                FROM s2 GROUP BY user_id
+            )
+            SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM pu GROUP BY depth
         """,
     }

@@ -238,3 +238,36 @@ def ship_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_latency_days",
         )
     )
+
+
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the category-to-number feature transform that doesn't
+    leak the row's own target ((Σ_category − own) / (n_category − 1)).
+
+    One partial-aggregated shuffle to the |categories| stats table
+    (exact decimal Σ), broadcast back over the fact; the per-row
+    encoding is a fixed dag on exact operands (decimal subtraction
+    keeps the numerator exact before the single double division).
+    Singleton categories have no leave-one-out peers → NULL.
+    """
+    o = table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "s_cat"
+        ),
+    )
+    loo = F.when(
+        F.col("n_cat") > 1,
+        (
+            F.col("s_cat") - F.col("o_totalprice").cast("decimal(18,2)")
+        ).cast("double")
+        / (F.col("n_cat") - F.lit(1)).cast("double"),
+    )
+    return o.join(F.broadcast(stats), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        loo.alias("loo_mean_price"),
+    )

@@ -1129,3 +1129,126 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(TRIGRAM_PATH_TOP)
     )
+
+
+def twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per (user, day) — TWAP, the
+    time-series mean that doesn't let burst sampling skew the level
+    (ten readings in one second shouldn't count ten times a reading
+    that held for an hour).
+
+    Each value holds from its event until the user's next event that
+    day; the weight is that holding time in seconds (exact integer
+    from one LEAD over the per-user sort — no self-join). Per-pair
+    v·dt quantizes to DECIMAL(28,6) before the per-group sum (the
+    bm25 seam) so TWAP is order-free; single-event days have no
+    holding interval and report NULL. One shuffle on (user, day).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    stepped = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "value",
+        (
+            F.lead(F.unix_micros("ts"), 1).over(w)
+            - F.unix_micros("ts")
+        ).alias("dt"),
+    )
+    held = stepped.where(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    q = F.col("value").cast("decimal(12,2)") * F.col("dt")
+    agg = (
+        stepped.groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(
+            held.groupBy("user_id", "day").agg(
+                F.sum(q).alias("s_vdt"),
+                F.sum("dt").alias("s_dt"),
+            ),
+            ["user_id", "day"],
+            "left",
+        )
+    )
+    return agg.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.when(
+            F.col("s_dt") > 0,
+            F.col("s_vdt").cast("double")
+            / F.col("s_dt").cast("double"),
+        ).alias("twap"),
+    )
+
+
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel: per user, the deepest
+    view→click→purchase chain where each step lands within 24h of the
+    previous one; output is the depth histogram (depth, n_users) —
+    the time-constrained variant of funnel_conversion.
+
+    No self-joins: ONE window over each user's timeline carries the
+    chain state as running conditional maxima — last view ts, then
+    last *qualifying* click ts (a click whose latest preceding view
+    is within the window) — and each row tests its predecessor state
+    with pure integer timestamp arithmetic. Two window passes over
+    the same (user, ts) sort (Spark reuses the one exchange+sort),
+    then a per-user max and a ≤4-row histogram. The naive
+    formulation is two fact-fact range joins; this is one shuffle.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ts = F.unix_micros("ts")
+    s1 = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.max(F.when(F.col("event_type") == "view", ts)).over(w).alias(
+            "last_view"
+        ),
+    )
+    click_ok = (
+        (F.col("event_type") == "click")
+        & F.col("last_view").isNotNull()
+        & (ts - F.col("last_view") <= FUNNEL_WINDOW_US)
+        & (ts - F.col("last_view") > 0)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s2 = s1.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.max(F.when(click_ok, ts)).over(w2).alias("last_good_click"),
+        click_ok.alias("click_ok"),
+    )
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & F.col("last_good_click").isNotNull()
+        & (ts - F.col("last_good_click") <= FUNNEL_WINDOW_US)
+        & (ts - F.col("last_good_click") > 0)
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.max(
+            F.when(purchase_ok, 3)
+            .when(F.col("click_ok"), 2)
+            .when(F.col("event_type") == "view", 1)
+            .otherwise(0)
+        ).alias("depth")
+    )
+    return per_user.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -1371,3 +1371,88 @@ def test_inverted_index_postings_shape(spark):
         tfs = [int(p.split(":")[1]) for p in posts]
         assert tfs == sorted(tfs, reverse=True)  # impact-ordered
         assert r.total_tf >= r.df >= len(posts)
+
+
+def test_target_encode_loo_exact_small_case(spark, tmp_path):
+    from datetime import datetime
+    from doeecommerce_datapipeline_spark.operators.aggregates import (
+        target_encode_loo,
+    )
+
+    d = str(tmp_path / "sf_loo")
+    rows = [
+        (1, 1, "O", 10.0, datetime(2024, 1, 1), "A"),
+        (2, 1, "O", 20.0, datetime(2024, 1, 1), "A"),
+        (3, 1, "O", 60.0, datetime(2024, 1, 1), "A"),
+        (4, 1, "O", 99.0, datetime(2024, 1, 1), "B"),  # singleton
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    out = {r.o_orderkey: r for r in target_encode_loo(spark, d).collect()}
+    assert out[1].loo_mean_price == 40.0  # (20+60)/2
+    assert out[2].loo_mean_price == 35.0  # (10+60)/2
+    assert out[3].loo_mean_price == 15.0  # (10+20)/2
+    assert out[4].loo_mean_price is None  # no peers
+
+
+def test_twap_weights_by_holding_time(spark, tmp_path):
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.events import (
+        twap_user_day,
+    )
+
+    d = str(tmp_path / "sf_twap")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    # value 10 held 90s, value 100 held 10s, final value ignored:
+    # twap = (10*90 + 100*10) / 100 = 19
+    rows = [
+        (0, t0, 1, "view", 10.0, "{}"),
+        (1, t0 + timedelta(seconds=90), 1, "view", 100.0, "{}"),
+        (2, t0 + timedelta(seconds=100), 1, "view", 55.0, "{}"),
+        (3, t0, 2, "view", 7.0, "{}"),  # single event -> NULL twap
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.user_id: r for r in twap_user_day(spark, d).collect()}
+    assert out[1].n_events == 3 and out[1].twap == 19.0
+    assert out[2].n_events == 1 and out[2].twap is None
+
+
+def test_window_funnel_depth_planted_chains(spark, tmp_path):
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.events import (
+        window_funnel_depth,
+    )
+
+    d = str(tmp_path / "sf_wf")
+    t0 = datetime(2024, 1, 1, 12)
+    h = timedelta(hours=1)
+    rows = [
+        # user 1: full chain within window -> depth 3
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + h, 1, "click", 1.0, "{}"),
+        (2, t0 + 2 * h, 1, "purchase", 1.0, "{}"),
+        # user 2: click 30h after view (outside 24h) -> depth 1
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + 30 * h, 2, "click", 1.0, "{}"),
+        # user 3: view->click ok, purchase 30h after click -> depth 2
+        (5, t0, 3, "view", 1.0, "{}"),
+        (6, t0 + h, 3, "click", 1.0, "{}"),
+        (7, t0 + 31 * h, 3, "purchase", 1.0, "{}"),
+        # user 4: purchase only -> depth 0
+        (8, t0, 4, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.depth: r.n_users for r in window_funnel_depth(spark, d).collect()}
+    assert out == {3: 1, 1: 1, 2: 1, 0: 1}
