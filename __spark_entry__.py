@@ -114,7 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     forecast_backtest_mase, chi2_independence_test,
     doclen_percentile_by_source, user_event_entropy,
     bootstrap_mean_ci, inverted_index_postings, target_encode_loo,
-    twap_user_day, window_funnel_depth —
+    twap_user_day, window_funnel_depth, ols_two_factor,
+    event_pmi_pairs, langid_confusion, dow_hour_activity —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -423,6 +424,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_loo": A.target_encode_loo,
         "twap_user_day": E.twap_user_day,
         "window_funnel_depth": E.window_funnel_depth,
+        # (y) round-4 continuation 20 — multivariate OLS by Cramer on
+        # the lattice, PMI association, classifier eval, and the
+        # seasonality grid
+        "ols_two_factor": X.ols_two_factor,
+        "event_pmi_pairs": E.event_pmi_pairs,
+        "langid_confusion": T.langid_confusion,
+        "dow_hour_activity": E.dow_hour_activity,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -499,6 +507,21 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_components_star"] = sql["dedup_components"]
     # cluster-size histogram composes over the SAME component labels
     # (nested CTE keeps the two oracles definitionally in lockstep)
+    # the confusion matrix composes over the SAME per-doc prediction
+    sql["langid_confusion"] = f"""
+        WITH li_out AS ({sql["lang_id"]}),
+        g AS (
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM li_out GROUP BY 1, 2
+        )
+        SELECT lang, pred_lang, n,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+                   AS label_total,
+               CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+                   AS share_of_label
+        FROM g
+    """
     # the χ² summary composes over the SAME contingency-cell query
     # (definitional lockstep — the near_dup_cluster_sizes pattern)
     sql["chi2_independence_test"] = f"""
@@ -5315,5 +5338,108 @@ def _oracle_sql_literals() -> dict[str, str]:
             )
             SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM pu GROUP BY depth
+        """,
+        "ols_two_factor": """
+            WITH base AS (
+                SELECT CAST(round(l_discount * 100) AS BIGINT) AS x1,
+                       CAST(round(l_tax * 100) AS BIGINT) AS x2,
+                       CAST(l_quantity AS BIGINT) AS y
+                FROM lineitem
+            ), g AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x1) AS BIGINT) AS s1,
+                       CAST(SUM(x2) AS BIGINT) AS s2,
+                       CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                       CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                       CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+                       CAST(SUM(x2 * y) AS BIGINT) AS s2y
+                FROM base
+            ), d AS (
+                SELECT n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(s1 AS DOUBLE) AS a1,
+                       CAST(s2 AS DOUBLE) AS a2,
+                       CAST(s11 AS DOUBLE) AS a11,
+                       CAST(s22 AS DOUBLE) AS a22,
+                       CAST(s12 AS DOUBLE) AS a12,
+                       CAST(sy AS DOUBLE) AS ay,
+                       CAST(syy AS DOUBLE) AS ayy,
+                       CAST(s1y AS DOUBLE) AS a1y,
+                       CAST(s2y AS DOUBLE) AS a2y
+                FROM g
+            ), dets AS (
+                SELECT n, nd, ay, ayy, a1y, a2y,
+                       nd * (a11 * a22 - a12 * a12)
+                       - a1 * (a1 * a22 - a12 * a2)
+                       + a2 * (a1 * a12 - a11 * a2) AS det,
+                       ay * (a11 * a22 - a12 * a12)
+                       - a1 * (a1y * a22 - a12 * a2y)
+                       + a2 * (a1y * a12 - a11 * a2y) AS d0,
+                       nd * (a1y * a22 - a12 * a2y)
+                       - ay * (a1 * a22 - a12 * a2)
+                       + a2 * (a1 * a2y - a1y * a2) AS d1,
+                       nd * (a11 * a2y - a1y * a12)
+                       - a1 * (a1 * a2y - a1y * a2)
+                       + ay * (a1 * a12 - a11 * a2) AS d2
+                FROM d
+            ), betas AS (
+                SELECT n, nd, ay, ayy, a1y, a2y, det,
+                       d0 / det AS b0, d1 / det AS b1, d2 / det AS b2
+                FROM dets
+            )
+            SELECT n,
+                   CASE WHEN det <> 0 THEN b0 END AS intercept,
+                   CASE WHEN det <> 0 THEN b1 * 100.0 END
+                       AS slope_discount,
+                   CASE WHEN det <> 0 THEN b2 * 100.0 END AS slope_tax,
+                   CASE WHEN det <> 0
+                         AND ayy - ay * ay / nd > 0
+                        THEN 1.0 - (ayy - b0 * ay - b1 * a1y
+                                    - b2 * a2y)
+                                 / (ayy - ay * ay / nd)
+                   END AS r2
+            FROM betas
+        """,
+        "event_pmi_pairs": """
+            WITH d AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                       event_type
+                FROM events
+            ), nb AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+                FROM (SELECT DISTINCT user_id, day FROM d)
+            ), pt AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+                FROM d GROUP BY 1
+            ), pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM d a JOIN d b
+                  ON a.user_id = b.user_id AND a.day = b.day
+                 AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT p.type_a, p.type_b, p.n_ab,
+                   ta.n_t AS n_a, tb.n_t AS n_b,
+                   ROUND(ln((CAST(p.n_ab AS DOUBLE)
+                             * CAST(nb.n_baskets AS DOUBLE))
+                            / (CAST(ta.n_t AS DOUBLE)
+                               * CAST(tb.n_t AS DOUBLE))), 6) AS pmi
+            FROM pairs p
+            JOIN pt ta ON ta.event_type = p.type_a
+            JOIN pt tb ON tb.event_type = p.type_b
+            CROSS JOIN nb
+        """,
+        "dow_hour_activity": """
+            SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+                   CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_value
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -1548,3 +1548,70 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.crossJoin(F.broadcast(ci)).select(
         "n_orders", "mean_full", "n_reps", "ci_lo", "ci_hi"
     )
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant as a FIXED expression dag (same operation order
+    mirrored in the oracle SQL) over double operands."""
+    return (
+        a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    )
+
+
+def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS — quantity on (discount, tax) — solved in
+    closed form by Cramer's rule on the normal equations;
+    promo_lift_slope's univariate fit generalized to the first truly
+    multivariate model, still with ZERO iterations and ONE aggregate
+    pass.
+
+    Both regressors live on exact integer lattices (d100 = disc·100 ∈
+    0..10, t100 = tax·100 ∈ 0..8; quantity integral), so all nine
+    moment sums are exact int64 with huge headroom. The 3×3 solve is
+    a fixed dag of double products of those exact sums (the _det3
+    expansion is mirrored operation-for-operation in SQL), so betas
+    and R² are bit-identical across engines. Slopes are rescaled to
+    per-unit-of-true-discount/tax (×100).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("x1"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("x2"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s11, s22 = F.col("s11").cast("double"), F.col("s22").cast("double")
+    s12 = F.col("s12").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    s1y, s2y = F.col("s1y").cast("double"), F.col("s2y").cast("double")
+    det = _det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = _det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = _det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = _det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    b0 = d0 / det
+    b1 = d1 / det
+    b2 = d2 / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return g.select(
+        "n",
+        F.when(det != 0, b0).alias("intercept"),
+        F.when(det != 0, b1 * 100.0).alias("slope_discount"),
+        F.when(det != 0, b2 * 100.0).alias("slope_tax"),
+        F.when(
+            (det != 0) & (sst > 0), F.lit(1.0) - sse / sst
+        ).alias("r2"),
+    )

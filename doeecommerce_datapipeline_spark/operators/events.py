@@ -1252,3 +1252,77 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("depth").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def event_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types over (user,
+    day) baskets — event_type_cooccurrence's counts upgraded to the
+    association SCORE (PMI > 0: the pair co-occurs more than chance;
+    < 0: the types repel).
+
+    pmi = ln(n_ab·N / (n_a·n_b)): the log's ARGUMENT is a ratio of
+    exact integer counts (one distinct pass feeds basket totals,
+    per-type counts, and the bounded pair self-join), so the only
+    float op is a single libm ln, rounded at the 6-dp seam (the bm25
+    discipline) to absorb sub-ulp libm differences across engines.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds three consumers
+    )
+    n_baskets = d.select("user_id", "day").distinct().count()
+    per_type = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    a = d.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = d.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    out = pairs.join(F.broadcast(ta), "type_a").join(
+        F.broadcast(tb), "type_b"
+    )
+    arg = (
+        F.col("n_ab").cast("double") * F.lit(float(n_baskets))
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(F.log(arg), 6).alias("pmi"),
+    )
+
+
+def dow_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-of-week × hour activity grid (n_events, n_users, mean
+    value) — the seasonality heatmap behind every ops dashboard.
+
+    One partial-aggregated shuffle to a ≤168-row grid; mean value is
+    the exact-decimal-sum / count double. weekday() is 0=Monday on
+    both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.weekday("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_value"),
+    )

@@ -922,3 +922,30 @@ def inverted_index_postings(
     return top_terms.join(lists, "word").select(
         "word", "df", "total_tf", "top_postings"
     )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language classifier against
+    the labeled lang column — the evaluation loop lang_id itself never
+    closes (per-cell counts plus the cell's share of its true-label
+    row, whose diagonal is per-language recall).
+
+    Composes over the SAME per-doc prediction query (definitional
+    lockstep with its oracle); the grid is ≤|langs|² rows and the
+    share is one exact-integer division.
+    """
+    pred = lang_id(spark, sf_dir)
+    g = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(wl).alias("label_total"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wl).cast("double")
+        ).alias("share_of_label"),
+    )

@@ -1456,3 +1456,91 @@ def test_window_funnel_depth_planted_chains(spark, tmp_path):
     ).write.parquet(d + "/events.parquet")
     out = {r.depth: r.n_users for r in window_funnel_depth(spark, d).collect()}
     assert out == {3: 1, 1: 1, 2: 1, 0: 1}
+
+
+def test_ols_two_factor_recovers_planted_plane(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        ols_two_factor,
+    )
+
+    d = str(tmp_path / "sf_ols2")
+    # exact plane: qty = 5 - 200*discount + 100*tax (all on-lattice,
+    # residual 0 -> R^2 = 1 and exact coefficient recovery)
+    rows = []
+    k = 0
+    for d100 in range(0, 11):
+        for t100 in range(0, 9):
+            qty = 5.0 - 2.0 * d100 + 1.0 * t100
+            rows.append(
+                (k, 1, 1, 1, qty, 1.0, d100 / 100.0, t100 / 100.0,
+                 "N", "O", None)
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    [r] = ols_two_factor(spark, d).collect()
+    assert r.intercept == pytest.approx(5.0, abs=1e-9)
+    assert r.slope_discount == pytest.approx(-200.0, abs=1e-7)
+    assert r.slope_tax == pytest.approx(100.0, abs=1e-7)
+    assert r.r2 == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pmi_planted_attraction_and_repulsion(spark, tmp_path):
+    import math
+    from datetime import datetime
+    from doeecommerce_datapipeline_spark.operators.events import (
+        event_pmi_pairs,
+    )
+
+    d = str(tmp_path / "sf_pmi")
+    rows, eid = [], 0
+    # 10 baskets: a&b always together in 5, c alone in 5 -> pmi(a,b) =
+    # ln(5*10/(5*5)) = ln 2 > 0; a&c never co-occur (no row emitted)
+    for u in range(5):
+        for t in ("a", "b"):
+            rows.append((eid, datetime(2024, 1, 1 + u), u, t, 1.0, "{}"))
+            eid += 1
+    for u in range(5, 10):
+        rows.append((eid, datetime(2024, 1, 1), u, "c", 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {(r.type_a, r.type_b): r for r in event_pmi_pairs(spark, d).collect()}
+    assert set(out) == {("a", "b")}
+    assert out[("a", "b")].pmi == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_langid_confusion_shares_sum_to_one(spark):
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        langid_confusion,
+    )
+
+    rows = langid_confusion(spark, SF).collect()
+    assert rows
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.lang, []).append(r)
+    for lang, cells in by_label.items():
+        assert sum(c.share_of_label for c in cells) == pytest.approx(1.0)
+        assert all(c.label_total == cells[0].label_total for c in cells)
+        assert sum(c.n for c in cells) == cells[0].label_total
+
+
+def test_dow_hour_grid_bounds(spark):
+    from doeecommerce_datapipeline_spark.operators.events import (
+        dow_hour_activity,
+    )
+
+    rows = dow_hour_activity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+        assert r.n_events >= r.n_users >= 1
