@@ -115,7 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doclen_percentile_by_source, user_event_entropy,
     bootstrap_mean_ci, inverted_index_postings, target_encode_loo,
     twap_user_day, window_funnel_depth, ols_two_factor,
-    event_pmi_pairs, langid_confusion, dow_hour_activity —
+    event_pmi_pairs, langid_confusion, dow_hour_activity,
+    sq8_quantization_error, vocab_coverage_curve, event_fano_factor,
+    ship_sla_pchart —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -431,6 +433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pmi_pairs": E.event_pmi_pairs,
         "langid_confusion": T.langid_confusion,
         "dow_hour_activity": E.dow_hour_activity,
+        # (z) round-4 continuation 21 — quantization distortion,
+        # integer-exact coverage curve, dispersion index, SPC p-chart
+        "sq8_quantization_error": S.sq8_quantization_error,
+        "vocab_coverage_curve": T.vocab_coverage_curve,
+        "event_fano_factor": E.event_fano_factor,
+        "ship_sla_pchart": E.ship_sla_pchart,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5441,5 +5449,154 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS mean_value
             FROM events GROUP BY 1, 2
+        """,
+        "sq8_quantization_error": """
+            WITH comp AS (
+                SELECT label,
+                       CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS q
+                FROM (SELECT label, embedding,
+                             UNNEST(range(len(embedding))) AS i
+                      FROM embeddings)
+            ), lv AS (
+                SELECT label, q,
+                       greatest(CAST(-127 AS BIGINT),
+                                least(CAST(127 AS BIGINT),
+                                      CAST(floor(CAST(q + 32768 AS DOUBLE)
+                                                 / 65536.0) AS BIGINT)))
+                           AS level
+                FROM comp
+            ), g AS (
+                SELECT label,
+                       CAST(COUNT(*) AS BIGINT) AS n_components,
+                       CAST(SUM(abs(q - level * 65536)) AS BIGINT)
+                           AS s_err,
+                       CAST(MAX(abs(q - level * 65536)) AS BIGINT)
+                           AS m_err
+                FROM lv GROUP BY label
+            )
+            SELECT label, n_components,
+                   CAST(s_err AS DOUBLE)
+                   / CAST(n_components AS DOUBLE) / 1048576.0
+                       AS mean_abs_err,
+                   CAST(m_err AS DOUBLE) / 1048576.0 AS max_abs_err
+            FROM g
+        """,
+        "vocab_coverage_curve": """
+            WITH toks AS (
+                SELECT UNNEST(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word
+                FROM documents
+            ),
+            toks2 AS (SELECT word FROM toks WHERE word != ''),
+            tf AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks2 GROUP BY word
+            ),
+            ranked AS (
+                SELECT tf,
+                       CAST(SUM(tf) OVER (ORDER BY tf DESC, word ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+                       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC,
+                                               word ASC) AS BIGINT) AS k
+                FROM tf
+            ),
+            tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
+            pcts AS (SELECT CAST(UNNEST([50, 90, 99]) AS INTEGER)
+                                AS pct),
+            hits AS (
+                SELECT p.pct, MIN(r.k) AS k_tokens
+                FROM ranked r, tot t, pcts p
+                WHERE r.cum * 100 >= t.total * p.pct
+                GROUP BY p.pct
+            )
+            SELECT h.pct, h.k_tokens,
+                   CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE)
+                       AS share_attained
+            FROM hits h JOIN ranked r ON r.k = h.k_tokens
+            CROSS JOIN tot t
+        """,
+        "event_fano_factor": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), spine AS (
+                SELECT unnest(generate_series(
+                           (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                           (SELECT MAX(CAST(ts AS DATE)) FROM events),
+                           INTERVAL 1 DAY)) :: DATE AS d
+            ), types AS (
+                SELECT DISTINCT event_type FROM daily
+            ), series AS (
+                SELECT t.event_type, COALESCE(dl.c, 0) AS c
+                FROM types t CROSS JOIN spine s
+                LEFT JOIN daily dl
+                  ON dl.event_type = t.event_type AND dl.d = s.d
+            ), g AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(c) AS BIGINT) AS s1,
+                       CAST(SUM(c * c) AS BIGINT) AS s2
+                FROM series GROUP BY 1
+            )
+            SELECT event_type, n_days,
+                   CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       AS mean_daily,
+                   CASE WHEN n_days > 1
+                         AND CAST(s1 AS DOUBLE)
+                             / CAST(n_days AS DOUBLE) > 0
+                        THEN ((CAST(s2 AS DOUBLE)
+                               - CAST(n_days AS DOUBLE)
+                                 * (CAST(s1 AS DOUBLE)
+                                    / CAST(n_days AS DOUBLE))
+                                 * (CAST(s1 AS DOUBLE)
+                                    / CAST(n_days AS DOUBLE)))
+                              / (CAST(n_days AS DOUBLE) - 1.0))
+                           / (CAST(s1 AS DOUBLE)
+                              / CAST(n_days AS DOUBLE))
+                   END AS fano
+            FROM g
+        """,
+        "ship_sla_pchart": """
+            WITH fs AS (
+                SELECT l_orderkey,
+                       MIN(CAST(l_shipdate AS DATE)) AS ship_d
+                FROM lineitem GROUP BY 1
+            ), j AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                           AS m,
+                       CASE WHEN date_diff('day',
+                                CAST(o_orderdate AS DATE), ship_d) > 30
+                            THEN 1 ELSE 0 END AS breach
+                FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+            ), monthly AS (
+                SELECT m, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(breach) AS BIGINT) AS n_breach
+                FROM j GROUP BY m
+            ), pooled AS (
+                SELECT CAST(SUM(breach) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS p_bar
+                FROM j
+            )
+            SELECT m, n, n_breach,
+                   CAST(n_breach AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS p_breach,
+                   p_bar,
+                   p_bar + 3.0 * sqrt(p_bar * (1.0 - p_bar)
+                                      / CAST(n AS DOUBLE)) AS ucl,
+                   greatest(0.0,
+                            p_bar - 3.0 * sqrt(p_bar * (1.0 - p_bar)
+                                   / CAST(n AS DOUBLE))) AS lcl,
+                   (CAST(n_breach AS DOUBLE) / CAST(n AS DOUBLE)
+                    > p_bar + 3.0 * sqrt(p_bar * (1.0 - p_bar)
+                                         / CAST(n AS DOUBLE)))
+                   OR (CAST(n_breach AS DOUBLE) / CAST(n AS DOUBLE)
+                       < greatest(0.0,
+                             p_bar - 3.0 * sqrt(p_bar * (1.0 - p_bar)
+                                    / CAST(n AS DOUBLE))))
+                       AS out_of_control
+            FROM monthly, pooled
         """,
     }

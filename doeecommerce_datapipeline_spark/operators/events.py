@@ -1326,3 +1326,113 @@ def dow_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_value"),
     )
+
+
+def event_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion (Fano) index of daily event arrivals per type —
+    variance/mean of the zero-filled daily count series. Poisson
+    arrivals ⇒ ≈1; >1 flags bursty types whose capacity planning
+    can't assume smooth load.
+
+    Counts are exact integers and the day spine zero-fills per type
+    (variance over only-active days understates burstiness), so
+    Σc and Σc² are exact and the closing variance/mean is a fixed
+    IEEE dag. The fact collapses to (type, day) before anything else.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(spine)
+    series = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    g = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    var = (F.col("s2").cast("double") - nd * mu * mu) / (nd - 1.0)
+    return g.select(
+        "event_type",
+        "n_days",
+        mu.alias("mean_daily"),
+        F.when(
+            (F.col("n_days") > 1) & (mu > 0),
+            var / mu,
+        ).alias("fano"),
+    )
+
+
+SLA_DAYS = 30
+
+
+def ship_sla_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (SPC control chart for proportions) of the monthly
+    order-to-ship SLA breach rate — flags months whose breach
+    proportion escapes the ±3σ binomial control band around the
+    process mean, the classic manufacturing-quality operator applied
+    to fulfilment.
+
+    Breach = first ship later than 30 days after order. Monthly
+    proportions and the pooled p̄ come from exact integer counts; the
+    control limits are one fixed dag (p̄ ± 3·√(p̄(1−p̄)/n)) per month
+    row, so out-of-control verdicts can't flip between engines. The
+    orderkey join is the only fact-sized work.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("ship_d")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_d"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    ).join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+    flagged = j.select(
+        "m",
+        (
+            F.datediff("ship_d", "order_d") > SLA_DAYS
+        ).cast("int").alias("breach"),
+    )
+    monthly = flagged.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("breach").cast("long").alias("n_breach"),
+    )
+    pooled = flagged.agg(
+        (
+            F.sum("breach").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("p_bar")
+    )
+    out = monthly.crossJoin(F.broadcast(pooled))
+    p = F.col("n_breach").cast("double") / F.col("n").cast("double")
+    sigma = F.sqrt(
+        F.col("p_bar")
+        * (F.lit(1.0) - F.col("p_bar"))
+        / F.col("n").cast("double")
+    )
+    ucl = F.col("p_bar") + F.lit(3.0) * sigma
+    lcl = F.greatest(F.lit(0.0), F.col("p_bar") - F.lit(3.0) * sigma)
+    return out.select(
+        "m",
+        "n",
+        "n_breach",
+        p.alias("p_breach"),
+        F.col("p_bar").alias("p_bar"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    )

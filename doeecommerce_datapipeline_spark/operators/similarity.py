@@ -559,3 +559,65 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qmin").cast("double") / sc).alias("min_v"),
         (F.col("qmax").cast("double") / sc).alias("max_v"),
     )
+
+
+SQ8_SCALE_NUM = 1  # int8 step = 1/16 in embedding units
+SQ8_SCALE_DEN = 16
+
+
+def sq8_quantization_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distortion report for int8 scalar quantization of the
+    embeddings (step 1/16, clamp ±127) — the go/no-go check before
+    shrinking an ANN index 4× (PQ's pq_topk measures recall; this
+    measures the raw geometry loss, per label so one bad cluster
+    can't hide in the corpus mean).
+
+    Everything happens on the 2^-20 integer lattice: the quantized
+    level is an integer floor-division of lattice units, the
+    reconstruction is level·2^20/16, and per-component absolute error
+    is an exact int64 — so mean/max distortion are bit-identical
+    across engines. One posexplode and one |labels|-group aggregate.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    lat = 1 << 20
+    step = lat * SQ8_SCALE_NUM // SQ8_SCALE_DEN  # lattice units per level
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.floor(
+            F.col("v").cast("double") * F.lit(float(lat)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    # round-to-nearest level: floor((q + step/2) / step), clamped
+    level = F.greatest(
+        F.lit(-127),
+        F.least(
+            F.lit(127),
+            F.floor(
+                (F.col("q") + F.lit(step // 2)).cast("double")
+                / F.lit(float(step))
+            ).cast("long"),
+        ),
+    )
+    err = F.abs(F.col("q") - level * F.lit(step))
+    g = comp.select("label", err.alias("e")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("e").alias("s_err"),
+        F.max("e").alias("m_err"),
+    )
+    sc = F.lit(float(lat))
+    return g.select(
+        "label",
+        "n_components",
+        (
+            F.col("s_err").cast("double")
+            / F.col("n_components").cast("double")
+            / sc
+        ).alias("mean_abs_err"),
+        (F.col("m_err").cast("double") / sc).alias("max_abs_err"),
+    )

@@ -949,3 +949,63 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(wl).cast("double")
         ).alias("share_of_label"),
     )
+
+
+COVERAGE_PCTS = (50, 90, 99)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many vocabulary entries cover 50/90/99% of all token
+    occurrences — the curve that sizes a tokenizer's vocab (Zipf says
+    the head covers most of the mass; this measures exactly where).
+
+    The window runs over the VOCAB-sized tf table (never the token
+    stream), ordered tf desc with the term string as tiebreaker; each
+    threshold is answered with pure integer arithmetic (100·cum ≥
+    pct·total — no float ratio anywhere), so the curve is exact in
+    any engine. Output: one row per threshold with the k needed and
+    the head share actually attained at that k.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        F.explode(tokens(F.lower("text"))).alias("word")
+    ).where(F.col("word") != "")
+    tf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.desc("tf"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = tf.select(
+        "tf",
+        F.sum("tf").over(w).alias("cum"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf"), F.asc("word")))
+        .cast("long")
+        .alias("k"),
+    )
+    total = tf.agg(F.sum("tf").alias("total"))
+    j = ranked.crossJoin(F.broadcast(total))
+    rows = []
+    for pct in COVERAGE_PCTS:
+        hit = j.where(
+            F.col("cum") * 100 >= F.col("total") * pct
+        ).agg(
+            F.min("k").alias("k_tokens"),
+        )
+        att = (
+            j.join(F.broadcast(hit), F.col("k") == F.col("k_tokens"))
+            .select(
+                F.lit(pct).cast("int").alias("pct"),
+                "k_tokens",
+                (
+                    F.col("cum").cast("double")
+                    / F.col("total").cast("double")
+                ).alias("share_attained"),
+            )
+        )
+        rows.append(att)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1544,3 +1544,106 @@ def test_dow_hour_grid_bounds(spark):
     for r in rows:
         assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
         assert r.n_events >= r.n_users >= 1
+
+
+def test_sq8_error_bounded_by_half_step(spark):
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        sq8_quantization_error,
+    )
+
+    rows = sq8_quantization_error(spark, SF).collect()
+    assert rows
+    half_step = (1 / 16) / 2
+    for r in rows:
+        assert 0.0 <= r.mean_abs_err <= r.max_abs_err
+        # clamp only bites past |v| ~ 7.9; embeddings are unit-ish, so
+        # error must respect the rounding bound step/2
+        assert r.max_abs_err <= half_step + 1e-9
+
+
+def test_vocab_coverage_monotone(spark):
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        vocab_coverage_curve,
+    )
+
+    rows = sorted(
+        vocab_coverage_curve(spark, SF).collect(), key=lambda r: r.pct
+    )
+    assert [r.pct for r in rows] == [50, 90, 99]
+    assert rows[0].k_tokens <= rows[1].k_tokens <= rows[2].k_tokens
+    for r in rows:
+        assert r.share_attained >= r.pct / 100.0  # k is the first hit
+    # k is minimal: attained share at k-1 would be below target is
+    # implied by MIN(k); sanity: 99% needs strictly more than 50%
+    assert rows[2].k_tokens > rows[0].k_tokens
+
+
+def test_fano_planted_poisson_vs_bursty(spark, tmp_path):
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.events import (
+        event_fano_factor,
+    )
+
+    d = str(tmp_path / "sf_fano")
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 'steady': exactly 5/day for 20 days -> variance 0, fano 0
+    for day in range(20):
+        for _ in range(5):
+            rows.append((eid, t0 + timedelta(days=day), 1, "steady",
+                         1.0, "{}"))
+            eid += 1
+    # 'bursty': 100 on one day, else 0 -> fano >> 1
+    for _ in range(100):
+        rows.append((eid, t0 + timedelta(days=3), 2, "bursty", 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.event_type: r for r in event_fano_factor(spark, d).collect()}
+    assert out["steady"].fano == 0.0
+    assert out["bursty"].fano > 50
+    assert out["steady"].n_days == out["bursty"].n_days == 20
+
+
+def test_pchart_planted_escape(spark, tmp_path):
+    from datetime import datetime
+    from doeecommerce_datapipeline_spark.operators.events import (
+        ship_sla_pchart,
+    )
+
+    d = str(tmp_path / "sf_pchart")
+    orders, lines = [], []
+    ok = 0
+    # 11 months x 200 orders at ~2% breach; month 12 at 50% breach
+    for m in range(1, 13):
+        rate = 0.5 if m == 12 else 0.02
+        for i in range(200):
+            od = datetime(2024, m, 1)
+            breach = (i % 100) < rate * 100
+            sd = datetime(2024, m, 28) if not breach else (
+                datetime(2024, m + 1, 15) if m < 12
+                else datetime(2025, 1, 15)
+            )
+            orders.append((ok, 1, "O", 1.0, od, "1-U"))
+            lines.append((ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", sd))
+            ok += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    out = {r.m.month: r for r in ship_sla_pchart(spark, d).collect()}
+    assert out[12].out_of_control
+    assert sum(1 for r in out.values() if r.out_of_control) == 1
+    assert out[12].p_breach == 0.5 and out[1].p_breach == 0.02
