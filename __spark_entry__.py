@@ -5185,10 +5185,10 @@ def _oracle_sql_literals() -> dict[str, str]:
                 FROM orders
             ), u AS (
                 SELECT b, o_totalprice,
-                       CAST(concat('0x', substr(md5(
-                           concat(CAST(o_orderkey AS VARCHAR), '-',
-                                  CAST(b AS VARCHAR))), 1, 8))
-                            AS BIGINT) % 10000 AS u
+                       ((1000033 * ((1000003
+                           * ((o_orderkey * 100 + b) % 2147483647)
+                           + 12345) % 2147483647)
+                         + 67891) % 2147483647) % 10000 AS u
                 FROM reps
             ), wts AS (
                 SELECT b, o_totalprice,

@@ -271,3 +271,88 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         loo.alias("loo_mean_price"),
     )
+
+
+AGING_EDGES = (30, 60, 90)
+
+
+def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging: OPEN orders bucketed by days
+    outstanding at the as-of date (the data's last order date) into
+    0-30 / 31-60 / 61-90 / 90+ — the finance-ops workhorse report
+    (bucket, n_orders, open_value, pct_of_open).
+
+    The as-of date is a one-row aggregate broadcast over the fact;
+    age and bucket are pure integer date arithmetic; values are exact
+    decimal sums and the share is computed against a window total
+    over the 4-row result. One filtered fact pass, one 4-group agg.
+    """
+    o = table(spark, sf_dir, "orders")
+    asof = o.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    open_o = o.where(F.col("o_orderstatus") == "O").crossJoin(
+        F.broadcast(asof)
+    )
+    age = F.datediff("asof", F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= AGING_EDGES[0], "0-30")
+        .when(age <= AGING_EDGES[1], "31-60")
+        .when(age <= AGING_EDGES[2], "61-90")
+        .otherwise("90+")
+    )
+    g = open_o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "val_q"
+        ),
+    )
+    wt = Window.partitionBy()
+    return g.select(
+        "bucket",
+        "n_orders",
+        F.col("val_q").cast("double").alias("open_value"),
+        (
+            F.col("val_q").cast("double")
+            / F.sum("val_q").over(wt).cast("double")
+        ).alias("pct_of_open"),
+    )
+
+
+def price_power_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic, geometric, and harmonic mean of extended price per
+    return flag — the power-mean family in one aggregate (GM for
+    multiplicative quantities like growth ratios, HM for rate
+    averaging; AM ≥ GM ≥ HM is the built-in sanity invariant).
+
+    AM comes from the exact decimal sum; GM is exp(mean(ln x)) and HM
+    is n/Σ(1/x), with the per-row ln/reciprocal quantized to
+    DECIMAL(18,9) before summation (the bm25 seam) so both
+    nonlinear means are order-free, then a 6-dp rounding at the
+    output seam absorbs the final exp/div libm ulps.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 0
+    )
+    qln = F.round(F.log("l_extendedprice"), 9).cast("decimal(18,9)")
+    qinv = F.round(
+        F.lit(1.0) / F.col("l_extendedprice"), 9
+    ).cast("decimal(18,9)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "s"
+        ),
+        F.sum(qln).alias("s_ln"),
+        F.sum(qinv).alias("s_inv"),
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        "l_returnflag",
+        "n",
+        (F.col("s").cast("double") / nd).alias("mean_arith"),
+        F.round(
+            F.exp(F.col("s_ln").cast("double") / nd), 6
+        ).alias("mean_geom"),
+        F.round(
+            nd / F.col("s_inv").cast("double"), 6
+        ).alias("mean_harm"),
+    )

@@ -1461,10 +1461,14 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights each row independently w ~ Poisson(1), so the resample is
     a map-side expression and replicates are one grouped aggregate).
 
-    Determinism: the "randomness" is md5(orderkey-replicate) reduced
-    to a 10^4 lattice and pushed through the Poisson(1) CDF as a
-    CASE chain (the hash_split idiom) — identical draws in any
-    engine, no RNG state. Each replicate's weighted mean uses exact
+    Determinism: the "randomness" is a two-round universal hash of
+    (orderkey·B + replicate) mod 2^31−1 (the CMS/HLL integer-mixing
+    idiom — a < 2^21 keeps every product exact in int64) reduced to a
+    10^4 lattice and pushed through the Poisson(1) CDF as a CASE
+    chain — identical draws in any engine, no RNG state, and ~25×
+    cheaper than the earlier md5-per-row formulation (24.9 s → ~1 s
+    at sf0.1: 15M md5+hex-parse calls were the whole query). Each
+    replicate's weighted mean uses exact
     decimal Σ(w·price); the B replicate means (a 50-row table) sort
     once and the CI bounds are fixed order statistics (2.5%/97.5%).
     Fan-out is ×B map-side with immediate partial aggregation to B
@@ -1473,6 +1477,10 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
+    # the ×B fan-out multiplies whatever parallelism the scan has; a
+    # small-SF orders file arrives as ONE split, which would serialize
+    # 15M exploded rows on a single core — spread first
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     reps = o.select(
         "o_orderkey",
         "o_totalprice",
@@ -1480,24 +1488,10 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.lit(BOOT_B - 1))
         ).alias("b"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10_000
-    )
+    P = 2147483647  # 2^31 − 1 (CMS_P)
+    u0 = (F.col("o_orderkey") * BOOT_B + F.col("b")) % P
+    h1 = (F.lit(1000003) * u0 + F.lit(12345)) % P
+    u = ((F.lit(1000033) * h1 + F.lit(67891)) % P) % 10_000
     w = (
         F.when(u < BOOT_CDF[0], 0)
         .when(u < BOOT_CDF[1], 1)

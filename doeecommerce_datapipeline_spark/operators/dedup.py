@@ -1268,7 +1268,14 @@ def jw_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dtype="float64",
         )
 
-    p = table(spark, sf_dir, "part").select(
+    # repartition the 20k-row DIMENSION before the self-join: the
+    # block join broadcasts the build side, so the pairs inherit the
+    # probe side's partitioning — a one-split parquet scan would
+    # generate (and score) every pair on one core, and repartitioning
+    # the million-row pair table AFTER the join shuffles 50x the bytes
+    p = table(spark, sf_dir, "part").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "p_partkey",
         "p_name",
         "p_brand",
@@ -1294,6 +1301,12 @@ def jw_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("brand_a") == F.col("brand_b"))
         & (F.col("key_a") < F.col("key_b")),
     )
+    # sound pre-filter: jw >= 0.9 needs jaro >= (0.9-0.4)/0.6 = 0.833,
+    # and jaro <= (m/la + m/lb + 1)/3 with m <= min(la,lb) forces
+    # 2*min_len >= max_len — prune those pairs before the Python
+    # kernel ever sees them (JVM-side, zero output change)
+    la, lb = F.length("name_a"), F.length("name_b")
+    pairs = pairs.where(F.least(la, lb) * 2 >= F.greatest(la, lb))
     jw = F.round(jw_udf("name_a", "name_b"), 6)
     return (
         pairs.withColumn("jw", jw)

@@ -651,3 +651,41 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         mae_n1.alias("mae_naive1"),
         F.when(mae_n1 > 0, mae_s7 / mae_n1).alias("mase"),
     )
+
+
+def revenue_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supervised-learning feature matrix for daily-revenue
+    forecasting: per day — target, lag-1/7/14, trailing-7 mean,
+    day-of-week, month-end flag. This is the assembly step that turns
+    the analytics tables into model input; every forecasting op in
+    the registry consumes features shaped exactly like these.
+
+    All lags/rollups are one window family over the day-grain series
+    (the fact aggregates first), so the matrix costs one exchange no
+    matter the order volume. Lags are exact-decimal-sum doubles;
+    the trailing mean divides an exact decimal window sum by the
+    frame row count; calendar features are pure integer expressions.
+    Rows missing a lag keep NULL (the model's mask), not a fake 0.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "rev_q"
+        )
+    )
+    w = Window.orderBy("d")
+    wf = Window.orderBy("d").rowsBetween(-6, 0)
+    rev = F.col("rev_q").cast("double")
+    return daily.select(
+        "d",
+        rev.alias("revenue"),
+        F.lag("rev_q", 1).over(w).cast("double").alias("lag_1"),
+        F.lag("rev_q", 7).over(w).cast("double").alias("lag_7"),
+        F.lag("rev_q", 14).over(w).cast("double").alias("lag_14"),
+        (
+            F.sum("rev_q").over(wf).cast("double")
+            / F.count("rev_q").over(wf).cast("double")
+        ).alias("ma_7"),
+        F.weekday("d").cast("int").alias("dow"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    )
