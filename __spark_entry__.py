@@ -117,7 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     twap_user_day, window_funnel_depth, ols_two_factor,
     event_pmi_pairs, langid_confusion, dow_hour_activity,
     sq8_quantization_error, vocab_coverage_curve, event_fano_factor,
-    ship_sla_pchart —
+    ship_sla_pchart, revenue_feature_matrix, ar_aging_buckets,
+    price_power_means —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -439,6 +440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": T.vocab_coverage_curve,
         "event_fano_factor": E.event_fano_factor,
         "ship_sla_pchart": E.ship_sla_pchart,
+        # (aa) round-4 continuation 22 — forecasting feature assembly,
+        # AR aging, and the power-mean family
+        "revenue_feature_matrix": W.revenue_feature_matrix,
+        "ar_aging_buckets": A.ar_aging_buckets,
+        "price_power_means": A.price_power_means,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5598,5 +5604,78 @@ def _oracle_sql_literals() -> dict[str, str]:
                                     / CAST(n AS DOUBLE))))
                        AS out_of_control
             FROM monthly, pooled
+        """,
+        "revenue_feature_matrix": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS rev_q
+                FROM orders GROUP BY 1
+            )
+            SELECT d,
+                   CAST(rev_q AS DOUBLE) AS revenue,
+                   CAST(LAG(rev_q, 1) OVER (ORDER BY d) AS DOUBLE)
+                       AS lag_1,
+                   CAST(LAG(rev_q, 7) OVER (ORDER BY d) AS DOUBLE)
+                       AS lag_7,
+                   CAST(LAG(rev_q, 14) OVER (ORDER BY d) AS DOUBLE)
+                       AS lag_14,
+                   CAST(SUM(rev_q) OVER w7 AS DOUBLE)
+                   / CAST(COUNT(rev_q) OVER w7 AS DOUBLE) AS ma_7,
+                   CAST(isodow(d) - 1 AS INTEGER) AS dow,
+                   d = last_day(d) AS is_month_end
+            FROM daily
+            WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                          AND CURRENT ROW)
+        """,
+        "ar_aging_buckets": """
+            WITH asof_t AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS asof_d
+                FROM orders
+            ), open_o AS (
+                SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                                 asof_d) AS age,
+                       o_totalprice
+                FROM orders, asof_t WHERE o_orderstatus = 'O'
+            ), b AS (
+                SELECT CASE WHEN age <= 30 THEN '0-30'
+                            WHEN age <= 60 THEN '31-60'
+                            WHEN age <= 90 THEN '61-90'
+                            ELSE '90+' END AS bucket,
+                       o_totalprice
+                FROM open_o
+            ), g AS (
+                SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS val_q
+                FROM b GROUP BY bucket
+            )
+            SELECT bucket, n_orders,
+                   CAST(val_q AS DOUBLE) AS open_value,
+                   CAST(val_q AS DOUBLE)
+                   / CAST(SUM(val_q) OVER () AS DOUBLE) AS pct_of_open
+            FROM g
+        """,
+        "price_power_means": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS s,
+                       SUM(CAST(ROUND(ln(l_extendedprice), 7)
+                                AS DECIMAL(18,7))) AS s_ln,
+                       SUM(CAST(ROUND(1.0 / l_extendedprice, 9)
+                                AS DECIMAL(18,9))) AS s_inv
+                FROM lineitem WHERE l_extendedprice > 0
+                GROUP BY 1
+            )
+            SELECT l_returnflag, n,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS mean_arith,
+                   ROUND(exp(CAST(s_ln AS DOUBLE)
+                             / CAST(n AS DOUBLE)), 6) AS mean_geom,
+                   ROUND(CAST(n AS DOUBLE)
+                         / CAST(s_inv AS DOUBLE), 6) AS mean_harm
+            FROM g
         """,
     }

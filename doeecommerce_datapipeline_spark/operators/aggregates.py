@@ -13,7 +13,7 @@ approx_count_distinct (HLL) at 100TB where exactness isn't contractual.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dsum, exact_avg
@@ -324,15 +324,17 @@ def price_power_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     averaging; AM ≥ GM ≥ HM is the built-in sanity invariant).
 
     AM comes from the exact decimal sum; GM is exp(mean(ln x)) and HM
-    is n/Σ(1/x), with the per-row ln/reciprocal quantized to
-    DECIMAL(18,9) before summation (the bm25 seam) so both
-    nonlinear means are order-free, then a 6-dp rounding at the
-    output seam absorbs the final exp/div libm ulps.
+    is n/Σ(1/x), with the per-row ln quantized to DECIMAL(18,7) and
+    the reciprocal to DECIMAL(18,9) before summation (the bm25 seam,
+    scales chosen so the summed digit count stays under 2^53 — the
+    TWAP lesson: a wider scale pushes some engines' decimal→double
+    conversion into int128 double-rounding), then a 6-dp rounding at
+    the output seam absorbs the final exp/div libm ulps.
     """
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_extendedprice") > 0
     )
-    qln = F.round(F.log("l_extendedprice"), 9).cast("decimal(18,9)")
+    qln = F.round(F.log("l_extendedprice"), 7).cast("decimal(18,7)")
     qinv = F.round(
         F.lit(1.0) / F.col("l_extendedprice"), 9
     ).cast("decimal(18,9)")

@@ -1647,3 +1647,55 @@ def test_pchart_planted_escape(spark, tmp_path):
     assert out[12].out_of_control
     assert sum(1 for r in out.values() if r.out_of_control) == 1
     assert out[12].p_breach == 0.5 and out[1].p_breach == 0.02
+
+
+def test_feature_matrix_lags_line_up(spark):
+    from doeecommerce_datapipeline_spark.operators.windows import (
+        revenue_feature_matrix,
+    )
+
+    rows = sorted(
+        revenue_feature_matrix(spark, SF).collect(), key=lambda r: r.d
+    )
+    assert len(rows) > 20
+    by_d = {r.d: r for r in rows}
+    ds = [r.d for r in rows]
+    for i, r in enumerate(rows):
+        assert 0 <= r.dow <= 6
+        if i >= 1 and (r.d - ds[i - 1]).days == 1:
+            assert r.lag_1 == by_d[ds[i - 1]].revenue
+        if i >= 6:
+            window = rows[max(0, i - 6): i + 1]
+            if (r.d - window[0].d).days == len(window) - 1:
+                exp = sum(x.revenue for x in window) / len(window)
+                assert r.ma_7 == pytest.approx(exp, rel=1e-9)
+
+
+def test_ar_aging_partitions_open_orders(spark):
+    from doeecommerce_datapipeline_spark.operators.aggregates import (
+        ar_aging_buckets,
+    )
+    from doeecommerce_datapipeline_spark.io import table
+
+    rows = ar_aging_buckets(spark, SF).collect()
+    n_open = (
+        table(spark, SF, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_open
+    assert sum(r.pct_of_open for r in rows) == pytest.approx(1.0)
+    assert {r.bucket for r in rows} <= {"0-30", "31-60", "61-90", "90+"}
+
+
+def test_power_means_inequality(spark):
+    from doeecommerce_datapipeline_spark.operators.aggregates import (
+        price_power_means,
+    )
+
+    rows = price_power_means(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # AM >= GM >= HM, strict unless all prices equal
+        assert r.mean_arith >= r.mean_geom >= r.mean_harm
+        assert r.mean_arith > r.mean_harm
