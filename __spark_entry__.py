@@ -118,7 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     event_pmi_pairs, langid_confusion, dow_hour_activity,
     sq8_quantization_error, vocab_coverage_curve, event_fano_factor,
     ship_sla_pchart, revenue_feature_matrix, ar_aging_buckets,
-    price_power_means —
+    price_power_means, item_item_cosine, value_psi_drift —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -445,6 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_feature_matrix": W.revenue_feature_matrix,
         "ar_aging_buckets": A.ar_aging_buckets,
         "price_power_means": A.price_power_means,
+        # (ab) round-4 continuation 23 — item-item CF neighbors and
+        # the PSI drift score completing the drift trio
+        "item_item_cosine": R.item_item_cosine,
+        "value_psi_drift": PR.value_psi_drift,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5677,5 +5681,91 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ROUND(CAST(n AS DOUBLE)
                          / CAST(s_inv AS DOUBLE), 6) AS mean_harm
             FROM g
+        """,
+        "item_item_cosine": """
+            WITH baskets AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            ), ni AS (
+                SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+                FROM baskets GROUP BY 1
+            ), pair AS (
+                SELECT a.p AS i, b.p AS j,
+                       CAST(COUNT(*) AS BIGINT) AS n_ij
+                FROM baskets a JOIN baskets b
+                  ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2
+            ), bothp AS (
+                SELECT i, j, n_ij FROM pair
+                UNION ALL
+                SELECT j AS i, i AS j, n_ij FROM pair
+            ), scored AS (
+                SELECT b.i AS part_i, b.j AS part_j, b.n_ij,
+                       ROUND(CAST(b.n_ij AS DOUBLE)
+                             / (sqrt(CAST(ci.c AS DOUBLE))
+                                * sqrt(CAST(cj.c AS DOUBLE))), 6)
+                           AS sim
+                FROM bothp b
+                JOIN ni ci ON ci.p = b.i
+                JOIN ni cj ON cj.p = b.j
+            ), ranked AS (
+                SELECT *, CAST(ROW_NUMBER() OVER (
+                           PARTITION BY part_i
+                           ORDER BY sim DESC, part_j ASC) AS BIGINT)
+                           AS rnk
+                FROM scored
+            )
+            SELECT part_i, part_j, n_ij, sim, rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        "value_psi_drift": """
+            WITH e AS (
+                SELECT epoch_us(ts) AS t, value FROM events
+            ), bounds AS (
+                SELECT MIN(t) AS t_lo, MAX(t) AS t_hi,
+                       MIN(value) AS v_lo, MAX(value) AS v_hi
+                FROM e
+            ), binned AS (
+                SELECT LEAST(CAST(FLOOR((value - v_lo)
+                                 / ((v_hi - v_lo) / 10.0))
+                             AS BIGINT), 9) AS bin,
+                       CASE WHEN t * 2 <= t_lo + t_hi
+                            THEN 0 ELSE 1 END AS half
+                FROM e, bounds
+            ), counts AS (
+                SELECT bin, half, CAST(COUNT(*) AS BIGINT) AS n
+                FROM binned GROUP BY 1, 2
+            ), tot AS (
+                SELECT half, CAST(SUM(n) AS BIGINT) AS n_half
+                FROM counts GROUP BY 1
+            ), g AS (
+                SELECT c.bin, c.half, c.n,
+                       greatest(CAST(c.n AS DOUBLE)
+                                / CAST(t.n_half AS DOUBLE),
+                                1e-6) AS share
+                FROM counts c JOIN tot t USING (half)
+            ), wide AS (
+                SELECT bin,
+                       SUM(CASE WHEN half = 0 THEN n END) AS n_ref,
+                       SUM(CASE WHEN half = 1 THEN n END) AS n_cur,
+                       MAX(CASE WHEN half = 0 THEN share END) AS p,
+                       MAX(CASE WHEN half = 1 THEN share END) AS q
+                FROM g GROUP BY bin
+            ), per_bin AS (
+                SELECT CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+                       CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur,
+                       CAST(ROUND((COALESCE(p, 1e-6)
+                                   - COALESCE(q, 1e-6))
+                                  * ln(COALESCE(p, 1e-6)
+                                       / COALESCE(q, 1e-6)), 9)
+                            AS DECIMAL(18,9)) AS term_q
+                FROM wide
+            )
+            SELECT CAST(SUM(n_ref) AS BIGINT) AS n_ref_total,
+                   CAST(SUM(n_cur) AS BIGINT) AS n_cur_total,
+                   CAST(SUM(term_q) AS DOUBLE) AS psi,
+                   CAST(SUM(term_q) AS DOUBLE) > 0.25 AS broken,
+                   CAST(SUM(term_q) AS DOUBLE) > 0.1 AS shifting
+            FROM per_bin
         """,
     }

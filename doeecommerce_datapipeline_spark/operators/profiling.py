@@ -247,3 +247,73 @@ def value_drift_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > F.lit(MWU_Z_CRIT)).alias("drift"),
     )
+
+
+PSI_BINS = 10
+
+
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's value distribution — the industry-standard
+    drift score (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25 broken)
+    completing the drift trio beside value_drift_ks (nonparametric
+    test) and value_drift_mwu (rank test).
+
+    The time split is the integer midpoint of the epoch-microsecond bounds; bins
+    are 10 equal widths over the GLOBAL min/max (fixed edges — PSI is
+    defined against a frozen binning, and data-dependent quantile
+    edges would make the score engine-sensitive). Counts are exact
+    ints; the per-bin (p−q)·ln(p/q) terms quantize to DECIMAL(18,9)
+    before the ≤10-way sum; empty bins take the standard ε=1e-6
+    smoothing on both engines.
+    """
+    e = table(spark, sf_dir, "events").select("ts", "value")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("t_lo"),
+        F.max(F.unix_micros("ts")).alias("t_hi"),
+        F.min("value").alias("v_lo"),
+        F.max("value").alias("v_hi"),
+    )
+    j = e.crossJoin(F.broadcast(bounds))
+    width = (F.col("v_hi") - F.col("v_lo")) / F.lit(float(PSI_BINS))
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("v_lo")) / width),
+        F.lit(PSI_BINS - 1).cast("long"),
+    )
+    half = F.when(F.unix_micros("ts") * 2 <= F.col("t_lo") + F.col("t_hi"), 0).otherwise(1)
+    counts = j.groupBy(bin_.alias("bin"), half.alias("half")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("half").agg(F.sum("n").alias("n_half"))
+    g = counts.join(F.broadcast(tot), "half")
+    share = F.greatest(
+        F.col("n").cast("double") / F.col("n_half").cast("double"),
+        F.lit(1.0e-6),
+    )
+    wide = g.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("n"))).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, F.col("n"))).alias("n_cur"),
+        F.max(F.when(F.col("half") == 0, share)).alias("p"),
+        F.max(F.when(F.col("half") == 1, share)).alias("q"),
+    )
+    p = F.coalesce(F.col("p"), F.lit(1.0e-6))
+    q = F.coalesce(F.col("q"), F.lit(1.0e-6))
+    term = F.round((p - q) * F.log(p / q), 9).cast("decimal(18,9)")
+    per_bin = wide.select(
+        "bin",
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        term.alias("term_q"),
+    )
+    psi = per_bin.agg(
+        F.sum("term_q").cast("double").alias("psi"),
+        F.sum("n_ref").alias("n_ref_total"),
+        F.sum("n_cur").alias("n_cur_total"),
+    )
+    return psi.select(
+        "n_ref_total",
+        "n_cur_total",
+        "psi",
+        (F.col("psi") > 0.25).alias("broken"),
+        (F.col("psi") > 0.1).alias("shifting"),
+    )

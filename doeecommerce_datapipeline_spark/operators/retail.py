@@ -658,3 +658,74 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("revenue_share"),
         cum_share.alias("cum_revenue_share"),
     )
+
+
+ITEM_SIM_TOP = 5
+
+
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for each part, its top-5
+    most-similar parts by cosine over the binary order-basket
+    incidence (sim = n_ij / √(n_i·n_j)) — the "customers who bought
+    X also bought Y" primitive, where market_basket_lift measures
+    association strength and THIS produces the ranked neighbor lists
+    a recommender actually serves.
+
+    Shape: distinct (order, part) → co-occurrence pair counts
+    (fan-out bounded by basket size, the basket-dedup trick) →
+    per-part counts broadcast back → cosine as one fixed dag on
+    exact integers (√n_i·√n_j mirrored exactly) → per-part top-5 via
+    a bounded rank window, emitted both directions so every part has
+    a neighbor list. 6-dp seam on the score keeps the rank cut
+    engine-stable.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_i = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("j")
+    )
+    pair = (
+        a.join(b, "o")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+    )
+    both = pair.unionByName(
+        pair.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n_ij",
+        )
+    )
+    ni = n_i.select(F.col("l_partkey").alias("i"), F.col("n_i").alias("c_i"))
+    nj = n_i.select(F.col("l_partkey").alias("j"), F.col("n_i").alias("c_j"))
+    scored = both.join(F.broadcast(ni), "i").join(F.broadcast(nj), "j")
+    sim = F.round(
+        F.col("n_ij").cast("double")
+        / (
+            F.sqrt(F.col("c_i").cast("double"))
+            * F.sqrt(F.col("c_j").cast("double"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.desc("sim"), F.asc("j")
+    )
+    return (
+        scored.select("i", "j", "n_ij", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= ITEM_SIM_TOP)
+        .select(
+            F.col("i").alias("part_i"),
+            F.col("j").alias("part_j"),
+            "n_ij",
+            "sim",
+            "rnk",
+        )
+    )

@@ -1699,3 +1699,63 @@ def test_power_means_inequality(spark):
         # AM >= GM >= HM, strict unless all prices equal
         assert r.mean_arith >= r.mean_geom >= r.mean_harm
         assert r.mean_arith > r.mean_harm
+
+
+def test_item_item_cosine_planted_copurchase(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        item_item_cosine,
+    )
+
+    d = str(tmp_path / "sf_ii")
+    # parts 1,2 always together (3 baskets); part 3 once with 1
+    rows = []
+    ln = 0
+    for o, parts in [(10, [1, 2]), (11, [1, 2]), (12, [1, 2, 3])]:
+        for p in parts:
+            rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+            ln += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    out = {(r.part_i, r.rnk): r for r in item_item_cosine(spark, d).collect()}
+    # part 1's best neighbor is 2: sim = 3/sqrt(3*3) = 1.0
+    assert out[(1, 1)].part_j == 2 and out[(1, 1)].sim == 1.0
+    # part 3's only neighbor list has both 1 and 2 with sim 1/sqrt(3)
+    assert out[(3, 1)].sim == pytest.approx(1 / 3**0.5, abs=1e-6)
+    # symmetric direction exists
+    assert out[(2, 1)].part_j == 1
+
+
+def test_psi_planted_shift_and_stability(spark, tmp_path):
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.profiling import (
+        value_psi_drift,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(dirname, shift):
+        d = str(tmp_path / dirname)
+        rows = []
+        for i in range(2000):
+            # first half values ~ U[0,100); second half shifted
+            half = i >= 1000
+            v = (i * 37 % 100) + (shift if half else 0)
+            rows.append((i, t0 + timedelta(minutes=i), i % 50, "view",
+                         float(v), "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(d + "/events.parquet")
+        return d
+
+    [stable] = value_psi_drift(spark, mk("psi_same", 0)).collect()
+    [broken] = value_psi_drift(spark, mk("psi_shift", 400)).collect()
+    assert stable.n_ref_total == stable.n_cur_total == 1000
+    assert stable.psi < 0.1 and not stable.shifting
+    assert broken.psi > 0.25 and broken.broken
