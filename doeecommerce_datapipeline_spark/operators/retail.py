@@ -680,7 +680,14 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable.
     """
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket table feeds three consumers (both join
+    # sides + the per-part counts) — materialize the fact shuffle
+    # once (the market_basket_lift pattern)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_i = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_i")
     )
