@@ -1194,11 +1194,13 @@ def _jaro_winkler(a: str, b: str) -> float:
     the 6-dp seam) to DuckDB's jaro_winkler_similarity over ~10k real
     blocked part-name pairs, which is what makes the operator
     oracle-pairable."""
-    if a == b:
-        return 1.0
     la, lb = len(a), len(b)
+    # emptiness first: DuckDB scores ('','') as 0, not 1 (caught by
+    # the hypothesis fuzz vs the native engine)
     if la == 0 or lb == 0:
         return 0.0
+    if a == b:
+        return 1.0
     window = max(la, lb) // 2 - 1
     if window < 0:
         window = 0

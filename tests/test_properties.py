@@ -367,3 +367,49 @@ def test_peak_concurrency_sweep_equals_brute_force(spark, ivs):
             continue
         want[d] = (carry, peak)
     assert got == want
+
+
+# ---- round-4 kernels ------------------------------------------------
+
+import duckdb as _duckdb  # noqa: E402
+
+from doeecommerce_datapipeline_spark.operators.dedup import (  # noqa: E402
+    _jaro_winkler,
+)
+
+_name_strategy = st.text(
+    alphabet=st.sampled_from("abcde "), min_size=0, max_size=12
+)
+
+
+@given(a=_name_strategy, b=_name_strategy)
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_matches_native_engine(a, b):
+    """The Arrow kernel's JW must equal DuckDB's native
+    jaro_winkler_similarity at the 6-dp seam on ARBITRARY strings —
+    the fuzz extension of the 10k-real-pairs check in the docstring
+    (small alphabet maximizes transposition/window edge cases)."""
+    [(want,)] = _duckdb.sql(
+        "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchall()
+    got = _jaro_winkler(a, b)
+    assert round(got, 6) == round(want, 6), (a, b, got, want)
+
+
+@given(
+    flows=st.lists(st.integers(-50, 50), min_size=1, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_backlog_prefix_min_closed_form(flows):
+    """cum - least(0, running_min(cum)) == the clamp recurrence
+    max(0, prev + x) on any flow sequence — the identity
+    order_backlog_sweep's window formulation rests on."""
+    cum = 0
+    runmin = 0
+    bl = 0
+    for x in flows:
+        cum += x
+        runmin = min(runmin, cum)
+        closed = cum - min(0, runmin)
+        bl = max(0, bl + x)
+        assert closed == bl
