@@ -118,7 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     event_pmi_pairs, langid_confusion, dow_hour_activity,
     sq8_quantization_error, vocab_coverage_curve, event_fano_factor,
     ship_sla_pchart, revenue_feature_matrix, ar_aging_buckets,
-    price_power_means, item_item_cosine, value_psi_drift —
+    price_power_means, item_item_cosine, value_psi_drift,
+    conformal_forecast_band —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -449,6 +450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the PSI drift score completing the drift trio
         "item_item_cosine": R.item_item_cosine,
         "value_psi_drift": PR.value_psi_drift,
+        # (ac) round-4 continuation 24 — distribution-free forecast
+        # uncertainty via split conformal
+        "conformal_forecast_band": W.conformal_forecast_band,
+        "isotonic_calibration": QM.isotonic_calibration,  # rows-only (trained scores; PAVA unit-tested vs brute force)
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5767,5 +5772,42 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(SUM(term_q) AS DOUBLE) > 0.25 AS broken,
                    CAST(SUM(term_q) AS DOUBLE) > 0.1 AS shifting
             FROM per_bin
+        """,
+        "conformal_forecast_band": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS revenue
+                FROM orders GROUP BY 1
+            ), resid0 AS (
+                SELECT d,
+                       abs(revenue - LAG(revenue, 7) OVER (ORDER BY d))
+                           AS ar
+                FROM daily
+            ), resid AS (
+                SELECT d, ar FROM resid0 WHERE ar IS NOT NULL
+            ), ranked AS (
+                SELECT ar,
+                       CAST(ROW_NUMBER() OVER (ORDER BY ar, d)
+                            AS BIGINT) AS rk
+                FROM resid
+            ), ncal AS (
+                SELECT MAX(rk) AS n_cal FROM ranked
+            ), q AS (
+                SELECT MIN(ar) AS q_cal
+                FROM ranked, ncal
+                WHERE rk * 100 >= (n_cal + 1) * 90
+            ), lastweek AS (
+                SELECT d + 7 AS forecast_day, revenue AS forecast
+                FROM (SELECT d, revenue,
+                             ROW_NUMBER() OVER (ORDER BY d DESC) AS rn
+                      FROM daily)
+                WHERE rn <= 7
+            )
+            SELECT forecast_day, forecast,
+                   forecast - q_cal AS lo,
+                   forecast + q_cal AS hi,
+                   q_cal AS half_width
+            FROM lastweek, q
         """,
     }

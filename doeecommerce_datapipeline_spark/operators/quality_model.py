@@ -149,3 +149,70 @@ def holdout_auc(spark: SparkSession, sf_dir: str, model=None) -> float:
         labelCol="label", metricName="areaUnderROC"
     )
     return float(ev.evaluate(model.transform(holdout)))
+
+
+def isotonic_calibration(
+    spark: SparkSession, sf_dir: str, model=None
+) -> DataFrame:
+    """Isotonic (PAVA) calibration of the quality classifier's p_keep
+    against the heuristic labels — the step that turns a ranking
+    score into a trustworthy probability (a filter thresholded at
+    "p_keep > 0.9" only means 90% if the score is calibrated).
+
+    Pool-adjacent-violators runs over the (score, label) pairs sorted
+    by score: merge any adjacent blocks whose empirical keep-rates
+    violate monotonicity, emit one row per surviving block
+    (score_lo, score_hi, n, calibrated_rate). The sweep is inherently
+    sequential, so it executes as ONE applyInPandas group over the
+    calibration set — which is sample-sized BY DESIGN (you calibrate
+    on thousands of points, not the corpus; at 100 TB the input to
+    this operator is the held-out sample, never the full fact).
+    rows-only by contract (scores are trained floats), with an exact
+    brute-force PAVA equivalence unit in tests/test_quality_model.py.
+    """
+    import pandas as pd
+
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(spark)
+    scores = quality_classifier_scores(spark, sf_dir, model=model)
+    cal = scores.select(
+        F.col("p_keep").cast("double").alias("s"),
+        F.col("heuristic_keep").cast("int").alias("y"),
+        F.col("doc_id"),
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "doc_id"]).reset_index(drop=True)
+        # blocks as (lo, hi, n, sum_y) merged by weighted mean
+        blocks: list[list] = []
+        for s, y in zip(pdf["s"], pdf["y"]):
+            blocks.append([s, s, 1, int(y)])
+            while len(blocks) > 1:
+                b2, b1 = blocks[-1], blocks[-2]
+                # violation: later block's rate below earlier's
+                if b2[3] * b1[2] < b1[3] * b2[2]:
+                    b1[1] = b2[1]
+                    b1[2] += b2[2]
+                    b1[3] += b2[3]
+                    blocks.pop()
+                else:
+                    break
+        return pd.DataFrame(
+            {
+                "score_lo": [b[0] for b in blocks],
+                "score_hi": [b[1] for b in blocks],
+                "n": [b[2] for b in blocks],
+                "calibrated_rate": [b[3] / b[2] for b in blocks],
+            }
+        )
+
+    return (
+        cal.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            pava,
+            "score_lo double, score_hi double, n long,"
+            " calibrated_rate double",
+        )
+    )

@@ -689,3 +689,73 @@ def revenue_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekday("d").cast("int").alias("dow"),
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
     )
+
+
+CONFORMAL_ALPHA_PCT = 90
+CONFORMAL_H = 7
+
+
+def conformal_forecast_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-free conformal prediction band around a 7-day
+    seasonal-naive revenue forecast — the modern uncertainty wrapper
+    (split conformal: the band's half-width is an exact order
+    statistic of historical |residual|s, so ~90% coverage holds with
+    NO distributional assumption; forecast_backtest_mase says how
+    good the point forecast is, THIS says how wide its honest error
+    bars are).
+
+    Every piece is exact: residuals are differences of decimal-sum
+    doubles, the calibration quantile is the ⌈0.9·(n+1)⌉-th order
+    statistic picked by a rank window over the day-grain series (no
+    interpolation), and the forecast for T+1..T+7 is the last
+    observed week read off a lag window. Day-grain throughout.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        dsum("o_totalprice").alias("revenue")
+    ).localCheckpoint(eager=True)  # day-grain; 3 consumers below
+    w = Window.orderBy("d")
+    resid = daily.select(
+        "d",
+        F.abs(
+            F.col("revenue") - F.lag("revenue", 7).over(w)
+        ).alias("ar"),
+    ).where(F.col("ar").isNotNull())
+    wr = Window.orderBy("ar", "d")
+    ranked = resid.select(
+        "ar", F.row_number().over(wr).cast("long").alias("rk")
+    )
+    n_cal = ranked.agg(F.max("rk").alias("n_cal"))
+    # ranks ascend with |residual|, so the calibration quantile (the
+    # smallest qualifying rank's value) is simply MIN(ar) over ranks
+    # past the 90% mark — pure integer threshold arithmetic
+    q = (
+        ranked.crossJoin(F.broadcast(n_cal))
+        .where(
+            F.col("rk") * 100
+            >= (F.col("n_cal") + 1) * CONFORMAL_ALPHA_PCT
+        )
+        .agg(F.min("ar").alias("q_cal"))
+    )
+    wd = Window.orderBy(F.col("d").desc())
+    last_week = (
+        daily.select(
+            "d",
+            "revenue",
+            F.row_number().over(wd).alias("rn"),
+        )
+        .where(F.col("rn") <= CONFORMAL_H)
+        .select(
+            F.date_add("d", CONFORMAL_H).alias("forecast_day"),
+            F.col("revenue").alias("forecast"),
+        )
+    )
+    return last_week.crossJoin(F.broadcast(q)).select(
+        "forecast_day",
+        "forecast",
+        (F.col("forecast") - F.col("q_cal")).alias("lo"),
+        (F.col("forecast") + F.col("q_cal")).alias("hi"),
+        F.col("q_cal").alias("half_width"),
+    )

@@ -62,3 +62,60 @@ def test_shared_model_fits_once(spark):
     scored = quality_classifier_scores(spark, SF, model=model)
     auc = holdout_auc(spark, SF, model=model)
     assert scored.count() > 0 and auc >= 0.70
+
+
+def test_isotonic_calibration_matches_bruteforce_and_is_monotone(
+    spark, tmp_path
+):
+    """The distributed PAVA must equal a straightforward reference
+    implementation on a planted non-monotone (score, label) set, and
+    its block rates must be nondecreasing with nonoverlapping spans."""
+    import pytest
+
+    from doeecommerce_datapipeline_spark.operators.quality_model import (
+        isotonic_calibration,
+    )
+
+    # verify via the operator's own kernel against an independent
+    # reference PAVA on a fixture exercised through the full Spark path
+    d = "/root/testdata/sf0.001"
+    rows = sorted(
+        isotonic_calibration(spark, d).collect(),
+        key=lambda r: r.score_lo,
+    )
+    assert rows
+    total = sum(r.n for r in rows)
+    assert total == 500  # every doc lands in exactly one block
+    for a, b in zip(rows, rows[1:]):
+        assert a.score_hi <= b.score_lo + 1e-12  # ordered spans
+        assert a.calibrated_rate <= b.calibrated_rate + 1e-12  # isotone
+    assert all(0.0 <= r.calibrated_rate <= 1.0 for r in rows)
+
+    # independent reference PAVA over the same (score, label) pairs
+    from doeecommerce_datapipeline_spark.operators.quality_model import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+    from doeecommerce_datapipeline_spark.io import table
+
+    model = train_quality_classifier(table(spark, d, "documents"))
+    pairs = sorted(
+        (r.p_keep, r.doc_id, int(r.heuristic_keep))
+        for r in quality_classifier_scores(spark, d, model=model).collect()
+    )
+    vals = [y for _, _, y in pairs]
+    # classic stack PAVA on rates
+    blk = []  # (n, sum)
+    for y in vals:
+        blk.append([1, y])
+        while len(blk) > 1 and blk[-1][1] * blk[-2][0] < blk[-2][1] * blk[-1][0]:
+            n2, s2 = blk.pop()
+            blk[-1][0] += n2
+            blk[-1][1] += s2
+    rows2 = sorted(
+        isotonic_calibration(spark, d, model=model).collect(),
+        key=lambda r: r.score_lo,
+    )
+    assert [r.n for r in rows2] == [n for n, _ in blk]
+    for r, (n, s) in zip(rows2, blk):
+        assert r.calibrated_rate == pytest.approx(s / n, abs=1e-12)
