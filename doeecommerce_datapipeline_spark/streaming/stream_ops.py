@@ -416,3 +416,72 @@ def stream_enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(d, "user_id", "left").select(
         "event_id", "user_id", "event_type", "ts", "nation_name"
     )
+
+
+def foreach_batch_psi_bins(
+    bins_path: str,
+    v_lo: float,
+    v_hi: float,
+    t_bound_2x_us: int,
+    n_bins: int = 10,
+    lineage_id: str = "default",
+):
+    """Online drift monitor: each micro-batch folds its value
+    histogram into a persistent (bin, half) count table — additive
+    state exactly like the CMS cells, so the drained stream's table
+    is IDENTICAL to the batch binning over the same rows and the PSI
+    computed from it equals operators/profiling.value_psi_drift's
+    (the e2e pins this).
+
+    The binning frame (v_lo, v_hi, t_bound_2x_us = reference t_lo +
+    t_hi in microseconds, kept doubled so an odd sum never forces a
+    fractional midpoint) is FIXED up front — the
+    reference-period contract every production PSI monitor has: drift
+    is measured against a frozen reference binning, never against
+    bounds that move with the stream. State is 2·n_bins rows forever;
+    per-batch cost is one aggregate plus an ACID upsert with the same
+    lineage-scoped epoch replay guard as the CMS sink.
+    """
+    from ..sinks.manifest_store import ManifestTable
+
+    def _bin_counts(df: DataFrame) -> DataFrame:
+        width = (v_hi - v_lo) / float(n_bins)
+        bin_ = F.least(
+            F.floor((F.col("value") - F.lit(v_lo)) / F.lit(width)),
+            F.lit(n_bins - 1).cast("long"),
+        )
+        half = F.when(
+            F.unix_micros("ts") * 2 <= F.lit(t_bound_2x_us), 0
+        ).otherwise(1)
+        return df.groupBy(
+            bin_.alias("bin"), half.alias("half")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tbl = ManifestTable(spark, bins_path)
+        v = tbl.current_version()
+        if v > 0:
+            meta = tbl._read_manifest(v)
+            if (
+                meta.get("psi_run", "default") == lineage_id
+                and meta.get("psi_epoch", -1) >= epoch_id
+            ):
+                return
+            merged = (
+                tbl.read()
+                .unionByName(_bin_counts(batch_df))
+                .groupBy("bin", "half")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = _bin_counts(batch_df)
+        tbl.upsert(
+            merged,
+            keys=["bin", "half"],
+            extra_meta={"psi_epoch": epoch_id, "psi_run": lineage_id},
+        )
+
+    return _write

@@ -412,3 +412,84 @@ def test_online_ewma_matches_batch_recursion(spark, tmp_path):
     assert len(got) == len(series)  # stale row emitted nothing extra
     for i, r in enumerate(batch):
         assert got[i] == r.ewma, f"seq {i}: {got[i]} != {r.ewma}"
+
+
+def test_online_psi_bins_match_batch_drift(spark, tmp_path):
+    """E2E: a 3-file replay of the events fixture through
+    foreach_batch_psi_bins accumulates EXACTLY the batch binning —
+    and the PSI computed from the drained table is bit-identical to
+    value_psi_drift's on the same rows (the frozen-reference-binning
+    contract makes online and batch definitionally the same sums)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from doeecommerce_datapipeline_spark.io import table
+    from doeecommerce_datapipeline_spark.operators.profiling import (
+        value_psi_drift,
+    )
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_psi_bins,
+        read_event_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = table(spark, sf, "events")
+    b = src.agg(
+        F.min(F.unix_micros("ts")).alias("t_lo"),
+        F.max(F.unix_micros("ts")).alias("t_hi"),
+        F.min("value").alias("v_lo"),
+        F.max("value").alias("v_hi"),
+    ).collect()[0]
+    base = str(tmp_path / "psi_in")
+    n = src.count()
+    step = n // 3 + 1
+    for lo in range(0, n, step):
+        src.orderBy("event_id").offset(lo).limit(step).write.mode(
+            "append"
+        ).parquet(base)
+    bins_path = str(tmp_path / "psi_bins")
+    sink = foreach_batch_psi_bins(
+        bins_path,
+        v_lo=b.v_lo,
+        v_hi=b.v_hi,
+        t_bound_2x_us=b.t_lo + b.t_hi,  # exact-integer midpoint seam
+    )
+    q = (
+        read_event_stream(spark, base)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "psi_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.bin, r.half): r.n
+        for r in ManifestTable(spark, bins_path).read().collect()
+    }
+    # reference: the batch operator's internal binning on the same rows
+    width = (b.v_hi - b.v_lo) / 10.0
+    want = {}
+    for r in src.select("value", F.unix_micros("ts").alias("t")).collect():
+        bin_ = min(int(math.floor((r.value - b.v_lo) / width)), 9)
+        half = 0 if r.t * 2 <= b.t_lo + b.t_hi else 1
+        want[(bin_, half)] = want.get((bin_, half), 0) + 1
+    assert got == want
+    # and the PSI from these counts equals the batch operator's
+    [batch_row] = value_psi_drift(spark, sf).collect()
+    def share(d, half, b_):
+        tot = sum(v for (bb, h), v in d.items() if h == half)
+        return max(d.get((b_, half), 0) / tot, 1e-6)
+    psi = 0.0
+    from decimal import Decimal
+    acc = Decimal(0)
+    for b_ in range(10):
+        p, qq = share(got, 0, b_), share(got, 1, b_)
+        acc += Decimal(str(round((p - qq) * math.log(p / qq), 9)))
+    assert float(acc) == batch_row.psi
