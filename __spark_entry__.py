@@ -119,7 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sq8_quantization_error, vocab_coverage_curve, event_fano_factor,
     ship_sla_pchart, revenue_feature_matrix, ar_aging_buckets,
     price_power_means, item_item_cosine, value_psi_drift,
-    conformal_forecast_band —
+    conformal_forecast_band, isotonic_calibration (rows-only),
+    revenue_bridge_monthly —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -454,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # uncertainty via split conformal
         "conformal_forecast_band": W.conformal_forecast_band,
         "isotonic_calibration": QM.isotonic_calibration,  # rows-only (trained scores; PAVA unit-tested vs brute force)
+        # (ad) round-4 continuation 25 — the MoM revenue waterfall
+        "revenue_bridge_monthly": R.revenue_bridge_monthly,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5809,5 +5812,52 @@ def _oracle_sql_literals() -> dict[str, str]:
                    forecast + q_cal AS hi,
                    q_cal AS half_width
             FROM lastweek, q
+        """,
+        "revenue_bridge_monthly": """
+            WITH cm AS (
+                SELECT o_custkey,
+                       CAST(date_trunc('month', o_orderdate) AS DATE)
+                           AS m,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1, 2
+            ), cur AS (
+                SELECT o_custkey, m, rev AS rev_cur FROM cm
+            ), prv AS (
+                SELECT o_custkey,
+                       CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+                       rev AS rev_prv
+                FROM cm
+            ), j AS (
+                SELECT COALESCE(c.m, p.m) AS m, c.rev_cur, p.rev_prv
+                FROM cur c FULL OUTER JOIN prv p
+                  ON c.o_custkey = p.o_custkey AND c.m = p.m
+            )
+            SELECT m,
+                   CAST(SUM(COALESCE(rev_cur,
+                            CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS revenue,
+                   CAST(SUM(CASE WHEN rev_prv IS NULL
+                            THEN COALESCE(rev_cur,
+                                 CAST(0 AS DECIMAL(18,2)))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DOUBLE) AS new_rev,
+                   CAST(SUM(CASE WHEN rev_cur IS NULL
+                            THEN COALESCE(rev_prv,
+                                 CAST(0 AS DECIMAL(18,2)))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DOUBLE) AS churned_rev,
+                   CAST(SUM(CASE WHEN rev_cur IS NOT NULL
+                             AND rev_prv IS NOT NULL
+                             AND rev_cur > rev_prv
+                            THEN rev_cur - rev_prv
+                            ELSE CAST(0 AS DECIMAL(19,2)) END)
+                        AS DOUBLE) AS expansion_rev,
+                   CAST(SUM(CASE WHEN rev_cur IS NOT NULL
+                             AND rev_prv IS NOT NULL
+                             AND rev_cur < rev_prv
+                            THEN rev_prv - rev_cur
+                            ELSE CAST(0 AS DECIMAL(19,2)) END)
+                        AS DOUBLE) AS contraction_rev
+            FROM j GROUP BY m
         """,
     }

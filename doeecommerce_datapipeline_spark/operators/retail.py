@@ -736,3 +736,73 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+def revenue_bridge_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month-over-month revenue BRIDGE: each month's change vs the
+    prior month decomposed into new-customer revenue, churned-customer
+    revenue, and expansion/contraction among retained customers — the
+    waterfall every revenue review runs, and an exact identity:
+    delta = new − churned + expansion − contraction (asserted by the
+    unit test, and true by construction on exact decimal sums).
+
+    Shape: the fact collapses to (customer, month) exact-decimal
+    revenue once; the bridge is a self FULL-OUTER join of that table
+    against itself shifted one month (co-partitioned on customer — no
+    second fact scan), classified per customer-month map-side, then
+    aggregated to ≤#months rows. Every figure is an exact decimal sum
+    surfaced once as DOUBLE.
+    """
+    o = table(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    ).localCheckpoint(eager=True)  # both join sides below
+    cur = cm.select("o_custkey", "m", F.col("rev").alias("rev_cur"))
+    prv = cm.select(
+        "o_custkey",
+        F.add_months(F.col("m"), 1).alias("m"),
+        F.col("rev").alias("rev_prv"),
+    )
+    j = cur.join(prv, ["o_custkey", "m"], "full_outer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    c, p = F.coalesce("rev_cur", zero), F.coalesce("rev_prv", zero)
+    g = j.groupBy("m").agg(
+        F.sum(
+            F.when(F.col("rev_prv").isNull(), c).otherwise(zero)
+        ).alias("new_rev"),
+        F.sum(
+            F.when(F.col("rev_cur").isNull(), p).otherwise(zero)
+        ).alias("churned_rev"),
+        F.sum(
+            F.when(
+                F.col("rev_cur").isNotNull()
+                & F.col("rev_prv").isNotNull()
+                & (c > p),
+                c - p,
+            ).otherwise(zero)
+        ).alias("expansion_rev"),
+        F.sum(
+            F.when(
+                F.col("rev_cur").isNotNull()
+                & F.col("rev_prv").isNotNull()
+                & (c < p),
+                p - c,
+            ).otherwise(zero)
+        ).alias("contraction_rev"),
+        F.sum(c).alias("rev_total"),
+    )
+    return g.select(
+        "m",
+        F.col("rev_total").cast("double").alias("revenue"),
+        F.col("new_rev").cast("double").alias("new_rev"),
+        F.col("churned_rev").cast("double").alias("churned_rev"),
+        F.col("expansion_rev").cast("double").alias("expansion_rev"),
+        F.col("contraction_rev").cast("double").alias(
+            "contraction_rev"
+        ),
+    )

@@ -1759,3 +1759,33 @@ def test_psi_planted_shift_and_stability(spark, tmp_path):
     assert stable.n_ref_total == stable.n_cur_total == 1000
     assert stable.psi < 0.1 and not stable.shifting
     assert broken.psi > 0.25 and broken.broken
+
+
+def test_revenue_bridge_identity(spark):
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        revenue_bridge_monthly,
+    )
+
+    rows = sorted(
+        revenue_bridge_monthly(spark, SF).collect(), key=lambda r: r.m
+    )
+    assert len(rows) > 12
+    by_m = {r.m: r for r in rows}
+    ms = [r.m for r in rows]
+    for a, b in zip(ms, ms[1:]):
+        if (b.year, b.month) == (
+            (a.year, a.month + 1) if a.month < 12 else (a.year + 1, 1)
+        ):
+            d = by_m[b]
+            prev_rev = by_m[a].revenue
+            # waterfall identity on exact decimal-derived doubles
+            assert d.revenue - prev_rev == pytest.approx(
+                d.new_rev - d.churned_rev + d.expansion_rev
+                - d.contraction_rev,
+                abs=1e-6,
+            )
+    assert all(
+        r.new_rev >= 0 and r.churned_rev >= 0 and r.expansion_rev >= 0
+        and r.contraction_rev >= 0
+        for r in rows
+    )
