@@ -1009,7 +1009,13 @@ def part_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n-gram Jaccard), hashes (minhash/simhash), characters
     (levenshtein_near_dups), and now keyed entity resolution.
     """
-    p = table(spark, sf_dir, "part").select(
+    # repartition the dimension before the self-join (the
+    # jw_blocked_match lesson): the build side broadcasts, so the
+    # million candidate pairs inherit the probe side's partitioning —
+    # a one-split parquet scan would run every levenshtein on one core
+    p = table(spark, sf_dir, "part").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "p_partkey",
         "p_name",
         "p_brand",
