@@ -120,7 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ship_sla_pchart, revenue_feature_matrix, ar_aging_buckets,
     price_power_means, item_item_cosine, value_psi_drift,
     conformal_forecast_band, isotonic_calibration (rows-only),
-    revenue_bridge_monthly —
+    revenue_bridge_monthly, dau_wau_stickiness —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": QM.isotonic_calibration,  # rows-only (trained scores; PAVA unit-tested vs brute force)
         # (ad) round-4 continuation 25 — the MoM revenue waterfall
         "revenue_bridge_monthly": R.revenue_bridge_monthly,
+        "dau_wau_stickiness": E.dau_wau_stickiness,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5859,5 +5860,39 @@ def _oracle_sql_literals() -> dict[str, str]:
                             ELSE CAST(0 AS DECIMAL(19,2)) END)
                         AS DOUBLE) AS contraction_rev
             FROM j GROUP BY m
+        """,
+        "dau_wau_stickiness": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events
+            ), bounds AS (
+                SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud
+            ), dau AS (
+                SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                           AS dau
+                FROM ud GROUP BY d
+            ), wau AS (
+                SELECT rd, CAST(COUNT(*) AS BIGINT) AS wau FROM (
+                    SELECT DISTINCT user_id,
+                           CAST(UNNEST(generate_series(d,
+                               d + INTERVAL 6 DAY,
+                               INTERVAL 1 DAY)) AS DATE) AS rd
+                    FROM ud) GROUP BY rd
+            ), mau AS (
+                SELECT rd, CAST(COUNT(*) AS BIGINT) AS mau FROM (
+                    SELECT DISTINCT user_id,
+                           CAST(UNNEST(generate_series(d,
+                               d + INTERVAL 27 DAY,
+                               INTERVAL 1 DAY)) AS DATE) AS rd
+                    FROM ud) GROUP BY rd
+            )
+            SELECT dau.d, dau.dau, wau.wau, mau.mau,
+                   CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+                       AS stickiness
+            FROM dau
+            JOIN wau ON dau.d = wau.rd
+            JOIN mau ON dau.d = mau.rd
+            CROSS JOIN bounds
+            WHERE dau.d >= lo AND dau.d <= hi
         """,
     }

@@ -1436,3 +1436,57 @@ def ship_sla_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcl.alias("lcl"),
         ((p > ucl) | (p < lcl)).alias("out_of_control"),
     )
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU(7) / MAU(28) and the DAU/WAU stickiness ratio per
+    day — the growth-accounting surface. Exact distinct users, NO
+    sliding countDistinct window (that shape re-counts the fact per
+    day): the user-day distinct table fans out each activity day to
+    the ≤28 trailing report days it covers (bounded ×28, map-side),
+    then ONE distinct + count per horizon counts each (user, report
+    day) once. Report days clip to the observed range so edge days
+    don't dilute the trailing windows with empty history.
+    """
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+
+    def trailing(n: int, name: str):
+        cov = (
+            ud.select(
+                "user_id",
+                F.explode(
+                    F.sequence(
+                        F.col("d"), F.date_add(F.col("d"), n - 1)
+                    )
+                ).alias("rd"),
+            )
+            .distinct()
+            .groupBy("rd")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+        return cov
+
+    wau = trailing(7, "wau")
+    mau = trailing(28, "mau")
+    out = (
+        dau.join(wau, dau.d == wau.rd)
+        .drop("rd")
+        .join(mau, dau.d == mau.rd)
+        .drop("rd")
+        .crossJoin(F.broadcast(bounds))
+        .where((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
+    )
+    return out.select(
+        "d",
+        "dau",
+        "wau",
+        "mau",
+        (
+            F.col("dau").cast("double") / F.col("wau").cast("double")
+        ).alias("stickiness"),
+    )

@@ -1789,3 +1789,34 @@ def test_revenue_bridge_identity(spark):
         and r.contraction_rev >= 0
         for r in rows
     )
+
+
+def test_dau_wau_planted_decay(spark, tmp_path):
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.events import (
+        dau_wau_stickiness,
+    )
+
+    d = str(tmp_path / "sf_dw")
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 10 users active day 0; only user 0 active days 1..9
+    for u in range(10):
+        rows.append((eid, t0, u, "view", 1.0, "{}"))
+        eid += 1
+    for day in range(1, 10):
+        rows.append((eid, t0 + timedelta(days=day), 0, "view", 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.d.day: r for r in dau_wau_stickiness(spark, d).collect()}
+    assert out[1].dau == 10 and out[1].wau == 10 and out[1].mau == 10
+    assert out[1].stickiness == 1.0
+    # day 5: only user 0 active, but all 10 within trailing 7
+    assert out[5].dau == 1 and out[5].wau == 10
+    assert out[5].stickiness == 0.1
+    # day 8: day-0 users aged out of WAU (window d-6..d), user 0 remains
+    assert out[8].wau == 1 and out[8].mau == 10
