@@ -120,7 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ship_sla_pchart, revenue_feature_matrix, ar_aging_buckets,
     price_power_means, item_item_cosine, value_psi_drift,
     conformal_forecast_band, isotonic_calibration (rows-only),
-    revenue_bridge_monthly, dau_wau_stickiness —
+    revenue_bridge_monthly, dau_wau_stickiness,
+    supplier_hhi_by_nation, priority_mix_shift —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -458,6 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ad) round-4 continuation 25 — the MoM revenue waterfall
         "revenue_bridge_monthly": R.revenue_bridge_monthly,
         "dau_wau_stickiness": E.dau_wau_stickiness,
+        # (ae) round-4 continuation 26 — market concentration and
+        # composition-drift monitors
+        "supplier_hhi_by_nation": R.supplier_hhi_by_nation,
+        "priority_mix_shift": E.priority_mix_shift,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5894,5 +5899,71 @@ def _oracle_sql_literals() -> dict[str, str]:
             JOIN mau ON dau.d = mau.rd
             CROSS JOIN bounds
             WHERE dau.d >= lo AND dau.d <= hi
+        """,
+        "supplier_hhi_by_nation": """
+            WITH rev AS (
+                SELECT n.n_name, s.s_suppkey,
+                       SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                AS DECIMAL(28,4))) AS rev
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                GROUP BY 1, 2
+            ), sh AS (
+                SELECT n_name,
+                       CAST(rev AS DOUBLE)
+                       / CAST(SUM(rev) OVER (PARTITION BY n_name)
+                              AS DOUBLE) AS share
+                FROM rev
+            ), t AS (
+                SELECT n_name,
+                       CAST(ROUND(share * share, 9) AS DECIMAL(18,9))
+                           AS t
+                FROM sh
+            )
+            SELECT n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(t) AS DOUBLE) AS hhi,
+                   CAST(SUM(t) AS DOUBLE) > 0.25 AS concentrated
+            FROM t GROUP BY n_name
+        """,
+        "priority_mix_shift": """
+            WITH mp AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                           AS m,
+                       o_orderpriority,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1, 2
+            ), cur AS (
+                SELECT m, o_orderpriority, n,
+                       CAST(n AS DOUBLE)
+                       / CAST(SUM(n) OVER (PARTITION BY m) AS DOUBLE)
+                           AS share
+                FROM mp
+            ), months AS (
+                SELECT DISTINCT m FROM mp
+            ), valid AS (
+                SELECT a.m FROM months a JOIN months b
+                  ON CAST(a.m - INTERVAL 1 MONTH AS DATE) = b.m
+            ), prv AS (
+                SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+                       o_orderpriority, share AS share_prv
+                FROM cur
+            ), fo AS (
+                SELECT COALESCE(c.m, p.m) AS m, c.n, c.share,
+                       p.share_prv
+                FROM cur c FULL OUTER JOIN prv p
+                  ON c.m = p.m
+                 AND c.o_orderpriority = p.o_orderpriority
+            ), fv AS (
+                SELECT f.m, COALESCE(f.n, 0) AS n,
+                       CAST(ROUND(abs(COALESCE(f.share, 0.0)
+                                      - COALESCE(f.share_prv, 0.0)),
+                                  9) AS DECIMAL(18,9)) AS t
+                FROM fo f JOIN valid v ON f.m = v.m
+            )
+            SELECT m, CAST(SUM(n) AS BIGINT) AS n_orders,
+                   CAST(SUM(t) AS DOUBLE) / 2.0 AS mix_shift_tvd
+            FROM fv GROUP BY m
         """,
     }

@@ -1490,3 +1490,72 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("wau").cast("double")
         ).alias("stickiness"),
     )
+
+
+def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month composition drift of order priorities as
+    total-variation distance (TVD = ½ Σ |share_m − share_{m−1}|) —
+    the "did our order MIX change, not just its volume?" monitor
+    (0 = identical mix; 1 = disjoint).
+
+    The fact collapses once to (month, priority) counts; shares are
+    exact-integer ratios via a month-window total; the MoM alignment
+    is a FULL OUTER join on (month, priority) over the ≤ #months×5
+    grid (a priority absent on one side contributes |share − 0|,
+    as TVD requires), restricted to months whose predecessor exists
+    in the data (the first month has no mix to drift FROM); each
+    |Δshare| quantizes to DECIMAL(18,9) before the 5-way sum so TVD
+    is order-free, halved at the end in one double op.
+    """
+    o = table(spark, sf_dir, "orders")
+    mp = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("m")
+    cur = mp.select(
+        "m",
+        "o_orderpriority",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wm).cast("double")
+        ).alias("share"),
+    )
+    months = mp.select("m").distinct()
+    valid = months.alias("a").join(
+        F.broadcast(months.alias("b")),
+        F.add_months(F.col("a.m"), -1) == F.col("b.m"),
+    ).select(F.col("a.m").alias("m"))
+    prv = cur.select(
+        F.add_months("m", 1).alias("m"),
+        "o_orderpriority",
+        F.col("share").alias("share_prv"),
+    )
+    fo = (
+        cur.select("m", "o_orderpriority", "n", "share")
+        .join(prv, ["m", "o_orderpriority"], "full_outer")
+        .join(F.broadcast(valid), "m")
+    )
+    term = F.round(
+        F.abs(
+            F.coalesce("share", F.lit(0.0))
+            - F.coalesce("share_prv", F.lit(0.0))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    g = (
+        fo.select(
+            "m", term.alias("t"), F.coalesce("n", F.lit(0)).alias("n")
+        )
+        .groupBy("m")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("t").alias("tvd_q"),
+        )
+    )
+    return g.select(
+        "m",
+        "n_orders",
+        (F.col("tvd_q").cast("double") / 2.0).alias("mix_shift_tvd"),
+    )

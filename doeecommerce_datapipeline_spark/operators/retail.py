@@ -806,3 +806,60 @@ def revenue_bridge_monthly(
             "contraction_rev"
         ),
     )
+
+
+def supplier_hhi_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman supplier concentration per nation — the
+    antitrust-grade concentration index (HHI = Σ share², 1/n for
+    perfect competition, 1.0 for monopoly) that complements
+    revenue_gini_by_nation: Gini measures inequality of the
+    distribution, HHI measures how few hands hold it.
+
+    One fact pass partial-aggregates exact decimal revenue to
+    (nation, supplier); revenue products are exact at 4 decimals so
+    DECIMAL(28,4) carries them losslessly while keeping the summed
+    digit count under 2^53 (the TWAP decimal→double lesson); shares
+    divide by a nation-window total of the same exact sums;
+    per-supplier share² quantizes to DECIMAL(18,9)
+    before the per-nation sum (order-free), and the >0.25
+    concentrated flag is a pure comparison on that exact-decimal
+    total.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                ).cast("decimal(28,4)")
+            ).alias("rev")
+        )
+    )
+    wn = Window.partitionBy("n_name")
+    share = F.col("rev").cast("double") / F.sum("rev").over(wn).cast(
+        "double"
+    )
+    term = F.round(share * share, 9).cast("decimal(18,9)")
+    g = rev.select("n_name", term.alias("t")).groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("t").alias("hhi_q"),
+    )
+    hhi = F.col("hhi_q").cast("double")
+    return g.select(
+        "n_name",
+        "n_suppliers",
+        hhi.alias("hhi"),
+        (hhi > 0.25).alias("concentrated"),
+    )

@@ -1820,3 +1820,69 @@ def test_dau_wau_planted_decay(spark, tmp_path):
     assert out[5].stickiness == 0.1
     # day 8: day-0 users aged out of WAU (window d-6..d), user 0 remains
     assert out[8].wau == 1 and out[8].mau == 10
+
+
+def test_hhi_monopoly_vs_competition(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        supplier_hhi_by_nation,
+    )
+
+    d = str(tmp_path / "sf_hhi")
+    # nation A: one supplier takes all -> HHI 1.0 (monopoly)
+    # nation B: 4 equal suppliers -> HHI 0.25
+    spark.createDataFrame(
+        [(0, "A", 0, "x"), (1, "B", 1, "x")],
+        "n_nationkey long, n_name string, n_regionkey long,"
+        " n_comment string",
+    ).write.parquet(d + "/nation.parquet")
+    sup = [(1, "s1", 0), (2, "s2", 1), (3, "s3", 1), (4, "s4", 1),
+           (5, "s5", 1)]
+    spark.createDataFrame(
+        sup, "s_suppkey long, s_name string, s_nationkey long"
+    ).write.parquet(d + "/supplier.parquet")
+    lines, k = [], 0
+    for sk in (1, 1, 1):  # nation A: all from supplier 1
+        lines.append((k, 1, sk, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", None))
+        k += 1
+    for sk in (2, 3, 4, 5):  # nation B: equal split
+        lines.append((k, 1, sk, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", None))
+        k += 1
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    out = {r.n_name: r for r in supplier_hhi_by_nation(spark, d).collect()}
+    assert out["A"].hhi == 1.0 and out["A"].concentrated
+    assert out["B"].hhi == pytest.approx(0.25, abs=1e-9)
+    assert not out["B"].concentrated
+    assert out["B"].n_suppliers == 4
+
+
+def test_mix_shift_planted_swap(spark, tmp_path):
+    from datetime import datetime
+    from doeecommerce_datapipeline_spark.operators.events import (
+        priority_mix_shift,
+    )
+
+    d = str(tmp_path / "sf_mix")
+    rows, ok = [], 0
+    # month 1: 100% priority A; month 2: 100% priority B -> TVD 1.0
+    # month 3: same as month 2 -> TVD 0.0
+    for m, prio in [(1, "A"), (2, "B"), (3, "B")]:
+        for _ in range(10):
+            rows.append((ok, 1, "O", 1.0, datetime(2024, m, 5), prio))
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    out = {r.m.month: r for r in priority_mix_shift(spark, d).collect()}
+    assert set(out) == {2, 3}  # month 1 has no predecessor
+    assert out[2].mix_shift_tvd == 1.0
+    assert out[3].mix_shift_tvd == 0.0
+    assert out[2].n_orders == 10
