@@ -121,7 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     price_power_means, item_item_cosine, value_psi_drift,
     conformal_forecast_band, isotonic_calibration (rows-only),
     revenue_bridge_monthly, dau_wau_stickiness,
-    supplier_hhi_by_nation, priority_mix_shift —
+    supplier_hhi_by_nation, priority_mix_shift,
+    eb_shrunk_user_conversion —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -463,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composition-drift monitors
         "supplier_hhi_by_nation": R.supplier_hhi_by_nation,
         "priority_mix_shift": E.priority_mix_shift,
+        "eb_shrunk_user_conversion": E.eb_shrunk_user_conversion,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -5965,5 +5967,50 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT m, CAST(SUM(n) AS BIGINT) AS n_orders,
                    CAST(SUM(t) AS DOUBLE) / 2.0 AS mix_shift_tvd
             FROM fv GROUP BY m
+        """,
+        "eb_shrunk_user_conversion": """
+            WITH u AS (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS x
+                FROM events GROUP BY 1
+            ), mo AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                       SUM(CAST(ROUND(CAST(x AS DOUBLE)
+                                      / CAST(n AS DOUBLE), 9)
+                                AS DECIMAL(18,9))) AS s1,
+                       SUM(CAST(ROUND((CAST(x AS DOUBLE)
+                                       / CAST(n AS DOUBLE))
+                                      * (CAST(x AS DOUBLE)
+                                         / CAST(n AS DOUBLE)), 9)
+                                AS DECIMAL(18,9))) AS s2
+                FROM u
+            ), pr0 AS (
+                SELECT CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                           AS m,
+                       (CAST(s2 AS DOUBLE)
+                        - CAST(n_users AS DOUBLE)
+                          * (CAST(s1 AS DOUBLE)
+                             / CAST(n_users AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE)
+                             / CAST(n_users AS DOUBLE)))
+                       / (CAST(n_users AS DOUBLE) - 1.0) AS v
+                FROM mo
+            ), prior AS (
+                SELECT m, v,
+                       CASE WHEN (CASE WHEN v > 0
+                                  THEN m * (1.0 - m) / v - 1.0 END) > 0
+                            THEN m * (1.0 - m) / v - 1.0 END AS k
+                FROM pr0
+            )
+            SELECT u.user_id, u.n AS n_events, u.x AS n_purchases,
+                   CAST(u.x AS DOUBLE) / CAST(u.n AS DOUBLE)
+                       AS raw_rate,
+                   CASE WHEN p.k IS NOT NULL
+                        THEN (CAST(u.x AS DOUBLE) + p.m * p.k)
+                           / (CAST(u.n AS DOUBLE) + p.k)
+                        ELSE p.m END AS shrunk_rate
+            FROM u, prior p
         """,
     }

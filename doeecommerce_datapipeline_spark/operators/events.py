@@ -1559,3 +1559,59 @@ def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("tvd_q").cast("double") / 2.0).alias("mix_shift_tvd"),
     )
+
+
+def eb_shrunk_user_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates — the
+    small-sample fix for every per-entity rate ranking (a 1-for-1
+    user must not outrank a 95-for-100 one): each user's rate shrinks
+    toward the population mean with strength set by a Beta prior
+    fitted by METHOD OF MOMENTS from the rates themselves
+    (k = m(1−m)/v − 1, α = m·k).
+
+    Two passes: per-user integer counts (one shuffle), then the
+    moment sums with per-user rate/rate² quantized to DECIMAL(18,9)
+    (order-free) reduced to ONE prior row broadcast back over the
+    user table — the shrink itself is a map-side fixed dag. A
+    degenerate prior (v = 0 or k ≤ 0: rates don't overdisperse a
+    point mass) falls back to the population mean, identically on
+    both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("x"),
+    ).localCheckpoint(eager=True)  # moments + shrink both read it
+    p = F.col("x").cast("double") / F.col("n").cast("double")
+    q9 = lambda c: F.round(c, 9).cast("decimal(18,9)")  # noqa: E731
+    mo = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(q9(p)).alias("s1"),
+        F.sum(q9(p * p)).alias("s2"),
+    )
+    nu = F.col("n_users").cast("double")
+    m = F.col("s1").cast("double") / nu
+    v = (F.col("s2").cast("double") - nu * m * m) / (nu - 1.0)
+    k = F.when(v > 0, m * (1.0 - m) / v - 1.0)
+    prior = mo.select(
+        m.alias("m"),
+        v.alias("v"),
+        F.when(k > 0, k).alias("k"),
+    )
+    j = u.crossJoin(F.broadcast(prior))
+    shrunk = F.when(
+        F.col("k").isNotNull(),
+        (F.col("x").cast("double") + F.col("m") * F.col("k"))
+        / (F.col("n").cast("double") + F.col("k")),
+    ).otherwise(F.col("m"))
+    return j.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_purchases"),
+        p.alias("raw_rate"),
+        shrunk.alias("shrunk_rate"),
+    )

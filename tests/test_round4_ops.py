@@ -1886,3 +1886,45 @@ def test_mix_shift_planted_swap(spark, tmp_path):
     assert out[2].mix_shift_tvd == 1.0
     assert out[3].mix_shift_tvd == 0.0
     assert out[2].n_orders == 10
+
+
+def test_eb_shrinkage_orders_small_samples_sanely(spark, tmp_path):
+    from datetime import datetime, timedelta
+    from doeecommerce_datapipeline_spark.operators.events import (
+        eb_shrunk_user_conversion,
+    )
+
+    d = str(tmp_path / "sf_eb")
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(u, n_purch, n_other):
+        nonlocal eid
+        for _ in range(n_purch):
+            rows.append((eid, t0 + timedelta(minutes=eid), u,
+                         "purchase", 1.0, "{}"))
+            eid += 1
+        for _ in range(n_other):
+            rows.append((eid, t0 + timedelta(minutes=eid), u, "view",
+                         1.0, "{}"))
+            eid += 1
+
+    add(1, 1, 0)        # 1/1: raw 1.0 but tiny evidence
+    add(2, 95, 5)       # 95/100: strong evidence
+    # population: 30 users at ~20% with 20 events each
+    for u in range(3, 33):
+        add(u, 4, 16)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.user_id: r for r in eb_shrunk_user_conversion(spark, d).collect()}
+    assert out[1].raw_rate == 1.0 and out[2].raw_rate == 0.95
+    # shrinkage must demote the 1/1 user below the 95/100 user
+    assert out[1].shrunk_rate < out[2].shrunk_rate
+    # every shrunk rate sits strictly between raw and the pool mean
+    m = sum(r.raw_rate for r in out.values()) / len(out)
+    for r in out.values():
+        lo, hi = sorted((r.raw_rate, m))
+        assert lo - 1e-12 <= r.shrunk_rate <= hi + 1e-12
