@@ -122,7 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     conformal_forecast_band, isotonic_calibration (rows-only),
     revenue_bridge_monthly, dau_wau_stickiness,
     supplier_hhi_by_nation, priority_mix_shift,
-    eb_shrunk_user_conversion —
+    eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -465,6 +465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hhi_by_nation": R.supplier_hhi_by_nation,
         "priority_mix_shift": E.priority_mix_shift,
         "eb_shrunk_user_conversion": E.eb_shrunk_user_conversion,
+        # (af) round-4 continuation 27 — corpus-pipeline planning
+        # curves composing the perplexity and mixture oracles
+        "ppl_filter_sweep": T.ppl_filter_sweep,
+        "mix_epochs_plan": CP.mix_epochs_plan,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -541,6 +545,35 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_components_star"] = sql["dedup_components"]
     # cluster-size histogram composes over the SAME component labels
     # (nested CTE keeps the two oracles definitionally in lockstep)
+    # threshold sweep and epoch plan compose over the SAME queries
+    # they parameterize (definitional lockstep)
+    sql["ppl_filter_sweep"] = f"""
+        WITH ppl_out AS ({sql["doc_perplexity"]}),
+        cuts AS (
+            SELECT CAST(UNNEST([10.0, 30.0, 100.0, 300.0, 1000.0])
+                        AS DOUBLE) AS ppl_max
+        )
+        SELECT c.ppl_max,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN p.ppl <= c.ppl_max THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN p.ppl <= c.ppl_max
+                        THEN p.n_bigrams ELSE 0 END) AS BIGINT)
+                   AS tokens_kept,
+               CAST(SUM(CASE WHEN p.ppl <= c.ppl_max THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS keep_share
+        FROM ppl_out p CROSS JOIN cuts c
+        GROUP BY c.ppl_max
+    """
+    sql["mix_epochs_plan"] = f"""
+        WITH mix_out AS ({sql["temperature_mix_weights"]})
+        SELECT source, n_docs, weight, expected_docs,
+               expected_docs / CAST(n_docs AS DOUBLE) AS epochs,
+               expected_docs / CAST(n_docs AS DOUBLE) > 1.0
+                   AS oversampled
+        FROM mix_out
+    """
     # the confusion matrix composes over the SAME per-doc prediction
     sql["langid_confusion"] = f"""
         WITH li_out AS ({sql["lang_id"]}),

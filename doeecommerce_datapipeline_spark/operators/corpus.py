@@ -938,3 +938,25 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def mix_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-source under the temperature-mix budget — the
+    repetition planner: expected_docs / n_docs says how many passes
+    each source takes to fill its allocation, and epochs ≫ 1 on a
+    small source is the memorization red flag reviews ask about
+    before a data mix ships.
+
+    Composes over temperature_mix_weights (definitional lockstep);
+    the plan is one map-side division per source row.
+    """
+    w = temperature_mix_weights(spark, sf_dir)
+    epochs = F.col("expected_docs") / F.col("n_docs").cast("double")
+    return w.select(
+        "source",
+        "n_docs",
+        "weight",
+        "expected_docs",
+        epochs.alias("epochs"),
+        (epochs > 1.0).alias("oversampled"),
+    )

@@ -1011,3 +1011,43 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_attained"),
         )
     )
+
+PPL_SWEEP_CUTS = (10.0, 30.0, 100.0, 300.0, 1000.0)
+
+
+def ppl_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for the perplexity filter: at each
+    candidate cutoff, how many documents and how much token mass
+    survive — the curve you actually look at before choosing the
+    CCNet-style "cut the high-ppl tail" threshold (pick blind and you
+    either keep the garbage or throw away half the corpus).
+
+    Composes over doc_perplexity (definitional lockstep with its
+    oracle). ONE pass: each doc fans out map-side across the 5
+    candidate cutoffs and a single grouped aggregate counts
+    survivors; ppl is already deterministic, so the literal
+    comparisons cannot flip between engines.
+    """
+    p = doc_perplexity(spark, sf_dir)
+    cuts = F.explode(
+        F.array(*[F.lit(c) for c in PPL_SWEEP_CUTS])
+    ).alias("ppl_max")
+    rows = p.select("ppl", "n_bigrams", cuts)
+    keep = F.col("ppl") <= F.col("ppl_max")
+    g = rows.groupBy("ppl_max").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(keep, F.col("n_bigrams")).otherwise(F.lit(0))
+        ).alias("tokens_kept"),
+    )
+    return g.select(
+        "ppl_max",
+        "n_docs",
+        "n_kept",
+        "tokens_kept",
+        (
+            F.col("n_kept").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("keep_share"),
+    )

@@ -1928,3 +1928,35 @@ def test_eb_shrinkage_orders_small_samples_sanely(spark, tmp_path):
     for r in out.values():
         lo, hi = sorted((r.raw_rate, m))
         assert lo - 1e-12 <= r.shrunk_rate <= hi + 1e-12
+
+
+def test_ppl_sweep_monotone_in_threshold(spark):
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        ppl_filter_sweep,
+    )
+
+    rows = sorted(
+        ppl_filter_sweep(spark, SF).collect(), key=lambda r: r.ppl_max
+    )
+    assert [r.ppl_max for r in rows] == [10.0, 30.0, 100.0, 300.0, 1000.0]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_kept <= b.n_kept and a.tokens_kept <= b.tokens_kept
+        assert a.n_docs == b.n_docs
+    assert all(0.0 <= r.keep_share <= 1.0 for r in rows)
+
+
+def test_mix_epochs_consistent_with_weights(spark):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        mix_epochs_plan,
+    )
+
+    rows = mix_epochs_plan(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.epochs == pytest.approx(r.expected_docs / r.n_docs)
+        assert r.oversampled == (r.epochs > 1.0)
+    # temperature mixing up-weights small sources: the smallest source
+    # must get at least as many epochs as the largest
+    smallest = min(rows, key=lambda r: r.n_docs)
+    largest = max(rows, key=lambda r: r.n_docs)
+    assert smallest.epochs >= largest.epochs - 1e-12
