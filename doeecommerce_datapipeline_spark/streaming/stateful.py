@@ -20,6 +20,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..pyfiles import ensure_shipped
@@ -238,5 +239,92 @@ def ewma_stream(points: DataFrame) -> DataFrame:
         outputStructType=EWMA_OUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+FUNNEL_OUT_SCHEMA = "user_id long, depth integer"
+FUNNEL_STATE_SCHEMA = (
+    "last_ts long, last_eid long, last_view long, last_click long,"
+    " depth integer"
+)
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _track_funnel(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this micro-batch's events of one user into the
+    view→click→purchase chain state (last view ts, last QUALIFYING
+    click ts, depth). Events sort by (ts, event_id) inside the batch;
+    anything at or before the consumed frontier is dropped — the
+    chain is order-defined, exactly like the EWMA recursion. The
+    state transition mirrors operators/events.window_funnel_depth's
+    running conditional maxima step for step, so a drained stream's
+    depth histogram is identical to the batch answer (e2e-pinned)."""
+    (uid,) = key
+    evs: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        evs.extend(
+            zip(
+                (int(t) for t in pdf["tus"]),
+                (int(e) for e in pdf["event_id"]),
+                pdf["event_type"],
+            )
+        )
+    evs.sort()
+    if state.exists:
+        last_ts, last_eid, last_view, last_click, depth = state.get
+    else:
+        last_ts, last_eid, last_view, last_click, depth = (
+            -1,
+            -1,
+            -1,
+            -1,
+            0,
+        )
+    for t, eid, et in evs:
+        if (t, eid) <= (last_ts, last_eid):
+            continue  # stale redelivery behind the frontier
+        if et == "view":
+            last_view = t
+            if depth < 1:
+                depth = 1
+        elif et == "click":
+            if (
+                last_view >= 0
+                and 0 < t - last_view <= _FUNNEL_WINDOW_US
+            ):
+                last_click = t
+                if depth < 2:
+                    depth = 2
+        elif et == "purchase":
+            if (
+                last_click >= 0
+                and 0 < t - last_click <= _FUNNEL_WINDOW_US
+            ):
+                if depth < 3:
+                    depth = 3
+        last_ts, last_eid = t, eid
+    state.update((last_ts, last_eid, last_view, last_click, depth))
+    yield pd.DataFrame({"user_id": [uid], "depth": [depth]})
+
+
+def funnel_depth_stream(events: DataFrame) -> DataFrame:
+    """Online windowFunnel: per micro-batch, each user's current chain
+    depth — constant state per user (four timestamps + a depth), the
+    streaming face of window_funnel_depth."""
+    ensure_shipped(events.sparkSession)
+    pts = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+    )
+    return pts.groupBy("user_id").applyInPandasWithState(
+        _track_funnel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

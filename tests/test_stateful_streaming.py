@@ -493,3 +493,87 @@ def test_online_psi_bins_match_batch_drift(spark, tmp_path):
         p, qq = share(got, 0, b_), share(got, 1, b_)
         acc += Decimal(str(round((p - qq) * math.log(p / qq), 9)))
     assert float(acc) == batch_row.psi
+
+
+def test_online_funnel_depth_matches_batch(spark, tmp_path):
+    """E2E: events replayed in timestamp order as 3 micro-batches
+    (with a planted stale redelivery) through the stateful online
+    windowFunnel; the final per-user depths must reproduce the batch
+    operator's histogram exactly."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from doeecommerce_datapipeline_spark.io import table
+    from doeecommerce_datapipeline_spark.operators.events import (
+        window_funnel_depth,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stateful import (
+        funnel_depth_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = (
+        table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    third = len(src) // 3
+    batches = [
+        src[:third],
+        src[third: 2 * third] + [src[5]],  # stale redelivery
+        src[2 * third:],
+    ]
+    base = str(tmp_path / "wf_in")
+    os.makedirs(base, exist_ok=True)
+    for i, rows in enumerate(batches):
+        stg = os.path.join(base, f"_stg{i}")
+        spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, ts timestamp,"
+            " event_type string",
+        ).coalesce(1).write.parquet(stg)
+        [part] = glob.glob(os.path.join(stg, "*.parquet"))
+        dst = os.path.join(base, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stg)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp,"
+            " event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        funnel_depth_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wf_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wf_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # depth is monotone per user, so the final value is the max emitted
+    got = {
+        r.user_id: r.mx
+        for r in spark.sql(
+            "SELECT user_id, MAX(depth) AS mx FROM wf_out GROUP BY 1"
+        ).collect()
+    }
+    hist = {}
+    for d in got.values():
+        hist[d] = hist.get(d, 0) + 1
+    want = {
+        r.depth: r.n_users
+        for r in window_funnel_depth(spark, sf).collect()
+    }
+    assert hist == want
