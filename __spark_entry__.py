@@ -122,7 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     conformal_forecast_band, isotonic_calibration (rows-only),
     revenue_bridge_monthly, dau_wau_stickiness,
     supplier_hhi_by_nation, priority_mix_shift,
-    eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan —
+    eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan,
+    promo_did_estimate —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -469,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curves composing the perplexity and mixture oracles
         "ppl_filter_sweep": T.ppl_filter_sweep,
         "mix_epochs_plan": CP.mix_epochs_plan,
+        # (ag) round-4 continuation 28 — diff-in-differences
+        "promo_did_estimate": R.promo_did_estimate,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -6045,5 +6048,48 @@ def _oracle_sql_literals() -> dict[str, str]:
                            / (CAST(u.n AS DOUBLE) + p.k)
                         ELSE p.m END AS shrunk_rate
             FROM u, prior p
+        """,
+        "promo_did_estimate": """
+            WITH bounds AS (
+                SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                       MAX(CAST(o_orderdate AS DATE)) AS hi
+                FROM orders
+            ), cell AS (
+                SELECT p.p_type LIKE 'PROMO%' AS is_promo,
+                       CAST(o.o_orderdate AS DATE)
+                           > b.lo + CAST(date_diff('day', b.lo, b.hi)
+                                         // 2 AS INTEGER) AS is_post,
+                       CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(28,4)) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN part p ON l.l_partkey = p.p_partkey
+                CROSS JOIN bounds b
+            ), g AS (
+                SELECT is_promo, is_post,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(rev) AS s
+                FROM cell GROUP BY 1, 2
+            ), wide AS (
+                SELECT MAX(CASE WHEN is_promo AND is_post
+                           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           END) AS promo_post,
+                       MAX(CASE WHEN is_promo AND NOT is_post
+                           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           END) AS promo_pre,
+                       MAX(CASE WHEN NOT is_promo AND is_post
+                           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           END) AS ctrl_post,
+                       MAX(CASE WHEN NOT is_promo AND NOT is_post
+                           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           END) AS ctrl_pre,
+                       CAST(SUM(n) AS BIGINT) AS n_lineitems
+                FROM g
+            )
+            SELECT n_lineitems, promo_pre, promo_post, ctrl_pre,
+                   ctrl_post,
+                   (promo_post - promo_pre) - (ctrl_post - ctrl_pre)
+                       AS did_estimate
+            FROM wide
         """,
     }

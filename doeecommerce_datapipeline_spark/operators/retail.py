@@ -863,3 +863,75 @@ def supplier_hhi_by_nation(
         hhi.alias("hhi"),
         (hhi > 0.25).alias("concentrated"),
     )
+
+
+def promo_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the promo effect on
+    per-lineitem revenue: promo parts vs all other parts, before vs
+    after the data's midpoint date — the causal-inference workhorse
+    that separates "promo items earn more" from "everything earned
+    more later" (DiD = Δpromo − Δcontrol).
+
+    The period split is pure integer date arithmetic off the min/max
+    order dates (broadcast one-row bounds); group means are exact
+    decimal sums over the single orderkey join; the closing DiD is a
+    fixed dag of four such means. One fact pass, a 4-cell grid out.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+    bounds = o.agg(
+        F.min("od").alias("lo"), F.max("od").alias("hi")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(bounds))
+    )
+    cut = F.date_add(
+        F.col("lo"),
+        (F.datediff(F.col("hi"), F.col("lo")) / 2).cast("int"),
+    )
+    cell = j.select(
+        "is_promo",
+        (F.col("od") > cut).alias("is_post"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).cast("decimal(28,4)").alias("rev"),
+    )
+    g = cell.groupBy("is_promo", "is_post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("s"),
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    wide = g.agg(
+        F.max(F.when(F.col("is_promo") & F.col("is_post"), m)).alias(
+            "promo_post"
+        ),
+        F.max(
+            F.when(F.col("is_promo") & ~F.col("is_post"), m)
+        ).alias("promo_pre"),
+        F.max(
+            F.when(~F.col("is_promo") & F.col("is_post"), m)
+        ).alias("ctrl_post"),
+        F.max(
+            F.when(~F.col("is_promo") & ~F.col("is_post"), m)
+        ).alias("ctrl_pre"),
+        F.sum("n").alias("n_lineitems"),
+    )
+    did = (F.col("promo_post") - F.col("promo_pre")) - (
+        F.col("ctrl_post") - F.col("ctrl_pre")
+    )
+    return wide.select(
+        "n_lineitems",
+        "promo_pre",
+        "promo_post",
+        "ctrl_pre",
+        "ctrl_post",
+        did.alias("did_estimate"),
+    )

@@ -1960,3 +1960,50 @@ def test_mix_epochs_consistent_with_weights(spark):
     smallest = min(rows, key=lambda r: r.n_docs)
     largest = max(rows, key=lambda r: r.n_docs)
     assert smallest.epochs >= largest.epochs - 1e-12
+
+
+def test_did_recovers_planted_effect(spark, tmp_path):
+    from datetime import datetime
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        promo_did_estimate,
+    )
+
+    d = str(tmp_path / "sf_did")
+    # 4 cells x 10 lineitems: common time trend +10 for everyone;
+    # promo items get an EXTRA +5 post -> DiD must recover exactly 5
+    parts = [(1, "a", "b", "PROMO X", 1, 100.0),
+             (2, "a", "b", "STANDARD Y", 1, 100.0)]
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    orders, lines, ok = [], [], 0
+    for post, month in [(False, 1), (True, 12)]:
+        for pk, base in [(1, 50.0), (2, 30.0)]:
+            for i in range(10):
+                price = base + (10.0 if post else 0.0) + (
+                    5.0 if post and pk == 1 else 0.0
+                )
+                orders.append((ok, 1, "O", price,
+                               datetime(2024, month, 10), "1-U"))
+                lines.append((ok, pk, 1, 1, 1.0, price, 0.0, 0.0,
+                              "N", "O", None))
+                ok += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    [r] = promo_did_estimate(spark, d).collect()
+    assert r.promo_pre == 50.0 and r.promo_post == 65.0
+    assert r.ctrl_pre == 30.0 and r.ctrl_post == 40.0
+    assert r.did_estimate == 5.0  # the planted promo lift, trend removed
