@@ -123,7 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     revenue_bridge_monthly, dau_wau_stickiness,
     supplier_hhi_by_nation, priority_mix_shift,
     eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan,
-    promo_did_estimate —
+    promo_did_estimate, retrieval_ndcg_eval —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_epochs_plan": CP.mix_epochs_plan,
         # (ag) round-4 continuation 28 — diff-in-differences
         "promo_did_estimate": R.promo_did_estimate,
+        "retrieval_ndcg_eval": T.retrieval_ndcg_eval,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -576,6 +577,78 @@ def oracle_sql() -> dict[str, str]:
                expected_docs / CAST(n_docs AS DOUBLE) > 1.0
                    AS oversampled
         FROM mix_out
+    """
+    # the nDCG scoreboard composes over the SAME bm25/rrf rankings
+    sql["retrieval_ndcg_eval"] = f"""
+        WITH bm_out AS ({sql["bm25_search"]}),
+        rrf_out AS ({sql["rrf_fusion_search"]}),
+        qn AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = 0),
+        sem AS (
+            SELECT e.vec_id AS doc_id,
+                   list_aggregate(list_transform(
+                       list_zip(e.embedding, qn.qv),
+                       p -> CAST(p[1] AS DOUBLE)
+                            * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(
+                          list_zip(e.embedding, e.embedding),
+                          p -> CAST(p[1] AS DOUBLE)
+                               * CAST(p[2] AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(
+                          list_zip(qn.qv, qn.qv),
+                          p -> CAST(p[1] AS DOUBLE)
+                               * CAST(p[2] AS DOUBLE)), 'sum')))
+                       AS cos
+            FROM embeddings e, qn
+            WHERE e.vec_id <> 0
+            ORDER BY cos DESC, doc_id ASC LIMIT 20
+        ),
+        rel AS (
+            SELECT doc_id,
+                   CAST(21 - ROW_NUMBER() OVER (ORDER BY cos DESC,
+                        doc_id ASC) AS BIGINT) AS rel
+            FROM sem
+        ),
+        lex10 AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC,
+                            doc_id ASC) AS BIGINT) AS pos
+                FROM bm_out
+            ) WHERE pos <= 10
+        ),
+        rrf10 AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC,
+                            doc_id ASC) AS BIGINT) AS pos
+                FROM rrf_out
+            ) WHERE pos <= 10
+        ),
+        dcgs AS (
+            SELECT 'bm25' AS method,
+                   CAST(SUM(CAST(ROUND(
+                       CAST(COALESCE(r.rel, 0) AS DOUBLE)
+                       / log2(CAST(l.pos AS DOUBLE) + 1.0), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS dcg
+            FROM lex10 l LEFT JOIN rel r USING (doc_id)
+            UNION ALL
+            SELECT 'rrf' AS method,
+                   CAST(SUM(CAST(ROUND(
+                       CAST(COALESCE(r.rel, 0) AS DOUBLE)
+                       / log2(CAST(l.pos AS DOUBLE) + 1.0), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS dcg
+            FROM rrf10 l LEFT JOIN rel r USING (doc_id)
+        ),
+        idcg AS (
+            SELECT CAST(SUM(CAST(ROUND(
+                       CAST(21 - pos AS DOUBLE)
+                       / log2(CAST(pos AS DOUBLE) + 1.0), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+            FROM (SELECT CAST(UNNEST(range(1, 11)) AS BIGINT) AS pos)
+        )
+        SELECT method, dcg, idcg, dcg / idcg AS ndcg
+        FROM dcgs, idcg
     """
     # the confusion matrix composes over the SAME per-doc prediction
     sql["langid_confusion"] = f"""

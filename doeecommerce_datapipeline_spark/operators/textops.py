@@ -1051,3 +1051,85 @@ def ppl_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("keep_share"),
     )
+
+
+NDCG_K = 10
+NDCG_REL_POOL = 20
+
+
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the lexical (BM25) and hybrid (RRF) rankings against
+    a semantic ground truth — the retrieval-quality scoreboard that
+    says whether fusing embeddings actually improved the ranking
+    (langid_confusion's "close the eval loop" move applied to
+    search). Relevance is graded by the exact cosine ranking: the
+    top-20 semantic neighbors of the query vector get rel = 21 − rank,
+    everything else 0.
+
+    Each DCG term rel/log2(i+1) quantizes to DECIMAL(18,9) before the
+    ≤10-way sum (order-free); IDCG comes from the same dag over the
+    ideal grades (20..11), so nDCG is deterministic end-to-end. All
+    inputs are already top-k tables — the eval itself touches ≤40
+    rows beyond the component queries.
+    """
+    from ..functions.vectors import cosine as _cos
+
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        e.join(F.broadcast(qv))
+        .where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cos("embedding", "qv").alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(NDCG_REL_POOL)
+    )
+    wsem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    rel = sem.select(
+        "doc_id",
+        (
+            F.lit(NDCG_REL_POOL + 1) - F.row_number().over(wsem)
+        ).cast("long").alias("rel"),
+    )
+
+    def dcg_of(ranking: DataFrame, method: str) -> DataFrame:
+        j = ranking.join(F.broadcast(rel), "doc_id", "left")
+        term = F.round(
+            F.coalesce("rel", F.lit(0)).cast("double")
+            / F.log2(F.col("pos").cast("double") + 1.0),
+            9,
+        ).cast("decimal(18,9)")
+        return j.agg(
+            F.sum(term).cast("double").alias("dcg")
+        ).select(F.lit(method).alias("method"), "dcg")
+
+    lex = bm25_search(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex10 = lex.select(
+        "doc_id", F.row_number().over(wl).alias("pos")
+    ).where(F.col("pos") <= NDCG_K)
+    rrf = rrf_fusion_search(spark, sf_dir)
+    wr = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    rrf10 = rrf.select(
+        "doc_id", F.row_number().over(wr).alias("pos")
+    ).where(F.col("pos") <= NDCG_K)
+    ideal = spark.range(1, NDCG_K + 1).select(
+        F.col("id").alias("pos")
+    )
+    iterm = F.round(
+        (F.lit(NDCG_REL_POOL + 1) - F.col("pos")).cast("double")
+        / F.log2(F.col("pos").cast("double") + 1.0),
+        9,
+    ).cast("decimal(18,9)")
+    idcg = ideal.agg(F.sum(iterm).cast("double").alias("idcg"))
+    out = dcg_of(lex10, "bm25").unionByName(dcg_of(rrf10, "rrf"))
+    return out.crossJoin(F.broadcast(idcg)).select(
+        "method",
+        "dcg",
+        "idcg",
+        (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )

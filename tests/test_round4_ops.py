@@ -2007,3 +2007,19 @@ def test_did_recovers_planted_effect(spark, tmp_path):
     assert r.promo_pre == 50.0 and r.promo_post == 65.0
     assert r.ctrl_pre == 30.0 and r.ctrl_post == 40.0
     assert r.did_estimate == 5.0  # the planted promo lift, trend removed
+
+
+def test_ndcg_bounds_and_rrf_not_worse_than_lexical_floor(spark):
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        retrieval_ndcg_eval,
+    )
+
+    out = {r.method: r for r in retrieval_ndcg_eval(spark, SF).collect()}
+    assert set(out) == {"bm25", "rrf"}
+    for r in out.values():
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert r.idcg > 0 and r.dcg >= 0
+        assert r.ndcg == pytest.approx(r.dcg / r.idcg)
+    # rrf blends the semantic ranking that DEFINES relevance, so it
+    # must beat the purely lexical ranking on this ground truth
+    assert out["rrf"].ndcg >= out["bm25"].ndcg
