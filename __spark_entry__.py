@@ -123,7 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     revenue_bridge_monthly, dau_wau_stickiness,
     supplier_hhi_by_nation, priority_mix_shift,
     eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan,
-    promo_did_estimate, retrieval_ndcg_eval —
+    promo_did_estimate, retrieval_ndcg_eval, dedup_rate_by_source,
+    order_value_ecdf —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -473,6 +474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ag) round-4 continuation 28 — diff-in-differences
         "promo_did_estimate": R.promo_did_estimate,
         "retrieval_ndcg_eval": T.retrieval_ndcg_eval,
+        # (ah) round-4 continuation 29 — corpus triage and the
+        # sort-free distribution report
+        "dedup_rate_by_source": CP.dedup_rate_by_source,
+        "order_value_ecdf": A.order_value_ecdf,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -6164,5 +6169,37 @@ def _oracle_sql_literals() -> dict[str, str]:
                    (promo_post - promo_pre) - (ctrl_post - ctrl_pre)
                        AS did_estimate
             FROM wide
+        """,
+        "dedup_rate_by_source": """
+            WITH g AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(COUNT(DISTINCT md5(regexp_replace(
+                           lower(trim(text)), '\\s+', ' ', 'g')))
+                           AS BIGINT) AS n_unique
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_unique,
+                   n_docs - n_unique AS n_dups,
+                   CAST(n_docs - n_unique AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE) AS dup_rate
+            FROM g
+        """,
+        "order_value_ecdf": """
+            WITH probes AS (
+                SELECT CAST(UNNEST([50000.0, 100000.0, 200000.0,
+                                    300000.0, 400000.0, 500000.0])
+                            AS DOUBLE)
+                           AS x
+            )
+            SELECT p.x,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o.o_totalprice <= p.x
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+                   CAST(SUM(CASE WHEN o.o_totalprice <= p.x
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS cdf
+            FROM orders o CROSS JOIN probes p
+            GROUP BY p.x
         """,
     }

@@ -358,3 +358,35 @@ def price_power_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             nd / F.col("s_inv").cast("double"), 6
         ).alias("mean_harm"),
     )
+
+
+ECDF_GRID = (50_000.0, 100_000.0, 200_000.0, 300_000.0, 400_000.0, 500_000.0)
+
+
+def order_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of order value at a fixed probe grid — the
+    distribution report that survives 100 TB because it never sorts:
+    P(X ≤ x) is one conditional count per probe, fanned out map-side
+    (×5) and aggregated in a single pass. Exact integer counts in,
+    one fixed division out; the grid is literal so the comparisons
+    cannot drift.
+    """
+    o = table(spark, sf_dir, "orders")
+    probes = F.explode(
+        F.array(*[F.lit(x) for x in ECDF_GRID])
+    ).alias("x")
+    rows = o.select("o_totalprice", probes)
+    g = rows.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("o_totalprice") <= F.col("x")).cast("long")
+        ).alias("n_le"),
+    )
+    return g.select(
+        "x",
+        "n",
+        "n_le",
+        (
+            F.col("n_le").cast("double") / F.col("n").cast("double")
+        ).alias("cdf"),
+    )

@@ -960,3 +960,32 @@ def mix_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         (epochs > 1.0).alias("oversampled"),
     )
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication triage: docs, distinct exact
+    fingerprints, and the duplicate rate — the first number a corpus
+    review asks for per provider (a source shipping 30% exact dups
+    gets its loader fixed before anything fancier runs).
+
+    One partial-aggregated pass: md5 fingerprints are per-row
+    expressions; COUNT vs COUNT(DISTINCT fp) per source; rate is an
+    exact-integer ratio.
+    """
+    from ..functions.text import fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint("text")).alias("n_unique"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )

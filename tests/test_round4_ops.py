@@ -2023,3 +2023,41 @@ def test_ndcg_bounds_and_rrf_not_worse_than_lexical_floor(spark):
     # rrf blends the semantic ranking that DEFINES relevance, so it
     # must beat the purely lexical ranking on this ground truth
     assert out["rrf"].ndcg >= out["bm25"].ndcg
+
+
+def test_dedup_rate_planted_dups(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        dedup_rate_by_source,
+    )
+
+    d = str(tmp_path / "sf_dr")
+    rows = [
+        (1, "same text here", "en", "clean", 14),
+        (2, "other text here", "en", "clean", 15),
+        (3, "dup dup dup", "en", "dirty", 11),
+        (4, "dup  dup   dup", "en", "dirty", 14),  # ws-normalized dup
+        (5, "unique", "en", "dirty", 6),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.source: r for r in dedup_rate_by_source(spark, d).collect()}
+    assert out["clean"].n_dups == 0 and out["clean"].dup_rate == 0.0
+    assert out["dirty"].n_docs == 3 and out["dirty"].n_unique == 2
+    assert out["dirty"].dup_rate == pytest.approx(1 / 3)
+
+
+def test_ecdf_monotone_and_bounded(spark):
+    from doeecommerce_datapipeline_spark.operators.aggregates import (
+        order_value_ecdf,
+    )
+
+    rows = sorted(order_value_ecdf(spark, SF).collect(),
+                  key=lambda r: r.x)
+    assert len(rows) == 6
+    for a, b in zip(rows, rows[1:]):
+        assert a.cdf <= b.cdf and a.n == b.n
+    assert all(0.0 <= r.cdf <= 1.0 for r in rows)
+    assert rows[-1].cdf > 0.99  # 500k covers the whole distribution
