@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     supplier_hhi_by_nation, priority_mix_shift,
     eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan,
     promo_did_estimate, retrieval_ndcg_eval, dedup_rate_by_source,
-    order_value_ecdf —
+    order_value_ecdf, readability_scores —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sort-free distribution report
         "dedup_rate_by_source": CP.dedup_rate_by_source,
         "order_value_ecdf": A.order_value_ecdf,
+        "readability_scores": T.readability_scores,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -6201,5 +6202,29 @@ def _oracle_sql_literals() -> dict[str, str]:
                    / CAST(COUNT(*) AS DOUBLE) AS cdf
             FROM orders o CROSS JOIN probes p
             GROUP BY p.x
+        """,
+        "readability_scores": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+')) END
+                            AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\\s+', '',
+                                                  'g')) AS BIGINT)
+                           AS n_chars_nospace,
+                       greatest(CAST(1 AS BIGINT),
+                                CAST(len(string_split_regex(text,
+                                         '[.!?]+')) - 1 AS BIGINT))
+                           AS n_sents
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_chars_nospace, n_sents,
+                   4.71 * (CAST(n_chars_nospace AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                   + 0.5 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sents AS DOUBLE))
+                   - 21.43 AS ari
+            FROM t WHERE n_words > 0
         """,
     }

@@ -1133,3 +1133,42 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg",
         (F.col("dcg") / F.col("idcg")).alias("ndcg"),
     )
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document — the syllable-free
+    readability grade (ARI = 4.71·chars/word + 0.5·words/sentence −
+    21.43) that quality pipelines use beside length/perplexity
+    filters: a corpus of grade-30 run-on text or grade-1 fragments is
+    a data bug either way.
+
+    Everything is integer counting in ONE codegen'd scan pass —
+    letters (spaces excluded), whitespace tokens, sentence
+    terminators ([.!?]+ runs, floored at 1 so fragments don't divide
+    by zero) — and the grade is a fixed dag of two exact-integer
+    ratios. No UDFs, no shuffle beyond the scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = token_count("text")
+    chars = F.length(
+        F.regexp_replace(F.col("text"), r"\s+", "")
+    ).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        (
+            F.size(F.split(F.col("text"), r"[.!?]+")) - 1
+        ).cast("long"),
+    )
+    wd = words.cast("double")
+    ari = (
+        F.lit(4.71) * (chars.cast("double") / wd)
+        + F.lit(0.5) * (wd / sents.cast("double"))
+        - F.lit(21.43)
+    )
+    return d.where(words > 0).select(
+        "doc_id",
+        words.alias("n_words"),
+        chars.alias("n_chars_nospace"),
+        sents.alias("n_sents"),
+        ari.alias("ari"),
+    )

@@ -2061,3 +2061,30 @@ def test_ecdf_monotone_and_bounded(spark):
         assert a.cdf <= b.cdf and a.n == b.n
     assert all(0.0 <= r.cdf <= 1.0 for r in rows)
     assert rows[-1].cdf > 0.99  # 500k covers the whole distribution
+
+
+def test_ari_known_value_and_fragment_guard(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        readability_scores,
+    )
+
+    d = str(tmp_path / "sf_ari")
+    rows = [
+        (1, "The cat sat. The dog ran.", "en", "s", 25),
+        (2, "word", "en", "s", 4),  # fragment: sents floors at 1
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in readability_scores(spark, d).collect()}
+    r1 = out[1]
+    assert r1.n_words == 6 and r1.n_sents == 2
+    # chars without spaces: "ThecatsatThedogran.."? no — punctuation
+    # stays: "Thecatsat.Thedogran." = 20 chars
+    assert r1.n_chars_nospace == 20
+    exp = 4.71 * (20 / 6) + 0.5 * (6 / 2) - 21.43
+    assert r1.ari == pytest.approx(exp)
+    r2 = out[2]
+    assert r2.n_sents == 1 and r2.n_words == 1
