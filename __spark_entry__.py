@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     supplier_hhi_by_nation, priority_mix_shift,
     eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan,
     promo_did_estimate, retrieval_ndcg_eval, dedup_rate_by_source,
-    order_value_ecdf, readability_scores —
+    order_value_ecdf, readability_scores, top_movers_monthly —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": CP.dedup_rate_by_source,
         "order_value_ecdf": A.order_value_ecdf,
         "readability_scores": T.readability_scores,
+        "top_movers_monthly": W.top_movers_monthly,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -6226,5 +6227,33 @@ def _oracle_sql_literals() -> dict[str, str]:
                             / CAST(n_sents AS DOUBLE))
                    - 21.43 AS ari
             FROM t WHERE n_words > 0
+        """,
+        "top_movers_monthly": """
+            WITH monthly AS (
+                SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+                           AS m,
+                       l_partkey,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(28,4))) AS rev
+                FROM lineitem GROUP BY 1, 2
+            ), ranked AS (
+                SELECT m, l_partkey,
+                       CAST(rev AS DOUBLE) AS revenue,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY m
+                            ORDER BY rev DESC, l_partkey ASC)
+                            AS BIGINT) AS rnk
+                FROM monthly
+            ), prv AS (
+                SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+                       l_partkey, rnk AS prev_rnk
+                FROM ranked
+            )
+            SELECT r.m, r.l_partkey, r.revenue, r.rnk, p.prev_rnk,
+                   p.prev_rnk - r.rnk AS rank_delta
+            FROM ranked r JOIN prv p
+              ON r.m = p.m AND r.l_partkey = p.l_partkey
+            ORDER BY abs(p.prev_rnk - r.rnk) DESC, r.m ASC,
+                     r.l_partkey ASC
+            LIMIT 15
         """,
     }

@@ -759,3 +759,64 @@ def conformal_forecast_band(
         (F.col("forecast") + F.col("q_cal")).alias("hi"),
         F.col("q_cal").alias("half_width"),
     )
+
+
+TOP_MOVERS = 15
+
+
+def top_movers_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biggest month-over-month REVENUE-RANK movers among parts — the
+    merchandising "what's suddenly hot / collapsing" report
+    (rank deltas, not revenue deltas: a 2× jump matters more for a
+    mid-tail part than for the #1).
+
+    The fact collapses to (ship month, part) exact-decimal revenue;
+    ranks are month-partitioned windows over that grid (the
+    top_products_daily shape — never a global sort of the fact);
+    consecutive months align via an equi-join on (part, month−1),
+    and the global top-15 by absolute delta is one
+    TakeOrderedAndProject with full tiebreaks.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("m"),
+        "l_partkey",
+    ).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(28,4)")
+        ).alias("rev")
+    )
+    wr = Window.partitionBy("m").orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc()
+    )
+    ranked = monthly.select(
+        "m",
+        "l_partkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    ).localCheckpoint(eager=True)  # both sides of the MoM self-join
+    prv = ranked.select(
+        F.add_months("m", 1).alias("m"),
+        F.col("l_partkey"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    j = ranked.join(prv, ["m", "l_partkey"])
+    delta = F.col("prev_rnk") - F.col("rnk")  # + = climbed
+    return (
+        j.select(
+            "m",
+            "l_partkey",
+            "revenue",
+            "rnk",
+            "prev_rnk",
+            delta.alias("rank_delta"),
+        )
+        .orderBy(
+            F.abs(F.col("rank_delta")).desc(),
+            F.col("m").asc(),
+            F.col("l_partkey").asc(),
+        )
+        .limit(TOP_MOVERS)
+    )

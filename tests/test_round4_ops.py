@@ -2088,3 +2088,34 @@ def test_ari_known_value_and_fragment_guard(spark, tmp_path):
     assert r1.ari == pytest.approx(exp)
     r2 = out[2]
     assert r2.n_sents == 1 and r2.n_words == 1
+
+
+def test_top_movers_planted_swap(spark, tmp_path):
+    from datetime import datetime
+    from doeecommerce_datapipeline_spark.operators.windows import (
+        top_movers_monthly,
+    )
+
+    d = str(tmp_path / "sf_mv")
+    lines, k = [], 0
+    # month 1: part 1 rank1 (300), part 2 rank2 (200), part 3 rank3 (100)
+    # month 2: part 3 rank1 (300), part 2 rank2 (200), part 1 rank3 (100)
+    grid = {1: {1: 300.0, 2: 200.0, 3: 100.0},
+            2: {1: 100.0, 2: 200.0, 3: 300.0}}
+    for month, parts in grid.items():
+        for pk, price in parts.items():
+            lines.append((k, pk, 1, 1, 1.0, price, 0.0, 0.0, "N", "O",
+                          datetime(2024, month, 10)))
+            k += 1
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    rows = top_movers_monthly(spark, d).collect()
+    got = {r.l_partkey: r for r in rows}
+    assert got[3].rank_delta == 2 and got[3].rnk == 1  # climbed 3->1
+    assert got[1].rank_delta == -2 and got[1].rnk == 3  # fell 1->3
+    assert got[2].rank_delta == 0
