@@ -124,7 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     supplier_hhi_by_nation, priority_mix_shift,
     eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan,
     promo_did_estimate, retrieval_ndcg_eval, dedup_rate_by_source,
-    order_value_ecdf, readability_scores, top_movers_monthly —
+    order_value_ecdf, readability_scores, top_movers_monthly,
+    copurchase_core_collapse, markov_removal_attribution —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -480,6 +481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_ecdf": A.order_value_ecdf,
         "readability_scores": T.readability_scores,
         "top_movers_monthly": W.top_movers_monthly,
+        # (ai) round-4 continuation 30 — graph cohesion: iterative
+        # k-core peel with an integer-exact per-round collapse ledger
+        "copurchase_core_collapse": G.copurchase_core_collapse,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -6255,5 +6259,61 @@ def _oracle_sql_literals() -> dict[str, str]:
             ORDER BY abs(p.prev_rnk - r.rnk) DESC, r.m ASC,
                      r.l_partkey ASC
             LIMIT 15
+        """,
+        "copurchase_core_collapse": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem
+            ), pd AS (
+                SELECT DISTINCT a.pk AS u, c.pk AS v
+                FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+            ), e0 AS (
+                SELECT u AS src, v AS dst FROM pd
+                UNION ALL SELECT v, u FROM pd
+            ), k1 AS (
+                SELECT src AS node FROM e0
+                GROUP BY src HAVING COUNT(*) >= 100
+            ), e1 AS (
+                SELECT e.src, e.dst FROM e0 e
+                JOIN k1 a ON e.src = a.node
+                JOIN k1 b2 ON e.dst = b2.node
+            ), k2 AS (
+                SELECT src AS node FROM e1
+                GROUP BY src HAVING COUNT(*) >= 100
+            ), e2 AS (
+                SELECT e.src, e.dst FROM e1 e
+                JOIN k2 a ON e.src = a.node
+                JOIN k2 b2 ON e.dst = b2.node
+            ), k3 AS (
+                SELECT src AS node FROM e2
+                GROUP BY src HAVING COUNT(*) >= 100
+            ), e3 AS (
+                SELECT e.src, e.dst FROM e2 e
+                JOIN k3 a ON e.src = a.node
+                JOIN k3 b2 ON e.dst = b2.node
+            ), k4 AS (
+                SELECT src AS node FROM e3
+                GROUP BY src HAVING COUNT(*) >= 100
+            ), e4 AS (
+                SELECT e.src, e.dst FROM e3 e
+                JOIN k4 a ON e.src = a.node
+                JOIN k4 b2 ON e.dst = b2.node
+            )
+            SELECT CAST(0 AS INTEGER) AS round,
+                   CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+                   CAST(COUNT(*) / 2 AS BIGINT) AS n_edges FROM e0
+            UNION ALL
+            SELECT 1, CAST(COUNT(DISTINCT src) AS BIGINT),
+                   CAST(COUNT(*) / 2 AS BIGINT) FROM e1
+            UNION ALL
+            SELECT 2, CAST(COUNT(DISTINCT src) AS BIGINT),
+                   CAST(COUNT(*) / 2 AS BIGINT) FROM e2
+            UNION ALL
+            SELECT 3, CAST(COUNT(DISTINCT src) AS BIGINT),
+                   CAST(COUNT(*) / 2 AS BIGINT) FROM e3
+            UNION ALL
+            SELECT 4, CAST(COUNT(DISTINCT src) AS BIGINT),
+                   CAST(COUNT(*) / 2 AS BIGINT) FROM e4
+            ORDER BY round
         """,
     }

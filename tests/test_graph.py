@@ -49,3 +49,60 @@ def test_triangles_enumeration(spark):
         (r["id_a"], r["id_b"], r["id_c"]) for r in triangles(edges).collect()
     )
     assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_kcore_peel_cascade_ledger(spark):
+    # chain of triangles sharing single vertices: a-b-c, c-d-e, e-f-g.
+    # At k=2 every node has degree >= 2, so the 2-core is the whole
+    # graph (stable ledger). At k=3 only the shared vertices c and e
+    # reach degree 4; the first peel removes all degree-2 nodes,
+    # which drops c and e to degree 0 — a 2-round cascade to empty.
+    from doeecommerce_datapipeline_spark.operators.graph import (
+        kcore_peel_ledger,
+    )
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("c", "d"), ("d", "e"), ("c", "e"),
+        ("e", "f"), ("f", "g"), ("e", "g"),
+    ]
+    both = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(both, "src string, dst string")
+
+    stable = {
+        (r.round, r.n_nodes, r.n_edges)
+        for r in kcore_peel_ledger(e, k=2, rounds=2).collect()
+    }
+    assert stable == {(0, 7, 9), (1, 7, 9), (2, 7, 9)}
+
+    cascade = {
+        (r.round, r.n_nodes, r.n_edges)
+        for r in kcore_peel_ledger(e, k=3, rounds=3).collect()
+    }
+    # round 1: only c,e survive the degree cut but share no edge;
+    # the edge restriction leaves the single c-e edge, giving each
+    # degree 1 — round 2 empties the graph and round 3 is a no-op
+    assert cascade == {(0, 7, 9), (1, 2, 1), (2, 0, 0), (3, 0, 0)}
+
+
+def test_copurchase_core_collapse_reaches_fixpoint(spark):
+    # the fixed 4-round unroll must cover the full cascade at test
+    # scale: the last two ledger rows are equal (fix-point reached),
+    # so the reported profile is the TRUE k-core collapse, not a
+    # truncation of it
+    from doeecommerce_datapipeline_spark.operators.graph import (
+        copurchase_core_collapse,
+    )
+
+    rows = sorted(
+        copurchase_core_collapse(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].n_nodes > 0 and rows[0].n_edges > 0
+    assert (rows[-1].n_nodes, rows[-1].n_edges) == (
+        rows[-2].n_nodes,
+        rows[-2].n_edges,
+    )
