@@ -484,6 +484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ai) round-4 continuation 30 — graph cohesion: iterative
         # k-core peel with an integer-exact per-round collapse ledger
         "copurchase_core_collapse": G.copurchase_core_collapse,
+        # (aj) round-4 continuation 31 — counterfactual attribution:
+        # absorbing-chain removal effects (completes last-touch /
+        # linear / data-driven attribution family)
+        "markov_removal_attribution": E.markov_removal_attribution,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -716,7 +720,121 @@ def oracle_sql() -> dict[str, str]:
               FROM comp_out GROUP BY component)
         GROUP BY cluster_size
     """
+    sql["markov_removal_attribution"] = _markov_removal_oracle()
     return sql
+
+
+def _markov_removal_oracle() -> str:
+    """Unrolled absorbing-chain twin of events.markov_removal_
+    attribution: 8 matrix-vector CTEs per the fixed-iteration count,
+    generated programmatically so the iteration body is written once
+    (the PageRank DECIMAL(28,14) quantize-before-sum seam)."""
+    iters = []
+    prev = "v0"
+    for i in range(1, 9):
+        iters.append(
+            f"""v{i} AS (
+            SELECT m.variant, m.src AS state,
+                   CAST(SUM(CAST(ROUND(m.p * t.v, 14)
+                        AS DECIMAL(28,14))) AS DOUBLE) AS v
+            FROM mv m JOIN (
+                SELECT variant, state, v FROM {prev}
+                UNION ALL
+                SELECT variant, 'CONV', CAST(1.0 AS DOUBLE)
+                FROM variants
+            ) t ON m.variant = t.variant AND m.dst = t.state
+            GROUP BY 1, 2
+        )"""
+        )
+        prev = f"v{i}"
+    body = ", ".join(iters)
+    return f"""
+        WITH n1 AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ), n2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                               THEN rn END)
+                      OVER (PARTITION BY user_id, d) AS prn
+            FROM n1
+        ), states AS (
+            SELECT user_id, d, rn, prn, value,
+                   CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END AS st
+            FROM n2 WHERE prn IS NULL OR rn <= prn
+        ), lag_e AS (
+            SELECT COALESCE(LAG(st) OVER (
+                       PARTITION BY user_id, d ORDER BY rn),
+                       'START') AS src,
+                   st AS dst
+            FROM states
+        ), term_e AS (
+            SELECT st AS src, 'NULL' AS dst
+            FROM (SELECT st, rn, prn,
+                         MAX(rn) OVER (PARTITION BY user_id, d)
+                             AS mrn
+                  FROM states)
+            WHERE prn IS NULL AND rn = mrn
+        ), trans AS (
+            SELECT src, dst, COUNT(*) AS n
+            FROM (SELECT * FROM lag_e
+                  UNION ALL SELECT * FROM term_e)
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT src, dst,
+                   CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)
+                       AS p
+            FROM trans
+        ), variants AS (
+            SELECT * FROM (VALUES
+                ('full', CAST(NULL AS VARCHAR)),
+                ('no_click', 'click'), ('no_error', 'error'),
+                ('no_signup', 'signup'), ('no_view', 'view'))
+                AS t(variant, removed)
+        ), mv AS (
+            SELECT v.variant, m.src, m.dst, m.p
+            FROM m CROSS JOIN variants v
+            WHERE v.removed IS NULL
+               OR (m.src <> v.removed AND m.dst <> v.removed)
+        ), v0 AS (
+            SELECT variant, CAST(NULL AS VARCHAR) AS state,
+                   CAST(NULL AS DOUBLE) AS v
+            FROM variants WHERE FALSE
+        ), {body}, startv AS (
+            SELECT variant, v FROM v8 WHERE state = 'START'
+        ), convval AS (
+            SELECT CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE) AS total_value
+            FROM states WHERE st = 'CONV'
+        ), pf AS (
+            SELECT v AS p_full FROM startv WHERE variant = 'full'
+        ), eff AS (
+            SELECT va.removed AS channel,
+                   1.0 - COALESCE(sv.v, 0.0) / pf.p_full
+                       AS removal_effect
+            FROM variants va
+            LEFT JOIN startv sv ON va.variant = sv.variant
+            CROSS JOIN pf
+            WHERE va.removed IS NOT NULL
+        ), effq AS (
+            SELECT channel, removal_effect,
+                   CAST(ROUND(removal_effect, 12) AS DECIMAL(18,12))
+                       AS rq
+            FROM eff
+        )
+        SELECT channel, removal_effect,
+               CAST(rq AS DOUBLE) / CAST(SUM(rq) OVER () AS DOUBLE)
+                   AS attribution_share,
+               (CAST(rq AS DOUBLE)
+                / CAST(SUM(rq) OVER () AS DOUBLE)) * cv.total_value
+                   AS attributed_value
+        FROM effq CROSS JOIN convval cv
+        ORDER BY channel
+    """
 
 
 def _oracle_sql_literals() -> dict[str, str]:

@@ -1615,3 +1615,192 @@ def eb_shrunk_user_conversion(
         p.alias("raw_rate"),
         shrunk.alias("shrunk_rate"),
     )
+
+
+MARKOV_ABS_ITERS = 8
+
+
+def markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution — the absorbing-chain model
+    behind data-driven marketing attribution (Anderl et al.'s
+    framework, the industry alternative to last-touch / linear
+    splits): build a first-order chain over each (user, day) journey
+    with absorbing CONV (first purchase truncates the path) and NULL
+    (day ends unconverted) states, compute the probability of
+    absorbing into CONV from START, then re-compute it with each
+    channel's node DELETED (its probability mass falls through to
+    NULL — the standard no-renormalization convention). A channel's
+    removal effect is the relative drop in conversion probability;
+    shares normalize the effects and split the total converted value.
+    Returns (channel, removal_effect, attribution_share,
+    attributed_value) — one row per non-purchase event type.
+
+    Completes the attribution family: last-touch
+    (revenue_attribution), linear multi-touch
+    (linear_touch_attribution), and counterfactual removal-effect —
+    three models, one event stream.
+
+    Shape: ONE (user, day)-keyed exchange builds every journey edge
+    (row_number + min-purchase-rn + lag all share the partitioning by
+    the subset rule); transitions aggregate to the ≤7×7 state space,
+    which is VOCABULARY-bounded, not data-bounded — so the absorption
+    iteration runs over a ≤150-row (variant, src, dst, p) table:
+    8 fixed matrix-vector passes, each one tiny join + aggregate,
+    batched across all 5 variants (full + 4 removals) in a single
+    DataFrame per pass. At 100 TB the only cost that grows is the
+    edge-count aggregate; the chain math is constant-size.
+
+    Oracle-pairability (the PageRank seam): transition probabilities
+    are single IEEE divisions of exact BIGINT counts; each
+    matrix-vector contribution is ROUND(p·v, 14) quantized to
+    DECIMAL(28,14) before the order-free exact sum; removal effects
+    quantize to DECIMAL(18,12) before the share denominator — every
+    float op is a fixed-order scalar expression, bit-identical to the
+    DuckDB twin's identical unrolled iterations.
+    """
+    e = table(spark, sf_dir, "events")
+    grp = Window.partitionBy("user_id", "d")
+    seq = grp.orderBy("ts", "event_id")
+    numbered = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .withColumn("rn", F.row_number().over(seq))
+        .withColumn(
+            "prn",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("rn"))
+            ).over(grp),
+        )
+    )
+    states = numbered.where(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    ).withColumn(
+        "st",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    lag_edges = states.select(
+        F.coalesce(
+            F.lag("st").over(grp.orderBy("rn")), F.lit("START")
+        ).alias("src"),
+        F.col("st").alias("dst"),
+    )
+    term_edges = (
+        states.withColumn("mrn", F.max("rn").over(grp))
+        .where(F.col("prn").isNull() & (F.col("rn") == F.col("mrn")))
+        .select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
+    )
+    trans = (
+        lag_edges.unionByName(term_edges)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = trans.select(
+        "src",
+        "dst",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src")).cast("double")
+        ).alias("p"),
+    )
+
+    channels = ["click", "error", "signup", "view"]
+    variants = spark.createDataFrame(
+        [("full", None)] + [(f"no_{c}", c) for c in channels],
+        "variant string, removed string",
+    )
+    mv = (
+        m.crossJoin(F.broadcast(variants))
+        .where(
+            F.col("removed").isNull()
+            | (
+                (F.col("src") != F.col("removed"))
+                & (F.col("dst") != F.col("removed"))
+            )
+        )
+        .select("variant", "src", "dst", "p")
+        .localCheckpoint()
+    )
+
+    vconv = variants.select(
+        "variant", F.lit("CONV").alias("state"), F.lit(1.0).alias("v")
+    )
+    v = spark.createDataFrame([], "variant string, state string, v double")
+    for _ in range(MARKOV_ABS_ITERS):
+        vaug = v.unionByName(vconv)
+        v = (
+            mv.alias("m")
+            .join(
+                vaug.alias("t"),
+                (F.col("m.variant") == F.col("t.variant"))
+                & (F.col("m.dst") == F.col("t.state")),
+            )
+            .select(
+                F.col("m.variant").alias("variant"),
+                F.col("m.src").alias("src"),
+                F.round(F.col("m.p") * F.col("t.v"), 14)
+                .cast("decimal(28,14)")
+                .alias("c"),
+            )
+            .groupBy("variant", "src")
+            .agg(F.sum("c").cast("double").alias("v"))
+            .select("variant", F.col("src").alias("state"), "v")
+            .localCheckpoint()
+        )
+
+    start = v.where(F.col("state") == "START")
+    pf = start.where(F.col("variant") == "full").select(
+        F.col("v").alias("p_full")
+    )
+    conv_value = states.where(F.col("st") == "CONV").agg(
+        dsum("value", "decimal(18,6)").alias("total_value")
+    )
+    pr = (
+        variants.where(F.col("removed").isNotNull())
+        .join(start, "variant", "left")
+        .select(
+            F.col("removed").alias("channel"),
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("p_removed"),
+        )
+    )
+    eff = pr.crossJoin(F.broadcast(pf)).select(
+        "channel",
+        (F.lit(1.0) - F.col("p_removed") / F.col("p_full")).alias(
+            "removal_effect"
+        ),
+    )
+    effq = eff.select(
+        "channel",
+        "removal_effect",
+        F.round("removal_effect", 12).cast("decimal(18,12)").alias("rq"),
+    )
+    denom = Window.partitionBy()
+    shares = effq.select(
+        "channel",
+        "removal_effect",
+        (
+            F.col("rq").cast("double")
+            / F.sum("rq").over(denom).cast("double")
+        ).alias("attribution_share"),
+    )
+    return (
+        shares.crossJoin(F.broadcast(conv_value))
+        .select(
+            "channel",
+            "removal_effect",
+            "attribution_share",
+            (F.col("attribution_share") * F.col("total_value")).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -2119,3 +2119,100 @@ def test_top_movers_planted_swap(spark, tmp_path):
     assert got[3].rank_delta == 2 and got[3].rnk == 1  # climbed 3->1
     assert got[1].rank_delta == -2 and got[1].rnk == 3  # fell 1->3
     assert got[2].rank_delta == 0
+
+
+def test_markov_removal_attribution_invariants(spark):
+    from doeecommerce_datapipeline_spark.operators.events import (
+        markov_removal_attribution,
+    )
+
+    rows = markov_removal_attribution(spark, SF).collect()
+    assert sorted(r.channel for r in rows) == [
+        "click", "error", "signup", "view",
+    ]
+    # removal can only hurt conversion; nothing is total
+    assert all(0.0 < r.removal_effect < 1.0 for r in rows)
+    # shares are a normalization; attributed value conserves the pot
+    assert abs(sum(r.attribution_share for r in rows) - 1.0) < 1e-9
+    total = sum(r.attributed_value for r in rows)
+    share_sum = sum(r.attribution_share for r in rows)
+    assert abs(total / share_sum - rows[0].attributed_value
+               / rows[0].attribution_share) < 1e-6
+
+
+def test_markov_removal_attribution_matches_numpy_chain(spark):
+    # independent replication: build the same (user, day) journeys in
+    # pandas, the same absorbing chain in numpy, run the same 8
+    # matrix-vector iterations (without the 1e-14 quantization — its
+    # effect is far below the tolerance), and check removal effects
+    import numpy as np
+    import pandas as pd
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        MARKOV_ABS_ITERS,
+        markov_removal_attribution,
+    )
+
+    df = pd.read_parquet(f"{SF}/events.parquet")
+    df["d"] = pd.to_datetime(df["ts"]).dt.date
+    df = df.sort_values(["user_id", "d", "ts", "event_id"])
+    df["rn"] = df.groupby(["user_id", "d"]).cumcount() + 1
+    prn = (
+        df[df.event_type == "purchase"]
+        .groupby(["user_id", "d"])["rn"]
+        .min()
+        .rename("prn")
+    )
+    df = df.join(prn, on=["user_id", "d"])
+    kept = df[df.prn.isna() | (df.rn <= df.prn)].copy()
+    kept["st"] = kept.event_type.where(
+        kept.event_type != "purchase", "CONV"
+    )
+    kept["src"] = (
+        kept.groupby(["user_id", "d"])["st"].shift(1).fillna("START")
+    )
+    edges = list(zip(kept["src"], kept["st"]))
+    last = kept.groupby(["user_id", "d"]).tail(1)
+    last = last[last.prn.isna()]
+    edges += [(s, "NULL") for s in last["st"]]
+    cnt: dict = {}
+    for s, t in edges:
+        cnt[(s, t)] = cnt.get((s, t), 0) + 1
+    outs: dict = {}
+    for (s, _), n in cnt.items():
+        outs[s] = outs.get(s, 0) + n
+
+    def absorb(removed=None):
+        states = ["START", "click", "error", "signup", "view"]
+        if removed:
+            states = [s for s in states if s != removed]
+        idx = {s: i for i, s in enumerate(states)}
+        n = len(states)
+        Q = np.zeros((n, n))
+        b = np.zeros(n)
+        for (s, t), c in cnt.items():
+            if s not in idx:
+                continue
+            if removed and t == removed:
+                continue
+            p = c / outs[s]
+            if t == "CONV":
+                b[idx[s]] += p
+            elif t in idx:
+                Q[idx[s], idx[t]] += p
+        v = np.zeros(n)
+        for _ in range(MARKOV_ABS_ITERS):
+            v = Q @ v + b
+        return v[idx["START"]]
+
+    pf = absorb()
+    expected = {
+        c: 1.0 - absorb(c) / pf
+        for c in ["click", "error", "signup", "view"]
+    }
+    got = {
+        r.channel: r.removal_effect
+        for r in markov_removal_attribution(spark, SF).collect()
+    }
+    for c in expected:
+        assert abs(got[c] - expected[c]) < 1e-9, (c, got[c], expected[c])
