@@ -1766,7 +1766,7 @@ def markov_removal_attribution(
     )
     pr = (
         variants.where(F.col("removed").isNotNull())
-        .join(start, "variant", "left")
+        .join(F.broadcast(start), "variant", "left")
         .select(
             F.col("removed").alias("channel"),
             F.coalesce(F.col("v"), F.lit(0.0)).alias("p_removed"),
