@@ -125,7 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     eb_shrunk_user_conversion, ppl_filter_sweep, mix_epochs_plan,
     promo_did_estimate, retrieval_ndcg_eval, dedup_rate_by_source,
     order_value_ecdf, readability_scores, top_movers_monthly,
-    copurchase_core_collapse, markov_removal_attribution —
+    copurchase_core_collapse, markov_removal_attribution,
+    cuped_adjusted_ab —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -488,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # absorbing-chain removal effects (completes last-touch /
         # linear / data-driven attribution family)
         "markov_removal_attribution": E.markov_removal_attribution,
+        # (ak) round-4 continuation 32 — CUPED variance-reduced A/B
+        # readout (one moment aggregate, closed-form adjustment)
+        "cuped_adjusted_ab": E.cuped_adjusted_ab,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -6433,5 +6437,83 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT 4, CAST(COUNT(DISTINCT src) AS BIGINT),
                    CAST(COUNT(*) / 2 AS BIGINT) FROM e4
             ORDER BY round
+        """,
+        "cuped_adjusted_ab": """
+            WITH pu AS (
+                SELECT user_id,
+                       COALESCE(CAST(SUM(CAST(CASE
+                           WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN value END AS DECIMAL(18,6)))
+                           AS DOUBLE), 0.0) AS x,
+                       COALESCE(CAST(SUM(CAST(CASE
+                           WHEN NOT (CAST(ts AS DATE)
+                                     < DATE '2024-01-16')
+                           THEN value END AS DECIMAL(18,6)))
+                           AS DOUBLE), 0.0) AS y
+                FROM events GROUP BY user_id
+            ), mo AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(x AS DECIMAL(18,6)))
+                            AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(y AS DECIMAL(18,6)))
+                            AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(ROUND(x * x, 8)
+                            AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(ROUND(y * y, 8)
+                            AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(ROUND(x * y, 8)
+                            AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1
+                                ELSE 0 END) AS BIGINT) AS n0,
+                       CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1
+                                ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(SUM(CASE WHEN user_id % 2 = 0
+                            THEN CAST(x AS DECIMAL(18,6)) END)
+                            AS DOUBLE) AS sx0,
+                       CAST(SUM(CASE WHEN user_id % 2 = 1
+                            THEN CAST(x AS DECIMAL(18,6)) END)
+                            AS DOUBLE) AS sx1,
+                       CAST(SUM(CASE WHEN user_id % 2 = 0
+                            THEN CAST(y AS DECIMAL(18,6)) END)
+                            AS DOUBLE) AS sy0,
+                       CAST(SUM(CASE WHEN user_id % 2 = 1
+                            THEN CAST(y AS DECIMAL(18,6)) END)
+                            AS DOUBLE) AS sy1
+                FROM pu
+            ), d AS (
+                SELECT n0, n1,
+                       n * sxy - sx * sy AS covn,
+                       n * sxx - sx * sx AS varxn,
+                       n * syy - sy * sy AS varyn,
+                       sy1 / CAST(n1 AS DOUBLE)
+                           - sy0 / CAST(n0 AS DOUBLE) AS diff_raw,
+                       sx1 / CAST(n1 AS DOUBLE)
+                           - sx0 / CAST(n0 AS DOUBLE) AS dx_arm,
+                       n
+                FROM mo
+            ), f AS (
+                SELECT n0, n1,
+                       covn / varxn AS theta,
+                       covn * covn / (varxn * varyn)
+                           AS var_reduction,
+                       diff_raw,
+                       diff_raw - (covn / varxn) * dx_arm
+                           AS diff_cuped,
+                       (varyn / (n * n))
+                           * (1.0 - covn * covn / (varxn * varyn))
+                           AS var_cuped
+                FROM d
+            )
+            SELECT n0, n1, theta, var_reduction, diff_raw,
+                   diff_cuped,
+                   CASE WHEN sqrt(var_cuped
+                            * (1.0 / CAST(n0 AS DOUBLE)
+                               + 1.0 / CAST(n1 AS DOUBLE))) > 0
+                        THEN diff_cuped
+                             / sqrt(var_cuped
+                                 * (1.0 / CAST(n0 AS DOUBLE)
+                                    + 1.0 / CAST(n1 AS DOUBLE)))
+                   END AS z_cuped
+            FROM f
         """,
     }

@@ -1804,3 +1804,89 @@ def markov_removal_attribution(
         )
         .orderBy("channel")
     )
+
+
+CUPED_SPLIT_DATE = "2024-01-16"
+
+
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B value metric (Deng et
+    al., WSDM'13 — the standard trick in every large experimentation
+    platform): per-user post-period value Y is adjusted by the
+    pre-period covariate X (theta = cov(X,Y)/var(X)), shrinking
+    metric variance by rho-squared and tightening the treatment
+    z-score without touching the point estimate's validity. Arms are
+    the same deterministic user_id % 2 split as ab_conversion_ztest;
+    the pre/post boundary is the experiment midpoint. One row:
+    per-arm sizes, theta, var_reduction, raw and CUPED-adjusted
+    treatment deltas, and the adjusted z.
+
+    Everything derives from ONE user-grain aggregate + ONE moment
+    rollup: per-user X/Y are conditional DECIMAL(18,6) exact sums
+    (bit-identical doubles), cross-moments quantize the double
+    products at 8dp to DECIMAL(28,8) before the order-free sum (the
+    corr-matrix seam), and theta / rho² / the adjusted delta and z
+    are closed-form in those moments — var(Y_cuped) = var(Y)(1-rho²)
+    analytically, so NO second pass re-scores users. Scale: the only
+    fact exchange is the user-grain aggregate; the moment rollup is
+    a single row.
+    """
+    e = table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT_DATE).cast("date")
+    pre = F.to_date("ts") < split
+
+    def _csum(cond):
+        return F.coalesce(
+            F.sum(
+                F.when(cond, F.col("value")).cast("decimal(18,6)")
+            ).cast("double"),
+            F.lit(0.0),
+        )
+
+    per_user = e.groupBy("user_id").agg(
+        _csum(pre).alias("x"), _csum(~pre).alias("y")
+    )
+    arm = (F.col("user_id") % 2).cast("int")
+    dx = F.col("x").cast("decimal(18,6)")
+    dy = F.col("y").cast("decimal(18,6)")
+
+    def _q(prod):
+        return F.round(prod, 8).cast("decimal(28,8)")
+
+    row = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(_q(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(_q(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(_q(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(arm == 0, dx)).cast("double").alias("sx0"),
+        F.sum(F.when(arm == 1, dx)).cast("double").alias("sx1"),
+        F.sum(F.when(arm == 0, dy)).cast("double").alias("sy0"),
+        F.sum(F.when(arm == 1, dy)).cast("double").alias("sy1"),
+    )
+    n = F.col("n").cast("double")
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = cov_n / varx_n
+    rho2 = cov_n * cov_n / (varx_n * vary_n)
+    diff_raw = F.col("sy1") / n1 - F.col("sy0") / n0
+    diff_cuped = diff_raw - theta * (
+        F.col("sx1") / n1 - F.col("sx0") / n0
+    )
+    var_y = vary_n / (n * n)
+    var_cuped = var_y * (F.lit(1.0) - rho2)
+    se = F.sqrt(var_cuped * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    return row.select(
+        "n0",
+        "n1",
+        theta.alias("theta"),
+        rho2.alias("var_reduction"),
+        diff_raw.alias("diff_raw"),
+        diff_cuped.alias("diff_cuped"),
+        F.when(se > 0, diff_cuped / se).alias("z_cuped"),
+    )

@@ -2216,3 +2216,35 @@ def test_markov_removal_attribution_matches_numpy_chain(spark):
     }
     for c in expected:
         assert abs(got[c] - expected[c]) < 1e-9, (c, got[c], expected[c])
+
+
+def test_cuped_matches_numpy_and_identities(spark):
+    import numpy as np
+    import pandas as pd
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        CUPED_SPLIT_DATE,
+        cuped_adjusted_ab,
+    )
+
+    r = cuped_adjusted_ab(spark, SF).collect()[0]
+    df = pd.read_parquet(f"{SF}/events.parquet")
+    split = pd.Timestamp(CUPED_SPLIT_DATE)
+    df["v"] = df["value"].round(6)
+    pre = df[df.ts < split].groupby("user_id")["v"].sum()
+    post = df[df.ts >= split].groupby("user_id")["v"].sum()
+    users = sorted(df.user_id.unique())
+    x = np.array([pre.get(u, 0.0) for u in users])
+    y = np.array([post.get(u, 0.0) for u in users])
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(r.theta - theta) < 1e-6
+    assert abs(r.var_reduction - rho2) < 1e-6
+    assert 0.0 <= r.var_reduction <= 1.0
+    arm = np.array(users) % 2
+    diff_raw = y[arm == 1].mean() - y[arm == 0].mean()
+    diff_cuped = diff_raw - theta * (
+        x[arm == 1].mean() - x[arm == 0].mean()
+    )
+    assert abs(r.diff_raw - diff_raw) < 1e-6
+    assert abs(r.diff_cuped - diff_cuped) < 1e-6
