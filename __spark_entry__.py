@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     promo_did_estimate, retrieval_ndcg_eval, dedup_rate_by_source,
     order_value_ecdf, readability_scores, top_movers_monthly,
     copurchase_core_collapse, markov_removal_attribution,
-    cuped_adjusted_ab —
+    cuped_adjusted_ab, holt_winters_weekly —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -492,6 +492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ak) round-4 continuation 32 — CUPED variance-reduced A/B
         # readout (one moment aggregate, closed-form adjustment)
         "cuped_adjusted_ab": E.cuped_adjusted_ab,
+        # (al) round-4 continuation 33 — Holt-Winters weekly: the
+        # recursive oracle class at 9 carried states
+        "holt_winters_weekly": W.holt_winters_weekly,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -725,7 +728,69 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY cluster_size
     """
     sql["markov_removal_attribution"] = _markov_removal_oracle()
+    sql["holt_winters_weekly"] = _holt_winters_oracle()
     return sql
+
+
+def _holt_winters_oracle() -> str:
+    """Recursive-CTE twin of windows.holt_winters_weekly: the 9-state
+    (level, trend, 7 seasonal slots) update is generated from ONE set
+    of expression templates so the Spark and SQL recursions can't
+    drift — same floor(v*1e4+0.5)/1e4 lattice as the ewma/holt
+    oracles."""
+
+    def q(e: str) -> str:
+        return f"floor(({e}) * 10000 + 0.5) / 10000"
+
+    sd = (
+        "CASE o.dow "
+        + " ".join(f"WHEN {k} THEN r.s{k}" for k in range(7))
+        + " END"
+    )
+    new_l = q(f"0.3 * (o.revenue - ({sd})) + 0.7 * (r.level + r.trend)")
+    new_b = q(f"0.1 * (({new_l}) - r.level) + 0.9 * r.trend")
+    new_sd = q(f"0.2 * (o.revenue - ({new_l})) + 0.8 * ({sd})")
+    slots = ",\n                       ".join(
+        f"CASE WHEN o.dow = {k} THEN ({new_sd}) ELSE r.s{k} END AS s{k}"
+        for k in range(7)
+    )
+    zero_slots = ", ".join(
+        f"CAST(0.0 AS DOUBLE) AS s{k}" for k in range(7)
+    )
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        ), o AS (
+            SELECT day, revenue,
+                   CAST(dayofweek(day) AS INTEGER) AS dow,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day)
+                        AS BIGINT) AS rn
+            FROM daily
+        ), x1 AS (SELECT revenue AS x0 FROM o WHERE rn = 1),
+        x2 AS (SELECT revenue AS x1v FROM o WHERE rn = 2),
+        r AS (
+            SELECT o.rn, o.day, o.revenue, o.dow,
+                   {q("o.revenue")} AS level,
+                   {q("x2.x1v - x1.x0")} AS trend,
+                   {zero_slots},
+                   CAST(NULL AS DOUBLE) AS forecast,
+                   CAST(0.0 AS DOUBLE) AS seasonal
+            FROM o, x1, x2 WHERE o.rn = 1
+            UNION ALL
+            SELECT o.rn, o.day, o.revenue, o.dow,
+                   ({new_l}) AS level,
+                   ({new_b}) AS trend,
+                   {slots},
+                   r.level + r.trend + ({sd}) AS forecast,
+                   ({new_sd}) AS seasonal
+            FROM r JOIN o ON o.rn = r.rn + 1
+        )
+        SELECT day, revenue, dow, forecast, level, trend, seasonal
+        FROM r
+    """
 
 
 def _markov_removal_oracle() -> str:

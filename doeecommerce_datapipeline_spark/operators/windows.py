@@ -820,3 +820,80 @@ def top_movers_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(TOP_MOVERS)
     )
+
+
+def holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple smoothing of daily revenue with a
+    weekly season — the third member of the recursive oracle class
+    (ewma_recursive_daily: level; holt_linear_daily: level+trend;
+    here: level+trend+7 seasonal slots). Each day emits the one-step
+    forecast l+b+s[dow] made BEFORE observing the day, then updates
+    l_t = a*(x_t - s[dow]) + (1-a)*(l+b),
+    b_t = g*(l_t - l) + (1-g)*b,
+    s[dow] = d*(x_t - l_t) + (1-d)*s[dow].
+    Seasonal state seeds at ZERO (the delta recursion learns the
+    weekly shape within a few cycles) so seeding never depends on the
+    first week's weekday coverage — gap days simply skip their slot.
+
+    Determinism: every carried scalar (level, trend, each seasonal
+    slot) is rounded on the explicit floor(v*1e4+0.5)/1e4 lattice at
+    every step, so the ~2400-step coupled 9-state double recursion is
+    bit-identical to the DuckDB recursive-CTE twin (whose per-slot
+    updates are generated from the same expressions). Scale: the
+    recursion runs over the DAY-grain series (thousands of rows at
+    any corpus size) in one grouped-map; the fact is touched once by
+    the daily rollup.
+    """
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+    def fit(pdf):
+        import numpy as np
+
+        q = lambda v: np.floor(v * 1e4 + 0.5) / 1e4  # noqa: E731
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = pdf["revenue"].to_numpy(float)
+        dow = pdf["day"].map(lambda d: (d.weekday() + 1) % 7).to_numpy()
+        n = len(x)
+        level = np.full(n, np.nan)
+        trend = np.full(n, np.nan)
+        fc = np.full(n, np.nan)
+        seas = np.full(n, np.nan)
+        if n >= 2:
+            s = [0.0] * 7
+            lv = q(x[0])
+            bv = q(x[1] - x[0])
+            level[0], trend[0], seas[0] = lv, bv, 0.0
+            for i in range(1, n):
+                d = int(dow[i])
+                sd = s[d]
+                fc[i] = lv + bv + sd
+                # literal complements (0.7/0.9/0.8) — the same double
+                # bits the SQL twin parses
+                new_l = q(0.3 * (x[i] - sd) + 0.7 * (lv + bv))
+                bv = q(0.1 * (new_l - lv) + 0.9 * bv)
+                s[d] = q(0.2 * (x[i] - new_l) + 0.8 * sd)
+                lv = new_l
+                level[i], trend[i], seas[i] = lv, bv, s[d]
+        pdf["dow"] = dow.astype("int32")
+        pdf["forecast"] = fc
+        pdf["level"] = level
+        pdf["trend"] = trend
+        pdf["seasonal"] = seas
+        return pdf[
+            ["day", "revenue", "dow", "forecast", "level", "trend",
+             "seasonal"]
+        ]
+
+    return daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        fit,
+        "day date, revenue double, dow int, forecast double,"
+        " level double, trend double, seasonal double",
+    )

@@ -2248,3 +2248,39 @@ def test_cuped_matches_numpy_and_identities(spark):
     )
     assert abs(r.diff_raw - diff_raw) < 1e-6
     assert abs(r.diff_cuped - diff_cuped) < 1e-6
+
+
+def test_holt_winters_learns_weekly_pattern(spark, tmp_path):
+    # flat level + pure weekly additive pattern: the zero-seeded
+    # seasonal state must learn the shape, so late-cycle forecasts
+    # land far closer than early ones, and trend stays near zero
+    import pandas as pd
+
+    from doeecommerce_datapipeline_spark.operators.windows import (
+        holt_winters_weekly,
+    )
+
+    d = str(tmp_path / "sf_hw")
+    days = pd.date_range("1995-01-02", periods=140)  # 20 weeks
+    pattern = [0.0, 40.0, -30.0, 10.0, -20.0, 25.0, -25.0]
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(140),
+            "o_custkey": 1,
+            "o_orderdate": days,
+            "o_totalprice": [
+                1000.0 + pattern[ts.weekday()] for ts in days
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(d + "/orders.parquet")
+    rows = sorted(
+        holt_winters_weekly(spark, d).collect(), key=lambda r: r.day
+    )
+    early = [abs(r.forecast - r.revenue) for r in rows[7:21]]
+    late = [abs(r.forecast - r.revenue) for r in rows[-14:]]
+    assert sum(late) / len(late) < 0.2 * (sum(early) / len(early))
+    assert all(abs(r.trend) < 5.0 for r in rows[-14:])
+    # each weekday slot carries its own learned seasonal value
+    finals = {r.dow: r.seasonal for r in rows[-7:]}
+    assert len(finals) == 7
