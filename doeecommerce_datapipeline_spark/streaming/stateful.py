@@ -328,3 +328,104 @@ def funnel_depth_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SPACE_SAVING_K = 20
+SS_OUT_SCHEMA = (
+    "grp string, item string, count_est long, err_bound long,"
+    " n_seen long, version long"
+)
+SS_STATE_SCHEMA = "counters string, n long"
+
+
+def _make_space_saving(k: int):
+    def _fold(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Fold one group's micro-batch items into its ≤k space-saving
+        counters (Metwally et al.): a hit increments, a miss with room
+        opens a fresh counter, a miss at capacity overwrites the
+        MINIMUM counter (err = its old count). Invariants — every item
+        with true count > n/k is present, and for each counter
+        true ≤ count_est and count_est − err_bound ≤ true — hold for
+        ANY arrival order, so cross-batch ordering needs no frontier
+        state (unlike the EWMA recursion). Emits the full snapshot
+        stamped with version = items folded so far; readers keep each
+        group's max version."""
+        import json
+
+        (g,) = key
+        items: list[str] = []
+        for pdf in pdfs:
+            p = pdf.sort_values("seq")
+            items.extend(str(v) for v in p["item"])
+        if state.exists:
+            enc, n = state.get
+            counters = {
+                it: (int(c), int(e))
+                for it, c, e in json.loads(enc)
+            }
+        else:
+            counters, n = {}, 0
+        for it in items:
+            n += 1
+            if it in counters:
+                c, e = counters[it]
+                counters[it] = (c + 1, e)
+            elif len(counters) < k:
+                counters[it] = (1, 0)
+            else:
+                # deterministic eviction: smallest (count, item)
+                victim = min(
+                    counters, key=lambda x: (counters[x][0], x)
+                )
+                vc, _ = counters.pop(victim)
+                counters[it] = (vc + 1, vc)
+        state.update(
+            (
+                json.dumps(
+                    [[it, c, e] for it, (c, e) in sorted(counters.items())]
+                ),
+                n,
+            )
+        )
+        if items:
+            snap = sorted(
+                counters.items(), key=lambda x: (-x[1][0], x[0])
+            )
+            yield pd.DataFrame(
+                {
+                    "grp": [g] * len(snap),
+                    "item": [it for it, _ in snap],
+                    "count_est": [c for _, (c, _) in snap],
+                    "err_bound": [e for _, (_, e) in snap],
+                    "n_seen": [n] * len(snap),
+                    "version": [n] * len(snap),
+                }
+            )
+
+    return _fold
+
+
+def space_saving_stream(
+    rows: DataFrame, k: int = SPACE_SAVING_K
+) -> DataFrame:
+    """(grp, item, seq) stream → versioned top-k snapshots per group:
+    the ONLINE heavy-hitter summary with HARD per-item error bounds —
+    the deterministic-guarantee complement of the CMS sketch sink
+    (foreach_batch_cms_merge gives fixed-size probabilistic counts;
+    space-saving gives ≤k counters whose error is CERTIFIED per item
+    by err_bound). State per group is the k-counter table + one total,
+    constant at any stream length; the fourth applyInPandasWithState
+    operator. Readers take each group's max-version snapshot; the
+    guarantee (every item with true count > n/k survives; true count
+    ∈ [count_est − err_bound, count_est]) holds under any arrival
+    order and any micro-batch partitioning."""
+    ensure_shipped(rows.sparkSession)
+    return rows.groupBy("grp").applyInPandasWithState(
+        _make_space_saving(k),
+        outputStructType=SS_OUT_SCHEMA,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -577,3 +577,109 @@ def test_online_funnel_depth_matches_batch(spark, tmp_path):
         for r in window_funnel_depth(spark, sf).collect()
     }
     assert hist == want
+
+
+def test_online_space_saving_heavy_hitters(spark, tmp_path):
+    """E2E: events replayed in 3 micro-batches through the stateful
+    space-saving summary. The final snapshot per group must satisfy
+    the sketch's hard guarantees against exact batch counts: every
+    user with true count > n/k is present, and every reported count
+    brackets the truth via its certified error bound. A second pass
+    with k large enough to hold every item must be EXACT (err 0)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from doeecommerce_datapipeline_spark.streaming.stateful import (
+        SPACE_SAVING_K,
+        space_saving_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = sorted(
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_type", "user_id", "event_id")
+        .collect(),
+        key=lambda r: r.event_id,
+    )
+    series = [
+        (r.event_type, str(r.user_id), i) for i, r in enumerate(ev)
+    ]
+    third = len(series) // 3
+    batches = [
+        series[:third],
+        series[third: 2 * third],
+        series[2 * third:],
+    ]
+
+    def _drain(kval, name):
+        base = str(tmp_path / f"ss_in_{name}")
+        os.makedirs(base, exist_ok=True)
+        for i, rows in enumerate(batches):
+            stg = os.path.join(base, f"_stg{i}")
+            spark.createDataFrame(
+                rows, "grp string, item string, seq long"
+            ).coalesce(1).write.parquet(stg)
+            [part] = glob.glob(os.path.join(stg, "*.parquet"))
+            dst = os.path.join(base, f"batch{i}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stg)
+            os.utime(dst, (time.time() + i, time.time() + i))
+        stream = (
+            spark.readStream.schema("grp string, item string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base)
+        )
+        q = (
+            space_saving_stream(stream, k=kval)
+            .writeStream.format("memory")
+            .queryName(f"ss_out_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ss_ck_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(
+            f"SELECT * FROM ss_out_{name}"
+        ).collect()
+        final = {}
+        for r in rows:
+            if (
+                r.grp not in final
+                or r.version > final[r.grp][0].version
+            ):
+                final.setdefault(r.grp, [])
+            if r.version >= max(
+                (x.version for x in final[r.grp]), default=-1
+            ):
+                final[r.grp] = [
+                    x for x in final[r.grp] if x.version == r.version
+                ] + [r]
+        return final
+
+    truth: dict = {}
+    for g, it, _ in series:
+        truth.setdefault(g, {})
+        truth[g][it] = truth[g].get(it, 0) + 1
+
+    final = _drain(SPACE_SAVING_K, "k20")
+    for g, snap in final.items():
+        n = sum(truth[g].values())
+        assert snap[0].n_seen == n
+        assert len(snap) <= SPACE_SAVING_K
+        reported = {r.item: r for r in snap}
+        for it, c in truth[g].items():
+            if c > n / SPACE_SAVING_K:
+                assert it in reported, (g, it, c)
+        for r in snap:
+            t = truth[g].get(r.item, 0)
+            assert t <= r.count_est, (g, r.item)
+            assert r.count_est - r.err_bound <= t, (g, r.item)
+
+    exact = _drain(500, "big")
+    for g, snap in exact.items():
+        assert {r.item: r.count_est for r in snap} == truth[g]
+        assert all(r.err_bound == 0 for r in snap)
