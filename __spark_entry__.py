@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     promo_did_estimate, retrieval_ndcg_eval, dedup_rate_by_source,
     order_value_ecdf, readability_scores, top_movers_monthly,
     copurchase_core_collapse, markov_removal_attribution,
-    cuped_adjusted_ab, holt_winters_weekly —
+    cuped_adjusted_ab, holt_winters_weekly, inventory_ss_policy —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -495,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (al) round-4 continuation 33 — Holt-Winters weekly: the
         # recursive oracle class at 9 carried states
         "holt_winters_weekly": W.holt_winters_weekly,
+        # (am) round-4 continuation 34 — (s,S) inventory simulation:
+        # integer-state recursion, no float seam at all
+        "inventory_ss_policy": R.inventory_ss_policy,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -729,6 +732,54 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["markov_removal_attribution"] = _markov_removal_oracle()
     sql["holt_winters_weekly"] = _holt_winters_oracle()
+    sql["inventory_ss_policy"] = """
+        WITH RECURSIVE dd AS (
+            SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS day,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS demand
+            FROM lineitem GROUP BY 1, 2
+        ), o AS (
+            SELECT pk, day, demand,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pk
+                        ORDER BY day) AS BIGINT) AS rn
+            FROM dd
+        ), r AS (
+            SELECT pk, rn, demand AS total_demand,
+                   CASE WHEN 200 - demand < 0
+                        THEN demand - 200 ELSE 0 END AS total_stockout,
+                   CASE WHEN (CASE WHEN 200 - demand < 0 THEN 0
+                              ELSE 200 - demand END) <= 50
+                        THEN 1 ELSE 0 END AS n_reorders,
+                   CASE WHEN (CASE WHEN 200 - demand < 0 THEN 0
+                              ELSE 200 - demand END) <= 50
+                        THEN 200
+                        ELSE 200 - demand END AS inv
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.pk, o.rn,
+                   r.total_demand + o.demand,
+                   r.total_stockout
+                   + CASE WHEN r.inv - o.demand < 0
+                          THEN o.demand - r.inv ELSE 0 END,
+                   r.n_reorders
+                   + CASE WHEN (CASE WHEN r.inv - o.demand < 0 THEN 0
+                                ELSE r.inv - o.demand END) <= 50
+                          THEN 1 ELSE 0 END,
+                   CASE WHEN (CASE WHEN r.inv - o.demand < 0 THEN 0
+                              ELSE r.inv - o.demand END) <= 50
+                        THEN 200
+                        ELSE r.inv - o.demand END
+            FROM r JOIN o ON o.pk = r.pk AND o.rn = r.rn + 1
+        )
+        SELECT pk AS l_partkey,
+               CAST(rn AS BIGINT) AS n_periods,
+               CAST(total_demand AS BIGINT) AS total_demand,
+               CAST(n_reorders AS BIGINT) AS n_reorders,
+               CAST(total_stockout AS BIGINT) AS total_stockout,
+               CAST(inv AS BIGINT) AS end_inv
+        FROM r
+        QUALIFY rn = MAX(rn) OVER (PARTITION BY pk)
+    """
     return sql
 
 

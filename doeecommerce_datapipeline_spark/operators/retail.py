@@ -935,3 +935,71 @@ def promo_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ctrl_post",
         did.alias("did_estimate"),
     )
+
+
+INV_ORDER_UP_TO = 200
+INV_REORDER_POINT = 50
+
+
+def inventory_ss_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s,S) inventory policy simulation per part — the operations
+    primitive behind reorder-point planning: replay each part's daily
+    shipment demand against an order-up-to-S policy reviewed at every
+    demand epoch (start at S=200; after demand, lost sales below
+    zero, replenish to S whenever on-hand falls to s=50 or below).
+    Returns per part the period count, total demand, reorder count,
+    lost-sales quantity, and ending on-hand — the summary a
+    replenishment planner sweeps s/S over.
+
+    The state is a single INTEGER (on-hand), so unlike the
+    ewma/holt recursions there is no rounding seam at all: Spark's
+    grouped-map loop and the DuckDB partitioned recursive CTE (all
+    parts advance in lockstep rounds, ≤49 steps on this corpus) are
+    exactly equal by integer arithmetic. Scale: one (part, day)
+    aggregate touches the fact; the recursion runs per part over its
+    demand-day series (bounded by active days), embarrassingly
+    parallel across parts.
+    """
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(spark)
+    li = table(spark, sf_dir, "lineitem")
+    dd = li.groupBy(
+        F.col("l_partkey"), F.to_date("l_shipdate").alias("day")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("demand"))
+
+    cap, rp = INV_ORDER_UP_TO, INV_REORDER_POINT
+
+    def sim(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        inv, reorders, short, total = cap, 0, 0, 0
+        for d in pdf["demand"]:
+            d = int(d)
+            total += d
+            net = inv - d
+            if net < 0:
+                short += -net
+                net = 0
+            if net <= rp:
+                inv = cap
+                reorders += 1
+            else:
+                inv = net
+        return pd.DataFrame(
+            {
+                "l_partkey": [int(pdf["l_partkey"].iloc[0])],
+                "n_periods": [len(pdf)],
+                "total_demand": [total],
+                "n_reorders": [reorders],
+                "total_stockout": [short],
+                "end_inv": [inv],
+            }
+        )
+
+    return dd.groupBy("l_partkey").applyInPandas(
+        sim,
+        "l_partkey long, n_periods long, total_demand long,"
+        " n_reorders long, total_stockout long, end_inv long",
+    )

@@ -2284,3 +2284,39 @@ def test_holt_winters_learns_weekly_pattern(spark, tmp_path):
     # each weekday slot carries its own learned seasonal value
     finals = {r.dow: r.seasonal for r in rows[-7:]}
     assert len(finals) == 7
+
+
+def test_inventory_ss_policy_handcomputed(spark, tmp_path):
+    # one part, demands 30, 180, 250, 10 on successive days from
+    # S=200 / s=50:
+    #  d=30:  net=170 > 50 -> inv 170
+    #  d=180: net=-10 -> short 10, onhand 0 <= 50 -> reorder, inv 200
+    #  d=250: net=-50 -> short 50, onhand 0 <= 50 -> reorder, inv 200
+    #  d=10:  net=190 > 50 -> inv 190
+    import pandas as pd
+
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        inventory_ss_policy,
+    )
+
+    d = str(tmp_path / "sf_inv")
+    days = pd.date_range("1995-01-01", periods=4)
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(4),
+            "l_partkey": 7,
+            "l_suppkey": 1,
+            "l_linenumber": 1,
+            "l_quantity": [30.0, 180.0, 250.0, 10.0],
+            "l_shipdate": days,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(d + "/lineitem.parquet")
+    [r] = inventory_ss_policy(spark, d).collect()
+    assert (
+        r.n_periods,
+        r.total_demand,
+        r.n_reorders,
+        r.total_stockout,
+        r.end_inv,
+    ) == (4, 470, 2, 60, 190)
