@@ -126,7 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     promo_did_estimate, retrieval_ndcg_eval, dedup_rate_by_source,
     order_value_ecdf, readability_scores, top_movers_monthly,
     copurchase_core_collapse, markov_removal_attribution,
-    cuped_adjusted_ab, holt_winters_weekly, inventory_ss_policy —
+    cuped_adjusted_ab, holt_winters_weekly, inventory_ss_policy,
+    dsir_importance_weights —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -498,6 +499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (am) round-4 continuation 34 — (s,S) inventory simulation:
         # integer-state recursion, no float seam at all
         "inventory_ss_policy": R.inventory_ss_policy,
+        # (an) round-4 continuation 35 — DSIR domain-targeted corpus
+        # selection weights (hashed-bigram log-likelihood ratio)
+        "dsir_importance_weights": T.dsir_importance_weights,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -779,6 +783,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(inv AS BIGINT) AS end_inv
         FROM r
         QUALIFY rn = MAX(rn) OVER (PARTITION BY pk)
+    """
+    sql["dsir_importance_weights"] = """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), bg AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(
+                       md5(concat(t[i], ' ', t[i + 1])), 1, 6))
+                       AS BIGINT) % 256 AS bucket
+            FROM (SELECT doc_id, lang, t,
+                         unnest(range(1, len(t))) AS i
+                  FROM toks)
+        ), dc AS (
+            SELECT doc_id, lang, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2, 3
+        ), bs AS (
+            SELECT bucket,
+                   SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS n_t,
+                   SUM(c) AS n_r
+            FROM dc GROUP BY 1
+        ), model AS (
+            SELECT bucket,
+                   ln(CAST(n_t + 1 AS DOUBLE)
+                      / CAST(SUM(n_t) OVER () + 256 AS DOUBLE))
+                   - ln(CAST(n_r + 1 AS DOUBLE)
+                        / CAST(SUM(n_r) OVER () + 256 AS DOUBLE))
+                       AS llr
+            FROM bs
+        )
+        SELECT dc.doc_id, dc.lang,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * m.llr, 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS dsir_logweight
+        FROM dc JOIN model m USING (bucket)
+        GROUP BY 1, 2
     """
     return sql
 

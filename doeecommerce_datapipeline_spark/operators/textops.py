@@ -1172,3 +1172,98 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         sents.alias("n_sents"),
         ari.alias("ari"),
     )
+
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., 2023 — Data Selection via
+    Importance Resampling, the method behind domain-targeted corpus
+    selection): score every document by the log-likelihood ratio of a
+    TARGET hashed-bigram unigram model (here: the English slice, the
+    stand-in for a high-quality target domain) against the RAW-corpus
+    model. Resampling the corpus by exp(weight) shifts the mixture
+    toward the target distribution without a trained classifier.
+    Returns (doc_id, lang, n_bigrams, dsir_logweight); documents with
+    fewer than two tokens have no bigram features and are excluded by
+    construction.
+
+    Hashed features are md5-bucketed (engine-portable, unlike
+    xxhash) into 256 bins with +1 smoothing; per-bucket ln-ratios are
+    computed once on the 256-row model table (ln IS oracle-safe — the
+    doc_perplexity precedent; log2 is not), BROADCAST back onto the
+    per-(doc, bucket) counts, and each contribution quantizes at 9dp
+    to DECIMAL(18,9) before the order-free per-doc sum. Shape: ONE
+    bigram explode; the (doc, bucket) aggregate is the only
+    corpus-scale exchange — the model table derives from it, so the
+    token stream is scanned once.
+    """
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(bigrams(F.col("text"))).alias("b"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", "b.w1", "b.w2")), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    # dc feeds BOTH the model derivation and the scoring join — without
+    # a barrier Spark re-evaluates the explode+aggregate pipeline per
+    # consumer (audited: 2 scans/2 Generates), the market-basket lesson
+    dc = (
+        bg.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    bs = dc.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_t"),
+        F.sum("c").alias("n_r"),
+    )
+    w_all = Window.partitionBy()
+    model = bs.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("n_t") + 1).cast("double")
+                / (F.sum("n_t").over(w_all) + DSIR_BUCKETS).cast("double")
+            )
+            - F.log(
+                (F.col("n_r") + 1).cast("double")
+                / (F.sum("n_r").over(w_all) + DSIR_BUCKETS).cast("double")
+            )
+        ).alias("llr"),
+    )
+    return (
+        dc.join(F.broadcast(model), "bucket")
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            F.round(F.col("c").cast("double") * F.col("llr"), 9)
+            .cast("decimal(18,9)")
+            .alias("contrib"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum("contrib").cast("double").alias("dsir_logweight"),
+        )
+    )

@@ -2320,3 +2320,25 @@ def test_inventory_ss_policy_handcomputed(spark, tmp_path):
         r.total_stockout,
         r.end_inv,
     ) == (4, 470, 2, 60, 190)
+
+
+def test_dsir_upweights_target_language(spark):
+    # the target model is the English slice: English documents must
+    # score a strictly higher mean log-weight than every other
+    # language (that separation IS the method working)
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        dsir_importance_weights,
+    )
+
+    rows = dsir_importance_weights(spark, SF).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(
+            r.dsir_logweight / r.n_bigrams
+        )
+    means = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    assert "en" in means and len(means) >= 3
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, (lang, means)
+    assert means["en"] > 0.0
