@@ -127,7 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order_value_ecdf, readability_scores, top_movers_monthly,
     copurchase_core_collapse, markov_removal_attribution,
     cuped_adjusted_ab, holt_winters_weekly, inventory_ss_policy,
-    dsir_importance_weights —
+    dsir_importance_weights, corpus_health_by_source —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -502,6 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (an) round-4 continuation 35 — DSIR domain-targeted corpus
         # selection weights (hashed-bigram log-likelihood ratio)
         "dsir_importance_weights": T.dsir_importance_weights,
+        # (ao) round-4 continuation 36 — per-source curation scorecard
+        # composing dedup-rate, Gopher, language mix, and DSIR
+        "corpus_health_by_source": CP.corpus_health_by_source,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -821,6 +824,43 @@ def oracle_sql() -> dict[str, str]:
                     AS DECIMAL(18,9))) AS DOUBLE) AS dsir_logweight
         FROM dc JOIN model m USING (bucket)
         GROUP BY 1, 2
+    """
+    # per-source health scorecard composes its parents' oracles as
+    # CTEs (definitional lockstep — the ppl_filter_sweep pattern)
+    sql["corpus_health_by_source"] = f"""
+        WITH dd AS ({sql["dedup_rate_by_source"]}),
+        g AS ({sql["gopher_quality"]}),
+        w AS ({sql["dsir_importance_weights"]}),
+        docs AS (SELECT doc_id, source, lang FROM documents),
+        pd AS (
+            SELECT d.source, d.lang, g.keep,
+                   CAST(w.dsir_logweight AS DOUBLE)
+                   / CAST(w.n_bigrams AS DOUBLE) AS wpb
+            FROM docs d
+            LEFT JOIN g ON d.doc_id = g.doc_id
+            LEFT JOIN w ON d.doc_id = w.doc_id
+        ), h AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_keep,
+                   CAST(SUM(CAST(ROUND(wpb, 9) AS DECIMAL(18,9)))
+                        AS DOUBLE) AS sw,
+                   CAST(COUNT(wpb) AS BIGINT) AS nw
+            FROM pd GROUP BY 1
+        )
+        SELECT h.source, h.n_docs, dd.dup_rate,
+               CAST(n_keep AS DOUBLE) / CAST(h.n_docs AS DOUBLE)
+                   AS gopher_pass_rate,
+               CAST(n_en AS DOUBLE) / CAST(h.n_docs AS DOUBLE)
+                   AS pct_en,
+               CASE WHEN nw > 0
+                    THEN sw / CAST(nw AS DOUBLE) END
+                   AS mean_dsir_per_bigram
+        FROM h JOIN dd ON h.source = dd.source
+        ORDER BY h.source
     """
     return sql
 

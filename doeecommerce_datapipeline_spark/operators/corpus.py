@@ -989,3 +989,71 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+def corpus_health_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source corpus health scorecard — the one-page report a
+    data-curation review starts from: volume, exact-duplicate rate,
+    Gopher rule-filter pass rate, English share, and the mean
+    per-bigram DSIR weight (how target-like the source reads). One
+    row per source, composing the repo's own curation operators;
+    the DuckDB twin nests the SAME parent oracles as CTEs, so the
+    scorecard stays definitionally in lockstep with the metrics it
+    summarizes (the ppl_filter_sweep composition pattern).
+
+    Shape: the parents each scan the corpus once (their own audited
+    plans); the composition adds only doc_id-keyed joins at the
+    document grain and a source-grain rollup. The DSIR ratio is a
+    per-doc double division quantized at 9dp before the order-free
+    per-source sum.
+    """
+    from .textops import dsir_importance_weights
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    dd = dedup_rate_by_source(spark, sf_dir).select(
+        "source", "dup_rate"
+    )
+    g = gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    w = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("dsir_logweight") / F.col("n_bigrams").cast("double")
+        ).alias("wpb"),
+    )
+    pd_ = d.join(g, "doc_id", "left").join(w, "doc_id", "left")
+    h = pd_.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+            "n_en"
+        ),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.round(F.col("wpb"), 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sw"),
+        F.count("wpb").alias("nw"),
+    )
+    return (
+        h.join(dd, "source")
+        .select(
+            "source",
+            "n_docs",
+            "dup_rate",
+            (
+                F.col("n_keep").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("gopher_pass_rate"),
+            (
+                F.col("n_en").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("pct_en"),
+            F.when(
+                F.col("nw") > 0,
+                F.col("sw") / F.col("nw").cast("double"),
+            ).alias("mean_dsir_per_bigram"),
+        )
+        .orderBy("source")
+    )

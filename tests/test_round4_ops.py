@@ -2342,3 +2342,27 @@ def test_dsir_upweights_target_language(spark):
         if lang != "en":
             assert means["en"] > m, (lang, means)
     assert means["en"] > 0.0
+
+
+def test_corpus_health_scorecard_consistency(spark):
+    # one row per source; rates bounded; n_docs reconciles with the
+    # documents table; pct_en consistent with a direct count
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        corpus_health_by_source,
+    )
+
+    rows = corpus_health_by_source(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    en = {
+        r.source: r.n
+        for r in docs.where("lang = 'en'")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.gopher_pass_rate <= 1.0
+        assert 0.0 <= r.pct_en <= 1.0 and 0.0 <= r.dup_rate <= 1.0
+        assert abs(r.pct_en - en.get(r.source, 0) / r.n_docs) < 1e-12
