@@ -127,7 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order_value_ecdf, readability_scores, top_movers_monthly,
     copurchase_core_collapse, markov_removal_attribution,
     cuped_adjusted_ab, holt_winters_weekly, inventory_ss_policy,
-    dsir_importance_weights, corpus_health_by_source —
+    dsir_importance_weights, corpus_health_by_source,
+    kneser_ney_bigrams —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -505,6 +506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ao) round-4 continuation 36 — per-source curation scorecard
         # composing dedup-rate, Gopher, language mix, and DSIR
         "corpus_health_by_source": CP.corpus_health_by_source,
+        # (ap) round-4 continuation 37 — Kneser-Ney smoothed bigram
+        # LM (continuation-count backoff, zero float-sum seams)
+        "kneser_ney_bigrams": T.kneser_ney_bigrams,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -861,6 +865,46 @@ def oracle_sql() -> dict[str, str]:
                    AS mean_dsir_per_bigram
         FROM h JOIN dd ON h.source = dd.source
         ORDER BY h.source
+    """
+    sql["kneser_ney_bigrams"] = """
+        WITH toks AS (
+            SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), bgr AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+        ), pair AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bgr GROUP BY 1, 2
+        ), headed AS (
+            SELECT w1, w2, c12,
+                   SUM(c12) OVER (PARTITION BY w1) AS c1,
+                   COUNT(*) OVER (PARTITION BY w1) AS n1fwd
+            FROM pair
+        ), back AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1back
+            FROM pair GROUP BY 1
+        ), dtot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM pair
+        ), scored AS (
+            SELECT h.w1, h.w2, h.c12,
+                   greatest(CAST(h.c12 AS DOUBLE) - 0.75, 0.0)
+                   / CAST(h.c1 AS DOUBLE)
+                   + (0.75 * CAST(h.n1fwd AS DOUBLE)
+                      / CAST(h.c1 AS DOUBLE))
+                     * (CAST(b.n1back AS DOUBLE)
+                        / CAST(d.dd AS DOUBLE)) AS pkn
+            FROM headed h
+            JOIN back b ON h.w2 = b.w2
+            CROSS JOIN dtot d
+            WHERE h.c1 >= 50
+        )
+        SELECT w1, w2, c12, pkn, rnk FROM (
+            SELECT w1, w2, c12, pkn,
+                   ROW_NUMBER() OVER (PARTITION BY w1
+                       ORDER BY pkn DESC, w2) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
     """
     return sql
 

@@ -1267,3 +1267,63 @@ def dsir_importance_weights(
             F.sum("contrib").cast("double").alias("dsir_logweight"),
         )
     )
+
+
+KN_DISCOUNT = 0.75
+KN_MIN_HEAD = 50
+KN_TOP = 3
+
+
+def kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing
+    that made n-gram LMs competitive (and the reason KenLM filters
+    work): absolute-discount the bigram MLE and back off to the
+    CONTINUATION unigram (how many distinct heads precede w2), not
+    the raw frequency — 'san francisco' stops inflating P(francisco)
+    in novel contexts. Returns the top-3 smoothed continuations per
+    frequent head: (w1, w2, c12, pkn, rnk) — bigram_lm's sequel from
+    MLE to KN.
+
+    Every model quantity is an exact integer count (pair count, head
+    total, distinct-successor and distinct-predecessor counts, total
+    distinct pairs); pkn is a FIXED dag of double ops over them with
+    no cross-row float sum, so the ranking is bit-identical across
+    engines with no quantization seam at all. Shape: the pair table
+    localCheckpoints once for its three consumers (head windows,
+    predecessor aggregate, total count — without the barrier the
+    explode+agg pipeline re-runs per consumer); the predecessor table
+    and the 1-row total BROADCAST back; one w1 exchange serves the
+    pair aggregate and both head windows by the subset rule.
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").repartition(n_part)
+    pairs_src = d.select(
+        F.explode(bigrams(F.col("text"))).alias("b")
+    ).select("b.w1", "b.w2")
+    pair = (
+        pairs_src.repartition("w1")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
+    w_head = Window.partitionBy("w1")
+    headed = pair.withColumn(
+        "c1", F.sum("c12").over(w_head)
+    ).withColumn("n1fwd", F.count(F.lit(1)).over(w_head))
+    back = pair.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
+    dtot = pair.agg(F.count(F.lit(1)).alias("dd"))
+    c12d = F.col("c12").cast("double")
+    c1d = F.col("c1").cast("double")
+    pkn = F.greatest(c12d - F.lit(KN_DISCOUNT), F.lit(0.0)) / c1d + (
+        F.lit(KN_DISCOUNT) * F.col("n1fwd").cast("double") / c1d
+    ) * (F.col("n1back").cast("double") / F.col("dd").cast("double"))
+    w_rank = Window.partitionBy("w1").orderBy(F.desc("pkn"), F.asc("w2"))
+    return (
+        headed.join(F.broadcast(back), "w2")
+        .crossJoin(F.broadcast(dtot))
+        .where(F.col("c1") >= KN_MIN_HEAD)
+        .withColumn("pkn", pkn)
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rnk") <= KN_TOP)
+        .select("w1", "w2", "c12", "pkn", "rnk")
+    )
