@@ -128,7 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     copurchase_core_collapse, markov_removal_attribution,
     cuped_adjusted_ab, holt_winters_weekly, inventory_ss_policy,
     dsir_importance_weights, corpus_health_by_source,
-    kneser_ney_bigrams —
+    kneser_ney_bigrams, shapley_attribution —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -509,6 +509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ap) round-4 continuation 37 — Kneser-Ney smoothed bigram
         # LM (continuation-count backoff, zero float-sum seams)
         "kneser_ney_bigrams": T.kneser_ney_bigrams,
+        # (aq) round-4 continuation 38 — Shapley coalition attribution
+        # (fourth member of the attribution family)
+        "shapley_attribution": E.shapley_attribution,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -905,6 +908,73 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY pkn DESC, w2) AS rnk
             FROM scored
         ) WHERE rnk <= 3
+    """
+    sql["shapley_attribution"] = """
+        WITH j AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   MAX(CASE WHEN event_type = 'click' THEN 1
+                       ELSE 0 END) AS b0,
+                   MAX(CASE WHEN event_type = 'error' THEN 1
+                       ELSE 0 END) AS b1,
+                   MAX(CASE WHEN event_type = 'signup' THEN 1
+                       ELSE 0 END) AS b2,
+                   MAX(CASE WHEN event_type = 'view' THEN 1
+                       ELSE 0 END) AS b3,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) AS conv
+            FROM events GROUP BY 1, 2
+        ), coal AS (
+            SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS k
+            FROM (SELECT b0 + b1 * 2 + b2 * 4 + b3 * 8 AS mask, conv
+                  FROM j)
+            WHERE mask > 0 GROUP BY 1
+        ), spine AS (
+            SELECT * FROM (VALUES
+                (0,6),(1,2),(2,2),(3,2),(4,2),(5,2),(6,2),(7,6),
+                (8,2),(9,2),(10,2),(11,6),(12,2),(13,6),(14,6),
+                (15,0)) AS t(mask, w)
+        ), v AS (
+            SELECT s.mask, s.w,
+                   COALESCE(CAST(k AS DOUBLE) / CAST(n AS DOUBLE),
+                            0.0) AS v
+            FROM spine s LEFT JOIN coal c ON s.mask = c.mask
+        ), channels AS (
+            SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                ('signup', 4), ('view', 8)) AS t(channel, bit)
+        ), marg AS (
+            SELECT ch.channel,
+                   CAST(ROUND(CAST(a.w AS DOUBLE) * (b.v - a.v), 12)
+                        AS DECIMAL(18,12)) AS contrib
+            FROM v a CROSS JOIN channels ch
+            JOIN v b ON a.mask + ch.bit = b.mask
+            WHERE (a.mask & ch.bit) = 0
+        ), cred AS (
+            SELECT channel,
+                   CAST(SUM(contrib) AS DOUBLE) / 24.0
+                       AS shapley_credit
+            FROM marg GROUP BY 1
+        ), credq AS (
+            SELECT channel, shapley_credit,
+                   CAST(ROUND(shapley_credit, 12) AS DECIMAL(18,12))
+                       AS cq
+            FROM cred
+        ), pot AS (
+            SELECT CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE) AS total_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT channel, shapley_credit,
+               CASE WHEN SUM(cq) OVER () <> 0
+                    THEN CAST(cq AS DOUBLE)
+                         / CAST(SUM(cq) OVER () AS DOUBLE)
+               END AS attribution_share,
+               CASE WHEN SUM(cq) OVER () <> 0
+                    THEN CAST(cq AS DOUBLE)
+                         / CAST(SUM(cq) OVER () AS DOUBLE)
+               END * p.total_value AS attributed_value
+        FROM credq CROSS JOIN pot p
+        ORDER BY channel
     """
     return sql
 

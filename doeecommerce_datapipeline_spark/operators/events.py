@@ -1890,3 +1890,140 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff_cuped.alias("diff_cuped"),
         F.when(se > 0, diff_cuped / se).alias("z_cuped"),
     )
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution (the coalition model Google Ads ran
+    as 'data-driven attribution'): treat each (user, day) journey's
+    SET of touched channels as a coalition, v(S) = observed
+    conversion rate of journeys touching exactly S, and give each
+    channel its exact Shapley credit over the 4-player game —
+    completing the attribution family (last-touch, linear,
+    Markov-removal counterfactual, and cooperative-game Shapley; four
+    models, one event stream). Returns (channel, shapley_credit,
+    attribution_share, attributed_value); credits can legitimately go
+    negative for channels whose presence correlates with NOT buying.
+
+    Exactness: v(S) is one IEEE division of exact counts per
+    coalition; the 4-player factorial weights are INTEGERS (6,2,2,6
+    over 24), so each marginal term is weight·(v(S∪i)−v(S)) quantized
+    at 12dp to DECIMAL(18,12) before the 8-term order-free sum, and
+    /24 happens once at the end. Unobserved coalitions contribute
+    v=0 (no evidence), the standard simplified-Shapley convention.
+    Shape: ONE (user, day) fact aggregate (conditional-max bitmask +
+    conversion flag) and a 16-row coalition rate table that
+    BROADCASTS into the 32-row marginal join — at 100 TB only the
+    journey aggregate grows.
+    """
+    e = table(spark, sf_dir, "events")
+    chs = ["click", "error", "signup", "view"]
+    flags = [
+        F.max((F.col("event_type") == c).cast("int")).alias(f"b{i}")
+        for i, c in enumerate(chs)
+    ]
+    j = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        *flags,
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "conv"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).cast(
+                "decimal(18,6)"
+            )
+        ).alias("pval"),
+    ).localCheckpoint()
+    mask = (
+        F.col("b0")
+        + F.col("b1") * 2
+        + F.col("b2") * 4
+        + F.col("b3") * 8
+    )
+    # zero-touch journeys (purchase-only days) leave the game: there
+    # is no channel to credit, and keeping them makes v(empty)=1 and
+    # every marginal negative — the standard convention sets v(S)=0
+    # for unobserved S and excludes untouched paths
+    coal = (
+        j.select(mask.alias("mask"), "conv")
+        .where(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    )
+    # spine carries the factorial weight of each coalition SIZE as a
+    # LITERAL (6,2,2,6 over 24 for 4 players) — no popcount arithmetic
+    # to keep portable
+    wmap = {0: 6, 1: 2, 2: 2, 3: 6, 4: 0}  # pc-4 row never used as S
+    spine = spark.createDataFrame(
+        [(m, wmap[bin(m).count("1")]) for m in range(16)],
+        "mask int, w int",
+    )
+    v = spine.join(F.broadcast(coal), "mask", "left").select(
+        "mask",
+        "w",
+        F.coalesce(
+            F.col("k").cast("double") / F.col("n").cast("double"),
+            F.lit(0.0),
+        ).alias("v"),
+    )
+    channels = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(chs)],
+        "channel string, bit int",
+    )
+    base = (
+        v.crossJoin(F.broadcast(channels))
+        .where(F.col("mask").bitwiseAND(F.col("bit")) == 0)
+        .select(
+            "channel",
+            "bit",
+            F.col("mask").alias("s"),
+            F.col("w"),
+            F.col("v").alias("va"),
+        )
+    )
+    withi = v.select(F.col("mask").alias("si"), F.col("v").alias("vb"))
+    marg = (
+        base.join(
+            F.broadcast(withi),
+            base.s + base.bit == withi.si,
+        )
+        .select(
+            "channel",
+            F.round(
+                F.col("w").cast("double") * (F.col("vb") - F.col("va")),
+                12,
+            )
+            .cast("decimal(18,12)")
+            .alias("contrib"),
+        )
+        .groupBy("channel")
+        .agg(
+            (F.sum("contrib").cast("double") / F.lit(24.0)).alias(
+                "shapley_credit"
+            )
+        )
+    )
+    # the pot rides the SAME journey aggregate (per-day decimal sums
+    # re-sum exactly) — no second fact scan for the total
+    pot = j.agg(F.sum("pval").cast("double").alias("total_value"))
+    credq = marg.select(
+        "channel",
+        "shapley_credit",
+        F.round("shapley_credit", 12).cast("decimal(18,12)").alias("cq"),
+    )
+    w_all = Window.partitionBy()
+    tot = F.sum("cq").over(w_all)
+    # efficiency axiom: credits sum to v(grand) - v(empty); when that
+    # is zero (grand coalition never observed) shares are undefined —
+    # emit NULL rather than an ANSI divide-by-zero
+    share = F.when(
+        tot != 0, F.col("cq").cast("double") / tot.cast("double")
+    )
+    return (
+        credq.crossJoin(F.broadcast(pot))
+        .select(
+            "channel",
+            "shapley_credit",
+            share.alias("attribution_share"),
+            (share * F.col("total_value")).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

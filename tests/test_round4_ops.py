@@ -2418,3 +2418,98 @@ def test_kneser_ney_properties(spark, tmp_path):
     if "san" in by_head:
         top = min(by_head["san"], key=lambda r: r.rnk)
         assert top.w2 == "francisco"
+
+
+def test_shapley_attribution_planted_driver_channel(spark, tmp_path):
+    # planted: clicks drive purchases; some days carry all four
+    # channels (so the grand coalition is observed and shares are
+    # defined). Cross-checked against a brute-force permutation
+    # Shapley over coalition rates derived from the SAME data.
+    from datetime import datetime, timedelta
+    from itertools import permutations
+
+    import pandas as pd
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        shapley_attribution,
+    )
+
+    rows, eid = [], 0
+    t0 = datetime(2024, 1, 1)
+    for u in range(30):
+        for day in range(10):
+            base = t0 + timedelta(days=day)
+            clicked = (u + day) % 3 == 0
+            rows.append((eid, base, u, "view", 1.0, "{}")); eid += 1
+            if day % 5 == 0:  # occasional full-funnel days
+                rows.append(
+                    (eid, base + timedelta(seconds=30), u, "error",
+                     1.0, "{}")
+                ); eid += 1
+                rows.append(
+                    (eid, base + timedelta(seconds=40), u, "signup",
+                     1.0, "{}")
+                ); eid += 1
+            if clicked:
+                rows.append(
+                    (eid, base + timedelta(minutes=1), u, "click",
+                     1.0, "{}")
+                ); eid += 1
+                rows.append(
+                    (eid, base + timedelta(minutes=2), u, "purchase",
+                     10.0, "{}")
+                ); eid += 1
+    d = str(tmp_path / "sf_shap")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    got = {
+        r.channel: r for r in shapley_attribution(spark, d).collect()
+    }
+    assert abs(
+        sum(r.attribution_share for r in got.values()) - 1.0
+    ) < 1e-9
+    # with the exact-mask characteristic function, click/view/signup
+    # split the credit of the two converting coalitions evenly; error
+    # (present only in the non-converting {v,e,s} mask and the full
+    # set) nets zero — the brute force below is the authoritative check
+    assert got["click"].shapley_credit > got["error"].shapley_credit
+
+    # brute force from the same data: coalition rates by exact mask
+    chs = ["click", "error", "signup", "view"]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    pdf["d"] = pd.to_datetime(pdf.ts).dt.date
+    stats: dict = {}
+    for (_, _), grp in pdf.groupby(["user_id", "d"]):
+        types = set(grp.event_type)
+        mask = frozenset(c for c in chs if c in types)
+        if not mask:
+            continue
+        n, k = stats.get(mask, (0, 0))
+        stats[mask] = (n + 1, k + int("purchase" in types))
+
+    def v(S):
+        fs = frozenset(S)
+        if fs in stats:
+            n, k = stats[fs]
+            return k / n
+        return 0.0
+
+    brute = {c: 0.0 for c in chs}
+    for perm in permutations(chs):
+        cur: set = set()
+        for c in perm:
+            before = v(cur)
+            cur.add(c)
+            brute[c] += v(cur) - before
+    for c in chs:
+        brute[c] /= 24.0
+        assert abs(got[c].shapley_credit - brute[c]) < 1e-9, (
+            c, got[c].shapley_credit, brute[c],
+        )
