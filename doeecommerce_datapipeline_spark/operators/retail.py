@@ -951,55 +951,57 @@ def inventory_ss_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost-sales quantity, and ending on-hand — the summary a
     replenishment planner sweeps s/S over.
 
-    The state is a single INTEGER (on-hand), so unlike the
-    ewma/holt recursions there is no rounding seam at all: Spark's
-    grouped-map loop and the DuckDB partitioned recursive CTE (all
-    parts advance in lockstep rounds, ≤49 steps on this corpus) are
-    exactly equal by integer arithmetic. Scale: one (part, day)
-    aggregate touches the fact; the recursion runs per part over its
-    demand-day series (bounded by active days), embarrassingly
-    parallel across parts.
+    The recursion is a FOLD over the part's day-ordered demand array,
+    so it runs as F.aggregate with a 4-long struct accumulator —
+    fully JVM/codegen-side, no Python at all (the first formulation
+    was a grouped-map: 20k one-group pandas calls cost 7.5 s at
+    sf0.1; the fold runs in under a second). State is INTEGER, so
+    there is no rounding seam: the DuckDB twin is a partitioned
+    recursive CTE (all parts advance in lockstep rounds, ≤49 steps
+    on this corpus), exactly equal by integer arithmetic. Scale: one
+    (part, day) aggregate touches the fact; the collected demand
+    array is bounded by the part's active days.
     """
-    from ..pyfiles import ensure_shipped
-
-    ensure_shipped(spark)
     li = table(spark, sf_dir, "lineitem")
     dd = li.groupBy(
         F.col("l_partkey"), F.to_date("l_shipdate").alias("day")
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("demand"))
 
-    cap, rp = INV_ORDER_UP_TO, INV_REORDER_POINT
+    cap = F.lit(INV_ORDER_UP_TO).cast("long")
+    rp = F.lit(INV_REORDER_POINT).cast("long")
+    zero = F.lit(0).cast("long")
 
-    def sim(pdf):
-        import pandas as pd
+    per = dd.groupBy("l_partkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("day"), F.col("demand")))
+        ).alias("seq")
+    )
+    init = F.struct(
+        cap.alias("inv"),
+        zero.alias("reorders"),
+        zero.alias("short"),
+        zero.alias("total"),
+    )
 
-        pdf = pdf.sort_values("day")
-        inv, reorders, short, total = cap, 0, 0, 0
-        for d in pdf["demand"]:
-            d = int(d)
-            total += d
-            net = inv - d
-            if net < 0:
-                short += -net
-                net = 0
-            if net <= rp:
-                inv = cap
-                reorders += 1
-            else:
-                inv = net
-        return pd.DataFrame(
-            {
-                "l_partkey": [int(pdf["l_partkey"].iloc[0])],
-                "n_periods": [len(pdf)],
-                "total_demand": [total],
-                "n_reorders": [reorders],
-                "total_stockout": [short],
-                "end_inv": [inv],
-            }
+    def step(acc, x):
+        net = acc["inv"] - x["demand"]
+        onhand = F.greatest(net, zero)
+        reorder = onhand <= rp
+        return F.struct(
+            F.when(reorder, cap).otherwise(onhand).alias("inv"),
+            (acc["reorders"] + reorder.cast("long")).alias("reorders"),
+            (acc["short"] + F.when(net < 0, -net).otherwise(zero)).alias(
+                "short"
+            ),
+            (acc["total"] + x["demand"]).alias("total"),
         )
 
-    return dd.groupBy("l_partkey").applyInPandas(
-        sim,
-        "l_partkey long, n_periods long, total_demand long,"
-        " n_reorders long, total_stockout long, end_inv long",
+    fin = F.aggregate("seq", init, step)
+    return per.select(
+        "l_partkey",
+        F.size("seq").cast("long").alias("n_periods"),
+        fin["total"].alias("total_demand"),
+        fin["reorders"].alias("n_reorders"),
+        fin["short"].alias("total_stockout"),
+        fin["inv"].alias("end_inv"),
     )
