@@ -128,7 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     copurchase_core_collapse, markov_removal_attribution,
     cuped_adjusted_ab, holt_winters_weekly, inventory_ss_policy,
     dsir_importance_weights, corpus_health_by_source,
-    kneser_ney_bigrams, shapley_attribution —
+    kneser_ney_bigrams, shapley_attribution,
+    hits_part_authorities, bitmap_filter_revenue,
+    k_anonymity_classes, contrastive_negatives —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -512,6 +514,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (aq) round-4 continuation 38 — Shapley coalition attribution
         # (fourth member of the attribution family)
         "shapley_attribution": E.shapley_attribution,
+        # (ar) round-4 continuation 39 — integer-exact HITS link
+        # analysis, the exact broadcast-bitmap runtime filter, the
+        # k-anonymity/l-diversity release audit, and deterministic
+        # contrastive negative sampling
+        "hits_part_authorities": G.hits_part_authorities,
+        "bitmap_filter_revenue": J.bitmap_filter_revenue,
+        "k_anonymity_classes": X.k_anonymity_classes,
+        "contrastive_negatives": CP.contrastive_negatives,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -6827,5 +6837,89 @@ def _oracle_sql_literals() -> dict[str, str]:
                                     + 1.0 / CAST(n1 AS DOUBLE)))
                    END AS z_cuped
             FROM f
+        """,
+        # integer HITS: every sum is CAST to BIGINT (DuckDB SUM of
+        # integers is HUGEINT — the value_mad_outliers lesson); the
+        # single final division is the only float op on either side
+        "hits_part_authorities": """
+            WITH edges AS (
+                SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            ), a1 AS (
+                SELECT p, CAST(COUNT(*) AS BIGINT) AS a1
+                FROM edges GROUP BY p
+            ), h1 AS (
+                SELECT e.c, CAST(SUM(a1.a1) AS BIGINT) AS h1
+                FROM edges e JOIN a1 USING (p) GROUP BY e.c
+            ), a2 AS (
+                SELECT e.p, CAST(SUM(h1.h1) AS BIGINT) AS auth_score,
+                       COUNT(*) AS n_buyers
+                FROM edges e JOIN h1 USING (c) GROUP BY e.p
+            )
+            SELECT p AS p_partkey, n_buyers, auth_score,
+                   CAST(auth_score AS DOUBLE)
+                       / CAST((SELECT MAX(auth_score) FROM a2) AS DOUBLE)
+                       AS auth_norm
+            FROM a2
+            ORDER BY auth_score DESC, p_partkey ASC
+            LIMIT 20
+        """,
+        # the bitmap prefilter is exact, so the oracle is the PLAIN
+        # join — identical results are the point (physical-only op)
+        "bitmap_filter_revenue": """
+            SELECT p.p_brand, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type = 'ECONOMY' AND p.p_size >= 40
+            GROUP BY p.p_brand
+            ORDER BY p.p_brand
+        """,
+        "k_anonymity_classes": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                            AS DOUBLE) AS spend
+                FROM orders GROUP BY o_custkey
+            ), e AS (
+                SELECT c.c_nationkey, c.c_mktsegment,
+                       CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+                       CAST(floor(COALESCE(s.spend, 0.0) / 50000) AS BIGINT)
+                           AS spend_band
+                FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+            )
+            SELECT c_nationkey, c_mktsegment, bal_band,
+                   COUNT(*) AS k,
+                   CAST(COUNT(DISTINCT spend_band) AS BIGINT) AS l_diversity,
+                   COUNT(*) >= 5 AS is_k_anonymous,
+                   CAST(1.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS reident_risk
+            FROM e GROUP BY 1, 2, 3
+        """,
+        # same md5 lattice as hash_split (engine-portable); n_docs via
+        # scalar subquery instead of the Spark side's driver count
+        "contrastive_negatives": """
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            a AS (
+                SELECT d.doc_id, d.source AS anchor_source, j.neg_rank
+                FROM documents d,
+                     (SELECT UNNEST([1, 2]) AS neg_rank) j
+            ), c AS (
+                SELECT doc_id, anchor_source, neg_rank,
+                       CAST(concat('0x', substr(md5('neg:'
+                           || CAST(doc_id AS VARCHAR) || ':'
+                           || CAST(neg_rank AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % (SELECT n FROM nn) AS raw_neg
+                FROM a
+            ), r AS (
+                SELECT doc_id, anchor_source, neg_rank,
+                       CASE WHEN raw_neg = doc_id
+                            THEN (raw_neg + 1) % (SELECT n FROM nn)
+                            ELSE raw_neg END AS neg_id
+                FROM c
+            )
+            SELECT r.doc_id, r.neg_rank, r.neg_id,
+                   (d2.source = r.anchor_source) AS is_hard
+            FROM r JOIN documents d2 ON d2.doc_id = r.neg_id
         """,
     }

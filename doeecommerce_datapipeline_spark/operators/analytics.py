@@ -1609,3 +1609,67 @@ def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (det != 0) & (sst > 0), F.lit(1.0) - sse / sst
         ).alias("r2"),
     )
+
+
+def k_anonymity_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-risk audit of the customer table under a
+    quasi-identifier set: k-anonymity class sizes and l-diversity of a
+    sensitive attribute per equivalence class. The release-readiness
+    check a training-data pipeline runs before shipping user-derived
+    tables: any class with k < 5 is re-identifiable by joining the
+    quasi-identifiers against an external dataset, and a class with
+    l = 1 leaks its sensitive value even when k is large
+    (homogeneity attack).
+
+    Quasi-identifiers: (c_nationkey, c_mktsegment, bal_band) where
+    bal_band = floor(c_acctbal / 1000) — the generalization step of
+    k-anonymization applied to the continuous column. Sensitive
+    attribute: the customer's spend band floor(total_spend / 50000)
+    derived from orders (what an attacker would learn).
+
+    Output per class: the QI triple, k (class size), l_diversity
+    (distinct sensitive bands), is_k_anonymous (k >= 5),
+    reident_risk = 1/k.
+
+    Scale: one custkey-keyed spend aggregate (map-side combined, fact
+    scanned once) broadcast-joined onto the dimension, then one QI
+    groupBy — class count is bounded by the generalized QI domain,
+    not by customers. No sorts, no windows.
+
+    Reference analog: none — extension surface (the reference
+    pseudonymizes ids, ingestion side; this audits the released
+    table itself).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice", "decimal(28,6)").alias("spend")
+    )
+    enriched = c.join(
+        F.broadcast(spend),
+        c.c_custkey == spend.o_custkey,
+        "left",
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        F.floor(F.coalesce(F.col("spend"), F.lit(0.0)) / 50000)
+        .cast("bigint")
+        .alias("spend_band"),
+    )
+    return (
+        enriched.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count_distinct(F.col("spend_band")).alias("l_diversity"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "k",
+            "l_diversity",
+            (F.col("k") >= 5).alias("is_k_anonymous"),
+            (F.lit(1.0) / F.col("k").cast("double")).alias("reident_risk"),
+        )
+    )

@@ -1057,3 +1057,71 @@ def corpus_health_by_source(
         )
         .orderBy("source")
     )
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training:
+    for every anchor document, 2 pseudo-random negatives drawn by a
+    content-free md5 lattice over the dense doc_id domain — the
+    (anchor, negative) table a dual-encoder fine-tune consumes.
+    Returns (doc_id, neg_rank, neg_id, is_hard) where is_hard marks
+    negatives from the anchor's own source (in-domain negatives are
+    the hard ones — same distribution, different content).
+
+    Determinism is the point: draws come from
+    md5('neg:' || doc_id || ':' || j) reduced mod n_docs (the same
+    engine-portable lattice as hash_split / the bootstrap), so the
+    sample is reproducible across engines, runs, and partitionings —
+    no seeded RNG whose stream depends on row order. A draw that hits
+    the anchor itself shifts to (draw+1) mod n — collision-free
+    without rejection loops.
+
+    Scale: one per-row projection (2 rows out per doc), then ONE
+    equi-join back to the corpus on the dense id to resolve the
+    negative's source. Both sides hash-partition on the join key; no
+    windows, no driver loops. n_docs is the one driver scalar (same
+    contract as tfidf's corpus size).
+
+    Reference analog: none — extension surface (training-pair
+    generation over the documents table).
+    """
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    anchors = d.select(
+        "doc_id",
+        F.col("source").alias("anchor_source"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("neg_rank"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("neg"),
+                        F.col("doc_id").cast("string"),
+                        F.col("neg_rank").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    cand = anchors.withColumn("raw_neg", draw).withColumn(
+        "neg_id",
+        F.when(F.col("raw_neg") == F.col("doc_id"), (F.col("raw_neg") + 1) % n)
+        .otherwise(F.col("raw_neg")),
+    )
+    neg_side = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return cand.join(neg_side, "neg_id").select(
+        "doc_id",
+        "neg_rank",
+        "neg_id",
+        (F.col("neg_source") == F.col("anchor_source")).alias("is_hard"),
+    )

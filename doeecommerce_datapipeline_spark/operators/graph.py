@@ -266,6 +266,74 @@ def trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(node_str.alias("node"), "dist")
 
 
+def hits_part_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the bipartite customer→part
+    purchase graph, reported as the top-20 authority parts: (p_partkey,
+    n_buyers, auth_score, auth_norm). Completes the link-analysis
+    family next to PageRank (supplier_influence_rank) — authority here
+    means "bought by the customers who buy the widely-bought parts",
+    the mutual-reinforcement signal a raw purchase count misses.
+
+    Oracle-pairable by the same trick as PageRank, but stronger: the
+    power iteration runs entirely in INTEGER arithmetic. With h0 = 1
+    for every customer, two half-steps unroll to
+        a1(p) = |buyers(p)|            (in-degree),
+        h1(c) = Σ_{p∈bought(c)} a1(p),
+        a2(p) = Σ_{c∈buyers(p)} h1(c),
+    all exact BIGINT sums — order-free on any engine, no float seam.
+    The usual L2 normalization only rescales (HITS rankings are
+    scale-invariant), so it is deferred to ONE final division by the
+    max authority — a single deterministic IEEE op. Score growth is
+    bounded by (max degree)³, far inside BIGINT at any SF.
+
+    Scale shape: the distinct (cust, part) edge set is built with one
+    orderkey exchange and localCheckpointed; each half-step joins the
+    edges to a node-bounded score table (BROADCAST — customers/parts
+    ≪ edges) and aggregates with map-side combine, so the edge table
+    is shuffled zero times after the build — the PageRank plan shape.
+    Past the broadcast budget the joins degrade to shuffles on keys
+    the edges already have. Top-20 is TakeOrderedAndProject.
+
+    Reference analog: none — extension surface.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).alias("a1"))
+    h1 = (
+        edges.join(F.broadcast(a1), "p")
+        .groupBy("c")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(F.broadcast(h1), "c")
+        .groupBy("p")
+        .agg(F.sum("h1").alias("auth_score"), F.count(F.lit(1)).alias("n_buyers"))
+    )
+    # single-row global max joined back by broadcast — avoids the
+    # all-rows-one-partition global window at large part counts
+    max_a = a2.agg(F.max("auth_score").alias("max_a"))
+    return (
+        a2.crossJoin(F.broadcast(max_a))
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.col("n_buyers"),
+            F.col("auth_score"),
+            (
+                F.col("auth_score").cast("double")
+                / F.col("max_a").cast("double")
+            ).alias("auth_norm"),
+        )
+        .orderBy(F.desc("auth_score"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
 K_CORE_K = 100
 K_CORE_ROUNDS = 4
 

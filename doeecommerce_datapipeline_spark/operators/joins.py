@@ -197,3 +197,103 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionByName(df)
     return out
+
+
+def bitmap_key_filter(keys: DataFrame, key_col: str, target: DataFrame,
+                      target_key: str) -> DataFrame:
+    """Exact broadcast-bitmap runtime filter: keep only `target` rows
+    whose `target_key` appears in `keys.key_col` — the hand-rolled
+    analog of Spark's bloom runtime filter, but EXACT (no false
+    positives) and built from pure JVM expressions (no Python UDF in
+    the membership test).
+
+    The filter side is packed into a dense bitset over the key domain:
+    word w = bit_or of 1 << (key % 64) for keys with key DIV 64 == w.
+    That aggregate is map-side combined and collects AT MOST
+    (max_key/64)+1 driver rows — 2.5 MB of longs per 20M contiguous
+    keys, far under any broadcast budget and ~50× smaller than a hash
+    relation of the same keys. Membership is then
+    element_at(bitmap, key>>6 + 1) >> (key&63) & 1 — O(1) per row,
+    whole-stage-codegen friendly, applied BELOW the join so the fact
+    side sheds non-matching rows before any exchange. This is the
+    runtime-filter shape that matters at 100 TB: a selective dim
+    predicate reaches the fact scan as a cheap bitmap probe instead of
+    riding through a shuffle.
+
+    Applies to dense integer key domains (TPC-H-style surrogate keys).
+    For sparse/huge domains, fall back to the bloom variant (false
+    positives washed out by the exact join that follows).
+    """
+    words = (
+        keys.select(
+            F.expr(
+                f"shiftrightunsigned(CAST({key_col} AS BIGINT), 6)"
+            ).alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(CAST({key_col} AS BIGINT) % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("m"))
+        .collect()
+    )
+    n_words = max(r.w for r in words) + 1 if words else 1
+    arr = [0] * n_words
+    for r in words:
+        arr[r.w] = r.m
+    bitmap = F.array(*[F.lit(x).cast("long") for x in arr])
+    k = F.col(target_key).cast("long")
+    word_ix = F.expr(f"shiftrightunsigned(CAST({target_key} AS BIGINT), 6)")
+    hit = (
+        F.expr(
+            f"shiftrightunsigned(__bm[CAST("
+            f"shiftrightunsigned(CAST({target_key} AS BIGINT), 6) AS INT)],"
+            f" CAST(CAST({target_key} AS BIGINT) % 64 AS INT)) & 1 = 1"
+        )
+    )
+    return (
+        target.withColumn("__bm", bitmap)
+        .where((word_ix < F.lit(n_words)) & hit)
+        .drop("__bm")
+    )
+
+
+def bitmap_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by brand for large ECONOMY parts, with the selective
+    part predicate (p_type = 'ECONOMY' AND p_size >= 40 — ~4% of the
+    dim) pushed onto the lineitem scan as an exact broadcast-bitmap
+    key filter before the join. Returns (p_brand, n_items, revenue)
+    — the result is identical to the plain join (the bitmap is
+    exact), which is what makes it oracle-pairable; the bitmap is
+    purely the physical scale path.
+
+    Plan shape: fact rows that fail the bitmap die inside the scan
+    stage's WholeStageCodegen; only survivors (~4%) reach the
+    join exchange. The join that follows fetches p_brand and is
+    dimension-sized on its build side.
+    """
+    part_keys = (
+        table(spark, sf_dir, "part")
+        .where((F.col("p_type") == "ECONOMY") & (F.col("p_size") >= 40))
+        .select("p_partkey", "p_brand")
+        .localCheckpoint()  # filter evaluated once: bitmap build + join
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    survivors = bitmap_key_filter(part_keys, "p_partkey", li, "l_partkey")
+    return (
+        survivors.join(
+            F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "decimal(28,6)",
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -2513,3 +2513,112 @@ def test_shapley_attribution_planted_driver_channel(spark, tmp_path):
         assert abs(got[c].shapley_credit - brute[c]) < 1e-9, (
             c, got[c].shapley_credit, brute[c],
         )
+
+
+# --- round-4 continuation 39: HITS, bitmap filter, k-anonymity,
+# contrastive negatives -----------------------------------------------
+
+
+def _plant_star(spark, tmp_path, orders, lineitems):
+    d = str(tmp_path / "sf_star")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        lineitems, "l_orderkey long, l_partkey long"
+    ).write.parquet(d + "/lineitem.parquet")
+    return d
+
+
+def test_hits_authority_beats_raw_degree(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.graph import (
+        hits_part_authorities,
+    )
+
+    # customers 1,2 are heavy buyers (each buys parts 10,11,12);
+    # customer 3 buys only part 20; part 21 is bought by 1 AND 3.
+    # Raw degree: part 21 (2 buyers) ties parts 10-12 (2 buyers each)
+    # — but HITS ranks 10-12 above 21 because their buyers are hubs.
+    orders = [(100, 1), (200, 2), (300, 3)]
+    lineitems = [
+        (100, 10), (100, 11), (100, 12), (100, 21),
+        (200, 10), (200, 11), (200, 12),
+        (300, 20), (300, 21),
+    ]
+    sf = _plant_star(spark, tmp_path, orders, lineitems)
+    rows = {r.p_partkey: r for r in hits_part_authorities(spark, sf).collect()}
+    # hand-computed: a1 = {10:2,11:2,12:2,20:1,21:2};
+    # h1 = {1: 2+2+2+2=8, 2: 6, 3: 1+2=3};
+    # a2 = {10: 8+6=14, 11:14, 12:14, 20: 3, 21: 8+3=11}
+    assert rows[10].auth_score == 14 and rows[21].auth_score == 11
+    assert rows[20].auth_score == 3
+    assert rows[10].auth_norm == 1.0
+    assert rows[10].n_buyers == 2 and rows[21].n_buyers == 2
+
+
+def test_bitmap_filter_exact_at_word_boundaries(spark):
+    from doeecommerce_datapipeline_spark.operators.joins import (
+        bitmap_key_filter,
+    )
+
+    # keys straddling long-word boundaries: 0, 63, 64, 127, 130
+    keys = spark.createDataFrame(
+        [(0,), (63,), (64,), (127,), (130,)], "k long"
+    )
+    target = spark.createDataFrame([(i,) for i in range(200)], "t long")
+    got = sorted(
+        r.t for r in bitmap_key_filter(keys, "k", target, "t").collect()
+    )
+    assert got == [0, 63, 64, 127, 130]
+    # keys beyond the bitmap domain must not crash or match
+    wide = spark.createDataFrame([(10_000,), (5,)], "t long")
+    assert [r.t for r in bitmap_key_filter(keys, "k", wide, "t").collect()] == []
+
+
+def test_k_anonymity_small_class_flagged(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        k_anonymity_classes,
+    )
+
+    d = str(tmp_path / "sf_kanon")
+    # 6 customers in class (nation 1, SEG_A, band 0); 1 customer alone
+    # in (nation 2, SEG_B, band 0) — the re-identifiable singleton
+    rows = [(i, f"c{i}", 1, 500.0, "SEG_A") for i in range(6)] + [
+        (99, "c99", 2, 250.0, "SEG_B")
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(d + "/customer.parquet")
+    # orders: customer 0 spends big (distinct sensitive band), rest none
+    spark.createDataFrame(
+        [(1, 0, 120000.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(d + "/orders.parquet")
+    out = {
+        (r.c_nationkey, r.c_mktsegment, r.bal_band): r
+        for r in k_anonymity_classes(spark, d).collect()
+    }
+    big = out[(1, "SEG_A", 0)]
+    assert big.k == 6 and big.is_k_anonymous
+    assert big.l_diversity == 2  # band 2 (120k spender) + band 0
+    single = out[(2, "SEG_B", 0)]
+    assert single.k == 1 and not single.is_k_anonymous
+    assert single.reident_risk == 1.0
+
+
+def test_contrastive_negatives_deterministic_and_self_free(spark):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        contrastive_negatives,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = contrastive_negatives(spark, sf).collect()
+    b = contrastive_negatives(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    n_docs = spark.read.parquet(sf + "/documents.parquet").count()
+    assert len(a) == 2 * n_docs  # exactly 2 negatives per anchor
+    for r in a:
+        assert r.neg_id != r.doc_id
+        assert 0 <= r.neg_id < n_docs
