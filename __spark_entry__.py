@@ -130,7 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dsir_importance_weights, corpus_health_by_source,
     kneser_ney_bigrams, shapley_attribution,
     hits_part_authorities, bitmap_filter_revenue,
-    k_anonymity_classes, contrastive_negatives —
+    k_anonymity_classes, contrastive_negatives,
+    winnowing_fingerprints, abc_xyz_inventory,
+    time_decay_attribution, query_likelihood_search —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -522,6 +524,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_filter_revenue": J.bitmap_filter_revenue,
         "k_anonymity_classes": X.k_anonymity_classes,
         "contrastive_negatives": CP.contrastive_negatives,
+        # (as) round-4 continuation 40 — MOSS winnowing fingerprint
+        # pairs, ABC-XYZ inventory grid, time-decay attribution
+        # (power-of-two weights), and Dirichlet query-likelihood
+        # retrieval
+        "winnowing_fingerprints": D.winnowing_fingerprints,
+        "abc_xyz_inventory": R.abc_xyz_inventory,
+        "time_decay_attribution": E.time_decay_attribution,
+        "query_likelihood_search": T.query_likelihood_search,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -6921,5 +6931,175 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT r.doc_id, r.neg_rank, r.neg_id,
                    (d2.source = r.anchor_source) AS is_hard
             FROM r JOIN documents d2 ON d2.doc_id = r.neg_id
+        """,
+        # winnowing selection via the max-of-window-mins identity:
+        # h(p) lower-bounds every window min containing p, so
+        # max(wmin over starts covering p) == h(p) iff p attains some
+        # window's min — two window passes, no per-window explode
+        "winnowing_fingerprints": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i,
+                       greatest(len(t) - 2, 1) AS n_grams,
+                       CAST(concat('0x', substr(md5(
+                           array_to_string(t[i:i+2], ' ')), 1, 8))
+                           AS BIGINT) AS h
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1))
+                                 AS i
+                      FROM toks)
+            ), wm AS (
+                SELECT doc_id, i, h,
+                       CASE WHEN i <= greatest(n_grams - 3, 1)
+                            THEN MIN(h) OVER (
+                                PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                         AND 3 FOLLOWING)
+                       END AS wmin
+                FROM grams
+            ), sel AS (
+                SELECT doc_id, i, h,
+                       MAX(wmin) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS selmax
+                FROM wm
+            ), fp0 AS (
+                SELECT DISTINCT doc_id, h FROM sel WHERE h = selmax
+            ), fp AS (
+                SELECT doc_id, h FROM fp0
+                WHERE h IN (SELECT h FROM fp0
+                            GROUP BY h HAVING COUNT(*) <= 50)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fp a JOIN fp b USING (h)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5
+        """,
+        "abc_xyz_inventory": """
+            WITH pm AS (
+                SELECT l_partkey AS part,
+                       date_trunc('month', l_shipdate) AS mon,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,6))) AS rev
+                FROM lineitem GROUP BY 1, 2
+            ), per_part AS (
+                SELECT part, CAST(COUNT(*) AS BIGINT) AS n_mon,
+                       SUM(q) AS s1,
+                       SUM(CAST(q * q AS DECIMAL(38,4))) AS s2,
+                       SUM(rev) AS rev
+                FROM pm GROUP BY part
+            ), cum AS (
+                SELECT part, n_mon, s1, s2, rev,
+                       SUM(rev) OVER (ORDER BY rev DESC, part ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_rev,
+                       SUM(rev) OVER () AS total_rev
+                FROM per_part
+            ), classed AS (
+                -- exclusive cumulative share: the boundary-crossing
+                -- part belongs to the class it completes
+                SELECT CASE
+                         WHEN CAST(cum_rev - rev AS DOUBLE)
+                              / CAST(total_rev AS DOUBLE) < 0.80 THEN 'A'
+                         WHEN CAST(cum_rev - rev AS DOUBLE)
+                              / CAST(total_rev AS DOUBLE) < 0.95 THEN 'B'
+                         ELSE 'C' END AS abc_class,
+                       CASE
+                         WHEN sqrt(greatest(
+                                CAST(n_mon AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE),
+                                0.0)) / CAST(s1 AS DOUBLE) < 0.5 THEN 'X'
+                         WHEN sqrt(greatest(
+                                CAST(n_mon AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE),
+                                0.0)) / CAST(s1 AS DOUBLE) < 1.0 THEN 'Y'
+                         ELSE 'Z' END AS xyz_class,
+                       rev, total_rev
+                FROM cum
+            )
+            SELECT abc_class, xyz_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   ROUND(CAST(SUM(rev) AS DOUBLE)
+                         / CAST(MAX(total_rev) AS DOUBLE), 6)
+                       AS revenue_share
+            FROM classed GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # decay weights are exact powers of two (1L << (7 - gap)), so
+        # the per-purchase weight totals are exact BIGINTs on both
+        # engines — no transcendental pow anywhere
+        "time_decay_attribution": """
+            WITH touches AS (
+                SELECT DISTINCT user_id AS key,
+                       CAST(ts AS DATE) AS tday, event_type
+                FROM events
+                WHERE event_type <> 'purchase'
+            ), cand AS (
+                SELECT DISTINCT p.event_id, p.value, t.event_type,
+                       (CAST(1 AS BIGINT)
+                        << (7 - (CAST(p.ts AS DATE) - t.tday))) AS w
+                FROM events p JOIN touches t ON t.key = p.user_id
+                WHERE p.event_type = 'purchase'
+                  AND t.tday <= CAST(p.ts AS DATE)
+                  AND t.tday >= CAST(p.ts AS DATE) - 7
+            ), shares AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * CAST(w AS DOUBLE)
+                                  / CAST(SUM(w) OVER (
+                                        PARTITION BY event_id) AS DOUBLE),
+                                  6) AS DECIMAL(18,6)) AS share
+                FROM cand
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_credited_purchases,
+                   CAST(SUM(share) AS DOUBLE) AS attributed_value
+            FROM shares GROUP BY event_type
+        """,
+        # zero-tf terms contribute the smoothed background probability,
+        # so the scoring table is doclen x |query| via CROSS JOIN with
+        # per-doc tf LEFT-joined on (mu = 50)
+        "query_likelihood_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS word
+                FROM documents
+            ),
+            toks2 AS (SELECT doc_id, word FROM toks WHERE word != ''),
+            doclen AS (
+                SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+            ),
+            total AS (SELECT COUNT(*) AS total_len FROM toks2),
+            qtoks AS (
+                SELECT doc_id, word FROM toks2
+                WHERE word IN ('table', 'join', 'spark')
+            ),
+            cf AS (SELECT word, COUNT(*) AS cf FROM qtoks GROUP BY word),
+            tf AS (
+                SELECT doc_id, word, COUNT(*) AS tf FROM qtoks
+                GROUP BY doc_id, word
+            ),
+            term AS (
+                SELECT l.doc_id,
+                       CAST(ROUND(
+                           ln((CAST(COALESCE(t.tf, 0) AS DOUBLE)
+                               + 50.0 * CAST(c.cf AS DOUBLE)
+                                 / CAST(s.total_len AS DOUBLE))
+                              / (CAST(l.dl AS DOUBLE) + 50.0)),
+                           9) AS DECIMAL(18,9)) AS ts_q
+                FROM doclen l
+                CROSS JOIN cf c
+                CROSS JOIN total s
+                LEFT JOIN tf t ON t.doc_id = l.doc_id AND t.word = c.word
+            )
+            SELECT doc_id, ROUND(CAST(SUM(ts_q) AS DOUBLE), 6) AS ql_score
+            FROM term GROUP BY doc_id
+            ORDER BY ql_score DESC, doc_id ASC LIMIT 20
         """,
     }

@@ -1328,3 +1328,92 @@ def jw_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jw",
         )
     )
+
+
+WINNOW_K = 3  # k-gram size (tokens per gram), matching the shingle ops
+WINNOW_W = 4  # winnowing window: one fingerprint guaranteed per W grams
+WINNOW_DF_CAP = 50  # boilerplate fingerprints (df > cap) are dropped
+WINNOW_SHARED_MIN = 5  # report pairs sharing at least this many prints
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprinting (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): each document keeps the MINIMUM k-gram hash of
+    every sliding window of W consecutive grams, which guarantees any
+    shared token run of length >= K + W - 1 produces at least one
+    SHARED fingerprint — positional near-dup detection that MinHash
+    (a whole-document sketch) cannot localize. Returns candidate pairs
+    (id_a, id_b, n_shared): documents sharing >= WINNOW_SHARED_MIN
+    distinct winnowed fingerprints, strongest first.
+
+    Selection is computed with two window passes, no per-window
+    explode: wmin(s) = min hash of the W-gram window starting at s
+    (only starts where a full window fits; a doc shorter than W grams
+    keeps its single clipped window), and position p is selected iff
+    max(wmin(s) for s in [p-W+1, p]) == h(p) — h(p) lower-bounds every
+    window min containing p, so equality holds exactly when p attains
+    some window's min. Pure built-in window functions, identical
+    frame semantics on any SQL engine — fully oracle-pairable.
+
+    Scale shape: the gram explode is the one corpus-scale pass; both
+    window functions share ONE (doc_id, i) sort (subset rule — no
+    second exchange); the fingerprint table is ~2/(W+1) of gram count;
+    the pair join is fingerprint-bucketed with a df-cap (the
+    NGRAM_DF_CAP rule) so no ubiquitous fingerprint can fan out a hot
+    bucket — never all-pairs. Hashes are the md5-prefix integer
+    lattice (engine-portable, no RNG).
+
+    Reference analog: none — extension surface (dedup family).
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = d.select(
+        "doc_id",
+        F.greatest(F.size(toks) - (WINNOW_K - 1), F.lit(1)).alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - (WINNOW_K - 1), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(toks, i, WINNOW_K), " "),
+            )
+        ).alias("i0", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("i0") + 1).alias("i"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    order = Window.partitionBy("doc_id").orderBy("i")
+    wmin = F.when(
+        F.col("i") <= F.greatest(
+            F.col("n_grams") - (WINNOW_W - 1), F.lit(1)
+        ),
+        F.min("h").over(order.rowsBetween(0, WINNOW_W - 1)),
+    )
+    sel = grams.withColumn("wm", wmin).withColumn(
+        "selmax", F.max("wm").over(order.rowsBetween(-(WINNOW_W - 1), 0))
+    )
+    fp0 = (
+        sel.where(F.col("h") == F.col("selmax"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    fp = fp0.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).where(F.col("df") <= WINNOW_DF_CAP)
+    a = fp.select(F.col("doc_id").alias("id_a"), "h")
+    b = fp.select(F.col("doc_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_SHARED_MIN)
+        .orderBy(F.desc("n_shared"), F.asc("id_a"), F.asc("id_b"))
+    )

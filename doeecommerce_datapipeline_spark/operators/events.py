@@ -972,6 +972,82 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every purchase's value
+    splits across the distinct (day, event_type) touches of the same
+    user in the 7 days up to the purchase, weighted by recency with a
+    ONE-DAY half-life — a touch d days before the purchase carries
+    weight 2^(7-d). Completes the attribution family: last-touch
+    (revenue_attribution), linear (linear_touch_attribution),
+    time-decay (this), Markov removal, Shapley.
+    Returns (event_type, n_credited_purchases, attributed_value).
+
+    Determinism: the decay weights are exact POWERS OF TWO (integers
+    1..128), so per-purchase weight totals are exact BIGINTs — no
+    transcendental pow on either engine. Each touch's credit is
+    value * w / sum_w rounded at 6dp and quantized to DECIMAL(18,6)
+    before the order-free sum (the linear-attribution seam).
+
+    Shape: identical to the linear model's — touches dedup to
+    (user, day, type) first so the user-keyed range join fans out by
+    at most 8 days x |event types| per purchase; one purchase-id
+    window totals the weights; the rollup is event-type-sized.
+    """
+    e = table(spark, sf_dir, "events")
+    touches = (
+        e.where(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("key"),
+            F.to_date("ts").alias("tday"),
+            "event_type",
+        )
+        .distinct()
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        F.to_date("ts").alias("pday"),
+        "event_id",
+        "value",
+    )
+    cand = (
+        purchases.join(touches, "key")
+        .where(
+            (F.col("tday") <= F.col("pday"))
+            & (
+                F.col("tday")
+                >= F.date_sub(F.col("pday"), ATTRIBUTION_LOOKBACK_DAYS)
+            )
+        )
+        .select(
+            "event_id",
+            "value",
+            "event_type",
+            F.expr(
+                f"CAST(shiftleft(1L, {ATTRIBUTION_LOOKBACK_DAYS}"
+                " - datediff(pday, tday)) AS BIGINT)"
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    win = Window.partitionBy("event_id")
+    shares = cand.select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.col("value")
+            * F.col("w").cast("double")
+            / F.sum("w").over(win).cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("share"),
+    )
+    return shares.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_credited_purchases"),
+        F.sum("share").cast("double").alias("attributed_value"),
+    )
+
+
 AB_Z_CRIT = 1.96
 
 

@@ -1005,3 +1005,99 @@ def inventory_ss_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin["short"].alias("total_stockout"),
         fin["inv"].alias("end_inv"),
     )
+
+
+def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification grid: every sold part lands in
+    one of 9 cells — ABC by cumulative revenue share (A = parts up to
+    80% of revenue, B to 95%, C the tail) crossed with XYZ by demand
+    variability (coefficient of variation of monthly shipped quantity:
+    X < 0.5 steady, Y < 1.0 variable, Z erratic). Returns one row per
+    populated cell: (abc_class, xyz_class, n_parts, revenue_share) —
+    the planner's matrix for cycle-count frequency and safety stock
+    (AX = tight control, CZ = order-on-demand).
+
+    Determinism: the ABC boundary test is ONE IEEE division of two
+    exact decimal sums (the exclusive cumulative share
+    (cum_rev - rev) / total_rev, the revenue_pareto pattern) —
+    bit-identical on every engine. CV comes from exact
+    decimal moment sums (n, Σq, Σq²) via one IEEE dag (sqrt is
+    correctly rounded everywhere), so the X/Y/Z cut reproduces
+    bit-identically. revenue_share is one ratio rounded at 6dp.
+
+    Scale: the fact collapses to (part, month) with map-side combine
+    — the only corpus-scale exchange; part-grain moments and revenue
+    derive from that table. The ABC cumulative window sorts the PART
+    DIMENSION (never the fact), the same dimension-sized-sort budget
+    as revenue_pareto; fact_deciles_scalable documents the sort-free
+    path when even the dimension outgrows a sort. Parts never sold
+    are out of scope (no demand to classify).
+
+    Reference analog: none — extension surface (retail family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.trunc("l_shipdate", "month").alias("mon"),
+    ).agg(
+        dec_sum("l_quantity", "decimal(18,2)").alias("q"),
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "decimal(28,6)",
+        ).alias("rev"),
+    )
+    per_part = pm.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_mon"),
+        F.sum("q").alias("s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)")).alias("s2"),
+        F.sum("rev").alias("rev"),
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("part"))
+    tot = Window.partitionBy()
+    cum = per_part.select(
+        "part",
+        "n_mon",
+        "s1",
+        "s2",
+        "rev",
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+        F.sum("rev").over(tot).alias("total_rev"),
+    )
+    nd = F.col("n_mon").cast("double")
+    var = (
+        nd * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / F.col("s1").cast("double")
+    # classify on the EXCLUSIVE cumulative share (everything ranked
+    # above this part): the part that crosses a boundary still belongs
+    # to the class it completes — revenue_pareto's "+1" convention, so
+    # a single dominant part is A, never C
+    share = (F.col("cum_rev") - F.col("rev")).cast("double") / F.col(
+        "total_rev"
+    ).cast("double")
+    classed = cum.select(
+        F.when(share < 0.80, "A")
+        .when(share < 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+        "rev",
+        "total_rev",
+    )
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum("rev").cast("double")
+                / F.max("total_rev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

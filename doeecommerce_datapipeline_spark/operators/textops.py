@@ -1327,3 +1327,84 @@ def kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= KN_TOP)
         .select("w1", "w2", "c12", "pkn", "rnk")
     )
+
+
+QL_MU = 50.0  # Dirichlet prior mass (docs here average ~40 tokens)
+
+
+def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty): rank documents by log P(query | doc LM),
+    score = Σ_t ln((tf_td + μ·cf_t/|C|) / (dl_d + μ)) — the
+    language-modeling counterpart of bm25_search (probabilistic
+    ranking vs. the Robertson/Sparck-Jones weighting); together with
+    rrf_fusion_search and retrieval_ndcg_eval this completes the
+    classic lexical-ranking family. Top-20 (doc_id, ql_score).
+
+    Unlike BM25, a zero-tf term still contributes its smoothed
+    background probability, so EVERY document is scored against every
+    query term. The plan exploits the FIXED query: one token explode
+    feeds ONE doc_id aggregate that computes dl and the |query| per-
+    term tfs as pivoted conditional counts in the same pass; that
+    doc-grain table is checkpointed once for its two consumers; the
+    collection stats (cf_t, |C|) reduce from it to a single broadcast
+    row; the score is a fixed |query|-term expression — ONE corpus
+    scan and one corpus-scale exchange total (the first cut derived
+    doclen / cf / tf as separate aggregates and re-evaluated the
+    explode subtree five times: 5 scans, 16 exchanges). Top-k is
+    TakeOrderedAndProject.
+
+    Determinism: ln is libm — per-term scores round at 9dp and
+    quantize to DECIMAL(18,9); the |query|-way decimal addition is
+    exact; one 6dp rounding at the seam (the bm25_search pattern).
+
+    Reference analog: none — extension surface (retrieval family).
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower("text"))).alias("word")
+    ).where(F.col("word") != "")
+    # doc-grain table materialized once for its two consumers (the
+    # stats rollup and the scorer) — otherwise the explode subtree
+    # re-evaluates per consumer
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("word") == t, True)).alias(f"tf_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    ).localCheckpoint()
+    stats = per_doc.agg(
+        F.sum("dl").alias("total_len"),
+        *[F.sum(f"tf_{t}").alias(f"cf_{t}") for t in BM25_QUERY_TERMS],
+    )
+    dld = F.col("dl").cast("double")
+
+    def term(t: str):
+        return F.round(
+            F.log(
+                (
+                    F.col(f"tf_{t}").cast("double")
+                    + F.lit(QL_MU)
+                    * F.col(f"cf_{t}").cast("double")
+                    / F.col("total_len").cast("double")
+                )
+                / (dld + F.lit(QL_MU))
+            ),
+            9,
+        ).cast("decimal(18,9)")
+
+    score = term(BM25_QUERY_TERMS[0])
+    for t in BM25_QUERY_TERMS[1:]:
+        score = score + term(t)
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(score.cast("double"), 6).alias("ql_score"),
+        )
+        .orderBy(F.desc("ql_score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )

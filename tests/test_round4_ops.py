@@ -2622,3 +2622,114 @@ def test_contrastive_negatives_deterministic_and_self_free(spark):
     for r in a:
         assert r.neg_id != r.doc_id
         assert 0 <= r.neg_id < n_docs
+
+
+# --- round-4 continuation 40: winnowing, ABC-XYZ, time-decay
+# attribution, query-likelihood retrieval --------------------------------
+
+
+def test_winnowing_guarantee_shared_run_detected(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(30))  # 30-token run
+    rows = [
+        (0, "aa bb cc " + shared + " dd ee"),
+        (1, "xx yy " + shared + " zz ww qq"),
+        (2, "unrelated words only here nothing matches at all friend"),
+    ]
+    sf = _plant_docs(spark, tmp_path, rows)
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_fingerprints(spark, sf).collect()
+    }
+    # winnowing guarantees >= 1 shared print per K+W-1 = 6-token shared
+    # run; a 30-token run yields far more than the 5-print threshold
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 5
+    assert all(2 not in p for p in pairs)
+
+
+def test_abc_xyz_classifies_planted_parts(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        abc_xyz_inventory,
+    )
+
+    d = str(tmp_path / "sf_abc")
+    rows = []
+    # part 1: ~96% of revenue, identical demand every month -> A/X
+    for m in range(1, 7):
+        rows.append((m, 1, f"2024-0{m}-15", 10.0, 1600.0, 0.0))
+    # part 2: tiny revenue, demand 1,1,100 -> C and CV ~1.37 -> Z
+    rows.append((10, 2, "2024-01-20", 1.0, 10.0, 0.0))
+    rows.append((11, 2, "2024-02-20", 1.0, 10.0, 0.0))
+    rows.append((12, 2, "2024-03-20", 100.0, 10.0, 0.0))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_shipdate string,"
+        " l_quantity double, l_extendedprice double, l_discount double",
+    ).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        "l_quantity", "l_extendedprice", "l_discount",
+    ).write.parquet(d + "/lineitem.parquet")
+    got = {
+        (r.abc_class, r.xyz_class): (r.n_parts, r.revenue_share)
+        for r in abc_xyz_inventory(spark, d).collect()
+    }
+    assert got[("A", "X")][0] == 1  # steady dominant part
+    assert ("C", "Z") in got and got[("C", "Z")][0] == 1
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-6
+
+
+def test_time_decay_weights_are_powers_of_two(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.events import (
+        time_decay_attribution,
+    )
+
+    d = str(tmp_path / "sf_td")
+    # user 1: view 7 days before purchase (w=1), cart same day (w=128);
+    # purchase value 129 -> view gets 1.0, cart gets 128.0 exactly
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 5.0, "{}"),
+            (2, "2024-01-08 09:00:00", 1, "cart", 3.0, "{}"),
+            (3, "2024-01-08 12:00:00", 1, "purchase", 129.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(d + "/events.parquet")
+    got = {
+        r.event_type: (r.n_credited_purchases, r.attributed_value)
+        for r in time_decay_attribution(spark, d).collect()
+    }
+    assert got == {"view": (1, 1.0), "cart": (1, 128.0)}
+
+
+def test_query_likelihood_ranks_tf_over_background(spark, tmp_path):
+    import math
+
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        QL_MU,
+        query_likelihood_search,
+    )
+
+    rows = [
+        (0, "table join spark table"),       # all 3 terms, tf(table)=2
+        (1, "table other words here"),       # 1 term
+        (2, "none of the query words"),      # 0 terms: background only
+    ]
+    sf = _plant_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r.ql_score for r in
+           query_likelihood_search(spark, sf).collect()}
+    assert got[0] > got[1] > got[2]
+    # hand-check doc 2 (dl=5): score = sum_t ln(mu*cf_t/total / (5+mu))
+    total = 4 + 4 + 5
+    expect = sum(
+        round(math.log((QL_MU * cf / total) / (5 + QL_MU)), 9)
+        for cf in (3, 1, 1)  # cf(table)=3, cf(join)=1, cf(spark)=1
+    )
+    assert abs(got[2] - round(expect, 6)) < 1e-6
