@@ -132,7 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hits_part_authorities, bitmap_filter_revenue,
     k_anonymity_classes, contrastive_negatives,
     winnowing_fingerprints, abc_xyz_inventory,
-    time_decay_attribution, query_likelihood_search —
+    time_decay_attribution, query_likelihood_search,
+    huber_trend_by_type, adamic_adar_parts, markov_entropy_rate —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -532,6 +533,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_xyz_inventory": R.abc_xyz_inventory,
         "time_decay_attribution": E.time_decay_attribution,
         "query_likelihood_search": T.query_likelihood_search,
+        # (at) round-4 continuation 41 — Huber-IRLS robust trend,
+        # Adamic-Adar copurchase link prediction, Markov conditional
+        # entropy rate
+        "huber_trend_by_type": X.huber_trend_by_type,
+        "adamic_adar_parts": G.adamic_adar_parts,
+        "markov_entropy_rate": E.markov_entropy_rate,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7101,5 +7108,199 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT doc_id, ROUND(CAST(SUM(ts_q) AS DOUBLE), 6) AS ql_score
             FROM term GROUP BY doc_id
             ORDER BY ql_score DESC, doc_id ASC LIMIT 20
+        """,
+        # two unrolled IRLS steps, every weighted sum quantized to a
+        # decimal lattice before summing (the k-means/PageRank
+        # iterative-oracle class); x as DECIMAL(9,0) keeps every
+        # product inside precision 38 on both engines
+        "huber_trend_by_type": """
+            WITH daily AS (
+                SELECT event_type,
+                       (CAST(ts AS DATE) - DATE '2024-01-01') AS x,
+                       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS yd
+                FROM events
+                GROUP BY event_type, CAST(ts AS DATE)
+            ), stats0 AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(x) AS sx,
+                       SUM(x * x) AS sxx,
+                       SUM(CAST(yd AS DECIMAL(28,10))) AS sy,
+                       SUM(CAST(x AS DECIMAL(9,0)) * CAST(yd AS DECIMAL(28,10))) AS sxy
+                FROM daily GROUP BY event_type
+            ), fit0 AS (
+                SELECT event_type, n AS n_days,
+                       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            ELSE 0.0 END AS b1,
+                       (CAST(sy AS DOUBLE)
+                        - CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               ELSE 0.0 END * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS b0
+                FROM stats0
+            ), scale AS (
+                SELECT d.event_type,
+                       sqrt(CAST(SUM(CAST(ROUND(
+                                (d.yd - f.b0 - f.b1 * CAST(d.x AS DOUBLE))
+                                * (d.yd - f.b0 - f.b1 * CAST(d.x AS DOUBLE)), 6)
+                            AS DECIMAL(28,6))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE)) AS sigma
+                FROM daily d JOIN fit0 f USING (event_type)
+                GROUP BY d.event_type
+            ), coef0 AS (
+                SELECT f.event_type, f.n_days, f.b1, f.b0, s.sigma
+                FROM fit0 f JOIN scale s USING (event_type)
+            ), j1 AS (
+                SELECT d.event_type, d.x, c.n_days, c.sigma,
+                       CAST(ROUND(CASE WHEN c.sigma > 0
+                                AND abs(d.yd - c.b0 - c.b1 * CAST(d.x AS DOUBLE))
+                                    > 1.345 * c.sigma
+                           THEN 1.345 * c.sigma
+                                / abs(d.yd - c.b0 - c.b1 * CAST(d.x AS DOUBLE))
+                           ELSE 1.0 END, 9) AS DECIMAL(18,9)) AS wq,
+                       CAST(ROUND((CASE WHEN c.sigma > 0
+                                AND abs(d.yd - c.b0 - c.b1 * CAST(d.x AS DOUBLE))
+                                    > 1.345 * c.sigma
+                           THEN 1.345 * c.sigma
+                                / abs(d.yd - c.b0 - c.b1 * CAST(d.x AS DOUBLE))
+                           ELSE 1.0 END) * d.yd, 6) AS DECIMAL(28,6)) AS wy
+                FROM daily d JOIN coef0 c USING (event_type)
+            ), ws1 AS (
+                SELECT event_type, MAX(n_days) AS n_days, MAX(sigma) AS sigma,
+                       SUM(wq) AS sw,
+                       SUM(wq * CAST(x AS DECIMAL(9,0))) AS swx,
+                       SUM(wq * CAST(x AS DECIMAL(9,0)) * CAST(x AS DECIMAL(9,0))) AS swxx,
+                       SUM(wy) AS swy,
+                       SUM(wy * CAST(x AS DECIMAL(9,0))) AS swxy
+                FROM j1 GROUP BY event_type
+            ), coef1 AS (
+                SELECT event_type, n_days, sigma,
+                       CASE WHEN CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                                 - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) > 0
+                            THEN (CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                                  - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                                 / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                                    - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))
+                            ELSE 0.0 END AS b1,
+                       (CAST(swy AS DOUBLE)
+                        - CASE WHEN CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                                    - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) > 0
+                               THEN (CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                                     - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                                    / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                                       - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))
+                               ELSE 0.0 END * CAST(swx AS DOUBLE))
+                       / CAST(sw AS DOUBLE) AS b0
+                FROM ws1
+            ), j2 AS (
+                SELECT d.event_type, d.x, c.n_days, c.sigma,
+                       CAST(ROUND(CASE WHEN c.sigma > 0
+                                AND abs(d.yd - c.b0 - c.b1 * CAST(d.x AS DOUBLE))
+                                    > 1.345 * c.sigma
+                           THEN 1.345 * c.sigma
+                                / abs(d.yd - c.b0 - c.b1 * CAST(d.x AS DOUBLE))
+                           ELSE 1.0 END, 9) AS DECIMAL(18,9)) AS wq,
+                       CAST(ROUND((CASE WHEN c.sigma > 0
+                                AND abs(d.yd - c.b0 - c.b1 * CAST(d.x AS DOUBLE))
+                                    > 1.345 * c.sigma
+                           THEN 1.345 * c.sigma
+                                / abs(d.yd - c.b0 - c.b1 * CAST(d.x AS DOUBLE))
+                           ELSE 1.0 END) * d.yd, 6) AS DECIMAL(28,6)) AS wy
+                FROM daily d JOIN coef1 c USING (event_type)
+            ), ws2 AS (
+                SELECT event_type, MAX(n_days) AS n_days, MAX(sigma) AS sigma,
+                       SUM(wq) AS sw,
+                       SUM(wq * CAST(x AS DECIMAL(9,0))) AS swx,
+                       SUM(wq * CAST(x AS DECIMAL(9,0)) * CAST(x AS DECIMAL(9,0))) AS swxx,
+                       SUM(wy) AS swy,
+                       SUM(wy * CAST(x AS DECIMAL(9,0))) AS swxy
+                FROM j2 GROUP BY event_type
+            ), coef2 AS (
+                SELECT event_type, n_days, sigma, CAST(sw AS DOUBLE) AS sw,
+                       CASE WHEN CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                                 - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) > 0
+                            THEN (CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                                  - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                                 / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                                    - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))
+                            ELSE 0.0 END AS b1,
+                       (CAST(swy AS DOUBLE)
+                        - CASE WHEN CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                                    - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) > 0
+                               THEN (CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                                     - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                                    / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                                       - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))
+                               ELSE 0.0 END * CAST(swx AS DOUBLE))
+                       / CAST(sw AS DOUBLE) AS b0
+                FROM ws2
+            )
+            SELECT c.event_type,
+                   c.n_days,
+                   ROUND(f.b1, 6) AS slope_ols,
+                   ROUND(c.b1, 6) AS slope_huber,
+                   ROUND(c.b0, 6) AS intercept_huber,
+                   ROUND(c.sigma, 6) AS sigma,
+                   ROUND(c.sw, 6) AS sum_weight
+            FROM coef2 c JOIN fit0 f USING (event_type)
+            ORDER BY c.event_type
+        """,
+        # bipartite Adamic-Adar over order intermediaries: each
+        # order's 1/ln(basket) weight quantizes to DECIMAL(18,9)
+        # before the per-pair sum
+        "adamic_adar_parts": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            sizes AS (
+                SELECT l_orderkey,
+                       CAST(ROUND(1.0 / ln(CAST(COUNT(*) AS DOUBLE)), 9)
+                           AS DECIMAL(18,9)) AS aa_w
+                FROM li GROUP BY l_orderkey HAVING COUNT(*) >= 2
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, s.aa_w
+                FROM li a JOIN li b USING (l_orderkey) JOIN sizes s USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey
+            )
+            SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_common_orders,
+                   ROUND(CAST(SUM(aa_w) AS DOUBLE), 6) AS aa_score
+            FROM pairs GROUP BY 1, 2
+            ORDER BY aa_score DESC, part_a ASC, part_b ASC LIMIT 25
+        """,
+        # conditional next-state entropy per current state; -p ln p
+        # terms quantize at 9dp before the per-state sum
+        "markov_entropy_rate": """
+            WITH nxt AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS next_type
+                FROM events
+            ), t AS (
+                SELECT event_type, next_type, COUNT(*) AS n
+                FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+            ), p AS (
+                SELECT event_type, n,
+                       CAST(n AS DOUBLE)
+                       / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+                FROM t
+            ), s AS (
+                SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_out,
+                       CAST(COUNT(*) AS BIGINT) AS n_next_types,
+                       ROUND(CAST(SUM(CAST(ROUND(-p * ln(p), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE), 6) AS cond_entropy_nats
+                FROM p GROUP BY event_type
+            )
+            SELECT event_type, n_out, n_next_types, cond_entropy_nats,
+                   CAST(n_out AS DOUBLE)
+                   / CAST((SELECT SUM(n_out) FROM s) AS DOUBLE) AS weight
+            FROM s ORDER BY event_type
         """,
     }

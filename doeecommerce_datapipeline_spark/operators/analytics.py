@@ -1673,3 +1673,159 @@ def k_anonymity_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.col("k").cast("double")).alias("reident_risk"),
         )
     )
+
+
+HUBER_K = 1.345  # 95%-efficiency tuning constant
+
+
+def huber_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (Huber M-estimator) linear trend of daily event value per
+    event type, fit by two IRLS reweighting steps from the OLS start —
+    the outlier-resistant counterpart of revenue_trend_ols (one burst
+    day can swing an OLS slope arbitrarily; Huber caps its influence
+    at k·σ). Returns per type: n_days, slope_ols, slope_huber,
+    intercept_huber, sigma, sum_weight — slope_ols is kept so the
+    robustness delta is visible in one row.
+
+    Determinism (the k-means/PageRank iterative-oracle class): every
+    weighted sum is order-free — weights quantize to DECIMAL(18,9)
+    and w·y products to DECIMAL(28,6) BEFORE summing; w·x and w·y·x
+    then multiply those decimals by the exact integer x, staying
+    exact; all closing arithmetic is a fixed IEEE dag on those exact
+    operands. The scale σ is the OLS-residual RMSE (quantized r²
+    sums) and stays FIXED across both reweighting steps (documented
+    simplification — re-estimating scale each step is a deployment
+    knob, not a structural change).
+
+    Scale: ONE fact-sized exchange (the (type, day) rollup,
+    checkpointed for its three consumers); each IRLS step is a
+    BROADCAST join of the ≤|event types|-row coefficient table onto
+    the day-grain series plus one map-side-combined aggregate — cost
+    never grows past the daily rollup.
+
+    Reference analog: none — extension surface (statistics family).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(28,10)")).alias("y"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("2024-01-01").cast("date")).alias("x"),
+            F.col("y").cast("double").alias("yd"),
+        )
+        .localCheckpoint()
+    )
+    # x as DECIMAL(9,0): (18,9)*(9,0)*(9,0) and (28,6)*(9,0) stay
+    # inside precision 38 on BOTH engines, so every weighted product
+    # is an exact decimal — (10,0) would push Spark past 38 and force
+    # a silent scale reduction
+    xd = F.col("x").cast("decimal(9,0)")
+    stats0 = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yd").cast("decimal(28,10)")).alias("sy"),
+        F.sum(xd * F.col("yd").cast("decimal(28,10)")).alias("sxy"),
+    )
+
+    def _fit(n, sx, sxx, sy, sxy):
+        den = n * sxx - sx * sx
+        b1 = F.when(den > 0, (n * sxy - sx * sy) / den).otherwise(F.lit(0.0))
+        b0 = (sy - b1 * sx) / n
+        return b1, b0
+
+    b1_0, b0_0 = _fit(
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    fit0 = stats0.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        b1_0.alias("b1"),
+        b0_0.alias("b0"),
+    )
+    r = F.col("yd") - F.col("b0") - F.col("b1") * F.col("x").cast("double")
+    scale = (
+        daily.join(F.broadcast(fit0), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.round(r * r, 6).cast("decimal(28,6)")).alias("srr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.sqrt(
+                F.col("srr").cast("double") / F.col("n").cast("double")
+            ).alias("sigma"),
+        )
+    )
+    coef0 = fit0.join(scale, "event_type").localCheckpoint()
+
+    def _irls_step(coef: DataFrame) -> DataFrame:
+        """One reweighted-least-squares pass: returns the new
+        (event_type, n_days, b1, b0, sigma, sw) table."""
+        rr = (
+            F.col("yd")
+            - F.col("b0")
+            - F.col("b1") * F.col("x").cast("double")
+        )
+        w = F.when(
+            (F.col("sigma") > 0) & (F.abs(rr) > HUBER_K * F.col("sigma")),
+            F.lit(HUBER_K) * F.col("sigma") / F.abs(rr),
+        ).otherwise(F.lit(1.0))
+        j = daily.join(F.broadcast(coef), "event_type").select(
+            "event_type",
+            "x",
+            "yd",
+            "sigma",
+            "n_days",
+            F.round(w, 9).cast("decimal(18,9)").alias("wq"),
+            F.round(w * F.col("yd"), 6).cast("decimal(28,6)").alias("wy"),
+        )
+        ws = j.groupBy("event_type").agg(
+            F.max("n_days").alias("n_days"),
+            F.max("sigma").alias("sigma"),
+            F.sum("wq").alias("sw"),
+            F.sum(F.col("wq") * xd).alias("swx"),
+            F.sum(F.col("wq") * xd * xd).alias("swxx"),
+            F.sum("wy").alias("swy"),
+            F.sum(F.col("wy") * xd).alias("swxy"),
+        )
+        b1n, b0n = _fit(
+            F.col("sw").cast("double"),
+            F.col("swx").cast("double"),
+            F.col("swxx").cast("double"),
+            F.col("swy").cast("double"),
+            F.col("swxy").cast("double"),
+        )
+        return ws.select(
+            "event_type",
+            "n_days",
+            b1n.alias("b1"),
+            b0n.alias("b0"),
+            "sigma",
+            F.col("sw").cast("double").alias("sw"),
+        )
+
+    coef1 = _irls_step(coef0).localCheckpoint()
+    coef2 = _irls_step(coef1)
+    ols = fit0.select("event_type", F.col("b1").alias("slope_ols"))
+    return (
+        coef2.join(F.broadcast(ols), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("slope_ols", 6).alias("slope_ols"),
+            F.round("b1", 6).alias("slope_huber"),
+            F.round("b0", 6).alias("intercept_huber"),
+            F.round("sigma", 6).alias("sigma"),
+            F.round("sw", 6).alias("sum_weight"),
+        )
+        .orderBy("event_type")
+    )

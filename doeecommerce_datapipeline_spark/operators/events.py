@@ -903,6 +903,54 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: the conditional entropy of the next
+    event type given the current one, per state and overall — the
+    information-theoretic readout of markov_transitions' matrix. A
+    state with H ≈ 0 has a deterministic successor (funnel rail); the
+    stationary-weighted overall rate is the bits/step ceiling any
+    next-action model can achieve on this behavior stream. Returns per
+    event_type: n_out (outgoing transitions), n_next_types, and
+    cond_entropy_nats, plus weight = n_out share for composing the
+    overall rate Σ weight·H externally.
+
+    Determinism: p_ij is one IEEE division of exact BIGINT counts;
+    each -p·ln(p) term rounds at 9dp and quantizes to DECIMAL(18,9)
+    before the ≤|types|-way order-free sum; one 6dp rounding at the
+    seam (the bm25 pattern — ln is libm).
+
+    Shape: rides markov_transitions' single user_id exchange; the
+    entropy aggregate runs on the ≤|types|² transition table.
+    """
+    trans = markov_transitions(spark, sf_dir)
+    term = F.round(
+        -F.col("p") * F.log(F.col("p")), 9
+    ).cast("decimal(18,9)")
+    # |types|-row table materialized once for its two consumers (the
+    # output and the normalizer) — otherwise the fact-sized lead
+    # window re-evaluates for the total
+    per_state = trans.groupBy("event_type").agg(
+        F.sum("n_trans").alias("n_out"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.round(F.sum(term).cast("double"), 6).alias("cond_entropy_nats"),
+    ).localCheckpoint()
+    total = per_state.agg(F.sum("n_out").alias("n_total"))
+    return (
+        per_state.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_out",
+            "n_next_types",
+            "cond_entropy_nats",
+            (
+                F.col("n_out").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ATTRIBUTION_LOOKBACK_DAYS = 7
 
 

@@ -439,3 +439,67 @@ def copurchase_core_collapse(
     return kcore_peel_ledger(edges, K_CORE_K, K_CORE_ROUNDS).orderBy(
         "round"
     )
+
+
+AA_TOP = 25  # reported strongest predicted links
+
+
+def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the bipartite order-part
+    graph: for each part pair, score = Σ over shared orders of
+    1/ln(basket size) — co-occurrence evidence discounted by how
+    promiscuous the witnessing order is (a 2-item basket says far more
+    about affinity than a 7-item one). Completes the link-analysis
+    family next to PageRank and HITS: those rank NODES, this ranks
+    candidate EDGES — the "customers also buy" recommender primitive.
+    Returns the top-25 pairs (part_a, part_b, n_common_orders,
+    aa_score).
+
+    Bipartite AA over ORDER intermediaries keeps the fan-out bounded:
+    the pair explosion is C(basket,2) per order (TPC-H baskets ≤ 7),
+    never neighbor-degree-squared of a hot part — the same bound that
+    makes market_basket_lift scale-safe. Single-item baskets drop
+    before the self-join (no pairs, and ln(1)=0 would divide by
+    zero).
+
+    Determinism: ln is libm, so each order's 1/ln(s) weight quantizes
+    to DECIMAL(18,9) BEFORE the per-pair order-free sum; one 6dp
+    rounding at the seam. Top-k is TakeOrderedAndProject with the
+    (score, pair) total order.
+
+    Reference analog: none — extension surface (graph family).
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select(
+            "l_orderkey",
+            F.round(F.lit(1.0) / F.log(F.col("s").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("aa_w"),
+        )
+    )
+    b = li.join(sizes, "l_orderkey")
+    a_side = b.select("l_orderkey", F.col("l_partkey").alias("part_a"), "aa_w")
+    b_side = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = a_side.join(b_side, "l_orderkey").where(
+        F.col("part_a") < F.col("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_orders"),
+            F.round(F.sum("aa_w").cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(
+            F.desc("aa_score"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(AA_TOP)
+    )

@@ -2733,3 +2733,94 @@ def test_query_likelihood_ranks_tf_over_background(spark, tmp_path):
         for cf in (3, 1, 1)  # cf(table)=3, cf(join)=1, cf(spark)=1
     )
     assert abs(got[2] - round(expect, 6)) < 1e-6
+
+
+# --- round-4 continuation 41: Huber trend, Adamic-Adar, Markov
+# entropy rate ----------------------------------------------------------
+
+
+def _plant_daily_events(spark, tmp_path, rows):
+    d = str(tmp_path / "sf_ev41")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(d + "/events.parquet")
+    return d
+
+
+def test_huber_resists_single_burst_day(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        huber_trend_by_type,
+    )
+
+    # true trend y = 100 + 2x over days 0..9, except day 9 explodes to
+    # 5000 — OLS chases the burst, Huber stays near 2
+    rows = []
+    for day in range(10):
+        v = 5000.0 if day == 9 else 100.0 + 2.0 * day
+        rows.append(
+            (day, f"2024-01-{day + 1:02d} 12:00:00", 1, "a", v, "{}")
+        )
+    d = _plant_daily_events(spark, tmp_path, rows)
+    r = huber_trend_by_type(spark, d).collect()[0]
+    assert r.n_days == 10
+    assert abs(r.slope_huber - 2.0) < abs(r.slope_ols - 2.0)
+    assert r.slope_ols > 100  # the burst really does wreck OLS
+    assert r.sum_weight < 10  # the burst day was down-weighted
+
+
+def test_adamic_adar_discounts_big_baskets(spark, tmp_path):
+    import math
+
+    from doeecommerce_datapipeline_spark.operators.graph import (
+        adamic_adar_parts,
+    )
+
+    d = str(tmp_path / "sf_aa")
+    # orders 1,2 = tight basket {10,20}; order 3 = loose {10,20,30,40}
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20),
+            (3, 10), (3, 20), (3, 30), (3, 40)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(d + "/lineitem.parquet")
+    got = {(r.part_a, r.part_b): r for r in
+           adamic_adar_parts(spark, d).collect()}
+    w2 = round(1.0 / math.log(2.0), 9)
+    w4 = round(1.0 / math.log(4.0), 9)
+    assert got[(10, 20)].n_common_orders == 3
+    assert abs(got[(10, 20)].aa_score - round(2 * w2 + w4, 6)) < 1e-9
+    assert abs(got[(30, 40)].aa_score - round(w4, 6)) < 1e-9
+    # two tight co-occurrences outrank one loose one
+    assert got[(10, 20)].aa_score > got[(30, 40)].aa_score
+
+
+def test_markov_entropy_zero_for_deterministic_chain(spark, tmp_path):
+    import math
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        markov_entropy_rate,
+    )
+
+    rows = [
+        # user 1: a->b->a->b (deterministic both ways)
+        (1, "2024-01-01 00:01:00", 1, "a", 1.0, "{}"),
+        (2, "2024-01-01 00:02:00", 1, "b", 1.0, "{}"),
+        (3, "2024-01-01 00:03:00", 1, "a", 1.0, "{}"),
+        (4, "2024-01-01 00:04:00", 1, "b", 1.0, "{}"),
+        # user 2: a->c (makes state a stochastic: {b:2, c:1})
+        (5, "2024-01-01 00:01:00", 2, "a", 1.0, "{}"),
+        (6, "2024-01-01 00:02:00", 2, "c", 1.0, "{}"),
+    ]
+    d = _plant_daily_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in markov_entropy_rate(spark, d).collect()}
+    assert got["b"].cond_entropy_nats == 0.0  # b -> a always
+    p1, p2 = 2 / 3, 1 / 3
+    expect = round(
+        round(-p1 * math.log(p1), 9) + round(-p2 * math.log(p2), 9), 6
+    )
+    assert abs(got["a"].cond_entropy_nats - expect) < 1e-9
+    assert got["a"].n_out == 3 and got["a"].n_next_types == 2
