@@ -133,7 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     k_anonymity_classes, contrastive_negatives,
     winnowing_fingerprints, abc_xyz_inventory,
     time_decay_attribution, query_likelihood_search,
-    huber_trend_by_type, adamic_adar_parts, markov_entropy_rate —
+    huber_trend_by_type, adamic_adar_parts, markov_entropy_rate,
+    haar_energy_daily, theil_inequality_by_nation —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -539,6 +540,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huber_trend_by_type": X.huber_trend_by_type,
         "adamic_adar_parts": G.adamic_adar_parts,
         "markov_entropy_rate": E.markov_entropy_rate,
+        # (au) round-4 continuation 42 — Haar multi-resolution energy
+        # and Theil inequality decomposition (the online Markov
+        # counter lands in streaming/, e2e-pinned, per the §2.9
+        # convention)
+        "haar_energy_daily": X.haar_energy_daily,
+        "theil_inequality_by_nation": X.theil_inequality_by_nation,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7302,5 +7309,108 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(n_out AS DOUBLE)
                    / CAST((SELECT SUM(n_out) FROM s) AS DOUBLE) AS weight
             FROM s ORDER BY event_type
+        """,
+        # unnormalized Haar recursion on exact decimals; d-squared
+        # prescales by 2^-16 before the 4dp lattice so the decimal
+        # sum stays under 2^53 scaled digits (int128->double
+        # double-rounding, the twap lesson); 2^(16-k) restore is an
+        # exact IEEE scaling
+        "haar_energy_daily": """
+            WITH daily AS (
+                SELECT o_orderdate AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+                FROM orders GROUP BY 1
+            ), s0 AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i, y FROM daily
+            ), p1 AS (
+                SELECT CAST(floor(i / 2.0) AS BIGINT) AS j, COUNT(*) AS m,
+                       SUM(CASE WHEN i % 2 = 0 THEN y END) AS y0,
+                       SUM(CASE WHEN i % 2 = 1 THEN y END) AS y1
+                FROM s0 GROUP BY 1
+            ), p1f AS (SELECT * FROM p1 WHERE m = 2),
+            e1 AS (
+                SELECT CAST(1 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(CAST(ROUND(
+                           CAST(y0 - y1 AS DOUBLE) * CAST(y0 - y1 AS DOUBLE)
+                           / 65536.0, 4)
+                           AS DECIMAL(28,4))) AS DOUBLE) * 32768.0 AS energy
+                FROM p1f
+            ), s1 AS (
+                SELECT j AS i, y0 + y1 AS y FROM p1f
+            ), p2 AS (
+                SELECT CAST(floor(i / 2.0) AS BIGINT) AS j, COUNT(*) AS m,
+                       SUM(CASE WHEN i % 2 = 0 THEN y END) AS y0,
+                       SUM(CASE WHEN i % 2 = 1 THEN y END) AS y1
+                FROM s1 GROUP BY 1
+            ), p2f AS (SELECT * FROM p2 WHERE m = 2),
+            e2 AS (
+                SELECT CAST(2 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(CAST(ROUND(
+                           CAST(y0 - y1 AS DOUBLE) * CAST(y0 - y1 AS DOUBLE)
+                           / 65536.0, 4)
+                           AS DECIMAL(28,4))) AS DOUBLE) * 16384.0 AS energy
+                FROM p2f
+            ), s2 AS (
+                SELECT j AS i, y0 + y1 AS y FROM p2f
+            ), p3 AS (
+                SELECT CAST(floor(i / 2.0) AS BIGINT) AS j, COUNT(*) AS m,
+                       SUM(CASE WHEN i % 2 = 0 THEN y END) AS y0,
+                       SUM(CASE WHEN i % 2 = 1 THEN y END) AS y1
+                FROM s2 GROUP BY 1
+            ), p3f AS (SELECT * FROM p3 WHERE m = 2),
+            e3 AS (
+                SELECT CAST(3 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(CAST(ROUND(
+                           CAST(y0 - y1 AS DOUBLE) * CAST(y0 - y1 AS DOUBLE)
+                           / 65536.0, 4)
+                           AS DECIMAL(28,4))) AS DOUBLE) * 8192.0 AS energy
+                FROM p3f
+            ), lv AS (
+                SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+            ), total AS (
+                SELECT SUM(CAST(energy AS DECIMAL(28,6))) AS te FROM lv
+            )
+            SELECT level, n_pairs, energy,
+                   CASE WHEN CAST(te AS DOUBLE) > 0
+                        THEN ROUND(energy / CAST(te AS DOUBLE), 6) END AS energy_share
+            FROM lv, total ORDER BY level
+        """,
+        # per-customer Theil terms quantize at 9dp before the
+        # within-group sum; contrib columns reproduce the global
+        # index when summed (property-tested)
+        "theil_inequality_by_nation": """
+            WITH spend AS (
+                SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+                FROM orders GROUP BY o_custkey
+            ), j AS (
+                SELECT c.c_nationkey, s.x
+                FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+            ), nat AS (
+                SELECT c_nationkey, SUM(x) AS xg, CAST(COUNT(*) AS BIGINT) AS ng
+                FROM j GROUP BY c_nationkey
+            ), within AS (
+                SELECT j.c_nationkey,
+                       ROUND(CAST(SUM(CAST(ROUND(
+                           (CAST(j.x AS DOUBLE) / CAST(n.xg AS DOUBLE))
+                           * ln(CAST(j.x AS DOUBLE)
+                                / (CAST(n.xg AS DOUBLE) / CAST(n.ng AS DOUBLE))), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE), 6) AS theil_within
+                FROM j JOIN nat n USING (c_nationkey)
+                GROUP BY j.c_nationkey
+            ), gtot AS (
+                SELECT SUM(xg) AS xt, SUM(ng) AS nt FROM nat
+            )
+            SELECT n.c_nationkey,
+                   n.ng AS n_cust,
+                   ROUND(CAST(n.xg AS DOUBLE) / CAST(g.xt AS DOUBLE), 6) AS spend_share,
+                   w.theil_within,
+                   ROUND((CAST(n.xg AS DOUBLE) / CAST(g.xt AS DOUBLE))
+                         * w.theil_within, 6) AS within_contrib,
+                   ROUND((CAST(n.xg AS DOUBLE) / CAST(g.xt AS DOUBLE))
+                         * ln((CAST(n.xg AS DOUBLE) / CAST(g.xt AS DOUBLE))
+                              / (CAST(n.ng AS DOUBLE) / CAST(g.nt AS DOUBLE))), 6)
+                       AS between_contrib
+            FROM nat n JOIN within w USING (c_nationkey) CROSS JOIN gtot g
+            ORDER BY n.c_nationkey
         """,
     }

@@ -1829,3 +1829,174 @@ def huber_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+HAAR_LEVELS = 3  # detail scales: 2-day, 4-day, 8-day
+
+
+def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution (Haar wavelet) energy decomposition of the
+    daily-revenue series: how much variation lives at the 2-day,
+    4-day, and 8-day timescales — the spectral complement of
+    stl_daily_revenue (STL asks "is there a weekly season"; this asks
+    "WHICH timescale carries the volatility", flagging e.g. a series
+    whose noise is day-to-day jitter vs slow week-scale swings).
+    Returns per level: n_pairs, energy, energy_share.
+
+    The transform is computed UNNORMALIZED (a = y0+y1, d = y0-y1 on
+    exact decimal sums, halving the series each level; the 2^-k
+    normalization is applied once at the end), so every coefficient
+    is an exact decimal — no division anywhere in the recursion. The
+    only float steps are the per-coefficient d² (a double square of
+    an exact operand, quantized at 4dp into DECIMAL(28,4) before the
+    order-free sum — squaring in decimal would overflow precision 38
+    by level 3) and the final 2^-k scaling. Odd tails at each level
+    drop (incomplete pair — documented, deterministic).
+
+    Shape: one fact-sized exchange (the day rollup); the 3-level
+    recursion runs over the DATE-grain series (thousands of rows at
+    any corpus size) with one row_number window and 3 tiny pair
+    aggregates. Fixed level count = fixed plan — the k-means
+    unrolled-iteration oracle class.
+
+    Reference analog: none — extension surface (time-series family).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    w = Window.orderBy("day")
+    series = daily.select(
+        (F.row_number().over(w) - 1).alias("i"), "y"
+    ).localCheckpoint()
+    energies = []
+    for level in range(1, HAAR_LEVELS + 1):
+        paired = (
+            series.groupBy(F.floor(F.col("i") / 2).cast("long").alias("j"))
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.sum(F.when(F.col("i") % 2 == 0, F.col("y"))).alias("y0"),
+                F.sum(F.when(F.col("i") % 2 == 1, F.col("y"))).alias("y1"),
+            )
+            .where(F.col("m") == 2)  # odd tail drops
+        )
+        d = (F.col("y0") - F.col("y1")).cast("double")
+        energies.append(
+            paired.agg(
+                F.lit(level).cast("long").alias("level"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                # d² prescales by 2^-16 before the 4dp quantization so
+                # the decimal SUM stays under 2^53 scaled digits — the
+                # oracle engine's int128→double conversion double-
+                # rounds past that (the twap_user_day lesson); the
+                # final 2^(16-level) restore is an EXACT IEEE scaling,
+                # and no further rounding touches the energy (at ~1e14
+                # a 6dp round sits below the double ulp and diverges)
+                (
+                    F.sum(
+                        F.round(d * d / F.lit(float(2 ** 16)), 4).cast(
+                            "decimal(28,4)"
+                        )
+                    ).cast("double")
+                    * F.lit(float(2 ** (16 - level)))
+                ).alias("energy"),
+            )
+        )
+        series = paired.select(
+            F.col("j").alias("i"), (F.col("y0") + F.col("y1")).alias("y")
+        ).localCheckpoint()
+    lv = energies[0]
+    for e in energies[1:]:
+        lv = lv.unionByName(e)
+    lv = lv.localCheckpoint()
+    total = lv.agg(F.sum(F.col("energy").cast("decimal(28,6)")).alias("te"))
+    return (
+        lv.crossJoin(F.broadcast(total))
+        .select(
+            "level",
+            "n_pairs",
+            "energy",
+            # constant series has zero total energy — share is NULL,
+            # not a crash (ANSI mode raises on /0)
+            F.when(
+                F.col("te").cast("double") > 0,
+                F.round(
+                    F.col("energy") / F.col("te").cast("double"), 6
+                ),
+            ).alias("energy_share"),
+        )
+        .orderBy("level")
+    )
+
+
+def theil_inequality_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer spend, decomposed by nation —
+    the property the Gini family lacks: Theil splits EXACTLY into
+    between-group + within-group terms, so 'is spend inequality a
+    country story or a within-country story?' is one query. Per
+    nation: n_cust, spend_share, theil_within (T_g of the nation's own
+    distribution), within_contrib (share-weighted T_g), and
+    between_contrib (s_g·ln(s_g/(n_g/n))); summing the two contrib
+    columns over nations reproduces the global Theil index
+    (property-tested).
+
+    Determinism: spends are exact decimal sums; every per-customer
+    term (x_i/X_g)·ln(x_i/μ_g) rounds at 9dp into DECIMAL(18,9)
+    before the order-free within-group sum (ln is libm — the bm25
+    seam); the nation-grain arithmetic is a fixed IEEE dag on exact
+    operands with one 6dp rounding per output column.
+
+    Shape: one custkey fact aggregate, joined to the customer dim for
+    nation (checkpointed — it feeds the nation rollup AND the term
+    pass); nation stats (≤25 rows) BROADCAST back onto the customer-
+    grain table; the global row broadcasts onto the nation grain. No
+    sorts, no windows over the fact.
+
+    Reference analog: none — extension surface (inequality family,
+    next to revenue_gini_by_nation and lorenz_curve_deciles).
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    j = spend.join(
+        c, spend.o_custkey == c.c_custkey
+    ).select("c_nationkey", "x").localCheckpoint()
+    nat = j.groupBy("c_nationkey").agg(
+        F.sum("x").alias("xg"), F.count(F.lit(1)).alias("ng")
+    )
+    xd = F.col("x").cast("double")
+    xgd = F.col("xg").cast("double")
+    ngd = F.col("ng").cast("double")
+    t_i = F.round(
+        (xd / xgd) * F.log(xd / (xgd / ngd)), 9
+    ).cast("decimal(18,9)")
+    within = (
+        j.join(F.broadcast(nat), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(F.round(F.sum(t_i).cast("double"), 6).alias("theil_within"))
+    )
+    glob = nat.agg(
+        F.sum("xg").alias("xt"), F.sum("ng").alias("nt")
+    )
+    s_g = F.col("xg").cast("double") / F.col("xt").cast("double")
+    return (
+        nat.join(within, "c_nationkey")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "c_nationkey",
+            F.col("ng").alias("n_cust"),
+            F.round(s_g, 6).alias("spend_share"),
+            "theil_within",
+            F.round(s_g * F.col("theil_within"), 6).alias("within_contrib"),
+            F.round(
+                s_g
+                * F.log(
+                    s_g / (ngd / F.col("nt").cast("double"))
+                ),
+                6,
+            ).alias("between_contrib"),
+        )
+        .orderBy("c_nationkey")
+    )

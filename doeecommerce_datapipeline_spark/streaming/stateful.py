@@ -429,3 +429,79 @@ def space_saving_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MARKOV_OUT_SCHEMA = "user_id long, counts string, version long"
+MARKOV_STATE_SCHEMA = (
+    "last_ts long, last_eid long, last_type string, counts string,"
+    " version long"
+)
+
+
+def _track_markov(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold one user's micro-batch into the running first-order
+    transition counts. Events sort by (ts, event_id) inside the batch;
+    anything at or before the consumed frontier drops (stale
+    redelivery). The per-event step -- count (last_type -> type), then
+    advance -- mirrors operators/events.markov_transitions' lead()
+    definition exactly, so the drained per-user counts summed across
+    users equal the batch transition matrix (e2e-pinned). Counts
+    serialize as sorted-key JSON (the space-saving state pattern)."""
+    import json
+
+    (uid,) = key
+    evs: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        evs.extend(
+            zip(
+                (int(t) for t in pdf["tus"]),
+                (int(e) for e in pdf["event_id"]),
+                pdf["event_type"],
+            )
+        )
+    evs.sort()
+    if state.exists:
+        last_ts, last_eid, last_type, blob, version = state.get
+        counts = json.loads(blob)
+    else:
+        last_ts, last_eid, last_type, counts, version = -1, -1, None, {}, 0
+    for t, eid, et in evs:
+        if (t, eid) <= (last_ts, last_eid):
+            continue  # behind the frontier
+        if last_type is not None:
+            k = f"{last_type} {et}"
+            counts[k] = counts.get(k, 0) + 1
+        last_type = et
+        last_ts, last_eid = t, eid
+    version += 1
+    blob = json.dumps(counts, sort_keys=True)
+    state.update((last_ts, last_eid, last_type, blob, version))
+    yield pd.DataFrame(
+        {"user_id": [uid], "counts": [blob], "version": [version]}
+    )
+
+
+def markov_stream(events: DataFrame) -> DataFrame:
+    """Online first-order Markov transition counter: per micro-batch,
+    each touched user's full transition-count snapshot -- constant
+    state per user (frontier + last type + a bounded count map, at
+    most |event types| squared keys). The streaming face of
+    markov_transitions / markov_entropy_rate: drain, take each user's
+    max-version row, and the summed counts are the batch transition
+    matrix."""
+    ensure_shipped(events.sparkSession)
+    pts = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+    )
+    return pts.groupBy("user_id").applyInPandasWithState(
+        _track_markov,
+        outputStructType=MARKOV_OUT_SCHEMA,
+        stateStructType=MARKOV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2824,3 +2824,68 @@ def test_markov_entropy_zero_for_deterministic_chain(spark, tmp_path):
     )
     assert abs(got["a"].cond_entropy_nats - expect) < 1e-9
     assert got["a"].n_out == 3 and got["a"].n_next_types == 2
+
+
+# --- round-4 continuation 42: Haar energy, Theil decomposition ----------
+
+
+def test_haar_energy_isolates_alternating_signal(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        haar_energy_daily,
+    )
+
+    d = str(tmp_path / "sf_haar")
+    # 16 days alternating +/- around a constant: ALL variation lives
+    # at the 2-day scale -> level 1 carries ~100% of the energy
+    rows = [
+        (i, 1, f"2024-01-{i + 1:02d}",
+         1000.0 + (100.0 if i % 2 == 0 else -100.0))
+        for i in range(16)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate string,"
+        " o_totalprice double",
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    ).write.parquet(d + "/orders.parquet")
+    got = {r.level: r for r in haar_energy_daily(spark, d).collect()}
+    # level 1: 8 pairs, each d = 200; energy = 8·q(200²)·2^15 where
+    # q is the documented 2^-16-prescaled 4dp lattice
+    q = round(200.0 * 200.0 / 65536.0, 4)
+    assert got[1].n_pairs == 8
+    assert abs(got[1].energy - 8 * q * 2 ** 15) < 1e-6
+    assert got[2].energy == 0.0 and got[3].energy == 0.0
+    assert abs(got[1].energy_share - 1.0) < 1e-9
+
+
+def test_theil_contribs_sum_to_global_index(spark):
+    import math
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        theil_inequality_by_nation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = theil_inequality_by_nation(spark, sf).collect()
+    got = sum(r.within_contrib + r.between_contrib for r in rows)
+    # brute-force global Theil from the raw per-customer spends
+    import duckdb
+
+    x = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE)
+                FROM '{sf}/orders.parquet' GROUP BY o_custkey"""
+        ).fetchall()
+    ]
+    tot = sum(x)
+    mu = tot / len(x)
+    brute = sum((v / tot) * math.log(v / mu) for v in x)
+    # quantization seams round at 9/6dp per term, so allow slack
+    # proportional to the row counts involved
+    assert abs(got - brute) < 1e-3
+    assert got > 0  # spend inequality exists

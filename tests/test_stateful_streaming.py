@@ -683,3 +683,87 @@ def test_online_space_saving_heavy_hitters(spark, tmp_path):
     for g, snap in exact.items():
         assert {r.item: r.count_est for r in snap} == truth[g]
         assert all(r.err_bound == 0 for r in snap)
+
+
+def test_online_markov_counts_match_batch(spark, tmp_path):
+    """E2E: events replayed in timestamp order as 3 micro-batches
+    (with a planted stale redelivery) through the stateful online
+    Markov counter; each user's final snapshot summed across users
+    must reproduce the batch transition matrix exactly."""
+    import glob
+    import json
+    import os
+    import shutil
+    import time
+
+    from doeecommerce_datapipeline_spark.io import table
+    from doeecommerce_datapipeline_spark.operators.events import (
+        markov_transitions,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stateful import (
+        markov_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = (
+        table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    third = len(src) // 3
+    batches = [
+        src[:third],
+        src[third: 2 * third] + [src[7]],  # stale redelivery
+        src[2 * third:],
+    ]
+    base = str(tmp_path / "mk_in")
+    os.makedirs(base, exist_ok=True)
+    for i, rows in enumerate(batches):
+        stg = os.path.join(base, f"_stg{i}")
+        spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, ts timestamp,"
+            " event_type string",
+        ).coalesce(1).write.parquet(stg)
+        [part] = glob.glob(os.path.join(stg, "*.parquet"))
+        dst = os.path.join(base, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stg)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp,"
+            " event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        markov_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mk_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mk_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user_id, counts FROM mk_out a WHERE version ="
+        " (SELECT MAX(version) FROM mk_out b"
+        "  WHERE b.user_id = a.user_id)"
+    ).collect()
+    online = {}
+    for r in rows:
+        for k, v in json.loads(r.counts).items():
+            online[tuple(k.split(" "))] = (
+                online.get(tuple(k.split(" ")), 0) + v
+            )
+    batch = {
+        (r.event_type, r.next_type): r.n_trans
+        for r in markov_transitions(spark, sf).collect()
+    }
+    assert online == batch
