@@ -134,7 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     winnowing_fingerprints, abc_xyz_inventory,
     time_decay_attribution, query_likelihood_search,
     huber_trend_by_type, adamic_adar_parts, markov_entropy_rate,
-    haar_energy_daily, theil_inequality_by_nation —
+    haar_energy_daily, theil_inequality_by_nation,
+    ngram_novelty_by_source, loso_source_impact —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -546,6 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # convention)
         "haar_energy_daily": X.haar_energy_daily,
         "theil_inequality_by_nation": X.theil_inequality_by_nation,
+        # (av) round-4 continuation 43 — first-seen n-gram novelty
+        # attribution and algebraic leave-one-source-out ablation
+        "ngram_novelty_by_source": CP.ngram_novelty_by_source,
+        "loso_source_impact": CP.loso_source_impact,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7412,5 +7417,64 @@ def _oracle_sql_literals() -> dict[str, str]:
                        AS between_contrib
             FROM nat n JOIN within w USING (c_nationkey) CROSS JOIN gtot g
             ORDER BY n.c_nationkey
+        """,
+        # "seen before" is order-free: a gram instance is novel iff
+        # MIN(doc_id) over its postings equals the doc
+        "ngram_novelty_by_source": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, source,
+                       CAST(concat('0x', substr(md5(
+                           array_to_string(t[i:i+4], ' ')), 1, 8)) AS BIGINT) AS h
+                FROM (SELECT doc_id, source, t,
+                             unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+                      FROM toks)
+            ), first AS (
+                SELECT h, MIN(doc_id) AS first_doc FROM grams GROUP BY h
+            ), flagged AS (
+                SELECT g.doc_id, g.source,
+                       CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+                FROM grams g JOIN first f USING (h)
+            )
+            SELECT source,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(novel) AS BIGINT) AS n_novel,
+                   CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS novelty_rate
+            FROM flagged GROUP BY source ORDER BY source
+        """,
+        # LOSO derived algebraically from one source-grain rollup
+        # ((S - S_g)/(N - N_g)) — no per-source re-scan; keep rule
+        # inlined from corpus_filter's chain
+        "loso_source_impact": """
+            WITH per AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                            AS BIGINT) AS s_tok,
+                       CAST(SUM(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                                >= 30 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                           AS s_keep
+                FROM documents GROUP BY source
+            ), g AS (
+                SELECT SUM(n_docs) AS nn, SUM(s_tok) AS st, SUM(s_keep) AS sk FROM per
+            )
+            SELECT source, n_docs,
+                   ROUND(CAST(s_tok AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                       AS mean_tokens_own,
+                   ROUND(CAST(st - s_tok AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
+                         - CAST(st AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                       AS impact_mean_tokens,
+                   ROUND(CAST(s_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                       AS keep_rate_own,
+                   ROUND(CAST(sk - s_keep AS DOUBLE) / CAST(nn - n_docs AS DOUBLE)
+                         - CAST(sk AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                       AS impact_keep_rate
+            FROM per, g ORDER BY source
         """,
     }

@@ -1125,3 +1125,141 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_id",
         (F.col("neg_source") == F.col("anchor_source")).alias("is_hard"),
     )
+
+
+NOVELTY_K = 5  # gram width for the novelty attribution
+
+
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty attribution: walk the corpus in doc_id order
+    and credit each 5-gram to the FIRST document containing it; a
+    source whose documents keep introducing unseen grams is adding
+    content, one whose grams were all seen before is re-serving it —
+    the curation signal behind dataset "novelty curves" (a crawl dump
+    whose novelty rate collapses has been exhausted). Per source:
+    n_docs, n_grams (distinct per doc, summed), n_novel, novelty_rate.
+
+    The sequential-looking "seen before" definition is order-free to
+    compute: a gram instance in doc d is novel iff MIN(doc_id) over
+    the gram's postings equals d — one gram-keyed aggregate, no scan
+    order anywhere. (Tie impossible: the min is unique per gram.)
+
+    Scale: one gram-keyed exchange for the MIN, re-joined to the
+    per-doc distinct gram stream on the same key (subset rule — no
+    second exchange); the source rollup is tiny. Gram hashes are the
+    md5-prefix integer lattice (engine-portable).
+
+    Reference analog: none — extension surface (corpus family).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.size(toks) - (NOVELTY_K - 1), F.lit(1)
+                        ),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(toks, i, NOVELTY_K), " "
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    flagged = grams.join(first, "h").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") == F.col("first_doc")).cast("long").alias("novel"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("novel").alias("n_novel"),
+            (
+                F.sum("novel").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def loso_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation on summary metrics: for
+    each source, what happens to the corpus's mean token count and
+    English keep-rate if that source is dropped — the cheapest useful
+    answer to "which provider is hurting the mix". impact_* > 0 means
+    the corpus IMPROVES on that metric without the source.
+
+    No re-scan per source: the LOSO aggregates derive algebraically
+    from one source-grain rollup ((S - S_g)/(N - N_g) etc.), so 20
+    sources cost exactly one corpus pass — the trick that makes
+    per-provider ablation viable at 100 TB (naive LOSO is |sources|
+    scans). Keep-rate uses corpus_filter's rule chain (token floor,
+    then language), inlined as the same integer conditions.
+
+    Determinism: all counts are exact BIGINTs; each mean/rate is one
+    IEEE division; impacts are one subtraction of two such divisions.
+
+    Reference analog: none — extension surface (corpus family).
+    """
+    from ..functions.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    keep = ((n_tok >= 30) & (F.col("lang") == "en")).cast("long")
+    per_src = (
+        d.select("source", n_tok.alias("nt"), keep.alias("kp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("s_tok"),
+            F.sum("kp").alias("s_keep"),
+        )
+        .localCheckpoint()
+    )
+    glob = per_src.agg(
+        F.sum("n_docs").alias("nn"),
+        F.sum("s_tok").alias("st"),
+        F.sum("s_keep").alias("sk"),
+    )
+    nd = F.col("n_docs").cast("double")
+    loso_n = (F.col("nn") - F.col("n_docs")).cast("double")
+    mean_tok_all = F.col("st").cast("double") / F.col("nn").cast("double")
+    keep_all = F.col("sk").cast("double") / F.col("nn").cast("double")
+    loso_tok = (F.col("st") - F.col("s_tok")).cast("double") / loso_n
+    loso_keep = (F.col("sk") - F.col("s_keep")).cast("double") / loso_n
+    return (
+        per_src.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("s_tok").cast("double") / nd, 6).alias(
+                "mean_tokens_own"
+            ),
+            F.round(loso_tok - mean_tok_all, 6).alias("impact_mean_tokens"),
+            F.round(
+                F.col("s_keep").cast("double") / nd, 6
+            ).alias("keep_rate_own"),
+            F.round(loso_keep - keep_all, 6).alias("impact_keep_rate"),
+        )
+        .orderBy("source")
+    )

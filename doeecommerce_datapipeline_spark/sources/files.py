@@ -205,7 +205,10 @@ def read_any(spark: SparkSession, path: str, fmt: str, **options) -> DataFrame:
     HTTP gate). One entry point so pipelines parameterize landing-zone
     format instead of branching at every call site."""
     fmt = fmt.lower()
-    if fmt in {"parquet", "orc", "csv", "json"}:
+    if fmt in {"parquet", "orc", "csv", "json", "text"}:
+        # text: one `value` string column per line (raw-corpus drops —
+        # the landing format LLM ingestion sees most); pass
+        # lineSep/wholetext through options
         reader = spark.read.options(**options)
         return getattr(reader, fmt)(path)
     if fmt == "avro":
@@ -224,7 +227,8 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
               **options) -> None:
     """Writer twin of read_any (same format gate)."""
     fmt = fmt.lower()
-    if fmt in {"parquet", "orc", "csv", "json"}:
+    if fmt in {"parquet", "orc", "csv", "json", "text"}:
+        # text requires a single string column (Spark's contract)
         getattr(df.write.mode(mode).options(**options), fmt)(path)
         return
     if fmt == "avro":

@@ -191,3 +191,23 @@ def test_avro_gate_only_translates_missing_source():
                           "file:/tmp/nope.avro")
     )
     assert not _is_missing_avro_source(PermissionError("denied"))
+
+
+def test_text_roundtrip_via_read_write_any(spark, tmp_path):
+    """Raw-text landing format: write a single string column as lines,
+    read it back as the `value` column — the LLM-corpus drop shape."""
+    from doeecommerce_datapipeline_spark.sources.files import (
+        read_any,
+        write_any,
+    )
+
+    df = spark.createDataFrame(
+        [("first line",), ("second line",), ("third",)], "value string"
+    )
+    p = str(tmp_path / "drop_txt")
+    write_any(df, p, "text")
+    back = read_any(spark, p, "text")
+    assert back.columns == ["value"]
+    assert sorted(r.value for r in back.collect()) == [
+        "first line", "second line", "third",
+    ]

@@ -2889,3 +2889,56 @@ def test_theil_contribs_sum_to_global_index(spark):
     # proportional to the row counts involved
     assert abs(got - brute) < 1e-3
     assert got > 0  # spend inequality exists
+
+
+# --- round-4 continuation 43: novelty attribution, LOSO ablation --------
+
+
+def test_novelty_credits_first_introduction_only(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        ngram_novelty_by_source,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, base),                       # introduces everything
+        (1, base),                       # exact re-serve: zero novelty
+        (2, "november oscar papa quebec romeo sierra tango uniform"),
+    ]
+    d = str(tmp_path / "sf_nov")
+    spark.createDataFrame(
+        [(i, t, "en", f"s{i}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    got = {r.source: r for r in ngram_novelty_by_source(spark, d).collect()}
+    assert got["s0"].novelty_rate == 1.0   # first introduction
+    assert got["s1"].novelty_rate == 0.0   # pure re-serve
+    assert got["s2"].novelty_rate == 1.0   # disjoint content
+    assert got["s1"].n_grams == got["s0"].n_grams
+
+
+def test_loso_impact_flags_short_doc_source(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        loso_source_impact,
+    )
+
+    long_en = " ".join(f"w{i}" for i in range(40))
+    rows = (
+        [(i, long_en, "en", "good", 1) for i in range(8)]
+        + [(100 + i, "tiny doc", "en", "bad", 1) for i in range(2)]
+    )
+    d = str(tmp_path / "sf_loso")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    got = {r.source: r for r in loso_source_impact(spark, d).collect()}
+    # dropping the short-doc source RAISES mean tokens and keep rate
+    assert got["bad"].impact_mean_tokens > 0
+    assert got["bad"].impact_keep_rate > 0
+    # dropping the good source hurts both
+    assert got["good"].impact_mean_tokens < 0
+    assert got["good"].impact_keep_rate < 0
+    assert got["bad"].keep_rate_own == 0.0 and got["good"].keep_rate_own == 1.0
