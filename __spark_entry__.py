@@ -135,7 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time_decay_attribution, query_likelihood_search,
     huber_trend_by_type, adamic_adar_parts, markov_entropy_rate,
     haar_energy_daily, theil_inequality_by_nation,
-    ngram_novelty_by_source, loso_source_impact —
+    ngram_novelty_by_source, loso_source_impact,
+    label_propagation_communities, char_entropy_flags,
+    rage_burst_users —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -551,6 +553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attribution and algebraic leave-one-source-out ablation
         "ngram_novelty_by_source": CP.ngram_novelty_by_source,
         "loso_source_impact": CP.loso_source_impact,
+        # (aw) round-4 continuation 44 — deterministic label
+        # propagation communities, character-entropy gibberish screen,
+        # and trailing-window burst (rage-click) detection
+        "label_propagation_communities": G.label_propagation_communities,
+        "char_entropy_flags": T.char_entropy_flags,
+        "rage_burst_users": E.rage_burst_users,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7476,5 +7484,110 @@ def _oracle_sql_literals() -> dict[str, str]:
                          - CAST(sk AS DOUBLE) / CAST(nn AS DOUBLE), 6)
                        AS impact_keep_rate
             FROM per, g ORDER BY source
+        """,
+        # 3 unrolled synchronous LPA rounds; (count DESC, label ASC)
+        # argmax makes every round a pure function of the last
+        "label_propagation_communities": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            edges AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey <> b.l_partkey
+            ), l0 AS (
+                SELECT DISTINCT l_partkey AS node, l_partkey AS label FROM li
+            ), v1 AS (
+                SELECT e.dst, l.label, COUNT(*) AS cnt
+                FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2
+            ), w1 AS (
+                SELECT dst AS node, label AS new_label FROM (
+                    SELECT dst, label, ROW_NUMBER() OVER (
+                        PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v1) WHERE rn = 1
+            ), l1 AS (
+                SELECT l.node, COALESCE(w.new_label, l.label) AS label
+                FROM l0 l LEFT JOIN w1 w USING (node)
+            ), v2 AS (
+                SELECT e.dst, l.label, COUNT(*) AS cnt
+                FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2
+            ), w2 AS (
+                SELECT dst AS node, label AS new_label FROM (
+                    SELECT dst, label, ROW_NUMBER() OVER (
+                        PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v2) WHERE rn = 1
+            ), l2 AS (
+                SELECT l.node, COALESCE(w.new_label, l.label) AS label
+                FROM l1 l LEFT JOIN w2 w USING (node)
+            ), v3 AS (
+                SELECT e.dst, l.label, COUNT(*) AS cnt
+                FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2
+            ), w3 AS (
+                SELECT dst AS node, label AS new_label FROM (
+                    SELECT dst, label, ROW_NUMBER() OVER (
+                        PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v3) WHERE rn = 1
+            ), l3 AS (
+                SELECT l.node, COALESCE(w.new_label, l.label) AS label
+                FROM l2 l LEFT JOIN w3 w USING (node)
+            )
+            SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM l3 GROUP BY label
+            ORDER BY n_members DESC, community ASC LIMIT 25
+        """,
+        # per-char probabilities are exact-integer ratios; -p ln p
+        # quantizes at 9dp pre-sum; the band compare runs on the
+        # 6dp-rounded value on both engines
+        "char_entropy_flags": """
+            WITH chars AS (
+                SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]')) AS ch
+                FROM documents
+            ), counts AS (
+                SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2
+            ), terms AS (
+                SELECT doc_id, n,
+                       CAST(ROUND(
+                           -(CAST(n AS DOUBLE)
+                             / CAST(SUM(n) OVER (PARTITION BY doc_id) AS DOUBLE))
+                           * ln(CAST(n AS DOUBLE)
+                                / CAST(SUM(n) OVER (PARTITION BY doc_id) AS DOUBLE)),
+                           9) AS DECIMAL(18,9)) AS t
+                FROM counts
+            ), per_doc AS (
+                SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_letters,
+                       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS char_entropy
+                FROM terms GROUP BY doc_id
+            )
+            SELECT doc_id, n_letters, char_entropy,
+                   CASE WHEN char_entropy < 2.0 THEN 'low_entropy'
+                        WHEN char_entropy > 3.2 THEN 'high_entropy'
+                        ELSE 'ok' END AS flag
+            FROM per_doc
+        """,
+        # trailing 60 s RANGE-frame count over event seconds; the
+        # per-user argmax is the (burst DESC, ts, event_id) total
+        # order
+        "rage_burst_users": """
+            WITH pts AS (
+                SELECT user_id, event_id, ts, CAST(epoch(ts) AS BIGINT) AS sec
+                FROM events
+            ), b AS (
+                SELECT user_id, event_id, ts,
+                       COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                                      RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+                           AS burst
+                FROM pts
+            ), pk AS (
+                SELECT user_id, burst AS max_burst, ts AS peak_at,
+                       burst >= 5 AS is_bursty
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY user_id
+                          ORDER BY burst DESC, ts ASC, event_id ASC) AS rn
+                      FROM b)
+                WHERE rn = 1
+            ), t AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT p.user_id, t.n_events, p.max_burst, p.peak_at, p.is_bursty
+            FROM pk p JOIN t USING (user_id)
         """,
     }

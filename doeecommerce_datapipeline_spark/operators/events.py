@@ -951,6 +951,59 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURST_WINDOW_SEC = 60
+BURST_FLAG_MIN = 5
+
+
+def rage_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst (rage-click) detection: each user's maximum number of
+    events inside any trailing 60-second window, and a flag when that
+    peak reaches 5 — the frustration/abuse signal UX and fraud teams
+    both watch (peak_concurrent_sessions asks this about the SYSTEM;
+    this asks it about one user's cadence). Per user: n_events,
+    max_burst, peak_at (timestamp where the peak window ends,
+    earliest such on ties), is_bursty.
+
+    The sliding count is a RANGE frame over event seconds (count of
+    events in (t-60, t]) -- no self-join, one user-keyed exchange
+    shared by both windows (subset rule). The per-user argmax is the
+    (burst DESC, ts ASC, event_id ASC) total order, so peak_at is
+    deterministic under ties.
+
+    Reference analog: none -- extension surface (events family).
+    """
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(BURST_WINDOW_SEC - 1), 0)
+    )
+    burst = pts.withColumn("burst", F.count(F.lit(1)).over(w))
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("burst"), F.asc("ts"), F.asc("event_id")
+    )
+    peaks = (
+        burst.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("burst").alias("max_burst"),
+            F.col("ts").alias("peak_at"),
+            (F.col("burst") >= BURST_FLAG_MIN).alias("is_bursty"),
+        )
+    )
+    totals = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return peaks.join(totals, "user_id").select(
+        "user_id", "n_events", "max_burst", "peak_at", "is_bursty"
+    )
+
+
 ATTRIBUTION_LOOKBACK_DAYS = 7
 
 

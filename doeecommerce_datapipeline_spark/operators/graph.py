@@ -503,3 +503,88 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(AA_TOP)
     )
+
+
+LPA_ROUNDS = 3
+LPA_TOP = 25
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part copurchase graph: every part starts as its own label; each of
+    3 fixed rounds, a part adopts the label most frequent among its
+    copurchase neighbors (ties -> smallest label; isolated parts keep
+    their own). Completes the graph family: PageRank/HITS rank nodes,
+    Adamic-Adar ranks candidate edges, connected components find
+    reachability classes — LPA finds DENSITY classes (two cliques
+    joined by one bridge edge are one component but two communities).
+    Returns the top-25 communities: (community, n_members).
+
+    Determinism (the PageRank/k-means fixed-iteration oracle class):
+    synchronous updates, integer neighbor-label counts, and the total
+    (count DESC, label ASC) order make every round a pure function of
+    the previous labeling — no RNG, no float, no visit order. Fixed
+    round count = fixed plan.
+
+    Scale shape: edges build once from the distinct basket table
+    (fan-out bounded by C(basket,2) per order) and localCheckpoint;
+    each round = one edge-to-label join (label table is node-grain)
+    + one (dst, label) map-side-combined count + one node-partitioned
+    argmax window — the edge table shuffles on the SAME dst key every
+    round. Label state is a DataFrame, never driver-collected.
+
+    Reference analog: none — extension surface (graph family).
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # both directions so adoption is symmetric
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = li.select(F.col("l_partkey").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+    from pyspark.sql import Window
+
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        winners = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(LPA_TOP)
+    )

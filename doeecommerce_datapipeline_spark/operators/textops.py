@@ -1408,3 +1408,68 @@ def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ql_score"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
+
+
+ENTROPY_LO = 2.0  # nats: below = repetitive junk (aaaa..., stutter)
+ENTROPY_HI = 3.2  # nats: above = keyboard-mash (near-uniform letters)
+
+
+def char_entropy_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gibberish screen by character-level Shannon entropy: natural
+    language sits in a tight entropy band (~2.7-3.1 nats over [a-z]);
+    repeated-character junk falls far below it and keyboard-mash
+    pushes toward the ln(26)=3.26 uniform ceiling — the cheap
+    first-pass filter corpus cleaning runs before any model-based
+    scorer (complements gopher_quality's word-level rules with a
+    sub-word signal). Per doc: n_letters, char_entropy, flag
+    ('low_entropy' | 'high_entropy' | 'ok').
+
+    Determinism: per-char probabilities are exact-integer ratios;
+    each -p·ln(p) term rounds at 9dp into DECIMAL(18,9) before the
+    ≤26-way order-free sum (the bm25 ln seam); the band compare runs
+    on the 6dp-rounded value on BOTH engines so the flag cannot flip.
+
+    Shape: one letter explode (fan-out = letter count, the token
+    explode's constant factor) into a (doc, char) count — a single
+    map-side-combined exchange; the entropy rollup is per-doc over
+    ≤26 rows. Docs with no [a-z] letters are out of scope (no
+    distribution to score).
+
+    Reference analog: none — extension surface (quality family).
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]"), 0)
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("doc_id")
+    p = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    per_doc = (
+        counts.select(
+            "doc_id",
+            F.col("n"),
+            term.alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_letters"),
+            F.round(F.sum("t").cast("double"), 6).alias("char_entropy"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_letters",
+        "char_entropy",
+        F.when(F.col("char_entropy") < ENTROPY_LO, "low_entropy")
+        .when(F.col("char_entropy") > ENTROPY_HI, "high_entropy")
+        .otherwise("ok")
+        .alias("flag"),
+    )

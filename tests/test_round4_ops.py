@@ -2942,3 +2942,72 @@ def test_loso_impact_flags_short_doc_source(spark, tmp_path):
     assert got["good"].impact_mean_tokens < 0
     assert got["good"].impact_keep_rate < 0
     assert got["bad"].keep_rate_own == 0.0 and got["good"].keep_rate_own == 1.0
+
+
+# --- round-4 continuation 44: LPA communities, char entropy, bursts -----
+
+
+def test_lpa_separates_two_cliques_with_bridge(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    d = str(tmp_path / "sf_lpa")
+    # clique A = parts 1-4 (co-bought in orders 10-13), clique B =
+    # parts 5-8 (orders 20-23), one bridge order {4,5}: a connected-
+    # components view sees ONE component; LPA must find TWO
+    rows = []
+    for o in (10, 11, 12, 13):
+        rows += [(o, p) for p in (1, 2, 3, 4)]
+    for o in (20, 21, 22, 23):
+        rows += [(o, p) for p in (5, 6, 7, 8)]
+    rows += [(30, 4), (30, 5)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(d + "/lineitem.parquet")
+    got = [
+        (r.community, r.n_members)
+        for r in label_propagation_communities(spark, d).collect()
+    ]
+    assert (1, 4) in got and (5, 4) in got  # min-label communities
+    assert len(got) == 2
+
+
+def test_char_entropy_flags_junk_both_ways(spark, tmp_path):
+    rows = [
+        (0, "aaaaaaaaaaaaaaaaaaaaaaaa"),                  # low entropy
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abcdefghijklmnopqrstuvwxyz" * 3),            # uniform mash
+    ]
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        char_entropy_flags,
+    )
+
+    sf = _plant_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in char_entropy_flags(spark, sf).collect()}
+    assert got[0].flag == "low_entropy" and got[0].char_entropy == 0.0
+    assert got[1].flag == "ok"
+    assert got[2].flag == "high_entropy"  # ln(26) = 3.258 > 3.2
+
+
+def test_rage_burst_finds_planted_burst(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.events import (
+        rage_burst_users,
+    )
+
+    rows = [
+        # user 1: 6 clicks within 50 s -> bursty; plus a stray later
+        (i, f"2024-01-01 10:00:{i * 10:02d}", 1, "click", 1.0, "{}")
+        for i in range(6)
+    ] + [
+        (10, "2024-01-01 12:00:00", 1, "view", 1.0, "{}"),
+        # user 2: 3 events a minute apart -> never more than 1/window
+        (20, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        (21, "2024-01-01 10:02:00", 2, "view", 1.0, "{}"),
+        (22, "2024-01-01 10:04:00", 2, "view", 1.0, "{}"),
+    ]
+    d = _plant_daily_events(spark, tmp_path, rows)
+    got = {r.user_id: r for r in rage_burst_users(spark, d).collect()}
+    assert got[1].max_burst == 6 and got[1].is_bursty
+    assert got[1].n_events == 7
+    assert got[2].max_burst == 1 and not got[2].is_bursty
