@@ -137,7 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     haar_energy_daily, theil_inequality_by_nation,
     ngram_novelty_by_source, loso_source_impact,
     label_propagation_communities, char_entropy_flags,
-    rage_burst_users —
+    rage_burst_users, heaps_law_fit, triplet_violation_rate —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -559,6 +559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_communities": G.label_propagation_communities,
         "char_entropy_flags": T.char_entropy_flags,
         "rage_burst_users": E.rage_burst_users,
+        # (ax) round-4 continuation 45 — Heaps'-law vocabulary growth
+        # fit and embedding triplet violation rate
+        "heaps_law_fit": T.heaps_law_fit,
+        "triplet_violation_rate": S.triplet_violation_rate,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7589,5 +7593,130 @@ def _oracle_sql_literals() -> dict[str, str]:
             )
             SELECT p.user_id, t.n_events, p.max_burst, p.peak_at, p.is_bursty
             FROM pk p JOIN t USING (user_id)
+        """,
+        # order-free "vocabulary so far" via per-token MIN(doc_id);
+        # 10-point log-log OLS on the 9dp lattice
+        "heaps_law_fit": """
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS token
+                FROM documents
+            ), toks2 AS (SELECT doc_id, token FROM toks WHERE token != ''),
+            per_tok AS (
+                SELECT token, MIN(doc_id) AS first_doc FROM toks2 GROUP BY token
+            ), new_vocab AS (
+                SELECT first_doc AS doc_id, COUNT(*) AS nv FROM per_tok GROUP BY 1
+            ), doc_toks AS (
+                SELECT doc_id, COUNT(*) AS ntok FROM toks2 GROUP BY doc_id
+            ), grain AS (
+                SELECT d.doc_id, d.ntok, COALESCE(v.nv, 0) AS nv
+                FROM doc_toks d LEFT JOIN new_vocab v USING (doc_id)
+            ), cum AS (
+                SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+                       CAST(SUM(ntok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS tok_cum,
+                       CAST(SUM(nv) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS voc_cum,
+                       COUNT(*) OVER () AS n_docs_total
+                FROM grain
+            ), targets AS (
+                SELECT CAST(j AS BIGINT) AS decile,
+                       CAST(floor((j * n_docs_total + 9) / 10.0) AS BIGINT)
+                           AS target_rn
+                FROM (SELECT UNNEST(range(1, 11)) AS j, n_docs_total
+                      FROM (SELECT DISTINCT n_docs_total FROM cum))
+            ), pts AS (
+                SELECT t.decile, CAST(c.rn AS BIGINT) AS n_docs,
+                       c.tok_cum AS n_tokens_cum, c.voc_cum AS vocab_cum
+                FROM cum c JOIN targets t ON c.rn = t.target_rn
+            ), fitin AS (
+                SELECT CAST(ROUND(ln(CAST(n_tokens_cum AS DOUBLE)), 9)
+                           AS DECIMAL(18,9)) AS lx,
+                       CAST(ROUND(ln(CAST(vocab_cum AS DOUBLE)), 9)
+                           AS DECIMAL(18,9)) AS ly
+                FROM pts
+            ), st AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+                       SUM(CAST(lx * lx AS DECIMAL(38,18))) AS sxx,
+                       SUM(CAST(lx * ly AS DECIMAL(38,18))) AS sxy
+                FROM fitin
+            ), fit AS (
+                SELECT ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                           AS heaps_beta,
+                       ROUND(exp((CAST(sy AS DOUBLE)
+                                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+                           AS heaps_k
+                FROM st
+            )
+            SELECT p.decile, p.n_docs, p.n_tokens_cum, p.vocab_cum,
+                   f.heaps_beta, f.heaps_k
+            FROM pts p CROSS JOIN fit f ORDER BY p.decile
+        """,
+        # positives = lead-with-wrap inside each label; negatives =
+        # md5-lattice draws kept when the label differs; cosines
+        # compare after 6dp rounding on both sides
+        "triplet_violation_rate": """
+            WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+            anchors AS (
+                SELECT vec_id, label, embedding AS a_vec,
+                       COALESCE(
+                           LEAD(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+                           FIRST_VALUE(vec_id) OVER (
+                               PARTITION BY label ORDER BY vec_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+                       ) AS pos_id
+                FROM embeddings
+            ), anchors2 AS (
+                SELECT * FROM anchors WHERE pos_id <> vec_id
+            ), cand AS (
+                SELECT a.*,
+                       CAST(concat('0x', substr(md5('trineg:'
+                           || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % (SELECT n FROM nn) AS neg_id
+                FROM anchors2 a
+            ), trip AS (
+                SELECT c.label,
+                       c.a_vec, p.embedding AS p_vec, g.embedding AS n_vec
+                FROM cand c
+                JOIN embeddings p ON p.vec_id = c.pos_id
+                JOIN embeddings g ON g.vec_id = c.neg_id
+                WHERE g.label <> c.label
+            ), scored AS (
+                SELECT label,
+                       ROUND(
+                           list_aggregate(list_transform(list_zip(a_vec, p_vec),
+                               q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')
+                           / (sqrt(list_aggregate(list_transform(list_zip(a_vec, a_vec),
+                                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum'))
+                              * sqrt(list_aggregate(list_transform(list_zip(p_vec, p_vec),
+                                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum'))),
+                           6) AS cos_p,
+                       ROUND(
+                           list_aggregate(list_transform(list_zip(a_vec, n_vec),
+                               q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')
+                           / (sqrt(list_aggregate(list_transform(list_zip(a_vec, a_vec),
+                                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum'))
+                              * sqrt(list_aggregate(list_transform(list_zip(n_vec, n_vec),
+                                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum'))),
+                           6) AS cos_n
+                FROM trip
+            )
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT) AS n_triplets,
+                   CAST(SUM(CASE WHEN cos_n >= cos_p THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violations,
+                   CAST(SUM(CASE WHEN cos_n >= cos_p THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+            FROM scored GROUP BY label ORDER BY label
         """,
     }

@@ -621,3 +621,96 @@ def sq8_quantization_error(
         ).alias("mean_abs_err"),
         (F.col("m_err").cast("double") / sc).alias("max_abs_err"),
     )
+
+
+def triplet_violation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval by triplet test: for every anchor vector,
+    pick a positive (the same-label vector with the next-higher
+    vec_id, wrapping) and a lattice-drawn negative; a triplet is
+    VIOLATED when cos(anchor, negative) >= cos(anchor, positive) —
+    i.e. the space ranks a different-label vector at least as close
+    as a same-label one. Reports per label: n_triplets, n_violations,
+    violation_rate — the scalar a retrieval team watches when
+    swapping embedding models (label_centroid_cosine sees the class
+    MEANS; this sees per-point ranking failures the means hide).
+
+    Positives come from a lead-with-wrap window inside each label
+    (deterministic, no RNG); negatives from the md5 lattice over the
+    dense vec_id domain (the contrastive_negatives draw), kept only
+    when the drawn label differs (a draw hitting the same label drops
+    — documented, deterministic). Labels with one member have no
+    positive and drop.
+
+    Determinism: cosines compare after 6dp rounding on BOTH sides so
+    a sub-ulp cosine difference cannot flip a violation; dot/norm are
+    in-order folds (the embedding_topk seam).
+
+    Shape: one label-partitioned window for positives; two dense-id
+    equi-joins resolve pos/neg vectors; one label rollup. No
+    all-pairs anything.
+
+    Reference analog: none — extension surface (embedding family).
+    """
+    e = table(spark, sf_dir, "embeddings").localCheckpoint()
+    n = e.count()
+    w = Window.partitionBy("label").orderBy("vec_id")
+    anchors = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("a_vec"),
+        F.coalesce(
+            F.lead("vec_id").over(w),
+            F.first("vec_id").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        ).alias("pos_id"),
+    ).where(F.col("pos_id") != F.col("vec_id"))
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("trineg"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    cand = anchors.withColumn("neg_id", draw)
+    pos = e.select(
+        F.col("vec_id").alias("pos_id"), F.col("embedding").alias("p_vec")
+    )
+    neg = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("label").alias("neg_label"),
+    )
+    trip = (
+        cand.join(pos, "pos_id")
+        .join(neg, "neg_id")
+        .where(F.col("neg_label") != F.col("label"))
+    )
+    cos_p = F.round(cosine("a_vec", "p_vec"), 6)
+    cos_n = F.round(cosine("a_vec", "n_vec"), 6)
+    flagged = trip.select(
+        "label", (cos_n >= cos_p).cast("long").alias("viol")
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_triplets"),
+            F.sum("viol").alias("n_violations"),
+            (
+                F.sum("viol").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("violation_rate"),
+        )
+        .orderBy("label")
+    )

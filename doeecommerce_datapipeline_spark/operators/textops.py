@@ -1473,3 +1473,129 @@ def char_entropy_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("flag"),
     )
+
+
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: walk the corpus in doc_id order,
+    record (tokens processed, distinct vocabulary seen) at 10 evenly
+    spaced document checkpoints, and fit V = K·nᵝ by OLS on the
+    log-log points — the companion of zipf_fit_by_source (Zipf is the
+    frequency law, Heaps the growth law; β far from ~0.5 flags
+    synthetic or exhausted corpora, and the fit predicts vocabulary
+    memory at 100 TB from a sample). Returns one row per checkpoint:
+    (decile, n_docs, n_tokens_cum, vocab_cum, heaps_beta, heaps_k) —
+    the fitted constants replicated on every row.
+
+    The sequential-looking "vocabulary so far" is order-free: a
+    token's first_doc is MIN(doc_id) over its postings; new-vocab per
+    doc = count of tokens with first_doc = doc; the running V(d) is a
+    cumulative sum over the DOC-grain table. Same trick as
+    ngram_novelty_by_source, composed into a growth curve.
+
+    Determinism: all counts exact BIGINTs; the log-log OLS runs over
+    exactly 10 points with ln values quantized at 9dp into
+    DECIMAL(18,9) before the sums (the huber/bm25 lattice); the
+    closed-form slope is one IEEE dag.
+
+    Shape: one token-keyed exchange (first_doc), one doc-grain
+    aggregate, one doc-grain cumulative window, a 10-row fit. The
+    fact is scanned once.
+
+    Reference analog: none — extension surface (corpus-statistics
+    family, next to zipf_fit_by_source).
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower("text"))).alias("token")
+    ).where(F.col("token") != "")
+    per_tok = toks.groupBy("token").agg(
+        F.min("doc_id").alias("first_doc"),
+    )
+    new_vocab = per_tok.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    doc_toks = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok"))
+    grain = doc_toks.join(new_vocab, "doc_id", "left").select(
+        "doc_id",
+        "ntok",
+        F.coalesce("nv", F.lit(0)).alias("nv"),
+    )
+    w = Window.orderBy("doc_id")
+    cum = grain.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("ntok")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("tok_cum"),
+        F.sum("nv")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("voc_cum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_docs_total"),
+    ).localCheckpoint()
+    k = HEAPS_CHECKPOINTS
+    # checkpoint table: (decile j, target rank ceil(j*N/k)) — an
+    # explicit 10-row join, so the decile label is exact even when
+    # targets collide on tiny corpora
+    targets = (
+        cum.select("n_docs_total")
+        .limit(1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("decile"),
+            "n_docs_total",
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.floor(
+                (F.col("decile") * F.col("n_docs_total") + (k - 1))
+                / F.lit(k)
+            )
+            .cast("int")
+            .alias("target_rn"),
+        )
+    )
+    pts = cum.join(
+        F.broadcast(targets), F.col("rn") == F.col("target_rn")
+    ).select(
+        "decile",
+        F.col("rn").cast("long").alias("n_docs"),
+        F.col("tok_cum").alias("n_tokens_cum"),
+        F.col("voc_cum").alias("vocab_cum"),
+    )
+    lx = F.round(F.log(F.col("n_tokens_cum").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    ly = F.round(F.log(F.col("vocab_cum").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    fit_in = pts.select(lx.alias("lx"), ly.alias("ly"))
+    stats = fit_in.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,18)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,18)")).alias(
+            "sxy"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = nd * sxx - sx * sx
+    beta = (nd * sxy - sx * sy) / den
+    fit = stats.select(
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp((sy - beta * sx) / nd), 6).alias("heaps_k"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .orderBy("decile")
+    )

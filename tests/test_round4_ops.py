@@ -3011,3 +3011,50 @@ def test_rage_burst_finds_planted_burst(spark, tmp_path):
     assert got[1].max_burst == 6 and got[1].is_bursty
     assert got[1].n_events == 7
     assert got[2].max_burst == 1 and not got[2].is_bursty
+
+
+# --- round-4 continuation 45: Heaps' law, triplet violations ------------
+
+
+def test_heaps_beta_positive_on_growing_vocab(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        heaps_law_fit,
+    )
+
+    # 50 docs, each introducing brand-new words: V grows linearly with
+    # n (beta -> 1); a saturated corpus would give beta -> 0
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(50)
+    ]
+    sf = _plant_docs(spark, tmp_path, rows)
+    out = heaps_law_fit(spark, sf).collect()
+    assert len(out) == 10
+    assert out[0].heaps_beta > 0.9  # near-linear growth
+    assert out[-1].vocab_cum == 500 and out[-1].n_tokens_cum == 500
+    deciles = [r.decile for r in out]
+    assert deciles == list(range(1, 11))
+    # vocab is non-decreasing along the curve
+    vs = [r.vocab_cum for r in out]
+    assert vs == sorted(vs)
+
+
+def test_triplet_violations_zero_on_separable_clusters(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        triplet_violation_rate,
+    )
+
+    d = str(tmp_path / "sf_trip")
+    # two orthogonal clusters: label 0 along e1, label 1 along e2 —
+    # cos(anchor, pos)=1 > cos(anchor, neg)=0, so zero violations
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0, 0.0, 0.0], 0) for i in range(5)
+    ] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i, 0.0, 0.0], 1) for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    out = {r.label: r for r in triplet_violation_rate(spark, d).collect()}
+    for lab, r in out.items():
+        assert r.n_violations == 0 and r.violation_rate == 0.0
+    assert sum(r.n_triplets for r in out.values()) > 0
