@@ -7003,7 +7003,7 @@ def _oracle_sql_literals() -> dict[str, str]:
             ), fp AS (
                 SELECT doc_id, h FROM fp0
                 WHERE h IN (SELECT h FROM fp0
-                            GROUP BY h HAVING COUNT(*) <= 50)
+                            GROUP BY h HAVING COUNT(*) <= 20)
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(COUNT(*) AS BIGINT) AS n_shared

@@ -94,11 +94,25 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     as one shingle."""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(F.lower(c))
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    # bind the token array ONCE as a lambda variable: referencing the
+    # split expression inside the per-gram lambda re-tokenizes the
+    # whole document per gram (O(len²) per doc — measured 2.9 s → 0.4 s
+    # on the sf0.1 shingle explode)
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(t) - (n - 1), F.lit(1)),
+                    ),
+                    lambda i: F.array_join(F.slice(t, i, n), " "),
+                )
+            ),
+        ),
+        1,
     )
-    return F.array_distinct(ngrams)
 
 
 def bigrams(col: Column | str) -> Column:

@@ -1152,9 +1152,17 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none — extension surface (corpus family).
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # tokenize ONCE into a real column (the word_shingles O(len²)
+    # lesson: slicing the split expression inside the lambda
+    # re-tokenizes the doc per gram)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
     grams = (
-        d.select(
+        base.select(
             "doc_id",
             "source",
             F.explode(

@@ -1332,7 +1332,9 @@ def jw_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_K = 3  # k-gram size (tokens per gram), matching the shingle ops
 WINNOW_W = 4  # winnowing window: one fingerprint guaranteed per W grams
-WINNOW_DF_CAP = 50  # boilerplate fingerprints (df > cap) are dropped
+WINNOW_DF_CAP = 20  # boilerplate fingerprints (df > cap) are dropped
+# (20, not 50: a print shared by >20 docs is boilerplate, not reuse
+# evidence, and the pair join fans out by df^2 per print)
 WINNOW_SHARED_MIN = 5  # report pairs sharing at least this many prints
 
 
@@ -1368,8 +1370,15 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = d.select(
+    # tokenize ONCE into a real column — slicing the split expression
+    # inside the per-gram lambda re-tokenizes the doc per gram
+    # (the word_shingles O(len²) lesson)
+    base = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
+    grams = base.select(
         "doc_id",
         F.greatest(F.size(toks) - (WINNOW_K - 1), F.lit(1)).alias("n_grams"),
         F.posexplode(
@@ -1404,9 +1413,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "h")
         .distinct()
     )
-    fp = fp0.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).where(F.col("df") <= WINNOW_DF_CAP)
+    # fingerprint table materialized once: BOTH self-join sides read
+    # it — without the checkpoint the explode + two window passes
+    # evaluate twice (measured ~2x wall on the bench)
+    fp = (
+        fp0.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .where(F.col("df") <= WINNOW_DF_CAP)
+        .localCheckpoint()
+    )
     a = fp.select(F.col("doc_id").alias("id_a"), "h")
     b = fp.select(F.col("doc_id").alias("id_b"), "h")
     return (
