@@ -103,6 +103,20 @@ def train_quality_classifier(docs: DataFrame):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# one fit per (session, sf_dir): the training is deterministic (fixed
+# seeds, fixed iteration budget), so every consumer — scoring, holdout
+# AUC, isotonic calibration — shares the same model instead of
+# re-running the full L-BFGS fit (~4.5 s at sf0.1 per redundant fit)
+_MODEL_CACHE: dict = {}
+
+
+def _cached_model(spark, sf_dir: str, docs):
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = train_quality_classifier(docs)
+    return _MODEL_CACHE[key]
+
+
 def quality_classifier_scores(
     spark: SparkSession, sf_dir: str, model=None
 ) -> DataFrame:
@@ -117,7 +131,7 @@ def quality_classifier_scores(
 
     docs = table(spark, sf_dir, "documents")
     if model is None:
-        model = train_quality_classifier(docs)
+        model = _cached_model(spark, sf_dir, docs)
     scored = model.transform(_featurize(docs))
     p_keep = F.element_at(vector_to_array(F.col("probability")), 2)
     return scored.select(
@@ -141,7 +155,7 @@ def holdout_auc(spark: SparkSession, sf_dir: str, model=None) -> float:
 
     docs = table(spark, sf_dir, "documents")
     if model is None:
-        model = train_quality_classifier(docs)
+        model = _cached_model(spark, sf_dir, docs)
     holdout = _featurize(docs).where(
         F.pmod("doc_id", F.lit(HOLDOUT_MOD)) == HOLDOUT_MOD - 1
     )

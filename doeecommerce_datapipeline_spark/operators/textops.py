@@ -807,7 +807,9 @@ RRF_K = 60.0
 RRF_TOP = 10
 
 
-def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rrf_fusion_search(
+    spark: SparkSession, sf_dir: str, lex: DataFrame | None = None
+) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     ranking and the semantic cosine ranking (doc_id = vec_id) —
     rrf = Σ_side 1/(60 + rank), the standard score-free fusion that
@@ -822,7 +824,10 @@ def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.vectors import cosine as _cos
 
-    lex = bm25_search(spark, sf_dir)
+    # the 20-row component tops checkpoint so neither corpus pipeline
+    # re-evaluates (retrieval_ndcg_eval consumes bm25 again beside the
+    # fusion — without this the explode pipeline ran 2-3x per eval)
+    lex = lex if lex is not None else bm25_search(spark, sf_dir).localCheckpoint()
     wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lexr = lex.select(
         "doc_id", F.row_number().over(wl).cast("long").alias("r_lex")
@@ -1107,12 +1112,13 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("double").alias("dcg")
         ).select(F.lit(method).alias("method"), "dcg")
 
-    lex = bm25_search(spark, sf_dir)
+    lex = bm25_search(spark, sf_dir).localCheckpoint()  # 20 rows,
+    # shared by the lexical DCG AND the fusion component
     wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex10 = lex.select(
         "doc_id", F.row_number().over(wl).alias("pos")
     ).where(F.col("pos") <= NDCG_K)
-    rrf = rrf_fusion_search(spark, sf_dir)
+    rrf = rrf_fusion_search(spark, sf_dir, lex=lex)
     wr = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     rrf10 = rrf.select(
         "doc_id", F.row_number().over(wr).alias("pos")
