@@ -750,6 +750,62 @@ class ManifestTable:
 
         return self._commit_retry(build, extra_meta={"restored_from": version})
 
+
+    def clone(self, dst_path: str, version: int | None = None,
+              **table_kwargs) -> "ManifestTable":
+        """Zero-copy CLONE: fork this table's snapshot into a brand-new
+        table at ``dst_path`` by HARD-LINKING the snapshot's data files
+        and committing a fresh v1 manifest that names them — the
+        dev/test-against-prod-data primitive (fork, experiment, drop).
+
+        Hard links make the clone SAFER than a shallow clone that
+        references the source's files in place: each table owns its own
+        directory entries, so the source's vacuum() can never break the
+        clone (and vice versa) — the inode only dies when the last
+        referencing table unlinks it. Falls back to a byte copy when
+        dst is on a different filesystem. Either way no DataFrame is
+        read or rewritten: clone cost is one directory of link() calls
+        regardless of table size.
+
+        The clone starts its OWN history at v1 (meta records
+        cloned_from/source version); subsequent writes to either table
+        are invisible to the other.
+        """
+        import shutil
+
+        man = self._read_manifest(
+            version if version is not None else self.current_version()
+        )
+        os.makedirs(dst_path, exist_ok=True)
+        for f in man["files"]:
+            src = os.path.join(self.path, f)
+            dst = os.path.join(dst_path, f)
+            if os.path.exists(dst):
+                continue  # idempotent re-clone into the same dir
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: fall back to a copy
+                shutil.copy2(src, dst)
+        other = ManifestTable(self.spark, dst_path, **table_kwargs)
+        ok = other._try_commit(
+            1,
+            list(man["files"]),
+            {
+                "schema": man.get("schema"),
+                "stats": dict(man.get("stats") or {}),
+                "blooms": dict(man.get("blooms") or {}),
+                "cloned_from": self.path,
+                "cloned_version": man["version"],
+                "op": "clone",
+            },
+        )
+        if not ok:
+            raise FileExistsError(
+                f"{dst_path} already has a manifest log - clone targets"
+                " must be fresh directories"
+            )
+        return other
+
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Row-level change feed between two snapshots: rows in
         ``v_to`` but not ``v_from`` tagged ``insert``, rows gone from

@@ -410,3 +410,44 @@ def test_append_schema_evolution_union_and_pinned_reads(spark, mt):
 
     with _pytest.raises(SchemaEvolutionError):
         mt.append(spark.createDataFrame([("x", "d")], "id string, v string"))
+
+
+def test_clone_is_zero_copy_and_independent(spark, mt, tmp_path):
+    """CLONE forks a snapshot via hard links: same data, own history,
+    and each side's writes/vacuum are invisible to the other."""
+    import json
+    import os
+
+    mt.append(_df(spark, [(1, "a"), (2, "b")]))
+    mt.append(_df(spark, [(3, "c")]))
+    clone = mt.clone(str(tmp_path / "fork"))
+    assert {r["id"] for r in clone.read().collect()} == {1, 2, 3}
+    assert clone.current_version() == 1  # fresh history
+    meta = json.loads(
+        clone.history().where("version = 1").collect()[0]["meta"]
+    )
+    assert meta["op"] == "clone" and meta["cloned_version"] == 2
+    # zero-copy: every cloned file shares its inode with the source
+    man = clone._read_manifest(1)
+    for f in man["files"]:
+        assert os.path.samefile(
+            os.path.join(mt.path, f), os.path.join(clone.path, f)
+        )
+    # divergence: writes to the clone don't touch the source
+    clone.upsert(_df(spark, [(1, "CHANGED")]), keys=["id"])
+    assert {r["v"] for r in mt.read().collect()} == {"a", "b", "c"}
+    got = {r["id"]: r["v"] for r in clone.read().collect()}
+    assert got[1] == "CHANGED" and got[2] == "b"
+    # deleting the SOURCE's directory entries (the worst a source-side
+    # retention sweep could do) cannot break the clone: the hard links
+    # own the inodes, so the clone's snapshot stays readable
+    for f in man["files"]:
+        os.remove(os.path.join(mt.path, f))
+    assert {r["id"] for r in clone.read(version=1).collect()} == {1, 2, 3}
+
+
+def test_clone_refuses_existing_table(spark, mt, tmp_path):
+    mt.append(_df(spark, [(1, "a")]))
+    mt.clone(str(tmp_path / "fork2"))
+    with pytest.raises(FileExistsError):
+        mt.clone(str(tmp_path / "fork2"))
