@@ -115,6 +115,34 @@ def _hll_hash(u):
     return h2.bitwiseXOR(F.shiftright(h2, 13))
 
 
+def hll_registers(e: DataFrame, key_col: str = "user_id",
+                  group_col: str = "event_type") -> DataFrame:
+    """Sparse HLL register table (group, bucket, m_j) for a batch —
+    the mergeable state unit: union of sketches = register-wise MAX,
+    exactly, which is what the streaming foreachBatch folds on.
+    Absent buckets mean register 0."""
+    h = _hll_hash(F.col(key_col))
+    hashed = e.select(
+        F.col(group_col).alias("event_type"),
+        (h % F.lit(HLL_M)).alias("bucket"),
+        (h / F.lit(HLL_M)).cast("long").alias("rest"),
+    )
+    rho = F.when(
+        F.col("mx_rest") == 0, F.lit(HLL_REST_BITS + 1)
+    ).otherwise(
+        F.lit(HLL_REST_BITS + 1)
+        - F.length(F.conv(F.col("mx_rest").cast("string"), 10, 2))
+    )
+    # register value: max rho over the bucket corresponds to the
+    # SMALLEST rest (rho is monotone decreasing in bit length), so one
+    # MIN aggregate suffices
+    return (
+        hashed.groupBy("event_type", "bucket")
+        .agg(F.min("rest").alias("mx_rest"))
+        .select("event_type", "bucket", rho.alias("m_j"))
+    )
+
+
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-rolled HyperLogLog distinct-user estimate per event type,
     FULLY ORACLE-PAIRED — the cardinality companion of the CMS
@@ -136,26 +164,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the VERIFICATION column, not part of the sketch path.
     """
     e = table(spark, sf_dir, "events").select("event_type", "user_id")
-    h = _hll_hash(F.col("user_id"))
-    hashed = e.select(
-        "event_type",
-        (h % F.lit(HLL_M)).alias("bucket"),
-        (h / F.lit(HLL_M)).cast("long").alias("rest"),
-    )
-    rho = F.when(
-        F.col("mx_rest") == 0, F.lit(HLL_REST_BITS + 1)
-    ).otherwise(
-        F.lit(HLL_REST_BITS + 1)
-        - F.length(F.conv(F.col("mx_rest").cast("string"), 10, 2))
-    )
-    # register value: max rho over the bucket = rho of the MIN rest?
-    # No — rho is monotone DECREASING in bit length, so max rho
-    # corresponds to the SMALLEST rest. One MIN aggregate suffices.
-    regs = (
-        hashed.groupBy("event_type", "bucket")
-        .agg(F.min("rest").alias("mx_rest"))
-        .select("event_type", "bucket", rho.alias("m_j"))
-    )
+    regs = hll_registers(e)
     # every (type, bucket) cell, absent buckets count as register 0
     types = e.select("event_type").distinct()
     spine = types.crossJoin(

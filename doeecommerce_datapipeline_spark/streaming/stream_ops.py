@@ -362,6 +362,59 @@ def foreach_batch_cms_merge(
     return _write
 
 
+def foreach_batch_hll_merge(
+    regs_path: str,
+    key_col: str = "user_id",
+    lineage_id: str = "default",
+):
+    """Streaming distinct-count state: each micro-batch folds its keys
+    into a persistent HyperLogLog register table by register-wise MAX
+    — the HLL union property (sketch(A ∪ B) = max(sketch(A),
+    sketch(B)), exactly) means the drained stream's registers are
+    IDENTICAL to the batch-built sketch over the same rows, which the
+    e2e unit pins register by register. The cardinality counterpart of
+    foreach_batch_cms_merge, with the same exactly-once epoch guard
+    (lineage-scoped pointer in the commit meta — see the CMS sink's
+    docstring for the restart semantics) — and a stronger idempotence
+    story: MAX-merge tolerates replays by algebra (a re-applied batch
+    cannot raise any register), so the guard is only saving the no-op
+    write. Per-batch state is ≤ |groups|·64 rows at any key
+    cardinality.
+    """
+    from ..operators.sketches import hll_registers
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tbl = ManifestTable(spark, regs_path)
+        v = tbl.current_version()
+        batch_regs = hll_registers(batch_df, key_col)
+        if v > 0:
+            meta = tbl._read_manifest(v)
+            if (
+                meta.get("hll_run", "default") == lineage_id
+                and meta.get("hll_epoch", -1) >= epoch_id
+            ):
+                return  # replayed epoch of THIS lineage
+            merged = (
+                tbl.read()
+                .unionByName(batch_regs)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("m_j").alias("m_j"))
+            )
+        else:
+            merged = batch_regs
+        tbl.upsert(
+            merged,
+            keys=["event_type", "bucket"],
+            extra_meta={"hll_epoch": epoch_id, "hll_run": lineage_id},
+        )
+
+    return _write
+
+
 def foreach_batch_session_sweep(sessions_path: str, peaks_path: str):
     """Online capacity planning: closed sessions from the stateful
     sessionizer land in an ACID interval table, and the per-day

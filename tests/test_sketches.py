@@ -252,3 +252,78 @@ def test_cms_merge_new_lineage_is_not_skipped(spark, tmp_path):
         for r in ManifestTable(spark, cells).read().collect()
     }
     assert after_replay == after_b
+
+
+def test_streaming_hll_merge_equals_batch_registers(spark, tmp_path):
+    """Drain a 3-file stream through foreach_batch_hll_merge: the ACID
+    register table must equal the batch-built registers over the union
+    (HLL union = register-wise MAX, exactly) — so the estimate read
+    off the stream state is the batch estimate."""
+    from doeecommerce_datapipeline_spark.io import table
+    from doeecommerce_datapipeline_spark.operators.sketches import (
+        hll_registers,
+    )
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_hll_merge,
+        read_event_stream,
+    )
+
+    src = table(spark, SF_DIR, "events").orderBy("event_id").limit(300)
+    base = str(tmp_path / "hll_in")
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        src.orderBy("event_id").offset(lo).limit(hi - lo).write.mode(
+            "append"
+        ).parquet(base)
+    regs = str(tmp_path / "hll_regs")
+    q = (
+        read_event_stream(spark, base)
+        .writeStream.foreachBatch(foreach_batch_hll_merge(regs))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_type, r.bucket): r.m_j
+        for r in ManifestTable(spark, regs).read().collect()
+    }
+    want = {
+        (r.event_type, r.bucket): r.m_j
+        for r in hll_registers(spark.read.parquet(base)).collect()
+    }
+    assert got == want and got
+
+
+def test_hll_merge_epoch_replay_is_noop(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_hll_merge,
+    )
+
+    regs = str(tmp_path / "regs")
+    batch = spark.createDataFrame(
+        [(i % 9, "view") for i in range(60)], "user_id long, event_type string"
+    )
+    sink = foreach_batch_hll_merge(regs)
+    sink(batch, 0)
+    v1 = ManifestTable(spark, regs).current_version()
+    sink(batch, 0)  # replay: guarded no-op
+    tbl = ManifestTable(spark, regs)
+    assert tbl.current_version() == v1
+    # and even if replayed WITHOUT the guard, MAX-merge is idempotent
+    sink(batch, 1)
+    after = {
+        (r.event_type, r.bucket): r.m_j for r in tbl.read().collect()
+    }
+    sink(batch, 2)
+    again = {
+        (r.event_type, r.bucket): r.m_j for r in tbl.read().collect()
+    }
+    assert after == again
