@@ -137,7 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     haar_energy_daily, theil_inequality_by_nation,
     ngram_novelty_by_source, loso_source_impact,
     label_propagation_communities, char_entropy_flags,
-    rage_burst_users, heaps_law_fit, triplet_violation_rate —
+    rage_burst_users, heaps_law_fit, triplet_violation_rate,
+    brand_diversity_deciles, click_conversion_by_hour —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -563,6 +564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fit and embedding triplet violation rate
         "heaps_law_fit": T.heaps_law_fit,
         "triplet_violation_rate": S.triplet_violation_rate,
+        # (ay) round-4 continuation 47 — brand-entropy segmentation
+        # and hourly click-to-purchase conversion
+        "brand_diversity_deciles": R.brand_diversity_deciles,
+        "click_conversion_by_hour": E.click_conversion_by_hour,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7718,5 +7723,65 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cos_n >= cos_p THEN 1 ELSE 0 END) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS violation_rate
             FROM scored GROUP BY label ORDER BY label
+        """,
+        # per-customer brand entropy on the 9dp lattice; ntile over
+        # the (entropy, custkey) total order
+        "brand_diversity_deciles": """
+            WITH cb AS (
+                SELECT o.o_custkey, p.p_brand, COUNT(*) AS n
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1, 2
+            ), terms AS (
+                SELECT o_custkey, n,
+                       CAST(ROUND(
+                           -(CAST(n AS DOUBLE)
+                             / CAST(SUM(n) OVER (PARTITION BY o_custkey) AS DOUBLE))
+                           * ln(CAST(n AS DOUBLE)
+                                / CAST(SUM(n) OVER (PARTITION BY o_custkey) AS DOUBLE)),
+                           9) AS DECIMAL(18,9)) AS t
+                FROM cb
+            ), per_cust AS (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_brands,
+                       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS entropy
+                FROM terms GROUP BY o_custkey
+            ), tiled AS (
+                SELECT *, CAST(NTILE(10) OVER (
+                    ORDER BY entropy ASC, o_custkey ASC) AS BIGINT) AS decile
+                FROM per_cust
+            )
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(CAST(SUM(CAST(entropy AS DECIMAL(18,6))) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS mean_entropy,
+                   CAST(SUM(n_brands) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_brands
+            FROM tiled GROUP BY decile ORDER BY decile
+        """,
+        # range join bounded by per-user purchases in one hour; MAX
+        # per click collapses multiple qualifying purchases
+        "click_conversion_by_hour": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id AS key,
+                       CAST(epoch(ts) AS BIGINT) AS csec,
+                       CAST(hour(ts) AS BIGINT) AS hour
+                FROM events WHERE event_type = 'click'
+            ), buys AS (
+                SELECT user_id AS key, CAST(epoch(ts) AS BIGINT) AS psec
+                FROM events WHERE event_type = 'purchase'
+            ), j AS (
+                SELECT c.click_id, c.hour,
+                       CASE WHEN b.psec > c.csec AND b.psec <= c.csec + 3600
+                            THEN 1 ELSE 0 END AS hit
+                FROM clicks c LEFT JOIN buys b USING (key)
+            ), per_click AS (
+                SELECT click_id, hour, MAX(hit) AS converted
+                FROM j GROUP BY 1, 2
+            )
+            SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted,
+                   CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS conversion_rate
+            FROM per_click GROUP BY hour ORDER BY hour
         """,
     }

@@ -1004,6 +1004,64 @@ def rage_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONVERT_WINDOW_SEC = 3600
+
+
+def click_conversion_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intent-conversion heatmap: for every CLICK, did the same user
+    purchase within the next hour — rolled up by the click's hour of
+    day (UTC): (hour, n_clicks, n_converted, conversion_rate). The
+    hour profile funnels staffing/promo timing decisions; the funnel
+    family's windowFunnel counts chain DEPTH, this measures the
+    clock-time conversion yield of one step.
+
+    Shape: clicks and purchases partition on user_id; the range join's
+    fan-out is bounded by per-user purchases inside one hour; a MAX
+    per click_id collapses multiple qualifying purchases to ONE
+    converted flag before the 24-row hour rollup. All counts exact
+    BIGINTs; the rate is one IEEE division.
+
+    Reference analog: none — extension surface (events family).
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("key"),
+        F.unix_timestamp("ts").alias("csec"),
+        F.hour("ts").cast("long").alias("hour"),
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        F.unix_timestamp("ts").alias("psec"),
+    )
+    j = clicks.join(buys, "key", "left").select(
+        "click_id",
+        "hour",
+        F.when(
+            (F.col("psec") > F.col("csec"))
+            & (F.col("psec") <= F.col("csec") + CONVERT_WINDOW_SEC),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    per_click = j.groupBy("click_id", "hour").agg(
+        F.max("hit").alias("converted")
+    )
+    return (
+        per_click.groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("converted").alias("n_converted"),
+            (
+                F.sum("converted").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("conversion_rate"),
+        )
+        .orderBy("hour")
+    )
+
+
 ATTRIBUTION_LOOKBACK_DAYS = 7
 
 

@@ -1101,3 +1101,64 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+def brand_diversity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment-breadth segmentation: per customer, the Shannon
+    entropy of their purchase distribution over brands (0 = single-
+    brand loyalist, ln(25) = uniform explorer), rolled into entropy
+    deciles — the merchandising counterpart of RFM (who to cross-sell
+    vs who to deepen). Per decile: n_customers, mean_entropy,
+    mean_brands.
+
+    Determinism: per-brand probabilities are exact-integer item-count
+    ratios; -p·ln(p) terms quantize at 9dp into DECIMAL(18,9) before
+    the ≤|brands|-way sum (the entropy seam); the decile cut is
+    ntile over the (entropy, custkey) total order; decile means are
+    one division of a 6dp-quantized decimal sum by an exact count.
+
+    Shape: one orderkey join attaches custkey, one partkey broadcast
+    attaches brand; the (customer, brand) aggregate is the only
+    fact-scale exchange; entropy and ntile run on customer-grain
+    tables (the dimension-sized window budget).
+
+    Reference analog: none — extension surface (retail family).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("o_custkey")
+    prob = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    term = F.round(-prob * F.log(prob), 9).cast("decimal(18,9)")
+    per_cust = (
+        cb.select("o_custkey", "n", term.alias("t"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_brands"),
+            F.round(F.sum("t").cast("double"), 6).alias("entropy"),
+        )
+    )
+    wd = Window.orderBy(F.asc("entropy"), F.asc("o_custkey"))
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(wd).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("entropy").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_entropy"),
+            (
+                F.sum("n_brands").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_brands"),
+        )
+        .orderBy("decile")
+    )

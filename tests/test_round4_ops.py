@@ -3058,3 +3058,63 @@ def test_triplet_violations_zero_on_separable_clusters(spark, tmp_path):
     for lab, r in out.items():
         assert r.n_violations == 0 and r.violation_rate == 0.0
     assert sum(r.n_triplets for r in out.values()) > 0
+
+
+# --- round-4 continuation 47: brand entropy, hourly conversion ----------
+
+
+def test_brand_entropy_separates_loyalist_from_explorer(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        brand_diversity_deciles,
+    )
+
+    d = str(tmp_path / "sf_bd")
+    # customer 1 buys one brand 4x (entropy 0); customer 2 spreads
+    # over 4 brands evenly (entropy ln 4)
+    li, orders, parts = [], [], []
+    for pk, brand in [(1, "B1"), (2, "B2"), (3, "B3"), (4, "B4")]:
+        parts.append((pk, brand))
+    for i in range(4):
+        orders.append((10 + i, 1))
+        li.append((10 + i, 1))
+        orders.append((20 + i, 2))
+        li.append((20 + i, i + 1))
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").write.parquet(
+        d + "/lineitem.parquet"
+    )
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(parts, "p_partkey long, p_brand string").write.parquet(
+        d + "/part.parquet"
+    )
+    rows = brand_diversity_deciles(spark, d).collect()
+    import math
+
+    lo, hi = rows[0], rows[-1]
+    assert lo.mean_entropy == 0.0 and lo.mean_brands == 1.0
+    assert abs(hi.mean_entropy - round(math.log(4), 6)) < 1e-5
+    assert hi.mean_brands == 4.0
+
+
+def test_click_conversion_window_boundaries(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.events import (
+        click_conversion_by_hour,
+    )
+
+    rows = [
+        # user 1: click at 10:00, purchase at 10:30 -> converted
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:30:00", 1, "purchase", 9.0, "{}"),
+        # user 2: click at 11:00, purchase 61 min later -> NOT converted
+        (3, "2024-01-01 11:00:00", 2, "click", 1.0, "{}"),
+        (4, "2024-01-01 12:01:00", 2, "purchase", 9.0, "{}"),
+        # user 3: purchase BEFORE the click -> not converted
+        (5, "2024-01-01 12:10:00", 3, "purchase", 9.0, "{}"),
+        (6, "2024-01-01 12:20:00", 3, "click", 1.0, "{}"),
+    ]
+    d = _plant_daily_events(spark, tmp_path, rows)
+    got = {r.hour: r for r in click_conversion_by_hour(spark, d).collect()}
+    assert got[10].n_clicks == 1 and got[10].n_converted == 1
+    assert got[11].n_clicks == 1 and got[11].n_converted == 0
+    assert got[12].n_clicks == 1 and got[12].n_converted == 0
