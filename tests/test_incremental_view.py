@@ -98,3 +98,63 @@ def test_refresh_only_touches_changed_group_files(spark, src, iv):
 
     assert len(before & after) >= 2  # low-range view files untouched
     assert _got(iv) == _expected(spark, src)
+
+
+def test_minmax_maintenance_with_retraction_rescan(spark, tmp_path):
+    """MIN/MAX views: inserts merge algebraically; deleting the
+    extremum triggers a rescan of exactly the affected groups; the
+    view always equals a from-scratch recompute."""
+    src = ManifestTable(spark, str(tmp_path / "mmsrc"))
+    iv = IncrementalView(
+        spark,
+        src,
+        str(tmp_path / "mmview"),
+        keys=["k"],
+        sum_cols=["amount"],
+        min_cols=["amount"],
+        max_cols=["amount"],
+    )
+
+    def check():
+        want = {
+            r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in src.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("amount").alias("s"),
+                F.min("amount").alias("mn"),
+                F.max("amount").alias("mx"),
+            )
+            .collect()
+        }
+        got = {
+            r["k"]: (r["n_rows"], r["sum_amount"], r["min_amount"],
+                     r["max_amount"])
+            for r in iv.read().collect()
+        }
+        assert got == want
+
+    src.append(_df(spark, [(1, 10), (1, 50), (2, 7)]))
+    iv.refresh()
+    check()
+    # insert-only delta: no rescan, extremum updates algebraically
+    src.append(_df(spark, [(1, 3), (2, 100)]))
+    iv.refresh()
+    check()
+    assert iv.last_rescanned_groups == 0
+    # delete a NON-extremum row of group 1 (amount 10): still no rescan
+    src.delete_where((F.col("k") == 1) & (F.col("amount") == 10))
+    iv.refresh()
+    check()
+    assert iv.last_rescanned_groups == 0
+    # delete group 1's MIN (amount 3): that group rescans, group 2 not
+    src.delete_where((F.col("k") == 1) & (F.col("amount") == 3))
+    iv.refresh()
+    check()
+    assert iv.last_rescanned_groups == 1
+    # delete group 2 entirely: group retires, no stale row remains
+    src.delete_where(F.col("k") == 2)
+    iv.refresh()
+    assert {r["k"] for r in iv.read().collect()} == {1}
+    check()
