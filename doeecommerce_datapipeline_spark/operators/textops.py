@@ -824,10 +824,11 @@ def rrf_fusion_search(
     """
     from ..functions.vectors import cosine as _cos
 
-    # the 20-row component tops checkpoint so neither corpus pipeline
-    # re-evaluates (retrieval_ndcg_eval consumes bm25 again beside the
-    # fusion — without this the explode pipeline ran 2-3x per eval)
-    lex = lex if lex is not None else bm25_search(spark, sf_dir).localCheckpoint()
+    # standalone rrf consumes the lexical top ONCE — no checkpoint
+    # (an eager checkpoint here costs a full extra materialization);
+    # retrieval_ndcg_eval, which consumes it twice, passes its own
+    # checkpointed copy via ``lex``
+    lex = lex if lex is not None else bm25_search(spark, sf_dir)
     wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lexr = lex.select(
         "doc_id", F.row_number().over(wl).cast("long").alias("r_lex")
