@@ -138,7 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ngram_novelty_by_source, loso_source_impact,
     label_propagation_communities, char_entropy_flags,
     rage_burst_users, heaps_law_fit, triplet_violation_rate,
-    brand_diversity_deciles, click_conversion_by_hour —
+    brand_diversity_deciles, click_conversion_by_hour,
+    community_modularity —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -568,6 +569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and hourly click-to-purchase conversion
         "brand_diversity_deciles": R.brand_diversity_deciles,
         "click_conversion_by_hour": E.click_conversion_by_hour,
+        # (az) round-4 continuation 48 — Newman modularity of the LPA
+        # partition (community-quality eval)
+        "community_modularity": G.community_modularity,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7783,5 +7787,85 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                        AS conversion_rate
             FROM per_click GROUP BY hour ORDER BY hour
+        """,
+        # Newman Q over the LPA partition (same unrolled 3-round CTEs);
+        # W_c / D_c / |E2| exact BIGINTs, q_terms quantize at 9dp
+        "community_modularity": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            edges AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey <> b.l_partkey
+            ), l0 AS (
+                SELECT DISTINCT l_partkey AS node, l_partkey AS label FROM li
+            ), v1 AS (
+                SELECT e.dst, l.label, COUNT(*) AS cnt
+                FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2
+            ), w1 AS (
+                SELECT dst AS node, label AS new_label FROM (
+                    SELECT dst, label, ROW_NUMBER() OVER (
+                        PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v1) WHERE rn = 1
+            ), l1 AS (
+                SELECT l.node, COALESCE(w.new_label, l.label) AS label
+                FROM l0 l LEFT JOIN w1 w USING (node)
+            ), v2 AS (
+                SELECT e.dst, l.label, COUNT(*) AS cnt
+                FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2
+            ), w2 AS (
+                SELECT dst AS node, label AS new_label FROM (
+                    SELECT dst, label, ROW_NUMBER() OVER (
+                        PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v2) WHERE rn = 1
+            ), l2 AS (
+                SELECT l.node, COALESCE(w.new_label, l.label) AS label
+                FROM l1 l LEFT JOIN w2 w USING (node)
+            ), v3 AS (
+                SELECT e.dst, l.label, COUNT(*) AS cnt
+                FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2
+            ), w3 AS (
+                SELECT dst AS node, label AS new_label FROM (
+                    SELECT dst, label, ROW_NUMBER() OVER (
+                        PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+                    FROM v3) WHERE rn = 1
+            ), l3 AS (
+                SELECT l.node, COALESCE(w.new_label, l.label) AS label
+                FROM l2 l LEFT JOIN w3 w USING (node)
+            ),
+            within AS (
+                SELECT ls.label AS community, COUNT(*) AS w_c
+                FROM edges e
+                JOIN l3 ls ON ls.node = e.src
+                JOIN l3 ld ON ld.node = e.dst
+                WHERE ls.label = ld.label
+                GROUP BY 1
+            ), deg AS (
+                SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+            ), dsum_c AS (
+                SELECT l.label AS community,
+                       CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS d_c,
+                       CAST(COUNT(*) AS BIGINT) AS n_members
+                FROM l3 l LEFT JOIN deg d ON l.node = d.src
+                GROUP BY 1
+            ), e2 AS (SELECT COUNT(*) AS e2 FROM edges),
+            per_c AS (
+                SELECT s.community, s.n_members,
+                       CAST(floor(COALESCE(w.w_c, 0) / 2.0) AS BIGINT)
+                           AS internal_edges,
+                       s.d_c AS degree_sum,
+                       ROUND(CAST(COALESCE(w.w_c, 0) AS DOUBLE) / CAST(t.e2 AS DOUBLE)
+                             - (CAST(s.d_c AS DOUBLE) / CAST(t.e2 AS DOUBLE))
+                               * (CAST(s.d_c AS DOUBLE) / CAST(t.e2 AS DOUBLE)),
+                             9) AS q_term
+                FROM dsum_c s LEFT JOIN within w USING (community) CROSS JOIN e2 t
+            ), q AS (
+                SELECT ROUND(CAST(SUM(CAST(q_term AS DECIMAL(18,9))) AS DOUBLE), 6)
+                    AS q_total
+                FROM per_c
+            )
+            SELECT p.community, p.n_members, p.internal_edges, p.degree_sum,
+                   p.q_term, q.q_total
+            FROM per_c p CROSS JOIN q
+            ORDER BY p.n_members DESC, p.community ASC LIMIT 25
         """,
     }

@@ -509,34 +509,12 @@ LPA_ROUNDS = 3
 LPA_TOP = 25
 
 
-def label_propagation_communities(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Community detection by synchronous label propagation over the
-    part copurchase graph: every part starts as its own label; each of
-    3 fixed rounds, a part adopts the label most frequent among its
-    copurchase neighbors (ties -> smallest label; isolated parts keep
-    their own). Completes the graph family: PageRank/HITS rank nodes,
-    Adamic-Adar ranks candidate edges, connected components find
-    reachability classes — LPA finds DENSITY classes (two cliques
-    joined by one bridge edge are one component but two communities).
-    Returns the top-25 communities: (community, n_members).
-
-    Determinism (the PageRank/k-means fixed-iteration oracle class):
-    synchronous updates, integer neighbor-label counts, and the total
-    (count DESC, label ASC) order make every round a pure function of
-    the previous labeling — no RNG, no float, no visit order. Fixed
-    round count = fixed plan.
-
-    Scale shape: edges build once from the distinct basket table
-    (fan-out bounded by C(basket,2) per order) and localCheckpoint;
-    each round = one edge-to-label join (label table is node-grain)
-    + one (dst, label) map-side-combined count + one node-partitioned
-    argmax window — the edge table shuffles on the SAME dst key every
-    round. Label state is a DataFrame, never driver-collected.
-
-    Reference analog: none — extension surface (graph family).
-    """
+def lpa_labels(spark: SparkSession, sf_dir: str):
+    """The copurchase edge set (both directions, checkpointed) and the
+    node labeling after LPA_ROUNDS synchronous label-propagation
+    rounds — shared by label_propagation_communities (sizes) and
+    community_modularity (quality). Deterministic: see
+    label_propagation_communities."""
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -582,9 +560,127 @@ def label_propagation_communities(
             )
             .localCheckpoint()
         )
+    return edges, labels
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part copurchase graph: every part starts as its own label; each of
+    3 fixed rounds, a part adopts the label most frequent among its
+    copurchase neighbors (ties -> smallest label; isolated parts keep
+    their own). Completes the graph family: PageRank/HITS rank nodes,
+    Adamic-Adar ranks candidate edges, connected components find
+    reachability classes — LPA finds DENSITY classes (two cliques
+    joined by one bridge edge are one component but two communities).
+    Returns the top-25 communities: (community, n_members).
+
+    Determinism (the PageRank/k-means fixed-iteration oracle class):
+    synchronous updates, integer neighbor-label counts, and the total
+    (count DESC, label ASC) order make every round a pure function of
+    the previous labeling — no RNG, no float, no visit order. Fixed
+    round count = fixed plan.
+
+    Scale shape: edges build once from the distinct basket table
+    (fan-out bounded by C(basket,2) per order) and localCheckpoint;
+    each round = one edge-to-label join (label table is node-grain)
+    + one (dst, label) map-side-combined count + one node-partitioned
+    argmax window — the edge table shuffles on the SAME dst key every
+    round. Label state is a DataFrame, never driver-collected.
+
+    Reference analog: none — extension surface (graph family).
+    """
+    edges, labels = lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(LPA_TOP)
+    )
+
+
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition over the copurchase
+    graph — the eval metric that says whether the detected communities
+    are REAL structure or noise (Q near 0 = no better than random;
+    the retrieval family got nDCG, embeddings got the triplet test,
+    community detection gets this). Per community (top-25 by size):
+    n_members, internal_edges, degree_sum, q_term — plus q_total
+    (the full-partition modularity, including communities below the
+    display cut) replicated on every row.
+
+    With the both-direction edge table E2 (|E2| = 2m),
+    Q = Σ_c [ W_c/|E2| − (D_c/|E2|)² ] where W_c counts both-direction
+    within-community edges and D_c the community's degree sum — all
+    exact BIGINTs from two aggregates; each q_term is one IEEE dag
+    quantized at 9dp before the order-free total (the entropy seam).
+
+    Shape: rides lpa_labels' checkpointed state; ONE edge-to-label
+    join per endpoint (same dst-key shuffle LPA already uses) for
+    W_c, one node-grain degree aggregate for D_c. Nothing fact-scale
+    beyond LPA itself.
+
+    Reference analog: none — extension surface (graph family).
+    """
+    edges, labels = lpa_labels(spark, sf_dir)
+    lab_src = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("lsrc")
+    )
+    lab_dst = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("ldst")
+    )
+    tagged = edges.join(lab_src, "src").join(lab_dst, "dst")
+    within = (
+        tagged.where(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("community"))
+        .agg(F.count(F.lit(1)).alias("w_c"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dsum_c = (
+        labels.join(deg, labels.node == deg.src, "left")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.sum(F.coalesce("deg", F.lit(0))).alias("d_c"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    e2 = edges.agg(F.count(F.lit(1)).alias("e2"))
+    per_c = (
+        dsum_c.join(within, "community", "left")
+        .crossJoin(F.broadcast(e2))
+        .select(
+            "community",
+            "n_members",
+            # w_c is even by symmetry; floor on both engines (a bare
+            # cast of x/2 truncates in Spark but rounds in DuckDB)
+            F.floor(F.coalesce("w_c", F.lit(0)) / 2).cast("long").alias(
+                "internal_edges"
+            ),
+            F.col("d_c").alias("degree_sum"),
+            F.round(
+                F.coalesce("w_c", F.lit(0)).cast("double")
+                / F.col("e2").cast("double")
+                - (
+                    F.col("d_c").cast("double")
+                    / F.col("e2").cast("double")
+                )
+                * (
+                    F.col("d_c").cast("double")
+                    / F.col("e2").cast("double")
+                ),
+                9,
+            ).alias("q_term"),
+        )
+        .localCheckpoint()
+    )
+    q_tot = per_c.agg(
+        F.round(
+            F.sum(F.col("q_term").cast("decimal(18,9)")).cast("double"), 6
+        ).alias("q_total")
+    )
+    return (
+        per_c.crossJoin(F.broadcast(q_tot))
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(LPA_TOP)
     )

@@ -3118,3 +3118,30 @@ def test_click_conversion_window_boundaries(spark, tmp_path):
     assert got[10].n_clicks == 1 and got[10].n_converted == 1
     assert got[11].n_clicks == 1 and got[11].n_converted == 0
     assert got[12].n_clicks == 1 and got[12].n_converted == 0
+
+
+def test_modularity_high_for_planted_cliques(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.graph import (
+        community_modularity,
+    )
+
+    d = str(tmp_path / "sf_mod")
+    rows = []
+    for o in (10, 11, 12, 13):
+        rows += [(o, p) for p in (1, 2, 3, 4)]
+    for o in (20, 21, 22, 23):
+        rows += [(o, p) for p in (5, 6, 7, 8)]
+    rows += [(30, 4), (30, 5)]  # one bridge edge
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(d + "/lineitem.parquet")
+    out = community_modularity(spark, d).collect()
+    assert len(out) == 2
+    # two 4-cliques (6 internal edges each) + 1 bridge: m = 13,
+    # degrees 2*13*... Q should be strongly positive (near 0.5 - eps)
+    q = out[0].q_total
+    assert q > 0.4
+    for r in out:
+        assert r.internal_edges == 6 and r.n_members == 4
+    # sum of displayed q_terms equals q_total here (only 2 communities)
+    assert abs(sum(r.q_term for r in out) - q) < 1e-6
