@@ -139,7 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     label_propagation_communities, char_entropy_flags,
     rage_burst_users, heaps_law_fit, triplet_violation_rate,
     brand_diversity_deciles, click_conversion_by_hour,
-    community_modularity —
+    community_modularity, circadian_concentration,
+    sprt_daily_monitor —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -572,6 +573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (az) round-4 continuation 48 — Newman modularity of the LPA
         # partition (community-quality eval)
         "community_modularity": G.community_modularity,
+        # (ba) round-4 continuation 49 — Rayleigh circadian
+        # concentration (bot screen) and Wald-SPRT sequential
+        # experiment monitor
+        "circadian_concentration": E.circadian_concentration,
+        "sprt_daily_monitor": E.sprt_daily_monitor,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7867,5 +7873,88 @@ def _oracle_sql_literals() -> dict[str, str]:
                    p.q_term, q.q_total
             FROM per_c p CROSS JOIN q
             ORDER BY p.n_members DESC, p.community ASC LIMIT 25
+        """,
+        # 24 baked cos/sin literals shared verbatim with the plan (no
+        # engine trig); count-by-literal products quantize at 6dp
+        "circadian_concentration": """
+            WITH per_hour AS (
+                SELECT user_id, CAST(hour(ts) AS INTEGER) AS h, COUNT(*) AS n_h
+                FROM events GROUP BY 1, 2
+            ), q AS (
+                SELECT user_id, n_h,
+                       CAST(ROUND(CAST(n_h AS DOUBLE) * (CASE h WHEN 0 THEN 1.0 WHEN 1 THEN 0.9659258262890683 WHEN 2 THEN 0.8660254037844387 WHEN 3 THEN 0.7071067811865476 WHEN 4 THEN 0.5000000000000001 WHEN 5 THEN 0.25881904510252074 WHEN 6 THEN 6.123233995736766e-17 WHEN 7 THEN -0.25881904510252063 WHEN 8 THEN -0.4999999999999998 WHEN 9 THEN -0.7071067811865475 WHEN 10 THEN -0.8660254037844387 WHEN 11 THEN -0.9659258262890682 WHEN 12 THEN -1.0 WHEN 13 THEN -0.9659258262890683 WHEN 14 THEN -0.8660254037844388 WHEN 15 THEN -0.7071067811865479 WHEN 16 THEN -0.5000000000000004 WHEN 17 THEN -0.25881904510252063 WHEN 18 THEN -1.8369701987210297e-16 WHEN 19 THEN 0.2588190451025203 WHEN 20 THEN 0.5000000000000001 WHEN 21 THEN 0.7071067811865474 WHEN 22 THEN 0.8660254037844384 WHEN 23 THEN 0.9659258262890681 END), 6)
+                           AS DECIMAL(18,6)) AS qx,
+                       CAST(ROUND(CAST(n_h AS DOUBLE) * (CASE h WHEN 0 THEN 0.0 WHEN 1 THEN 0.25881904510252074 WHEN 2 THEN 0.49999999999999994 WHEN 3 THEN 0.7071067811865475 WHEN 4 THEN 0.8660254037844386 WHEN 5 THEN 0.9659258262890683 WHEN 6 THEN 1.0 WHEN 7 THEN 0.9659258262890683 WHEN 8 THEN 0.8660254037844387 WHEN 9 THEN 0.7071067811865476 WHEN 10 THEN 0.49999999999999994 WHEN 11 THEN 0.258819045102521 WHEN 12 THEN 1.2246467991473532e-16 WHEN 13 THEN -0.2588190451025208 WHEN 14 THEN -0.4999999999999997 WHEN 15 THEN -0.7071067811865471 WHEN 16 THEN -0.8660254037844384 WHEN 17 THEN -0.9659258262890683 WHEN 18 THEN -1.0 WHEN 19 THEN -0.9659258262890684 WHEN 20 THEN -0.8660254037844386 WHEN 21 THEN -0.7071067811865477 WHEN 22 THEN -0.5000000000000004 WHEN 23 THEN -0.25881904510252157 END), 6)
+                           AS DECIMAL(18,6)) AS qy
+                FROM per_hour
+            ), agg AS (
+                SELECT user_id, CAST(SUM(n_h) AS BIGINT) AS n_events,
+                       SUM(qx) AS sx, SUM(qy) AS sy
+                FROM q GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   ROUND(sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / CAST(n_events AS DOUBLE), 6) AS r,
+                   ROUND(CAST(n_events AS DOUBLE)
+                         * (sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / CAST(n_events AS DOUBLE))
+                         * (sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / CAST(n_events AS DOUBLE)), 6) AS rayleigh_z,
+                   ROUND(CAST(n_events AS DOUBLE)
+                         * (sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / CAST(n_events AS DOUBLE))
+                         * (sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / CAST(n_events AS DOUBLE)), 6) > 2.996
+                       AS is_concentrated
+            FROM agg
+        """,
+        # Wald SPRT walk: l1 literal PRE-ROUNDED to 9dp (DuckDB
+        # decimal casts truncate), l2 quantized once; per-day LLR is
+        # exact decimal arithmetic; final rounding happens ON the
+        # decimal (half-away both engines) before the double cast
+        "sprt_daily_monitor": """
+            WITH ctl AS (
+                SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p0
+                FROM events WHERE user_id % 2 = 0
+            ), l2t AS (
+                SELECT p0,
+                       CAST(ROUND(ln((1.0 - 1.2 * p0) / (1.0 - p0)), 9)
+                           AS DECIMAL(18,9)) AS l2
+                FROM ctl
+            ), daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n_trials,
+                       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_successes
+                FROM events WHERE user_id % 2 = 1
+                GROUP BY 1
+            ), walked AS (
+                SELECT day, n_trials, n_successes,
+                       CAST(n_successes AS DECIMAL(9,0))
+                           * CAST(0.182321557 AS DECIMAL(18,9))
+                       + CAST(n_trials - n_successes AS DECIMAL(9,0)) * l2
+                           AS day_llr_dec
+                FROM daily CROSS JOIN l2t
+            ), cum AS (
+                SELECT day, n_trials, n_successes,
+                       CAST(ROUND(day_llr_dec, 6) AS DOUBLE) AS day_llr,
+                       CAST(ROUND(SUM(day_llr_dec) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                           AS DOUBLE) AS cum_llr
+                FROM walked
+            )
+            SELECT day, n_trials, n_successes,
+                   day_llr,
+                   cum_llr,
+                   CASE WHEN cum_llr >= 2.9444389791664403 THEN 'accept_h1'
+                        WHEN cum_llr <= -2.9444389791664407 THEN 'accept_h0'
+                        ELSE 'continue' END AS decision
+            FROM cum ORDER BY day
         """,
     }

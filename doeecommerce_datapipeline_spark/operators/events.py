@@ -1062,6 +1062,182 @@ def click_conversion_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 24 fixed unit-circle coordinates (python-float repr literals, so the
+# Spark plan and the oracle SQL carry BIT-IDENTICAL doubles — no
+# engine trig on data-dependent angles)
+CIRCADIAN_COS = [1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.5000000000000001, 0.25881904510252074, 6.123233995736766e-17, -0.25881904510252063, -0.4999999999999998, -0.7071067811865475, -0.8660254037844387, -0.9659258262890682, -1.0, -0.9659258262890683, -0.8660254037844388, -0.7071067811865479, -0.5000000000000004, -0.25881904510252063, -1.8369701987210297e-16, 0.2588190451025203, 0.5000000000000001, 0.7071067811865474, 0.8660254037844384, 0.9659258262890681]
+CIRCADIAN_SIN = [0.0, 0.25881904510252074, 0.49999999999999994, 0.7071067811865475, 0.8660254037844386, 0.9659258262890683, 1.0, 0.9659258262890683, 0.8660254037844387, 0.7071067811865476, 0.49999999999999994, 0.258819045102521, 1.2246467991473532e-16, -0.2588190451025208, -0.4999999999999997, -0.7071067811865471, -0.8660254037844384, -0.9659258262890683, -1.0, -0.9659258262890684, -0.8660254037844386, -0.7071067811865477, -0.5000000000000004, -0.25881904510252157]
+RAYLEIGH_Z_CRIT = 2.996  # ~p < 0.05 for the Rayleigh test
+
+
+def circadian_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional statistics on each user's activity clock: the mean
+    resultant length R of event hours mapped to the 24-hour circle,
+    and the Rayleigh statistic z = n·R² — R near 0 means activity
+    spread uniformly around the clock (bot/scripted traffic; humans
+    sleep), R near 1 a tight daily routine. Per user: n_events, r
+    (6dp), rayleigh_z, is_concentrated (z above the ~0.05 critical
+    value). The bot-screen complement of rage_burst_users: bursts
+    catch SPIKES, this catches the absence of a circadian rhythm.
+
+    Determinism: hour-of-day takes only 24 values, so cos/sin come
+    from 24 BAKED python-float literals shared verbatim by the plan
+    and the oracle SQL — no engine trig anywhere. Per-hour count ×
+    literal products quantize at 6dp into DECIMAL(18,6) before the
+    ≤24-way sums; sqrt/divisions are one IEEE dag on those exact
+    operands.
+
+    Shape: one (user, hour) map-side-combined aggregate is the only
+    fact exchange; the resultant reduces ≤24 rows per user.
+
+    Reference analog: none — extension surface (events family).
+    """
+    e = table(spark, sf_dir, "events")
+    per_hour = e.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_h"))
+    cos_c = F.element_at(
+        F.array(*[F.lit(c) for c in CIRCADIAN_COS]), F.col("h") + 1
+    )
+    sin_c = F.element_at(
+        F.array(*[F.lit(s) for s in CIRCADIAN_SIN]), F.col("h") + 1
+    )
+    qx = F.round(F.col("n_h").cast("double") * cos_c, 6).cast(
+        "decimal(18,6)"
+    )
+    qy = F.round(F.col("n_h").cast("double") * sin_c, 6).cast(
+        "decimal(18,6)"
+    )
+    agg = per_hour.groupBy("user_id").agg(
+        F.sum("n_h").alias("n_events"),
+        F.sum(qx).alias("sx"),
+        F.sum(qy).alias("sy"),
+    )
+    nd = F.col("n_events").cast("double")
+    r = (
+        F.sqrt(
+            F.col("sx").cast("double") * F.col("sx").cast("double")
+            + F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+        / nd
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.round(r, 6).alias("r"),
+        F.round(nd * r * r, 6).alias("rayleigh_z"),
+        (F.round(nd * r * r, 6) > RAYLEIGH_Z_CRIT).alias(
+            "is_concentrated"
+        ),
+    )
+
+
+SPRT_L1 = 0.182321557  # ln(p1/p0), p1 = 1.2*p0,
+# PRE-ROUNDED to the 9dp lattice: casting the full-precision double
+# to DECIMAL(18,9) rounds in Spark but TRUNCATES in the oracle engine
+SPRT_UPPER = 2.9444389791664403  # ln((1-beta)/alpha), alpha=beta=0.05
+SPRT_LOWER = -2.9444389791664407  # ln(beta/(1-alpha))
+
+
+def sprt_daily_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test over the experiment's daily
+    readouts: Wald's SPRT for "is the treatment arm's purchase rate
+    p0·1.2 rather than p0" — the cumulative log-likelihood ratio walks
+    day by day until it crosses a decision boundary, the
+    peeking-is-allowed monitoring the fixed-horizon z-test
+    (ab_conversion_ztest) cannot give. Per treatment day: n_trials,
+    n_successes, day_llr, cum_llr, decision
+    ('accept_h1' | 'accept_h0' | 'continue' — decisions latch at the
+    first crossing by construction of the cumulative walk).
+
+    p0 is the CONTROL arm's pooled purchase share (arm = user_id % 2,
+    the experiment convention); p1 = 1.2·p0. LLR_d = k·ln(p1/p0) +
+    (n−k)·ln((1−p1)/(1−p0)): the first log is the baked literal
+    ln(1.2); the second is one engine ln of the data-derived rate
+    QUANTIZED at 9dp into a broadcast scalar, so the per-day LLR is
+    exact decimal arithmetic (int counts × decimal logs) and the
+    cumulative sum is order-free. Boundaries are baked literals.
+
+    Shape: two fact aggregates (control pooled rate: 1 row; treatment
+    per-day counts) and one day-grain cumulative window.
+
+    Reference analog: none — extension surface (experimentation
+    family, next to ab_conversion_ztest and cuped_adjusted_ab).
+    """
+    e = table(spark, sf_dir, "events")
+    ctl = e.where(F.col("user_id") % 2 == 0).agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", True)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("p0")
+    )
+    l2 = ctl.select(
+        "p0",
+        F.round(
+            F.log(
+                (1.0 - F.lit(1.2) * F.col("p0")) / (1.0 - F.col("p0"))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("l2"),
+    )
+    daily = (
+        e.where(F.col("user_id") % 2 == 1)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trials"),
+            F.count(
+                F.when(F.col("event_type") == "purchase", True)
+            ).alias("n_successes"),
+        )
+    )
+    l1 = F.lit(SPRT_L1).cast("decimal(18,9)")
+    # counts narrow to DECIMAL(9,0): bigint×decimal(18,9) exceeds
+    # precision 38 in Spark and silently rounds the 9th decimal (the
+    # huber x-narrowing lesson); daily counts fit 9 digits anywhere
+    k = F.col("n_successes").cast("decimal(9,0)")
+    nk = (F.col("n_trials") - F.col("n_successes")).cast("decimal(9,0)")
+    day_llr = k * l1 + nk * F.col("l2")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walked = (
+        daily.crossJoin(F.broadcast(l2))
+        .select(
+            "day",
+            "n_trials",
+            "n_successes",
+            day_llr.alias("day_llr_dec"),
+        )
+        .select(
+            "day",
+            "n_trials",
+            "n_successes",
+            # round the DECIMAL (half-away on both engines), THEN cast:
+            # scale-9 exact values land on genuine .5 ties at digit 6,
+            # where double-rounding algorithms disagree
+            F.round(F.col("day_llr_dec"), 6).cast("double").alias(
+                "day_llr"
+            ),
+            F.round(F.sum("day_llr_dec").over(w), 6)
+            .cast("double")
+            .alias("cum_llr"),
+        )
+    )
+    return walked.select(
+        "day",
+        "n_trials",
+        "n_successes",
+        "day_llr",
+        "cum_llr",
+        F.when(F.col("cum_llr") >= F.lit(SPRT_UPPER), "accept_h1")
+        .when(F.col("cum_llr") <= F.lit(SPRT_LOWER), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
+
+
 ATTRIBUTION_LOOKBACK_DAYS = 7
 
 

@@ -14,6 +14,13 @@ both engines' declared column types into one canonical family lattice
 and fails on any mismatch. Oracle authors: keep the module contract —
 every count/flag-sum column must be CAST(... AS BIGINT), every money
 aggregate surfaced as DOUBLE.
+
+LITERAL-CAST TRUNCATION (round-4 lesson, sprt_daily_monitor): DuckDB's
+CAST of a higher-precision numeric literal to a narrower DECIMAL
+TRUNCATES where Spark rounds — CAST(0.1823215567939546 AS
+DECIMAL(18,9)) is ...556 in DuckDB, ...557 in Spark. Bake constants
+PRE-ROUNDED to the target scale on both sides (round(x, 9) in Python,
+then the literal casts exactly everywhere).
 """
 
 from __future__ import annotations

@@ -3145,3 +3145,65 @@ def test_modularity_high_for_planted_cliques(spark, tmp_path):
         assert r.internal_edges == 6 and r.n_members == 4
     # sum of displayed q_terms equals q_total here (only 2 communities)
     assert abs(sum(r.q_term for r in out) - q) < 1e-6
+
+
+# --- round-4 continuation 49: circadian Rayleigh, Wald SPRT -------------
+
+
+def test_circadian_flags_routine_not_uniform(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.events import (
+        circadian_concentration,
+    )
+
+    rows = []
+    eid = 0
+    # user 1: 24 events ALL at hour 9 (R = 1, z = 24)
+    for d in range(24):
+        rows.append(
+            (eid, f"2024-01-{d + 1:02d} 09:00:00", 1, "view", 1.0, "{}")
+        )
+        eid += 1
+    # user 2: one event every hour of one day (uniform, R ~ 0)
+    for h in range(24):
+        rows.append(
+            (eid, f"2024-01-01 {h:02d}:30:00", 2, "view", 1.0, "{}")
+        )
+        eid += 1
+    d = _plant_daily_events(spark, tmp_path, rows)
+    got = {r.user_id: r for r in circadian_concentration(spark, d).collect()}
+    # r/z sit on the 6dp quantization lattice (cos(2pi*9/24) products
+    # round per hour), so allow lattice-sized slack
+    assert got[1].r == 1.0 and abs(got[1].rayleigh_z - 24.0) < 1e-5
+    assert got[1].is_concentrated
+    assert got[2].r < 0.01 and not got[2].is_concentrated
+
+
+def test_sprt_crosses_h1_on_planted_lift(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.events import (
+        sprt_daily_monitor,
+    )
+
+    rows, eid = [], 0
+    # control (even users): 10% purchase rate; treatment (odd): 40% —
+    # a huge lift, so the LLR walk must cross the H1 boundary
+    for day in range(1, 11):
+        for i in range(50):
+            et = "purchase" if i < 5 else "view"
+            rows.append(
+                (eid, f"2024-01-{day:02d} 10:{i:02d}:00", 2, et, 1.0, "{}")
+            )
+            eid += 1
+        for i in range(50):
+            et = "purchase" if i < 20 else "view"
+            rows.append(
+                (eid, f"2024-01-{day:02d} 11:{i:02d}:00", 3, et, 1.0, "{}")
+            )
+            eid += 1
+    d = _plant_daily_events(spark, tmp_path, rows)
+    out = sprt_daily_monitor(spark, d).collect()
+    assert [r.day.isoformat() for r in out] == [
+        f"2024-01-{k:02d}" for k in range(1, 11)
+    ]
+    # the walk is increasing and latches accept_h1 by the last day
+    assert out[-1].decision == "accept_h1"
+    assert out[-1].cum_llr > out[0].cum_llr > 0
