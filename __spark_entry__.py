@@ -140,7 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rage_burst_users, heaps_law_fit, triplet_violation_rate,
     brand_diversity_deciles, click_conversion_by_hour,
     community_modularity, circadian_concentration,
-    sprt_daily_monitor —
+    sprt_daily_monitor, image_downsample_metrics, dp_noisy_counts —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -578,6 +578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # experiment monitor
         "circadian_concentration": E.circadian_concentration,
         "sprt_daily_monitor": E.sprt_daily_monitor,
+        # (bb) round-4 continuation 50 — 2x2 box-downsample through
+        # the real PPM parser and the Laplace DP count release
+        "image_downsample_metrics": M.image_downsample_metrics,
+        "dp_noisy_counts": X.dp_noisy_counts,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -7956,5 +7960,80 @@ def _oracle_sql_literals() -> dict[str, str]:
                         WHEN cum_llr <= -2.9444389791664407 THEN 'accept_h0'
                         ELSE 'continue' END AS decision
             FROM cum ORDER BY day
+        """,
+        # 2x2 integer box pool through the real PPM parser: output
+        # pixels are floor(sum-of-4/4) int64, means one exact division
+        "image_downsample_metrics": """
+            WITH a AS (
+                SELECT doc_id AS media_id,
+                       CAST(8 + doc_id % 24 AS INTEGER) AS width,
+                       CAST(8 + n_chars % 24 AS INTEGER) AS height
+                FROM documents WHERE doc_id % 3 = 0
+            ), s AS (
+                SELECT media_id, width, height,
+                       UNNEST(range(3 * width * height)) AS i
+                FROM a
+            ), chan AS (
+                SELECT media_id, width, height, i // 3 AS px, i % 3 AS c,
+                       (media_id * 2654435761 + i * 40503) % 256 AS p
+                FROM s
+            ), coords AS (
+                SELECT media_id, width, height, c, p,
+                       px % width AS x, px // width AS y
+                FROM chan
+            ), cropped AS (
+                SELECT * FROM coords
+                WHERE x < 2 * (width // 2) AND y < 2 * (height // 2)
+            ), ds AS (
+                SELECT media_id, width, height, c,
+                       x // 2 AS bx, y // 2 AS by,
+                       CAST(floor(SUM(p) / 4.0) AS BIGINT) AS v
+                FROM cropped GROUP BY 1, 2, 3, 4, 5, 6
+            )
+            SELECT media_id,
+                   CAST(width // 2 AS INTEGER) AS out_w,
+                   CAST(height // 2 AS INTEGER) AS out_h,
+                   CAST((width // 2) AS BIGINT) * (height // 2) AS n_out_px,
+                   CAST(SUM(CASE c WHEN 0 THEN v ELSE 0 END) AS DOUBLE)
+                       / CAST(255 * (width // 2) * (height // 2) AS DOUBLE) AS mean_r,
+                   CAST(SUM(CASE c WHEN 1 THEN v ELSE 0 END) AS DOUBLE)
+                       / CAST(255 * (width // 2) * (height // 2) AS DOUBLE) AS mean_g,
+                   CAST(SUM(CASE c WHEN 2 THEN v ELSE 0 END) AS DOUBLE)
+                       / CAST(255 * (width // 2) * (height // 2) AS DOUBLE) AS mean_b
+            FROM ds GROUP BY media_id, width, height
+        """,
+        # Laplace mechanism on the md5-lattice uniform (evaluation
+        # mode); inverse-CDF ln rounds at 9dp, noise quantizes at
+        # 6dp, the released integer is a DECIMAL floor
+        "dp_noisy_counts": """
+            WITH g AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(COUNT(*) AS BIGINT) AS true_n
+                FROM customer GROUP BY 1, 2
+            ), n AS (
+                SELECT c_nationkey, c_mktsegment, true_n,
+                       CAST(ROUND(
+                           -1.0
+                           * sign((CAST(CAST(concat('0x', substr(md5('dp:'
+                                 || CAST(c_nationkey AS VARCHAR) || ':'
+                                 || c_mktsegment), 1, 5)) AS BIGINT) AS DOUBLE)
+                               + 0.5) / 1048576.0 - 0.5)
+                           * ROUND(ln(1.0 - 2.0 * abs(
+                               (CAST(CAST(concat('0x', substr(md5('dp:'
+                                   || CAST(c_nationkey AS VARCHAR) || ':'
+                                   || c_mktsegment), 1, 5)) AS BIGINT) AS DOUBLE)
+                                 + 0.5) / 1048576.0 - 0.5)), 9),
+                           6) AS DECIMAL(18,6)) AS noise
+                FROM g
+            )
+            SELECT c_nationkey, c_mktsegment, true_n,
+                   CAST(floor(CAST(true_n AS DECIMAL(18,6)) + noise
+                              + CAST(0.5 AS DECIMAL(2,1))) AS BIGINT) AS noisy_n,
+                   CAST(1.0 AS DOUBLE) AS epsilon,
+                   CAST(1.0 AS DOUBLE) AS scale_b,
+                   abs(CAST(floor(CAST(true_n AS DECIMAL(18,6)) + noise
+                              + CAST(0.5 AS DECIMAL(2,1))) AS BIGINT) - true_n)
+                       AS abs_err
+            FROM n ORDER BY c_nationkey, c_mktsegment
         """,
     }

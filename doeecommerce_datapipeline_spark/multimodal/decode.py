@@ -544,3 +544,56 @@ def image_ppm_summary(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, IMAGE_SUMMARY_SCHEMA
     )
+
+
+DS_SUMMARY_SCHEMA = (
+    "media_id long, out_w int, out_h int, n_out_px long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_downsample_summary(df: DataFrame) -> DataFrame:
+    """2x2 integer box-downsample through the REAL PPM parser, then
+    channel means of the DOWNSAMPLED image — the thumbnail/preprocess
+    step every vision-data pipeline runs between decode and feature
+    extraction, with the full exactness story: each output pixel is
+    floor(sum-of-4 / 4) in int64, channel sums stay int64, and every
+    reported double is one division of exact integers. Odd edge rows/
+    columns drop (crop-to-even, the standard pooling convention).
+
+    Arrow-batched mapInPandas over (media_id, payload) — scan-bound,
+    no shuffle, the decode seam's plumbing contract (schema, batch
+    shape, partitioning) unchanged.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "out_w": [], "out_h": [], "n_out_px": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, maxval, px = _ppm_pixels(payload or b"")
+                w2, h2 = w // 2, h // 2
+                img = px.reshape(h, w, 3)[: 2 * h2, : 2 * w2, :].astype(
+                    np.int64
+                )
+                ds = (
+                    img.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+                )  # floor of the 4-px box sum — exact int64
+                n = h2 * w2
+                sums = ds.reshape(-1, 3).sum(axis=0)
+                out["media_id"].append(mid)
+                out["out_w"].append(w2)
+                out["out_h"].append(h2)
+                out["n_out_px"].append(n)
+                out["mean_r"].append(float(sums[0]) / float(maxval * n))
+                out["mean_g"].append(float(sums[1]) / float(maxval * n))
+                out["mean_b"].append(float(sums[2]) / float(maxval * n))
+            yield pd.DataFrame(out)
+
+    ensure_shipped(df.sparkSession)
+    return df.select("media_id", "payload").mapInPandas(
+        batches, DS_SUMMARY_SCHEMA
+    )

@@ -149,3 +149,13 @@ def image_ppm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .decode import image_ppm_summary
 
     return image_ppm_summary(synth_image_table(spark, sf_dir))
+
+
+def image_downsample_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel means of the 2x2 box-downsampled synth images through
+    the full build -> parse -> pool path — decode-transform-feature
+    plumbing with exact-integer parity (floor-of-box-sum pixels, one
+    exact division per reported double)."""
+    from .decode import image_downsample_summary
+
+    return image_downsample_summary(synth_image_table(spark, sf_dir))

@@ -2000,3 +2000,83 @@ def theil_inequality_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+DP_EPSILON = 1.0  # per-release privacy budget for the count query
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of customer counts per
+    (nation, market segment): the Laplace mechanism with sensitivity 1
+    and ε = 1 — the OTHER half of the privacy toolkit next to
+    k_anonymity_classes (k-anonymity audits re-identifiability of the
+    released rows; DP bounds what ANY query sequence can learn about
+    one customer). Per cell: c_nationkey, c_mktsegment, true_n,
+    noisy_n, epsilon, scale_b, abs_err.
+
+    EVALUATION-MODE NOISE (the honest caveat): draws come from the
+    md5 lattice over the group key, not a secure RNG — reproducible
+    across engines/runs so the mechanism's error is testable; a real
+    release swaps ONE line for a secure sampler (and drops true_n /
+    abs_err, which exist here for the oracle gate and utility
+    analysis). Inverse-CDF Laplace: u ∈ (−0.5, 0.5) from 20 hash
+    bits, noise = −b·sign(u)·ln(1 − 2|u|), b = 1/ε; the ln rounds at
+    9dp and the noise quantizes to DECIMAL(18,6) before the exact
+    integer add; the released integer is floor(n + noise + 0.5) on
+    both engines.
+
+    Shape: one dimension aggregate + per-row expressions. Nothing
+    fact-scale.
+
+    Reference analog: none — extension surface (privacy family).
+    """
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    raw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("dp"),
+                    F.col("c_nationkey").cast("string"),
+                    F.col("c_mktsegment"),
+                )
+            ),
+            1,
+            5,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (raw.cast("double") + 0.5) / F.lit(float(2 ** 20)) - 0.5
+    b = 1.0 / DP_EPSILON
+    noise = F.round(
+        -F.lit(b)
+        * F.signum(u)
+        * F.round(F.log(1.0 - 2.0 * F.abs(u)), 9),
+        6,
+    ).cast("decimal(18,6)")
+    withn = g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_n",
+        noise.alias("noise"),
+    )
+    # the +0.5 stays DECIMAL: a double literal would promote the whole
+    # sum to double and floor a rounded value
+    noisy = F.floor(
+        F.col("true_n").cast("decimal(18,6)")
+        + F.col("noise")
+        + F.lit(0.5).cast("decimal(2,1)")
+    ).cast("long")
+    return withn.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_n",
+        noisy.alias("noisy_n"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.lit(b).alias("scale_b"),
+        F.abs(noisy - F.col("true_n")).alias("abs_err"),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -3207,3 +3207,42 @@ def test_sprt_crosses_h1_on_planted_lift(spark, tmp_path):
     # the walk is increasing and latches accept_h1 by the last day
     assert out[-1].decision == "accept_h1"
     assert out[-1].cum_llr > out[0].cum_llr > 0
+
+
+# --- round-4 continuation 50: box downsample, DP counts -----------------
+
+
+def test_box_downsample_constant_image_is_exact(spark, tmp_path):
+    """A constant-color image downsamples to the same constant; an odd
+    edge crops away."""
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        image_downsample_summary,
+    )
+
+    # constant gray P6: 5x4 -> crops to 4x4 -> 2x2 out, mean = 100/255
+    w, h, v = 5, 4, 100
+    payload = b"P6\n%d %d\n255\n" % (w, h) + bytes([v] * (3 * w * h))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = image_downsample_summary(df).collect()[0]
+    assert (r.out_w, r.out_h, r.n_out_px) == (2, 2, 4)
+    for m in (r.mean_r, r.mean_g, r.mean_b):
+        assert abs(m - v / 255.0) < 1e-12
+
+
+def test_dp_counts_bounded_noise_and_reproducible(spark):
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        dp_noisy_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = dp_noisy_counts(spark, sf).collect()
+    b = dp_noisy_counts(spark, sf).collect()
+    assert a == b  # lattice noise: bit-reproducible
+    errs = [r.abs_err for r in a]
+    assert any(e > 0 for e in errs)  # noise actually applied
+    # Laplace(b=1) tail: P(|noise| > 14) ~ 4e-7; with 20-bit u the
+    # worst case is -ln(2^-20) ~ 13.9 — hard bound, not just likely
+    assert max(errs) <= 14
+    assert all(r.epsilon == 1.0 for r in a)
