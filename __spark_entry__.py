@@ -140,7 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rage_burst_users, heaps_law_fit, triplet_violation_rate,
     brand_diversity_deciles, click_conversion_by_hour,
     community_modularity, circadian_concentration,
-    sprt_daily_monitor, image_downsample_metrics, dp_noisy_counts —
+    sprt_daily_monitor, image_downsample_metrics, dp_noisy_counts,
+    asof_next_purchase, inventory_order_policies —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -582,6 +583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the real PPM parser and the Laplace DP count release
         "image_downsample_metrics": M.image_downsample_metrics,
         "dp_noisy_counts": X.dp_noisy_counts,
+        # (bc) round-4 continuation 51 — forward as-of join
+        # (time-to-next-purchase labels) and the EOQ/newsvendor
+        # policy sheet
+        "asof_next_purchase": E.asof_next_purchase,
+        "inventory_order_policies": R.inventory_order_policies,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8035,5 +8041,60 @@ def _oracle_sql_literals() -> dict[str, str]:
                               + CAST(0.5 AS DECIMAL(2,1))) AS BIGINT) - true_n)
                        AS abs_err
             FROM n ORDER BY c_nationkey, c_mktsegment
+        """,
+        # FORWARD direction exercises the oracle's native ASOF JOIN
+        # with <=; gap from exact microsecond difference (flooring
+        # each timestamp separately is off by one across fractions)
+        "asof_next_purchase": """
+            WITH p1 AS (
+                SELECT user_id AS key, ts AS t,
+                       arg_max(value, event_id) AS p_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2
+            ), v1 AS (
+                SELECT event_id, user_id AS key, ts
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT v.event_id, v.key AS user_id, v.ts,
+                   p.t AS next_purchase_ts,
+                   p.p_value AS next_purchase_value,
+                   CAST(floor(CAST(epoch_us(p.t) - epoch_us(v.ts) AS DOUBLE)
+                              / 1000000.0) AS BIGINT) AS gap_seconds
+            FROM v1 v ASOF LEFT JOIN p1 p
+              ON v.key = p.key AND v.ts <= p.t
+        """,
+        # fractile index k = (4n+4) DIV 5 in pure ints —
+        # ceil(0.8*n) in doubles overshoots on multiples of 5
+        "inventory_order_policies": """
+            WITH daily AS (
+                SELECT p.p_brand, l.l_shipdate AS day,
+                       SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS q
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1, 2
+            ), stats AS (
+                SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_days,
+                       SUM(q) AS total_q
+                FROM daily GROUP BY p_brand
+            ), ranked AS (
+                SELECT p_brand, day, q,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                                          ORDER BY q ASC, day ASC) AS rn
+                FROM daily
+            ), nv AS (
+                SELECT r.p_brand, CAST(r.q AS DOUBLE) AS nv_q80
+                FROM ranked r JOIN stats s USING (p_brand)
+                WHERE r.rn = (4 * s.n_days + 4) // 5
+            )
+            SELECT s.p_brand, s.n_days,
+                   ROUND(CAST(s.total_q AS DOUBLE), 2) AS total_qty,
+                   ROUND(CAST(s.total_q AS DOUBLE) / CAST(s.n_days AS DOUBLE), 6)
+                       AS mean_daily,
+                   ROUND(sqrt(2.0 * CAST(s.total_q AS DOUBLE) * 100.0 / 2.0), 6)
+                       AS eoq,
+                   v.nv_q80,
+                   ROUND(v.nv_q80 / (CAST(s.total_q AS DOUBLE)
+                                     / CAST(s.n_days AS DOUBLE)), 6) AS nv_over_mean
+            FROM stats s JOIN nv v USING (p_brand)
+            ORDER BY s.p_brand
         """,
     }

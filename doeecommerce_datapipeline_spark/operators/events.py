@@ -1238,6 +1238,86 @@ def sprt_daily_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view event picks the same user's next
+    purchase at-or-after the view time — the mirror of
+    asof_join_last_order's backward direction, and the join that
+    powers time-to-convert labels for training data (label = the
+    future, so the direction matters: a backward as-of here would be
+    label leakage). Per view: event_id, user_id, ts, next_purchase_ts,
+    next_purchase_value, gap_seconds (NULL when the user never
+    purchases again).
+
+    Same single-shuffle formulation, reversed: union both timelines,
+    one per-user window ordered DESCENDING carries the earliest
+    later-purchase backward (last_value ignoreNulls), keep view rows.
+    Purchases pre-dedup to one per (user, ts) — max event_id wins —
+    because as-of among equal timestamps is otherwise
+    nondeterministic. No per-group pandas, no range self-join.
+    """
+    e = table(spark, sf_dir, "events")
+    p1 = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "value"), F.col("event_id")
+            ).alias("p")
+        )
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("ts").alias("t"),
+            F.col("p.value").alias("p_value"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    v1 = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(1).alias("side"),
+        "event_id",
+    )
+    # DESC time scan: at a view row, the last non-null purchase seen
+    # so far is the EARLIEST purchase at-or-after it; side=0 sorts
+    # first among ties so an exactly-simultaneous purchase is visible
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.desc("t"), F.asc("side"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = p1.unionByName(v1).select(
+        "key",
+        "t",
+        "side",
+        "event_id",
+        F.last(
+            F.when(F.col("side") == 0, F.col("t")), ignorenulls=True
+        ).over(w).alias("next_purchase_ts"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("p_value")),
+            ignorenulls=True,
+        ).over(w).alias("next_purchase_value"),
+    )
+    return merged.where(F.col("side") == 1).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.col("t").alias("ts"),
+        "next_purchase_ts",
+        "next_purchase_value",
+        # gap from the EXACT microsecond difference (flooring each
+        # timestamp separately before subtracting is off by one when
+        # the fractional parts straddle)
+        F.floor(
+            (
+                F.unix_micros("next_purchase_ts") - F.unix_micros("t")
+            ).cast("double")
+            / 1e6
+        ).cast("long").alias("gap_seconds"),
+    )
+
+
 ATTRIBUTION_LOOKBACK_DAYS = 7
 
 

@@ -1162,3 +1162,78 @@ def brand_diversity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+EOQ_ORDER_COST = 100.0  # S: fixed cost per replenishment order
+EOQ_HOLD_COST = 2.0  # H: holding cost per unit per horizon
+
+
+def inventory_order_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand replenishment policy sheet: the EOQ lot size
+    (sqrt(2DS/H) on the horizon's total demand) next to the newsvendor
+    order-up-to quantity at the 0.8 critical fractile (the EXACT
+    0.8-quantile of daily demand — an order statistic, not an
+    approximation) — the two textbook answers to "how much do I
+    order", joined so the tension between them (EOQ batches for cost,
+    newsvendor covers variability) is visible per brand. Completes the
+    inventory family next to inventory_ss_policy's (s,S) simulation
+    and abc_xyz_inventory's classification. Columns: p_brand, n_days,
+    total_qty, mean_daily, eoq, nv_q80, nv_over_mean.
+
+    Determinism: demand sums are exact decimals; the fractile index is
+    PURE INTEGER arithmetic — k = ceil(4n/5) computed as
+    (4n + 4) DIV 5, because ceil(0.8·n) in doubles overshoots on
+    multiples of 5 (0.8·35 = 28.000000000000004); the order statistic
+    picks by a (q, day) total order; sqrt/divisions are one IEEE dag
+    on exact operands.
+
+    Shape: one (brand, day) fact aggregate; the quantile window
+    partitions by brand over day-grain rows (dimension budget).
+
+    Reference analog: none — extension surface (retail family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_shipdate").alias("day"))
+        .agg(dec_sum("l_quantity", "decimal(18,2)").alias("q"))
+        .localCheckpoint()  # day-grain, feeds stats + the rank window
+    )
+    stats = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("q").alias("total_q"),
+    )
+    wq = Window.partitionBy("p_brand").orderBy(F.asc("q"), F.asc("day"))
+    ranked = daily.withColumn("rn", F.row_number().over(wq))
+    nv = (
+        ranked.join(F.broadcast(stats), "p_brand")
+        .where(
+            F.col("rn")
+            == F.floor((4 * F.col("n_days") + 4) / F.lit(5)).cast("int")
+        )
+        .select("p_brand", F.col("q").cast("double").alias("nv_q80"))
+    )
+    d_tot = F.col("total_q").cast("double")
+    nd = F.col("n_days").cast("double")
+    return (
+        stats.join(nv, "p_brand")
+        .select(
+            "p_brand",
+            "n_days",
+            F.round(d_tot, 2).alias("total_qty"),
+            F.round(d_tot / nd, 6).alias("mean_daily"),
+            F.round(
+                F.sqrt(
+                    2.0 * d_tot * F.lit(EOQ_ORDER_COST)
+                    / F.lit(EOQ_HOLD_COST)
+                ),
+                6,
+            ).alias("eoq"),
+            "nv_q80",
+            F.round(F.col("nv_q80") / (d_tot / nd), 6).alias(
+                "nv_over_mean"
+            ),
+        )
+        .orderBy("p_brand")
+    )

@@ -3246,3 +3246,59 @@ def test_dp_counts_bounded_noise_and_reproducible(spark):
     # worst case is -ln(2^-20) ~ 13.9 — hard bound, not just likely
     assert max(errs) <= 14
     assert all(r.epsilon == 1.0 for r in a)
+
+
+# --- round-4 continuation 51: forward as-of, inventory policies ---------
+
+
+def test_forward_asof_picks_earliest_later_purchase(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.events import (
+        asof_next_purchase,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "purchase", 5.0, "{}"),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 7.0, "{}"),
+        # a view AFTER the last purchase: no next purchase -> NULLs
+        (4, "2024-01-01 13:00:00", 1, "view", 1.0, "{}"),
+        # user 2 never purchases
+        (5, "2024-01-01 10:30:00", 2, "view", 1.0, "{}"),
+    ]
+    d = _plant_daily_events(spark, tmp_path, rows)
+    got = {r.event_id: r for r in asof_next_purchase(spark, d).collect()}
+    assert got[1].next_purchase_value == 5.0  # earliest later, not max
+    assert got[1].gap_seconds == 3600
+    assert got[4].next_purchase_ts is None
+    assert got[5].next_purchase_ts is None and got[5].gap_seconds is None
+
+
+def test_inventory_policies_exact_fractile(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        inventory_order_policies,
+    )
+
+    d = str(tmp_path / "sf_inv")
+    # brand B1: 5 days with demand 10,20,30,40,50 -> q80 = 4th smallest
+    # = 40 (k = (4*5+4)//5 = 4); total 150 -> EOQ = sqrt(150*100) ~ 122.47
+    li, parts = [], [(1, "B1")]
+    for i, q in enumerate([10.0, 20.0, 30.0, 40.0, 50.0]):
+        li.append((i, 1, f"2024-01-{i + 1:02d}", q))
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_shipdate string,"
+        " l_quantity double",
+    ).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        "l_quantity",
+    ).write.parquet(d + "/lineitem.parquet")
+    spark.createDataFrame(
+        parts, "p_partkey long, p_brand string"
+    ).write.parquet(d + "/part.parquet")
+    r = inventory_order_policies(spark, d).collect()[0]
+    assert r.n_days == 5 and r.nv_q80 == 40.0
+    import math
+
+    assert abs(r.eoq - round(math.sqrt(2 * 150 * 100 / 2.0), 6)) < 1e-9
+    assert abs(r.nv_over_mean - round(40.0 / 30.0, 6)) < 1e-9
