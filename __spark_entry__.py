@@ -141,7 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     brand_diversity_deciles, click_conversion_by_hour,
     community_modularity, circadian_concentration,
     sprt_daily_monitor, image_downsample_metrics, dp_noisy_counts,
-    asof_next_purchase, inventory_order_policies —
+    asof_next_purchase, inventory_order_policies,
+    trade_flow_matrix, best_of_n_selection —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -588,6 +589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # policy sheet
         "asof_next_purchase": E.asof_next_purchase,
         "inventory_order_policies": R.inventory_order_policies,
+        # (bd) round-4 continuation 52 — the N x N trade-flow matrix
+        # (Q7 generalized) and best-of-n rejection sampling
+        "trade_flow_matrix": Q.trade_flow_matrix,
+        "best_of_n_selection": CP.best_of_n_selection,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8096,5 +8101,60 @@ def _oracle_sql_literals() -> dict[str, str]:
                                      / CAST(s.n_days AS DOUBLE)), 6) AS nv_over_mean
             FROM stats s JOIN nv v USING (p_brand)
             ORDER BY s.p_brand
+        """,
+        # Q7 generalized to the complete N x N matrix; dimensions
+        # broadcast, one 625-cell aggregate, 25-row row-normalizer
+        "trade_flow_matrix": """
+            WITH flows AS (
+                SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                       CAST(COUNT(*) AS BIGINT) AS n_items,
+                       SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT cust_nation, supp_nation, n_items,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   ROUND(CAST(rev AS DOUBLE)
+                         / CAST(SUM(rev) OVER (PARTITION BY cust_nation) AS DOUBLE),
+                         6) AS row_share
+            FROM flows ORDER BY cust_nation, supp_nation
+        """,
+        # winner via the (score DESC, doc_id ASC) total order
+        # (row_number in SQL, max_by-on-struct in the plan)
+        "best_of_n_selection": """
+            WITH scored AS (
+                SELECT doc_id // 4 AS group_id, doc_id,
+                       CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\s+')) END)
+                            + CASE WHEN lang = 'en' THEN 100 ELSE 0 END AS BIGINT)
+                           AS score
+                FROM documents
+            ), winners AS (
+                SELECT group_id, doc_id AS winner_doc_id FROM (
+                    SELECT group_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY group_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+                    FROM scored) WHERE rn = 1
+            ), stats AS (
+                SELECT group_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                       MAX(score) AS winner_score,
+                       ROUND(CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                           AS mean_score,
+                       ROUND(CAST(MAX(score) AS DOUBLE)
+                             - CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                             6) AS selection_lift
+                FROM scored GROUP BY group_id
+            )
+            SELECT s.group_id, s.n_candidates, w.winner_doc_id, s.winner_score,
+                   s.mean_score, s.selection_lift
+            FROM stats s JOIN winners w USING (group_id)
+            ORDER BY s.group_id
         """,
     }

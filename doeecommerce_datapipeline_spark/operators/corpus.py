@@ -1271,3 +1271,68 @@ def loso_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BEST_OF_N = 4
+
+
+def best_of_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling over the corpus: documents group
+    into fixed panels of n = 4 (doc_id DIV 4 — in production the panel
+    is the n completions sampled per prompt) and each panel keeps its
+    highest-scoring member — the data-selection face of
+    best-of-n/RLHF-style filtering, with the selection lift (winner
+    score minus panel mean) quantifying what the reranker buys. Per
+    panel: group_id, n_candidates, winner_doc_id, winner_score,
+    mean_score, selection_lift.
+
+    The score is the deterministic integer heuristic
+    token_count + 100·[lang = 'en'] (a stand-in for a reward model —
+    swap the expression, the plan shape is unchanged); the argmax is
+    the (score DESC, doc_id ASC) total order, so ties are stable.
+
+    Shape: one per-row score expression, one group aggregate with
+    max_by — a single map-side-combined exchange; panels are
+    doc_id-contiguous so the grouping needs no shuffle beyond it.
+
+    Reference analog: none — extension surface (corpus family).
+    """
+    from ..functions.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    score = (
+        token_count("text")
+        + F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(0))
+    ).cast("long")
+    scored = d.select(
+        F.floor(F.col("doc_id") / BEST_OF_N).cast("long").alias("group_id"),
+        "doc_id",
+        score.alias("score"),
+    )
+    return (
+        scored.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max_by(
+                F.col("doc_id"),
+                F.struct(F.col("score"), -F.col("doc_id")),
+            ).alias("winner_doc_id"),
+            F.max("score").alias("winner_score"),
+            (
+                F.sum("score").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_score"),
+        )
+        .select(
+            "group_id",
+            "n_candidates",
+            "winner_doc_id",
+            "winner_score",
+            F.round("mean_score", 6).alias("mean_score"),
+            F.round(
+                F.col("winner_score").cast("double") - F.col("mean_score"),
+                6,
+            ).alias("selection_lift"),
+        )
+        .orderBy("group_id")
+    )

@@ -747,3 +747,60 @@ def blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(20)
     )
+
+
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full N×N international trade-flow matrix: revenue between every
+    (customer nation, supplier nation) pair, with each row's share of
+    the customer nation's import total — volume_shipping (Q7) answers
+    this for ONE nation pair; the matrix is the macro view an
+    economist or tariff model actually consumes. Columns: cust_nation,
+    supp_nation, n_items, revenue, row_share.
+
+    Shape: the fact joins orders (orderkey) once; customer/supplier/
+    nation dimensions BROADCAST; one (cust_nation, supp_nation)
+    aggregate — 625 cells max regardless of fact size; the row
+    normalizer is a 25-row window. Revenue is the exact decimal sum
+    surfaced as DOUBLE; row_share one division.
+
+    Reference analog: generalizes the Q7 shape (SURVEY §2 volume
+    shipping) from a filtered pair to the complete matrix.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    sn = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "decimal(28,6)",
+            ).alias("rev"),
+        )
+    )
+    wrow = Window.partitionBy("cust_nation")
+    return flows.select(
+        "cust_nation",
+        "supp_nation",
+        "n_items",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wrow).cast("double"),
+            6,
+        ).alias("row_share"),
+    ).orderBy("cust_nation", "supp_nation")

@@ -3302,3 +3302,46 @@ def test_inventory_policies_exact_fractile(spark, tmp_path):
 
     assert abs(r.eoq - round(math.sqrt(2 * 150 * 100 / 2.0), 6)) < 1e-9
     assert abs(r.nv_over_mean - round(40.0 / 30.0, 6)) < 1e-9
+
+
+# --- round-4 continuation 52: trade matrix, best-of-n -------------------
+
+
+def test_trade_flow_rows_sum_to_one(spark):
+    from doeecommerce_datapipeline_spark.operators.tpch import (
+        trade_flow_matrix,
+    )
+
+    rows = trade_flow_matrix(spark, SF).collect()
+    assert rows
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.cust_nation, []).append(r.row_share)
+    for cn, shares in by_cust.items():
+        assert abs(sum(shares) - 1.0) < 1e-4, cn
+
+
+def test_best_of_n_picks_highest_scorer(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        best_of_n_selection,
+    )
+
+    rows = [
+        (0, "one two three", "en"),          # 3 + 100 = 103
+        (1, " ".join(["w"] * 50), "zh"),     # 50 + 0  = 50
+        (2, " ".join(["w"] * 10), "en"),     # 10 + 100 = 110  <- winner
+        (3, "a b", "en"),                    # 2 + 100 = 102
+        (4, " ".join(["w"] * 7), "en"),      # group 1 starts
+    ]
+    d = str(tmp_path / "sf_bon")
+    spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    got = {r.group_id: r for r in best_of_n_selection(spark, d).collect()}
+    g0 = got[0]
+    assert g0.winner_doc_id == 2 and g0.winner_score == 110
+    assert g0.n_candidates == 4
+    assert abs(g0.mean_score - (103 + 50 + 110 + 102) / 4) < 1e-9
+    assert got[1].winner_doc_id == 4 and got[1].n_candidates == 1
