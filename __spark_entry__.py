@@ -142,7 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     community_modularity, circadian_concentration,
     sprt_daily_monitor, image_downsample_metrics, dp_noisy_counts,
     asof_next_purchase, inventory_order_policies,
-    trade_flow_matrix, best_of_n_selection —
+    trade_flow_matrix, best_of_n_selection,
+    burrows_delta_sources, similar_payment_screen —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -593,6 +594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Q7 generalized) and best-of-n rejection sampling
         "trade_flow_matrix": Q.trade_flow_matrix,
         "best_of_n_selection": CP.best_of_n_selection,
+        # (be) round-4 continuation 53 — Burrows' Delta stylometry and
+        # the banded near-duplicate payment screen
+        "burrows_delta_sources": T.burrows_delta_sources,
+        "similar_payment_screen": J.similar_payment_screen,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8156,5 +8161,78 @@ def _oracle_sql_literals() -> dict[str, str]:
                    s.mean_score, s.selection_lift
             FROM stats s JOIN winners w USING (group_id)
             ORDER BY s.group_id
+        """,
+        # z-scores over 9dp-quantized relative frequencies;
+        # zero-variance words drop; 20-way |dz| mean
+        "burrows_delta_sources": """
+            WITH toks AS (
+                SELECT source,
+                       UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS word
+                FROM documents
+            ), toks2 AS (SELECT source, word FROM toks WHERE word != ''),
+            sw AS (
+                SELECT source, word, COUNT(*) AS n FROM toks2 GROUP BY 1, 2
+            ), totals AS (
+                SELECT source, SUM(n) AS n_tot FROM sw GROUP BY source
+            ), top AS (
+                SELECT word FROM (
+                    SELECT word, SUM(n) AS tf FROM sw GROUP BY word
+                    ORDER BY tf DESC, word ASC LIMIT 20)
+            ), grid AS (
+                SELECT t.source, p.word,
+                       CAST(COALESCE(s.n, 0) AS DOUBLE) / CAST(t.n_tot AS DOUBLE)
+                           AS f
+                FROM totals t CROSS JOIN top p
+                LEFT JOIN sw s ON s.source = t.source AND s.word = p.word
+            ), stats AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS m,
+                       SUM(CAST(ROUND(f, 9) AS DECIMAL(18,9))) AS s1,
+                       SUM(CAST(CAST(ROUND(f, 9) AS DECIMAL(18,9))
+                           * CAST(ROUND(f, 9) AS DECIMAL(18,9))
+                           AS DECIMAL(38,18))) AS s2
+                FROM grid GROUP BY word
+            ), zs AS (
+                SELECT word,
+                       CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS mu,
+                       sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)), 0.0)) AS sd
+                FROM stats
+            ), zs2 AS (SELECT * FROM zs WHERE sd > 0),
+            z AS (
+                SELECT g.source, g.word,
+                       CAST(ROUND((g.f - s.mu) / s.sd, 9) AS DECIMAL(18,9)) AS z
+                FROM grid g JOIN zs2 s USING (word)
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   ROUND(CAST(SUM(abs(a.z - b.z)) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS delta
+            FROM z a JOIN z b USING (word)
+            WHERE a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # the banded-bucket join is exact (the band filter prunes
+        # inside buckets), so the oracle is the PLAIN banded join —
+        # physical-only, the bitmap_filter_revenue pattern
+        "similar_payment_screen": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate
+                FROM orders
+            )
+            SELECT a.o_custkey,
+                   a.o_orderkey AS ord_a, a.o_orderdate AS day_a,
+                   CAST(a.price AS DOUBLE) AS price_a,
+                   b.o_orderkey AS ord_b, b.o_orderdate AS day_b,
+                   CAST(b.price AS DOUBLE) AS price_b,
+                   CAST(abs(a.price - b.price) AS DOUBLE) AS price_gap,
+                   CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate))
+                       AS BIGINT) AS gap_days
+            FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+            WHERE a.o_orderkey < b.o_orderkey
+              AND abs(a.price - b.price) <= 500
+              AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 180
+            ORDER BY a.o_custkey, ord_a, ord_b
         """,
     }

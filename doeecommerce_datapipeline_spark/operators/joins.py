@@ -297,3 +297,81 @@ def bitmap_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+SIMPAY_BAND = 500  # dollars: totals within this are "suspiciously close"
+SIMPAY_WINDOW_DAYS = 180
+
+
+def similar_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate payment screen: order pairs from the SAME
+    customer whose totals sit within $500 of each other AND within 180
+    days — the accounts-payable audit for double-submitted or
+    slightly-edited invoices (an exact-equality screen returns nothing
+    on realistic near-continuous prices; the BAND is the point). Per
+    suspect pair: o_custkey, ord_a/day_a/price_a, ord_b/day_b/price_b,
+    price_gap, gap_days.
+
+    Scale shape — the banded self-join pattern: a band predicate can't
+    key a hash join, so side A explodes each order into its price
+    bucket (width = band) AND both neighbors, the join keys on
+    (custkey, bucket) equality, and the exact |Δprice| ≤ band filter
+    prunes inside the bucket — candidate fan-out is 3× the bucket
+    occupancy per customer, never per-customer-squared on price.
+    The date window prunes after. The EXACT filter makes the bucket
+    plumbing invisible in the result, so the oracle is the plain
+    banded join — physical-only, like bitmap_filter_revenue.
+
+    Reference analog: none — extension surface (audit family).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderdate",
+    ).localCheckpoint()
+    bucket = F.floor(F.col("price") / SIMPAY_BAND).cast("long")
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ord_a"),
+        F.col("price").alias("price_a"),
+        F.col("o_orderdate").alias("day_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bkt"),
+    )
+    b = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ord_b"),
+        F.col("price").alias("price_b"),
+        F.col("o_orderdate").alias("day_b"),
+        bucket.alias("bkt"),
+    )
+    return (
+        a.join(b, ["o_custkey", "bkt"])
+        .where(
+            (F.col("ord_a") < F.col("ord_b"))
+            & (F.abs(F.col("price_a") - F.col("price_b")) <= SIMPAY_BAND)
+            & (
+                F.abs(F.datediff("day_b", "day_a"))
+                <= SIMPAY_WINDOW_DAYS
+            )
+        )
+        .select(
+            "o_custkey",
+            "ord_a",
+            "day_a",
+            F.col("price_a").cast("double").alias("price_a"),
+            "ord_b",
+            "day_b",
+            F.col("price_b").cast("double").alias("price_b"),
+            F.abs(F.col("price_a") - F.col("price_b"))
+            .cast("double")
+            .alias("price_gap"),
+            F.abs(F.datediff("day_b", "day_a")).cast("long").alias(
+                "gap_days"
+            ),
+        )
+        .distinct()  # a pair within band can match in 2 buckets
+        .orderBy("o_custkey", "ord_a", "ord_b")
+    )

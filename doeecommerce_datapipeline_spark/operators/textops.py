@@ -1606,3 +1606,114 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.crossJoin(F.broadcast(fit))
         .orderBy("decile")
     )
+
+
+DELTA_TOP_WORDS = 20
+
+
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources: z-score
+    each source's relative frequency of the corpus's top-20 words
+    (across sources), then Delta(a,b) = mean |z_a - z_b| — the
+    authorship-attribution classic, here answering "which providers
+    write alike" (near-zero Delta across supposedly independent
+    sources flags shared templates or a common upstream scraper;
+    source_overlap_matrix sees shared CONTENT, this sees shared
+    STYLE). Returns all source pairs (src_a < src_b): n_words, delta.
+
+    Determinism: relative frequencies are exact-int ratios; the
+    per-word cross-source mean/std come from 9dp-quantized decimal
+    sums; z and |z_a − z_b| terms re-quantize at 9dp before the
+    20-way mean (the entropy seam); zero-variance words drop (every
+    source uses them identically — no style signal, and z would be
+    0/0).
+
+    Shape: one token explode → (source, word) counts (the only fact
+    exchange); the top-20 vocabulary is a broadcast TakeOrdered; the
+    z-matrix is |sources|×20 and self-joins on word — nothing scales
+    with the corpus beyond the first aggregate.
+
+    Reference analog: none — extension surface (stylometry, corpus
+    family).
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "source", F.explode(tokens(F.lower("text"))).alias("word")
+    ).where(F.col("word") != "")
+    sw = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    totals = sw.groupBy("source").agg(F.sum("n").alias("n_tot"))
+    top = (
+        sw.groupBy("word")
+        .agg(F.sum("n").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(DELTA_TOP_WORDS)
+        .select("word")
+    )
+    # dense (source × top-word) grid: absent cells are 0-frequency
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(sw, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            (
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("n_tot").cast("double")
+            ).alias("f"),
+        )
+    )
+    qf = F.round(F.col("f"), 9).cast("decimal(18,9)")
+    stats = (
+        grid.select("word", qf.alias("qf"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("qf").alias("s1"),
+            F.sum((F.col("qf") * F.col("qf")).cast("decimal(38,18)")).alias(
+                "s2"
+            ),
+        )
+    )
+    md = F.col("m").cast("double")
+    mu = F.col("s1").cast("double") / md
+    var = F.col("s2").cast("double") / md - mu * mu
+    zstats = stats.select(
+        "word",
+        mu.alias("mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd"),
+    ).where(F.col("sd") > 0)
+    z = (
+        grid.join(F.broadcast(zstats), "word")
+        .select(
+            "source",
+            "word",
+            F.round(
+                (F.col("f") - F.col("mu")) / F.col("sd"), 9
+            ).cast("decimal(18,9)").alias("z"),
+        )
+        .localCheckpoint()
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "word", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "word", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "word")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.sum(F.abs(F.col("za") - F.col("zb"))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -3345,3 +3345,62 @@ def test_best_of_n_picks_highest_scorer(spark, tmp_path):
     assert g0.n_candidates == 4
     assert abs(g0.mean_score - (103 + 50 + 110 + 102) / 4) < 1e-9
     assert got[1].winner_doc_id == 4 and got[1].n_candidates == 1
+
+
+# --- round-4 continuation 53: stylometry, payment screen ----------------
+
+
+def test_burrows_delta_separates_styles(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        burrows_delta_sources,
+    )
+
+    d = str(tmp_path / "sf_delta")
+    # s1/s2 share a style (heavy 'alpha beta'); s3 writes differently
+    rows = (
+        [(i, "alpha beta alpha beta gamma", "en", "s1", 1)
+         for i in range(5)]
+        + [(10 + i, "alpha beta beta alpha delta", "en", "s2", 1)
+           for i in range(5)]
+        + [(20 + i, "omega psi chi phi upsilon tau", "en", "s3", 1)
+           for i in range(5)]
+    )
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    got = {(r.src_a, r.src_b): r.delta
+           for r in burrows_delta_sources(spark, d).collect()}
+    assert got[("s1", "s2")] < got[("s1", "s3")]
+    assert got[("s1", "s2")] < got[("s2", "s3")]
+
+
+def test_similar_payment_screen_band_and_window(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.joins import (
+        similar_payment_screen,
+    )
+
+    d = str(tmp_path / "sf_simpay")
+    rows = [
+        # pair inside band+window (prices straddle a bucket boundary:
+        # 999.50 -> bucket 1, 1000.10 -> bucket 2 — neighbor explode
+        # must still find it)
+        (1, 7, 999.50, "2024-01-01"),
+        (2, 7, 1000.10, "2024-02-01"),
+        # same customer, outside the 180-day window
+        (3, 7, 999.00, "2025-06-01"),
+        # other customer, inside band/window but different key
+        (4, 8, 999.60, "2024-01-05"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    ).write.parquet(d + "/orders.parquet")
+    got = [(r.ord_a, r.ord_b) for r in
+           similar_payment_screen(spark, d).collect()]
+    assert got == [(1, 2)]
