@@ -143,7 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sprt_daily_monitor, image_downsample_metrics, dp_noisy_counts,
     asof_next_purchase, inventory_order_policies,
     trade_flow_matrix, best_of_n_selection,
-    burrows_delta_sources, similar_payment_screen —
+    burrows_delta_sources, similar_payment_screen,
+    split_repair_assignments, business_days_latency —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built
     (part_size_price_contingency's price edges moved to 910/940 in
@@ -598,6 +599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the banded near-duplicate payment screen
         "burrows_delta_sources": T.burrows_delta_sources,
         "similar_payment_screen": J.similar_payment_screen,
+        # (bf) round-4 continuation 54 — near-dup split-leakage REPAIR
+        # and business-day shipping latency
+        "split_repair_assignments": CP.split_repair_assignments,
+        "business_days_latency": R.business_days_latency,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8234,5 +8239,107 @@ def _oracle_sql_literals() -> dict[str, str]:
               AND abs(a.price - b.price) <= 500
               AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 180
             ORDER BY a.o_custkey, ord_a, ord_b
+        """,
+        # composes the CC recursive CTE with the hash-split lattice;
+        # every clustered doc takes its canonical member's split
+        "split_repair_assignments": """
+            WITH comp AS (
+
+                        WITH RECURSIVE toks AS (
+                            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                            FROM documents WHERE doc_id < 1000
+                        ), all_shingles AS (
+                            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                            FROM (SELECT doc_id, t,
+                                         unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                                  FROM toks)
+                        ), shingles AS (
+                            -- stop-shingle df-cap, mirroring NGRAM_DF_CAP in dedup.py
+                            SELECT doc_id, shingle FROM all_shingles
+                            WHERE shingle NOT IN (
+                                SELECT shingle FROM all_shingles
+                                GROUP BY shingle HAVING COUNT(*) > 50
+                            )
+                        ), sizes AS (
+                            SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+                        ), inter AS (
+                            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                            FROM shingles a JOIN shingles b USING (shingle)
+                            WHERE a.doc_id < b.doc_id
+                            GROUP BY 1, 2
+                        ), pairs AS (
+                            SELECT id_a, id_b
+                            FROM inter
+                            JOIN sizes sa ON sa.doc_id = id_a
+                            JOIN sizes sb ON sb.doc_id = id_b
+                            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+                        ), edges AS (
+                            SELECT id_a AS src, id_b AS dst FROM pairs
+                            UNION
+                            SELECT id_b, id_a FROM pairs
+                        ), reach AS (
+                            SELECT src, dst FROM edges
+                            UNION
+                            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+                        ), comp AS (
+                            SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src
+                        )
+                        SELECT d.doc_id,
+                               COALESCE(LEAST(c.src, c.min_reach), d.doc_id) AS component
+                        FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+                        WHERE d.doc_id < 1000
+        
+            ), sizes AS (
+                SELECT component, COUNT(*) AS n FROM comp GROUP BY component
+            ), clustered AS (
+                SELECT c.doc_id, c.component FROM comp c
+                JOIN sizes s USING (component) WHERE s.n > 1
+            ), splits AS (
+                SELECT doc_id,
+                       CASE WHEN bucket < 80 THEN 'train'
+                            WHEN bucket < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (SELECT doc_id,
+                             CAST(concat('0x', substr(
+                                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                                 1, 8)) AS BIGINT) % 100 AS bucket
+                      FROM documents)
+            )
+            SELECT cl.doc_id, cl.component,
+                   s.split AS old_split,
+                   cs.split AS new_split,
+                   (s.split != cs.split) AS moved
+            FROM clustered cl
+            JOIN splits s ON s.doc_id = cl.doc_id
+            JOIN splits cs ON cs.doc_id = cl.component
+            ORDER BY cl.doc_id
+        """,
+        # weekdays-before-date closed form from a Monday anchor
+        # (f(d) = 5 floor(n/7) + least(n mod 7, 5)) — no calendar
+        # table, no per-day explode
+        "business_days_latency": """
+            WITH j AS (
+                SELECT o.o_orderpriority,
+                       CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                           AS cal,
+                       (5 * CAST(floor(date_diff('day', DATE '1990-01-01',
+                                 l.l_shipdate) / 7.0) AS BIGINT)
+                        + least(date_diff('day', DATE '1990-01-01', l.l_shipdate) % 7,
+                                5))
+                       - (5 * CAST(floor(date_diff('day', DATE '1990-01-01',
+                                   o.o_orderdate) / 7.0) AS BIGINT)
+                          + least(date_diff('day', DATE '1990-01-01',
+                                  o.o_orderdate) % 7, 5)) AS bd
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(cal) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avg_calendar_days,
+                   CAST(SUM(bd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avg_business_days,
+                   ROUND(CAST(SUM(cal) - SUM(bd) AS DOUBLE)
+                         / CAST(SUM(cal) AS DOUBLE), 6) AS weekend_share
+            FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
     }

@@ -1336,3 +1336,50 @@ def best_of_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+def split_repair_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPAIR the train/val/test split's near-dup leakage: every
+    member of a multi-document near-dup cluster moves to its
+    CANONICAL member's split (the cluster's min doc_id — the same
+    representative near_dedup_corpus keeps), so no cluster straddles
+    a split boundary afterwards. split_leakage_pairs AUDITS the
+    contamination channel; this emits the fix: per clustered doc —
+    doc_id, component, old_split, new_split, moved. The downstream
+    consumer anti-joins moved rows or applies new_split directly;
+    by construction the repaired assignment has ZERO leaking pairs
+    (property-tested).
+
+    Shape: composes dedup_components' fix-point labeling (pair scope
+    doc_id < 1000, its documented contract) with hash_split; the
+    repair itself is one |cluster-members|-sized join of the label
+    table to the split table plus a canonical-split broadcast —
+    nothing new scales with the corpus.
+
+    Reference analog: none — extension surface (corpus family).
+    """
+    from .dedup import dedup_components
+    from .textops import hash_split
+
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    clustered = comp.join(
+        F.broadcast(sizes.where(F.col("n") > 1)), "component"
+    )
+    splits = hash_split(spark, sf_dir).select("doc_id", "split")
+    canon = splits.select(
+        F.col("doc_id").alias("component"),
+        F.col("split").alias("new_split"),
+    )
+    return (
+        clustered.join(splits, "doc_id")
+        .join(F.broadcast(canon), "component")
+        .select(
+            "doc_id",
+            "component",
+            F.col("split").alias("old_split"),
+            "new_split",
+            (F.col("split") != F.col("new_split")).alias("moved"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1237,3 +1237,61 @@ def inventory_order_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+BD_ANCHOR = "1990-01-01"  # a Monday: weekday math anchors here
+
+
+def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping latency in BUSINESS days per order priority, beside
+    the calendar-day figure — the SLA number ops teams actually commit
+    to (a Friday order shipped Monday is 3 calendar days but 1
+    business day; ship_latency_quartiles and ship_sla_pchart both
+    count calendar days). Per priority: n_items, avg_calendar_days,
+    avg_business_days, weekend_share.
+
+    NO calendar table and NO per-day explode: weekdays-before-date is
+    the closed form f(d) = 5·floor(n/7) + least(n mod 7, 5) with n =
+    days since a fixed Monday anchor, so the business-day latency is
+    f(ship) − f(order) — two integer expressions per row, exact on
+    any engine, and the per-priority sums stay BIGINT.
+
+    Reference analog: none — extension surface (ops family).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+
+    def f(col):
+        n = F.datediff(col, F.lit(BD_ANCHOR).cast("date"))
+        return (
+            F.lit(5) * F.floor(n / 7).cast("long")
+            + F.least(n % 7, F.lit(5)).cast("long")
+        )
+
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("cal"),
+        (f(F.col("l_shipdate")) - f(F.col("o_orderdate"))).alias("bd"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum("cal").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_calendar_days"),
+            (
+                F.sum("bd").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_business_days"),
+            F.round(
+                (F.sum("cal") - F.sum("bd")).cast("double")
+                / F.sum("cal").cast("double"),
+                6,
+            ).alias("weekend_share"),
+        )
+        .orderBy("o_orderpriority")
+    )

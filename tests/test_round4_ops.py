@@ -3404,3 +3404,49 @@ def test_similar_payment_screen_band_and_window(spark, tmp_path):
     got = [(r.ord_a, r.ord_b) for r in
            similar_payment_screen(spark, d).collect()]
     assert got == [(1, 2)]
+
+
+# --- round-4 continuation 54: split repair, business days ---------------
+
+
+def test_split_repair_eliminates_all_leaks(spark):
+    """Property: after applying new_split, NO near-dup pair straddles
+    a split boundary (the leak count the audit reports drops to 0)."""
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        split_repair_assignments,
+    )
+
+    rows = split_repair_assignments(spark, SF).collect()
+    assert rows
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.new_split)
+    for comp, splits in by_comp.items():
+        assert len(splits) == 1, (comp, splits)  # whole cluster together
+    # and the repair is non-trivial: something actually moved
+    assert any(r.moved for r in rows)
+
+
+def test_business_days_closed_form(spark, tmp_path):
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        business_days_latency,
+    )
+
+    d = str(tmp_path / "sf_bd")
+    # order Fri 2024-01-05, ship Mon 2024-01-08: 3 calendar, 1 business
+    # (the weekdays in [Fri, Mon) = {Fri})
+    spark.createDataFrame(
+        [(1, "1-URGENT", "2024-01-05")],
+        "o_orderkey long, o_orderpriority string, o_orderdate string",
+    ).select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        [(1, "2024-01-08")], "l_orderkey long, l_shipdate string"
+    ).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("l_shipdate")
+    ).write.parquet(d + "/lineitem.parquet")
+    r = business_days_latency(spark, d).collect()[0]
+    assert r.avg_calendar_days == 3.0 and r.avg_business_days == 1.0
+    assert abs(r.weekend_share - round(2 / 3, 6)) < 1e-9
