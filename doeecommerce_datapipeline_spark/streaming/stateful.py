@@ -505,3 +505,69 @@ def markov_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SUPPRESS_COOLDOWN_SEC = 600
+SUPPRESS_OUT_SCHEMA = (
+    "alert_key string, ts timestamp, n_suppressed long, emitted boolean"
+)
+SUPPRESS_STATE_SCHEMA = "last_emit_us long, n_suppressed long"
+
+
+def _track_suppression(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold one alert key's micro-batch: emit the first alert, swallow
+    repeats inside the cooldown (counting them), re-arm after it.
+    Alerts sort by timestamp inside the batch so the decision sequence
+    is order-defined."""
+    import pandas as pd
+
+    (akey,) = key
+    alerts = []
+    for pdf in pdfs:
+        alerts.extend(int(t) for t in pdf["tus"])
+    alerts.sort()
+    if state.exists:
+        last_emit, n_sup = state.get
+    else:
+        last_emit, n_sup = -(10 ** 18), 0
+    out_ts, out_sup, out_emit = [], [], []
+    for t in alerts:
+        if t - last_emit >= SUPPRESS_COOLDOWN_SEC * 1_000_000:
+            out_ts.append(t)
+            out_sup.append(n_sup)
+            out_emit.append(True)
+            last_emit, n_sup = t, 0
+        else:
+            n_sup += 1
+    state.update((last_emit, n_sup))
+    yield pd.DataFrame(
+        {
+            "alert_key": [akey] * len(out_ts),
+            "ts": pd.to_datetime(out_ts, unit="us"),
+            "n_suppressed": out_sup,
+            "emitted": [True] * len(out_ts),
+        }
+    )
+
+
+def alert_suppression_stream(alerts: DataFrame) -> DataFrame:
+    """Alert-fatigue control: pass each key's FIRST alert, swallow
+    repeats for a 10-minute cooldown, and stamp every emitted alert
+    with how many were suppressed since the last one — the dedup stage
+    every alerting pipeline needs between detection (velocity_alert_
+    stream, the PSI monitor) and the pager. Constant state per key
+    (one timestamp + one counter); emitted stream is append-mode.
+    Input: any stream with (alert_key string, ts timestamp)."""
+    ensure_shipped(alerts.sparkSession)
+    pts = alerts.select(
+        "alert_key", F.unix_micros("ts").alias("tus")
+    )
+    return pts.groupBy("alert_key").applyInPandasWithState(
+        _track_suppression,
+        outputStructType=SUPPRESS_OUT_SCHEMA,
+        stateStructType=SUPPRESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -767,3 +767,68 @@ def test_online_markov_counts_match_batch(spark, tmp_path):
         for r in markov_transitions(spark, sf).collect()
     }
     assert online == batch
+
+
+def test_alert_suppression_cooldown(spark, tmp_path):
+    """First alert passes, repeats inside the 10-min cooldown are
+    swallowed and counted, the first after re-arm carries the count —
+    including across micro-batch boundaries (state persists)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from doeecommerce_datapipeline_spark.streaming.stateful import (
+        alert_suppression_stream,
+    )
+
+    rows1 = [
+        ("k1", "2024-01-01 10:00:00"),
+        ("k1", "2024-01-01 10:03:00"),  # suppressed
+        ("k1", "2024-01-01 10:08:00"),  # suppressed
+    ]
+    rows2 = [
+        ("k1", "2024-01-01 10:12:00"),  # > 10 min after 10:00 -> emits
+        ("k2", "2024-01-01 10:12:30"),  # new key -> emits
+    ]
+    base = str(tmp_path / "al_in")
+    os.makedirs(base, exist_ok=True)
+    for i, rows in enumerate([rows1, rows2]):
+        stg = os.path.join(base, f"_stg{i}")
+        spark.createDataFrame(
+            rows, "alert_key string, ts string"
+        ).selectExpr(
+            "alert_key", "CAST(ts AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.parquet(stg)
+        [part] = glob.glob(os.path.join(stg, "*.parquet"))
+        dst = os.path.join(base, f"b{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stg)
+        os.utime(dst, (_time.time() + i, _time.time() + i))
+    stream = (
+        spark.readStream.schema("alert_key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        alert_suppression_stream(stream)
+        .writeStream.format("memory")
+        .queryName("al_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "al_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r.alert_key, r.ts.strftime("%H:%M"), r.n_suppressed)
+        for r in spark.sql(
+            "SELECT * FROM al_out ORDER BY alert_key, ts"
+        ).collect()
+    ]
+    assert got == [
+        ("k1", "10:00", 0),
+        ("k1", "10:12", 2),  # the two swallowed alerts are accounted
+        ("k2", "10:12", 0),
+    ]
