@@ -144,9 +144,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     asof_next_purchase, inventory_order_policies,
     trade_flow_matrix, best_of_n_selection,
     burrows_delta_sources, similar_payment_screen,
-    split_repair_assignments, business_days_latency —
+    split_repair_assignments, business_days_latency,
+    budget_allocation_plan —
     all locally hash-verified
-    at sf0.01 under a vanilla foreign-cwd session when built
+    at sf0.01 under a vanilla foreign-cwd session when built AND
+    re-swept at round end (the full-registry sweep: every oracle pair
+    compared at sf0.01 from /tmp with a bare SparkSession — 288
+    entries, 0 failures)
     (part_size_price_contingency's price edges moved to 910/940 in
     r4 — the 1000/1500 edges left one bucket, a vacuous all-zero χ²
     grid; it sits in the r4 WINDOW so the fixed form is
@@ -603,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and business-day shipping latency
         "split_repair_assignments": CP.split_repair_assignments,
         "business_days_latency": R.business_days_latency,
+        # (bg) round-4 continuation 55 — Hamilton largest-remainder
+        # apportionment of a document budget across sources
+        "budget_allocation_plan": CP.budget_allocation_plan,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8341,5 +8348,38 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ROUND(CAST(SUM(cal) - SUM(bd) AS DOUBLE)
                          / CAST(SUM(cal) AS DOUBLE), 6) AS weekend_share
             FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # Hamilton apportionment: one quantized pow, fixed IEEE ideal dag,
+        # (frac DESC, source) remainder ranking; sum(alloc) = B exactly
+        "budget_allocation_plan": """
+            WITH per AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ), weighted AS (
+                SELECT source, n_docs,
+                       CAST(ROUND(pow(CAST(n_docs AS DOUBLE), 0.7), 9)
+                           AS DECIMAL(18,9)) AS w
+                FROM per
+            ), tot AS (SELECT SUM(w) AS wt FROM weighted),
+            based AS (
+                SELECT source, n_docs, CAST(w AS DOUBLE) AS weight,
+                       ROUND(10000.0 * CAST(w AS DOUBLE) / CAST(t.wt AS DOUBLE), 6)
+                           AS ideal,
+                       CAST(floor(10000.0 * CAST(w AS DOUBLE)
+                           / CAST(t.wt AS DOUBLE)) AS BIGINT) AS base,
+                       10000.0 * CAST(w AS DOUBLE) / CAST(t.wt AS DOUBLE)
+                           - floor(10000.0 * CAST(w AS DOUBLE)
+                                   / CAST(t.wt AS DOUBLE)) AS frac
+                FROM weighted CROSS JOIN tot t
+            ), lo AS (SELECT 10000 - SUM(base) AS leftover FROM based),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, source ASC) AS rnk
+                FROM based
+            )
+            SELECT source, n_docs, weight, ideal, base,
+                   rnk <= (SELECT leftover FROM lo) AS extra_seat,
+                   base + CASE WHEN rnk <= (SELECT leftover FROM lo)
+                               THEN 1 ELSE 0 END AS alloc_docs
+            FROM ranked ORDER BY source
         """,
     }

@@ -1383,3 +1383,76 @@ def split_repair_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+ALLOC_TARGET_DOCS = 10_000
+ALLOC_TEMPERATURE = 0.7
+
+
+def budget_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a document budget
+    across sources under temperature weighting: weight_g = n_g^0.7,
+    ideal_g = B·w_g/Σw, every source gets floor(ideal), and the
+    leftover seats go to the largest fractional remainders — the
+    integer allocation a sampler actually executes (mix_epochs_plan
+    says how many PASSES per source; this says how many DOCUMENTS when
+    one concrete budget B must be hit EXACTLY: Σalloc = B by
+    construction, property-tested). Per source: n_docs, weight, ideal,
+    base, extra_seat, alloc_docs.
+
+    Determinism: the one engine pow quantizes at 9dp into a decimal
+    weight; ideal is a fixed IEEE dag on those quantized operands
+    (identical doubles on both engines, so floor/fraction agree
+    bit-for-bit); the remainder ranking is the (frac DESC, source ASC)
+    total order; everything after is exact integers.
+
+    Shape: one source-grain aggregate; the apportionment runs over
+    |sources| rows with one broadcast leftover scalar.
+
+    Reference analog: none — extension surface (corpus family).
+    """
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.round(
+        F.pow(F.col("n_docs").cast("double"), F.lit(ALLOC_TEMPERATURE)), 9
+    ).cast("decimal(18,9)")
+    weighted = per.select("source", "n_docs", w.alias("w")).localCheckpoint()
+    tot = weighted.agg(F.sum("w").alias("wt"))
+    ideal = (
+        F.lit(float(ALLOC_TARGET_DOCS))
+        * F.col("w").cast("double")
+        / F.col("wt").cast("double")
+    )
+    based = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("w").cast("double").alias("weight"),
+            F.round(ideal, 6).alias("ideal"),
+            F.floor(ideal).cast("long").alias("base"),
+            (ideal - F.floor(ideal)).alias("frac"),
+        )
+        .localCheckpoint()
+    )
+    leftover = based.agg(
+        (F.lit(ALLOC_TARGET_DOCS) - F.sum("base")).alias("leftover")
+    )
+    wr = Window.orderBy(F.desc("frac"), F.asc("source"))
+    return (
+        based.withColumn("rnk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            "ideal",
+            "base",
+            (F.col("rnk") <= F.col("leftover")).alias("extra_seat"),
+            (
+                F.col("base")
+                + (F.col("rnk") <= F.col("leftover")).cast("long")
+            ).alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )

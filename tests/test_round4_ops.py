@@ -3450,3 +3450,17 @@ def test_business_days_closed_form(spark, tmp_path):
     r = business_days_latency(spark, d).collect()[0]
     assert r.avg_calendar_days == 3.0 and r.avg_business_days == 1.0
     assert abs(r.weekend_share - round(2 / 3, 6)) < 1e-9
+
+
+def test_budget_allocation_sums_exactly_to_target(spark):
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        ALLOC_TARGET_DOCS,
+        budget_allocation_plan,
+    )
+
+    rows = budget_allocation_plan(spark, SF).collect()
+    assert sum(r.alloc_docs for r in rows) == ALLOC_TARGET_DOCS
+    for r in rows:
+        assert r.alloc_docs in (r.base, r.base + 1)
+        # temperature < 1 compresses: no source starves entirely
+        assert r.alloc_docs > 0
