@@ -145,7 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trade_flow_matrix, best_of_n_selection,
     burrows_delta_sources, similar_payment_screen,
     split_repair_assignments, business_days_latency,
-    budget_allocation_plan —
+    budget_allocation_plan, source_js_divergence,
+    textrank_keywords —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -610,6 +611,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bg) round-4 continuation 55 — Hamilton largest-remainder
         # apportionment of a document budget across sources
         "budget_allocation_plan": CP.budget_allocation_plan,
+        # (bh) round-4 continuation 56 — pairwise Jensen–Shannon
+        # divergence between source unigram distributions and
+        # TextRank keyword extraction over the word co-occurrence
+        # graph (the quantized pagerank kernel, third consumer)
+        "source_js_divergence": T.source_js_divergence,
+        "textrank_keywords": T.textrank_keywords,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8381,5 +8388,124 @@ def _oracle_sql_literals() -> dict[str, str]:
                    base + CASE WHEN rnk <= (SELECT leftover FROM lo)
                                THEN 1 ELSE 0 END AS alloc_docs
             FROM ranked ORDER BY source
+        """,
+        "source_js_divergence": """
+            WITH toks AS (
+                SELECT source,
+                       UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                FROM documents
+            ), t2 AS (SELECT source, tok FROM toks WHERE tok != ''),
+            tf AS (
+                SELECT source, tok, COUNT(*) AS tf FROM t2 GROUP BY 1, 2
+            ), tot AS (SELECT source, SUM(tf) AS total FROM tf GROUP BY 1),
+            probs AS (
+                SELECT tf.source, tf.tok,
+                       CAST(tf.tf AS DOUBLE) / CAST(tot.total AS DOUBLE) AS p
+                FROM tf JOIN tot ON tf.source = tot.source
+            ), pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+                       SUM(CAST(ROUND(a.p, 12) AS DECIMAL(24,12))) AS ma,
+                       SUM(CAST(ROUND(b.p, 12) AS DECIMAL(24,12))) AS mb,
+                       SUM(CAST(ROUND(
+                           0.5 * (a.p * ln(2.0 * a.p / (a.p + b.p))
+                                + b.p * ln(2.0 * b.p / (a.p + b.p))), 9)
+                           AS DECIMAL(18,9))) AS js_shared
+                FROM probs a JOIN probs b
+                  ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared_terms,
+                   CAST(ma AS DOUBLE) AS shared_mass_a,
+                   CAST(mb AS DOUBLE) AS shared_mass_b,
+                   ROUND(CAST(js_shared AS DOUBLE)
+                         + 0.5 * ((1.0 - CAST(ma AS DOUBLE))
+                                + (1.0 - CAST(mb AS DOUBLE))) * ln(2.0),
+                         9) AS js_nats,
+                   ROUND((CAST(js_shared AS DOUBLE)
+                          + 0.5 * ((1.0 - CAST(ma AS DOUBLE))
+                                 + (1.0 - CAST(mb AS DOUBLE))) * ln(2.0))
+                         / ln(2.0), 9) AS js_bits
+            FROM pairs ORDER BY source_a, source_b
+        """,
+        "textrank_keywords": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                      FROM toks)
+            ), canon AS (
+                SELECT DISTINCT doc_id,
+                       least(w1, w2) AS u, greatest(w1, w2) AS v
+                FROM bg
+                WHERE length(w1) >= 3 AND length(w2) >= 3 AND w1 != w2
+            ), pairs AS (
+                SELECT u, v FROM canon GROUP BY u, v
+                HAVING COUNT(*) >= 2
+            ), edges AS (
+                SELECT u AS src, v AS dst FROM pairs
+                UNION ALL
+                SELECT v AS src, u AS dst FROM pairs
+            ), nodes AS (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            ), nn AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+            ), outdeg AS (
+                SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+            ), r0 AS (
+                SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                FROM nodes CROSS JOIN nn
+            ), m1 AS (
+                SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / CAST(od.outdeg AS DOUBLE), 14)
+                                AS DECIMAL(28,14))) AS in_mass
+                FROM edges e
+                JOIN outdeg od ON e.src = od.src
+                JOIN r0 r ON r.node = e.src
+                GROUP BY 1
+            ), r1 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(m1.in_mass AS DOUBLE), 0.0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN m1 ON m1.node = nodes.node
+            ), m2 AS (
+                SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / CAST(od.outdeg AS DOUBLE), 14)
+                                AS DECIMAL(28,14))) AS in_mass
+                FROM edges e
+                JOIN outdeg od ON e.src = od.src
+                JOIN r1 r ON r.node = e.src
+                GROUP BY 1
+            ), r2 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(m2.in_mass AS DOUBLE), 0.0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN m2 ON m2.node = nodes.node
+            ), m3 AS (
+                SELECT e.dst AS node,
+                       SUM(CAST(ROUND(r.rank / CAST(od.outdeg AS DOUBLE), 14)
+                                AS DECIMAL(28,14))) AS in_mass
+                FROM edges e
+                JOIN outdeg od ON e.src = od.src
+                JOIN r2 r ON r.node = e.src
+                GROUP BY 1
+            ), r3 AS (
+                SELECT nodes.node,
+                       CAST(0.15 AS DOUBLE) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(m3.in_mass AS DOUBLE), 0.0) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN m3 ON m3.node = nodes.node
+            )
+            SELECT node AS word, rank AS tr FROM r3
+            ORDER BY tr DESC, word ASC
+            LIMIT 20
         """,
     }

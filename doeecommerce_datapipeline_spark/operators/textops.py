@@ -1717,3 +1717,159 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of sources'
+    unigram token distributions — the data-mixing diagnostic that
+    burrows_delta_sources (style) and source_overlap_matrix (shared
+    content) don't give: HOW FAR APART two providers' vocabularies
+    are as probability distributions. JS is symmetric, bounded by
+    ln 2, and needs no smoothing (the mixture m=(p+q)/2 is positive
+    wherever either side is), which is why it beats raw KL for
+    corpus work. Returns (source_a, source_b, n_shared_terms,
+    shared_mass_a, shared_mass_b, js_nats, js_bits).
+
+    The exclusive-mass identity keeps the pair join INNER: a term
+    present only in a contributes p·ln(2p/(p+0)) = p·ln2 to the
+    a-side sum, so the whole only-in-a tail collapses to
+    (1 − shared_mass_a)·ln2 — no full-outer join, no zero-filled
+    vocab grid per pair.
+
+    Determinism: p and q are exact int-ratio doubles; each shared
+    term's JS contribution 0.5·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    rounds at 9 dp into DECIMAL(18,9) before the order-free sum
+    (the token_entropy seam — natural log on both sides), and the
+    shared masses round at 12 dp into DECIMAL(24,12) so the closing
+    exclusive-mass arithmetic runs on bit-identical operands.
+
+    Shape: one (source, term) count exchange (the tf table is
+    localCheckpointed for its two consumers); per-source totals
+    broadcast back; the pair join is vocab-sized, never fact-sized.
+
+    Reference analog: none — extension surface (training-data
+    mixing / corpus family).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    totals = tf.groupBy("source").agg(F.sum("tf").alias("total"))
+    probs = tf.join(F.broadcast(totals), "source").select(
+        "source",
+        "tok",
+        (F.col("tf").cast("double") / F.col("total").cast("double")).alias("p"),
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"), "tok", F.col("p").alias("pb")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    contrib = F.round(
+        F.lit(0.5)
+        * (
+            pa * F.log(F.lit(2.0) * pa / (pa + pb))
+            + pb * F.log(F.lit(2.0) * pb / (pa + pb))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    q12 = lambda c: F.round(c, 12).cast("decimal(24,12)")  # noqa: E731
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.sum(q12(pa)).alias("ma"),
+            F.sum(q12(pb)).alias("mb"),
+            F.sum(contrib).alias("js_shared"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    excl = (
+        F.lit(0.5)
+        * ((F.lit(1.0) - F.col("ma").cast("double"))
+           + (F.lit(1.0) - F.col("mb").cast("double")))
+        * ln2
+    )
+    js = F.col("js_shared").cast("double") + excl
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        F.col("ma").cast("double").alias("shared_mass_a"),
+        F.col("mb").cast("double").alias("shared_mass_b"),
+        F.round(js, 9).alias("js_nats"),
+        F.round(js / ln2, 9).alias("js_bits"),
+    ).orderBy("source_a", "source_b")
+
+
+TEXTRANK_MIN_WORD_LEN = 3
+TEXTRANK_MIN_PAIR_DOCS = 2
+TEXTRANK_TOPK = 20
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — nodes are words, an
+    undirected edge links words that appear ADJACENT in some document
+    — so a word ranks high when it co-occurs with other high-ranking
+    words, not merely when it is frequent (the property tf/tfidf
+    rankings lack). Returns the top-20 (word, tr) keywords.
+
+    Graph hygiene bounds the node/edge sets: words shorter than 3
+    chars drop (the stopword proxy when no POS tagger is in scope)
+    and an edge must co-occur in ≥ 2 DISTINCT documents (noise-edge
+    pruning) — so edges are bounded by recurring bigram diversity,
+    never fact size. Rank iteration is the shared quantized
+    ``pagerank`` kernel (graph.py): decimal-quantized contributions,
+    3 fixed passes — the same cross-engine-exact seam that made
+    supplier_influence_rank oracle-pairable; the oracle unrolls the
+    identical three rounds in SQL.
+
+    Shape: one bigram explode → distinct (doc, pair) → pair-df
+    aggregate builds the edge list; after that every structure is
+    graph-sized (see pagerank's zero-edge-reshuffle contract).
+
+    Reference analog: none — extension surface (text-analysis
+    family).
+    """
+    from .graph import pagerank
+
+    d = table(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(bigrams(F.col("text"))).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    ok = (
+        (F.length("w1") >= TEXTRANK_MIN_WORD_LEN)
+        & (F.length("w2") >= TEXTRANK_MIN_WORD_LEN)
+        & (F.col("w1") != F.col("w2"))
+    )
+    canon = bg.where(ok).select(
+        "doc_id",
+        F.least("w1", "w2").alias("u"),
+        F.greatest("w1", "w2").alias("v"),
+    )
+    pairs = (
+        canon.distinct()
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .where(F.col("pair_docs") >= TEXTRANK_MIN_PAIR_DOCS)
+        .select("u", "v")
+    )
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    return (
+        pagerank(edges)
+        .select(F.col("node").alias("word"), F.col("rank").alias("tr"))
+        .orderBy(F.desc("tr"), F.asc("word"))
+        .limit(TEXTRANK_TOPK)
+    )

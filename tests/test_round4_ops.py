@@ -3464,3 +3464,76 @@ def test_budget_allocation_sums_exactly_to_target(spark):
         assert r.alloc_docs in (r.base, r.base + 1)
         # temperature < 1 compresses: no source starves entirely
         assert r.alloc_docs > 0
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark, tmp_path):
+    """JS(p,p) = 0; JS of disjoint vocabularies = ln 2 (1 bit)."""
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        source_js_divergence,
+    )
+
+    d = str(tmp_path / "sf_js")
+    rows = (
+        [(i, "alpha beta gamma", "en", "same_a", 1) for i in range(4)]
+        + [(10 + i, "alpha beta gamma", "en", "same_b", 1) for i in range(4)]
+        + [(20 + i, "omega psi chi", "en", "zother", 1) for i in range(4)]
+    )
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    got = {(r.source_a, r.source_b): r for r in
+           source_js_divergence(spark, d).collect()}
+    assert got[("same_a", "same_b")].js_nats == 0.0
+    assert got[("same_a", "same_b")].js_bits == 0.0
+    # disjoint vocab pairs share no terms → inner join drops them; the
+    # matrix is shared-vocab pairs only (the exclusive-mass identity
+    # needs at least one shared term to anchor the pair row)
+    assert ("same_a", "zother") not in got
+    import math
+    # one planted shared term, rest disjoint: js must sit between the
+    # identical floor and the disjoint ceiling
+    rows2 = [(0, "alpha aaa bbb", "en", "s1", 1),
+             (1, "alpha ccc ddd", "en", "s2", 1)]
+    d2 = str(tmp_path / "sf_js2")
+    spark.createDataFrame(
+        rows2,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d2 + "/documents.parquet")
+    r = source_js_divergence(spark, d2).collect()[0]
+    assert 0.0 < r.js_nats < math.log(2.0)
+    assert abs(r.js_bits - r.js_nats / math.log(2.0)) < 1e-9
+
+
+def test_textrank_hub_word_ranks_first(spark, tmp_path):
+    """A word adjacent to many distinct recurring partners out-ranks
+    words living in one isolated recurring pair."""
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        textrank_keywords,
+    )
+
+    d = str(tmp_path / "sf_tr")
+    # 'hub' pairs with 6 partners, each bigram in 2 docs (passes the
+    # pair-df >= 2 gate); 'loner'-'mate' is a single recurring pair
+    partners = ["aaa", "bbb", "ccc", "ddd", "eee", "fff"]
+    rows = []
+    i = 0
+    for rep in range(2):
+        for p in partners:
+            rows.append((i, f"hub {p}", "en", "s", 1))
+            i += 1
+        rows.append((i, "loner mate", "en", "s", 1))
+        i += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = textrank_keywords(spark, d).collect()
+    assert out[0].word == "hub"
+    tr = {r.word: r.tr for r in out}
+    assert tr["hub"] > tr["loner"]
+    # short words (< 3 chars) never enter the graph
+    assert all(len(r.word) >= 3 for r in out)
