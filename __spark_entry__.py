@@ -146,7 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     burrows_delta_sources, similar_payment_screen,
     split_repair_assignments, business_days_latency,
     budget_allocation_plan, source_js_divergence,
-    textrank_keywords —
+    textrank_keywords, part_skyline, runs_test_revenue,
+    ljung_box_revenue, kendall_tau_daily —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -617,6 +618,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph (the quantized pagerank kernel, third consumer)
         "source_js_divergence": T.source_js_divergence,
         "textrank_keywords": T.textrank_keywords,
+        # (bi) round-4 continuation 57 — skyline/Pareto frontier,
+        # Wald–Wolfowitz runs test, Ljung–Box portmanteau (composes
+        # the ACF), and tie-corrected Kendall τ-b concordance
+        "part_skyline": X.part_skyline,
+        "runs_test_revenue": X.runs_test_revenue,
+        "ljung_box_revenue": X.ljung_box_revenue,
+        "kendall_tau_daily": X.kendall_tau_daily,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8507,5 +8515,180 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT node AS word, rank AS tr FROM r3
             ORDER BY tr DESC, word ASC
             LIMIT 20
+        """,
+        "part_skyline": """
+            WITH grid AS (
+                SELECT p_retailprice, MAX(p_size) AS mg
+                FROM part GROUP BY 1
+            ), g2 AS (
+                SELECT p_retailprice, mg,
+                       MAX(mg) OVER (ORDER BY p_retailprice
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS run_strict
+                FROM grid
+            )
+            SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+            FROM part p JOIN g2 ON p.p_retailprice = g2.p_retailprice
+            WHERE p.p_size = g2.mg
+              AND (g2.run_strict IS NULL OR p.p_size > g2.run_strict)
+            ORDER BY p.p_retailprice, p.p_partkey
+        """,
+        "runs_test_revenue": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), ranked AS (
+                SELECT day, rev,
+                       ROW_NUMBER() OVER (ORDER BY rev, day) AS rn
+                FROM daily
+            ), nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM ranked),
+            mid AS (
+                SELECT SUM(
+                    CASE WHEN rn = floor((nd + 1) / 2) THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END
+                  + CASE WHEN rn = floor((nd + 2) / 2) THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS med2
+                FROM ranked CROSS JOIN nrow
+            ), signed AS (
+                SELECT day, (rev * 2 > med2) AS plus
+                FROM daily CROSS JOIN mid
+                WHERE rev * 2 != med2
+            ), flips AS (
+                SELECT plus,
+                       CASE WHEN lag(plus) OVER (ORDER BY day) IS NULL
+                              OR lag(plus) OVER (ORDER BY day) != plus
+                            THEN 1 ELSE 0 END AS new_run
+                FROM signed
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(CASE WHEN plus THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_plus,
+                       CAST(SUM(CASE WHEN plus THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_minus,
+                       CAST(SUM(new_run) AS BIGINT) AS n_runs
+                FROM flips
+            )
+            SELECT n_days, n_plus, n_minus, n_runs,
+                   1.0 + 2.0 * CAST(n_plus AS DOUBLE)
+                       * CAST(n_minus AS DOUBLE)
+                       / CAST(n_days AS DOUBLE) AS expected_runs,
+                   CASE WHEN 2.0 * CAST(n_plus AS DOUBLE)
+                             * CAST(n_minus AS DOUBLE)
+                             * (2.0 * CAST(n_plus AS DOUBLE)
+                                * CAST(n_minus AS DOUBLE)
+                                - CAST(n_days AS DOUBLE))
+                             / (CAST(n_days AS DOUBLE)
+                                * CAST(n_days AS DOUBLE)
+                                * (CAST(n_days AS DOUBLE) - 1.0)) > 0
+                   THEN (CAST(n_runs AS DOUBLE)
+                         - (1.0 + 2.0 * CAST(n_plus AS DOUBLE)
+                            * CAST(n_minus AS DOUBLE)
+                            / CAST(n_days AS DOUBLE)))
+                        / sqrt(2.0 * CAST(n_plus AS DOUBLE)
+                               * CAST(n_minus AS DOUBLE)
+                               * (2.0 * CAST(n_plus AS DOUBLE)
+                                  * CAST(n_minus AS DOUBLE)
+                                  - CAST(n_days AS DOUBLE))
+                               / (CAST(n_days AS DOUBLE)
+                                  * CAST(n_days AS DOUBLE)
+                                  * (CAST(n_days AS DOUBLE) - 1.0)))
+                   END AS z
+            FROM agg
+        """,
+        "ljung_box_revenue": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), lags AS (
+                SELECT CAST(UNNEST(range(1, 8)) AS INTEGER) AS lag
+            ), paired AS (
+                SELECT l.lag, a.rev AS x, b.rev AS y
+                FROM daily a CROSS JOIN lags l
+                JOIN daily b ON b.day = a.day + l.lag
+            ), stats AS (
+                SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+                FROM paired GROUP BY lag
+            ), acfq AS (
+                SELECT lag, n_pairs,
+                       ROUND(CASE
+                           WHEN sqrt(GREATEST(CAST(n_pairs AS DOUBLE) * sxx
+                                              - sx * sx, 0.0))
+                                * sqrt(GREATEST(CAST(n_pairs AS DOUBLE) * syy
+                                                - sy * sy, 0.0)) > 0
+                           THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                                / (sqrt(GREATEST(CAST(n_pairs AS DOUBLE) * sxx
+                                                 - sx * sx, 0.0))
+                                   * sqrt(GREATEST(CAST(n_pairs AS DOUBLE) * syy
+                                                   - sy * sy, 0.0)))
+                       END, 9) AS acf
+                FROM stats
+            ), nd AS (
+                SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE))
+                            AS BIGINT) AS n_days
+                FROM orders
+            ), terms AS (
+                SELECT lag, n_pairs, acf, n_days,
+                       CAST(ROUND(acf * acf
+                                  / (CAST(n_days AS DOUBLE)
+                                     - CAST(lag AS DOUBLE)), 12)
+                            AS DECIMAL(24,12)) AS term
+                FROM acfq CROSS JOIN nd
+            )
+            SELECT lag, n_pairs, acf,
+                   CAST(n_days AS DOUBLE)
+                   * (CAST(n_days AS DOUBLE) + 2.0)
+                   * CAST(SUM(term) OVER (ORDER BY lag
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS DOUBLE)
+                       AS q_stat
+            FROM terms ORDER BY lag
+        """,
+        "kendall_tau_daily": """
+            WITH od AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       COUNT(*) AS x
+                FROM orders GROUP BY 1
+            ), ed AS (
+                SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y
+                FROM events GROUP BY 1
+            ), d AS (
+                SELECT od.day, od.x, ed.y FROM od JOIN ed ON od.day = ed.day
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS concordant,
+                       CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS discordant,
+                       CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ties_x,
+                       CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ties_y
+                FROM d a JOIN d b ON a.day < b.day
+            ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+            SELECT n_days, n_pairs, concordant, discordant, ties_x, ties_y,
+                   CASE WHEN sqrt((CAST(n_pairs AS DOUBLE)
+                                   - CAST(ties_x AS DOUBLE))
+                                  * (CAST(n_pairs AS DOUBLE)
+                                     - CAST(ties_y AS DOUBLE))) > 0
+                        THEN (CAST(concordant AS DOUBLE)
+                              - CAST(discordant AS DOUBLE))
+                             / sqrt((CAST(n_pairs AS DOUBLE)
+                                     - CAST(ties_x AS DOUBLE))
+                                    * (CAST(n_pairs AS DOUBLE)
+                                       - CAST(ties_y AS DOUBLE)))
+                   END AS tau_b
+            FROM agg CROSS JOIN nd
         """,
     }

@@ -2080,3 +2080,229 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(b).alias("scale_b"),
         F.abs(noisy - F.col("true_n")).alias("abs_err"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query over parts: every part for
+    which no other part is BOTH cheaper-or-equal AND bigger-or-equal
+    with at least one strict — the classic multi-criteria operator
+    (Börzsönyi et al., ICDE 2001) that no single ORDER BY can answer:
+    "show me the price/size trade-off curve, not a ranking".
+
+    The naive formulation is an O(n²) dominance anti-join; the 2-D
+    sort-scan identity collapses it to two windows over the PRICE
+    GROUPS: with M_g = max size at price g and S_g = max size over
+    all STRICTLY cheaper groups, a part (p, s) survives iff
+    s = M_{g(p)} (nothing same-price is bigger) and s > S_{g(p)}
+    (nothing cheaper is as big). Equal (price, size) twins both
+    survive — dominance needs a strict edge.
+
+    Shape: one price-group aggregate (grid-bounded: distinct prices,
+    not parts), a single ordered window over that GRID (never the
+    fact), and a broadcast join back onto parts. Returns the
+    frontier sorted by price.
+
+    Reference analog: none — extension surface (OLAP operator
+    family, §2.4 neighbors rollup/cube).
+    """
+    p = table(spark, sf_dir, "part")
+    grid = p.groupBy("p_retailprice").agg(F.max("p_size").alias("mg"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grid = grid.withColumn("run_strict", F.max("mg").over(w))
+    return (
+        p.join(F.broadcast(grid), "p_retailprice")
+        .where(
+            (F.col("p_size") == F.col("mg"))
+            & (
+                F.col("run_strict").isNull()
+                | (F.col("p_size") > F.col("run_strict"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue series: are
+    above-median and below-median days RANDOMLY interleaved, or does
+    the series trend/mean-revert? Too few runs = positive
+    autocorrelation (streaks), too many = oscillation — the
+    model-free stationarity screen to run before trusting any i.i.d.
+    assumption downstream (bootstrap_mean_ci, ab tests). Returns one
+    row: (n_days, n_plus, n_minus, n_runs, expected_runs, z).
+
+    Integer-exact pipeline: daily revenue is an exact DECIMAL(18,2)
+    sum; the median never materializes as a lossy division — the
+    sign test compares 2·rev against v_lo+v_hi (the two middle
+    order statistics), all in exact decimals; equal-to-median days
+    drop per the standard treatment. Runs/N± are BIGINTs; the
+    closing E/Var/z arithmetic is a fixed double dag on exact
+    integer operands (< 2^53), bit-identical across engines.
+
+    Shape: one fact shuffle to the daily rollup; everything after is
+    calendar-bounded (one sort for the order statistics, one lag
+    window for the run boundaries — both over the ≤ #days spine).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    rn = F.row_number().over(Window.orderBy("rev", "day"))
+    ranked = daily.select("day", "rev").withColumn("rn", rn)
+    nrow = ranked.groupBy().agg(F.count(F.lit(1)).alias("nd"))
+    mid = ranked.crossJoin(F.broadcast(nrow)).select(
+        (
+            F.when(
+                F.col("rn") == F.floor((F.col("nd") + 1) / 2), F.col("rev")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            + F.when(
+                F.col("rn") == F.floor((F.col("nd") + 2) / 2), F.col("rev")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("c")
+    ).groupBy().agg(F.sum("c").alias("med2"))
+    signed = (
+        daily.crossJoin(F.broadcast(mid))
+        .where(F.col("rev") * 2 != F.col("med2"))
+        .select(
+            "day", (F.col("rev") * 2 > F.col("med2")).alias("plus")
+        )
+    )
+    flips = signed.select(
+        "plus",
+        F.when(
+            F.lag("plus").over(Window.orderBy("day")).isNull()
+            | (F.lag("plus").over(Window.orderBy("day")) != F.col("plus")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_run"),
+    )
+    agg = flips.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("plus"), 1).otherwise(0)).cast("long").alias("n_plus"),
+        F.sum(F.when(F.col("plus"), 0).otherwise(1)).cast("long").alias("n_minus"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n = F.col("n_days").cast("double")
+    n1 = F.col("n_plus").cast("double")
+    n2 = F.col("n_minus").cast("double")
+    r = F.col("n_runs").cast("double")
+    e = F.lit(1.0) + F.lit(2.0) * n1 * n2 / n
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return agg.select(
+        "n_days",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        e.alias("expected_runs"),
+        F.when(var > 0, (r - e) / F.sqrt(var)).alias("z"),
+    )
+
+
+LB_MAX_LAG = 7
+
+
+def ljung_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau statistic over the daily-revenue ACF:
+    Q(k) = n(n+2)·Σ_{j≤k} ρ_j²/(n−j) for k = 1..7 — the standard
+    "is there ANY autocorrelation up to lag k" test that upgrades
+    daily_revenue_acf's per-lag eyeball into one cumulative number
+    per horizon (compare to the χ²_k table). Composes the parent
+    operator: same ρ_j definition, same 9-dp seam.
+
+    Determinism: ρ_j arrives already rounded at 9 dp from the
+    parent; each ρ²/(n−j) term re-quantizes at 12 dp into
+    DECIMAL(24,12) before the cumulative window sum (an ordered
+    prefix sum over ≤ 7 rows), and the closing n(n+2) scale runs on
+    exact integer operands.
+
+    Shape: the parent's one fact shuffle; the LB extension is a
+    7-row window — free.
+    """
+    from pyspark.sql import Window as W
+
+    acf = daily_revenue_acf(spark, sf_dir)
+    o = table(spark, sf_dir, "orders")
+    nd = o.select(F.to_date("o_orderdate").alias("day")).distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    term = F.round(
+        F.col("acf") * F.col("acf")
+        / (F.col("n_days").cast("double") - F.col("lag").cast("double")),
+        12,
+    ).cast("decimal(24,12)")
+    cum = W.orderBy("lag").rowsBetween(W.unboundedPreceding, 0)
+    withn = acf.crossJoin(F.broadcast(nd)).select(
+        "lag", "n_pairs", "acf", "n_days", term.alias("term")
+    )
+    nday = F.col("n_days").cast("double")
+    return withn.select(
+        "lag",
+        "n_pairs",
+        "acf",
+        (
+            nday * (nday + F.lit(2.0))
+            * F.sum("term").over(cum).cast("double")
+        ).alias("q_stat"),
+    ).orderBy("lag")
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between daily order volume and daily event
+    volume — the tie-corrected CONCORDANCE companion to
+    spearman_rank_corr: counts, for every pair of days, whether the
+    two series move together. τ is robust to any monotone transform
+    and its pairwise definition is exactly integer-countable, which
+    Pearson/Spearman (rank midpoints, float ranks) are not. Returns
+    one row: (n_days, n_pairs, concordant, discordant, ties_x,
+    ties_y, tau_b).
+
+    Shape: the pair blow-up is over the DAILY spine joined to itself
+    (day_a < day_b) — calendar-bounded (~2.9M pairs for a 2400-day
+    range) at ANY fact scale, the theil_sen contract; the two fact
+    tables each shuffle once into their daily rollups. τ-b closes
+    as a fixed double dag on exact BIGINT counts (products stay
+    < 2^53 for a century of days).
+    """
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    od = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ed = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    d = od.join(ed, "day").localCheckpoint()
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("long").alias("ties_x"),
+        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("long").alias("ties_y"),
+    )
+    nd = d.groupBy().agg(F.count(F.lit(1)).alias("n_days"))
+    n0 = F.col("n_pairs").cast("double")
+    c = F.col("concordant").cast("double")
+    disc = F.col("discordant").cast("double")
+    den = F.sqrt(
+        (n0 - F.col("ties_x").cast("double"))
+        * (n0 - F.col("ties_y").cast("double"))
+    )
+    return agg.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.when(den > 0, (c - disc) / den).alias("tau_b"),
+    )

@@ -3537,3 +3537,117 @@ def test_textrank_hub_word_ranks_first(spark, tmp_path):
     assert tr["hub"] > tr["loner"]
     # short words (< 3 chars) never enter the graph
     assert all(len(r.word) >= 3 for r in out)
+
+
+def test_skyline_exact_frontier(spark, tmp_path):
+    """Planted 2-D points with a known Pareto frontier (min price,
+    max size); equal-point twins both survive."""
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        part_skyline,
+    )
+
+    d = str(tmp_path / "sf_sky")
+    pts = [  # (key, price, size): frontier = 1, 2, 3 and twin 4
+        (1, 1.0, 5), (2, 2.0, 8), (3, 3.0, 10),
+        (4, 3.0, 10),        # twin of 3 — both stay (no strict edge)
+        (5, 2.5, 7),         # dominated by 2 (cheaper, bigger)
+        (6, 3.0, 9),         # dominated by 3 (same price, bigger)
+        (7, 4.0, 10),        # dominated by 3 (cheaper, same size)
+        (8, 1.5, 5),         # dominated by 1 (cheaper, same size)
+    ]
+    spark.createDataFrame(
+        [(k, f"part{k}", "b", "t", s, p) for k, p, s in pts],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    got = sorted(r.p_partkey for r in part_skyline(spark, d).collect())
+    assert got == [1, 2, 3, 4]
+
+
+def test_runs_test_alternating_vs_monotone(spark, tmp_path):
+    """A perfectly alternating series maximizes runs (z > 0); a
+    monotone series has exactly 2 runs (z < 0)."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        runs_test_revenue,
+    )
+
+    def mk(dirname, values):
+        d = str(tmp_path / dirname)
+        rows = [
+            (i, 1, "O", float(v),
+             datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i),
+             "1-URGENT")
+            for i, v in enumerate(values)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.parquet(d + "/orders.parquet")
+        return d
+
+    alt = mk("sf_runs_alt", [10, 100] * 10)
+    r = runs_test_revenue(spark, alt).collect()[0]
+    assert r.n_runs == r.n_days  # every step flips
+    assert r.z > 0
+    mono = mk("sf_runs_mono", list(range(1, 21)))
+    r2 = runs_test_revenue(spark, mono).collect()[0]
+    assert r2.n_runs == 2
+    assert r2.z < 0
+    assert r2.n_plus == r2.n_minus == 10
+
+
+def test_ljung_box_cumulative_and_closed_form(spark):
+    """Q(k) is the cumulative n(n+2)·Σ ρ²/(n−j) of the parent ACF
+    rows, and is nondecreasing in k."""
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        daily_revenue_acf,
+        ljung_box_revenue,
+    )
+
+    lb = sorted(ljung_box_revenue(spark, SF).collect(),
+                key=lambda r: r.lag)
+    acf = {r.lag: r.acf for r in daily_revenue_acf(spark, SF).collect()}
+    assert [r.lag for r in lb] == list(range(1, 8))
+    assert all(lb[i].q_stat >= lb[i - 1].q_stat for i in range(1, 7))
+    # the acf column is the parent's, unchanged
+    for r in lb:
+        assert r.acf == acf[r.lag]
+
+
+def test_kendall_tau_perfectly_concordant(spark, tmp_path):
+    """x and y strictly co-monotone over days → tau_b == 1."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        kendall_tau_daily,
+    )
+
+    d = str(tmp_path / "sf_tau")
+    orows, erows, oid, eid = [], [], 0, 0
+    for i in range(6):
+        day = datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i)
+        for _ in range(i + 1):          # x strictly increasing
+            orows.append((oid, 1, "O", 1.0, day, "1-URGENT"))
+            oid += 1
+        for _ in range(2 * i + 1):      # y strictly increasing too
+            erows.append((eid, day, 1, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        erows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    r = kendall_tau_daily(spark, d).collect()[0]
+    assert r.n_days == 6 and r.n_pairs == 15
+    assert r.concordant == 15 and r.discordant == 0
+    assert r.tau_b == 1.0
