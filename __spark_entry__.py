@@ -147,7 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     split_repair_assignments, business_days_latency,
     budget_allocation_plan, source_js_divergence,
     textrank_keywords, part_skyline, runs_test_revenue,
-    ljung_box_revenue, kendall_tau_daily —
+    ljung_box_revenue, kendall_tau_daily,
+    sorted_neighborhood_pairs —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -625,6 +626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test_revenue": X.runs_test_revenue,
         "ljung_box_revenue": X.ljung_box_revenue,
         "kendall_tau_daily": X.kendall_tau_daily,
+        # (bj) round-4 continuation 58 — sorted-neighborhood ER, the
+        # fifth candidate-generation modality (complements blocking)
+        "sorted_neighborhood_pairs": D.sorted_neighborhood_pairs,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8690,5 +8694,24 @@ def _oracle_sql_literals() -> dict[str, str]:
                                        - CAST(ties_y AS DOUBLE)))
                    END AS tau_b
             FROM agg CROSS JOIN nd
+        """,
+        "sorted_neighborhood_pairs": """
+            WITH p AS (
+                SELECT p_partkey, p_name,
+                       ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+                FROM part
+            ), probes AS (
+                SELECT a.p_partkey AS key_a, a.p_name AS name_a,
+                       a.rn AS rn_a, a.rn + o.off AS rn_b
+                FROM p a CROSS JOIN
+                     (SELECT UNNEST(range(1, 5)) AS off) o
+            )
+            SELECT pr.key_a, t.p_partkey AS key_b, pr.name_a,
+                   t.p_name AS name_b,
+                   CAST(pr.rn_b - pr.rn_a AS BIGINT) AS rank_gap,
+                   CAST(levenshtein(pr.name_a, t.p_name) AS BIGINT) AS dist
+            FROM probes pr JOIN p t ON pr.rn_b = t.rn
+            WHERE levenshtein(pr.name_a, t.p_name) <= 10
+            ORDER BY key_a, key_b
         """,
     }

@@ -3651,3 +3651,34 @@ def test_kendall_tau_perfectly_concordant(spark, tmp_path):
     assert r.n_days == 6 and r.n_pairs == 15
     assert r.concordant == 15 and r.discordant == 0
     assert r.tau_b == 1.0
+
+
+def test_sorted_neighborhood_window_and_threshold(spark, tmp_path):
+    """Adjacent-in-sort near-identical names pair up; records more
+    than SN_WINDOW ranks apart never meet even if identical."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = str(tmp_path / "sf_sn")
+    names = [
+        (1, "apple pie alpha"),
+        (2, "apple pie alphb"),      # dist 1 from key 1, adjacent
+        (3, "banana split"),
+        (4, "zzz totally unlike anything else at all"),
+    ]
+    # pad the middle so two identical names sit > SN_WINDOW apart
+    names += [(10 + i, f"m filler {chr(97 + i)}") for i in range(6)]
+    names += [(50, "m filler a")]    # identical to key 10, far in rank?
+    spark.createDataFrame(
+        [(k, n, "b", "t", 1, 1.0) for k, n in names],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    got = {(r.key_a, r.key_b): r for r in
+           sorted_neighborhood_pairs(spark, d).collect()}
+    assert (1, 2) in got and got[(1, 2)].dist == 1
+    # key 4 is lexicographically isolated and edits-far: never matched
+    assert not any(4 in k for k in got)
+    # identical twins sort adjacent → always within the window
+    assert (10, 50) in got and got[(10, 50)].dist == 0
