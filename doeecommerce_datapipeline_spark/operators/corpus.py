@@ -698,20 +698,34 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange where WindowGroupLimit truncates each source to N rows
     below the shuffle (the stratified_sample plan).
     """
-    d = table(spark, sf_dir, "documents")
+    return (
+        aes_topn(aes_keyed(table(spark, sf_dir, "documents")))
+        .select("source", "doc_id", "n_chars", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def aes_keyed(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, n_chars, key): attach the A-ES ranking key
+    u^(1/n_chars). Scan-bound; shared by the batch sampler and the
+    streaming reservoir (the key is a pure content hash, so the same
+    document gets the same key in every batch of every run)."""
     u = (
         F.conv(F.substring(fingerprint("text"), 1, 13), 16, 10).cast("double")
         / F.lit(_U_DENOM)
     )
     key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
-    w = Window.partitionBy("source").orderBy(
-        F.desc("key"), F.asc("doc_id")
-    )
+    return docs.select("source", "doc_id", "n_chars", key.alias("key"))
+
+
+def aes_topn(keyed: DataFrame, topn: int = SAMPLE_TOPN) -> DataFrame:
+    """Top-``topn`` keyed rows per source (adds rnk). The per-source
+    top-k on a deterministic key is a SEMILATTICE merge: top(A ∪ B) =
+    top(top(A) ∪ B) — the identity the streaming reservoir's
+    state-merge correctness rests on."""
+    w = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
     return (
-        d.select("source", "doc_id", "n_chars", key.alias("key"))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= SAMPLE_TOPN)
-        .select("source", "doc_id", "n_chars", F.col("rnk").cast("long").alias("rnk"))
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topn)
     )
 
 

@@ -538,3 +538,50 @@ def foreach_batch_psi_bins(
         )
 
     return _write
+
+
+def foreach_batch_weighted_reservoir(reservoir_path: str, topn: int = 50):
+    """Online weighted reservoir sampling (Efraimidis–Spirakis A-ES),
+    per source: each micro-batch attaches the deterministic
+    content-hash ranking key u^(1/n_chars) to its documents, merges
+    them with the persisted reservoir, and keeps the per-source
+    top-``topn`` keys — the streaming face of
+    operators/corpus.weighted_doc_sample. Because per-source top-k on
+    a deterministic key is a semilattice merge (top(A ∪ B) =
+    top(top(A) ∪ B)), the drained reservoir is IDENTICAL row-for-row
+    to the batch sampler over the union of all batches — pinned by
+    the e2e unit.
+
+    EXACTLY-ONCE comes free, with no epoch bookkeeping: a replayed
+    epoch re-offers documents whose (source, doc_id, key) already sit
+    in — or already lost to — the reservoir, and the
+    dropDuplicates + top-k merge is idempotent on exactly that
+    input. (Contrast foreach_batch_cms_merge, whose ADDITIVE state
+    needs the lineage-scoped epoch guard.)
+
+    Scale posture: per-batch cost is one scan-bound key attach plus a
+    window over (reservoir ∪ batch) — the reservoir side is bounded
+    at sources × topn rows forever, which is the whole point of
+    reservoir sampling at 100 TB: the sample never grows with the
+    stream.
+    """
+    from ..operators.corpus import aes_keyed, aes_topn
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tbl = ManifestTable(spark, reservoir_path)
+        keyed = aes_keyed(batch_df)
+        if tbl.current_version() > 0:
+            keyed = keyed.unionByName(
+                tbl.read().select("source", "doc_id", "n_chars", "key")
+            ).dropDuplicates(["source", "doc_id"])
+        merged = aes_topn(keyed, topn).select(
+            "source", "doc_id", "n_chars", "key",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        tbl.overwrite(merged)
+
+    return _write

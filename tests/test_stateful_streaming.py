@@ -832,3 +832,73 @@ def test_alert_suppression_cooldown(spark, tmp_path):
         ("k1", "10:12", 2),  # the two swallowed alerts are accounted
         ("k2", "10:12", 0),
     ]
+
+
+def test_online_weighted_reservoir_matches_batch_sample(spark, tmp_path):
+    """E2E: documents replayed as micro-batches (with a duplicate
+    redelivery) through the online A-ES reservoir; the drained
+    reservoir equals the batch weighted_doc_sample row-for-row —
+    the semilattice merge identity top(A ∪ B) = top(top(A) ∪ B)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        weighted_doc_sample,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_weighted_reservoir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").collect()
+    third = len(docs) // 3
+    batches = [
+        docs[:third],
+        docs[third: 2 * third] + docs[:5],  # replayed docs: no-op
+        docs[2 * third:],
+    ]
+    base = str(tmp_path / "res_in")
+    os.makedirs(base, exist_ok=True)
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    for i, rows in enumerate(batches):
+        stg = os.path.join(base, f"_stg{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stg)
+        [part] = glob.glob(os.path.join(stg, "*.parquet"))
+        dst = os.path.join(base, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stg)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    res_path = str(tmp_path / "reservoir_tbl")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_weighted_reservoir(res_path)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "res_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+
+    online = {
+        (r.source, r.doc_id): (r.n_chars, r.rnk)
+        for r in ManifestTable(spark, res_path).read().collect()
+    }
+    batch = {
+        (r.source, r.doc_id): (r.n_chars, r.rnk)
+        for r in weighted_doc_sample(spark, sf).collect()
+    }
+    assert online == batch
