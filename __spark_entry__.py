@@ -148,7 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     budget_allocation_plan, source_js_divergence,
     textrank_keywords, part_skyline, runs_test_revenue,
     ljung_box_revenue, kendall_tau_daily,
-    sorted_neighborhood_pairs —
+    sorted_neighborhood_pairs, coverage_greedy_docs —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -629,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bj) round-4 continuation 58 — sorted-neighborhood ER, the
         # fifth candidate-generation modality (complements blocking)
         "sorted_neighborhood_pairs": D.sorted_neighborhood_pairs,
+        # (bk) round-4 continuation 59 — greedy submodular coverage
+        # selection over the bigram universe (5 unrolled rounds)
+        "coverage_greedy_docs": CP.coverage_greedy_docs,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8713,5 +8716,90 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM probes pr JOIN p t ON pr.rn_b = t.rn
             WHERE levenshtein(pr.name_a, t.p_name) <= 10
             ORDER BY key_a, key_b
+        """,
+        "coverage_greedy_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS tok
+                FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                      FROM toks)
+            ), terms AS (
+                SELECT DISTINCT doc_id, tok FROM bg WHERE tok != ' '
+            ), g1 AS (
+                SELECT doc_id, COUNT(*) AS gain FROM terms GROUP BY 1
+            ), p1 AS (
+                SELECT doc_id, gain FROM g1
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), c1 AS (
+                SELECT DISTINCT tok FROM terms
+                WHERE doc_id IN (SELECT doc_id FROM p1)
+            ), g2 AS (
+                SELECT doc_id, COUNT(*) AS gain FROM terms
+                WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+                  AND tok NOT IN (SELECT tok FROM c1)
+                GROUP BY 1
+            ), p2 AS (
+                SELECT doc_id, gain FROM g2
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), c2 AS (
+                SELECT tok FROM c1
+                UNION
+                SELECT tok FROM terms
+                WHERE doc_id IN (SELECT doc_id FROM p2)
+            ), g3 AS (
+                SELECT doc_id, COUNT(*) AS gain FROM terms
+                WHERE doc_id NOT IN (SELECT doc_id FROM p1
+                                     UNION ALL SELECT doc_id FROM p2)
+                  AND tok NOT IN (SELECT tok FROM c2)
+                GROUP BY 1
+            ), p3 AS (
+                SELECT doc_id, gain FROM g3
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), c3 AS (
+                SELECT tok FROM c2
+                UNION
+                SELECT tok FROM terms
+                WHERE doc_id IN (SELECT doc_id FROM p3)
+            ), g4 AS (
+                SELECT doc_id, COUNT(*) AS gain FROM terms
+                WHERE doc_id NOT IN (SELECT doc_id FROM p1
+                                     UNION ALL SELECT doc_id FROM p2
+                                     UNION ALL SELECT doc_id FROM p3)
+                  AND tok NOT IN (SELECT tok FROM c3)
+                GROUP BY 1
+            ), p4 AS (
+                SELECT doc_id, gain FROM g4
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), c4 AS (
+                SELECT tok FROM c3
+                UNION
+                SELECT tok FROM terms
+                WHERE doc_id IN (SELECT doc_id FROM p4)
+            ), g5 AS (
+                SELECT doc_id, COUNT(*) AS gain FROM terms
+                WHERE doc_id NOT IN (SELECT doc_id FROM p1
+                                     UNION ALL SELECT doc_id FROM p2
+                                     UNION ALL SELECT doc_id FROM p3
+                                     UNION ALL SELECT doc_id FROM p4)
+                  AND tok NOT IN (SELECT tok FROM c4)
+                GROUP BY 1
+            ), p5 AS (
+                SELECT doc_id, gain FROM g5
+                ORDER BY gain DESC, doc_id LIMIT 1
+            ), picks AS (
+                SELECT 1 AS round, doc_id, gain FROM p1
+                UNION ALL SELECT 2, doc_id, gain FROM p2
+                UNION ALL SELECT 3, doc_id, gain FROM p3
+                UNION ALL SELECT 4, doc_id, gain FROM p4
+                UNION ALL SELECT 5, doc_id, gain FROM p5
+            )
+            SELECT CAST(round AS INTEGER) AS round, doc_id,
+                   CAST(gain AS BIGINT) AS marginal_gain,
+                   CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT)
+                       AS covered_total
+            FROM picks ORDER BY round
         """,
     }

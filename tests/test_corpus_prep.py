@@ -131,3 +131,37 @@ def test_materialize_sequences_roundtrip(spark):
         F.sum("n")
     ).head()[0]
     assert sum(r["seq_tokens"] for r in rows) == total
+
+
+def test_coverage_greedy_prefers_complementary_docs(spark, tmp_path):
+    """Greedy picks the COMPLEMENT of round 1's coverage even when a
+    redundant near-clone has more raw terms; marginal gains are
+    non-increasing (submodularity)."""
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        coverage_greedy_docs,
+    )
+
+    d = str(tmp_path / "sf_cov")
+    rows = [
+        # doc 1: 6 bigrams (a b, b c, c d, d e, e f, f g)
+        (1, "a b c d e f g", "en", "s", 1),
+        # doc 2: near-clone of 1 — 5 bigrams, ALL covered by doc 1
+        (2, "a b c d e f", "en", "s", 1),
+        # doc 3: disjoint, only 3 bigrams — smaller but complementary
+        (3, "x y z w", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = sorted(coverage_greedy_docs(spark, d).collect(),
+                 key=lambda r: r.round)
+    assert out[0].doc_id == 1 and out[0].marginal_gain == 6
+    assert out[1].doc_id == 3 and out[1].marginal_gain == 3  # not the clone
+    # universe saturated: zero-gain docs are never picked — greedy
+    # stops early instead of padding rounds with useless picks
+    assert len(out) == 2
+    gains = [r.marginal_gain for r in out]
+    assert gains == sorted(gains, reverse=True)
+    assert out[-1].covered_total == 9
