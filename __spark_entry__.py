@@ -148,7 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     budget_allocation_plan, source_js_divergence,
     textrank_keywords, part_skyline, runs_test_revenue,
     ljung_box_revenue, kendall_tau_daily,
-    sorted_neighborhood_pairs, coverage_greedy_docs —
+    sorted_neighborhood_pairs, coverage_greedy_docs,
+    hurst_rs_daily —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -632,6 +633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bk) round-4 continuation 59 — greedy submodular coverage
         # selection over the bigram universe (5 unrolled rounds)
         "coverage_greedy_docs": CP.coverage_greedy_docs,
+        # (bl) round-4 continuation 60 — Hurst exponent by rescaled
+        # range, integer-exact inside blocks via m·Z_t = m·S_t − t·T
+        "hurst_rs_daily": X.hurst_rs_daily,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8801,5 +8805,81 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT)
                        AS covered_total
             FROM picks ORDER BY round
+        """,
+        "hurst_rs_daily": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+                FROM orders GROUP BY 1
+            ), idx AS (
+                SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn
+                FROM daily
+            ), nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM idx),
+            ms AS (
+                SELECT CAST(UNNEST([16, 32, 64, 128]) AS INTEGER) AS m
+            ), blocked AS (
+                SELECT m, CAST(floor((rn - 1) / m) AS BIGINT) AS blk,
+                       ((rn - 1) % m) + 1 AS t, x
+                FROM idx CROSS JOIN ms CROSS JOIN nrow
+                WHERE floor((rn - 1) / m) < floor(nd / m)
+            ), z AS (
+                SELECT m, blk,
+                       CAST(m AS DECIMAL(4,0))
+                       * CAST(SUM(x) OVER (PARTITION BY m, blk ORDER BY t
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                              AS DECIMAL(20,2))
+                       - CAST(t AS DECIMAL(4,0))
+                         * CAST(SUM(x) OVER (PARTITION BY m, blk)
+                                AS DECIMAL(16,2)) AS mz,
+                       CAST(SUM(x) OVER (PARTITION BY m, blk)
+                            AS DECIMAL(16,2)) AS tot,
+                       CAST(SUM(CAST(x * x AS DECIMAL(30,4)))
+                            OVER (PARTITION BY m, blk)
+                            AS DECIMAL(30,4)) AS sx2
+                FROM blocked
+            ), per_block AS (
+                SELECT m, blk, MAX(mz) AS mz_max, MIN(mz) AS mz_min,
+                       MAX(tot) AS tot, MAX(sx2) AS sx2
+                FROM z GROUP BY 1, 2
+            ), rsx AS (
+                SELECT m,
+                       CAST(ROUND(CASE
+                           WHEN CAST(CAST(m AS DECIMAL(4,0)) * sx2
+                                     - CAST(tot AS DECIMAL(19,2)) * tot
+                                     AS DOUBLE) > 0
+                           THEN CAST(mz_max - mz_min AS DOUBLE)
+                                / sqrt(CAST(CAST(m AS DECIMAL(4,0)) * sx2
+                                            - CAST(tot AS DECIMAL(19,2))
+                                              * tot AS DOUBLE))
+                       END, 9) AS DECIMAL(18,9)) AS rs
+                FROM per_block
+            ), per_m AS (
+                SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                       CAST(SUM(rs) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_rs
+                FROM rsx WHERE rs IS NOT NULL GROUP BY 1
+            ), fit AS (
+                SELECT MAX(CASE WHEN m = 16 THEN ln(mean_rs) END) AS v16,
+                       MAX(CASE WHEN m = 32 THEN ln(mean_rs) END) AS v32,
+                       MAX(CASE WHEN m = 64 THEN ln(mean_rs) END) AS v64,
+                       MAX(CASE WHEN m = 128 THEN ln(mean_rs) END) AS v128
+                FROM per_m
+            ), vb AS (
+                SELECT v16, v32, v64, v128,
+                       ((((0.0 + v16) + v32) + v64) + v128) / 4.0 AS vbar
+                FROM fit
+            ), h AS (
+                SELECT ROUND(
+                    ((((0.0
+                        + (v16 - vbar) * -1.0397207708399177)
+                        + (v32 - vbar) * -0.34657359027997225)
+                        + (v64 - vbar) * 0.3465735902799727)
+                        + (v128 - vbar) * 1.039720770839918)
+                    / 2.4022650695910066, 9) AS hurst
+                FROM vb
+            )
+            SELECT per_m.m, n_blocks, mean_rs, hurst
+            FROM per_m CROSS JOIN h ORDER BY m
         """,
     }

@@ -2306,3 +2306,132 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ties_y",
         F.when(den > 0, (c - disc) / den).alias("tau_b"),
     )
+
+
+HURST_BLOCKS = [16, 32, 64, 128]
+
+
+def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily-revenue series by rescaled-range
+    (R/S) analysis: chop the series into blocks of m ∈ {16, 32, 64,
+    128} days, compute each block's range-of-cumulative-deviations
+    over its standard deviation, and fit ln(mean R/S) against ln(m) —
+    slope H ≈ 0.5 for a random walk, > 0.5 for long-memory
+    persistence, < 0.5 for mean reversion (Hurst 1951 / Mandelbrot's
+    classic). The long-range-dependence companion to the short-lag
+    ACF/Ljung-Box pair. Returns one row per m: (m, n_blocks,
+    mean_rs, hurst) — hurst repeated as the fitted constant.
+
+    Integer-exact core: with S_t the in-block prefix sum and T the
+    block total (both exact DECIMAL sums of the exact daily revenue),
+    the scaled deviation m·Z_t = m·S_t − t·T is EXACT decimal
+    arithmetic — the per-element mean never materializes — and
+    R·m = max−min of it; likewise m²·Var = m·Σx² − (Σx)², so
+    RS = (R·m)/sqrt(m·Σx² − (Σx)²) divides two exact-decimal-derived
+    doubles. Operands are pre-narrowed (sums cast to DECIMAL(30,4)/
+    (20,2) before the small-int multiplier) so no product crosses
+    precision 38 — the silent-scale-reduction trap. Per-block RS
+    rounds at 9 dp before the per-m mean; the 4-point log-log fit is
+    a fixed closed-form dag (conditional pivot, no order-dependent
+    float sum).
+
+    Shape: one fact shuffle to the daily rollup; the 4-way block
+    spine broadcasts onto the day table; per-(m, block) windows are
+    partitioned (never global); everything after the rollup is
+    calendar-bounded.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    idx = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("day"))
+    )
+    nrow = idx.groupBy().agg(F.count(F.lit(1)).alias("nd"))
+    ms = spark.createDataFrame(
+        [(m,) for m in HURST_BLOCKS], "m int"
+    )
+    blocked = (
+        idx.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(nrow))
+        .where(
+            F.floor((F.col("rn") - 1) / F.col("m"))
+            < F.floor(F.col("nd") / F.col("m"))
+        )
+        .select(
+            "m",
+            F.floor((F.col("rn") - 1) / F.col("m")).alias("blk"),
+            (((F.col("rn") - 1) % F.col("m")) + 1).alias("t"),
+            "x",
+        )
+    )
+    wcum = (
+        Window.partitionBy("m", "blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("m", "blk")
+    md = F.col("m").cast("decimal(4,0)")
+    td = F.col("t").cast("decimal(4,0)")
+    cum = F.sum("x").over(wcum).cast("decimal(20,2)")
+    # (16,2): tot**2 must stay under precision 38 on BOTH engines
+    # (Spark silently reduces scale past 38; DuckDB errors)
+    tot = F.sum("x").over(wall).cast("decimal(16,2)")
+    x2 = (F.col("x") * F.col("x")).cast("decimal(30,4)")
+    sx2 = F.sum(x2).over(wall).cast("decimal(30,4)")
+    z = blocked.select(
+        "m",
+        "blk",
+        (md * cum - td * tot).alias("mz"),
+        tot.alias("tot"),
+        sx2.alias("sx2"),
+    )
+    per_block = z.groupBy("m", "blk").agg(
+        F.max("mz").alias("mz_max"),
+        F.min("mz").alias("mz_min"),
+        F.max("tot").alias("tot"),
+        F.max("sx2").alias("sx2"),
+    )
+    m2var = (
+        F.col("m").cast("decimal(4,0)") * F.col("sx2")
+        - F.col("tot") * F.col("tot")
+    ).cast("double")
+    rm = (F.col("mz_max") - F.col("mz_min")).cast("double")
+    rs = F.round(
+        F.when(m2var > 0, rm / F.sqrt(m2var)), 9
+    ).cast("decimal(18,9)")
+    per_m = (
+        per_block.select("m", rs.alias("rs"))
+        .where(F.col("rs").isNotNull())
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n_blocks"), F.sum("rs").alias("srs"))
+        .select(
+            "m",
+            "n_blocks",
+            (
+                F.col("srs").cast("double")
+                / F.col("n_blocks").cast("double")
+            ).alias("mean_rs"),
+        )
+    )
+    # 4-point log-log fit as a fixed closed-form dag: pivot the four
+    # (u, v) pairs into one row so no order-dependent float sum exists
+    pick = lambda m, c: F.max(F.when(F.col("m") == m, c))  # noqa: E731
+    fit = per_m.groupBy().agg(
+        *[pick(m, F.log(F.col("mean_rs"))).alias(f"v{m}") for m in HURST_BLOCKS]
+    )
+    us = [float(__import__("math").log(m)) for m in HURST_BLOCKS]
+    ubar = sum(us) / len(us)
+    vbar = sum([F.col(f"v{m}") for m in HURST_BLOCKS], F.lit(0.0)) / F.lit(
+        float(len(HURST_BLOCKS))
+    )
+    num = sum(
+        [
+            (F.col(f"v{m}") - vbar) * F.lit(u - ubar)
+            for m, u in zip(HURST_BLOCKS, us)
+        ],
+        F.lit(0.0),
+    )
+    den = sum((u - ubar) ** 2 for u in us)
+    hurst = fit.select(F.round(num / F.lit(den), 9).alias("hurst"))
+    return per_m.crossJoin(F.broadcast(hurst)).orderBy("m")

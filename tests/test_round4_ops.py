@@ -3682,3 +3682,39 @@ def test_sorted_neighborhood_window_and_threshold(spark, tmp_path):
     assert not any(4 in k for k in got)
     # identical twins sort adjacent → always within the window
     assert (10, 50) in got and got[(10, 50)].dist == 0
+
+
+def test_hurst_extremes(spark, tmp_path):
+    """A straight trend (maximal persistence) fits H near 1; a
+    strictly alternating series (maximal anti-persistence) fits H
+    near 0 — and trend > alternating always."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        hurst_rs_daily,
+    )
+
+    def mk(dirname, values):
+        d = str(tmp_path / dirname)
+        rows = [
+            (i, 1, "O", float(v),
+             datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i),
+             "1-URGENT")
+            for i, v in enumerate(values)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.parquet(d + "/orders.parquet")
+        return d
+
+    n = 256
+    trend = mk("sf_h_trend", [100 + i for i in range(n)])
+    alt = mk("sf_h_alt", [100 + (i % 2) * 50 for i in range(n)])
+    h_trend = hurst_rs_daily(spark, trend).collect()[0].hurst
+    h_alt = hurst_rs_daily(spark, alt).collect()[0].hurst
+    assert h_trend > 0.85
+    assert h_alt < 0.2
+    assert h_trend > h_alt
