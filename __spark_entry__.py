@@ -149,7 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textrank_keywords, part_skyline, runs_test_revenue,
     ljung_box_revenue, kendall_tau_daily,
     sorted_neighborhood_pairs, coverage_greedy_docs,
-    hurst_rs_daily —
+    hurst_rs_daily, median_polish_dow_hour —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -636,6 +636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bl) round-4 continuation 60 — Hurst exponent by rescaled
         # range, integer-exact inside blocks via m·Z_t = m·S_t − t·T
         "hurst_rs_daily": X.hurst_rs_daily,
+        # (bm) round-4 continuation 61 — Tukey median polish of the
+        # dow×hour grid (robust two-way decomposition, dyadic-exact)
+        "median_polish_dow_hour": E.median_polish_dow_hour,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -705,8 +708,106 @@ _R4_WINDOW = [
 ]
 
 
+def _median_polish_sql(sweeps: int = 2) -> str:
+    """Generate the unrolled Tukey median-polish oracle: the k-sweep
+    alternation of rank-based group medians mirrors
+    operators/events.median_polish_dow_hour CTE-for-DataFrame (dyadic
+    rationals throughout, so every subtraction is exact in DOUBLE)."""
+
+    def med(name: str, src: str, part: str, val: str) -> str:
+        by = f"PARTITION BY {part}" if part else ""
+        grp = f"GROUP BY {part}" if part else ""
+        sel = f"{part}, " if part else ""
+        return f"""
+            {name} AS (
+                SELECT {sel}SUM({val}) / COUNT(*) AS med FROM (
+                    SELECT {sel}{val},
+                           ROW_NUMBER() OVER ({by} ORDER BY {val}) AS rn,
+                           COUNT(*) OVER ({by}) AS n
+                    FROM {src}
+                ) WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+                {grp}
+            )"""
+
+    ctes = ["""
+            counts AS (
+                SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+                       CAST(hour(ts) AS INTEGER) AS hour,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), spine AS (
+                SELECT CAST(d.dw AS INTEGER) AS dow,
+                       CAST(h.hr AS INTEGER) AS hour
+                FROM (SELECT UNNEST(range(7)) AS dw) d
+                CROSS JOIN (SELECT UNNEST(range(24)) AS hr) h
+            ), grid AS (
+                SELECT spine.dow, spine.hour,
+                       CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+                FROM spine LEFT JOIN counts
+                  ON spine.dow = counts.dow AND spine.hour = counts.hour
+            ), resid0 AS (
+                SELECT dow, hour, CAST(n_events AS DOUBLE) AS v FROM grid
+            ), roweff0 AS (
+                SELECT DISTINCT dow, CAST(0.0 AS DOUBLE) AS r FROM grid
+            ), coleff0 AS (
+                SELECT DISTINCT hour, CAST(0.0 AS DOUBLE) AS c FROM grid
+            ), overall0 AS (SELECT CAST(0.0 AS DOUBLE) AS o)"""]
+    for k in range(1, sweeps + 1):
+        p = k - 1
+        ctes.append(med(f"rm{k}", f"resid{p}", "dow", "v"))
+        ctes.append(f"""
+            resid_a{k} AS (
+                SELECT t.dow, t.hour, t.v - m.med AS v
+                FROM resid{p} t JOIN rm{k} m ON t.dow = m.dow
+            ), roweff_a{k} AS (
+                SELECT t.dow, t.r + m.med AS r
+                FROM roweff{p} t JOIN rm{k} m ON t.dow = m.dow
+            )""")
+        ctes.append(med(f"rshift{k}",
+                        f"(SELECT r AS v FROM roweff_a{k})", "", "v"))
+        ctes.append(f"""
+            overall_a{k} AS (
+                SELECT o + (SELECT med FROM rshift{k}) AS o FROM overall{p}
+            ), roweff{k} AS (
+                SELECT dow, r - (SELECT med FROM rshift{k}) AS r
+                FROM roweff_a{k}
+            )""")
+        ctes.append(med(f"cm{k}", f"resid_a{k}", "hour", "v"))
+        ctes.append(f"""
+            resid{k} AS (
+                SELECT t.dow, t.hour, t.v - m.med AS v
+                FROM resid_a{k} t JOIN cm{k} m ON t.hour = m.hour
+            ), coleff_a{k} AS (
+                SELECT t.hour, t.c + m.med AS c
+                FROM coleff{p} t JOIN cm{k} m ON t.hour = m.hour
+            )""")
+        ctes.append(med(f"cshift{k}",
+                        f"(SELECT c AS v FROM coleff_a{k})", "", "v"))
+        ctes.append(f"""
+            overall{k} AS (
+                SELECT o + (SELECT med FROM cshift{k}) AS o
+                FROM overall_a{k}
+            ), coleff{k} AS (
+                SELECT hour, c - (SELECT med FROM cshift{k}) AS c
+                FROM coleff_a{k}
+            )""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT g.dow, g.hour, g.n_events,
+               (SELECT o FROM overall{sweeps}) AS overall,
+               re.r AS row_eff, ce.c AS col_eff, t.v AS resid
+        FROM grid g
+        JOIN resid{sweeps} t ON g.dow = t.dow AND g.hour = t.hour
+        JOIN roweff{sweeps} re ON g.dow = re.dow
+        JOIN coleff{sweeps} ce ON g.hour = ce.hour
+        ORDER BY g.dow, g.hour
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
+    sql["median_polish_dow_hour"] = _median_polish_sql()
     # the star-rewrite CC produces labels identical to the fix-point
     # loop by construction — same oracle
     sql["dedup_components_star"] = sql["dedup_components"]

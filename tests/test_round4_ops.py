@@ -3718,3 +3718,44 @@ def test_hurst_extremes(spark, tmp_path):
     assert h_trend > 0.85
     assert h_alt < 0.2
     assert h_trend > h_alt
+
+
+def test_median_polish_isolates_spike_in_residual(spark, tmp_path):
+    """A single anomalous cell lands in its residual; the exact
+    decomposition identity holds on every cell."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        median_polish_dow_hour,
+    )
+
+    d = str(tmp_path / "sf_mp")
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    # uniform 3 events per (dow, hour) cell, plus a 40-event spike at
+    # (dow=2, hour=5)
+    for dow in range(7):
+        for hour in range(24):
+            n = 3 + (40 if (dow == 2 and hour == 5) else 0)
+            for _ in range(n):
+                rows.append(
+                    (eid,
+                     base + datetime.timedelta(days=dow, hours=hour),
+                     1, "view", 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {(r.dow, r.hour): r for r in
+           median_polish_dow_hour(spark, d).collect()}
+    assert len(out) == 168
+    for r in out.values():
+        assert abs(r.overall + r.row_eff + r.col_eff + r.resid
+                   - r.n_events) < 1e-9
+    spike = out[(2, 5)]
+    assert spike.resid == 40.0            # the spike stays local
+    assert spike.row_eff == 0.0 and spike.col_eff == 0.0
+    assert spike.overall == 3.0           # the uniform background
