@@ -149,7 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     textrank_keywords, part_skyline, runs_test_revenue,
     ljung_box_revenue, kendall_tau_daily,
     sorted_neighborhood_pairs, coverage_greedy_docs,
-    hurst_rs_daily, median_polish_dow_hour —
+    hurst_rs_daily, median_polish_dow_hour, anova_value_by_type,
+    adf_daily_revenue —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -639,6 +640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bm) round-4 continuation 61 — Tukey median polish of the
         # dow×hour grid (robust two-way decomposition, dyadic-exact)
         "median_polish_dow_hour": E.median_polish_dow_hour,
+        # (bn) round-4 continuation 62 — one-way ANOVA across event
+        # types and the Dickey–Fuller unit-root pre-flight
+        "anova_value_by_type": E.anova_value_by_type,
+        "adf_daily_revenue": X.adf_daily_revenue,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8982,5 +8987,96 @@ def _oracle_sql_literals() -> dict[str, str]:
             )
             SELECT per_m.m, n_blocks, mean_rs, hurst
             FROM per_m CROSS JOIN h ORDER BY m
+        """,
+        "anova_value_by_type": """
+            WITH g AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(value AS DECIMAL(28,10))) AS s1,
+                       SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+                FROM events GROUP BY 1
+            ), terms AS (
+                SELECT n, s1, s2,
+                       CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / CAST(n AS DOUBLE), 6)
+                            AS DECIMAL(38,6)) AS t1
+                FROM g
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                       CAST(SUM(n) AS BIGINT) AS n_total,
+                       CAST(SUM(s1) AS DOUBLE) AS s1,
+                       CAST(SUM(s2) AS DOUBLE) AS s2,
+                       CAST(SUM(t1) AS DOUBLE) AS t1
+                FROM terms
+            ), d AS (
+                SELECT k_groups, n_total,
+                       CAST(k_groups AS DOUBLE) AS kk,
+                       CAST(n_total AS DOUBLE) AS nn,
+                       t1 - s1 * s1 / CAST(n_total AS DOUBLE) AS ssb,
+                       s2 - t1 AS ssw,
+                       s2 - s1 * s1 / CAST(n_total AS DOUBLE) AS sst
+                FROM tot
+            )
+            SELECT k_groups, n_total,
+                   ROUND(ssb, 6) AS ss_between,
+                   ROUND(ssw, 6) AS ss_within,
+                   CASE WHEN ssw > 0
+                        THEN ROUND((ssb / (kk - 1.0))
+                                   / (ssw / (nn - kk)), 9) END AS f_stat,
+                   CASE WHEN sst > 0
+                        THEN ROUND(ssb / sst, 9) END AS eta_sq
+            FROM d
+        """,
+        "adf_daily_revenue": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+                FROM orders GROUP BY 1
+            ), idx AS (
+                SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS rn
+                FROM daily
+            ), pairs AS (
+                SELECT b.y AS x, a.y - b.y AS d
+                FROM idx a JOIN idx b ON a.rn = b.rn + 1
+            ), st AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(d) AS DOUBLE) AS sd,
+                       CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(d AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sxd,
+                       CAST(SUM(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sdd
+                FROM pairs
+            ), c AS (
+                SELECT n_obs, CAST(n_obs AS DOUBLE) AS n, sx, sd,
+                       sxx - sx * sx / CAST(n_obs AS DOUBLE) AS cxx,
+                       sxd - sx * sd / CAST(n_obs AS DOUBLE) AS cxd,
+                       sdd - sd * sd / CAST(n_obs AS DOUBLE) AS cdd
+                FROM st
+            ), b AS (
+                SELECT n_obs, n, sx, sd, cxx, cxd, cdd,
+                       cxd / cxx AS beta
+                FROM c
+            )
+            SELECT n_obs,
+                   ROUND(beta, 9) AS beta,
+                   ROUND((sd - beta * sx) / n, 6) AS alpha,
+                   CASE WHEN sqrt((GREATEST(cdd - beta * cxd, 0.0)
+                                   / (n - 2.0)) / cxx) > 0
+                        THEN ROUND(beta
+                                   / sqrt((GREATEST(cdd - beta * cxd, 0.0)
+                                           / (n - 2.0)) / cxx), 9)
+                   END AS t_stat,
+                   COALESCE(
+                       CASE WHEN sqrt((GREATEST(cdd - beta * cxd, 0.0)
+                                       / (n - 2.0)) / cxx) > 0
+                            THEN ROUND(beta
+                                       / sqrt((GREATEST(cdd - beta * cxd,
+                                                        0.0)
+                                               / (n - 2.0)) / cxx), 9)
+                                 < -2.86
+                       END, TRUE) AS rejects_unit_root
+            FROM b
         """,
     }

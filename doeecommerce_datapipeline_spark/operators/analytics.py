@@ -2435,3 +2435,72 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = sum((u - ubar) ** 2 for u in us)
     hurst = fit.select(F.round(num / F.lit(den), 9).alias("hurst"))
     return per_m.crossJoin(F.broadcast(hurst)).orderBy("m")
+
+
+def adf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test (lag-0) on the daily-revenue
+    series: regress Δy_t on y_{t−1} with intercept; a significantly
+    NEGATIVE slope rejects the random-walk null in favor of
+    stationarity/mean-reversion — the formal upgrade of
+    runs_test_revenue's sign-streak screen and the standard
+    pre-flight before any ARIMA-family fit (holt_linear_daily,
+    holt_winters_weekly). Returns one row: (n_obs, beta, alpha,
+    t_stat, rejects_unit_root) with the 5% asymptotic DF critical
+    value −2.86.
+
+    Determinism: y is the exact DECIMAL daily revenue; the lag pairs
+    come from a row_number self-join on the observed-series index
+    (gaps close up — the documented contract); cross-moments multiply
+    in DOUBLE and quantize into DECIMAL(38,6) before order-free sums
+    (the ACF seam); the closing OLS/t algebra is a fixed double dag.
+
+    Shape: one fact shuffle to the daily rollup, one calendar-bounded
+    window for the index, one single-row reduce.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+    )
+    idx = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("day"))
+    )
+    cur = idx.select(F.col("rn").alias("rn"), F.col("y").alias("y_t"))
+    prev = idx.select(
+        (F.col("rn") + 1).alias("rn"), F.col("y").alias("y_lag")
+    )
+    pairs = cur.join(prev, "rn").select(
+        F.col("y_lag").alias("x"),
+        (F.col("y_t") - F.col("y_lag")).alias("d"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    q = lambda c: F.sum(c.cast("decimal(38,6)"))  # noqa: E731
+    st = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").alias("sx"),
+        F.sum("d").alias("sd"),
+        q(dd("x") * dd("x")).alias("sxx"),
+        q(dd("x") * dd("d")).alias("sxd"),
+        q(dd("d") * dd("d")).alias("sdd"),
+    )
+    n = F.col("n_obs").cast("double")
+    sx, sd = F.col("sx").cast("double"), F.col("sd").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxd = F.col("sxd").cast("double")
+    sdd = F.col("sdd").cast("double")
+    cxx = sxx - sx * sx / n
+    cxd = sxd - sx * sd / n
+    cdd = sdd - sd * sd / n
+    beta = cxd / cxx
+    alpha = (sd - beta * sx) / n
+    # a perfect fit (SSE == 0 up to fp cancellation) makes se = 0:
+    # clamp and null the statistic instead of emitting inf/nan
+    sse = F.greatest(cdd - beta * cxd, F.lit(0.0))
+    se = F.sqrt((sse / (n - F.lit(2.0))) / cxx)
+    t = F.when(se > 0, F.round(beta / se, 9))
+    return st.select(
+        "n_obs",
+        F.round(beta, 9).alias("beta"),
+        F.round(alpha, 6).alias("alpha"),
+        t.alias("t_stat"),
+        F.coalesce(t < F.lit(-2.86), F.lit(True)).alias("rejects_unit_root"),
+    )

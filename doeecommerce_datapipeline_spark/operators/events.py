@@ -2655,3 +2655,60 @@ def median_polish_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across ALL event types — the
+    k-group generalization of welch_value_ttest's two-sample probe:
+    F = (SSB/(k−1)) / (SSW/(N−k)) plus η² = SSB/SST effect size, the
+    first stop before trusting any per-type mean difference. Returns
+    one row: (k_groups, n_total, ss_between, ss_within, f_stat,
+    eta_sq).
+
+    Determinism (the welch seam, order-freed for k groups): per-group
+    moments n, Σv, Σv² are exact DECIMAL(28,10) sums; the one
+    order-sensitive reduction — Σ_g (Σv_g)²/n_g across groups — is
+    quantized per group at 6 dp into DECIMAL(38,6) before the
+    order-free sum, and the closing sum-of-squares algebra
+    (SSB = T1 − S1²/N, SSW = S2 − T1) is a fixed double dag on exact
+    operands.
+
+    Shape: one partial-aggregated shuffle to k rows; everything after
+    is constant-size.
+    """
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+        F.sum(
+            (F.col("value") * F.col("value")).cast("decimal(28,10)")
+        ).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    term = F.round(
+        s1d * s1d / F.col("n").cast("double"), 6
+    ).cast("decimal(38,6)")
+    tot = g.select("n", "s1", "s2", term.alias("t1")).groupBy().agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("n").alias("n_total"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("t1").alias("t1"),
+    )
+    nn = F.col("n_total").cast("double")
+    kk = F.col("k_groups").cast("double")
+    s1a = F.col("s1").cast("double")
+    s2a = F.col("s2").cast("double")
+    t1a = F.col("t1").cast("double")
+    ssb = t1a - s1a * s1a / nn
+    ssw = s2a - t1a
+    sst = s2a - s1a * s1a / nn
+    f = (ssb / (kk - F.lit(1.0))) / (ssw / (nn - kk))
+    return tot.select(
+        "k_groups",
+        "n_total",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.when(ssw > 0, F.round(f, 9)).alias("f_stat"),
+        F.when(sst > 0, F.round(ssb / sst, 9)).alias("eta_sq"),
+    )

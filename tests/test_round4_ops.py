@@ -3759,3 +3759,78 @@ def test_median_polish_isolates_spike_in_residual(spark, tmp_path):
     assert spike.resid == 40.0            # the spike stays local
     assert spike.row_eff == 0.0 and spike.col_eff == 0.0
     assert spike.overall == 3.0           # the uniform background
+
+
+def test_anova_separated_groups_huge_f(spark, tmp_path):
+    """Groups with far-apart means and tiny within-variance → huge F
+    and eta_sq near 1; identical groups → F near 0."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        anova_value_by_type,
+    )
+
+    def mk(dirname, mean_by_type):
+        d = str(tmp_path / dirname)
+        rows, eid = [], 0
+        for t, mu in mean_by_type.items():
+            for i in range(50):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, 1), 1, t,
+                     float(mu + (i % 3) - 1), "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(d + "/events.parquet")
+        return d
+
+    far = mk("sf_anova_far", {"a": 0, "b": 100, "c": 200})
+    r = anova_value_by_type(spark, far).collect()[0]
+    assert r.k_groups == 3 and r.n_total == 150
+    assert r.f_stat > 1000 and r.eta_sq > 0.99
+    same = mk("sf_anova_same", {"a": 7, "b": 7, "c": 7})
+    r2 = anova_value_by_type(spark, same).collect()[0]
+    assert r2.f_stat < 1e-6 and r2.eta_sq < 1e-6
+
+
+def test_adf_stationary_vs_random_walkish(spark, tmp_path):
+    """A mean-reverting alternating series rejects the unit root
+    hard; a deterministic trend (integrated-like: differences never
+    pull back toward a level) produces a far weaker DF statistic."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        adf_daily_revenue,
+    )
+
+    def mk(dirname, values):
+        d = str(tmp_path / dirname)
+        rows = [
+            (i, 1, "O", float(v),
+             datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i),
+             "1-URGENT")
+            for i, v in enumerate(values)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.parquet(d + "/orders.parquet")
+        return d
+
+    station = mk(
+        "sf_adf_st",
+        [100 + (i % 2) * 50 + (i % 7) for i in range(120)],
+    )
+    r = adf_daily_revenue(spark, station).collect()[0]
+    assert r.rejects_unit_root and r.t_stat < -2.86
+    assert r.beta < -1.5  # strong mean reversion
+    trend = mk(
+        "sf_adf_tr", [100 + 5 * i + (i % 3) * 7 for i in range(120)]
+    )
+    r2 = adf_daily_revenue(spark, trend).collect()[0]
+    assert r2.t_stat > r.t_stat  # much weaker pull toward a level
