@@ -150,7 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ljung_box_revenue, kendall_tau_daily,
     sorted_neighborhood_pairs, coverage_greedy_docs,
     hurst_rs_daily, median_polish_dow_hour, anova_value_by_type,
-    adf_daily_revenue —
+    adf_daily_revenue, cf_holdout_hitrate —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -644,6 +644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # types and the Dickey–Fuller unit-root pre-flight
         "anova_value_by_type": E.anova_value_by_type,
         "adf_daily_revenue": X.adf_daily_revenue,
+        # (bo) round-4 continuation 63 — leave-last-order-out CF
+        # evaluation (hit-rate@10 / MRR on the item-item recommender)
+        "cf_holdout_hitrate": R.cf_holdout_hitrate,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9078,5 +9081,102 @@ def _oracle_sql_literals() -> dict[str, str]:
                                  < -2.86
                        END, TRUE) AS rejects_unit_root
             FROM b
+        """,
+        "cf_holdout_hitrate": """
+            WITH ranked AS (
+                SELECT o_orderkey, o_custkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC,
+                                                   o_orderkey DESC) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+                FROM orders
+            ), elig AS (
+                SELECT o_orderkey, o_custkey, rn FROM ranked
+                WHERE n_orders >= 2
+            ), train_orders AS (
+                SELECT o_orderkey, o_custkey FROM elig WHERE rn > 1
+            ), test_orders AS (
+                SELECT o_orderkey, o_custkey FROM elig WHERE rn = 1
+            ), baskets AS (
+                SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+                FROM lineitem l
+                JOIN train_orders t ON l.l_orderkey = t.o_orderkey
+            ), ni AS (
+                SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+                FROM baskets GROUP BY 1
+            ), pair AS (
+                SELECT a.p AS i, b.p AS j,
+                       CAST(COUNT(*) AS BIGINT) AS n_ij
+                FROM baskets a JOIN baskets b
+                  ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2
+            ), bothp AS (
+                SELECT i, j, n_ij FROM pair
+                UNION ALL
+                SELECT j AS i, i AS j, n_ij FROM pair
+            ), scored AS (
+                SELECT b.i, b.j,
+                       ROUND(CAST(b.n_ij AS DOUBLE)
+                             / (sqrt(CAST(ci.c AS DOUBLE))
+                                * sqrt(CAST(cj.c AS DOUBLE))), 6)
+                           AS sim
+                FROM bothp b
+                JOIN ni ci ON ci.p = b.i
+                JOIN ni cj ON cj.p = b.j
+            ), nb AS (
+                SELECT i, j, sim FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY i ORDER BY sim DESC, j ASC) AS rnk
+                    FROM scored
+                ) WHERE rnk <= 5
+            ), profile AS (
+                SELECT DISTINCT t.o_custkey, l.l_partkey
+                FROM lineitem l
+                JOIN train_orders t ON l.l_orderkey = t.o_orderkey
+            ), test_parts AS (
+                SELECT DISTINCT t.o_custkey, l.l_partkey AS t_part
+                FROM lineitem l
+                JOIN test_orders t ON l.l_orderkey = t.o_orderkey
+            ), cand AS (
+                SELECT pr.o_custkey, nb.j AS rec,
+                       SUM(CAST(nb.sim AS DECIMAL(18,6))) AS score
+                FROM profile pr JOIN nb ON pr.l_partkey = nb.i
+                GROUP BY 1, 2
+            ), cand2 AS (
+                SELECT c.o_custkey, c.rec, c.score
+                FROM cand c
+                LEFT JOIN profile p2
+                  ON c.o_custkey = p2.o_custkey AND c.rec = p2.l_partkey
+                WHERE p2.l_partkey IS NULL
+            ), recs AS (
+                SELECT o_custkey, rec, rnk FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY score DESC, rec ASC) AS rnk
+                    FROM cand2
+                ) WHERE rnk <= 10
+            ), hits AS (
+                SELECT r.o_custkey, MIN(r.rnk) AS first_hit
+                FROM recs r JOIN test_parts t
+                  ON r.o_custkey = t.o_custkey AND r.rec = t.t_part
+                GROUP BY 1
+            ), users AS (
+                SELECT DISTINCT o_custkey FROM test_orders
+            ), per_user AS (
+                SELECT CASE WHEN h.first_hit IS NOT NULL
+                            THEN 1 ELSE 0 END AS hit,
+                       CAST(COALESCE(
+                           ROUND(1.0 / CAST(h.first_hit AS DOUBLE), 9),
+                           0.0) AS DECIMAL(18,9)) AS rr
+                FROM users u LEFT JOIN hits h
+                  ON u.o_custkey = h.o_custkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(hit) AS BIGINT) AS n_hits,
+                   CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS hit_rate,
+                   CAST(SUM(rr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mrr
+            FROM per_user
         """,
     }

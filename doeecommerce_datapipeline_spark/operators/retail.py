@@ -688,6 +688,15 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return item_neighbors(baskets)
+
+
+def item_neighbors(baskets: DataFrame, topk: int | None = None) -> DataFrame:
+    """The CF neighbor kernel over a pre-deduped, pre-materialized
+    (l_orderkey, l_partkey) basket table — shared by item_item_cosine
+    (full data) and cf_holdout_hitrate (training split only, so the
+    evaluation never sees the held-out basket)."""
+    topk = ITEM_SIM_TOP if topk is None else topk
     n_i = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_i")
     )
@@ -727,7 +736,7 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("i", "j", "n_ij", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= ITEM_SIM_TOP)
+        .where(F.col("rnk") <= topk)
         .select(
             F.col("i").alias("part_i"),
             F.col("j").alias("part_j"),
@@ -1294,4 +1303,138 @@ def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weekend_share"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+CF_REC_K = 10
+
+
+def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-order-out evaluation of the item-item CF
+    recommender: hold out each multi-order customer's LAST order,
+    rebuild the neighbor lists from the remaining orders only (no
+    leakage), recommend top-10 unseen parts scored by summed
+    neighbor similarity to the customer's training profile, and
+    measure hit-rate@10 and MRR@10 against the held-out basket — the
+    evaluation loop every production recommender ships with, and the
+    difference between "has a CF operator" and "can tell you whether
+    the CF operator works". Returns one row: (n_users, n_hits,
+    hit_rate, mrr).
+
+    Determinism: similarities are the item_neighbors 6-dp seam; the
+    per-(user, candidate) score SUM quantizes them into
+    DECIMAL(18,6) (order-free); ranking ties break on part key; MRR
+    terms 1/rank round at 9 dp into decimals before the user-level
+    mean.
+
+    Shape: the train/test split is one customer-keyed window over
+    ORDERS (never lineitem); the neighbor kernel reuses the
+    basket-bounded co-occurrence plan; the recommendation fan-out is
+    |profile|×topk per user, keyed exchanges end-to-end; the verdict
+    is a single-row reduce.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ranked = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.desc("o_orderdate"), F.desc("o_orderkey")
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n_orders"),
+    ).where(F.col("n_orders") >= 2)
+    train_orders = ranked.where(F.col("rn") > 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    test_orders = ranked.where(F.col("rn") == 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    train_baskets = (
+        li.join(
+            train_orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(F.col("l_orderkey"), F.col("l_partkey"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nb = item_neighbors(train_baskets).localCheckpoint(eager=True)
+    profile = (
+        li.join(train_orders, li.l_orderkey == train_orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    test_parts = (
+        li.join(test_orders, li.l_orderkey == test_orders.o_orderkey)
+        .select("o_custkey", F.col("l_partkey").alias("t_part"))
+        .distinct()
+    )
+    cand = (
+        profile.join(
+            nb.select(
+                F.col("part_i").alias("l_partkey"),
+                F.col("part_j").alias("rec"),
+                "sim",
+            ),
+            "l_partkey",
+        )
+        .groupBy("o_custkey", "rec")
+        .agg(
+            F.sum(F.col("sim").cast("decimal(18,6)")).alias("score")
+        )
+        .join(
+            profile.select(
+                "o_custkey", F.col("l_partkey").alias("rec")
+            ),
+            ["o_custkey", "rec"],
+            "left_anti",
+        )
+    )
+    recs = cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.desc("score"), F.asc("rec")
+            )
+        ),
+    ).where(F.col("rnk") <= CF_REC_K)
+    hits = (
+        recs.join(
+            test_parts,
+            (recs.o_custkey == test_parts.o_custkey)
+            & (recs.rec == test_parts.t_part),
+        )
+        .groupBy(recs.o_custkey)
+        .agg(F.min("rnk").alias("first_hit"))
+    )
+    users = test_orders.select("o_custkey").distinct()
+    per_user = users.join(hits, "o_custkey", "left").select(
+        F.when(F.col("first_hit").isNotNull(), 1)
+        .otherwise(0)
+        .alias("hit"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("first_hit").cast("double"), 9),
+            F.lit(0.0),
+        )
+        .cast("decimal(18,9)")
+        .alias("rr"),
+    )
+    agg = per_user.groupBy().agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.sum("rr").alias("srr"),
+    )
+    nu = F.col("n_users").cast("double")
+    return agg.select(
+        "n_users",
+        "n_hits",
+        (F.col("n_hits").cast("double") / nu).alias("hit_rate"),
+        (F.col("srr").cast("double") / nu).alias("mrr"),
     )

