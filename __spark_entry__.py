@@ -150,7 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ljung_box_revenue, kendall_tau_daily,
     sorted_neighborhood_pairs, coverage_greedy_docs,
     hurst_rs_daily, median_polish_dow_hour, anova_value_by_type,
-    adf_daily_revenue, cf_holdout_hitrate —
+    adf_daily_revenue, cf_holdout_hitrate, pairwise_welch_fdr —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -647,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bo) round-4 continuation 63 — leave-last-order-out CF
         # evaluation (hit-rate@10 / MRR on the item-item recommender)
         "cf_holdout_hitrate": R.cf_holdout_hitrate,
+        # (bp) round-4 continuation 64 — all-pairs Welch tests under
+        # Benjamini–Hochberg FDR control (A&S normal CDF, shared dag)
+        "pairwise_welch_fdr": E.pairwise_welch_fdr,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9178,5 +9181,69 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(SUM(rr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                        AS mrr
             FROM per_user
+        """,
+        "pairwise_welch_fdr": """
+            WITH st AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(value AS DECIMAL(28,10))) AS s1,
+                       SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+                FROM events GROUP BY 1
+            ), pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.n AS n_a, b.n AS n_b,
+                       CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) AS mua,
+                       CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS mub,
+                       CAST(a.s2 AS DOUBLE) AS s2_a,
+                       CAST(b.s2 AS DOUBLE) AS s2_b,
+                       CAST(a.n AS DOUBLE) AS na,
+                       CAST(b.n AS DOUBLE) AS nb
+                FROM st a JOIN st b ON a.event_type < b.event_type
+            ), v AS (
+                SELECT *,
+                       GREATEST((s2_a - na * mua * mua) / (na - 1.0),
+                                0.0) AS va,
+                       GREATEST((s2_b - nb * mub * mub) / (nb - 1.0),
+                                0.0) AS vb
+                FROM pairs
+            ), zc AS (
+                SELECT type_a, type_b, n_a, n_b,
+                       (mua - mub) / sqrt(va / na + vb / nb) AS z
+                FROM v
+            ), kc AS (
+                SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS k FROM zc
+            ), pc AS (
+                SELECT type_a, type_b, n_a, n_b, z,
+                       (0.3989422804014327 * exp(-0.5 * z * z))
+                       * (0.319381530 * k
+                          + -0.356563782 * k * k
+                          + 1.781477937 * k * k * k
+                          + -1.821255978 * k * k * k * k
+                          + 1.330274429 * k * k * k * k * k) AS p0
+                FROM kc
+            ), scored AS (
+                SELECT type_a, type_b, n_a, n_b,
+                       ROUND(z, 9) AS z_stat,
+                       ROUND(2.0 * p0, 12) AS p_value
+                FROM pc
+            ), ranked AS (
+                SELECT *,
+                       CAST(ROW_NUMBER() OVER (ORDER BY p_value, type_a,
+                                               type_b) AS BIGINT)
+                           AS p_rank
+                FROM scored
+            ), cut AS (
+                SELECT *,
+                       CAST(p_rank AS DOUBLE) * 0.05 / 10.0 AS bh_cutoff
+                FROM ranked
+            ), passed AS (
+                SELECT *,
+                       MAX(CASE WHEN p_value <= bh_cutoff
+                                THEN p_rank END) OVER () AS max_pass
+                FROM cut
+            )
+            SELECT type_a, type_b, n_a, n_b, z_stat, p_value, p_rank,
+                   bh_cutoff,
+                   COALESCE(p_rank <= max_pass, FALSE) AS significant
+            FROM passed ORDER BY p_rank
         """,
     }

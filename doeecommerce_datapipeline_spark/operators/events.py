@@ -2712,3 +2712,113 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ssw > 0, F.round(f, 9)).alias("f_stat"),
         F.when(sst > 0, F.round(ssb / sst, 9)).alias("eta_sq"),
     )
+
+
+BH_Q = 0.05
+# Abramowitz & Stegun 7.1.26 normal-CDF constants — a fixed polynomial
+# in exp(), evaluated with the SAME literals on both engines
+_AS_P = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _phi_upper(z):  # pragma: no cover - expression builder
+    """P(Z > z) for z >= 0 via the A&S 7.1.26 polynomial: both engines
+    evaluate the identical fixed dag of *, +, exp — bit-identical."""
+    k = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * z)
+    poly = (
+        F.lit(_AS_B[0]) * k
+        + F.lit(_AS_B[1]) * k * k
+        + F.lit(_AS_B[2]) * k * k * k
+        + F.lit(_AS_B[3]) * k * k * k * k
+        + F.lit(_AS_B[4]) * k * k * k * k * k
+    )
+    pdf = F.lit(_INV_SQRT_2PI) * F.exp(F.lit(-0.5) * z * z)
+    return pdf * poly
+
+
+def pairwise_welch_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 10 pairwise Welch mean-comparisons across the 5 event
+    types with Benjamini–Hochberg FDR control at q = 0.05 — the
+    multiple-testing discipline welch_value_ttest's single 1.96 cut
+    lacks: run 10 uncorrected tests at α=.05 and ~40% of the time
+    something 'significant' appears by chance alone. Returns one row
+    per pair: (type_a, type_b, n_a, n_b, z_stat, p_value, p_rank,
+    bh_cutoff, significant) where significant applies the BH STEP-UP
+    (every pair ranked ≤ the largest rank with p ≤ rank·q/m passes).
+
+    Determinism: group moments are exact decimals (the welch seam);
+    z is the Welch statistic (df large ⇒ normal); the two-sided
+    p-value evaluates the A&S 7.1.26 polynomial — a fixed dag of
+    arithmetic and exp() with shared literals — and rounds at 12 dp
+    so the BH rank order is engine-stable (tie-break on the pair
+    name); the step-up max is one window over 10 rows.
+
+    Shape: one partial-aggregated shuffle to 5 rows, a 5×5 self-join,
+    two 10-row windows.
+    """
+    e = table(spark, sf_dir, "events")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+        F.sum(
+            (F.col("value") * F.col("value")).cast("decimal(28,10)")
+        ).alias("s2"),
+    )
+    a = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.crossJoin(b).where(F.col("type_a") < F.col("type_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mua = F.col("s1_a").cast("double") / na
+    mub = F.col("s1_b").cast("double") / nb
+    va = F.greatest(
+        (F.col("s2_a").cast("double") - na * mua * mua) / (na - 1.0),
+        F.lit(0.0),
+    )
+    vb = F.greatest(
+        (F.col("s2_b").cast("double") - nb * mub * mub) / (nb - 1.0),
+        F.lit(0.0),
+    )
+    se = F.sqrt(va / na + vb / nb)
+    z = (mua - mub) / se
+    p = F.round(F.lit(2.0) * _phi_upper(F.abs(z)), 12)
+    scored = j.select(
+        "type_a", "type_b", "n_a", "n_b",
+        F.round(z, 9).alias("z_stat"),
+        p.alias("p_value"),
+    )
+    wr = Window.orderBy("p_value", "type_a", "type_b")
+    m = float(10)
+    ranked = scored.withColumn(
+        "p_rank", F.row_number().over(wr).cast("long")
+    ).withColumn(
+        "bh_cutoff",
+        F.col("p_rank").cast("double") * F.lit(BH_Q) / F.lit(m),
+    )
+    # BH step-up: find the LARGEST rank whose p <= cutoff; everything
+    # ranked at or below it is significant
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ranked.withColumn(
+        "max_pass",
+        F.max(
+            F.when(F.col("p_value") <= F.col("bh_cutoff"), F.col("p_rank"))
+        ).over(wall),
+    ).select(
+        "type_a", "type_b", "n_a", "n_b", "z_stat", "p_value",
+        "p_rank", "bh_cutoff",
+        F.coalesce(
+            F.col("p_rank") <= F.col("max_pass"), F.lit(False)
+        ).alias("significant"),
+    ).orderBy("p_rank")

@@ -3834,3 +3834,40 @@ def test_adf_stationary_vs_random_walkish(spark, tmp_path):
     )
     r2 = adf_daily_revenue(spark, trend).collect()[0]
     assert r2.t_stat > r.t_stat  # much weaker pull toward a level
+
+
+def test_bh_fdr_flags_planted_shift_only(spark, tmp_path):
+    """One type with a huge mean shift: only its pairs pass BH; the
+    null pairs don't. p-values match the normal CDF closed form."""
+    import datetime
+    import math
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        pairwise_welch_fdr,
+    )
+
+    d = str(tmp_path / "sf_fdr")
+    rows, eid = [], 0
+    for t, mu in {"a": 10.0, "b": 10.0, "c": 10.0, "shift": 50.0}.items():
+        for i in range(200):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1), 1, t,
+                 mu + (i % 5) - 2.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = pairwise_welch_fdr(spark, d).collect()
+    assert len(out) == 6  # C(4,2)
+    for r in out:
+        involved = "shift" in (r.type_a, r.type_b)
+        assert r.significant == involved, r
+    # sanity: a known z maps to the textbook two-sided p within the
+    # A&S 7.1.26 error bound (7.5e-8)
+    for r in out:
+        if r.z_stat is not None and abs(r.z_stat) < 6:
+            exact = 2.0 * (0.5 * math.erfc(abs(r.z_stat) / math.sqrt(2)))
+            assert abs(r.p_value - exact) < 2e-7
