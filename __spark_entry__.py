@@ -150,7 +150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ljung_box_revenue, kendall_tau_daily,
     sorted_neighborhood_pairs, coverage_greedy_docs,
     hurst_rs_daily, median_polish_dow_hour, anova_value_by_type,
-    adf_daily_revenue, cf_holdout_hitrate, pairwise_welch_fdr —
+    adf_daily_revenue, cf_holdout_hitrate, pairwise_welch_fdr,
+    granger_count_to_revenue (kendall_tau_daily was REDEFINED in r4
+    post-freeze onto count-vs-revenue within orders — the original
+    orders⋈events daily join was vacuous, disjoint calendars; it
+    sits outside the r4 window so its first driver record is the
+    meaningful form) —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -650,6 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bp) round-4 continuation 64 — all-pairs Welch tests under
         # Benjamini–Hochberg FDR control (A&S normal CDF, shared dag)
         "pairwise_welch_fdr": E.pairwise_welch_fdr,
+        # (bq) round-4 continuation 65 — Granger lag-1 incremental-F
+        # (does order volume lead revenue?)
+        "granger_count_to_revenue": X.granger_count_to_revenue,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -8777,21 +8785,19 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM terms ORDER BY lag
         """,
         "kendall_tau_daily": """
-            WITH od AS (
+            WITH d AS (
                 SELECT CAST(o_orderdate AS DATE) AS day,
-                       COUNT(*) AS x
+                       COUNT(*) AS x,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
                 FROM orders GROUP BY 1
-            ), ed AS (
-                SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y
-                FROM events GROUP BY 1
-            ), d AS (
-                SELECT od.day, od.x, ed.y FROM od JOIN ed ON od.day = ed.day
             ), agg AS (
                 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                       CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                       CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                                       OR (a.x > b.x AND a.y > b.y)
                                      THEN 1 ELSE 0 END) AS BIGINT)
                            AS concordant,
-                       CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                       CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                                       OR (a.x > b.x AND a.y < b.y)
                                      THEN 1 ELSE 0 END) AS BIGINT)
                            AS discordant,
                        CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
@@ -9245,5 +9251,81 @@ def _oracle_sql_literals() -> dict[str, str]:
                    bh_cutoff,
                    COALESCE(p_rank <= max_pass, FALSE) AS significant
             FROM passed ORDER BY p_rank
+        """,
+        "granger_count_to_revenue": """
+            WITH joint AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                       COUNT(*) AS cnt
+                FROM orders GROUP BY 1
+            ), idx AS (
+                SELECT rev, cnt, ROW_NUMBER() OVER (ORDER BY day) AS rn
+                FROM joint
+            ), p AS (
+                SELECT CAST(a.rev AS DOUBLE) / 1048576.0 AS y,
+                       CAST(b.rev AS DOUBLE) / 1048576.0 AS x1,
+                       CAST(b.cnt AS DOUBLE) AS x2
+                FROM idx a JOIN idx b ON a.rn = b.rn + 1
+            ), g AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+                       CAST(SUM(CAST(x1 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(x2 AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+                       CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,6)))
+                            AS DOUBLE) AS s11,
+                       CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6)))
+                            AS DOUBLE) AS s22,
+                       CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,6)))
+                            AS DOUBLE) AS s12,
+                       CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(y * y AS DECIMAL(38,6)))
+                            AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(x1 * y AS DECIMAL(38,6)))
+                            AS DOUBLE) AS s1y,
+                       CAST(SUM(CAST(x2 * y AS DECIMAL(38,6)))
+                            AS DOUBLE) AS s2y
+                FROM p
+            ), solved AS (
+                SELECT n_obs, CAST(n_obs AS DOUBLE) AS n,
+                       s1, s2, s11, s22, s12, sy, syy, s1y, s2y,
+                       CAST(n_obs AS DOUBLE) * (s11 * s22 - s12 * s12)
+                       - s1 * (s1 * s22 - s12 * s2)
+                       + s2 * (s1 * s12 - s11 * s2) AS det,
+                       sy * (s11 * s22 - s12 * s12)
+                       - s1 * (s1y * s22 - s12 * s2y)
+                       + s2 * (s1y * s12 - s11 * s2y) AS d0,
+                       CAST(n_obs AS DOUBLE) * (s1y * s22 - s12 * s2y)
+                       - sy * (s1 * s22 - s12 * s2)
+                       + s2 * (s1 * s2y - s1y * s2) AS d1,
+                       CAST(n_obs AS DOUBLE) * (s11 * s2y - s1y * s12)
+                       - s1 * (s1 * s2y - s1y * s2)
+                       + sy * (s1 * s12 - s11 * s2) AS d2
+                FROM g
+            ), coef AS (
+                SELECT *, d0 / det AS b0, d1 / det AS b1, d2 / det AS b2,
+                       s11 - s1 * s1 / n AS cxx,
+                       s1y - s1 * sy / n AS cxy,
+                       syy - sy * sy / n AS cyy
+                FROM solved
+            ), fits AS (
+                SELECT *,
+                       syy - b0 * sy - b1 * s1y - b2 * s2y AS sse_u,
+                       cyy - (cxy / cxx) * cxy AS sse_r
+                FROM coef
+            )
+            SELECT n_obs,
+                   CASE WHEN det != 0
+                        THEN ROUND(b2 * 1048576.0, 9)
+                   END AS beta_count,
+                   CASE WHEN cxx != 0 AND cyy > 0
+                        THEN ROUND(1.0 - sse_r / cyy, 9)
+                   END AS r2_restricted,
+                   CASE WHEN det != 0 AND cyy > 0
+                        THEN ROUND(1.0 - sse_u / cyy, 9)
+                   END AS r2_unrestricted,
+                   CASE WHEN det != 0 AND sse_u > 0
+                        THEN ROUND((sse_r - sse_u)
+                                   / (sse_u / (n - 3.0)), 9)
+                   END AS f_stat
+            FROM fits
         """,
     }

@@ -2252,42 +2252,48 @@ def ljung_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kendall's τ-b between daily order volume and daily event
-    volume — the tie-corrected CONCORDANCE companion to
-    spearman_rank_corr: counts, for every pair of days, whether the
-    two series move together. τ is robust to any monotone transform
-    and its pairwise definition is exactly integer-countable, which
-    Pearson/Spearman (rank midpoints, float ranks) are not. Returns
-    one row: (n_days, n_pairs, concordant, discordant, ties_x,
-    ties_y, tau_b).
+    """Kendall's τ-b between daily order COUNT and daily order
+    REVENUE — "do busier days earn proportionally more?" — the
+    tie-corrected CONCORDANCE companion to spearman_rank_corr:
+    counts, for every pair of days, whether the two series move
+    together. τ is robust to any monotone transform and its pairwise
+    definition is exactly integer-countable, which Pearson/Spearman
+    (rank midpoints, float ranks) are not. Both series come from the
+    SAME table — the orders and events calendars are disjoint in
+    this dataset, so a cross-table daily join would be vacuous.
+    Returns one row: (n_days, n_pairs, concordant, discordant,
+    ties_x, ties_y, tau_b).
 
     Shape: the pair blow-up is over the DAILY spine joined to itself
     (day_a < day_b) — calendar-bounded (~2.9M pairs for a 2400-day
-    range) at ANY fact scale, the theil_sen contract; the two fact
-    tables each shuffle once into their daily rollups. τ-b closes
-    as a fixed double dag on exact BIGINT counts (products stay
-    < 2^53 for a century of days).
+    range) at ANY fact scale, the theil_sen contract; the fact table
+    shuffles once into the daily rollup. τ-b closes as a fixed
+    double dag on exact BIGINT counts (products stay < 2^53 for a
+    century of days); sign tests compare exact INT/DECIMAL values
+    directly, never float products.
     """
     o = table(spark, sf_dir, "orders")
-    e = table(spark, sf_dir, "events")
-    od = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.count(F.lit(1)).alias("x")
-    )
-    ed = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("y")
-    )
-    d = od.join(ed, "day").localCheckpoint()
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"),
+    ).localCheckpoint()
     a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
-    dx = F.col("xa") - F.col("xb")
-    dy = F.col("ya") - F.col("yb")
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    )
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    )
     pairs = a.join(b, F.col("da") < F.col("db"))
     agg = pairs.groupBy().agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("concordant"),
-        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("discordant"),
-        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("long").alias("ties_x"),
-        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("long").alias("ties_y"),
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("discordant"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0)).cast("long").alias("ties_x"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0)).cast("long").alias("ties_y"),
     )
     nd = d.groupBy().agg(F.count(F.lit(1)).alias("n_days"))
     n0 = F.col("n_pairs").cast("double")
@@ -2503,4 +2509,98 @@ def adf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha, 6).alias("alpha"),
         t.alias("t_stat"),
         F.coalesce(t < F.lit(-2.86), F.lit(True)).alias("rejects_unit_root"),
+    )
+
+
+def granger_count_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lag-1 predictive-causality test: does YESTERDAY's
+    order COUNT help predict TODAY's revenue beyond what yesterday's
+    revenue already does? Fit the restricted model y_t ~ y_{t−1} and
+    the unrestricted y_t ~ y_{t−1} + x_{t−1} (x = order count), and
+    report the incremental-F of the extra regressor — the standard
+    "does volume lead value" question, one level up from a raw
+    lagged correlation (correlation at a lag ≠ incremental
+    predictive content). Both series come from the orders table (the
+    events calendar is disjoint in this dataset). Returns one row:
+    (n_obs, beta_count, r2_restricted, r2_unrestricted, f_stat).
+
+    Determinism: both daily series are exact (DECIMAL revenue sum,
+    BIGINT counts); lag pairs index the observed series via one
+    calendar-bounded window; every cross-moment multiplies in DOUBLE
+    and quantizes into DECIMAL(38,6) before the order-free sum; the
+    closing Cramer 3×3 solve is the ols_two_factor fixed dag.
+
+    Shape: one fact shuffle to the daily rollup; everything after is
+    days-sized, ending in a single-row reduce.
+    """
+    o = table(spark, sf_dir, "orders")
+    joint = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).withColumn(
+        "rn", F.row_number().over(Window.orderBy("day"))
+    )
+    # prescale revenue by 2^20 (exact in double) so every quantized
+    # moment's scaled integer stays below 2^53 — int128→double
+    # conversion otherwise double-rounds differently across engines
+    # (the haar lesson); the count regressor is already small
+    sc = F.lit(1048576.0)
+    cur = joint.select(
+        F.col("rn"), (F.col("rev").cast("double") / sc).alias("y")
+    )
+    prev = joint.select(
+        (F.col("rn") + 1).alias("rn"),
+        (F.col("rev").cast("double") / sc).alias("x1"),
+        F.col("cnt").cast("double").alias("x2"),
+    )
+    p = cur.join(prev, "rn")
+    q = lambda c: F.sum(c.cast("decimal(38,6)"))  # noqa: E731
+    g = p.groupBy().agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        q(F.col("x1")).alias("s1"),
+        q(F.col("x2")).alias("s2"),
+        q(F.col("x1") * F.col("x1")).alias("s11"),
+        q(F.col("x2") * F.col("x2")).alias("s22"),
+        q(F.col("x1") * F.col("x2")).alias("s12"),
+        q(F.col("y")).alias("sy"),
+        q(F.col("y") * F.col("y")).alias("syy"),
+        q(F.col("x1") * F.col("y")).alias("s1y"),
+        q(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n_obs").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s11, s22 = F.col("s11").cast("double"), F.col("s22").cast("double")
+    s12 = F.col("s12").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    s1y, s2y = F.col("s1y").cast("double"), F.col("s2y").cast("double")
+    det = _det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = _det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = _det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = _det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    sse_u = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    # restricted: y on x1 only
+    cxx = s11 - s1 * s1 / n
+    cxy = s1y - s1 * sy / n
+    cyy = sst
+    br = cxy / cxx
+    sse_r = cyy - br * cxy
+    fstat = (sse_r - sse_u) / (sse_u / (n - F.lit(3.0)))
+    return g.select(
+        "n_obs",
+        F.when(det != 0, F.round(b2 * F.lit(1048576.0), 9)).alias(
+            "beta_count"
+        ),
+        F.when(
+            (cxx != 0) & (cyy > 0),
+            F.round(F.lit(1.0) - sse_r / cyy, 9),
+        ).alias("r2_restricted"),
+        F.when(
+            (det != 0) & (cyy > 0),
+            F.round(F.lit(1.0) - sse_u / cyy, 9),
+        ).alias("r2_unrestricted"),
+        F.when(
+            (det != 0) & (sse_u > 0), F.round(fstat, 9)
+        ).alias("f_stat"),
     )

@@ -3619,38 +3619,42 @@ def test_ljung_box_cumulative_and_closed_form(spark):
 
 
 def test_kendall_tau_perfectly_concordant(spark, tmp_path):
-    """x and y strictly co-monotone over days → tau_b == 1."""
+    """Count and revenue strictly co-monotone over days → tau_b = 1;
+    flat per-order price (revenue anti-monotone via price decay) →
+    tau_b = -1."""
     import datetime
 
     from doeecommerce_datapipeline_spark.operators.analytics import (
         kendall_tau_daily,
     )
 
-    d = str(tmp_path / "sf_tau")
-    orows, erows, oid, eid = [], [], 0, 0
-    for i in range(6):
-        day = datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i)
-        for _ in range(i + 1):          # x strictly increasing
-            orows.append((oid, 1, "O", 1.0, day, "1-URGENT"))
-            oid += 1
-        for _ in range(2 * i + 1):      # y strictly increasing too
-            erows.append((eid, day, 1, "view", 1.0, "{}"))
-            eid += 1
-    spark.createDataFrame(
-        orows,
-        "o_orderkey long, o_custkey long, o_orderstatus string,"
-        " o_totalprice double, o_orderdate timestamp,"
-        " o_orderpriority string",
-    ).write.parquet(d + "/orders.parquet")
-    spark.createDataFrame(
-        erows,
-        "event_id long, ts timestamp, user_id long, event_type string,"
-        " value double, props string",
-    ).write.parquet(d + "/events.parquet")
-    r = kendall_tau_daily(spark, d).collect()[0]
+    def mk(dirname, price_for):
+        d = str(tmp_path / dirname)
+        orows, oid = [], 0
+        for i in range(6):
+            day = (datetime.datetime(1995, 1, 1)
+                   + datetime.timedelta(days=i))
+            for _ in range(i + 1):      # count strictly increasing
+                orows.append((oid, 1, "O", price_for(i), day,
+                              "1-URGENT"))
+                oid += 1
+        spark.createDataFrame(
+            orows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.parquet(d + "/orders.parquet")
+        return d
+
+    up = mk("sf_tau_up", lambda i: 10.0)           # rev = 10·count ↑
+    r = kendall_tau_daily(spark, up).collect()[0]
     assert r.n_days == 6 and r.n_pairs == 15
     assert r.concordant == 15 and r.discordant == 0
     assert r.tau_b == 1.0
+    # price decays faster than count grows → revenue strictly down
+    down = mk("sf_tau_dn", lambda i: 1000.0 / (4.0 ** i))
+    r2 = kendall_tau_daily(spark, down).collect()[0]
+    assert r2.discordant == 15 and r2.tau_b == -1.0
 
 
 def test_sorted_neighborhood_window_and_threshold(spark, tmp_path):
@@ -3871,3 +3875,37 @@ def test_bh_fdr_flags_planted_shift_only(spark, tmp_path):
         if r.z_stat is not None and abs(r.z_stat) < 6:
             exact = 2.0 * (0.5 * math.erfc(abs(r.z_stat) / math.sqrt(2)))
             assert abs(r.p_value - exact) < 2e-7
+
+
+def test_granger_planted_leading_indicator(spark, tmp_path):
+    """Revenue follows yesterday's order count exactly → the count
+    regressor adds real predictive power (huge F, r2_u >> r2_r)."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        granger_count_to_revenue,
+    )
+
+    d = str(tmp_path / "sf_granger")
+    orows, oid = [], 0
+    # day i has count c_i (pseudo-random walk) and per-order price
+    # chosen so rev_i = 500 * c_{i-1} + noise — count LEADS revenue
+    counts = [((i * 7919) % 13) + 2 for i in range(120)]
+    for i, c in enumerate(counts):
+        day = datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i)
+        target = 500.0 * (counts[i - 1] if i else 5) + (i % 3)
+        for k in range(c):
+            orows.append((oid, 1, "O", target / c, day, "1-URGENT"))
+            oid += 1
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    r = granger_count_to_revenue(spark, d).collect()[0]
+    assert r.n_obs == 119
+    assert r.r2_unrestricted > 0.95
+    assert r.r2_unrestricted > r.r2_restricted + 0.2
+    assert r.f_stat > 100
+    assert abs(r.beta_count - 500.0) < 5.0
