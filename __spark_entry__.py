@@ -155,7 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     post-freeze onto count-vs-revenue within orders — the original
     orders⋈events daily join was vacuous, disjoint calendars; it
     sits outside the r4 window so its first driver record is the
-    meaningful form) —
+    meaningful form), copurchase_clustering —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -658,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bq) round-4 continuation 65 — Granger lag-1 incremental-F
         # (does order volume lead revenue?)
         "granger_count_to_revenue": X.granger_count_to_revenue,
+        # (br) round-4 continuation 66 — global clustering coefficient
+        # of the support-2 copurchase graph (degree-oriented kernel)
+        "copurchase_clustering": G.copurchase_clustering,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9327,5 +9330,41 @@ def _oracle_sql_literals() -> dict[str, str]:
                                    / (sse_u / (n - 3.0)), 9)
                    END AS f_stat
             FROM fits
+        """,
+        "copurchase_clustering": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            ), e AS (
+                SELECT a.p AS u, b.p AS v
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                    SELECT u AS node FROM e
+                    UNION ALL SELECT v AS node FROM e
+                ) GROUP BY 1
+            ), wed AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                       CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+                FROM deg
+            ), tri AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), ne AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+            )
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   CASE WHEN n_wedges > 0
+                        THEN ROUND(3.0 * CAST(n_triangles AS DOUBLE)
+                                   / CAST(n_wedges AS DOUBLE), 9)
+                   END AS global_cc,
+                   ROUND((2.0 * CAST(n_edges AS DOUBLE)
+                          / CAST(n_nodes AS DOUBLE))
+                         / (CAST(n_nodes AS DOUBLE) - 1.0), 9)
+                       AS random_cc
+            FROM wed CROSS JOIN tri CROSS JOIN ne
         """,
     }

@@ -106,3 +106,37 @@ def test_copurchase_core_collapse_reaches_fixpoint(spark):
         rows[-2].n_nodes,
         rows[-2].n_edges,
     )
+
+
+def test_clustering_coefficient_planted(spark, tmp_path):
+    """A triangle of recurring copurchases + a pendant edge: wedges
+    and triangles count exactly; C = 3T/W."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.graph import (
+        copurchase_clustering,
+    )
+
+    d = str(tmp_path / "sf_cc")
+    # orders: parts {1,2,3} co-bought together twice (triangle, all
+    # edges support 2); parts {3,4} co-bought twice (pendant edge);
+    # {1,5} co-bought ONCE (below support — must not appear)
+    baskets = [[1, 2, 3], [1, 2, 3], [3, 4], [3, 4], [1, 5]]
+    lrows = []
+    for ok, parts in enumerate(baskets, 1):
+        for ln, p in enumerate(parts, 1):
+            lrows.append((ok, p, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                          datetime.datetime(1995, 1, 2)))
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    r = copurchase_clustering(spark, d).collect()[0]
+    # edges: (1,2),(1,3),(2,3),(3,4) — node 5 never enters
+    assert r.n_nodes == 4 and r.n_edges == 4
+    # degrees 1:2, 2:2, 3:3, 4:1 → wedges = 1+1+3+0 = 5
+    assert r.n_wedges == 5 and r.n_triangles == 1
+    assert abs(r.global_cc - 3.0 / 5.0) < 1e-9
