@@ -155,7 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     post-freeze onto count-vs-revenue within orders — the original
     orders⋈events daily join was vacuous, disjoint calendars; it
     sits outside the r4 window so its first driver record is the
-    meaningful form), copurchase_clustering —
+    meaningful form), copurchase_clustering, term_burstiness —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -661,6 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (br) round-4 continuation 66 — global clustering coefficient
         # of the support-2 copurchase graph (degree-oriented kernel)
         "copurchase_clustering": G.copurchase_clustering,
+        # (bs) round-4 continuation 67 — Church–Gale term burstiness
+        # (VMR with algebraic zero-fill)
+        "term_burstiness": T.term_burstiness,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9366,5 +9369,40 @@ def _oracle_sql_literals() -> dict[str, str]:
                          / (CAST(n_nodes AS DOUBLE) - 1.0), 9)
                        AS random_cc
             FROM wed CROSS JOIN tri CROSS JOIN ne
+        """,
+        "term_burstiness": """
+            WITH nrow AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS term
+                FROM documents
+            ), t2 AS (SELECT doc_id, term FROM toks WHERE term != ''),
+            per_doc AS (
+                SELECT doc_id, term, COUNT(*) AS c
+                FROM t2 GROUP BY 1, 2
+            ), stats AS (
+                SELECT term, CAST(SUM(c) AS BIGINT) AS tf,
+                       CAST(COUNT(*) AS BIGINT) AS df,
+                       CAST(SUM(c * c) AS BIGINT) AS s2
+                FROM per_doc GROUP BY 1
+            ), top AS (
+                SELECT * FROM stats
+                ORDER BY tf DESC, term ASC LIMIT 30
+            )
+            SELECT term, tf, df,
+                   ROUND(CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+                       AS mean_count,
+                   ROUND(((CAST(s2 AS DOUBLE)
+                           - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE))
+                          / CAST(n_docs AS DOUBLE))
+                         / (CAST(tf AS DOUBLE) / CAST(n_docs AS DOUBLE)),
+                         9) AS vmr,
+                   ROUND(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+                       AS df_ratio
+            FROM top CROSS JOIN nrow
+            ORDER BY tf DESC, term ASC
         """,
     }

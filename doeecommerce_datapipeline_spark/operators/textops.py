@@ -1873,3 +1873,57 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tr"), F.asc("word"))
         .limit(TEXTRANK_TOPK)
     )
+
+
+BURSTINESS_TOP_TERMS = 30
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness of the corpus's top-30 terms: the
+    variance-to-mean ratio (VMR) of per-document term counts over the
+    WHOLE corpus (absent docs count 0). A Poisson-scattered term has
+    VMR ≈ 1; content words BURST (appear many times in few documents,
+    VMR ≫ 1) while function words spread evenly — the classic IR
+    statistic separating topical terms from glue, and the reason
+    df-based weights beat raw tf. Returns (term, tf, df, mean_count,
+    vmr, df_ratio) for the top-30 terms by tf.
+
+    The zero-fill is ALGEBRAIC: with Σc and Σc² from the posting
+    rows alone and N the corpus size, mean = Σc/N and VMR =
+    (Σc² − (Σc)²/N) / (N·mean) — absent-document zeros contribute
+    nothing to either sum, so no per-(doc, term) grid materializes.
+    Exact integers until the two closing divisions.
+
+    Shape: one (doc, term) count exchange, a term rollup, one
+    broadcast top-k cut.
+    """
+    d = table(spark, sf_dir, "documents")
+    nrow = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    top = stats.orderBy(F.desc("tf"), F.asc("term")).limit(
+        BURSTINESS_TOP_TERMS
+    )
+    j = top.crossJoin(F.broadcast(nrow))
+    n = F.col("n_docs").cast("double")
+    tf = F.col("tf").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = tf / n
+    var = (s2 - tf * tf / n) / n
+    return j.select(
+        "term",
+        "tf",
+        "df",
+        F.round(mean, 9).alias("mean_count"),
+        F.round(var / mean, 9).alias("vmr"),
+        F.round(F.col("df").cast("double") / n, 9).alias("df_ratio"),
+    ).orderBy(F.desc("tf"), F.asc("term"))

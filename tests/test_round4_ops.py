@@ -3909,3 +3909,26 @@ def test_granger_planted_leading_indicator(spark, tmp_path):
     assert r.r2_unrestricted > r.r2_restricted + 0.2
     assert r.f_stat > 100
     assert abs(r.beta_count - 500.0) < 5.0
+
+
+def test_burstiness_separates_bursty_from_uniform(spark, tmp_path):
+    """A term concentrated in one doc has VMR >> 1; a term appearing
+    exactly once per doc has VMR < 1 (sub-Poisson regularity)."""
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        term_burstiness,
+    )
+
+    d = str(tmp_path / "sf_burst")
+    rows = [(0, "bursty " * 40 + "glue", "en", "s", 1)]
+    rows += [(i, "glue filler" + str(i), "en", "s", 1)
+             for i in range(1, 40)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.term: r for r in term_burstiness(spark, d).collect()}
+    assert out["bursty"].vmr > 10          # all 40 hits in one doc
+    assert out["glue"].vmr < 1.0           # once per doc, everywhere
+    assert out["glue"].df_ratio == 1.0
+    assert out["bursty"].df == 1 and out["bursty"].tf == 40
