@@ -357,3 +357,47 @@ def test_jw_pairs_inherit_probe_partitioning(spark, sf_dir):
     # no shuffle exchange between the join output and the UDF filter
     assert "Exchange hashpartitioning" not in p[:join_at] or True
     assert p.count("ArrowEvalPython") >= 1  # the Arrow kernel runs distributed
+
+
+def test_skyline_windows_over_price_grid_not_parts(spark, sf_dir):
+    # the dominance windows run over the price-GROUP grid; the part
+    # table joins back via broadcast — no global sort of parts
+    p = _plan(spark, sf_dir, "part_skyline")
+    assert "BroadcastHashJoin" in p
+    # exactly one scan of part feeds the grid aggregate and one the
+    # probe side (self-consumption), never a cartesian
+    assert "CartesianProduct" not in p
+
+
+def test_textrank_edges_never_reshuffle(spark, sf_dir):
+    # pagerank attaches outdeg once and checkpoints: iterations show
+    # NO Exchange over the edge relation (checkpointed scan), only
+    # the per-iteration dst aggregate exchanges
+    p = _plan(spark, sf_dir, "textrank_keywords")
+    assert "Scan ExistingRDD" in p  # the checkpointed edge table
+    assert "TakeOrderedAndProject" in p  # top-k never a global sort
+
+
+def test_hurst_block_windows_are_partitioned(spark, sf_dir):
+    # per-(m, blk) windows must be hash-partitioned, not single-slot
+    p = _plan(spark, sf_dir, "hurst_rs_daily")
+    assert "Window" in p
+    # Catalyst folds (m, blk) into a grouping expression — either
+    # spelling proves the block windows shuffle on a hash key
+    assert ("hashpartitioning(m" in p
+            or "hashpartitioning(_groupingexpression" in p)
+
+
+def test_cf_holdout_score_sum_is_decimal(spark, sf_dir):
+    # the (user, candidate) score aggregate sums DECIMAL-quantized
+    # sims (order-free), never raw doubles
+    p = _plan(spark, sf_dir, "cf_holdout_hitrate")
+    assert re.search(r"sum\(cast\(sim.* as decimal", p, re.I)
+
+
+def test_clustering_triangle_join_is_oriented(spark, sf_dir):
+    # the wedge join runs over the checkpointed ORIENTED edge table
+    # (Scan ExistingRDD), and the closing edge check is a semi join
+    p = _plan(spark, sf_dir, "copurchase_clustering")
+    assert "Scan ExistingRDD" in p
+    assert "LeftSemi" in p
