@@ -155,7 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     post-freeze onto count-vs-revenue within orders — the original
     orders⋈events daily join was vacuous, disjoint calendars; it
     sits outside the r4 window so its first driver record is the
-    meaningful form), copurchase_clustering, term_burstiness —
+    meaningful form), copurchase_clustering, term_burstiness,
+    simpson_slope_check —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -664,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bs) round-4 continuation 67 — Church–Gale term burstiness
         # (VMR with algebraic zero-fill)
         "term_burstiness": T.term_burstiness,
+        # (bt) round-4 continuation 68 — Simpson's-paradox screen
+        # (pooled vs within-brand slope sign flips)
+        "simpson_slope_check": X.simpson_slope_check,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9404,5 +9408,56 @@ def _oracle_sql_literals() -> dict[str, str]:
                        AS df_ratio
             FROM top CROSS JOIN nrow
             ORDER BY tf DESC, term ASC
+        """,
+        "simpson_slope_check": """
+            WITH g AS (
+                SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(p_size AS BIGINT)) AS sx,
+                       SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS sy,
+                       SUM(CAST(p_size AS BIGINT)
+                           * CAST(p_size AS BIGINT)) AS sxx,
+                       SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                                * CAST(p_size AS BIGINT)
+                                AS DECIMAL(28,2))) AS sxy
+                FROM part GROUP BY 1
+            ), pooled AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS pn, SUM(sx) AS psx,
+                       SUM(sy) AS psy, SUM(sxx) AS psxx,
+                       SUM(sxy) AS psxy
+                FROM g
+            ), j AS (
+                SELECT g.*, pooled.* FROM g CROSS JOIN pooled
+            ), sl AS (
+                SELECT p_brand, n,
+                       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 != 0
+                            THEN ROUND((CAST(n AS DOUBLE)
+                                        * CAST(sxy AS DOUBLE)
+                                        - CAST(sx AS DOUBLE)
+                                          * CAST(sy AS DOUBLE))
+                                       / (CAST(n AS DOUBLE)
+                                          * CAST(sxx AS DOUBLE)
+                                          - CAST(sx AS DOUBLE)
+                                            * CAST(sx AS DOUBLE)), 9)
+                       END AS slope_within,
+                       CASE WHEN CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+                                 - CAST(psx AS DOUBLE)
+                                   * CAST(psx AS DOUBLE) != 0
+                            THEN ROUND((CAST(pn AS DOUBLE)
+                                        * CAST(psxy AS DOUBLE)
+                                        - CAST(psx AS DOUBLE)
+                                          * CAST(psy AS DOUBLE))
+                                       / (CAST(pn AS DOUBLE)
+                                          * CAST(psxx AS DOUBLE)
+                                          - CAST(psx AS DOUBLE)
+                                            * CAST(psx AS DOUBLE)), 9)
+                       END AS pooled_slope
+                FROM j
+            )
+            SELECT p_brand, n, slope_within, pooled_slope,
+                   COALESCE(slope_within * pooled_slope < 0, FALSE)
+                       AS sign_flip
+            FROM sl ORDER BY p_brand
         """,
     }

@@ -2604,3 +2604,64 @@ def granger_count_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (det != 0) & (sse_u > 0), F.round(fstat, 9)
         ).alias("f_stat"),
     )
+
+
+def simpson_slope_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen on the price~size relationship:
+    compare the POOLED OLS slope across all parts with each brand's
+    WITHIN-brand slope and flag sign flips — the aggregation trap
+    where "bigger parts cost more overall" can coexist with "within
+    every brand, bigger parts cost less" (brand mix confounds the
+    marginal). The pre-flight for any cross-group regression
+    readout (revenue_trend_ols, promo_lift_slope). Returns one row
+    per brand: (p_brand, n, slope_within, pooled_slope, sign_flip).
+
+    Determinism: x = p_size (int), y = p_retailprice cast to exact
+    DECIMAL(12,2); all five moments are exact decimal/integer sums
+    per brand, the pooled moments are the exact SUMS of the brand
+    moments (one extra 25-row aggregate, no second fact pass), and
+    both slopes close as the same fixed double dag.
+
+    Shape: one brand-keyed partial-aggregated exchange; everything
+    after is |brands|-sized.
+    """
+    p = table(spark, sf_dir, "part")
+    y = F.col("p_retailprice").cast("decimal(12,2)")
+    x = F.col("p_size").cast("long")
+    g = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum((y * x).cast("decimal(28,2)")).alias("sxy"),
+    ).localCheckpoint(eager=True)
+    pooled = g.groupBy().agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sxy").alias("psxy"),
+    )
+
+    def slope(n, sx, sy, sxx, sxy):
+        nd = F.col(n).cast("double")
+        a, b = F.col(sx).cast("double"), F.col(sy).cast("double")
+        c, d = F.col(sxx).cast("double"), F.col(sxy).cast("double")
+        den = nd * c - a * a
+        return F.when(den != 0, F.round((nd * d - a * b) / den, 9))
+
+    within = slope("n", "sx", "sy", "sxx", "sxy")
+    pool = slope("pn", "psx", "psy", "psxx", "psxy")
+    return (
+        g.crossJoin(F.broadcast(pooled))
+        .select(
+            "p_brand",
+            "n",
+            within.alias("slope_within"),
+            pool.alias("pooled_slope"),
+            F.coalesce(
+                within * pool < 0, F.lit(False)
+            ).alias("sign_flip"),
+        )
+        .orderBy("p_brand")
+    )

@@ -3932,3 +3932,35 @@ def test_burstiness_separates_bursty_from_uniform(spark, tmp_path):
     assert out["glue"].vmr < 1.0           # once per doc, everywhere
     assert out["glue"].df_ratio == 1.0
     assert out["bursty"].df == 1 and out["bursty"].tf == 40
+
+
+def test_simpson_planted_paradox(spark, tmp_path):
+    """Within every brand price FALLS with size, but expensive brands
+    sell bigger parts → the pooled slope is POSITIVE: every brand
+    flags sign_flip."""
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        simpson_slope_check,
+    )
+
+    d = str(tmp_path / "sf_simpson")
+    rows, key = [], 0
+    # brand k lives at sizes [10k, 10k+4] with base price 1000k,
+    # and WITHIN the brand price drops 5 per size unit
+    for k in (1, 2, 3):
+        for s_off in range(5):
+            size = 10 * k + s_off
+            price = 1000.0 * k - 5.0 * s_off
+            key += 1
+            rows.append((key, f"part{key}", f"Brand#{k}", "t",
+                         size, price))
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    out = simpson_slope_check(spark, d).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.slope_within < 0
+        assert r.pooled_slope > 0
+        assert r.sign_flip
