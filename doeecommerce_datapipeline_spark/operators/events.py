@@ -2677,13 +2677,26 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     is constant-size.
     """
     e = table(spark, sf_dir, "events")
-    g = e.groupBy("event_type").agg(
+    return anova_from_moments(event_moments(e))
+
+
+def event_moments(e: DataFrame) -> DataFrame:
+    """Per-type additive sufficient statistics (n, Σv, Σv²) as exact
+    decimals — ADDITIVE state: moments(A ∪ B) = moments(A) +
+    moments(B) exactly, which is what lets the streaming merge
+    (foreach_batch_moments_merge) drain bit-identical to batch."""
+    return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
         F.sum(
             (F.col("value") * F.col("value")).cast("decimal(28,10)")
         ).alias("s2"),
     )
+
+
+def anova_from_moments(g: DataFrame) -> DataFrame:
+    """Close the one-way ANOVA from per-group (n, s1, s2) moments —
+    shared by the batch operator and the streaming drain."""
     s1d = F.col("s1").cast("double")
     term = F.round(
         s1d * s1d / F.col("n").cast("double"), 6

@@ -585,3 +585,59 @@ def foreach_batch_weighted_reservoir(reservoir_path: str, topn: int = 50):
         tbl.overwrite(merged)
 
     return _write
+
+
+def foreach_batch_moments_merge(
+    stats_path: str,
+    lineage_id: str = "default",
+):
+    """Streaming one-way-ANOVA state: each micro-batch folds its
+    per-type sufficient statistics (n, Σv, Σv²) into a persistent
+    moments table by group-wise ADDITION — exact decimals, so
+    moments(stream so far) is BIT-IDENTICAL to the batch moments over
+    the same rows and `anova_from_moments` on the drained table
+    equals the batch ANOVA (e2e-pinned). The third member of the
+    additive-state family after the CMS cells and HLL registers: here
+    the state is |event types| rows of three numbers — the entire
+    k-group testing apparatus maintained online for pennies.
+
+    EXACTLY-ONCE under epoch replay via the lineage-scoped epoch
+    guard (the cms_merge pattern — additive state double-counts
+    without it); one stats table per query lineage at a time.
+    """
+    from ..operators.events import event_moments
+    from ..sinks.manifest_store import ManifestTable
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tbl = ManifestTable(spark, stats_path)
+        v = tbl.current_version()
+        batch_m = event_moments(batch_df)
+        if v > 0:
+            meta = tbl._read_manifest(v)
+            if (
+                meta.get("mom_run", "default") == lineage_id
+                and meta.get("mom_epoch", -1) >= epoch_id
+            ):
+                return
+            merged = (
+                tbl.read()
+                .unionByName(batch_m)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("s1").cast("decimal(28,10)").alias("s1"),
+                    F.sum("s2").cast("decimal(28,10)").alias("s2"),
+                )
+            )
+        else:
+            merged = batch_m
+        tbl.upsert(
+            merged,
+            keys=["event_type"],
+            extra_meta={"mom_epoch": epoch_id, "mom_run": lineage_id},
+        )
+
+    return _write

@@ -902,3 +902,64 @@ def test_online_weighted_reservoir_matches_batch_sample(spark, tmp_path):
         for r in weighted_doc_sample(spark, sf).collect()
     }
     assert online == batch
+
+
+def test_online_moments_anova_matches_batch(spark, tmp_path):
+    """E2E: events replayed as micro-batches through the additive
+    moments state; ANOVA closed over the drained table is
+    BIT-IDENTICAL to the batch operator (exact-decimal additivity)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        anova_from_moments,
+        anova_value_by_type,
+    )
+    from doeecommerce_datapipeline_spark.sinks.manifest_store import (
+        ManifestTable,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        foreach_batch_moments_merge,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(sf + "/events.parquet").collect()
+    third = len(rows) // 3
+    batches = [rows[:third], rows[third: 2 * third], rows[2 * third:]]
+    base = str(tmp_path / "mom_in")
+    os.makedirs(base, exist_ok=True)
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    for i, chunk in enumerate(batches):
+        stg = os.path.join(base, f"_stg{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(stg)
+        [part] = glob.glob(os.path.join(stg, "*.parquet"))
+        shutil.move(part, os.path.join(base, f"batch{i}.parquet"))
+        shutil.rmtree(stg)
+        os.utime(os.path.join(base, f"batch{i}.parquet"),
+                 (time.time() + i, time.time() + i))
+
+    stats_path = str(tmp_path / "moments_tbl")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .writeStream.foreachBatch(
+            foreach_batch_moments_merge(
+                stats_path, lineage_id=str(tmp_path / "ck")
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    online = anova_from_moments(
+        ManifestTable(spark, stats_path).read()
+    ).collect()[0]
+    batch = anova_value_by_type(spark, sf).collect()[0]
+    assert online.asDict() == batch.asDict()
