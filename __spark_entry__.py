@@ -156,7 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orders⋈events daily join was vacuous, disjoint calendars; it
     sits outside the r4 window so its first driver record is the
     meaningful form), copurchase_clustering, term_burstiness,
-    simpson_slope_check —
+    simpson_slope_check, bm25_prf_search —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -668,6 +668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bt) round-4 continuation 68 — Simpson's-paradox screen
         # (pooled vs within-brand slope sign flips)
         "simpson_slope_check": X.simpson_slope_check,
+        # (bu) round-4 continuation 69 — pseudo-relevance-feedback
+        # retrieval (Rocchio/RM1-lite expansion over BM25)
+        "bm25_prf_search": T.bm25_prf_search,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9459,5 +9462,91 @@ def _oracle_sql_literals() -> dict[str, str]:
                    COALESCE(slope_within * pooled_slope < 0, FALSE)
                        AS sign_flip
             FROM sl ORDER BY p_brand
+        """,
+        "bm25_prf_search": """
+            WITH wf AS (
+                SELECT doc_id, word, COUNT(*) AS tf FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) AS word
+                    FROM documents
+                ) WHERE word != '' GROUP BY 1, 2
+            ), doclen AS (
+                SELECT doc_id, SUM(tf) AS dl FROM wf GROUP BY 1
+            ), stats AS (
+                SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len
+                FROM doclen
+            ), base_w AS (
+                SELECT UNNEST(['table', 'join', 'spark']) AS word,
+                       CAST(1.0 AS DOUBLE) AS w
+            ), tf1 AS (
+                SELECT wf.doc_id, wf.word, wf.tf, b.w
+                FROM wf JOIN base_w b ON wf.word = b.word
+            ), df1 AS (
+                SELECT word, COUNT(*) AS df FROM tf1 GROUP BY 1
+            ), term1 AS (
+                SELECT t.doc_id,
+                       CAST(ROUND(
+                           (ln((CAST(s.n_docs AS DOUBLE)
+                                - CAST(f.df AS DOUBLE) + 0.5)
+                               / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                            * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)
+                               / (CAST(t.tf AS DOUBLE)
+                                  + 1.2 * (1.0 - 0.75
+                                           + 0.75 * CAST(l.dl AS DOUBLE)
+                                           / (CAST(s.total_len AS DOUBLE)
+                                              / CAST(s.n_docs AS DOUBLE))))))
+                           * t.w, 9) AS DECIMAL(18,9)) AS ts_q
+                FROM tf1 t JOIN doclen l USING (doc_id)
+                           JOIN df1 f USING (word)
+                           CROSS JOIN stats s
+            ), base AS (
+                SELECT doc_id, ROUND(CAST(SUM(ts_q) AS DOUBLE), 6) AS s
+                FROM term1 GROUP BY 1
+            ), top_docs AS (
+                SELECT doc_id FROM base
+                ORDER BY s DESC, doc_id ASC LIMIT 3
+            ), expansion AS (
+                SELECT word, CAST(0.5 AS DOUBLE) AS w FROM (
+                    SELECT wf.word, SUM(wf.tf) AS fb_tf
+                    FROM wf JOIN top_docs USING (doc_id)
+                    WHERE wf.word NOT IN ('table', 'join', 'spark')
+                      AND length(wf.word) >= 3
+                    GROUP BY 1
+                    ORDER BY fb_tf DESC, word ASC LIMIT 5
+                )
+            ), allw AS (
+                SELECT word, w FROM base_w
+                UNION ALL SELECT word, w FROM expansion
+            ), tf2 AS (
+                SELECT wf.doc_id, wf.word, wf.tf, a.w
+                FROM wf JOIN allw a ON wf.word = a.word
+            ), df2 AS (
+                SELECT word, COUNT(*) AS df FROM tf2 GROUP BY 1
+            ), term2 AS (
+                SELECT t.doc_id,
+                       CAST(ROUND(
+                           (ln((CAST(s.n_docs AS DOUBLE)
+                                - CAST(f.df AS DOUBLE) + 0.5)
+                               / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                            * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)
+                               / (CAST(t.tf AS DOUBLE)
+                                  + 1.2 * (1.0 - 0.75
+                                           + 0.75 * CAST(l.dl AS DOUBLE)
+                                           / (CAST(s.total_len AS DOUBLE)
+                                              / CAST(s.n_docs AS DOUBLE))))))
+                           * t.w, 9) AS DECIMAL(18,9)) AS ts_q
+                FROM tf2 t JOIN doclen l USING (doc_id)
+                           JOIN df2 f USING (word)
+                           CROSS JOIN stats s
+            ), expanded AS (
+                SELECT doc_id,
+                       ROUND(CAST(SUM(ts_q) AS DOUBLE), 6) AS prf_score
+                FROM term2 GROUP BY 1
+            )
+            SELECT e.doc_id, COALESCE(b.s, 0.0) AS base_bm25,
+                   e.prf_score
+            FROM expanded e LEFT JOIN base b ON e.doc_id = b.doc_id
+            ORDER BY e.prf_score DESC, e.doc_id ASC LIMIT 10
         """,
     }

@@ -1927,3 +1927,118 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 9).alias("vmr"),
         F.round(F.col("df").cast("double") / n, 9).alias("df_ratio"),
     ).orderBy(F.desc("tf"), F.asc("term"))
+
+
+PRF_DOCS = 3
+PRF_TERMS = 5
+PRF_WEIGHT = 0.5
+
+
+def bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM1-lite): run
+    the base BM25 query, harvest the top-5 non-query terms from the
+    top-3 documents, and re-score the corpus with the expanded query
+    (expansion terms at half weight) — the classic recall lever for
+    vocabulary-mismatch: documents about the query's TOPIC that never
+    use the query's exact words. Completes the retrieval family next
+    to bm25_search (lexical), query_likelihood_search (LM),
+    rrf_fusion_search (hybrid), retrieval_ndcg_eval (judge). Returns
+    the top-10 (doc_id, base_bm25, prf_score).
+
+    Determinism: the feedback-doc and expansion-term cuts break ties
+    on (score desc, id asc) / (tf desc, term asc); per-term weighted
+    scores quantize at 9 dp into decimals before the order-free sum
+    (the bm25 seam); one 6-dp rounding at the output.
+
+    Shape: the token explode feeds ONE checkpointed (doc, word) tf
+    pipeline consumed by both passes; df and the (N, avgdl) stats
+    broadcast; the expansion term table is ≤ 8 rows and broadcasts
+    into the second tf filter — both passes stay |terms|-bounded
+    after the per-doc aggregate, exactly like the base operator.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower("text"))).alias("word")
+    ).where(F.col("word") != "")
+    # one fact-sized (doc, word) tf table shared by every consumer
+    wf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    doclen = wf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n
+    idf = F.log(
+        (n - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    term_score = idf * (
+        tfd
+        * (BM25_K1 + 1.0)
+        / (tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / avgdl))
+    )
+
+    def score(weights: DataFrame) -> DataFrame:
+        tf = wf.join(F.broadcast(weights), "word")
+        df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        return (
+            tf.join(doclen, "doc_id")
+            .join(F.broadcast(df_tbl), "word")
+            .join(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(term_score * F.col("w"), 9).cast(
+                            "decimal(18,9)"
+                        )
+                    ).cast("double"),
+                    6,
+                ).alias("s")
+            )
+        )
+
+    base_w = spark.createDataFrame(
+        [(t, 1.0) for t in BM25_QUERY_TERMS], "word string, w double"
+    )
+    base = score(base_w).localCheckpoint(eager=True)
+    top_docs = (
+        base.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(PRF_DOCS)
+        .select("doc_id")
+    )
+    expansion = (
+        wf.join(F.broadcast(top_docs), "doc_id")
+        .where(~F.col("word").isin(BM25_QUERY_TERMS))
+        .where(F.length("word") >= 3)
+        .groupBy("word")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .orderBy(F.desc("fb_tf"), F.asc("word"))
+        .limit(PRF_TERMS)
+        .select("word", F.lit(PRF_WEIGHT).alias("w"))
+    )
+    expanded = score(base_w.unionByName(expansion))
+    return (
+        expanded.join(
+            base.select("doc_id", F.col("s").alias("base_bm25")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("base_bm25", F.lit(0.0)).alias("base_bm25"),
+            F.col("s").alias("prf_score"),
+        )
+        .orderBy(F.desc("prf_score"), F.asc("doc_id"))
+        .limit(10)
+    )

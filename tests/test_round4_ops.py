@@ -3964,3 +3964,33 @@ def test_simpson_planted_paradox(spark, tmp_path):
         assert r.slope_within < 0
         assert r.pooled_slope > 0
         assert r.sign_flip
+
+
+def test_prf_recalls_vocabulary_mismatch_doc(spark, tmp_path):
+    """A document using only the expansion vocabulary (never the
+    query words) scores 0 at base but nonzero after feedback — the
+    recall the expansion exists to buy."""
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        bm25_prf_search,
+    )
+
+    d = str(tmp_path / "sf_prf")
+    rows = [
+        # top base docs: query terms + the topic word 'shuffle'
+        (1, "table join spark shuffle shuffle shuffle", "en", "s", 1),
+        (2, "table join spark shuffle shuffle shuffle", "en", "s", 1),
+        (3, "table join spark shuffle shuffle shuffle", "en", "s", 1),
+        # vocabulary-mismatch doc: topic word only, no query terms
+        (4, "shuffle shuffle shuffle shuffle", "en", "s", 1),
+    ]
+    rows += [(10 + i, f"noise word{i} filler{i}", "en", "s", 1)
+             for i in range(20)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in bm25_prf_search(spark, d).collect()}
+    assert 4 in out
+    assert out[4].base_bm25 == 0.0
+    assert out[4].prf_score > 0.0
