@@ -156,7 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orders⋈events daily join was vacuous, disjoint calendars; it
     sits outside the r4 window so its first driver record is the
     meaningful form), copurchase_clustering, term_burstiness,
-    simpson_slope_check, bm25_prf_search —
+    simpson_slope_check, bm25_prf_search, value_emd_drift —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -671,6 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bu) round-4 continuation 69 — pseudo-relevance-feedback
         # retrieval (Rocchio/RM1-lite expansion over BM25)
         "bm25_prf_search": T.bm25_prf_search,
+        # (bv) round-4 continuation 70 — 1-D Wasserstein drift (the
+        # CDF-area metric completing the KS/PSI/χ² drift triad)
+        "value_emd_drift": E.value_emd_drift,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9548,5 +9551,57 @@ def _oracle_sql_literals() -> dict[str, str]:
                    e.prf_score
             FROM expanded e LEFT JOIN base b ON e.doc_id = b.doc_id
             ORDER BY e.prf_score DESC, e.doc_id ASC LIMIT 10
+        """,
+        "value_emd_drift": """
+            WITH half AS (
+                SELECT CAST(floor((epoch_us(MIN(ts))
+                                   + epoch_us(MAX(ts))) / 2)
+                            AS BIGINT) AS mid_us
+                FROM events
+            ), sided AS (
+                SELECT event_type, value,
+                       epoch_us(ts) <= mid_us AS is_ref
+                FROM events CROSS JOIN half
+            ), grid AS (
+                SELECT event_type, value,
+                       SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cb
+                FROM sided GROUP BY 1, 2
+            ), totals AS (
+                SELECT event_type,
+                       CAST(SUM(ca) AS BIGINT) AS n_ref,
+                       CAST(SUM(cb) AS BIGINT) AS n_cmp
+                FROM grid GROUP BY 1
+            ), cum AS (
+                SELECT event_type, value,
+                       SUM(ca) OVER (PARTITION BY event_type
+                                     ORDER BY value
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_a,
+                       SUM(cb) OVER (PARTITION BY event_type
+                                     ORDER BY value
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_b,
+                       LEAD(value) OVER (PARTITION BY event_type
+                                         ORDER BY value) AS next_v
+                FROM grid
+            ), terms AS (
+                SELECT c.event_type, t.n_ref, t.n_cmp,
+                       abs(c.cum_a * t.n_cmp - c.cum_b * t.n_ref) AS d,
+                       CAST(ROUND(CAST(abs(c.cum_a * t.n_cmp
+                                           - c.cum_b * t.n_ref)
+                                       AS DOUBLE)
+                                  * (c.next_v - c.value), 6)
+                            AS DECIMAL(38,6)) AS seg
+                FROM cum c JOIN totals t ON c.event_type = t.event_type
+            )
+            SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cmp) AS n_cmp,
+                   ROUND(CAST(SUM(seg) AS DOUBLE)
+                         / CAST(MAX(n_ref) * MAX(n_cmp) AS DOUBLE), 9)
+                       AS w1,
+                   ROUND(CAST(MAX(d) AS DOUBLE)
+                         / CAST(MAX(n_ref) * MAX(n_cmp) AS DOUBLE), 9)
+                       AS ks
+            FROM terms GROUP BY event_type ORDER BY event_type
         """,
     }

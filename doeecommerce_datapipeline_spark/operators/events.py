@@ -2835,3 +2835,86 @@ def pairwise_welch_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_rank") <= F.col("max_pass"), F.lit(False)
         ).alias("significant"),
     ).orderBy("p_rank")
+
+
+def value_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the first-half
+    and second-half value distributions, per event type — the AREA
+    between the two empirical CDFs, completing the drift triad: KS
+    (value_drift_ks) sees the worst single gap, PSI/χ²
+    (value_psi_drift, value_drift_by_bucket) see binned shape, W₁
+    sees total transported mass in the VALUE's own units — the only
+    one of the three that says "the mean shifted by about this many
+    dollars". Returns per type: (event_type, n_ref, n_cmp, w1, ks).
+
+    Exact rational core: on the merged sorted distinct-value grid,
+    |F_ref − F_cmp| at each step is |cum_ref·N_cmp − cum_cmp·N_ref| /
+    (N_ref·N_cmp) — the integer numerator D is EXACT; each segment
+    term D·Δv multiplies the exact integer by one double gap and
+    quantizes at 6 dp into DECIMAL(38,6) before the order-free sum;
+    the single division by N_ref·N_cmp closes it. KS = max(D)/
+    (N_ref·N_cmp) falls out of the same grid for free.
+
+    Shape: one fact shuffle to (type, value) counts; the CDF windows
+    are PARTITIONED by type over the distinct-value grid. At 100 TB
+    a continuous value makes that grid fact-sized — the documented
+    degrade path is value quantization to a fixed grid first
+    (PSI-style), which bounds the sort at the cost of binning bias.
+    """
+    e = table(spark, sf_dir, "events")
+    # floor, not cast: DuckDB CAST(double AS BIGINT) rounds half-even
+    # where Spark truncates (oracle trap #3) — floor agrees everywhere
+    half = e.groupBy().agg(
+        F.floor(
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+        ).cast("long").alias("mid_us")
+    )
+    sided = e.crossJoin(F.broadcast(half)).select(
+        "event_type",
+        "value",
+        (F.unix_micros("ts") <= F.col("mid_us")).alias("is_ref"),
+    )
+    grid = sided.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cb"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    cum = grid.select(
+        "event_type",
+        "value",
+        F.sum("ca").over(
+            wv.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_a"),
+        F.sum("cb").over(
+            wv.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_b"),
+        F.lead("value").over(wv).alias("next_v"),
+    )
+    totals = grid.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("n_ref"),
+        F.sum("cb").cast("long").alias("n_cmp"),
+    )
+    d = F.abs(
+        F.col("cum_a") * F.col("n_cmp") - F.col("cum_b") * F.col("n_ref")
+    )
+    seg = F.round(
+        d.cast("double") * (F.col("next_v") - F.col("value")), 6
+    ).cast("decimal(38,6)")
+    agg = (
+        cum.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cmp").alias("n_cmp"),
+            F.sum(seg).alias("sseg"),
+            F.max(d).alias("dmax"),
+        )
+    )
+    nn = (F.col("n_ref") * F.col("n_cmp")).cast("double")
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cmp",
+        F.round(F.col("sseg").cast("double") / nn, 9).alias("w1"),
+        F.round(F.col("dmax").cast("double") / nn, 9).alias("ks"),
+    ).orderBy("event_type")

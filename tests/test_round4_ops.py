@@ -3994,3 +3994,36 @@ def test_prf_recalls_vocabulary_mismatch_doc(spark, tmp_path):
     assert 4 in out
     assert out[4].base_bm25 == 0.0
     assert out[4].prf_score > 0.0
+
+
+def test_emd_planted_shift_exact(spark, tmp_path):
+    """Reference mass at 0, comparison mass at 5 → W1 = 5 exactly
+    and KS = 1; identical halves → W1 = KS = 0."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        value_emd_drift,
+    )
+
+    d = str(tmp_path / "sf_emd")
+    rows, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for i in range(50):  # first half: value 0
+        rows.append((eid, t0 + datetime.timedelta(minutes=i),
+                     1, "shifted", 0.0, "{}")); eid += 1
+    for i in range(50):  # second half: value 5
+        rows.append((eid, t0 + datetime.timedelta(days=10, minutes=i),
+                     1, "shifted", 5.0, "{}")); eid += 1
+    for i in range(100):  # a stable type: same distribution each half
+        rows.append((eid, t0 + datetime.timedelta(days=10 * (i % 2),
+                                                  minutes=i),
+                     1, "stable", float((i // 2) % 4), "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.event_type: r for r in value_emd_drift(spark, d).collect()}
+    assert out["shifted"].w1 == 5.0
+    assert out["shifted"].ks == 1.0
+    assert out["stable"].w1 == 0.0 and out["stable"].ks == 0.0
