@@ -156,7 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     orders⋈events daily join was vacuous, disjoint calendars; it
     sits outside the r4 window so its first driver record is the
     meaningful form), copurchase_clustering, term_burstiness,
-    simpson_slope_check, bm25_prf_search, value_emd_drift —
+    simpson_slope_check, bm25_prf_search, value_emd_drift,
+    lsh_recall_eval (rows-only) —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -674,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bv) round-4 continuation 70 — 1-D Wasserstein drift (the
         # CDF-area metric completing the KS/PSI/χ² drift triad)
         "value_emd_drift": E.value_emd_drift,
+        # (bw) round-4 continuation 71 — LSH candidate-quality eval
+        # vs exact Jaccard truth (rows-only: engine-side hash seeds)
+        "lsh_recall_eval": D.lsh_recall_eval,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)

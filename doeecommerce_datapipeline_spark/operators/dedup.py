@@ -1501,3 +1501,72 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+LSH_EVAL_THRESHOLDS = [0.3, 0.5, 0.7]
+
+
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality evaluation of the MinHash-LSH near-dup path
+    against exact n-gram Jaccard ground truth (same bounded universe
+    and df-cap as ngram_jaccard_pairs): per true-similarity threshold,
+    how many genuinely-similar pairs did the banded index SURFACE
+    (recall — the number that bounds how much duplicate mass the
+    100 TB dedup pass can ever remove) and how many candidates are
+    junk (precision — the verification bill). Completes the
+    evaluation trio: retrieval_ndcg_eval judges the search stack,
+    cf_holdout_hitrate the recommender, THIS the dedup stack.
+    Rows-only by contract: LSH buckets hinge on engine-side xxhash64
+    seeds, so no SQL twin exists — the planted-dup units pin recall
+    floors instead. Returns per threshold: (threshold, n_true_pairs,
+    n_candidates, n_hit, recall, candidate_precision).
+
+    Shape: truth reuses the df-capped inverted-index join; candidates
+    reuse the banded-bucket join (both id-pair tables, checkpointed
+    once); the verdict is a |thresholds|-row rollup of one pair-keyed
+    outer join.
+    """
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    truth = (
+        jaccard_pairs_over(d, threshold=min(LSH_EVAL_THRESHOLDS))
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.0)
+        .select("id_a", "id_b", F.lit(True).alias("is_cand"))
+        .localCheckpoint(eager=True)
+    )
+    joined = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.col("jaccard"),
+        F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
+    )
+    ths = spark.createDataFrame(
+        [(t,) for t in LSH_EVAL_THRESHOLDS], "threshold double"
+    )
+    per = joined.crossJoin(F.broadcast(ths)).groupBy("threshold").agg(
+        F.sum(
+            F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+        ).cast("long").alias("n_true_pairs"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).cast("long").alias(
+            "n_candidates"
+        ),
+        F.sum(
+            F.when(
+                (F.col("jaccard") >= F.col("threshold")) & F.col("is_cand"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_hit"),
+    )
+    tp = F.col("n_true_pairs").cast("double")
+    nc = F.col("n_candidates").cast("double")
+    return per.select(
+        "threshold",
+        "n_true_pairs",
+        "n_candidates",
+        "n_hit",
+        F.when(tp > 0, F.col("n_hit").cast("double") / tp).alias("recall"),
+        F.when(nc > 0, F.col("n_hit").cast("double") / nc).alias(
+            "candidate_precision"
+        ),
+    ).orderBy("threshold")

@@ -310,3 +310,34 @@ def test_prefix_jaccard_exact_vs_brute_force_with_hot_shingle(spark):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-12
+
+
+def test_lsh_recall_eval_planted_dups(spark, tmp_path):
+    """Planted exact duplicates are all true pairs AND all surfaced by
+    LSH → recall 1.0 at every threshold; unrelated docs create no
+    true pairs."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        lsh_recall_eval,
+    )
+
+    d = str(tmp_path / "sf_lsheval")
+    dup = ("the quick brown fox jumps over the lazy dog and then "
+           "runs far away into the deep dark woods tonight")
+    rows = [(i, dup, "en", "s", 1) for i in range(6)]
+    # noise docs with fully disjoint vocabularies (no shared shingles)
+    rows += [
+        (100 + i,
+         " ".join(f"w{i}x{k}" for k in range(20)),
+         "en", "s", 1)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.threshold: r for r in lsh_recall_eval(spark, d).collect()}
+    for t in (0.3, 0.5, 0.7):
+        r = out[t]
+        assert r.n_true_pairs == 15  # C(6,2) duplicate pairs
+        assert r.n_hit == 15 and r.recall == 1.0
