@@ -157,7 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sits outside the r4 window so its first driver record is the
     meaningful form), copurchase_clustering, term_burstiness,
     simpson_slope_check, bm25_prf_search, value_emd_drift,
-    lsh_recall_eval (rows-only) —
+    lsh_recall_eval (rows-only), stl_residual_anomalies —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -678,6 +678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bw) round-4 continuation 71 — LSH candidate-quality eval
         # vs exact Jaccard truth (rows-only: engine-side hash seeds)
         "lsh_recall_eval": D.lsh_recall_eval,
+        # (bx) round-4 continuation 72 — seasonally-adjusted anomaly
+        # days (STL residual / robust MAD scale)
+        "stl_residual_anomalies": X.stl_residual_anomalies,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -847,6 +850,41 @@ def _median_polish_sql(sweeps: int = 2) -> str:
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
     sql["median_polish_dow_hour"] = _median_polish_sql()
+    # seasonally-adjusted anomalies compose over the SAME STL
+    # decomposition they flag (definitional lockstep); the robust
+    # scale is the rank-midpoint median/MAD on the residual series
+    sql["stl_residual_anomalies"] = f"""
+        WITH stl AS ({sql["stl_daily_revenue"]}),
+        r AS (
+            SELECT day, revenue, residual FROM stl
+            WHERE residual IS NOT NULL
+        ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        med AS (
+            SELECT SUM(residual) / COUNT(*) AS med FROM (
+                SELECT residual,
+                       ROW_NUMBER() OVER (ORDER BY residual, day) AS rn
+                FROM r
+            ) CROSS JOIN nd
+            WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        ), dev AS (
+            SELECT day, revenue, residual,
+                   abs(residual - med) AS adev, med
+            FROM r CROSS JOIN med
+        ), mad AS (
+            SELECT SUM(adev) / COUNT(*) AS mad FROM (
+                SELECT adev, ROW_NUMBER() OVER (ORDER BY adev, day) AS rn
+                FROM dev
+            ) CROSS JOIN nd
+            WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        )
+        SELECT day, revenue, residual,
+               ROUND((residual - med) / GREATEST(mad, 0.000001), 6)
+                   AS score
+        FROM dev CROSS JOIN mad
+        WHERE abs(ROUND((residual - med)
+                        / GREATEST(mad, 0.000001), 6)) > 3.0
+        ORDER BY day
+    """
     # the star-rewrite CC produces labels identical to the fix-point
     # loop by construction — same oracle
     sql["dedup_components_star"] = sql["dedup_components"]

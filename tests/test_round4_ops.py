@@ -4027,3 +4027,39 @@ def test_emd_planted_shift_exact(spark, tmp_path):
     assert out["shifted"].w1 == 5.0
     assert out["shifted"].ks == 1.0
     assert out["stable"].w1 == 0.0 and out["stable"].ks == 0.0
+
+
+def test_stl_anomaly_flags_shock_not_weekly_cycle(spark, tmp_path):
+    """A strong weekly cycle never alarms (it lives in the seasonal
+    component); a one-day shock on top of it does."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        stl_residual_anomalies,
+    )
+
+    d = str(tmp_path / "sf_stl_anom")
+    rows = []
+    for i in range(140):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+        v = 1000.0 + 300.0 * (i % 7)          # pure weekly cycle
+        if i == 70:
+            v += 5000.0                        # the shock
+        rows.append((i, 1, "O", v, day, "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    out = stl_residual_anomalies(spark, d).collect()
+    assert out, "shock not flagged"
+    # the single-pass decomposition smears an extreme shock into the
+    # trend window and the weekday means (real STL iterates with
+    # robustness weights for exactly this reason), so neighbours can
+    # flag too — but the shock day itself must dominate by far
+    top = max(out, key=lambda r: abs(r.score))
+    assert top.day.isoformat() == "2024-03-11"  # day 70
+    assert abs(top.score) > 3 * max(
+        (abs(r.score) for r in out if r.day != top.day), default=0.0
+    )
