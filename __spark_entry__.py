@@ -157,7 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sits outside the r4 window so its first driver record is the
     meaningful form), copurchase_clustering, term_burstiness,
     simpson_slope_check, bm25_prf_search, value_emd_drift,
-    lsh_recall_eval (rows-only), stl_residual_anomalies —
+    lsh_recall_eval (rows-only), stl_residual_anomalies,
+    value_qte_deciles —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -681,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bx) round-4 continuation 72 — seasonally-adjusted anomaly
         # days (STL residual / robust MAD scale)
         "stl_residual_anomalies": X.stl_residual_anomalies,
+        # (by) round-4 continuation 73 — quantile-treatment-effect
+        # deciles: WHERE in the distribution the drift happened
+        "value_qte_deciles": E.value_qte_deciles,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9645,5 +9649,38 @@ def _oracle_sql_literals() -> dict[str, str]:
                          / CAST(MAX(n_ref) * MAX(n_cmp) AS DOUBLE), 9)
                        AS ks
             FROM terms GROUP BY event_type ORDER BY event_type
+        """,
+        "value_qte_deciles": """
+            WITH half AS (
+                SELECT CAST(floor((epoch_us(MIN(ts))
+                                   + epoch_us(MAX(ts))) / 2)
+                            AS BIGINT) AS mid_us
+                FROM events
+            ), sided AS (
+                SELECT event_type, value,
+                       epoch_us(ts) <= mid_us AS is_ref
+                FROM events CROSS JOIN half
+            ), ranked AS (
+                SELECT event_type, is_ref, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, is_ref
+                                          ORDER BY value) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type, is_ref)
+                           AS n
+                FROM sided
+            ), dec AS (
+                SELECT CAST(UNNEST(range(1, 10)) AS INTEGER) AS decile
+            ), picked AS (
+                SELECT r.event_type, r.is_ref, r.value, d.decile
+                FROM ranked r CROSS JOIN dec d
+                WHERE r.rn = CAST(floor((r.n * d.decile + 9) / 10)
+                                  AS BIGINT)
+            )
+            SELECT a.event_type, a.decile,
+                   a.value AS q_ref, b.value AS q_cmp,
+                   ROUND(b.value - a.value, 9) AS qte
+            FROM picked a JOIN picked b
+              ON a.event_type = b.event_type AND a.decile = b.decile
+             AND a.is_ref AND NOT b.is_ref
+            ORDER BY a.event_type, a.decile
         """,
     }

@@ -2918,3 +2918,65 @@ def value_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sseg").cast("double") / nn, 9).alias("w1"),
         F.round(F.col("dmax").cast("double") / nn, 9).alias("ks"),
     ).orderBy("event_type")
+
+
+def value_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-treatment-effect profile of the first-half→second-half
+    value drift, per event type: at each decile d, the comparison
+    window's d-quantile minus the reference window's — WHERE in the
+    distribution the shift happened (tail-only? median? uniform?),
+    which the scalar drift family (KS max-gap, W₁ area, PSI bins)
+    cannot localize. Returns (event_type, decile, q_ref, q_cmp, qte).
+
+    Determinism: quantiles are the type-1 inverse CDF — the order
+    statistic at rank ⌈d·n/10⌉, computed as the INTEGER (n·d+9) DIV
+    10, so selection is pure integer arithmetic; values are raw
+    doubles, never interpolated. The window split reuses
+    value_emd_drift's floored midpoint-microsecond boundary.
+
+    Shape: one fact shuffle to (type, side)-partitioned rank windows;
+    the decile spine (9 rows) broadcasts onto the rank join;
+    output is |types|×9 rows.
+    """
+    e = table(spark, sf_dir, "events")
+    half = e.groupBy().agg(
+        F.floor(
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+        ).cast("long").alias("mid_us")
+    )
+    sided = e.crossJoin(F.broadcast(half)).select(
+        "event_type",
+        "value",
+        (F.unix_micros("ts") <= F.col("mid_us")).alias("is_ref"),
+    )
+    w = Window.partitionBy("event_type", "is_ref").orderBy("value")
+    cw = Window.partitionBy("event_type", "is_ref")
+    ranked = sided.select(
+        "event_type",
+        "is_ref",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    dec = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    picked = ranked.crossJoin(F.broadcast(dec)).where(
+        F.col("rn")
+        == F.floor((F.col("n") * F.col("decile") + 9) / 10).cast("long")
+    )
+    ref = picked.where(F.col("is_ref")).select(
+        "event_type", "decile", F.col("value").alias("q_ref")
+    )
+    cmp_ = picked.where(~F.col("is_ref")).select(
+        "event_type", "decile", F.col("value").alias("q_cmp")
+    )
+    return (
+        ref.join(cmp_, ["event_type", "decile"])
+        .select(
+            "event_type",
+            "decile",
+            "q_ref",
+            "q_cmp",
+            F.round(F.col("q_cmp") - F.col("q_ref"), 9).alias("qte"),
+        )
+        .orderBy("event_type", "decile")
+    )

@@ -4063,3 +4063,36 @@ def test_stl_anomaly_flags_shock_not_weekly_cycle(spark, tmp_path):
     assert abs(top.score) > 3 * max(
         (abs(r.score) for r in out if r.day != top.day), default=0.0
     )
+
+
+def test_qte_locates_tail_only_shift(spark, tmp_path):
+    """Only the top of the comparison distribution shifts: low
+    deciles show qte 0, the 9th decile shows the planted lift."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        value_qte_deciles,
+    )
+
+    d = str(tmp_path / "sf_qte")
+    rows, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for half, delta_days in (("ref", 0), ("cmp", 10)):
+        for i in range(100):
+            v = float(i)  # uniform 0..99
+            if half == "cmp" and i >= 85:
+                v += 1000.0  # tail-only lift (covers the 0.9 rank)
+            rows.append((eid, t0 + datetime.timedelta(days=delta_days,
+                                                      minutes=i),
+                         1, "t", v, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.decile: r for r in value_qte_deciles(spark, d).collect()}
+    assert len(out) == 9
+    for dec in range(1, 9):
+        assert out[dec].qte == 0.0, dec
+    assert out[9].qte == 1000.0
