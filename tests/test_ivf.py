@@ -62,3 +62,21 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assigned, cents = build_ivf_index(df, n_clusters=2, lloyd_iters=2)
     assert len(cents) == 2
     assert assigned.count() == 3
+
+
+def test_ann_recall_eval_floors(spark):
+    """The scoreboard runs both indexes over the 5-query panel and
+    every recall respects the family's documented floors."""
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        ann_recall_eval,
+    )
+
+    rows = ann_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    by_m = {}
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        by_m.setdefault(r.method, []).append(r.recall)
+    assert set(by_m) == {"ivf", "pq"}
+    assert len(by_m["ivf"]) == 5 and len(by_m["pq"]) == 5
+    assert sum(by_m["ivf"]) / 5 >= 0.4   # IVF panel-mean floor
+    assert sum(by_m["pq"]) / 5 >= 0.2    # PQ panel-mean floor
