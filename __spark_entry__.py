@@ -158,7 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     meaningful form), copurchase_clustering, term_burstiness,
     simpson_slope_check, bm25_prf_search, value_emd_drift,
     lsh_recall_eval (rows-only), stl_residual_anomalies,
-    value_qte_deciles, ann_recall_eval (rows-only) —
+    value_qte_deciles, ann_recall_eval (rows-only),
+    doc_mahalanobis_outliers —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -688,6 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bz) round-4 continuation 74 — ANN recall@10 scoreboard
         # (rows-only: trained float state + engine hashes)
         "ann_recall_eval": S.ann_recall_eval,
+        # (ca) round-4 continuation 75 — 2-D Mahalanobis document
+        # outliers (covariance-aware joint screen)
+        "doc_mahalanobis_outliers": T.doc_mahalanobis_outliers,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9685,5 +9689,61 @@ def _oracle_sql_literals() -> dict[str, str]:
               ON a.event_type = b.event_type AND a.decile = b.decile
              AND a.is_ref AND NOT b.is_ref
             ORDER BY a.event_type, a.decile
+        """,
+        "doc_mahalanobis_outliers": """
+            WITH feats AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+'))
+                       END AS x1,
+                       CAST(length(regexp_replace(text, '\\s+', '',
+                                                  'g')) AS DOUBLE)
+                       / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                                   ELSE len(string_split_regex(
+                                            trim(text), '\\s+'))
+                              END AS DOUBLE) AS x2
+                FROM documents
+            ), f2 AS (SELECT * FROM feats WHERE x1 > 0),
+            m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(CAST(x1 AS DOUBLE) AS DECIMAL(38,6)))
+                            AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(x2 AS DECIMAL(38,6)))
+                            AS DOUBLE) AS s2,
+                       CAST(SUM(CAST(CAST(x1 AS DOUBLE)
+                                     * CAST(x1 AS DOUBLE)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+                       CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6)))
+                            AS DOUBLE) AS s22,
+                       CAST(SUM(CAST(CAST(x1 AS DOUBLE) * x2
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS s12
+                FROM f2
+            ), st AS (
+                SELECT s1 / n AS mu1, s2 / n AS mu2,
+                       s11 / n - (s1 / n) * (s1 / n) AS v11,
+                       s22 / n - (s2 / n) * (s2 / n) AS v22,
+                       s12 / n - (s1 / n) * (s2 / n) AS v12
+                FROM m
+            ), st2 AS (
+                SELECT *, v11 * v22 - v12 * v12 AS det FROM st
+            )
+            SELECT doc_id, CAST(x1 AS BIGINT) AS n_tokens,
+                   x2 AS mean_wlen,
+                   ROUND((v22 * (CAST(x1 AS DOUBLE) - mu1)
+                               * (CAST(x1 AS DOUBLE) - mu1)
+                          - 2.0 * v12 * (CAST(x1 AS DOUBLE) - mu1)
+                                * (x2 - mu2)
+                          + v11 * (x2 - mu2) * (x2 - mu2)) / det, 6)
+                       AS d2
+            FROM f2 CROSS JOIN st2
+            WHERE det > 0
+              AND ROUND((v22 * (CAST(x1 AS DOUBLE) - mu1)
+                              * (CAST(x1 AS DOUBLE) - mu1)
+                         - 2.0 * v12 * (CAST(x1 AS DOUBLE) - mu1)
+                               * (x2 - mu2)
+                         + v11 * (x2 - mu2) * (x2 - mu2)) / det, 6)
+                  > 9.21034
+            ORDER BY doc_id
         """,
     }

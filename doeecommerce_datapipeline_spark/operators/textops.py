@@ -2042,3 +2042,82 @@ def bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("prf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+MAHAL_CHI2_99_2DF = 9.21034  # chi-square 0.99 quantile, 2 df
+
+
+def doc_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate document-outlier screen: Mahalanobis distance of
+    each document in the (token count, mean word length) plane,
+    flagging d² above the χ²₂(0.99) cutoff — catches the docs that
+    are individually unremarkable on EACH axis but jointly absurd
+    (4000 tokens averaging 1.2 chars = tag soup), which the
+    per-feature z/MAD screens structurally cannot see (covariance is
+    the whole point). Returns flagged docs: (doc_id, n_tokens,
+    mean_wlen, d2).
+
+    Determinism: both features derive from exact integers (token
+    count; chars/tokens one IEEE division); the five moments
+    quantize into DECIMAL(38,6) before order-free sums; the 2×2
+    covariance inversion and the per-doc quadratic form are fixed
+    double dags; d² rounds at 6 dp before the cutoff compare.
+
+    Shape: one scan computes both features (token_count is a codegen
+    expression, no explode); one single-row moment reduce broadcasts
+    back; the flag pass is scan-bound.
+    """
+    d = table(spark, sf_dir, "documents")
+    nchars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    feats = d.select(
+        "doc_id",
+        token_count("text").alias("x1"),
+        (nchars.cast("double") / token_count("text").cast("double")).alias(
+            "x2"
+        ),
+    ).where(F.col("x1") > 0).localCheckpoint(eager=True)
+    q = lambda c: F.sum(c.cast("decimal(38,6)"))  # noqa: E731
+    x1d = F.col("x1").cast("double")
+    m = feats.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        q(x1d).alias("s1"),
+        q(F.col("x2")).alias("s2"),
+        q(x1d * x1d).alias("s11"),
+        q(F.col("x2") * F.col("x2")).alias("s22"),
+        q(x1d * F.col("x2")).alias("s12"),
+    )
+    n = F.col("n").cast("double")
+    mu1 = F.col("s1").cast("double") / n
+    mu2 = F.col("s2").cast("double") / n
+    v11 = F.col("s11").cast("double") / n - mu1 * mu1
+    v22 = F.col("s22").cast("double") / n - mu2 * mu2
+    v12 = F.col("s12").cast("double") / n - mu1 * mu2
+    det = v11 * v22 - v12 * v12
+    stats = m.select(
+        mu1.alias("mu1"), mu2.alias("mu2"),
+        v11.alias("v11"), v22.alias("v22"), v12.alias("v12"),
+        det.alias("det"),
+    )
+    dx1 = F.col("x1").cast("double") - F.col("mu1")
+    dx2 = F.col("x2") - F.col("mu2")
+    d2 = F.round(
+        (
+            F.col("v22") * dx1 * dx1
+            - F.lit(2.0) * F.col("v12") * dx1 * dx2
+            + F.col("v11") * dx2 * dx2
+        )
+        / F.col("det"),
+        6,
+    )
+    return (
+        feats.crossJoin(F.broadcast(stats))
+        .where(F.col("det") > 0)
+        .select(
+            "doc_id",
+            F.col("x1").alias("n_tokens"),
+            F.col("x2").alias("mean_wlen"),
+            d2.alias("d2"),
+        )
+        .where(F.col("d2") > MAHAL_CHI2_99_2DF)
+        .orderBy("doc_id")
+    )

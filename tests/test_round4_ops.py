@@ -4096,3 +4096,35 @@ def test_qte_locates_tail_only_shift(spark, tmp_path):
     for dec in range(1, 9):
         assert out[dec].qte == 0.0, dec
     assert out[9].qte == 1000.0
+
+
+def test_mahalanobis_catches_joint_outlier(spark, tmp_path):
+    """A doc unremarkable on each margin but jointly absurd (many
+    tokens, tiny mean word length) flags; the bulk does not."""
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        doc_mahalanobis_outliers,
+    )
+
+    d = str(tmp_path / "sf_mahal")
+    rows = []
+    # bulk: token count 10..40 positively correlated with word length
+    # 3..6 (so covariance is real)
+    for i in range(60):
+        ntok = 10 + (i % 31)
+        wlen = 3 + (ntok - 10) * 0.1
+        word = "x" * max(1, round(wlen))
+        rows.append((i, " ".join([word] * ntok), "en", "s", 1))
+    # joint outlier: 35 tokens (normal) of 1 char (normal-ish alone,
+    # absurd AT that token count given the correlation)
+    rows.append((999, " ".join(["a"] * 35), "en", "s", 1))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in
+           doc_mahalanobis_outliers(spark, d).collect()}
+    assert 999 in out
+    assert out[999].d2 > 9.21034
+    # the correlated bulk stays inside the ellipse
+    assert len(out) <= 3
