@@ -159,7 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     simpson_slope_check, bm25_prf_search, value_emd_drift,
     lsh_recall_eval (rows-only), stl_residual_anomalies,
     value_qte_deciles, ann_recall_eval (rows-only),
-    doc_mahalanobis_outliers —
+    doc_mahalanobis_outliers, price_indices_monthly —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -692,6 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ca) round-4 continuation 75 — 2-D Mahalanobis document
         # outliers (covariance-aware joint screen)
         "doc_mahalanobis_outliers": T.doc_mahalanobis_outliers,
+        # (cb) round-4 continuation 76 — Laspeyres/Paasche/Fisher
+        # matched-sample price indices per month
+        "price_indices_monthly": R.price_indices_monthly,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9745,5 +9748,51 @@ def _oracle_sql_literals() -> dict[str, str]:
                          + v11 * (x2 - mu2) * (x2 - mu2)) / det, 6)
                   > 9.21034
             ORDER BY doc_id
+        """,
+        "price_indices_monthly": """
+            WITH pm AS (
+                SELECT l_partkey AS part,
+                       CAST(date_trunc('month', l_shipdate) AS DATE)
+                           AS month,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS rev,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                FROM lineitem GROUP BY 1, 2
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 0
+            ), bm AS (SELECT MIN(month) AS bm FROM pm),
+            base AS (
+                SELECT part,
+                       CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) AS p0,
+                       CAST(qty AS DOUBLE) AS q0
+                FROM pm CROSS JOIN bm WHERE pm.month = bm.bm
+            ), cur AS (
+                SELECT part, month,
+                       CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE) AS pt,
+                       CAST(qty AS DOUBLE) AS qt
+                FROM pm
+            ), agg AS (
+                SELECT c.month,
+                       CAST(COUNT(*) AS BIGINT) AS n_matched_parts,
+                       CAST(SUM(CAST(ROUND(c.pt * b.q0, 9)
+                                     AS DECIMAL(38,9))) AS DOUBLE)
+                           AS pt_q0,
+                       CAST(SUM(CAST(ROUND(b.p0 * b.q0, 9)
+                                     AS DECIMAL(38,9))) AS DOUBLE)
+                           AS p0_q0,
+                       CAST(SUM(CAST(ROUND(c.pt * c.qt, 9)
+                                     AS DECIMAL(38,9))) AS DOUBLE)
+                           AS pt_qt,
+                       CAST(SUM(CAST(ROUND(b.p0 * c.qt, 9)
+                                     AS DECIMAL(38,9))) AS DOUBLE)
+                           AS p0_qt
+                FROM cur c JOIN base b ON c.part = b.part
+                GROUP BY 1
+            )
+            SELECT month, n_matched_parts,
+                   ROUND(pt_q0 / p0_q0, 9) AS laspeyres,
+                   ROUND(pt_qt / p0_qt, 9) AS paasche,
+                   ROUND(sqrt((pt_q0 / p0_q0) * (pt_qt / p0_qt)), 9)
+                       AS fisher
+            FROM agg ORDER BY month
         """,
     }

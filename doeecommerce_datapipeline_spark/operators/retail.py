@@ -1438,3 +1438,66 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hits").cast("double") / nu).alias("hit_rate"),
         (F.col("srr").cast("double") / nu).alias("mrr"),
     )
+
+
+def price_indices_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices of the sold-part
+    basket, per month against the FIRST month as base — the
+    national-statistics classics: Laspeyres freezes the base basket
+    ("what does January's shopping cost now"), Paasche re-weights to
+    the current basket, Fisher is their geometric mean (the
+    substitution-bias-free compromise). Parts are matched-sample per
+    month (present in both base and comparison — the standard CPI
+    treatment of entry/exit). Returns per month: (month,
+    n_matched_parts, laspeyres, paasche, fisher).
+
+    Determinism: unit price = Σ extendedprice / Σ quantity per
+    (part, month), a single division of exact DECIMAL sums; the four
+    basket sums quantize each p·q product at 9 dp into DECIMAL(38,9)
+    before the order-free sum; index ratios and the Fisher sqrt are
+    a fixed double dag.
+
+    Shape: one fact shuffle to the (part, month) grain; the base
+    month is a broadcast slice of that grain; per-month rollups are
+    part-bounded.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    ).where(F.col("qty") > 0).localCheckpoint(eager=True)
+    base_month = pm.groupBy().agg(F.min("month").alias("bm"))
+    up = (F.col("rev").cast("double") / F.col("qty").cast("double"))
+    base = (
+        pm.join(F.broadcast(base_month), pm.month == F.col("bm"))
+        .select(
+            "part",
+            up.alias("p0"),
+            F.col("qty").cast("double").alias("q0"),
+        )
+    )
+    cur = pm.select(
+        "part", "month", up.alias("pt"),
+        F.col("qty").cast("double").alias("qt"),
+    )
+    q9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    j = cur.join(F.broadcast(base), "part")
+    agg = j.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_matched_parts"),
+        F.sum(q9(F.col("pt") * F.col("q0"))).alias("pt_q0"),
+        F.sum(q9(F.col("p0") * F.col("q0"))).alias("p0_q0"),
+        F.sum(q9(F.col("pt") * F.col("qt"))).alias("pt_qt"),
+        F.sum(q9(F.col("p0") * F.col("qt"))).alias("p0_qt"),
+    )
+    lasp = F.col("pt_q0").cast("double") / F.col("p0_q0").cast("double")
+    paas = F.col("pt_qt").cast("double") / F.col("p0_qt").cast("double")
+    return agg.select(
+        "month",
+        "n_matched_parts",
+        F.round(lasp, 9).alias("laspeyres"),
+        F.round(paas, 9).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 9).alias("fisher"),
+    ).orderBy("month")

@@ -247,3 +247,41 @@ def test_cf_holdout_hitrate_unseen_target(spark, tmp_path):
     # the 5 eval customers (6-10) hit part 2 at rank 1 → mrr ≥ 0.5
     assert r.n_hits >= 5
     assert r.mrr >= 0.5
+
+
+def test_price_indices_planted_inflation(spark, tmp_path):
+    """Uniform 10% price inflation with unchanged quantities → all
+    three indices = 1.1 exactly in month 2; base month = 1.0."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        price_indices_monthly,
+    )
+
+    d = str(tmp_path / "sf_cpi")
+    lrows = []
+    for month, mult in ((1, 1.0), (2, 1.1)):
+        for part in (1, 2, 3):
+            qty = float(part * 10)
+            price_per_unit = 100.0 * part * mult
+            lrows.append(
+                (month * 100 + part, part, 1, 1, qty,
+                 price_per_unit * qty, 0.0, 0.0, "N", "O",
+                 datetime.datetime(1995, month, 15))
+            )
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    out = {r.month.isoformat(): r for r in
+           price_indices_monthly(spark, d).collect()}
+    base = out["1995-01-01"]
+    assert base.laspeyres == base.paasche == base.fisher == 1.0
+    m2 = out["1995-02-01"]
+    assert m2.n_matched_parts == 3
+    assert abs(m2.laspeyres - 1.1) < 1e-9
+    assert abs(m2.paasche - 1.1) < 1e-9
+    assert abs(m2.fisher - 1.1) < 1e-9
