@@ -159,7 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     simpson_slope_check, bm25_prf_search, value_emd_drift,
     lsh_recall_eval (rows-only), stl_residual_anomalies,
     value_qte_deciles, ann_recall_eval (rows-only),
-    doc_mahalanobis_outliers, price_indices_monthly —
+    doc_mahalanobis_outliers, price_indices_monthly,
+    copurchase_assortativity —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -695,6 +696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cb) round-4 continuation 76 — Laspeyres/Paasche/Fisher
         # matched-sample price indices per month
         "price_indices_monthly": R.price_indices_monthly,
+        # (cc) round-4 continuation 77 — Newman degree assortativity
+        # (shares the support-2 copurchase edge substrate)
+        "copurchase_assortativity": G.copurchase_assortativity,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9794,5 +9798,52 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ROUND(sqrt((pt_q0 / p0_q0) * (pt_qt / p0_qt)), 9)
                        AS fisher
             FROM agg ORDER BY month
+        """,
+        "copurchase_assortativity": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            ), e AS (
+                SELECT a.p AS u, b.p AS v
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                    SELECT u AS node FROM e
+                    UNION ALL SELECT v AS node FROM e
+                ) GROUP BY 1
+            ), nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+            ), bothe AS (
+                SELECT u, v FROM e
+                UNION ALL SELECT v AS u, u AS v FROM e
+            ), j AS (
+                SELECT du.d AS x, dv.d AS y
+                FROM bothe
+                JOIN deg du ON bothe.u = du.node
+                JOIN deg dv ON bothe.v = dv.node
+            ), m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                       CAST(SUM(y * y) AS DOUBLE) AS syy,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy
+                FROM j
+            )
+            SELECT n_nodes, m.m AS n_directed_edges,
+                   CASE WHEN sqrt(GREATEST(CAST(m.m AS DOUBLE) * sxx
+                                           - sx * sx, 0.0))
+                             * sqrt(GREATEST(CAST(m.m AS DOUBLE) * syy
+                                             - sy * sy, 0.0)) > 0
+                        THEN ROUND((CAST(m.m AS DOUBLE) * sxy - sx * sy)
+                                   / (sqrt(GREATEST(CAST(m.m AS DOUBLE)
+                                                    * sxx - sx * sx,
+                                                    0.0))
+                                      * sqrt(GREATEST(CAST(m.m AS DOUBLE)
+                                                      * syy - sy * sy,
+                                                      0.0))), 9)
+                   END AS assortativity
+            FROM m CROSS JOIN nn
         """,
     }

@@ -689,6 +689,29 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_COPURCHASE_ORDERS = 2
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) support-2 copurchase edges, checkpointed —
+    the shared graph substrate for copurchase_clustering and
+    copurchase_assortativity (one basket self-join, C(basket,2)
+    fan-out per order, recurring-pair cut)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= MIN_COPURCHASE_ORDERS)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+
 def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient of the part copurchase graph
     (edge iff two parts were co-bought in ≥ 2 DISTINCT orders — one
@@ -713,22 +736,7 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none — extension surface (graph family).
     """
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= MIN_COPURCHASE_ORDERS)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -782,4 +790,68 @@ def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         F.when(w > 0, F.round(F.lit(3.0) * t / w, 9)).alias("global_cc"),
         F.round(mean_deg / (nn - F.lit(1.0)), 9).alias("random_cc"),
+    )
+
+
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the support-2 copurchase
+    graph: the Pearson correlation of endpoint degrees over all
+    (symmetrized) edges — do popular parts co-sell with other popular
+    parts (r > 0, hub club) or with niche ones (r < 0, hub-and-spoke,
+    the typical retail shape)? The one-number mixing summary that,
+    with copurchase_clustering's transitivity, pins down the graph's
+    character before any community detection is trusted. Returns one
+    row: (n_nodes, n_directed_edges, assortativity).
+
+    Determinism: degrees are exact BIGINTs; the five edge-level
+    moments (Σx, Σy, Σx², Σy², Σxy over directed edges) stay in
+    integer/decimal space (degree products < 2^53 by construction at
+    the support-2 scale) and the closing Pearson is a fixed double
+    dag, rounded at 9 dp.
+
+    Shape: shares copurchase_edges' checkpointed build; the degree
+    table broadcasts onto the edge list twice; one single-row reduce.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    both = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    j = (
+        both.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
+            "v",
+        )
+    )
+    m = j.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = deg.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    md = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = md * sxy - sx * sy
+    den = F.sqrt(F.greatest(md * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(md * syy - sy * sy, F.lit(0.0))
+    )
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("m").alias("n_directed_edges"),
+        F.when(den > 0, F.round(num / den, 9)).alias("assortativity"),
     )

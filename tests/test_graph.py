@@ -140,3 +140,35 @@ def test_clustering_coefficient_planted(spark, tmp_path):
     # degrees 1:2, 2:2, 3:3, 4:1 → wedges = 1+1+3+0 = 5
     assert r.n_wedges == 5 and r.n_triangles == 1
     assert abs(r.global_cc - 3.0 / 5.0) < 1e-9
+
+
+def test_assortativity_star_is_negative(spark, tmp_path):
+    """A star (hub co-bought with many leaves) is maximally
+    DISassortative: r = -1."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.graph import (
+        copurchase_assortativity,
+    )
+
+    d = str(tmp_path / "sf_assort")
+    lrows = []
+    ok = 0
+    # hub part 1 co-bought with each leaf 2..6, twice (support 2)
+    for leaf in range(2, 7):
+        for _ in range(2):
+            ok += 1
+            for ln, p in enumerate([1, leaf], 1):
+                lrows.append((ok, p, 1, ln, 1.0, 10.0, 0.0, 0.0,
+                              "N", "O",
+                              datetime.datetime(1995, 1, 2)))
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    r = copurchase_assortativity(spark, d).collect()[0]
+    assert r.n_nodes == 6 and r.n_directed_edges == 10
+    assert r.assortativity == -1.0
