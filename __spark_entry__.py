@@ -160,7 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_recall_eval (rows-only), stl_residual_anomalies,
     value_qte_deciles, ann_recall_eval (rows-only),
     doc_mahalanobis_outliers, price_indices_monthly,
-    copurchase_assortativity —
+    copurchase_assortativity, cem_promo_att —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -699,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cc) round-4 continuation 77 — Newman degree assortativity
         # (shares the support-2 copurchase edge substrate)
         "copurchase_assortativity": G.copurchase_assortativity,
+        # (cd) round-4 continuation 78 — coarsened-exact-matching ATT
+        # (the matching-family member of the causal toolkit)
+        "cem_promo_att": R.cem_promo_att,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9845,5 +9848,58 @@ def _oracle_sql_literals() -> dict[str, str]:
                                                       0.0))), 9)
                    END AS assortativity
             FROM m CROSS JOIN nn
+        """,
+        "cem_promo_att": """
+            WITH p AS (
+                SELECT p_partkey,
+                       p_type LIKE 'PROMO%' AS is_promo,
+                       p_size AS size,
+                       CAST(floor(p_retailprice / 100.0) AS BIGINT)
+                           AS band
+                FROM part
+            ), outcome AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                           AS y_raw
+                FROM lineitem GROUP BY 1
+            ), parts AS (
+                SELECT p.is_promo, p.size, p.band,
+                       CAST(ROUND(o.y_raw, 9) AS DECIMAL(18,9)) AS y
+                FROM p JOIN outcome o ON p.p_partkey = o.l_partkey
+            ), cells AS (
+                SELECT size, band,
+                       CAST(SUM(CASE WHEN is_promo THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_t,
+                       CAST(SUM(CASE WHEN is_promo THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_c,
+                       SUM(CASE WHEN is_promo THEN y END) AS sy_t,
+                       SUM(CASE WHEN NOT is_promo THEN y END) AS sy_c
+                FROM parts GROUP BY 1, 2
+            ), matched AS (
+                SELECT *,
+                       CAST(ROUND(CAST(n_t AS DOUBLE)
+                                  * (CAST(sy_t AS DOUBLE)
+                                     / CAST(n_t AS DOUBLE)
+                                     - CAST(sy_c AS DOUBLE)
+                                       / CAST(n_c AS DOUBLE)), 6)
+                            AS DECIMAL(38,6)) AS term
+                FROM cells WHERE n_t > 0 AND n_c > 0
+            ), tot AS (
+                SELECT CAST(SUM(CASE WHEN is_promo THEN 1 ELSE 0 END)
+                            AS BIGINT) AS treated_total
+                FROM parts
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                       CAST(SUM(n_t) AS BIGINT) AS n_treated_matched,
+                       CAST(SUM(n_c) AS BIGINT) AS n_control_matched,
+                       SUM(term) AS sterm
+                FROM matched
+            )
+            SELECT n_cells, n_treated_matched, n_control_matched,
+                   treated_total,
+                   ROUND(CAST(sterm AS DOUBLE)
+                         / CAST(n_treated_matched AS DOUBLE), 9) AS att
+            FROM agg CROSS JOIN tot
         """,
     }

@@ -1501,3 +1501,90 @@ def price_indices_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 9).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 9).alias("fisher"),
     ).orderBy("month")
+
+
+CEM_PRICE_BAND = 100.0
+
+
+def cem_promo_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened-exact-matching (Iacus–King–Porro) estimate of the
+    promo effect on per-part average line revenue: stratify parts
+    into (size, price-band) cells, keep only cells containing BOTH
+    promo and non-promo parts, and average the within-cell outcome
+    gaps weighted by treated count — the matching-family answer to
+    the same question promo_did_estimate attacks with time: here the
+    counterfactual is "a same-size, same-price-band non-promo part",
+    so the estimate survives promo parts simply BEING bigger or
+    pricier. Returns one row: (n_cells, n_treated_matched,
+    n_control_matched, treated_total, att).
+
+    CEM is the scale-friendly matching method BY CONSTRUCTION: no
+    nearest-neighbor pair join — coarsening makes matching a GROUP
+    BY, cells are bounded, and unmatched strata drop honestly (the
+    estimate's support is explicit in n_treated_matched /
+    treated_total).
+
+    Determinism: per-part outcome is one division of exact decimal
+    sums, quantized at 9 dp before cell aggregation; each cell's
+    w·(ȳ_t − ȳ_c) term quantizes at 6 dp before the order-free sum;
+    the closing division is a fixed dag.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+        F.col("p_size").alias("size"),
+        F.floor(F.col("p_retailprice") / CEM_PRICE_BAND).alias("band"),
+    )
+    outcome = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("y_raw")
+    )
+    parts = p.join(
+        outcome, p.p_partkey == outcome.l_partkey, "inner"
+    ).select(
+        "is_promo",
+        "size",
+        "band",
+        F.round(F.col("y_raw"), 9).cast("decimal(18,9)").alias("y"),
+    )
+    cells = parts.groupBy("size", "band").agg(
+        F.sum(F.when(F.col("is_promo"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("is_promo"), 0).otherwise(1)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("is_promo"), F.col("y"))).alias("sy_t"),
+        F.sum(F.when(~F.col("is_promo"), F.col("y"))).alias("sy_c"),
+    )
+    matched = cells.where((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    diff = (
+        F.col("sy_t").cast("double") / F.col("n_t").cast("double")
+        - F.col("sy_c").cast("double") / F.col("n_c").cast("double")
+    )
+    term = F.round(F.col("n_t").cast("double") * diff, 6).cast(
+        "decimal(38,6)"
+    )
+    tot_t = parts.groupBy().agg(
+        F.sum(F.when(F.col("is_promo"), 1).otherwise(0)).cast("long").alias(
+            "treated_total"
+        )
+    )
+    agg = matched.select("n_t", "n_c", term.alias("term")).groupBy().agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_t").cast("long").alias("n_treated_matched"),
+        F.sum("n_c").cast("long").alias("n_control_matched"),
+        F.sum("term").alias("sterm"),
+    )
+    return agg.crossJoin(F.broadcast(tot_t)).select(
+        "n_cells",
+        "n_treated_matched",
+        "n_control_matched",
+        "treated_total",
+        F.round(
+            F.col("sterm").cast("double")
+            / F.col("n_treated_matched").cast("double"),
+            9,
+        ).alias("att"),
+    )

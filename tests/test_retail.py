@@ -285,3 +285,46 @@ def test_price_indices_planted_inflation(spark, tmp_path):
     assert abs(m2.laspeyres - 1.1) < 1e-9
     assert abs(m2.paasche - 1.1) < 1e-9
     assert abs(m2.fisher - 1.1) < 1e-9
+
+
+def test_cem_att_removes_size_confound(spark, tmp_path):
+    """Outcome depends on SIZE (confounder) plus a true +50 promo
+    effect; promo parts skew large. The naive mean gap is inflated;
+    CEM recovers +50 exactly (same-cell comparisons only)."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        cem_promo_att,
+    )
+
+    d = str(tmp_path / "sf_cem")
+    prows, lrows, ok = [], [], 0
+    key = 0
+    # sizes 1..4; each size has 2 control parts and (size-1) promo
+    # parts → promo skews toward big sizes
+    for size in range(1, 5):
+        for is_promo in ([False] * 2 + [True] * (size - 1)):
+            key += 1
+            ptype = "PROMO BRUSHED" if is_promo else "STANDARD X"
+            prows.append((key, f"p{key}", "Brand#1", ptype, size, 50.0))
+            y = 100.0 * size + (50.0 if is_promo else 0.0)
+            ok += 1
+            lrows.append((ok, key, 1, 1, 1.0, y, 0.0, 0.0, "N", "O",
+                          datetime.datetime(1995, 1, 2)))
+    spark.createDataFrame(
+        prows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    r = cem_promo_att(spark, d).collect()[0]
+    assert r.att == 50.0          # confound removed exactly
+    assert r.n_treated_matched == r.treated_total == 6
+    # size-1 cells have no promo parts and drop
+    assert r.n_cells == 3
