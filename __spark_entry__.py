@@ -160,7 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_recall_eval (rows-only), stl_residual_anomalies,
     value_qte_deciles, ann_recall_eval (rows-only),
     doc_mahalanobis_outliers, price_indices_monthly,
-    copurchase_assortativity, cem_promo_att —
+    copurchase_assortativity, cem_promo_att, collocations_g2 —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -702,6 +702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cd) round-4 continuation 78 — coarsened-exact-matching ATT
         # (the matching-family member of the causal toolkit)
         "cem_promo_att": R.cem_promo_att,
+        # (ce) round-4 continuation 79 — Dunning G² collocations
+        # (evidence-weighted multiword units, the PMI fix)
+        "collocations_g2": T.collocations_g2,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9901,5 +9904,66 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ROUND(CAST(sterm AS DOUBLE)
                          / CAST(n_treated_matched AS DOUBLE), 9) AS att
             FROM agg CROSS JOIN tot
+        """,
+        "collocations_g2": """
+            WITH toks AS (
+                SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ), bg AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+                WHERE t[i] != '' AND t[i + 1] != ''
+            ), pair AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n11
+                FROM bg GROUP BY 1, 2
+            ), m1 AS (
+                SELECT w1, CAST(SUM(n11) AS BIGINT) AS n1p
+                FROM pair GROUP BY 1
+            ), m2 AS (
+                SELECT w2, CAST(SUM(n11) AS BIGINT) AS np1
+                FROM pair GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(n11) AS BIGINT) AS npp FROM pair
+            ), cellv AS (
+                SELECT p.w1, p.w2, p.n11, m1.n1p, m2.np1, tot.npp,
+                       CAST(p.n11 AS DOUBLE) AS o11,
+                       CAST(m1.n1p AS DOUBLE) AS d1p,
+                       CAST(m2.np1 AS DOUBLE) AS dp1,
+                       CAST(tot.npp AS DOUBLE) AS dpp
+                FROM pair p
+                JOIN m1 ON p.w1 = m1.w1
+                JOIN m2 ON p.w2 = m2.w2
+                CROSS JOIN tot
+            ), g AS (
+                SELECT w1, w2, n11 AS n_pair, n1p AS n_w1, np1 AS n_w2,
+                       2.0 * CAST(
+                           CAST(CASE WHEN o11 > 0
+                                THEN ROUND(o11 * ln(o11
+                                     / (d1p * dp1 / dpp)), 9)
+                                ELSE 0.0 END AS DECIMAL(28,9))
+                         + CAST(CASE WHEN d1p - o11 > 0
+                                THEN ROUND((d1p - o11)
+                                     * ln((d1p - o11)
+                                          / (d1p * (dpp - dp1) / dpp)),
+                                     9)
+                                ELSE 0.0 END AS DECIMAL(28,9))
+                         + CAST(CASE WHEN dp1 - o11 > 0
+                                THEN ROUND((dp1 - o11)
+                                     * ln((dp1 - o11)
+                                          / ((dpp - d1p) * dp1 / dpp)),
+                                     9)
+                                ELSE 0.0 END AS DECIMAL(28,9))
+                         + CAST(CASE WHEN dpp - d1p - (dp1 - o11) > 0
+                                THEN ROUND((dpp - d1p - (dp1 - o11))
+                                     * ln((dpp - d1p - (dp1 - o11))
+                                          / ((dpp - d1p) * (dpp - dp1)
+                                             / dpp)), 9)
+                                ELSE 0.0 END AS DECIMAL(28,9))
+                       AS DOUBLE) AS g2
+                FROM cellv
+            )
+            SELECT w1, w2, n_pair, n_w1, n_w2, ROUND(g2, 6) AS g2
+            FROM g
+            ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT 20
         """,
     }

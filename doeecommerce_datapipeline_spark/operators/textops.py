@@ -2121,3 +2121,75 @@ def doc_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d2") > MAHAL_CHI2_99_2DF)
         .orderBy("doc_id")
     )
+
+
+G2_TOP = 20
+
+
+def collocations_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G²) collocation ranking of adjacent
+    word pairs — the classic fix for PMI's rare-pair pathology: PMI
+    maximizes on hapax pairs (1/1/1 counts), G² demands EVIDENCE, so
+    the top of this list is the corpus's real multiword units.
+    Returns the top-20 bigrams: (w1, w2, n_pair, n_w1, n_w2, g2).
+
+    G² = 2·Σ_cells O·ln(O/E) over the 2×2 contingency of (first
+    word = w1) × (second word = w2) among all bigram slots; zero
+    cells contribute zero (lim x→0 x·ln x). Determinism: counts are
+    exact BIGINTs; each cell's O·ln(O/E) quantizes at 9 dp into
+    DECIMAL(28,9) and the 4-term sum is a fixed dag (the
+    token_entropy natural-log seam).
+
+    Shape: one bigram explode → pair counts (the only fact
+    exchange); the two marginal tables re-aggregate pair counts and
+    broadcast back; top-k is TakeOrderedAndProject.
+    """
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(F.explode(bigrams(F.col("text"))).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).where((F.col("w1") != "") & (F.col("w2") != ""))
+    pair = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n11")
+    ).localCheckpoint(eager=True)
+    m1 = pair.groupBy("w1").agg(F.sum("n11").alias("n1p"))
+    m2 = pair.groupBy("w2").agg(F.sum("n11").alias("np1"))
+    tot = pair.groupBy().agg(F.sum("n11").alias("npp"))
+    j = (
+        pair.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .join(F.broadcast(tot))
+    )
+    n11 = F.col("n11").cast("double")
+    n1p = F.col("n1p").cast("double")
+    np1 = F.col("np1").cast("double")
+    npp = F.col("npp").cast("double")
+    n12 = n1p - n11
+    n21 = np1 - n11
+    n22 = npp - n1p - n21
+
+    def cell(o, e):
+        t = F.when(o > 0, F.round(o * F.log(o / e), 9)).otherwise(
+            F.lit(0.0)
+        )
+        return t.cast("decimal(28,9)")
+
+    e11 = n1p * np1 / npp
+    e12 = n1p * (npp - np1) / npp
+    e21 = (npp - n1p) * np1 / npp
+    e22 = (npp - n1p) * (npp - np1) / npp
+    g2 = (
+        F.lit(2.0)
+        * (cell(n11, e11) + cell(n12, e12) + cell(n21, e21)
+           + cell(n22, e22)).cast("double")
+    )
+    return (
+        j.select(
+            "w1", "w2", "n11",
+            F.col("n1p").cast("long").alias("n_w1"),
+            F.col("np1").cast("long").alias("n_w2"),
+            F.round(g2, 6).alias("g2"),
+        )
+        .withColumnRenamed("n11", "n_pair")
+        .orderBy(F.desc("g2"), F.asc("w1"), F.asc("w2"))
+        .limit(G2_TOP)
+    )

@@ -4128,3 +4128,27 @@ def test_mahalanobis_catches_joint_outlier(spark, tmp_path):
     assert out[999].d2 > 9.21034
     # the correlated bulk stays inside the ellipse
     assert len(out) <= 3
+
+
+def test_g2_prefers_evidence_over_hapax(spark, tmp_path):
+    """A pair seen 20 times outranks a hapax pair — the exact case
+    where raw PMI inverts."""
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        collocations_g2,
+    )
+
+    d = str(tmp_path / "sf_g2")
+    rows = [(i, "strong pair filler" + str(i % 7) + " noise"
+             + str(i % 5), "en", "s", 1) for i in range(20)]
+    rows.append((99, "hapax once", "en", "s", 1))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = collocations_g2(spark, d).collect()
+    rank = {(r.w1, r.w2): i for i, r in enumerate(out)}
+    assert ("strong", "pair") in rank
+    assert rank[("strong", "pair")] < rank.get(("hapax", "once"), 99)
+    top = out[0]
+    assert (top.w1, top.w2) == ("strong", "pair") and top.n_pair == 20
