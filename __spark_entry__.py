@@ -160,7 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_recall_eval (rows-only), stl_residual_anomalies,
     value_qte_deciles, ann_recall_eval (rows-only),
     doc_mahalanobis_outliers, price_indices_monthly,
-    copurchase_assortativity, cem_promo_att, collocations_g2 —
+    copurchase_assortativity, cem_promo_att, collocations_g2,
+    revenue_shift_share —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -705,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ce) round-4 continuation 79 — Dunning G² collocations
         # (evidence-weighted multiword units, the PMI fix)
         "collocations_g2": T.collocations_g2,
+        # (cf) round-4 continuation 80 — shift-share decomposition of
+        # nation revenue growth (national + mix + competitive)
+        "revenue_shift_share": R.revenue_shift_share,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9965,5 +9969,56 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT w1, w2, n_pair, n_w1, n_w2, ROUND(g2, 6) AS g2
             FROM g
             ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT 20
+        """,
+        "revenue_shift_share": """
+            WITH grain AS (
+                SELECT n.n_name AS nation, o.o_orderpriority AS prio,
+                       SUM(CASE WHEN year(o.o_orderdate) = 1995
+                                THEN CAST(o.o_totalprice
+                                          AS DECIMAL(18,2))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+                           AS r0,
+                       SUM(CASE WHEN year(o.o_orderdate) = 1996
+                                THEN CAST(o.o_totalprice
+                                          AS DECIMAL(18,2))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+                           AS r1
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                WHERE year(o.o_orderdate) IN (1995, 1996)
+                GROUP BY 1, 2
+            ), nat AS (
+                SELECT (CAST(SUM(r1) AS DOUBLE) - CAST(SUM(r0) AS DOUBLE))
+                       / CAST(SUM(r0) AS DOUBLE) AS g
+                FROM grain
+            ), prio AS (
+                SELECT prio,
+                       (CAST(SUM(r1) AS DOUBLE)
+                        - CAST(SUM(r0) AS DOUBLE))
+                       / CAST(SUM(r0) AS DOUBLE) AS g_p
+                FROM grain GROUP BY 1
+            ), cells AS (
+                SELECT g.nation, g.r0, g.r1,
+                       CAST(ROUND(CAST(g.r0 AS DOUBLE)
+                                  * (p.g_p - n.g), 6)
+                            AS DECIMAL(38,6)) AS im_term
+                FROM grain g
+                JOIN prio p ON g.prio = p.prio
+                CROSS JOIN nat n
+            ), per_nation AS (
+                SELECT nation,
+                       CAST(SUM(r0) AS DOUBLE) AS r0,
+                       CAST(SUM(r1) AS DOUBLE) AS r1,
+                       CAST(SUM(im_term) AS DOUBLE) AS im
+                FROM cells GROUP BY 1
+            )
+            SELECT nation, r0, r1, r1 - r0 AS delta,
+                   ROUND(r0 * n.g, 6) AS national_comp,
+                   im AS mix_comp,
+                   (r1 - r0) - ROUND(r0 * n.g, 6) - im
+                       AS competitive_comp
+            FROM per_nation CROSS JOIN nat n
+            ORDER BY nation
         """,
     }

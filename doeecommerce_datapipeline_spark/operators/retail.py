@@ -1588,3 +1588,103 @@ def cem_promo_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("att"),
     )
+
+
+SHIFT_SHARE_Y0 = 1995
+SHIFT_SHARE_Y1 = 1996
+
+
+def revenue_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of each nation's 1995→1996 revenue
+    growth (region = customer nation, "industry" = order priority):
+    Δ = NATIONAL share (what growing-with-the-market explains) +
+    industry MIX (being weighted toward hot/cold segments) +
+    COMPETITIVE shift (out/under-performing your own segments) — the
+    regional-economics classic that turns "France grew 12%" into an
+    attribution a strategy team can act on. Returns per nation:
+    (nation, r0, r1, delta, national_comp, mix_comp,
+    competitive_comp).
+
+    The identity Δ = NS + IM + CS holds EXACTLY: NS and IM are
+    6-dp-rounded doubles and CS is the REMAINDER Δ − NS − IM (the
+    standard closure treatment, which also absorbs segments that
+    exist in only one of the two years, where a per-cell growth rate
+    is undefined).
+
+    Shape: one orders⋈customer join (nation dim broadcast) to the
+    (nation, priority, year) grain; national and per-priority rates
+    are tiny broadcast aggregates; per-nation rollups close it.
+    """
+    o = table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(SHIFT_SHARE_Y0, SHIFT_SHARE_Y1)
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    grain = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") == SHIFT_SHARE_Y0,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("r0"),
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") == SHIFT_SHARE_Y1,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("r1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nat = grain.groupBy().agg(
+        F.sum("r0").alias("R0"), F.sum("r1").alias("R1")
+    )
+    g = (
+        (F.col("R1").cast("double") - F.col("R0").cast("double"))
+        / F.col("R0").cast("double")
+    )
+    nat = nat.select(g.alias("g"))
+    prio = grain.groupBy("prio").agg(
+        F.sum("r0").alias("p0"), F.sum("r1").alias("p1")
+    )
+    gp = (
+        (F.col("p1").cast("double") - F.col("p0").cast("double"))
+        / F.col("p0").cast("double")
+    )
+    prio = prio.select("prio", gp.alias("g_p"))
+    cells = grain.join(F.broadcast(prio), "prio").crossJoin(
+        F.broadcast(nat)
+    )
+    im_term = F.round(
+        F.col("r0").cast("double") * (F.col("g_p") - F.col("g")), 6
+    ).cast("decimal(38,6)")
+    per_nation = cells.groupBy("nation").agg(
+        F.sum("r0").alias("r0"),
+        F.sum("r1").alias("r1"),
+        F.sum(im_term).alias("im"),
+    )
+    r0d = F.col("r0").cast("double")
+    r1d = F.col("r1").cast("double")
+    delta = r1d - r0d
+    ns = F.round(r0d * F.col("gg"), 6)
+    im = F.col("im").cast("double")
+    return (
+        per_nation.crossJoin(F.broadcast(nat.select(F.col("g").alias("gg"))))
+        .select(
+            "nation",
+            r0d.alias("r0"),
+            r1d.alias("r1"),
+            delta.alias("delta"),
+            ns.alias("national_comp"),
+            im.alias("mix_comp"),
+            (delta - ns - im).alias("competitive_comp"),
+        )
+        .orderBy("nation")
+    )

@@ -328,3 +328,52 @@ def test_cem_att_removes_size_confound(spark, tmp_path):
     assert r.n_treated_matched == r.treated_total == 6
     # size-1 cells have no promo parts and drop
     assert r.n_cells == 3
+
+
+def test_shift_share_identity_and_planted_outperformer(spark, tmp_path):
+    """Δ = NS + IM + CS exactly on every nation; a nation that
+    doubles while the market is flat shows the gain in COMPETITIVE,
+    not mix."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        revenue_shift_share,
+    )
+
+    d = str(tmp_path / "sf_ss")
+    # two nations, one priority; market flat except nation B doubles
+    orows, ok = [], 0
+    for year, amounts in ((1995, {"A": 100.0, "B": 100.0}),
+                          (1996, {"A": 100.0, "B": 200.0})):
+        for nat, amt in amounts.items():
+            ok += 1
+            cust = 1 if nat == "A" else 2
+            orows.append((ok, cust, "O", amt,
+                          datetime.datetime(year, 6, 1), "1-URGENT"))
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        [(1, "custA", 0), (2, "custB", 1)],
+        "c_custkey long, c_name string, c_nationkey int",
+    ).write.parquet(d + "/customer.parquet")
+    spark.createDataFrame(
+        [(0, "NATION_A"), (1, "NATION_B")],
+        "n_nationkey int, n_name string",
+    ).write.parquet(d + "/nation.parquet")
+    out = {r.nation: r for r in revenue_shift_share(spark, d).collect()}
+    for r in out.values():
+        assert abs(r.delta - (r.national_comp + r.mix_comp
+                              + r.competitive_comp)) < 1e-9
+    b = out["NATION_B"]
+    assert b.delta == 100.0
+    # market grew 50% overall → NS = 50; single segment → IM = 0;
+    # the remaining +50 is B's own outperformance
+    assert abs(b.national_comp - 50.0) < 1e-6
+    assert abs(b.mix_comp) < 1e-6
+    assert abs(b.competitive_comp - 50.0) < 1e-6
+    a = out["NATION_A"]
+    assert abs(a.competitive_comp + 50.0) < 1e-6  # flat A underperformed
