@@ -2635,10 +2635,11 @@ def median_polish_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         coleff = coleff.crossJoin(F.broadcast(cmed)).select(
             "hour", (F.col("c") - F.col("shift")).alias("c")
         )
+        # only the 168-row residual grid needs a barrier per sweep —
+        # the effect vectors are ≤24 rows and two sweeps of expression
+        # growth stay tiny, while each eager checkpoint costs a whole
+        # Spark job (8 → 2 jobs per run)
         resid = resid.localCheckpoint(eager=True)
-        roweff = roweff.localCheckpoint(eager=True)
-        coleff = coleff.localCheckpoint(eager=True)
-        overall = overall.localCheckpoint(eager=True)
     return (
         grid.join(resid, ["dow", "hour"])
         .join(F.broadcast(roweff), "dow")
