@@ -161,7 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value_qte_deciles, ann_recall_eval (rows-only),
     doc_mahalanobis_outliers, price_indices_monthly,
     copurchase_assortativity, cem_promo_att, collocations_g2,
-    revenue_shift_share —
+    revenue_shift_share, durbin_watson_trend —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -709,6 +709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cf) round-4 continuation 80 — shift-share decomposition of
         # nation revenue growth (national + mix + competitive)
         "revenue_shift_share": R.revenue_shift_share,
+        # (cg) round-4 continuation 81 — Durbin–Watson diagnostic on
+        # the daily-revenue trend residuals
+        "durbin_watson_trend": X.durbin_watson_trend,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -10020,5 +10023,64 @@ def _oracle_sql_literals() -> dict[str, str]:
                        AS competitive_comp
             FROM per_nation CROSS JOIN nat n
             ORDER BY nation
+        """,
+        "durbin_watson_trend": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            ), idx AS (
+                SELECT CAST(rev * 100 AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (ORDER BY day) AS t
+                FROM daily
+            ), m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(t) AS DOUBLE) AS st,
+                       CAST(SUM(cents) AS DOUBLE) AS sy,
+                       CAST(SUM(t * t) AS DOUBLE) AS stt,
+                       CAST(SUM(t * cents) AS DOUBLE) AS sty
+                FROM idx
+            ), fit AS (
+                SELECT n_days,
+                       (CAST(n_days AS DOUBLE) * sty - st * sy)
+                       / (CAST(n_days AS DOUBLE) * stt - st * st)
+                           AS beta,
+                       (sy - (CAST(n_days AS DOUBLE) * sty - st * sy)
+                             / (CAST(n_days AS DOUBLE) * stt - st * st)
+                             * st) / CAST(n_days AS DOUBLE) AS alpha
+                FROM m
+            ), resid0 AS (
+                SELECT i.t, f.n_days, f.beta,
+                       CAST(i.cents AS DOUBLE) - f.alpha
+                       - f.beta * CAST(i.t AS DOUBLE) AS e_raw
+                FROM idx i CROSS JOIN fit f
+            ), mx AS (
+                SELECT MAX(abs(e_raw)) AS mx FROM resid0
+            ), resid AS (
+                SELECT t, n_days, beta, e_raw / mx AS e
+                FROM resid0 CROSS JOIN mx WHERE mx > 0
+            ), lagged AS (
+                SELECT a.e AS e, b.e AS e_prev
+                FROM resid a JOIN resid b ON a.t = b.t + 1
+            ), num AS (
+                SELECT CAST(SUM(CAST(ROUND((e - e_prev) * (e - e_prev),
+                                           6) AS DECIMAL(38,6)))
+                            AS DOUBLE) AS sd2
+                FROM lagged
+            ), den AS (
+                SELECT MAX(n_days) AS n_days,
+                       ROUND(MAX(beta) / 100.0, 9) AS slope,
+                       CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(38,6)))
+                            AS DOUBLE) AS se2
+                FROM resid
+            )
+            SELECT n_days, slope,
+                   ROUND(sd2 / se2, 9) AS dw,
+                   CASE WHEN ROUND(sd2 / se2, 9) < 1.5
+                            THEN 'positive_autocorrelation'
+                        WHEN ROUND(sd2 / se2, 9) > 2.5
+                            THEN 'negative_autocorrelation'
+                        ELSE 'independent' END AS verdict
+            FROM den CROSS JOIN num
         """,
     }

@@ -2729,3 +2729,94 @@ def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("score")) > STL_ANOM_K)
         .orderBy("day")
     )
+
+
+def durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic of the daily-revenue linear-trend
+    residuals: DW = Σ(e_t − e_{t−1})² / Σe_t², the regression
+    diagnostic that says whether the OLS trend's errors are
+    independent (≈2), positively autocorrelated (→0 — the usual
+    sin that makes trend-line confidence intervals a lie), or
+    alternating (→4). Closes the regression-diagnostics loop around
+    revenue_trend_ols / adf / ljung_box. Returns one row: (n_days,
+    slope, dw, verdict) with the conventional 1.5/2.5 reading bands.
+
+    Determinism: the trend fits on INTEGER CENT moments — Σt, Σy,
+    Σt², Σty are exact BIGINTs (a century of days × cent revenue
+    stays far under 2^63), so α̂/β̂ are fixed double dags with ZERO
+    decimal-quantization ambiguity (the first draft's 6-dp moment
+    seam hit a rounding tie at sf0.001); residuals NORMALIZE by
+    max|e| before the quantized DW sums — scale-free, so the 6-dp
+    lattice neither overflows 2^53 on real revenue nor underflows to
+    zero on small fixtures, and the common factor cancels in the
+    ratio up to the shared lattice.
+
+    Shape: one fact shuffle to the daily rollup, one calendar-bounded
+    index window, one lag join on the index, a single-row reduce.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    idx = daily.select(
+        (F.col("rev") * 100).cast("long").alias("cents"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    ).localCheckpoint(eager=True)
+    m = idx.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("t").alias("st"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("cents")).alias("sty"),
+    )
+    n = F.col("n_days").cast("double")
+    st, sy = F.col("st").cast("double"), F.col("sy").cast("double")
+    stt, sty = F.col("stt").cast("double"), F.col("sty").cast("double")
+    beta = (n * sty - st * sy) / (n * stt - st * st)
+    alpha = (sy - beta * st) / n
+    fit = m.select(
+        "n_days", beta.alias("beta"), alpha.alias("alpha")
+    )
+    resid0 = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n_days",
+        "beta",
+        (
+            F.col("cents").cast("double")
+            - F.col("alpha")
+            - F.col("beta") * F.col("t").cast("double")
+        ).alias("e_raw"),
+    ).localCheckpoint(eager=True)
+    mx = resid0.groupBy().agg(
+        F.max(F.abs(F.col("e_raw"))).alias("mx")
+    )
+    resid = resid0.crossJoin(F.broadcast(mx)).where(
+        F.col("mx") > 0
+    ).select(
+        "t", "n_days", "beta", (F.col("e_raw") / F.col("mx")).alias("e")
+    )
+    lagged = resid.alias("a").join(
+        resid.alias("b"), F.col("a.t") == F.col("b.t") + 1
+    ).select(
+        F.col("a.e").alias("e"), F.col("b.e").alias("e_prev")
+    )
+    q6 = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)"))  # noqa: E731
+    num = lagged.groupBy().agg(
+        q6((F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))).alias("sd2")
+    )
+    den = resid.groupBy().agg(
+        F.max("n_days").alias("n_days"),
+        F.round(F.max("beta") / F.lit(100.0), 9).alias("slope"),
+        q6(F.col("e") * F.col("e")).alias("se2"),
+    )
+    dw = F.round(
+        F.col("sd2").cast("double") / F.col("se2").cast("double"), 9
+    )
+    verdict = (
+        F.when(dw < 1.5, "positive_autocorrelation")
+        .when(dw > 2.5, "negative_autocorrelation")
+        .otherwise("independent")
+    )
+    return den.crossJoin(F.broadcast(num)).select(
+        "n_days", "slope", dw.alias("dw"), verdict.alias("verdict")
+    )

@@ -4152,3 +4152,40 @@ def test_g2_prefers_evidence_over_hapax(spark, tmp_path):
     assert rank[("strong", "pair")] < rank.get(("hapax", "once"), 99)
     top = out[0]
     assert (top.w1, top.w2) == ("strong", "pair") and top.n_pair == 20
+
+
+def test_durbin_watson_extremes(spark, tmp_path):
+    """Alternating residuals around a flat trend → DW ≈ 4; a smooth
+    sinusoid-like slow wander → DW near 0."""
+    import datetime
+    import math
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        durbin_watson_trend,
+    )
+
+    def mk(dirname, values):
+        d = str(tmp_path / dirname)
+        rows = [
+            (i, 1, "O", float(v),
+             datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i),
+             "1-URGENT")
+            for i, v in enumerate(values)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.parquet(d + "/orders.parquet")
+        return d
+
+    alt = mk("sf_dw_alt", [100 + (i % 2) * 50 for i in range(100)])
+    r = durbin_watson_trend(spark, alt).collect()[0]
+    assert r.dw > 3.5 and r.verdict == "negative_autocorrelation"
+    slow = mk(
+        "sf_dw_slow",
+        [100 + 50 * math.sin(i / 20.0) for i in range(100)],
+    )
+    r2 = durbin_watson_trend(spark, slow).collect()[0]
+    assert r2.dw < 0.5 and r2.verdict == "positive_autocorrelation"
