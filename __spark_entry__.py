@@ -161,7 +161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value_qte_deciles, ann_recall_eval (rows-only),
     doc_mahalanobis_outliers, price_indices_monthly,
     copurchase_assortativity, cem_promo_att, collocations_g2,
-    revenue_shift_share, durbin_watson_trend —
+    revenue_shift_share, durbin_watson_trend,
+    yule_k_by_source —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -712,6 +713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cg) round-4 continuation 81 — Durbin–Watson diagnostic on
         # the daily-revenue trend residuals
         "durbin_watson_trend": X.durbin_watson_trend,
+        # (ch) round-4 continuation 82 — Yule's K repeat-rate lexical
+        # richness (length-invariant, via the spectrum identity)
+        "yule_k_by_source": T.yule_k_by_source,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -10082,5 +10086,28 @@ def _oracle_sql_literals() -> dict[str, str]:
                             THEN 'negative_autocorrelation'
                         ELSE 'independent' END AS verdict
             FROM den CROSS JOIN num
+        """,
+        "yule_k_by_source": """
+            WITH toks AS (
+                SELECT source,
+                       UNNEST(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS w
+                FROM documents
+            ), t2 AS (SELECT source, w FROM toks WHERE w != ''),
+            tf AS (
+                SELECT source, w, COUNT(*) AS tf FROM t2 GROUP BY 1, 2
+            ), agg AS (
+                SELECT source,
+                       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_types,
+                       CAST(SUM(tf * tf) AS BIGINT) AS s2
+                FROM tf GROUP BY 1
+            )
+            SELECT source, n_tokens, n_types,
+                   ROUND(10000.0 * (CAST(s2 AS DOUBLE)
+                                    - CAST(n_tokens AS DOUBLE))
+                         / (CAST(n_tokens AS DOUBLE)
+                            * CAST(n_tokens AS DOUBLE)), 9) AS yule_k
+            FROM agg ORDER BY source
         """,
     }

@@ -2193,3 +2193,42 @@ def collocations_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("g2"), F.asc("w1"), F.asc("w2"))
         .limit(G2_TOP)
     )
+
+
+def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source: 10⁴·(Σ_m m²·V_m − N)/N²
+    over the frequency spectrum (V_m = number of word types occurring
+    exactly m times) — the classic repeat-rate measure of lexical
+    richness that, unlike raw type/token ratio, is (asymptotically)
+    LENGTH-INVARIANT, so sources of different sizes compare fairly;
+    complements heaps_law_fit (growth curve) and
+    token_entropy_by_source (distributional spread) with the
+    repetition-concentration view. Returns per source: (source,
+    n_tokens, n_types, yule_k).
+
+    Determinism: V_m and Σ m²·V_m are exact integers (Σ m²·V_m =
+    Σ_types tf², one aggregate over the type table — the spectrum
+    never materializes); the closing K is one fixed double dag.
+
+    Shape: one (source, word) count exchange; the spectrum identity
+    makes the second pass a source-grain rollup of tf² — no extra
+    fan-out.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.col("w") != "")
+    tf = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    agg = tf.groupBy("source").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    k = F.lit(10000.0) * (F.col("s2").cast("double") - n) / (n * n)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(k, 9).alias("yule_k"),
+    ).orderBy("source")

@@ -4189,3 +4189,26 @@ def test_durbin_watson_extremes(spark, tmp_path):
     )
     r2 = durbin_watson_trend(spark, slow).collect()[0]
     assert r2.dw < 0.5 and r2.verdict == "positive_autocorrelation"
+
+
+def test_yule_k_repetitive_exceeds_diverse(spark, tmp_path):
+    """A source that repeats one word has far higher K than a source
+    of all-distinct words (K = 0 exactly when every type is hapax)."""
+    from doeecommerce_datapipeline_spark.operators.textops import (
+        yule_k_by_source,
+    )
+
+    d = str(tmp_path / "sf_yule")
+    rows = [(0, "spam " * 50, "en", "repeaty", 1)]
+    rows += [(1, " ".join(f"w{i}" for i in range(50)), "en",
+              "diverse", 1)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.source: r for r in yule_k_by_source(spark, d).collect()}
+    assert out["diverse"].yule_k == 0.0           # all hapax
+    # one type, tf=50: K = 1e4·(2500−50)/2500 = 9800
+    assert out["repeaty"].yule_k == 9800.0
+    assert out["repeaty"].n_types == 1
