@@ -162,7 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_mahalanobis_outliers, price_indices_monthly,
     copurchase_assortativity, cem_promo_att, collocations_g2,
     revenue_shift_share, durbin_watson_trend,
-    yule_k_by_source —
+    yule_k_by_source, cluster_source_nmi —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -716,6 +716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ch) round-4 continuation 82 — Yule's K repeat-rate lexical
         # richness (length-invariant, via the spectrum identity)
         "yule_k_by_source": T.yule_k_by_source,
+        # (ci) round-4 continuation 83 — clustering agreement eval
+        # (purity/NMI vs true labels over the lattice k-means)
+        "cluster_source_nmi": S.cluster_source_nmi,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -884,6 +887,71 @@ def _median_polish_sql(sweeps: int = 2) -> str:
 
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literals()
+    # clustering-agreement eval composes over the SAME unrolled
+    # lattice-k-means assignments the cluster rollup reports
+    _km_tail = """
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(d2) AS BIGINT) AS inertia_lattice
+            FROM asg4 GROUP BY cid"""
+    _nmi_tail = """
+            , ctg AS (
+                SELECT a.cid, e.label, CAST(COUNT(*) AS BIGINT) AS n
+                FROM asg4 a JOIN embeddings e ON a.vec_id = e.vec_id
+                GROUP BY 1, 2
+            ), nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ctg),
+            rc AS (
+                SELECT cid, CAST(SUM(n) AS BIGINT) AS n_c
+                FROM ctg GROUP BY 1
+            ), rl AS (
+                SELECT label, CAST(SUM(n) AS BIGINT) AS n_l
+                FROM ctg GROUP BY 1
+            ), mi AS (
+                SELECT CAST(SUM(CAST(ROUND(
+                           (CAST(c.n AS DOUBLE) / CAST(nt.nn AS DOUBLE))
+                           * ln(CAST(c.n AS DOUBLE)
+                                * CAST(nt.nn AS DOUBLE)
+                                / (CAST(rc.n_c AS DOUBLE)
+                                   * CAST(rl.n_l AS DOUBLE))), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS mi
+                FROM ctg c
+                JOIN rc ON c.cid = rc.cid
+                JOIN rl ON c.label = rl.label
+                CROSS JOIN nt
+            ), hc AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                       -CAST(SUM(CAST(ROUND(
+                           (CAST(n_c AS DOUBLE) / CAST(nt.nn AS DOUBLE))
+                           * ln(CAST(n_c AS DOUBLE)
+                                / CAST(nt.nn AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS hc
+                FROM rc CROSS JOIN nt
+            ), hl AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+                       -CAST(SUM(CAST(ROUND(
+                           (CAST(n_l AS DOUBLE) / CAST(nt.nn AS DOUBLE))
+                           * ln(CAST(n_l AS DOUBLE)
+                                / CAST(nt.nn AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS hl
+                FROM rl CROSS JOIN nt
+            ), pur AS (
+                SELECT CAST(SUM(mx) AS BIGINT) AS pn FROM (
+                    SELECT cid, MAX(n) AS mx FROM ctg GROUP BY 1
+                )
+            )
+            SELECT CAST(nt.nn AS BIGINT) AS n_points, n_clusters,
+                   n_labels,
+                   ROUND(CAST(pur.pn AS DOUBLE)
+                         / CAST(nt.nn AS DOUBLE), 9) AS purity,
+                   ROUND(mi.mi, 9) AS mi_nats,
+                   CASE WHEN hc.hc > 0 AND hl.hl > 0
+                        THEN ROUND(mi.mi / sqrt(hc.hc * hl.hl), 9)
+                   END AS nmi
+            FROM mi CROSS JOIN hc CROSS JOIN hl
+                 CROSS JOIN nt CROSS JOIN pur"""
+    assert _km_tail in sql["kmeans_lattice_clusters"]
+    sql["cluster_source_nmi"] = sql["kmeans_lattice_clusters"].replace(
+        _km_tail, _nmi_tail
+    )
     sql["median_polish_dow_hour"] = _median_polish_sql()
     # seasonally-adjusted anomalies compose over the SAME STL
     # decomposition they flag (definitional lockstep); the robust

@@ -418,7 +418,9 @@ KMEANS_K = 4
 KMEANS_ITERS = 3
 
 
-def kmeans_lattice_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lattice_kmeans_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Fixed-round k-means over the embeddings, FULLY ORACLE-PAIRED —
     the PageRank/CMS determinism trick applied to clustering: k = 4,
     exactly 3 Lloyd iterations, seeds = the k lowest vec_ids, and
@@ -498,10 +500,7 @@ def kmeans_lattice_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     final = assign(cents)
-    return final.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.sum("d2").alias("inertia_lattice"),
-    )
+    return final
 
 
 DIM_STATS_SCALE = 1 << 20
@@ -804,3 +803,104 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "method string, query_id long, k int, n_hit int, recall double",
     ).orderBy("method", "query_id")
+
+
+def kmeans_lattice_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of the lattice k-means: per-cluster sizes and
+    exact lattice inertia (see lattice_kmeans_assignments for the
+    fully-deterministic iteration mechanics)."""
+    return lattice_kmeans_assignments(spark, sf_dir).groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("d2").alias("inertia_lattice"),
+    )
+
+
+def cluster_source_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation: purity and normalized mutual
+    information of the lattice k-means partition against the TRUE
+    embedding labels — the fifth member of the evaluation suite
+    (retrieval nDCG, CF hit-rate, LSH recall, ANN recall, and now
+    clustering agreement): a clustering nobody scored against ground
+    truth is decoration. Fully oracle-paired because the assignments
+    themselves are (the lattice k-means trick). Returns one row:
+    (n_points, n_clusters, n_labels, purity, mi_nats, nmi).
+
+    Determinism: the contingency table is exact integers; each MI /
+    entropy cell term quantizes at 9 dp into DECIMAL(18,9) before
+    the order-free sum (natural log, the token_entropy seam); the
+    closing NMI = MI/√(H_c·H_l) is a fixed dag.
+
+    Shape: rides the assignment kernel's two-exchange rounds; the
+    contingency is ≤ k×|labels| rows; everything after is
+    constant-size.
+    """
+    a = lattice_kmeans_assignments(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ct = (
+        a.join(e, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    nt = ct.groupBy().agg(F.sum("n").alias("nn"))
+    rc = ct.groupBy("cid").agg(F.sum("n").alias("n_c"))
+    rl = ct.groupBy("label").agg(F.sum("n").alias("n_l"))
+    full = (
+        ct.join(F.broadcast(rc), "cid")
+        .join(F.broadcast(rl), "label")
+        .crossJoin(F.broadcast(nt))
+    )
+    nd = F.col("n").cast("double")
+    nnd = F.col("nn").cast("double")
+    ncd = F.col("n_c").cast("double")
+    nld = F.col("n_l").cast("double")
+    mi_term = F.round(
+        (nd / nnd) * F.log(nd * nnd / (ncd * nld)), 9
+    ).cast("decimal(18,9)")
+    purity_num = rc.join(
+        ct.groupBy("cid").agg(F.max("n").alias("mx")), "cid"
+    ).groupBy().agg(F.sum("mx").alias("pn"))
+    hc_term = F.round(
+        (F.col("n_c").cast("double") / nnd)
+        * F.log(F.col("n_c").cast("double") / nnd),
+        9,
+    ).cast("decimal(18,9)")
+    hl_term = F.round(
+        (F.col("n_l").cast("double") / nnd)
+        * F.log(F.col("n_l").cast("double") / nnd),
+        9,
+    ).cast("decimal(18,9)")
+    mi = full.groupBy().agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(mi_term).alias("mi"),
+    )
+    hc = rc.crossJoin(F.broadcast(nt)).groupBy().agg(
+        F.count(F.lit(1)).alias("n_clusters"), F.sum(hc_term).alias("hc")
+    )
+    hl = rl.crossJoin(F.broadcast(nt)).groupBy().agg(
+        F.count(F.lit(1)).alias("n_labels"), F.sum(hl_term).alias("hl")
+    )
+    mid = F.col("mi").cast("double")
+    hcd = -F.col("hc").cast("double")
+    hld = -F.col("hl").cast("double")
+    return (
+        mi.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(purity_num))
+        .select(
+            F.col("nn").cast("long").alias("n_points"),
+            "n_clusters",
+            "n_labels",
+            F.round(
+                F.col("pn").cast("double") / F.col("nn").cast("double"), 9
+            ).alias("purity"),
+            F.round(mid, 9).alias("mi_nats"),
+            F.when(
+                (hcd > 0) & (hld > 0),
+                F.round(mid / F.sqrt(hcd * hld), 9),
+            ).alias("nmi"),
+        )
+    )

@@ -93,3 +93,34 @@ def test_doc_perplexity_rare_transition_scores_higher(spark, tmp_path):
     assert res[4].avg_nll > res[1].avg_nll
     assert abs(res[1].avg_nll - round(-math.log(0.75), 6)) < 1e-6
     assert abs(res[4].avg_nll - round(-math.log(0.25), 6)) < 1e-6
+
+
+def test_nmi_perfect_and_null_partitions(spark, tmp_path):
+    """When clusters == labels exactly, purity = NMI = 1; the metric
+    machinery is pinned on a planted-separable embedding table."""
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        cluster_source_nmi,
+    )
+
+    d = str(tmp_path / "sf_nmi")
+    # 4 well-separated lattice clusters; label == planted cluster.
+    # seeds are the 4 lowest vec_ids -> one seed lands per planted
+    # cluster when vec_ids 0..3 are in distinct clusters
+    # ids 0..3 are one point per planted cluster (the seeds), the
+    # rest are unique ids >= 4
+    rows = []
+    for c in range(4):
+        base = [0.0] * 8
+        base[c] = 10.0
+        for j in range(12):
+            vec = list(base)
+            vec[(c + 1) % 8] += 0.001 * j  # tiny within-cluster spread
+            vid = c if j == 0 else 4 + c * 11 + (j - 1)
+            rows.append((vid, vec, c))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    r = cluster_source_nmi(spark, d).collect()[0]
+    assert r.n_points == 48 and r.n_clusters == 4 and r.n_labels == 4
+    assert r.purity == 1.0
+    assert r.nmi == 1.0
