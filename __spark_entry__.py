@@ -162,7 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_mahalanobis_outliers, price_indices_monthly,
     copurchase_assortativity, cem_promo_att, collocations_g2,
     revenue_shift_share, durbin_watson_trend,
-    yule_k_by_source, cluster_source_nmi —
+    yule_k_by_source, cluster_source_nmi, event_hour_mi —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -719,6 +719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ci) round-4 continuation 83 — clustering agreement eval
         # (purity/NMI vs true labels over the lattice k-means)
         "cluster_source_nmi": S.cluster_source_nmi,
+        # (cj) round-4 continuation 84 — type×hour mutual information
+        # (the one-number version of the dow×hour heatmap)
+        "event_hour_mi": E.event_hour_mi,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9559,6 +9562,54 @@ def _oracle_sql_literals() -> dict[str, str]:
                        AS df_ratio
             FROM top CROSS JOIN nrow
             ORDER BY tf DESC, term ASC
+        """,
+        "event_hour_mi": """
+            WITH ct AS (
+                SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ct),
+            rt AS (
+                SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_t
+                FROM ct GROUP BY 1
+            ), rh AS (
+                SELECT hr, CAST(SUM(n) AS BIGINT) AS n_h
+                FROM ct GROUP BY 1
+            ), mi AS (
+                SELECT CAST(SUM(CAST(ROUND(
+                           (CAST(c.n AS DOUBLE) / CAST(nt.nn AS DOUBLE))
+                           * ln(CAST(c.n AS DOUBLE)
+                                * CAST(nt.nn AS DOUBLE)
+                                / (CAST(rt.n_t AS DOUBLE)
+                                   * CAST(rh.n_h AS DOUBLE))), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS mi
+                FROM ct c
+                JOIN rt ON c.event_type = rt.event_type
+                JOIN rh ON c.hr = rh.hr
+                CROSS JOIN nt
+            ), ht AS (
+                SELECT -CAST(SUM(CAST(ROUND(
+                           (CAST(n_t AS DOUBLE) / CAST(nt.nn AS DOUBLE))
+                           * ln(CAST(n_t AS DOUBLE)
+                                / CAST(nt.nn AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS ht
+                FROM rt CROSS JOIN nt
+            ), hh AS (
+                SELECT -CAST(SUM(CAST(ROUND(
+                           (CAST(n_h AS DOUBLE) / CAST(nt.nn AS DOUBLE))
+                           * ln(CAST(n_h AS DOUBLE)
+                                / CAST(nt.nn AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS hh
+                FROM rh CROSS JOIN nt
+            )
+            SELECT CAST(nt.nn AS BIGINT) AS n_events,
+                   ROUND(mi.mi, 9) AS mi_nats,
+                   ROUND(ht.ht, 9) AS h_type,
+                   ROUND(hh.hh, 9) AS h_hour,
+                   CASE WHEN ht.ht > 0
+                        THEN ROUND(mi.mi / ht.ht, 9) END
+                       AS uncertainty_coeff
+            FROM mi CROSS JOIN ht CROSS JOIN hh CROSS JOIN nt
         """,
         "simpson_slope_check": """
             WITH g AS (

@@ -2981,3 +2981,74 @@ def value_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+
+
+def event_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and the normalized uncertainty
+    coefficient) between event type and hour-of-day — ONE number for
+    "how much does the clock tell you about what users do", where the
+    dow_hour_activity heatmap needs 168 cells and an eyeball. U =
+    MI/H(type) reads as "the hour explains X% of event-type
+    uncertainty" — the screen that says whether hourly models are
+    worth building at all. Returns one row: (n_events, mi_nats,
+    h_type, h_hour, uncertainty_coeff).
+
+    Determinism: the 5×24 contingency is exact integers; MI/entropy
+    cell terms quantize at 9 dp into DECIMAL(18,9) before order-free
+    sums (natural log, the token_entropy seam); the closing ratio is
+    one fixed dag.
+
+    Shape: one partial-aggregated fact shuffle to ≤120 cells;
+    constant-size after.
+    """
+    e = table(spark, sf_dir, "events")
+    ct = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    nt = ct.groupBy().agg(F.sum("n").alias("nn"))
+    rt = ct.groupBy("event_type").agg(F.sum("n").alias("n_t"))
+    rh = ct.groupBy("hr").agg(F.sum("n").alias("n_h"))
+    full = (
+        ct.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(rh), "hr")
+        .crossJoin(F.broadcast(nt))
+    )
+    nd = F.col("n").cast("double")
+    nnd = F.col("nn").cast("double")
+    mi_term = F.round(
+        (nd / nnd)
+        * F.log(
+            nd * nnd
+            / (F.col("n_t").cast("double") * F.col("n_h").cast("double"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    ent = lambda c: F.round(  # noqa: E731
+        (F.col(c).cast("double") / nnd)
+        * F.log(F.col(c).cast("double") / nnd),
+        9,
+    ).cast("decimal(18,9)")
+    mi = full.groupBy().agg(F.sum(mi_term).alias("mi"))
+    ht = rt.crossJoin(F.broadcast(nt)).groupBy().agg(
+        F.sum(ent("n_t")).alias("ht")
+    )
+    hh = rh.crossJoin(F.broadcast(nt)).groupBy().agg(
+        F.sum(ent("n_h")).alias("hh")
+    )
+    mid = F.col("mi").cast("double")
+    htd = -F.col("ht").cast("double")
+    hhd = -F.col("hh").cast("double")
+    return (
+        mi.crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hh))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("nn").cast("long").alias("n_events"),
+            F.round(mid, 9).alias("mi_nats"),
+            F.round(htd, 9).alias("h_type"),
+            F.round(hhd, 9).alias("h_hour"),
+            F.when(htd > 0, F.round(mid / htd, 9)).alias(
+                "uncertainty_coeff"
+            ),
+        )
+    )

@@ -4212,3 +4212,40 @@ def test_yule_k_repetitive_exceeds_diverse(spark, tmp_path):
     # one type, tf=50: K = 1e4·(2500−50)/2500 = 9800
     assert out["repeaty"].yule_k == 9800.0
     assert out["repeaty"].n_types == 1
+
+
+def test_event_hour_mi_deterministic_vs_uniform(spark, tmp_path):
+    """Types locked to disjoint hours → U = 1 (hour fully determines
+    type); types uniform over hours → MI = 0."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.events import (
+        event_hour_mi,
+    )
+
+    def mk(dirname, locked):
+        d = str(tmp_path / dirname)
+        rows, eid = [], 0
+        for i in range(240):
+            hr = i % 24
+            if locked:
+                t = "a" if hr < 12 else "b"
+            else:
+                t = "a" if i % 2 == 0 else "b"  # independent of hour
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, hr, 0), 1, t,
+                 1.0, "{}")
+            )
+            eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).write.parquet(d + "/events.parquet")
+        return d
+
+    locked = event_hour_mi(spark, mk("sf_mi_lock", True)).collect()[0]
+    # 9dp cell-lattice rounding leaves ~1e-8 residue on exact cases
+    assert abs(locked.uncertainty_coeff - 1.0) < 1e-6
+    indep = event_hour_mi(spark, mk("sf_mi_ind", False)).collect()[0]
+    assert abs(indep.mi_nats) < 1e-6
