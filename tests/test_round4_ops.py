@@ -4231,7 +4231,10 @@ def test_event_hour_mi_deterministic_vs_uniform(spark, tmp_path):
             if locked:
                 t = "a" if hr < 12 else "b"
             else:
-                t = "a" if i % 2 == 0 else "b"  # independent of hour
+                # alternate across CYCLES so each hour sees both
+                # types equally — i % 2 would be determined by the
+                # (even-length) hour cycle
+                t = "a" if (i // 24) % 2 == 0 else "b"
             rows.append(
                 (eid, datetime.datetime(2024, 1, 1, hr, 0), 1, t,
                  1.0, "{}")
