@@ -162,7 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_mahalanobis_outliers, price_indices_monthly,
     copurchase_assortativity, cem_promo_att, collocations_g2,
     revenue_shift_share, durbin_watson_trend,
-    yule_k_by_source, cluster_source_nmi, event_hour_mi —
+    yule_k_by_source, cluster_source_nmi, event_hour_mi,
+    embedding_intrinsic_dim —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -722,6 +723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cj) round-4 continuation 84 — type×hour mutual information
         # (the one-number version of the dow×hour heatmap)
         "event_hour_mi": E.event_hour_mi,
+        # (ck) round-4 continuation 85 — TwoNN intrinsic dimension of
+        # the embedding manifold (lattice-exact neighbor ranks)
+        "embedding_intrinsic_dim": S.embedding_intrinsic_dim,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9610,6 +9614,53 @@ def _oracle_sql_literals() -> dict[str, str]:
                         THEN ROUND(mi.mi / ht.ht, 9) END
                        AS uncertainty_coeff
             FROM mi CROSS JOIN ht CROSS JOIN hh CROSS JOIN nt
+        """,
+        "embedding_intrinsic_dim": """
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 1000
+            ), comp AS (
+                SELECT vec_id, i AS dim,
+                       CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS k
+                FROM (SELECT vec_id, embedding,
+                             UNNEST(range(len(embedding))) AS i
+                      FROM e)
+            ), d2 AS (
+                SELECT a.vec_id AS ida, b.vec_id AS idb,
+                       SUM((a.k - b.k) * (a.k - b.k)) AS d2
+                FROM comp a JOIN comp b
+                  ON a.dim = b.dim AND a.vec_id != b.vec_id
+                GROUP BY 1, 2
+            ), top2 AS (
+                SELECT ida, idb, d2,
+                       ROW_NUMBER() OVER (PARTITION BY ida
+                                          ORDER BY d2, idb) AS rn
+                FROM d2
+            ), per_point AS (
+                SELECT ida,
+                       MIN(CASE WHEN rn = 1 THEN d2 END) AS d1,
+                       MIN(CASE WHEN rn = 2 THEN d2 END) AS d2_2
+                FROM top2 WHERE rn <= 2 GROUP BY 1
+            ), used AS (
+                SELECT * FROM per_point
+                WHERE d1 > 0 AND d2_2 IS NOT NULL
+            ), npts AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM e
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+                       CAST(SUM(CAST(ROUND(
+                           0.5 * ln(CAST(d2_2 AS DOUBLE)
+                                    / CAST(d1 AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS slm
+                FROM used
+            )
+            SELECT n_points, n_used,
+                   ROUND(slm, 9) AS sum_log_mu,
+                   CASE WHEN slm > 0
+                        THEN ROUND(CAST(n_used AS DOUBLE) / slm, 9)
+                   END AS intrinsic_dim
+            FROM agg CROSS JOIN npts
         """,
         "simpson_slope_check": """
             WITH g AS (

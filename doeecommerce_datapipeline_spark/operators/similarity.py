@@ -904,3 +904,92 @@ def cluster_source_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold: for each vector, μ = r₂/r₁ (the ratio of its
+    two nearest-neighbor distances) and d̂ = n_used / Σ ln μ — the
+    modern diagnostic that tells an index designer whether a
+    64-dim-ambient table really LIVES in 64 dims (IVF/PQ recall
+    budgets hinge on it) using only two neighbors per point, no
+    density fitting. Returns one row: (n_points, n_used, sum_log_mu,
+    intrinsic_dim); points whose nearest neighbor is an exact
+    duplicate (r₁ = 0) drop, per the standard treatment.
+
+    Determinism: distances are exact int64 sums of squares on the
+    2^-20 component lattice (the lattice-k-means trick), so the two
+    nearest neighbors and all ties are engine-identical; each
+    0.5·ln(d²₂/d²₁) term quantizes at 9 dp into DECIMAL(18,9) before
+    the order-free sum.
+
+    Shape: bounded all-pairs (vec_id < 1000 — the exact-pair family
+    contract; the scale path would harvest r₁/r₂ from the ANN index)
+    → per-point top-2 via a PARTITIONED rank window → one single-row
+    reduce.
+    """
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 1000)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(
+            F.col("v").cast("double") * F.lit(float(CENTROID_SCALE))
+            + F.lit(0.5)
+        ).cast("long").alias("k"),
+    ).localCheckpoint(eager=True)
+    a = comp.select(
+        F.col("vec_id").alias("ida"), "dim", F.col("k").alias("ka")
+    )
+    b = comp.select(
+        F.col("vec_id").alias("idb"), "dim", F.col("k").alias("kb")
+    )
+    d2 = (
+        a.join(b, "dim")
+        .where(F.col("ida") != F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(
+            F.sum(
+                (F.col("ka") - F.col("kb")) * (F.col("ka") - F.col("kb"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("ida").orderBy("d2", "idb")
+    top2 = d2.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    per_point = top2.groupBy("ida").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_2"),
+    )
+    used = per_point.where(
+        (F.col("d1") > 0) & F.col("d2_2").isNotNull()
+    )
+    term = F.round(
+        F.lit(0.5)
+        * F.log(
+            F.col("d2_2").cast("double") / F.col("d1").cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    npts = e.groupBy().agg(F.count(F.lit(1)).alias("n_points"))
+    agg = used.groupBy().agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(term).alias("slm"),
+    )
+    slm = F.col("slm").cast("double")
+    return agg.crossJoin(F.broadcast(npts)).select(
+        "n_points",
+        "n_used",
+        F.round(slm, 9).alias("sum_log_mu"),
+        F.when(
+            slm > 0,
+            F.round(F.col("n_used").cast("double") / slm, 9),
+        ).alias("intrinsic_dim"),
+    )

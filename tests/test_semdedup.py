@@ -124,3 +124,28 @@ def test_nmi_perfect_and_null_partitions(spark, tmp_path):
     assert r.n_points == 48 and r.n_clusters == 4 and r.n_labels == 4
     assert r.purity == 1.0
     assert r.nmi == 1.0
+
+
+def test_twonn_recovers_planar_dimension(spark, tmp_path):
+    """Points laid out on a 2-D grid embedded in 8-D ambient space →
+    the TwoNN estimate lands near 2, far from 8."""
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        embedding_intrinsic_dim,
+    )
+
+    d = str(tmp_path / "sf_twonn")
+    rows = []
+    # Poisson-like scatter (TwoNN assumes it — a REGULAR grid makes
+    # r2/r1 -> 1 and the estimator explode): deterministic hash
+    # coordinates confined to the first two ambient axes
+    for vid in range(225):
+        vec = [0.0] * 8
+        vec[0] = ((vid * 7919 + 13) % 997) / 10.0
+        vec[1] = ((vid * 104729 + 7) % 991) / 10.0
+        rows.append((vid, vec, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    r = embedding_intrinsic_dim(spark, d).collect()[0]
+    assert r.n_points == 225
+    assert 1.0 <= r.intrinsic_dim <= 4.0  # planar, nowhere near 8
