@@ -163,7 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     copurchase_assortativity, cem_promo_att, collocations_g2,
     revenue_shift_share, durbin_watson_trend,
     yule_k_by_source, cluster_source_nmi, event_hour_mi,
-    embedding_intrinsic_dim —
+    embedding_intrinsic_dim, hopkins_statistic —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -726,6 +726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ck) round-4 continuation 85 — TwoNN intrinsic dimension of
         # the embedding manifold (lattice-exact neighbor ranks)
         "embedding_intrinsic_dim": S.embedding_intrinsic_dim,
+        # (cl) round-4 continuation 86 — Hopkins clusterability
+        # pre-flight (deterministic lattice probes)
+        "hopkins_statistic": S.hopkins_statistic,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9661,6 +9664,62 @@ def _oracle_sql_literals() -> dict[str, str]:
                         THEN ROUND(CAST(n_used AS DOUBLE) / slm, 9)
                    END AS intrinsic_dim
             FROM agg CROSS JOIN npts
+        """,
+        "hopkins_statistic": """
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 1000
+            ), comp AS (
+                SELECT vec_id, i AS dim,
+                       CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS k
+                FROM (SELECT vec_id, embedding,
+                             UNNEST(range(len(embedding))) AS i
+                      FROM e)
+            ), box AS (
+                SELECT dim, MIN(k) AS lo, MAX(k) AS hi
+                FROM comp GROUP BY 1
+            ), probes AS (
+                SELECT p.p, b.dim,
+                       b.lo + ((p.p * 1000003 + b.dim * 7919 + 17)
+                               * 2654435761)
+                              % (b.hi - b.lo + 1) AS k
+                FROM (SELECT UNNEST(range(100)) AS p) p
+                CROSS JOIN box b
+            ), u AS (
+                SELECT p, MIN(d2) AS nn2 FROM (
+                    SELECT pr.p, c.vec_id,
+                           SUM((pr.k - c.k) * (pr.k - c.k)) AS d2
+                    FROM probes pr JOIN comp c ON pr.dim = c.dim
+                    GROUP BY 1, 2
+                ) GROUP BY 1
+            ), w AS (
+                SELECT q, MIN(d2) AS nn2 FROM (
+                    SELECT h.vec_id AS q, c.vec_id AS x,
+                           SUM((h.k - c.k) * (h.k - c.k)) AS d2
+                    FROM comp h JOIN comp c
+                      ON h.dim = c.dim AND h.vec_id != c.vec_id
+                    WHERE h.vec_id < 100
+                    GROUP BY 1, 2
+                ) GROUP BY 1
+            ), su AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+                       CAST(SUM(CAST(ROUND(sqrt(CAST(nn2 AS DOUBLE)), 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS su
+                FROM u
+            ), sw AS (
+                SELECT CAST(SUM(CAST(ROUND(sqrt(CAST(nn2 AS DOUBLE)), 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sw
+                FROM w
+            ), ns AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM e
+            )
+            SELECT n_sample, n_probes,
+                   ROUND(su, 6) AS sum_u,
+                   ROUND(sw, 6) AS sum_w,
+                   CASE WHEN su + sw > 0
+                        THEN ROUND(su / (su + sw), 9) END AS hopkins
+            FROM su CROSS JOIN sw CROSS JOIN ns
         """,
         "simpson_slope_check": """
             WITH g AS (

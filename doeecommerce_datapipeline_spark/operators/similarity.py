@@ -993,3 +993,126 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_used").cast("double") / slm, 9),
         ).alias("intrinsic_dim"),
     )
+
+
+HOPKINS_PROBES = 100
+
+
+def hopkins_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopkins clusterability statistic of the embedding cloud:
+    compare nearest-neighbor distances of m SYNTHETIC uniform probes
+    (u) against those of m real points to the rest of the sample (w);
+    H = Σu/(Σu+Σw) ≈ 0.5 for structureless data and → 1 when real
+    points huddle — the "should you even run k-means" pre-flight
+    that belongs BEFORE cluster_source_nmi judges the result.
+    Returns one row: (n_sample, n_probes, sum_u, sum_w, hopkins).
+
+    Engine-portable "randomness": probe coordinates are integer hash
+    arithmetic on the per-dimension lattice bounding box (the
+    weighted_doc_sample md5 philosophy — reproducible anywhere, no
+    RNG state); probe points are the m lowest vec_ids, their NN
+    search excludes self. All distances are exact int64 lattice sums;
+    the two NN minima are exact; √d² terms quantize at 6 dp before
+    the order-free sums.
+
+    Shape: probes×sample and m×sample bounded joins (m = 100); the
+    per-dimension bounding box is one broadcast aggregate.
+    """
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 1000)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(
+            F.col("v").cast("double") * F.lit(float(CENTROID_SCALE))
+            + F.lit(0.5)
+        ).cast("long").alias("k"),
+    ).localCheckpoint(eager=True)
+    box = comp.groupBy("dim").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    probes = (
+        spark.range(HOPKINS_PROBES)
+        .select(F.col("id").alias("p"))
+        .crossJoin(F.broadcast(box))
+        .select(
+            "p",
+            "dim",
+            (
+                F.col("lo")
+                + F.pmod(
+                    (F.col("p") * 1000003 + F.col("dim") * 7919 + 17)
+                    * F.lit(2654435761),
+                    F.col("hi") - F.col("lo") + 1,
+                )
+            ).alias("k"),
+        )
+    )
+    u = (
+        probes.join(
+            comp.select(
+                F.col("vec_id").alias("x"), "dim", F.col("k").alias("kx")
+            ),
+            "dim",
+        )
+        .groupBy("p", "x")
+        .agg(
+            F.sum(
+                (F.col("k") - F.col("kx")) * (F.col("k") - F.col("kx"))
+            ).alias("d2")
+        )
+        .groupBy("p")
+        .agg(F.min("d2").alias("nn2"))
+    )
+    held = comp.where(F.col("vec_id") < HOPKINS_PROBES)
+    w = (
+        held.select(
+            F.col("vec_id").alias("q"), "dim", F.col("k").alias("kq")
+        )
+        .join(
+            comp.select(
+                F.col("vec_id").alias("x"), "dim", F.col("k").alias("kx")
+            ),
+            "dim",
+        )
+        .where(F.col("q") != F.col("x"))
+        .groupBy("q", "x")
+        .agg(
+            F.sum(
+                (F.col("kq") - F.col("kx")) * (F.col("kq") - F.col("kx"))
+            ).alias("d2")
+        )
+        .groupBy("q")
+        .agg(F.min("d2").alias("nn2"))
+    )
+    q6 = lambda c: F.sum(  # noqa: E731
+        F.round(F.sqrt(c.cast("double")), 6).cast("decimal(38,6)")
+    )
+    su = u.groupBy().agg(
+        F.count(F.lit(1)).alias("n_probes"), q6(F.col("nn2")).alias("su")
+    )
+    sw = w.groupBy().agg(
+        F.count(F.lit(1)).alias("n_held"), q6(F.col("nn2")).alias("sw")
+    )
+    ns = e.groupBy().agg(F.count(F.lit(1)).alias("n_sample"))
+    sud = F.col("su").cast("double")
+    swd = F.col("sw").cast("double")
+    return (
+        su.crossJoin(F.broadcast(sw))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_sample",
+            "n_probes",
+            F.round(sud, 6).alias("sum_u"),
+            F.round(swd, 6).alias("sum_w"),
+            F.when(
+                sud + swd > 0, F.round(sud / (sud + swd), 9)
+            ).alias("hopkins"),
+        )
+    )

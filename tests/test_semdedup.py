@@ -149,3 +149,35 @@ def test_twonn_recovers_planar_dimension(spark, tmp_path):
     r = embedding_intrinsic_dim(spark, d).collect()[0]
     assert r.n_points == 225
     assert 1.0 <= r.intrinsic_dim <= 4.0  # planar, nowhere near 8
+
+
+def test_hopkins_clustered_beats_scattered(spark, tmp_path):
+    """Tightly huddled points score far higher H than hash-scattered
+    ones (≈0.5)."""
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        hopkins_statistic,
+    )
+
+    def mk(dirname, clustered):
+        d = str(tmp_path / dirname)
+        rows = []
+        for vid in range(300):
+            vec = [0.0] * 8
+            if clustered:
+                c = vid % 3
+                vec[0] = c * 100.0 + ((vid * 7919) % 97) / 97.0
+                vec[1] = c * 100.0 + ((vid * 104729) % 89) / 89.0
+            else:
+                vec[0] = ((vid * 7919 + 13) % 997) / 3.3
+                vec[1] = ((vid * 104729 + 7) % 991) / 3.3
+            rows.append((vid, vec, 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(d + "/embeddings.parquet")
+        return d
+
+    hc = hopkins_statistic(spark, mk("sf_hop_c", True)).collect()[0]
+    hs = hopkins_statistic(spark, mk("sf_hop_s", False)).collect()[0]
+    assert hc.hopkins > 0.9          # three tight huddles
+    assert 0.35 < hs.hopkins < 0.75  # scatter ≈ uniform
+    assert hc.hopkins > hs.hopkins
