@@ -163,7 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     copurchase_assortativity, cem_promo_att, collocations_g2,
     revenue_shift_share, durbin_watson_trend,
     yule_k_by_source, cluster_source_nmi, event_hour_mi,
-    embedding_intrinsic_dim, hopkins_statistic —
+    embedding_intrinsic_dim, hopkins_statistic,
+    catalog_size_estimates —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -729,6 +730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cl) round-4 continuation 86 — Hopkins clusterability
         # pre-flight (deterministic lattice probes)
         "hopkins_statistic": S.hopkins_statistic,
+        # (cm) round-4 continuation 87 — Chapman capture-recapture +
+        # Chao1: estimate the catalog you have NOT seen sell
+        "catalog_size_estimates": R.catalog_size_estimates,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9720,6 +9724,60 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CASE WHEN su + sw > 0
                         THEN ROUND(su / (su + sw), 9) END AS hopkins
             FROM su CROSS JOIN sw CROSS JOIN ns
+        """,
+        "catalog_size_estimates": """
+            WITH o AS (
+                SELECT o_orderkey,
+                       CAST(date_trunc('month', o_orderdate) AS DATE)
+                           AS month
+                FROM orders
+                WHERE CAST(date_trunc('month', o_orderdate) AS DATE)
+                      IN (DATE '1995-01-01', DATE '1995-02-01')
+            ), obs AS (
+                SELECT DISTINCT l.l_partkey, o.month, l.l_orderkey
+                FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+            ), per_part AS (
+                SELECT l_partkey,
+                       SUM(CASE WHEN month = DATE '1995-01-01'
+                                THEN 1 ELSE 0 END) AS c1,
+                       SUM(CASE WHEN month = DATE '1995-02-01'
+                                THEN 1 ELSE 0 END) AS c2,
+                       COUNT(*) AS c
+                FROM obs GROUP BY 1
+            ), agg AS (
+                SELECT CAST(SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_month1,
+                       CAST(SUM(CASE WHEN c2 > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_month2,
+                       CAST(SUM(CASE WHEN c1 > 0 AND c2 > 0
+                                     THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_both,
+                       CAST(COUNT(*) AS BIGINT) AS n_observed,
+                       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f1,
+                       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f2
+                FROM per_part
+            ), tn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS true_catalog
+                FROM part
+            )
+            SELECT n_month1, n_month2, n_both, n_observed, f1, f2,
+                   ROUND((CAST(n_month1 AS DOUBLE) + 1.0)
+                         * (CAST(n_month2 AS DOUBLE) + 1.0)
+                         / (CAST(n_both AS DOUBLE) + 1.0) - 1.0, 6)
+                       AS chapman,
+                   ROUND(CASE WHEN f2 > 0
+                              THEN CAST(n_observed AS DOUBLE)
+                                   + CAST(f1 AS DOUBLE)
+                                     * CAST(f1 AS DOUBLE)
+                                     / (2.0 * CAST(f2 AS DOUBLE))
+                              ELSE CAST(n_observed AS DOUBLE)
+                                   + CAST(f1 AS DOUBLE)
+                                     * (CAST(f1 AS DOUBLE) - 1.0)
+                                     / 2.0 END, 6) AS chao1,
+                   true_catalog
+            FROM agg CROSS JOIN tn
         """,
         "simpson_slope_check": """
             WITH g AS (

@@ -3052,3 +3052,4 @@ def event_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
