@@ -164,7 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     revenue_shift_share, durbin_watson_trend,
     yule_k_by_source, cluster_source_nmi, event_hour_mi,
     embedding_intrinsic_dim, hopkins_statistic,
-    catalog_size_estimates —
+    catalog_size_estimates, promo_return_odds —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -733,6 +733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cm) round-4 continuation 87 — Chapman capture-recapture +
         # Chao1: estimate the catalog you have NOT seen sell
         "catalog_size_estimates": R.catalog_size_estimates,
+        # (cn) round-4 continuation 88 — promo→return odds ratio with
+        # the Woolf interval
+        "promo_return_odds": R.promo_return_odds,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9778,6 +9781,79 @@ def _oracle_sql_literals() -> dict[str, str]:
                                      / 2.0 END, 6) AS chao1,
                    true_catalog
             FROM agg CROSS JOIN tn
+        """,
+        "promo_return_odds": """
+            WITH j AS (
+                SELECT p.p_type LIKE 'PROMO%' AS is_promo,
+                       l.l_returnflag = 'R' AS ret
+                FROM lineitem l JOIN part p
+                  ON l.l_partkey = p.p_partkey
+            ), agg AS (
+                SELECT CAST(SUM(CASE WHEN is_promo AND ret
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                       CAST(SUM(CASE WHEN is_promo AND NOT ret
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                       CAST(SUM(CASE WHEN NOT is_promo AND ret
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                       CAST(SUM(CASE WHEN NOT is_promo AND NOT ret
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS d
+                FROM j
+            )
+            SELECT a + b AS n_promo, c + d AS n_other,
+                   a AS returns_promo, c AS returns_other,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                                   / (CAST(b AS DOUBLE)
+                                      * CAST(c AS DOUBLE)), 6)
+                   END AS odds_ratio,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN ROUND(exp(ln(CAST(a AS DOUBLE)
+                                          * CAST(d AS DOUBLE)
+                                          / (CAST(b AS DOUBLE)
+                                             * CAST(c AS DOUBLE)))
+                                       - 1.96
+                                         * sqrt(1.0 / CAST(a AS DOUBLE)
+                                                + 1.0 / CAST(b AS DOUBLE)
+                                                + 1.0 / CAST(c AS DOUBLE)
+                                                + 1.0 / CAST(d AS DOUBLE))),
+                                   6)
+                   END AS ci_lo,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN ROUND(exp(ln(CAST(a AS DOUBLE)
+                                          * CAST(d AS DOUBLE)
+                                          / (CAST(b AS DOUBLE)
+                                             * CAST(c AS DOUBLE)))
+                                       + 1.96
+                                         * sqrt(1.0 / CAST(a AS DOUBLE)
+                                                + 1.0 / CAST(b AS DOUBLE)
+                                                + 1.0 / CAST(c AS DOUBLE)
+                                                + 1.0 / CAST(d AS DOUBLE))),
+                                   6)
+                   END AS ci_hi,
+                   COALESCE(CASE WHEN a > 0 AND b > 0 AND c > 0
+                                      AND d > 0
+                                 THEN ROUND(exp(ln(CAST(a AS DOUBLE)
+                                          * CAST(d AS DOUBLE)
+                                          / (CAST(b AS DOUBLE)
+                                             * CAST(c AS DOUBLE)))
+                                       - 1.96
+                                         * sqrt(1.0 / CAST(a AS DOUBLE)
+                                                + 1.0 / CAST(b AS DOUBLE)
+                                                + 1.0 / CAST(c AS DOUBLE)
+                                                + 1.0 / CAST(d AS DOUBLE))),
+                                      6) > 1.0
+                                   OR ROUND(exp(ln(CAST(a AS DOUBLE)
+                                          * CAST(d AS DOUBLE)
+                                          / (CAST(b AS DOUBLE)
+                                             * CAST(c AS DOUBLE)))
+                                       + 1.96
+                                         * sqrt(1.0 / CAST(a AS DOUBLE)
+                                                + 1.0 / CAST(b AS DOUBLE)
+                                                + 1.0 / CAST(c AS DOUBLE)
+                                                + 1.0 / CAST(d AS DOUBLE))),
+                                      6) < 1.0
+                            END, FALSE) AS significant
+            FROM agg
         """,
         "simpson_slope_check": """
             WITH g AS (

@@ -1768,3 +1768,56 @@ def catalog_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chao1, 6).alias("chao1"),
         "true_catalog",
     )
+
+
+def promo_return_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of line-item RETURN for promo vs non-promo parts,
+    with the Woolf 95% log-interval: OR = (a·d)/(b·c) over the 2×2
+    (promo × returned) table and CI = exp(ln OR ± 1.96·√(1/a + 1/b +
+    1/c + 1/d)) — the epidemiology classic pointed at merchandising
+    ("do promo items come back more?"), giving the uncertainty that
+    a raw return-rate comparison hides. Returns one row: (n_promo,
+    n_other, returns_promo, returns_other, odds_ratio, ci_lo, ci_hi,
+    significant) — significant iff the CI excludes 1.
+
+    Determinism: the four cells are exact BIGINTs; ln/exp/√ compose
+    one fixed dag (shared literals), rounded at 6 dp.
+
+    Shape: one lineitem⋈part broadcast join into a 4-cell aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    ret = F.col("l_returnflag") == "R"
+    agg = j.groupBy().agg(
+        F.sum(F.when(F.col("is_promo") & ret, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("is_promo") & ~ret, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~F.col("is_promo") & ret, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~F.col("is_promo") & ~ret, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    orr = a * d / (b * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lo = F.exp(F.log(orr) - F.lit(1.96) * se)
+    hi = F.exp(F.log(orr) + F.lit(1.96) * se)
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (
+        F.col("d") > 0
+    )
+    return agg.select(
+        (F.col("a") + F.col("b")).alias("n_promo"),
+        (F.col("c") + F.col("d")).alias("n_other"),
+        F.col("a").alias("returns_promo"),
+        F.col("c").alias("returns_other"),
+        F.when(ok, F.round(orr, 6)).alias("odds_ratio"),
+        F.when(ok, F.round(lo, 6)).alias("ci_lo"),
+        F.when(ok, F.round(hi, 6)).alias("ci_hi"),
+        F.coalesce(
+            F.when(ok, (F.round(lo, 6) > 1.0) | (F.round(hi, 6) < 1.0)),
+            F.lit(False),
+        ).alias("significant"),
+    )

@@ -393,3 +393,40 @@ def test_capture_recapture_recovers_true_population(spark):
     for est in (r.chapman, r.chao1):
         assert est > r.n_observed              # estimates the unseen
         assert abs(est - r.true_catalog) / r.true_catalog < 0.2
+
+
+def test_odds_ratio_planted_return_prone_promos(spark, tmp_path):
+    """Promo lines returned 4x as often → OR ≈ 6 (odds 1:1 vs 1:9),
+    CI excludes 1."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        promo_return_odds,
+    )
+
+    d = str(tmp_path / "sf_or")
+    prows = [(1, "p1", "b", "PROMO X", 1, 1.0),
+             (2, "p2", "b", "STANDARD Y", 1, 1.0)]
+    lrows, ok = [], 0
+    for part, n_ret, n_ok in ((1, 100, 100), (2, 100, 900)):
+        for flag, n in (("R", n_ret), ("N", n_ok)):
+            for _ in range(n):
+                ok += 1
+                lrows.append((ok, part, 1, 1, 1.0, 10.0, 0.0, 0.0,
+                              flag, "O",
+                              datetime.datetime(1995, 1, 2)))
+    spark.createDataFrame(
+        prows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    r = promo_return_odds(spark, d).collect()[0]
+    assert abs(r.odds_ratio - 9.0) < 1e-6  # (100·900)/(100·100)
+    assert r.ci_lo > 1.0 and r.significant
