@@ -164,7 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     revenue_shift_share, durbin_watson_trend,
     yule_k_by_source, cluster_source_nmi, event_hour_mi,
     embedding_intrinsic_dim, hopkins_statistic,
-    catalog_size_estimates, promo_return_odds —
+    catalog_size_estimates, promo_return_odds,
+    percentile_sketch_error (rows-only) —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -736,6 +737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cn) round-4 continuation 88 — promo→return odds ratio with
         # the Woolf interval
         "promo_return_odds": R.promo_return_odds,
+        # (co) round-4 continuation 89 — GK percentile-sketch accuracy
+        # audit (rows-only: sketch merge order is engine-specific)
+        "percentile_sketch_error": X.percentile_sketch_error,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)

@@ -2820,3 +2820,61 @@ def durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return den.crossJoin(F.broadcast(num)).select(
         "n_days", "slope", dw.alias("dw"), verdict.alias("verdict")
     )
+
+
+SKETCH_ERR_QS = [0.5, 0.9, 0.99]
+SKETCH_ERR_ACC = 100
+
+
+def percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: Spark's approx_percentile (the
+    Greenwald-Khanna path every 100 TB percentile actually uses,
+    here at accuracy=100) measured against the EXACT type-1 order
+    statistics of o_totalprice — per quantile: (q, exact, approx,
+    abs_rel_error, rank_error_bound). The audit that turns "we use
+    approximate percentiles" from a shrug into a number, and the
+    sketch member of the evaluation suite. Rows-only by contract:
+    the GK sketch's merge order is engine- and partitioning-
+    specific, so no SQL twin — the unit pins the 1/accuracy rank
+    bound instead.
+
+    Shape: the exact side is one rank window over the fact (the
+    audit runs at audit time, not in production paths); the approx
+    side is the mergeable one-pass sketch.
+    """
+    o = table(spark, sf_dir, "orders")
+    n = o.count()
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(
+            Window.orderBy("o_totalprice", "o_orderkey")
+        ).alias("rn"),
+    )
+    approx = o.groupBy().agg(
+        *[
+            F.percentile_approx(
+                "o_totalprice", q, SKETCH_ERR_ACC
+            ).alias(f"a_{int(q * 100)}")
+            for q in SKETCH_ERR_QS
+        ]
+    ).collect()[0]
+    import math as _m
+
+    rows = []
+    for q in SKETCH_ERR_QS:
+        r = max(1, _m.ceil(q * n))  # the type-1 order statistic rank
+        exact = (
+            ranked.where(F.col("rn") == r)
+            .select("o_totalprice")
+            .collect()[0][0]
+        )
+        ap = float(approx[f"a_{int(q * 100)}"])
+        rel = abs(ap - exact) / abs(exact) if exact else None
+        rows.append(
+            (q, float(exact), ap, rel, 1.0 / SKETCH_ERR_ACC)
+        )
+    return spark.createDataFrame(
+        rows,
+        "q double, exact double, approx double, abs_rel_error double,"
+        " rank_error_bound double",
+    ).orderBy("q")

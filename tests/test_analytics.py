@@ -89,3 +89,22 @@ def test_winsorized_stats_clip_counts_and_bounds(spark, sf_dir):
         assert r.n_high <= max(3, int(0.02 * r.n))
         assert r.lo <= r.mean_w <= r.hi
         assert r.sd_w >= 0.0
+
+
+def test_percentile_sketch_error_within_rank_bound(spark):
+    """GK with accuracy=100 guarantees rank error <= 1/100: verify
+    the approx value's TRUE rank sits within n/100 of the target."""
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        percentile_sketch_error,
+    )
+    from doeecommerce_datapipeline_spark.io import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    o = table(spark, sf, "orders")
+    n = o.count()
+    out = percentile_sketch_error(spark, sf).collect()
+    assert [r.q for r in out] == [0.5, 0.9, 0.99]
+    for r in out:
+        true_rank = o.where(F.col("o_totalprice") <= r.approx).count()
+        assert abs(true_rank - r.q * n) <= n / 100 + 1, r
