@@ -165,7 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     yule_k_by_source, cluster_source_nmi, event_hour_mi,
     embedding_intrinsic_dim, hopkins_statistic,
     catalog_size_estimates, promo_return_odds,
-    percentile_sketch_error (rows-only) —
+    percentile_sketch_error (rows-only), churn_logrank_test —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -740,6 +740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (co) round-4 continuation 89 — GK percentile-sketch accuracy
         # audit (rows-only: sketch merge order is engine-specific)
         "percentile_sketch_error": X.percentile_sketch_error,
+        # (cp) round-4 continuation 90 — log-rank survival comparison
+        # (the inferential companion to the KM curve)
+        "churn_logrank_test": X.churn_logrank_test,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9858,6 +9861,78 @@ def _oracle_sql_literals() -> dict[str, str]:
                                       6) < 1.0
                             END, FALSE) AS significant
             FROM agg
+        """,
+        "churn_logrank_test": """
+            WITH mx AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day
+                FROM orders
+            ), per_cust AS (
+                SELECT datediff('day', MIN(CAST(o.o_orderdate AS DATE)),
+                                MAX(CAST(o.o_orderdate AS DATE)))
+                           AS dur,
+                       CASE WHEN datediff('day',
+                                MAX(CAST(o.o_orderdate AS DATE)),
+                                mx.max_day) > 90
+                            THEN 1 ELSE 0 END AS ev,
+                       CASE WHEN c.c_mktsegment = 'BUILDING'
+                            THEN 1 ELSE 0 END AS g1
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                CROSS JOIN mx
+                GROUP BY o.o_custkey, c.c_mktsegment, mx.max_day
+            ), grid AS (
+                SELECT dur,
+                       SUM(ev * g1) AS d1, SUM(ev) AS d,
+                       SUM(g1) AS m1, COUNT(*) AS m
+                FROM per_cust GROUP BY 1
+            ), tot AS (
+                SELECT SUM(m1) AS tot1, SUM(m) AS tot FROM grid
+            ), risk AS (
+                SELECT dur, d1, d,
+                       tot1 - COALESCE(SUM(m1) OVER (ORDER BY dur
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS n1,
+                       tot - COALESCE(SUM(m) OVER (ORDER BY dur
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS n
+                FROM grid CROSS JOIN tot
+            ), terms AS (
+                SELECT d1, d,
+                       CAST(ROUND(CAST(d AS DOUBLE)
+                                  * CAST(n1 AS DOUBLE)
+                                  / CAST(n AS DOUBLE), 9)
+                            AS DECIMAL(18,9)) AS e1,
+                       CAST(CASE WHEN n > 1 THEN
+                           ROUND(CAST(d AS DOUBLE)
+                                 * (CAST(n1 AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                 * (1.0 - CAST(n1 AS DOUBLE)
+                                          / CAST(n AS DOUBLE))
+                                 * (CAST(n AS DOUBLE)
+                                    - CAST(d AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0), 9)
+                           ELSE 0.0 END AS DECIMAL(18,9)) AS v
+                FROM risk WHERE d > 0
+            ), agg AS (
+                SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                       CAST(SUM(e1) AS DOUBLE) AS e1,
+                       CAST(SUM(v) AS DOUBLE) AS v
+                FROM terms
+            )
+            SELECT CAST(tot1 AS BIGINT) AS n_group1,
+                   CAST(tot - tot1 AS BIGINT) AS n_group2,
+                   o1 AS events_g1,
+                   ROUND(e1, 6) AS expected_g1,
+                   CASE WHEN v > 0
+                        THEN ROUND((CAST(o1 AS DOUBLE) - e1)
+                                   * (CAST(o1 AS DOUBLE) - e1) / v, 9)
+                   END AS chi2,
+                   COALESCE(CASE WHEN v > 0
+                                 THEN ROUND((CAST(o1 AS DOUBLE) - e1)
+                                      * (CAST(o1 AS DOUBLE) - e1)
+                                      / v, 9) > 3.841
+                            END, FALSE) AS significant
+            FROM agg CROSS JOIN tot
         """,
         "simpson_slope_check": """
             WITH g AS (

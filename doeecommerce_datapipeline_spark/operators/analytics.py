@@ -2878,3 +2878,111 @@ def percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q double, exact double, approx double, abs_rel_error double,"
         " rank_error_bound double",
     ).orderBy("q")
+
+
+LOGRANK_SEGMENT = "BUILDING"
+
+
+def churn_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing customer survival (the kaplan_meier
+    churn clock: duration = first→last order, event = churn beyond
+    the 90-day horizon) between the BUILDING market segment and
+    everyone else — the standard inferential companion to the KM
+    curve: at every event time, compare group 1's OBSERVED events to
+    those EXPECTED under the shared-hazard null, χ² = (ΣO − ΣE)² /
+    ΣV with the hypergeometric variance. Eyeballing two KM curves
+    says "they look different"; this says whether the difference
+    survives the at-risk accounting. Returns one row: (n_group1,
+    n_group2, events_g1, expected_g1, chi2, significant) with the
+    χ²₁(0.95) = 3.841 cut.
+
+    Determinism: at-risk and event counts per duration are exact
+    integers (two prefix-sum windows over the duration grid); each
+    E and V term is a double of exact operands quantized at 9 dp
+    into decimals before the order-free sums; the closing χ² is one
+    fixed dag.
+
+    Shape: one custkey agg (orders⋈customer, dim broadcast); the
+    log-rank accounting runs on the duration-grain grid — the KM
+    global-window contract, never the fact.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_mktsegment") == LOGRANK_SEGMENT).alias("g1"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("max_day"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("first_day"),
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("last_day", "first_day").cast("long").alias("dur"),
+            (
+                F.datediff("max_day", "last_day") > CHURN_HORIZON_DAYS
+            ).cast("long").alias("ev"),
+            F.col("g1").cast("long").alias("g1"),
+        )
+    )
+    grid = per_cust.groupBy("dur").agg(
+        F.sum(F.col("ev") * F.col("g1")).alias("d1"),
+        F.sum("ev").alias("d"),
+        F.sum("g1").alias("m1"),
+        F.count(F.lit(1)).alias("m"),
+    ).localCheckpoint(eager=True)
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = grid.groupBy().agg(
+        F.sum("m1").alias("tot1"), F.sum("m").alias("tot")
+    )
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d1",
+        "d",
+        (
+            F.col("tot1")
+            - F.coalesce(F.sum("m1").over(w_cum), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("tot") - F.coalesce(F.sum("m").over(w_cum), F.lit(0))
+        ).alias("n"),
+    ).where(F.col("d") > 0)
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    dd = F.col("d").cast("double")
+    e1 = F.round(dd * n1d / nd, 9).cast("decimal(18,9)")
+    v = F.when(
+        F.col("n") > 1,
+        F.round(
+            dd
+            * (n1d / nd)
+            * (1.0 - n1d / nd)
+            * (nd - dd)
+            / (nd - 1.0),
+            9,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(18,9)")
+    agg = risk.groupBy().agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e1).alias("e1"),
+        F.sum(v).alias("v"),
+    )
+    o1 = F.col("o1").cast("double")
+    e1d = F.col("e1").cast("double")
+    vd = F.col("v").cast("double")
+    chi2 = (o1 - e1d) * (o1 - e1d) / vd
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("tot1").cast("long").alias("n_group1"),
+        (F.col("tot") - F.col("tot1")).cast("long").alias("n_group2"),
+        F.col("o1").alias("events_g1"),
+        F.round(e1d, 6).alias("expected_g1"),
+        F.when(vd > 0, F.round(chi2, 9)).alias("chi2"),
+        F.coalesce(
+            F.when(vd > 0, F.round(chi2, 9) > 3.841), F.lit(False)
+        ).alias("significant"),
+    )

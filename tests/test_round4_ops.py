@@ -4252,3 +4252,59 @@ def test_event_hour_mi_deterministic_vs_uniform(spark, tmp_path):
     assert abs(locked.uncertainty_coeff - 1.0) < 1e-6
     indep = event_hour_mi(spark, mk("sf_mi_ind", False)).collect()[0]
     assert abs(indep.mi_nats) < 1e-6
+
+
+def test_logrank_planted_hazard_difference(spark, tmp_path):
+    """Group 1 churns uniformly EARLY, group 2 late → the log-rank
+    χ² is large and significant; identical groups → χ² ≈ 0."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        churn_logrank_test,
+    )
+
+    def mk(dirname, g1_durs, g2_durs):
+        d = str(tmp_path / dirname)
+        orows, crows, ok = [], [], 0
+        cust = 0
+        t0 = datetime.datetime(1995, 1, 1)
+        for seg, durs in (("BUILDING", g1_durs), ("OTHER", g2_durs)):
+            for dur in durs:
+                cust += 1
+                crows.append((cust, f"c{cust}", 0, 0.0, seg))
+                for day in (0, dur):
+                    ok += 1
+                    orows.append((ok, cust, "O", 10.0,
+                                  t0 + datetime.timedelta(days=day),
+                                  "1-URGENT"))
+        # an anchor customer pushes max_day far out so everyone above
+        # is beyond the 90-day horizon (churned)
+        cust += 1
+        crows.append((cust, "anchor", 0, 0.0, "OTHER"))
+        ok += 1
+        orows.append((ok, cust, "O", 10.0,
+                      t0 + datetime.timedelta(days=700), "1-URGENT"))
+        spark.createDataFrame(
+            orows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.parquet(d + "/orders.parquet")
+        spark.createDataFrame(
+            crows,
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).write.parquet(d + "/customer.parquet")
+        return d
+
+    early = mk("sf_lr_diff",
+               [10 + i for i in range(30)],
+               [300 + i for i in range(30)])
+    r = churn_logrank_test(spark, early).collect()[0]
+    assert r.n_group1 == 30
+    assert r.chi2 > 20 and r.significant
+    same = mk("sf_lr_same",
+              [100 + i for i in range(30)],
+              [100 + i for i in range(30)])
+    r2 = churn_logrank_test(spark, same).collect()[0]
+    assert r2.chi2 < 3.841 and not r2.significant
