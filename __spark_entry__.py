@@ -165,7 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     yule_k_by_source, cluster_source_nmi, event_hour_mi,
     embedding_intrinsic_dim, hopkins_statistic,
     catalog_size_estimates, promo_return_odds,
-    percentile_sketch_error (rows-only), churn_logrank_test —
+    percentile_sketch_error (rows-only), churn_logrank_test,
+    filter_mcnemar_test —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -743,6 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cp) round-4 continuation 90 — log-rank survival comparison
         # (the inferential companion to the KM curve)
         "churn_logrank_test": X.churn_logrank_test,
+        # (cq) round-4 continuation 91 — McNemar's paired test between
+        # the Gopher and perplexity quality gates
+        "filter_mcnemar_test": CP.filter_mcnemar_test,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -976,6 +980,51 @@ def oracle_sql() -> dict[str, str]:
     sql["cluster_source_nmi"] = sql["kmeans_lattice_clusters"].replace(
         _km_tail, _nmi_tail
     )
+    # McNemar composes the two quality-gate parents verbatim
+    sql["filter_mcnemar_test"] = f"""
+        WITH q AS ({sql["gopher_quality"]}),
+        p AS ({sql["doc_perplexity"]}),
+        j AS (
+            SELECT q.keep AS keep_h, p.ppl <= 29.6 AS keep_p
+            FROM q JOIN p ON q.doc_id = p.doc_id
+        ), agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN keep_h AND keep_p
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS both_keep,
+                   CAST(SUM(CASE WHEN keep_h AND NOT keep_p
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS heuristic_only,
+                   CAST(SUM(CASE WHEN NOT keep_h AND keep_p
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ppl_only,
+                   CAST(SUM(CASE WHEN NOT keep_h AND NOT keep_p
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS both_drop
+            FROM j
+        )
+        SELECT n_docs, both_keep, heuristic_only, ppl_only, both_drop,
+               ROUND(CAST(both_keep + both_drop AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE), 9) AS agreement,
+               CASE WHEN heuristic_only + ppl_only > 0
+                    THEN ROUND((CAST(heuristic_only AS DOUBLE)
+                                - CAST(ppl_only AS DOUBLE))
+                               * (CAST(heuristic_only AS DOUBLE)
+                                  - CAST(ppl_only AS DOUBLE))
+                               / (CAST(heuristic_only AS DOUBLE)
+                                  + CAST(ppl_only AS DOUBLE)), 9)
+               END AS chi2,
+               COALESCE(CASE WHEN heuristic_only + ppl_only > 0
+                             THEN ROUND((CAST(heuristic_only AS DOUBLE)
+                                  - CAST(ppl_only AS DOUBLE))
+                                  * (CAST(heuristic_only AS DOUBLE)
+                                     - CAST(ppl_only AS DOUBLE))
+                                  / (CAST(heuristic_only AS DOUBLE)
+                                     + CAST(ppl_only AS DOUBLE)), 9)
+                                  > 3.841
+                        END, FALSE) AS significant
+        FROM agg
+    """
     sql["median_polish_dow_hour"] = _median_polish_sql()
     # seasonally-adjusted anomalies compose over the SAME STL
     # decomposition they flag (definitional lockstep); the robust

@@ -1554,3 +1554,73 @@ def coverage_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "covered_total", F.sum("marginal_gain").over(cum).cast("long")
     ).orderBy("round")
+
+
+# the corpus ppl distribution sits in [28, 31]: 29.6 is its
+# median, so the gate actually discriminates (300 keeps all)
+MCNEMAR_PPL_MAX = 29.6
+
+
+def filter_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the two quality filters — the
+    Gopher heuristic rules (gopher_quality.keep) and the perplexity
+    gate (doc_perplexity.ppl ≤ 300) — applied to the SAME documents:
+    odds-ratio-style 2×2 machinery is WRONG for paired verdicts; the
+    information is entirely in the discordant cells, χ² = (b−c)²/
+    (b+c) with b = heuristic-only keeps and c = perplexity-only
+    keeps (b = 0 alone would say the gate is strictly WEAKER, the
+    degenerate reading a 300-cut produced). A significant result means one gate is systematically
+    stricter — the filters disagree in a DIRECTION — which is the
+    governance question before swapping one for the other in a
+    production corpus pipeline. Returns one row: (n_docs, both_keep,
+    heuristic_only, ppl_only, both_drop, agreement, chi2,
+    significant).
+
+    Determinism: both verdicts are oracle-paired deterministic
+    booleans (ppl is the 6-dp-rounded parent value, so the ≤ cut is
+    engine-stable); all cells are exact BIGINTs; χ² is one fixed
+    dag.
+
+    Shape: the parents' explodes (quality: one token explode;
+    perplexity: one bigram explode) joined doc-grain; a 4-cell
+    reduce.
+    """
+    from .textops import doc_perplexity
+
+    q = gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_h")
+    )
+    p = doc_perplexity(spark, sf_dir).select(
+        "doc_id", (F.col("ppl") <= MCNEMAR_PPL_MAX).alias("keep_p")
+    )
+    j = q.join(p, "doc_id")
+    agg = j.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep_h") & F.col("keep_p"), 1).otherwise(0))
+        .cast("long").alias("both_keep"),
+        F.sum(F.when(F.col("keep_h") & ~F.col("keep_p"), 1).otherwise(0))
+        .cast("long").alias("heuristic_only"),
+        F.sum(F.when(~F.col("keep_h") & F.col("keep_p"), 1).otherwise(0))
+        .cast("long").alias("ppl_only"),
+        F.sum(F.when(~F.col("keep_h") & ~F.col("keep_p"), 1).otherwise(0))
+        .cast("long").alias("both_drop"),
+    )
+    b = F.col("heuristic_only").cast("double")
+    c = F.col("ppl_only").cast("double")
+    chi2 = (b - c) * (b - c) / (b + c)
+    agree = (
+        (F.col("both_keep") + F.col("both_drop")).cast("double")
+        / F.col("n_docs").cast("double")
+    )
+    return agg.select(
+        "n_docs",
+        "both_keep",
+        "heuristic_only",
+        "ppl_only",
+        "both_drop",
+        F.round(agree, 9).alias("agreement"),
+        F.when(b + c > 0, F.round(chi2, 9)).alias("chi2"),
+        F.coalesce(
+            F.when(b + c > 0, F.round(chi2, 9) > 3.841), F.lit(False)
+        ).alias("significant"),
+    )

@@ -165,3 +165,20 @@ def test_coverage_greedy_prefers_complementary_docs(spark, tmp_path):
     gains = [r.marginal_gain for r in out]
     assert gains == sorted(gains, reverse=True)
     assert out[-1].covered_total == 9
+
+
+def test_mcnemar_cells_and_symmetric_null(spark):
+    """The four cells partition the joined corpus; on real data the
+    chi2 equals the discordant-cell closed form."""
+    from doeecommerce_datapipeline_spark.operators.corpus import (
+        filter_mcnemar_test,
+    )
+
+    r = filter_mcnemar_test(spark, "/root/testdata/sf0.001").collect()[0]
+    assert (r.both_keep + r.heuristic_only + r.ppl_only + r.both_drop
+            == r.n_docs)
+    b, c = r.heuristic_only, r.ppl_only
+    assert abs(r.chi2 - (b - c) ** 2 / (b + c)) < 1e-6
+    # all four cells populated — the median ppl cut discriminates
+    assert min(r.both_keep, r.heuristic_only, r.ppl_only,
+               r.both_drop) > 0
