@@ -166,7 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embedding_intrinsic_dim, hopkins_statistic,
     catalog_size_estimates, promo_return_odds,
     percentile_sketch_error (rows-only), churn_logrank_test,
-    filter_mcnemar_test —
+    filter_mcnemar_test, distance_correlation_daily —
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
@@ -747,6 +747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cq) round-4 continuation 91 — McNemar's paired test between
         # the Gopher and perplexity quality gates
         "filter_mcnemar_test": CP.filter_mcnemar_test,
+        # (cr) round-4 continuation 92 — distance correlation (catches
+        # the nonlinear dependence Pearson/Spearman/Kendall miss)
+        "distance_correlation_daily": X.distance_correlation_daily,
     }
     return {k: q[k] for k in _R4_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R4_WINDOW)
@@ -9982,6 +9985,87 @@ def _oracle_sql_literals() -> dict[str, str]:
                                       / v, 9) > 3.841
                             END, FALSE) AS significant
             FROM agg CROSS JOIN tot
+        """,
+        "distance_correlation_daily": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       COUNT(*) AS x,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            * 100 AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+            pairs AS (
+                SELECT a.day AS da, b.day AS db,
+                       CAST(abs(a.x - b.x) AS DOUBLE) AS ax,
+                       CAST(abs(a.cents - b.cents) AS DOUBLE)
+                       * 0.000000000931322574615478515625 AS ay
+                FROM daily a CROSS JOIN daily b
+            ), rows_m AS (
+                SELECT da,
+                       SUM(ax) / (SELECT CAST(n AS DOUBLE) FROM nn)
+                           AS rmx,
+                       SUM(ay) / (SELECT CAST(n AS DOUBLE) FROM nn)
+                           AS rmy
+                FROM pairs GROUP BY 1
+            ), gm AS (
+                SELECT SUM(ax) / (SELECT CAST(n * n AS DOUBLE) FROM nn)
+                           AS gmx,
+                       SUM(ay) / (SELECT CAST(n * n AS DOUBLE) FROM nn)
+                           AS gmy
+                FROM pairs
+            ), centered AS (
+                SELECT p.ax - r1.rmx - r2.rmx + gm.gmx AS A,
+                       p.ay - r1.rmy - r2.rmy + gm.gmy AS B
+                FROM pairs p
+                JOIN rows_m r1 ON p.da = r1.da
+                JOIN rows_m r2 ON p.db = r2.da
+                CROSS JOIN gm
+            ), sums AS (
+                SELECT CAST(SUM(CAST(ROUND(A * B, 6) AS DECIMAL(38,6)))
+                            AS DOUBLE) AS sab,
+                       CAST(SUM(CAST(ROUND(A * A, 6) AS DECIMAL(38,6)))
+                            AS DOUBLE) AS saa,
+                       CAST(SUM(CAST(ROUND(B * B, 6) AS DECIMAL(38,6)))
+                            AS DOUBLE) AS sbb
+                FROM centered
+            ), pm AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                       CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(ROUND(CAST(cents AS DOUBLE)
+                            * 0.000000000931322574615478515625, 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE)
+                                           * CAST(x AS DOUBLE), 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sxx,
+                       CAST(SUM(CAST(ROUND((CAST(cents AS DOUBLE)
+                            * 0.000000000931322574615478515625)
+                            * (CAST(cents AS DOUBLE)
+                               * 0.000000000931322574615478515625), 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE)
+                           AS syy,
+                       CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE)
+                            * (CAST(cents AS DOUBLE)
+                               * 0.000000000931322574615478515625), 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sxy
+                FROM daily
+            ), closed AS (
+                SELECT np,
+                       GREATEST(sab, 0.0) / sqrt(saa * sbb) AS dcor2,
+                       (CAST(np AS DOUBLE) * sxy - sx * sy)
+                       / (sqrt(GREATEST(CAST(np AS DOUBLE) * sxx
+                                        - sx * sx, 0.0))
+                          * sqrt(GREATEST(CAST(np AS DOUBLE) * syy
+                                          - sy * sy, 0.0))) AS r
+                FROM sums CROSS JOIN pm
+            )
+            SELECT CAST(np AS BIGINT) AS n_days,
+                   ROUND(sqrt(dcor2), 9) AS dcor,
+                   ROUND(abs(r), 9) AS pearson_abs,
+                   ROUND(sqrt(dcor2) - abs(r), 9) AS pearson_abs_gap
+            FROM closed
         """,
         "simpson_slope_check": """
             WITH g AS (

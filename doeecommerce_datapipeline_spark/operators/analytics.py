@@ -2986,3 +2986,122 @@ def churn_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(vd > 0, F.round(chi2, 9) > 3.841), F.lit(False)
         ).alias("significant"),
     )
+
+
+def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance correlation (Székely 2007) between daily order count
+    and daily revenue: dCor = 0 IFF the two series are independent —
+    the dependence detector that catches NONLINEAR coupling
+    (U-shapes, variance links) which the whole Pearson/Spearman/
+    Kendall family reports as zero. Double-centered pairwise distance
+    matrices over the daily spine; dCor² = ⟨A·B⟩/√(⟨A²⟩⟨B²⟩).
+    Returns one row: (n_days, dcor, pearson_abs_gap) where
+    pearson_abs_gap = dCor − |Pearson| flags dependence the linear
+    statistic missed.
+
+    Determinism: count distances are exact integers; revenue
+    distances are exact cent integers prescaled by 2^-30 (dCor is
+    scale-invariant; the prescale keeps every 6-dp-quantized product
+    sum under 2^53 scaled digits — the granger/haar seam); row/grand
+    means divide exact sums; centered products quantize at 6 dp into
+    DECIMAL(38,6) before the order-free sums; Pearson rides the same
+    exact moments.
+
+    Shape: the O(n²) pair table lives on the CALENDAR spine
+    (~5.8M pairs for 2400 days at ANY fact scale — the theil_sen
+    contract); row means broadcast back onto it; three quantized
+    sums close everything.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").alias("cents"),
+    ).localCheckpoint(eager=True)
+    inv = F.lit(1.0 / 1073741824.0)  # exact 2^-30
+    # spread the probe side before the cross join: the checkpointed
+    # daily table arrives as one partition, which would put the whole
+    # n² fan-out in a single task
+    a = daily.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        F.col("day").alias("da"),
+        F.col("x").alias("xa"),
+        F.col("cents").alias("ya"),
+    )
+    b = daily.select(
+        F.col("day").alias("db"),
+        F.col("x").alias("xb"),
+        F.col("cents").alias("yb"),
+    )
+    pairs = a.crossJoin(b).select(
+        "da",
+        "db",
+        F.abs(F.col("xa") - F.col("xb")).cast("double").alias("ax"),
+        (F.abs(F.col("ya") - F.col("yb")).cast("double") * inv).alias("ay"),
+    ).localCheckpoint(eager=True)
+    n = daily.count()
+    nd = float(n)
+    rows_m = pairs.groupBy("da").agg(
+        (F.sum("ax") / F.lit(nd)).alias("rmx"),
+        (F.sum("ay") / F.lit(nd)).alias("rmy"),
+    ).localCheckpoint(eager=True)
+    gm = pairs.groupBy().agg(
+        (F.sum("ax") / F.lit(nd * nd)).alias("gmx"),
+        (F.sum("ay") / F.lit(nd * nd)).alias("gmy"),
+    )
+    cols_m = rows_m.select(
+        F.col("da").alias("db"),
+        F.col("rmx").alias("cmx"),
+        F.col("rmy").alias("cmy"),
+    )
+    centered = (
+        pairs.join(F.broadcast(rows_m), "da")
+        .join(F.broadcast(cols_m), "db")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            (
+                F.col("ax") - F.col("rmx") - F.col("cmx") + F.col("gmx")
+            ).alias("A"),
+            (
+                F.col("ay") - F.col("rmy") - F.col("cmy") + F.col("gmy")
+            ).alias("B"),
+        )
+    )
+    q6 = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)"))  # noqa: E731
+    sums = centered.groupBy().agg(
+        q6(F.col("A") * F.col("B")).alias("sab"),
+        q6(F.col("A") * F.col("A")).alias("saa"),
+        q6(F.col("B") * F.col("B")).alias("sbb"),
+    )
+    sab = F.col("sab").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    dcor2 = F.greatest(sab, F.lit(0.0)) / F.sqrt(saa * sbb)
+    # Pearson on the same daily series, same exact-moment seam
+    p_m = daily.select(
+        F.col("x").cast("double").alias("px"),
+        (F.col("cents").cast("double") * inv).alias("py"),
+    ).groupBy().agg(
+        F.count(F.lit(1)).alias("np"),
+        q6(F.col("px")).alias("sx"),
+        q6(F.col("py")).alias("sy"),
+        q6(F.col("px") * F.col("px")).alias("sxx"),
+        q6(F.col("py") * F.col("py")).alias("syy"),
+        q6(F.col("px") * F.col("py")).alias("sxy"),
+    )
+    npd = F.col("np").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = (npd * sxy - sx * sy) / (
+        F.sqrt(F.greatest(npd * sxx - sx * sx, F.lit(0.0)))
+        * F.sqrt(F.greatest(npd * syy - sy * sy, F.lit(0.0)))
+    )
+    dcor = F.round(F.sqrt(dcor2), 9)
+    return sums.crossJoin(F.broadcast(p_m)).select(
+        F.col("np").cast("long").alias("n_days"),
+        dcor.alias("dcor"),
+        F.round(F.abs(r), 9).alias("pearson_abs"),
+        F.round(F.sqrt(dcor2) - F.abs(r), 9).alias("pearson_abs_gap"),
+    )

@@ -4308,3 +4308,34 @@ def test_logrank_planted_hazard_difference(spark, tmp_path):
               [100 + i for i in range(30)])
     r2 = churn_logrank_test(spark, same).collect()[0]
     assert r2.chi2 < 3.841 and not r2.significant
+
+
+def test_dcor_catches_parabolic_dependence(spark, tmp_path):
+    """Revenue a symmetric parabola of count → Pearson ≈ 0 but dCor
+    is decisively nonzero — the statistic's reason to exist."""
+    import datetime
+
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        distance_correlation_daily,
+    )
+
+    d = str(tmp_path / "sf_dcor")
+    orows, oid = [], 0
+    for i in range(80):
+        day = datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i)
+        cnt = 1 + (i % 21)                      # counts 1..21, symmetric
+        rev_total = float((cnt - 11) ** 2 * 100 + 100)  # parabola in cnt
+        for _ in range(cnt):
+            orows.append((oid, 1, "O", rev_total / cnt, day, "1-URGENT"))
+            oid += 1
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    r = distance_correlation_daily(spark, d).collect()[0]
+    # 80 days of a 21-value cycle leave a small linear residue
+    assert r.pearson_abs < 0.15
+    assert r.dcor > 0.6
+    assert r.pearson_abs_gap > 0.5
