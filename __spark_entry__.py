@@ -170,7 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all locally hash-verified
     at sf0.01 under a vanilla foreign-cwd session when built AND
     re-swept at round end (the full-registry sweep: every oracle pair
-    compared at sf0.01 from /tmp with a bare SparkSession — 330
+    compared at sf0.01 from /tmp with a bare SparkSession — 331
     entries, 0 failures at round-4 close)
     (part_size_price_contingency's price edges moved to 910/940 in
     r4 — the 1000/1500 edges left one bucket, a vacuous all-zero χ²
