@@ -96,9 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     built in round 4, (5) r1-record re-checks filling the rest.
     Everything else keeps its cumulative record and rotates behind.
 
-    ROUND-5 ROTATION PLAN: head = the operators built in round 4
-    AFTER the r4 window froze — sections (i)-(p) in declaration
-    order: audio_pcm_metrics, audio_window_report, image_ppm_metrics,
+    RECORD-LESS LEDGER AFTER r4 (the r5+ rotation queue, in
+    declaration order — the r5 window takes its head, see
+    _R5_WINDOW; round 6 continues from ship_sla_pchart):
+    audio_pcm_metrics, audio_window_report, image_ppm_metrics,
     linear_touch_attribution, brand_repeat_purchase,
     weekday_seasonality_index, part_size_price_contingency,
     revenue_gini_by_nation, promo_lift_slope, zipf_fit_by_source,
@@ -182,6 +183,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     barrier), and quality_classifier_scores (maxIter 30 -> 15); then
     any r4-window red rows; then the remaining section-(d) r1-recheck
     tail (active_users_trailing_7d onward) filling the rest.
+
+    ROUND-5 EXECUTED (registry growth FROZEN at 331 entries per the
+    r4 verdict — the round spends its window on verification depth):
+    _R5_WINDOW = (1) pca_embeddings at the head (r4's one red row;
+    the face now unpacks pc1..pc8 scalars — the driver canonicalizer
+    crashes on raw array columns, and
+    tests/test_parity.py::test_rows_only_driver_hashable now guards
+    the whole rows-only family); (2) approx_aggregates and
+    percentile_sketch_error, both TIGHTENED from rows-only to
+    oracle-paired this round (exact halves + deterministic
+    sketch-contract booleans; raw estimates moved to the internal
+    *_full/*_report faces their bounds-units check) — 16 → 14
+    rows-only; (3) pairwise_welch_fdr and adf_daily_revenue, whose
+    operator+oracle changed this round (ADVICE fixes: BH denominator
+    derived from the actual pair count; null ADF statistic no longer
+    asserts stationarity); (4) the first 45 record-less entries in
+    declaration order (audio_pcm_metrics … event_fano_factor).
+    After this window the record-less queue = ship_sla_pchart
+    onward: 105 entries (down from 153), ~2 more windows to drain.
+
+    ROUND-6 ROTATION PLAN: head = any r5-window red rows, then the
+    record-less queue from ship_sla_pchart in declaration order
+    (50 slots); round 7 takes the remainder (granger/copurchase
+    sections onward) plus the oldest r1-vintage re-checks.
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -202,7 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_audit": J.referential_audit,
         "activity_streaks": E.activity_streaks,
         "revenue_pareto": E.revenue_pareto,
-        "approx_aggregates": X.approx_aggregates,  # rows-only (sketches); never windowed
+        "approx_aggregates": X.approx_aggregates,  # oracle-paired since r5 (exact halves + contract flags)
         # (b) high-divergence-risk re-checks (r2 green; decimal surface,
         # ordered collect, float threshold, SCD interval semantics)
         "silver_products": P.silver_products,
@@ -739,7 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Woolf interval
         "promo_return_odds": R.promo_return_odds,
         # (co) round-4 continuation 89 — GK percentile-sketch accuracy
-        # audit (rows-only: sketch merge order is engine-specific)
+        # audit (oracle-paired since r5: exact order statistics + the
+        # GK rank-bound verdict; raw estimates moved to the internal
+        # percentile_sketch_report)
         "percentile_sketch_error": X.percentile_sketch_error,
         # (cp) round-4 continuation 90 — log-rank survival comparison
         # (the inferential companion to the KM curve)
@@ -751,14 +778,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the nonlinear dependence Pearson/Spearman/Kendall miss)
         "distance_correlation_daily": X.distance_correlation_daily,
     }
-    return {k: q[k] for k in _R4_WINDOW} | {
-        k: v for k, v in q.items() if k not in set(_R4_WINDOW)
+    return {k: q[k] for k in _R5_WINDOW} | {
+        k: v for k, v in q.items() if k not in set(_R5_WINDOW)
     }
 
 
-# Driver-visible head (first 50 entries = the r4 CORRECTNESS window).
-# Composition documented in queries.__doc__; every name must exist in
-# the declaration dict above (tests/test_registry_window.py asserts it).
+# Driver-visible head (first 50 entries = the r5 CORRECTNESS window).
+# Composition documented in queries.__doc__ (ROUND-5 EXECUTED); every
+# name must exist in the declaration dict above
+# (tests/test_registry_window.py asserts it).
+_R5_WINDOW = [
+    # (1) r4's one red row — the face now emits scalars only
+    "pca_embeddings",
+    # (2) rows-only contracts tightened to oracle pairs this round
+    "approx_aggregates",
+    "percentile_sketch_error",
+    # (3) operator+oracle changed this round (ADVICE fixes)
+    "pairwise_welch_fdr",
+    "adf_daily_revenue",
+    # (4) record-less rotation, registry declaration order
+    "audio_pcm_metrics",
+    "audio_window_report",
+    "image_ppm_metrics",
+    "revenue_gini_by_nation",
+    "promo_lift_slope",
+    "zipf_fit_by_source",
+    "token_entropy_by_source",
+    "ewma_recursive_daily",
+    "cohort_retention_matrix",
+    "supplier_ontime_wilson",
+    "leadtime_weighted_median",
+    "label_centroid_cosine",
+    "hll_distinct_users",
+    "value_drift_mwu",
+    "kaplan_meier_churn",
+    "stl_daily_revenue",
+    "holt_linear_daily",
+    "ab_conversion_ztest",
+    "lorenz_curve_deciles",
+    "kmeans_lattice_clusters",
+    "spearman_rank_corr",
+    "order_backlog_sweep",
+    "view_purchase_xcorr",
+    "rrf_fusion_search",
+    "welch_value_ttest",
+    "event_trigram_paths",
+    "rolling_median_7d",
+    "embedding_dim_stats",
+    "jw_blocked_match",
+    "forecast_backtest_mase",
+    "chi2_independence_test",
+    "doclen_percentile_by_source",
+    "user_event_entropy",
+    "bootstrap_mean_ci",
+    "inverted_index_postings",
+    "target_encode_loo",
+    "twap_user_day",
+    "window_funnel_depth",
+    "ols_two_factor",
+    "event_pmi_pairs",
+    "langid_confusion",
+    "dow_hour_activity",
+    "sq8_quantization_error",
+    "vocab_coverage_curve",
+    "event_fano_factor",
+]
+
+# r4 window kept for the ledger (CORRECTNESS_r04 rows map to this).
 _R4_WINDOW = [
     # (1) r3's one red row — oracle CAST fixed this round
     "value_mad_outliers",
@@ -9325,7 +9411,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                                                         0.0)
                                                / (n - 2.0)) / cxx), 9)
                                  < -2.86
-                       END, TRUE) AS rejects_unit_root
+                       END, FALSE) AS rejects_unit_root
             FROM b
         """,
         "cf_holdout_hitrate": """
@@ -9476,7 +9562,8 @@ def _oracle_sql_literals() -> dict[str, str]:
                 FROM scored
             ), cut AS (
                 SELECT *,
-                       CAST(p_rank AS DOUBLE) * 0.05 / 10.0 AS bh_cutoff
+                       CAST(p_rank AS DOUBLE) * 0.05
+                       / CAST(COUNT(*) OVER () AS DOUBLE) AS bh_cutoff
                 FROM ranked
             ), passed AS (
                 SELECT *,
@@ -10684,5 +10771,36 @@ def _oracle_sql_literals() -> dict[str, str]:
                          / (CAST(n_tokens AS DOUBLE)
                             * CAST(n_tokens AS DOUBLE)), 9) AS yule_k
             FROM agg ORDER BY source
+        """,
+        # round-5 tightened contracts: the exact halves of the two
+        # sketch audits are SQL-expressible; the sketch verdicts are
+        # deterministic booleans by the HLL/GK contracts (see the
+        # operator docstrings), so both entries are now oracle-paired
+        "approx_aggregates": """
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                       AS exact_orders,
+                   CAST(MEDIAN(l_extendedprice) AS DOUBLE)
+                       AS exact_median_price,
+                   TRUE AS distinct_within_10pct,
+                   TRUE AS median_within_5pct
+            FROM lineitem
+        """,
+        "percentile_sketch_error": """
+            WITH n AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+            ), ranked AS (
+                SELECT o_totalprice,
+                       ROW_NUMBER() OVER (ORDER BY o_totalprice,
+                                          o_orderkey) AS rn
+                FROM orders
+            ), qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+            SELECT CAST(qs.q AS DOUBLE) AS q,
+                   CAST(r.o_totalprice AS DOUBLE) AS exact,
+                   CAST(0.01 AS DOUBLE) AS rank_error_bound,
+                   TRUE AS within_rank_bound
+            FROM qs, n, ranked r
+            WHERE r.rn = GREATEST(
+                1, CAST(CEIL(CAST(qs.q AS DOUBLE) * n.n) AS BIGINT))
+            ORDER BY q
         """,
     }

@@ -58,11 +58,13 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variants: HLL distinct + GK approximate quantiles.
-
-    rows-only check (approximation is engine-specific by design);
-    tests/test_analytics.py bounds them against the exact answers.
+def approx_aggregates_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variants: HLL distinct + GK approximate quantiles,
+    raw estimates alongside the exact answers — the audit-time frame
+    tests/test_analytics.py bounds. The raw estimates are
+    engine-specific by design, so this full face has no SQL twin;
+    the registry entry (approx_aggregates) exposes the exact halves
+    plus contract flags instead, which ARE oracle-pairable.
     """
     l = table(spark, sf_dir, "lineitem")
     # one agg per distinct-class aggregate: combining countDistinct +
@@ -84,6 +86,39 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_median_price",
             "exact_median_price",
         )
+    )
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of the sketch-aggregate audit, ORACLE-PAIRED: the
+    exact halves (SQL-expressible) plus the sketch-contract verdicts
+    as booleans — (exact_orders, exact_median_price,
+    distinct_within_10pct, median_within_5pct).
+
+    Why the flags are deterministic while the raw estimates are not:
+    HLL++ registers are max-merged (order-free) and GK's guaranteed
+    rank error at the default accuracy is ~1e-4·n, so both estimates
+    sit orders of magnitude inside the flag margins on ANY engine /
+    partitioning — the booleans are engine-stable even though the
+    estimate's last decimals are not. This tightens a rows-only
+    contract into a driver-hashable one the way heavy_hitters_cms
+    was tightened; the raw estimates stay visible via
+    approx_aggregates_full for the bounds unit.
+    """
+    full = approx_aggregates_full(spark, sf_dir)
+    ex_d = F.col("exact_orders").cast("double")
+    ex_m = F.col("exact_median_price")
+    return full.select(
+        "exact_orders",
+        ex_m.cast("double").alias("exact_median_price"),
+        (
+            F.abs(F.col("approx_orders").cast("double") - ex_d) / ex_d
+            < F.lit(0.10)
+        ).alias("distinct_within_10pct"),
+        (
+            F.abs(F.col("approx_median_price") - ex_m) / ex_m
+            < F.lit(0.05)
+        ).alias("median_within_5pct"),
     )
 
 
@@ -2508,7 +2543,11 @@ def adf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 9).alias("beta"),
         F.round(alpha, 6).alias("alpha"),
         t.alias("t_stat"),
-        F.coalesce(t < F.lit(-2.86), F.lit(True)).alias("rejects_unit_root"),
+        # a null statistic (perfect fit / constant series, se == 0)
+        # must NOT assert stationarity — default the verdict to FALSE
+        F.coalesce(t < F.lit(-2.86), F.lit(False)).alias(
+            "rejects_unit_root"
+        ),
     )
 
 
@@ -2826,30 +2865,28 @@ SKETCH_ERR_QS = [0.5, 0.9, 0.99]
 SKETCH_ERR_ACC = 100
 
 
-def percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+def percentile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy audit: Spark's approx_percentile (the
     Greenwald-Khanna path every 100 TB percentile actually uses,
     here at accuracy=100) measured against the EXACT type-1 order
     statistics of o_totalprice — per quantile: (q, exact, approx,
-    abs_rel_error, rank_error_bound). The audit that turns "we use
-    approximate percentiles" from a shrug into a number, and the
-    sketch member of the evaluation suite. Rows-only by contract:
-    the GK sketch's merge order is engine- and partitioning-
-    specific, so no SQL twin — the unit pins the 1/accuracy rank
-    bound instead.
+    abs_rel_error, rank_error_bound, within_rank_bound). The audit
+    that turns "we use approximate percentiles" from a shrug into a
+    number, and the sketch member of the evaluation suite. The raw
+    approx/abs_rel_error columns are engine- and merge-order-
+    specific, so THIS full frame has no SQL twin — the registry
+    entry (percentile_sketch_error) surfaces the exact half plus the
+    rank-bound verdict, which are oracle-pairable.
 
     Shape: the exact side is one rank window over the fact (the
     audit runs at audit time, not in production paths); the approx
-    side is the mergeable one-pass sketch.
+    side is the mergeable one-pass sketch; the true-rank probe of
+    all quantiles batches into ONE conditional-sum aggregate.
     """
+    import math as _m
+
     o = table(spark, sf_dir, "orders")
     n = o.count()
-    ranked = o.select(
-        "o_totalprice",
-        F.row_number().over(
-            Window.orderBy("o_totalprice", "o_orderkey")
-        ).alias("rn"),
-    )
     approx = o.groupBy().agg(
         *[
             F.percentile_approx(
@@ -2858,26 +2895,63 @@ def percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in SKETCH_ERR_QS
         ]
     ).collect()[0]
-    import math as _m
-
+    aps = {q: float(approx[f"a_{int(q * 100)}"]) for q in SKETCH_ERR_QS}
+    # the type-1 order statistic ranks, fetched in ONE filtered pass
+    ranks = {q: max(1, _m.ceil(q * n)) for q in SKETCH_ERR_QS}
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(
+            Window.orderBy("o_totalprice", "o_orderkey")
+        ).alias("rn"),
+    )
+    exact = {
+        r.rn: float(r.o_totalprice)
+        for r in ranked.where(
+            F.col("rn").isin(sorted(set(ranks.values())))
+        ).collect()
+    }
+    # true rank of each approx value (count of rows <= it), batched
+    # into one aggregate — the GK contract says it sits within
+    # n/accuracy of the target rank on ANY engine/partitioning
+    truerk = o.agg(
+        *[
+            F.sum(
+                (F.col("o_totalprice") <= F.lit(aps[q])).cast("long")
+            ).alias(f"r_{int(q * 100)}")
+            for q in SKETCH_ERR_QS
+        ]
+    ).collect()[0]
     rows = []
     for q in SKETCH_ERR_QS:
-        r = max(1, _m.ceil(q * n))  # the type-1 order statistic rank
-        exact = (
-            ranked.where(F.col("rn") == r)
-            .select("o_totalprice")
-            .collect()[0][0]
+        ex, ap = exact[ranks[q]], aps[q]
+        rel = abs(ap - ex) / abs(ex) if ex else None
+        within = (
+            abs(int(truerk[f"r_{int(q * 100)}"]) - q * n)
+            <= n / SKETCH_ERR_ACC + 1
         )
-        ap = float(approx[f"a_{int(q * 100)}"])
-        rel = abs(ap - exact) / abs(exact) if exact else None
         rows.append(
-            (q, float(exact), ap, rel, 1.0 / SKETCH_ERR_ACC)
+            (q, ex, ap, rel, 1.0 / SKETCH_ERR_ACC, bool(within))
         )
     return spark.createDataFrame(
         rows,
         "q double, exact double, approx double, abs_rel_error double,"
-        " rank_error_bound double",
+        " rank_error_bound double, within_rank_bound boolean",
     ).orderBy("q")
+
+
+def percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of the GK-sketch audit, ORACLE-PAIRED: the exact
+    order statistics (SQL-expressible) plus the sketch's rank-bound
+    verdict — (q, exact, rank_error_bound, within_rank_bound). The
+    boolean is deterministically TRUE by the GK guarantee (rank error
+    <= n/accuracy regardless of merge order), so the whole face is
+    engine-stable even though the raw estimate is not; the estimate
+    itself stays visible via percentile_sketch_report for the
+    rank-bound unit. Tightens a rows-only contract into a
+    driver-hashable one, per the round-4 verdict."""
+    return percentile_sketch_report(spark, sf_dir).select(
+        "q", "exact", "rank_error_bound", "within_rank_bound"
+    )
 
 
 LOGRANK_SEGMENT = "BUILDING"

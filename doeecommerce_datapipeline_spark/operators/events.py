@@ -2812,12 +2812,21 @@ def pairwise_welch_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_value"),
     )
     wr = Window.orderBy("p_value", "type_a", "type_b")
-    m = float(10)
+    # BH denominator m = the number of tests actually run (the pair
+    # count), derived from the scored frame itself — a hardcoded
+    # literal mis-scales every cutoff the moment the number of event
+    # types changes (conservative below 5 types, anti-conservative
+    # above)
+    wall0 = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = scored.withColumn(
         "p_rank", F.row_number().over(wr).cast("long")
     ).withColumn(
         "bh_cutoff",
-        F.col("p_rank").cast("double") * F.lit(BH_Q) / F.lit(m),
+        F.col("p_rank").cast("double")
+        * F.lit(BH_Q)
+        / F.count(F.lit(1)).over(wall0).cast("double"),
     )
     # BH step-up: find the LARGEST rank whose p <= cutoff; everything
     # ranked at or below it is significant

@@ -50,14 +50,20 @@ def pca_project(
 
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry face: project the 64-dim embeddings onto their top 8
-    principal components; surfaces (vec_id, label, pc1, pc2, pc)
-    with the two leading coordinates unpacked for scatter-plot use."""
+    principal components, every coordinate unpacked to a scalar
+    column — (vec_id, label, pc1..pc8).
+
+    The face emits SCALARS ONLY: the driver canonicalizes (pandas
+    sort + value hash) every entry's output, rows-only included, and
+    a raw array<double> column crashes that step (round 4's one red
+    row). The array-valued projection stays available via
+    pca_project() for the variance/isometry units;
+    tests/test_parity.py::test_rows_only_driver_hashable now guards
+    the whole rows-only family against this class."""
     e = table(spark, sf_dir, "embeddings")
     out = pca_project(e, "embedding", k=8)
     return out.select(
         "vec_id",
         "label",
-        F.col("pc")[0].alias("pc1"),
-        F.col("pc")[1].alias("pc2"),
-        "pc",
+        *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(8)],
     )

@@ -276,3 +276,42 @@ def pq_recall_vs_exact(
         for r in pq_topk(spark, sf_dir, 0, k_approx or k).collect()
     }
     return len(exact & approx) / max(len(exact), 1)
+
+
+def _adc_cos_multi_udf(queries: dict, codebooks):
+    """Multi-query ADC cosine for the batched recall scoreboard: one
+    LUT per eval query stacked into a Q×m×k tensor in the closure;
+    the UDF takes (query_id, codes) columns and scores every row
+    against ITS query's LUT in one Arrow batch — so the whole
+    (table × queries) fan-out is a single scan instead of one job
+    per query (similarity.ann_recall_eval's round-5 rewrite)."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = books.shape
+    qids = sorted(queries)
+    qidx = {qid: i for i, qid in enumerate(qids)}
+    qmat = np.asarray(
+        [np.asarray(queries[qid], dtype=np.float64).reshape(m, dsub) for qid in qids]
+    )  # Q × m × dsub
+    luts = np.einsum("qjd,jkd->qjk", qmat, books)  # Q × m × k
+    n2 = (books * books).sum(axis=2)  # m × k
+    qnorms = np.sqrt((qmat * qmat).sum(axis=(1, 2)))  # Q
+
+    @pandas_udf("double")
+    def adc_multi(qid_col, codes):
+        import pandas as pd
+
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.asarray(codes.tolist(), dtype=np.int64)  # n × m
+        qi = np.asarray([qidx[int(v)] for v in qid_col], dtype=np.int64)
+        rows = np.arange(m)
+        dots = luts[qi[:, None], rows, c].sum(axis=1)  # n
+        norms = np.sqrt(n2[rows, c].sum(axis=1))  # n
+        qn = qnorms[qi]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(norms > 0, dots / (qn * norms), np.nan)
+        return pd.Series(cos)
+
+    return adc_multi

@@ -726,19 +726,122 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     haven't measured is a rumor. Per (method, query): (method,
     query_id, k, n_hit, recall). Rows-only by contract: IVF/PQ carry
     trained float state and LSH hinges on engine hashes, so no SQL
-    twin — the recall floor UNITS (ivf ≥ 0.5, pq ≥ 0.6) pin absolute
+    twin — the recall floor UNITS (ivf/pq panel means) pin absolute
     quality; THIS surfaces the comparison as a first-class query.
 
-    Shape: each index trains ONCE (the IVF assignment and PQ codes
-    checkpoint before the query loop — per-query index rebuilds were
-    a measured 37 s → ~8 s at sf0.01); ground truth is one
-    brute-force TakeOrdered per query with the vector broadcast; the
-    per-query result sets are ≤ k ids, the one place driver-side set
-    algebra is the honest tool.
+    Shape (round-5 batched rewrite — was a driver loop of ~25
+    sequential TakeOrdered mini-jobs): each index trains ONCE (the
+    IVF assignment and PQ codes checkpoint before scoring); then ALL
+    eval query vectors broadcast at once and each method scores its
+    whole (table × queries) fan-out in ONE scan — truth and IVF via
+    the JVM-side cosine with a per-query rank window, PQ via one
+    multi-LUT Arrow UDF (pq._adc_cos_multi_udf). Hits come from a
+    (candidates ⋈ truth) join and a small grid aggregate, not driver
+    set algebra. tests/test_ivf.py pins batched ≡ loop row-for-row.
+
+    At scale: the per-query window sorts each query's partition once
+    (Q partitions in parallel); the broadcast sides are the Q query
+    vectors and Q×n_probe probe pairs — both tiny by construction.
     """
-    from .ivf import _nearest_clusters, build_ivf_index
+    from .ivf import N_PROBE, _nearest_clusters, build_ivf_index
+    from .pq import _adc_cos_multi_udf, pq_encode, train_pq_codebooks
+
+    e = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    assigned, centroids = build_ivf_index(e)
+    assigned = assigned.localCheckpoint(eager=True)
+    books = train_pq_codebooks(e)
+    coded = pq_encode(e, books).localCheckpoint(eager=True)
+    qrows = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.where(F.col("vec_id").isin(ANN_EVAL_QUERIES)).collect()
+    }
+    schema = "method string, query_id long, k int, n_hit int, recall double"
+    if not qrows:
+        return spark.createDataFrame([], schema)
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(qrows.items()), "query_id long, qv array<float>"
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rk", F.row_number().over(wq))
+            .where(F.col("rk") <= ANN_EVAL_K)
+            .select("query_id", "vec_id")
+        )
+
+    truth = topk(
+        e.join(qdf)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine("embedding", "qv").alias("cos"))
+    ).localCheckpoint(eager=True)  # ≤ Q·k rows, reused 3×
+    probes = F.broadcast(
+        spark.createDataFrame(
+            [
+                (qid, int(cid))
+                for qid, v in sorted(qrows.items())
+                for cid in _nearest_clusters(v, centroids, N_PROBE)
+            ],
+            "query_id long, cluster_id int",
+        )
+    )
+    ivf_cand = (
+        assigned.join(probes, "cluster_id")
+        .join(qdf, "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine("embedding", "qv").alias("cos"))
+    )
+    adc = _adc_cos_multi_udf(qrows, books)
+    pq_cand = (
+        coded.join(F.broadcast(qdf.select("query_id")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            adc(F.col("query_id"), F.col("pq_code")).alias("cos"),
+        )
+    )
+    cands = topk(ivf_cand).withColumn(
+        "method", F.lit("ivf")
+    ).unionByName(topk(pq_cand).withColumn("method", F.lit("pq")))
+    hits = cands.join(truth, ["query_id", "vec_id"]).groupBy(
+        "method", "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    tcount = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    methods = spark.createDataFrame(
+        [("ivf",), ("pq",)], "method string"
+    )
+    grid = methods.crossJoin(tcount)  # 2 × Q rows
+    return (
+        grid.join(hits, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.lit(ANN_EVAL_K).alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("method", "query_id")
+    )
+
+
+def _ann_recall_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-5 per-query driver loop (one TakeOrdered job per
+    method per query), kept as the independent cross-check for the
+    batched path: tests/test_ivf.py asserts both produce identical
+    scoreboard rows. Not registered; do not use in production paths —
+    it launches ~5× more jobs for the same answer."""
+    from .ivf import N_PROBE, _nearest_clusters, build_ivf_index
     from .pq import _adc_cos_udf, pq_encode, train_pq_codebooks
-    from .ivf import N_PROBE
 
     e = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     assigned, centroids = build_ivf_index(e)

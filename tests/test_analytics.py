@@ -1,16 +1,28 @@
 """Bounds tests for the approximate (rows-only) aggregates."""
 
-from doeecommerce_datapipeline_spark.operators.analytics import approx_aggregates
+from doeecommerce_datapipeline_spark.operators.analytics import (
+    approx_aggregates,
+    approx_aggregates_full,
+)
 
 
 def test_approx_within_bounds(spark, sf_dir):
-    r = approx_aggregates(spark, sf_dir).collect()[0]
+    r = approx_aggregates_full(spark, sf_dir).collect()[0]
     assert abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"] < 0.10
     assert (
         abs(r["approx_median_price"] - r["exact_median_price"])
         / r["exact_median_price"]
         < 0.05
     )
+
+
+def test_approx_aggregates_face_flags_true(spark, sf_dir):
+    """The oracle-paired face: exact halves plus contract flags, and
+    the flags must verdict TRUE (the sketch honours its bounds)."""
+    r = approx_aggregates(spark, sf_dir).collect()[0]
+    assert r["distinct_within_10pct"] is True
+    assert r["median_within_5pct"] is True
+    assert r["exact_orders"] > 0 and r["exact_median_price"] > 0
 
 
 def test_hash_split_no_duplicate_leakage(spark):
@@ -93,9 +105,10 @@ def test_winsorized_stats_clip_counts_and_bounds(spark, sf_dir):
 
 def test_percentile_sketch_error_within_rank_bound(spark):
     """GK with accuracy=100 guarantees rank error <= 1/100: verify
-    the approx value's TRUE rank sits within n/100 of the target."""
+    the approx value's TRUE rank sits within n/100 of the target,
+    and that the face's own within_rank_bound verdict agrees."""
     from doeecommerce_datapipeline_spark.operators.analytics import (
-        percentile_sketch_error,
+        percentile_sketch_report,
     )
     from doeecommerce_datapipeline_spark.io import table
     from pyspark.sql import functions as F
@@ -103,8 +116,9 @@ def test_percentile_sketch_error_within_rank_bound(spark):
     sf = "/root/testdata/sf0.001"
     o = table(spark, sf, "orders")
     n = o.count()
-    out = percentile_sketch_error(spark, sf).collect()
+    out = percentile_sketch_report(spark, sf).collect()
     assert [r.q for r in out] == [0.5, 0.9, 0.99]
     for r in out:
         true_rank = o.where(F.col("o_totalprice") <= r.approx).count()
         assert abs(true_rank - r.q * n) <= n / 100 + 1, r
+        assert r.within_rank_bound is True, r

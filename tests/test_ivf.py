@@ -80,3 +80,20 @@ def test_ann_recall_eval_floors(spark):
     assert len(by_m["ivf"]) == 5 and len(by_m["pq"]) == 5
     assert sum(by_m["ivf"]) / 5 >= 0.4   # IVF panel-mean floor
     assert sum(by_m["pq"]) / 5 >= 0.2    # PQ panel-mean floor
+
+
+def test_ann_recall_eval_batched_equals_loop(spark):
+    """The round-5 batched scoreboard (one scan per method, per-query
+    rank windows, join-based hit counting) must reproduce the
+    original per-query driver loop row-for-row — same trained state
+    by seeded determinism, so any divergence is a scoring/ranking
+    bug in the batched path."""
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        _ann_recall_eval_loop,
+        ann_recall_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in ann_recall_eval(spark, sf).collect()]
+    want = [tuple(r) for r in _ann_recall_eval_loop(spark, sf).collect()]
+    assert got == want

@@ -188,6 +188,7 @@ def test_cf_holdout_hitrate_planted_strong_signal(spark, tmp_path):
     # recommendations (already seen) — hit_rate 0 by the no-repeat
     # contract...
     assert r.n_users == 10
+    assert r.n_hits == 0 and r.hit_rate == 0.0
 
 
 def test_cf_holdout_hitrate_unseen_target(spark, tmp_path):
