@@ -12,13 +12,30 @@ from tests.conftest import SF_DIR
 
 
 def test_pca_variance_ordering_and_shape(spark):
-    rows = P.pca_embeddings(spark, SF_DIR).collect()
+    # the registry face unpacks all 8 coordinates to scalar columns
+    # (driver-hashable — the r4 red-row lesson); variance ordering
+    # must hold across the unpacked matrix
+    df = P.pca_embeddings(spark, SF_DIR)
+    names = [f"pc{i}" for i in range(1, 9)]
+    assert df.columns == ["vec_id", "label"] + names
+    rows = df.collect()
     assert len(rows) == 500
-    assert all(len(r.pc) == 8 for r in rows)
-    var = np.array([r.pc for r in rows]).var(axis=0)
+    mat = np.array([[r[n] for n in names] for r in rows])
+    var = mat.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7))
-    # the unpacked scatter coords match the array
-    assert all(r.pc1 == r.pc[0] and r.pc2 == r.pc[1] for r in rows)
+    # the unpacked coords match the array-valued projection
+    arr = {
+        r.vec_id: r.pc
+        for r in P.pca_project(
+            P.table(spark, SF_DIR, "embeddings"), "embedding", k=8
+        )
+        .select("vec_id", "pc")
+        .collect()
+    }
+    assert all(
+        r.pc1 == arr[r.vec_id][0] and r.pc2 == arr[r.vec_id][1]
+        for r in rows
+    )
 
 
 def test_pca_full_rank_preserves_distances(spark):
