@@ -2171,13 +2171,23 @@ def markov_removal_attribution(
             ).over(grp),
         )
     )
-    states = numbered.where(
-        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
-    ).withColumn(
-        "st",
-        F.when(F.col("event_type") == "purchase", F.lit("CONV")).otherwise(
-            F.col("event_type")
-        ),
+    states = (
+        numbered.where(
+            F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+        )
+        .withColumn(
+            "st",
+            F.when(
+                F.col("event_type") == "purchase", F.lit("CONV")
+            ).otherwise(F.col("event_type")),
+        )
+        # reused by THREE consumers (lag edges, terminal edges,
+        # converted-value sum) — without the barrier the whole
+        # windowed journey pipeline re-executes per consumer
+        # (measured 2.5 s of the query's 6.7 s at sf0.1); at fact
+        # scale this is the standard materialize-the-trimmed-journeys
+        # step (executor storage), still one exchange
+        .localCheckpoint()
     )
     lag_edges = states.select(
         F.coalesce(
@@ -2222,79 +2232,71 @@ def markov_removal_attribution(
         .localCheckpoint()
     )
 
-    vconv = variants.select(
-        "variant", F.lit("CONV").alias("state"), F.lit(1.0).alias("v")
-    )
-    v = spark.createDataFrame([], "variant string, state string, v double")
-    for _ in range(MARKOV_ABS_ITERS):
-        vaug = v.unionByName(vconv)
-        v = (
-            mv.alias("m")
-            .join(
-                vaug.alias("t"),
-                (F.col("m.variant") == F.col("t.variant"))
-                & (F.col("m.dst") == F.col("t.state")),
-            )
-            .select(
-                F.col("m.variant").alias("variant"),
-                F.col("m.src").alias("src"),
-                F.round(F.col("m.p") * F.col("t.v"), 14)
-                .cast("decimal(28,14)")
-                .alias("c"),
-            )
-            .groupBy("variant", "src")
-            .agg(F.sum("c").cast("double").alias("v"))
-            .select("variant", F.col("src").alias("state"), "v")
-            .localCheckpoint()
-        )
+    # --- absorption iteration + share math: DRIVER-SIDE on the
+    # vocabulary-bounded (≤ states²×variants ≈ 150-row) edge table.
+    # The Spark expression of these 8 matrix-vector passes was pure
+    # overhead at ANY scale (8 stages of ≤40-row joins: 5 s of the
+    # query's 6.7 s at sf0.1 — the chain is constant-size, the same
+    # contract as the k-means probe step). Arithmetic replicates the
+    # green Spark/DuckDB seam EXACTLY: Spark round(double, n) is
+    # shortest-repr BigDecimal HALF_UP == Decimal(repr(x)).quantize
+    # HALF_UP; decimal sums are exact; Decimal→float and BigDecimal
+    # doubleValue are both correctly rounded. tests/test_parity.py +
+    # the sf0.01 sweep pin it against the unchanged DuckDB twin.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    start = v.where(F.col("state") == "START")
-    pf = start.where(F.col("variant") == "full").select(
-        F.col("v").alias("p_full")
-    )
+    q14, q12 = Decimal("1E-14"), Decimal("1E-12")
+
+    def _rnd(x: float, q: Decimal) -> Decimal:
+        return Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+
+    by_var: dict[str, list] = {}
+    for r in mv.collect():
+        by_var.setdefault(r.variant, []).append((r.src, r.dst, r.p))
+    vstart: dict[str, float] = {}
+    for var, edges in by_var.items():
+        v: dict[str, float] = {}
+        for _ in range(MARKOV_ABS_ITERS):
+            vaug = dict(v)
+            vaug["CONV"] = 1.0
+            acc: dict[str, Decimal] = {}
+            for src, dst, p in edges:
+                if dst in vaug:
+                    acc[src] = acc.get(src, Decimal(0)) + _rnd(
+                        p * vaug[dst], q14
+                    )
+            v = {s: float(c) for s, c in acc.items()}
+        if "START" in v:
+            vstart[var] = v["START"]
+
     conv_value = states.where(F.col("st") == "CONV").agg(
         dsum("value", "decimal(18,6)").alias("total_value")
     )
-    pr = (
-        variants.where(F.col("removed").isNotNull())
-        .join(F.broadcast(start), "variant", "left")
-        .select(
-            F.col("removed").alias("channel"),
-            F.coalesce(F.col("v"), F.lit(0.0)).alias("p_removed"),
-        )
+    schema = (
+        "channel string, removal_effect double,"
+        " attribution_share double, attributed_value double"
     )
-    eff = pr.crossJoin(F.broadcast(pf)).select(
-        "channel",
-        (F.lit(1.0) - F.col("p_removed") / F.col("p_full")).alias(
-            "removal_effect"
-        ),
-    )
-    effq = eff.select(
-        "channel",
-        "removal_effect",
-        F.round("removal_effect", 12).cast("decimal(18,12)").alias("rq"),
-    )
-    denom = Window.partitionBy()
-    shares = effq.select(
-        "channel",
-        "removal_effect",
+    if "full" not in vstart:
+        return spark.createDataFrame([], schema)
+    p_full = vstart["full"]
+    effs = [
+        (c, 1.0 - vstart.get(f"no_{c}", 0.0) / p_full) for c in channels
+    ]
+    rqs = [(c, eff, _rnd(eff, q12)) for c, eff in effs]
+    denom = float(sum(rq for _, _, rq in rqs))
+    total_value = conv_value.collect()[0]["total_value"]
+    rows = [
         (
-            F.col("rq").cast("double")
-            / F.sum("rq").over(denom).cast("double")
-        ).alias("attribution_share"),
-    )
-    return (
-        shares.crossJoin(F.broadcast(conv_value))
-        .select(
-            "channel",
-            "removal_effect",
-            "attribution_share",
-            (F.col("attribution_share") * F.col("total_value")).alias(
-                "attributed_value"
-            ),
+            c,
+            eff,
+            float(rq) / denom,
+            (float(rq) / denom) * total_value
+            if total_value is not None
+            else None,
         )
-        .orderBy("channel")
-    )
+        for c, eff, rq in rqs
+    ]
+    return spark.createDataFrame(rows, schema).orderBy("channel")
 
 
 CUPED_SPLIT_DATE = "2024-01-16"
