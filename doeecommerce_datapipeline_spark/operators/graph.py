@@ -509,12 +509,27 @@ LPA_ROUNDS = 3
 LPA_TOP = 25
 
 
+_LPA_STATE_CACHE: dict = {}
+
+
 def lpa_labels(spark: SparkSession, sf_dir: str):
     """The copurchase edge set (both directions, checkpointed) and the
     node labeling after LPA_ROUNDS synchronous label-propagation
     rounds — shared by label_propagation_communities (sizes) and
     community_modularity (quality). Deterministic: see
-    label_propagation_communities."""
+    label_propagation_communities.
+
+    Cached per (session, dataset): a detected partition is ONE
+    derived state with two registry readouts (sizes and quality) —
+    recomputing the propagation per face ran the identical fixed-
+    point twice. Deterministic by the synchronous-update contract,
+    so caching is observationally pure; keyed by applicationId
+    because localCheckpointed state dies with its session (the
+    _ANN_STATE_CACHE / quality-model precedent)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LPA_STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -560,6 +575,7 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint()
         )
+    _LPA_STATE_CACHE[key] = (edges, labels)
     return edges, labels
 
 
