@@ -1099,49 +1099,59 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-free sum.
 
     Shape: bounded all-pairs (vec_id < 1000 — the exact-pair family
-    contract; the scale path would harvest r₁/r₂ from the ANN index)
-    → per-point top-2 via a PARTITIONED rank window → one single-row
-    reduce.
+    contract; the scale path would harvest r₁/r₂ from the ANN index).
+    The exact int64 pair-distance matrix computes DRIVER-SIDE as one
+    n×d @ d×n integer matmul (≤1000² int64 cells by contract — the
+    per-dim explode-join shipped 64·n² rows through an exchange for
+    the same integers: 6.2 s → ~1 s at sf0.1). Integer addition is
+    associative, so the numpy result is bit-identical to the join's;
+    the FLOAT seam (log terms, 9-dp decimal quantization, the
+    closing division) stays in Spark, unchanged against the oracle.
     """
+    import math as _m
+
+    import numpy as np
+
     e = (
         table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 1000)
         .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )
-    comp = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "v")
-    ).select(
-        "vec_id",
-        "dim",
-        F.floor(
-            F.col("v").cast("double") * F.lit(float(CENTROID_SCALE))
-            + F.lit(0.5)
-        ).cast("long").alias("k"),
-    ).localCheckpoint(eager=True)
-    a = comp.select(
-        F.col("vec_id").alias("ida"), "dim", F.col("k").alias("ka")
+    rows = e.collect()  # ≤ 1000 by the family contract
+    rows.sort(key=lambda r: r.vec_id)
+    n = len(rows)
+    ids = [int(r.vec_id) for r in rows]
+    # the 2^20 component lattice: floor(v·scale + 0.5) in the same
+    # IEEE ops the Spark/DuckDB twins use (v arrives float32; the
+    # double cast is value-preserving on both paths)
+    K = np.array(
+        [
+            [
+                int(_m.floor(float(v) * float(CENTROID_SCALE) + 0.5))
+                for v in r.embedding
+            ]
+            for r in rows
+        ],
+        dtype=np.int64,
     )
-    b = comp.select(
-        F.col("vec_id").alias("idb"), "dim", F.col("k").alias("kb")
-    )
-    d2 = (
-        a.join(b, "dim")
-        .where(F.col("ida") != F.col("idb"))
-        .groupBy("ida", "idb")
-        .agg(
-            F.sum(
-                (F.col("ka") - F.col("kb")) * (F.col("ka") - F.col("kb"))
-            ).alias("d2")
+    G = K @ K.T  # exact: |k| ~ 2^21, 64 terms of ~2^42 « 2^63
+    sq = np.diag(G).copy()
+    D = sq[:, None] + sq[None, :] - 2 * G
+    np.fill_diagonal(D, np.iinfo(np.int64).max)
+    # top-2 with the (d2, idb) tie-break: ids ascend with the column
+    # index, so a stable row sort picks the smallest idb among ties
+    idx = np.argsort(D, axis=1, kind="stable")
+    per_rows = [
+        (
+            ids[i],
+            int(D[i, idx[i, 0]]),
+            int(D[i, idx[i, 1]]) if n >= 3 else None,
         )
-    )
-    w = Window.partitionBy("ida").orderBy("d2", "idb")
-    top2 = d2.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= 2
-    )
-    per_point = top2.groupBy("ida").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
-        F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_2"),
+        for i in range(n)
+    ]
+    per_point = spark.createDataFrame(
+        per_rows, "ida long, d1 long, d2_2 long"
     )
     used = per_point.where(
         (F.col("d1") > 0) & F.col("d2_2").isNotNull()
