@@ -97,3 +97,93 @@ def test_ann_recall_eval_batched_equals_loop(spark):
     got = [tuple(r) for r in ann_recall_eval(spark, sf).collect()]
     want = [tuple(r) for r in _ann_recall_eval_loop(spark, sf).collect()]
     assert got == want
+
+
+def test_cos_multi_udf_matches_hof_cosine(spark):
+    """The Arrow multi-query cosine kernel must agree with the
+    JVM-side zip_with/aggregate fold to float tolerance on random
+    vectors — the seam the batched scoreboard's truth ranking rides."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from doeecommerce_datapipeline_spark.functions.vectors import cosine
+    from doeecommerce_datapipeline_spark.operators.similarity import (
+        _cos_multi_udf,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 16
+    queries = {qid: [float(x) for x in rng.normal(size=d)] for qid in (3, 9)}
+    rows = [
+        (i, qid, [float(x) for x in rng.normal(size=d)])
+        for i in range(40)
+        for qid in queries
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, query_id long, v array<float>"
+    )
+    qlit = {
+        qid: F.array(*[F.lit(x) for x in vec]) for qid, vec in queries.items()
+    }
+    hof = F.when(F.col("query_id") == 3, cosine("v", qlit[3])).otherwise(
+        cosine("v", qlit[9])
+    )
+    cosm = _cos_multi_udf(queries)
+    out = df.select(
+        "vec_id",
+        "query_id",
+        cosm(F.col("query_id"), F.col("v")).alias("np_cos"),
+        hof.alias("hof_cos"),
+    ).collect()
+    assert len(out) == 80
+    for r in out:
+        assert abs(r.np_cos - r.hof_cos) < 1e-12, r
+
+
+def test_adc_multi_udf_matches_single_query_adc(spark):
+    """The multi-LUT ADC kernel must reproduce the single-query ADC
+    scores to float tolerance for every panel query."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from doeecommerce_datapipeline_spark.operators.pq import (
+        _adc_cos_multi_udf,
+        _adc_cos_udf,
+    )
+
+    rng = np.random.default_rng(23)
+    m, k, dsub = 4, 8, 4
+    books = rng.normal(size=(m, k, dsub)).tolist()
+    queries = {
+        qid: [float(x) for x in rng.normal(size=m * dsub)] for qid in (1, 5)
+    }
+    codes = [
+        [int(c) for c in rng.integers(0, k, size=m)] for _ in range(30)
+    ]
+    rows = [(i, qid, codes[i]) for i in range(30) for qid in queries]
+    df = spark.createDataFrame(
+        rows, "vec_id long, query_id long, pq_code array<int>"
+    )
+    multi = _adc_cos_multi_udf(queries, books)
+    got = {
+        (r.vec_id, r.query_id): r.c
+        for r in df.select(
+            "vec_id",
+            "query_id",
+            multi(F.col("query_id"), F.col("pq_code")).alias("c"),
+        ).collect()
+    }
+    for qid, qv in queries.items():
+        single = _adc_cos_udf(qv, books)
+        sdf = spark.createDataFrame(
+            [(i, codes[i]) for i in range(30)],
+            "vec_id long, pq_code array<int>",
+        )
+        want = {
+            r.vec_id: r.c
+            for r in sdf.select(
+                "vec_id", single(F.col("pq_code")).alias("c")
+            ).collect()
+        }
+        for i in range(30):
+            assert abs(got[(i, qid)] - want[i]) < 1e-12
