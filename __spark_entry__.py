@@ -194,8 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     percentile_sketch_error, both TIGHTENED from rows-only to
     oracle-paired this round (exact halves + deterministic
     sketch-contract booleans; raw estimates moved to the internal
-    *_full/*_report faces their bounds-units check) — 16 → 14
-    rows-only; (3) pairwise_welch_fdr and adf_daily_revenue, whose
+    *_full/*_report faces their bounds-units check) — 16 → 13
+    rows-only counting sketch_rollup_daily_users, tightened the same
+    way late in the round (outside the window; its oracle-pair
+    driver record lands in r6); (3) pairwise_welch_fdr and
+    adf_daily_revenue, whose
     operator+oracle changed this round (ADVICE fixes: BH denominator
     derived from the actual pair count; null ADF statistic no longer
     asserts stationarity); (4) the first 45 record-less entries in
@@ -221,7 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_metrics": CP.doc_repetition_metrics,
         "ship_latency_quartiles": A.ship_latency_quartiles,
         "salted_value_stats": E.salted_value_stats,
-        "sketch_rollup_daily_users": X.sketch_rollup_daily_users,  # rows-only (sketch)
+        "sketch_rollup_daily_users": X.sketch_rollup_daily_users,  # oracle-paired since r5 (exact side + HLL contract flag)
         "active_users_trailing_7d": E.active_users_trailing_7d,
         "daily_orders_vs_events_full_outer": J.daily_orders_vs_events_full_outer,
         "referential_audit": J.referential_audit,
@@ -10784,6 +10787,12 @@ def _oracle_sql_literals() -> dict[str, str]:
                    TRUE AS distinct_within_10pct,
                    TRUE AS median_within_5pct
             FROM lineitem
+        """,
+        "sketch_rollup_daily_users": """
+            SELECT CAST(DATE_TRUNC('month', ts) AS DATE) AS month,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS approx_within_10pct
+            FROM events GROUP BY 1
         """,
         "percentile_sketch_error": """
             WITH n AS (

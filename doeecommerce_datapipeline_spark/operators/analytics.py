@@ -228,7 +228,9 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_rollup_daily_users_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Mergeable-sketch pre-aggregation: per-day HLL sketches of the
     user set, UNIONED up to month grain and compared against the exact
     monthly COUNT(DISTINCT) — (month, exact_users, approx_users).
@@ -236,9 +238,11 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is THE 100 TB distinct-count pattern: daily sketch tables are
     tiny, additive, and re-aggregatable to any coarser grain without
     touching raw events again (exact distinct states can't merge, so
-    every re-grain re-scans the fact). rows-only check: sketch
-    estimates are engine-specific; the unit bounds relative error
-    against the exact answer.
+    every re-grain re-scans the fact). The raw estimate is
+    engine-specific, so this full face has no SQL twin; the registry
+    entry (sketch_rollup_daily_users) surfaces the exact side plus the
+    sketch-contract flag instead — the unit bounds the raw estimate's
+    relative error here.
     """
     e = table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"),
@@ -256,6 +260,29 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.join(approx, "month").select(
         "month", "exact_users", "approx_users"
+    )
+
+
+def sketch_rollup_daily_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry face of the daily→monthly HLL rollup, ORACLE-PAIRED:
+    (month, exact_users, approx_within_10pct). HLL register merges
+    are MAX (order-free), and the sketch's rsd at the default lgK is
+    ~1.6% — a 10% flag margin is ~6σ, so the boolean verdict is
+    engine-stable even though the estimate's digits are not (the
+    approx_aggregates / percentile_sketch_error round-5 tightening
+    applied to the rollup pattern). Raw estimates stay visible via
+    sketch_rollup_daily_users_full for the bounds unit."""
+    full = sketch_rollup_daily_users_full(spark, sf_dir)
+    ex = F.col("exact_users").cast("double")
+    return full.select(
+        "month",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users").cast("double") - ex) / ex
+            < F.lit(0.10)
+        ).alias("approx_within_10pct"),
     )
 
 

@@ -61,16 +61,23 @@ def test_fact_deciles_scalable_mass_balance(spark, sf_dir):
 
 def test_sketch_rollup_error_bounded(spark, sf_dir):
     """Merged daily HLL sketches must land within 5% of the exact
-    monthly distinct count (HLL default lgConfigK=12 → ~1.6% rsd)."""
-    import __spark_entry__ as m
+    monthly distinct count (HLL default lgConfigK=12 → ~1.6% rsd),
+    and the oracle-paired face's flag must verdict TRUE."""
+    from doeecommerce_datapipeline_spark.operators.analytics import (
+        sketch_rollup_daily_users,
+        sketch_rollup_daily_users_full,
+    )
 
-    rows = m.queries()["sketch_rollup_daily_users"](spark, sf_dir).collect()
+    rows = sketch_rollup_daily_users_full(spark, sf_dir).collect()
     assert rows
     for r in rows:
         rel = abs(r["approx_users"] - r["exact_users"]) / max(
             r["exact_users"], 1
         )
         assert rel < 0.05, f"{r['month']}: rel err {rel:.3f}"
+    face = sketch_rollup_daily_users(spark, sf_dir).collect()
+    assert len(face) == len(rows)
+    assert all(r["approx_within_10pct"] is True for r in face)
 
 
 def test_numeric_corr_matrix_bounds_and_selfconsistency(spark, sf_dir):
