@@ -882,7 +882,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = topk(ivf_cand).withColumn(
         "method", F.lit("ivf")
     ).unionByName(topk(pq_cand).withColumn("method", F.lit("pq")))
-    hits = cands.join(truth, ["query_id", "vec_id"]).groupBy(
+    # truth/hits are ≤ Q·k rows BY CONSTRUCTION (the rank windows cap
+    # them) — hint broadcast so the closing joins never fall back to
+    # SortMergeJoin on frames Catalyst can't size through the window
+    hits = cands.join(F.broadcast(truth), ["query_id", "vec_id"]).groupBy(
         "method", "query_id"
     ).agg(F.count(F.lit(1)).alias("n_hit"))
     tcount = truth.groupBy("query_id").agg(
@@ -891,9 +894,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = spark.createDataFrame(
         [("ivf",), ("pq",)], "method string"
     )
-    grid = methods.crossJoin(tcount)  # 2 × Q rows
+    grid = methods.crossJoin(F.broadcast(tcount))  # 2 × Q rows
     return (
-        grid.join(hits, ["method", "query_id"], "left")
+        grid.join(F.broadcast(hits), ["method", "query_id"], "left")
         .select(
             "method",
             "query_id",

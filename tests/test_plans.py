@@ -401,3 +401,34 @@ def test_clustering_triangle_join_is_oriented(spark, sf_dir):
     p = _plan(spark, sf_dir, "copurchase_clustering")
     assert "Scan ExistingRDD" in p
     assert "LeftSemi" in p
+
+
+def test_intrinsic_dim_no_pair_explosion(spark, sf_dir):
+    """embedding_intrinsic_dim's pair matrix computes driver-side
+    within its ≤1000-vector contract (r5): the plan must never
+    regress to the 64·n²-row per-dim explode-join — no Generate,
+    no join of any strategy, and only the tiny reduce exchanges."""
+    p = _plan(spark, sf_dir, "embedding_intrinsic_dim")
+    assert "Generate" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("+- Exchange") <= 2
+
+
+def test_markov_chain_not_in_plan(spark, sf_dir):
+    """markov_removal_attribution's absorption chain runs driver-side
+    on the vocabulary-bounded edge table (r5): the returned plan is
+    the ≤4-row result frame — no joins, no windows, at most the
+    closing sort's exchange."""
+    p = _plan(spark, sf_dir, "markov_removal_attribution")
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_ann_scoreboard_single_scan_per_method(spark, sf_dir):
+    """ann_recall_eval (r5 batched): per-query rank windows over one
+    scored scan per method — no per-query TakeOrdered mini-jobs
+    (the plan has zero TakeOrderedAndProject nodes) and the grid
+    joins stay broadcast."""
+    p = _plan(spark, sf_dir, "ann_recall_eval")
+    assert "TakeOrderedAndProject" not in p
+    assert "SortMergeJoin" not in p
