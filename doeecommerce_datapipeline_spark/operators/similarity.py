@@ -419,6 +419,9 @@ KMEANS_K = 4
 KMEANS_ITERS = 3
 
 
+_LATTICE_KMEANS_CACHE: dict = {}
+
+
 def lattice_kmeans_assignments(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -439,7 +442,17 @@ def lattice_kmeans_assignments(
     exchanges per round, centroids broadcast back; 3 unrolled rounds
     keep the whole thing one declarative dag (no driver loop state
     beyond plan construction).
+
+    Cached per (session, dataset) like lpa_labels/_ann_index_state:
+    one partition, two registry readouts (kmeans_lattice_clusters'
+    sizes/inertia and cluster_source_nmi's agreement) — and the
+    result is bit-deterministic by the lattice contract, so caching
+    is observationally pure.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LATTICE_KMEANS_CACHE.get(key)
+    if hit is not None:
+        return hit
     e = table(spark, sf_dir, "embeddings")
     comp = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "v")
@@ -500,7 +513,8 @@ def lattice_kmeans_assignments(
                 .alias("c")
             )
         )
-    final = assign(cents)
+    final = assign(cents).localCheckpoint(eager=True)
+    _LATTICE_KMEANS_CACHE[key] = final
     return final
 
 
@@ -1012,9 +1026,8 @@ def cluster_source_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency is ≤ k×|labels| rows; everything after is
     constant-size.
     """
-    a = lattice_kmeans_assignments(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
+    a = lattice_kmeans_assignments(spark, sf_dir)  # session-cached,
+    # already checkpointed
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     ct = (
         a.join(e, "vec_id")
