@@ -2109,6 +2109,10 @@ def eb_shrunk_user_conversion(
 
 
 MARKOV_ABS_ITERS = 8
+# driver-side collect bound for the variant-expanded edge table
+# (vocabulary contract: states²×variants ≈ 245 rows; see
+# markov_removal_attribution)
+MARKOV_EDGE_BOUND = 1024
 
 
 def markov_removal_attribution(
@@ -2250,8 +2254,19 @@ def markov_removal_attribution(
     def _rnd(x: float, q: Decimal) -> Decimal:
         return Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
 
+    # Explicit bound guard before the driver-side collect: the edge
+    # table is vocabulary-bounded (≤ states²×variants ≈ 245 rows); a
+    # contract breach (unexpected state explosion) must raise, never
+    # OOM the driver. limit(N+1) keeps the scan bounded even on the
+    # breaching input.
+    edge_rows = mv.limit(MARKOV_EDGE_BOUND + 1).collect()
+    if len(edge_rows) > MARKOV_EDGE_BOUND:
+        raise ValueError(
+            "markov edge table exceeds the vocabulary-bounded contract "
+            f"({MARKOV_EDGE_BOUND} rows) — refusing driver-side collect"
+        )
     by_var: dict[str, list] = {}
-    for r in mv.collect():
+    for r in edge_rows:
         by_var.setdefault(r.variant, []).append((r.src, r.dst, r.p))
     vstart: dict[str, float] = {}
     for var, edges in by_var.items():
@@ -2276,7 +2291,11 @@ def markov_removal_attribution(
         "channel string, removal_effect double,"
         " attribution_share double, attributed_value double"
     )
-    if "full" not in vstart:
+    # p_full == 0.0 is the same degenerate case as "full" missing
+    # (no journey converts with nonzero mass): the Spark path's
+    # non-ANSI double division returned NULL rows; dividing here
+    # would raise ZeroDivisionError — return the empty frame instead.
+    if "full" not in vstart or vstart["full"] == 0.0:
         return spark.createDataFrame([], schema)
     p_full = vstart["full"]
     effs = [

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
+from . import session_cache
 
 PR_DAMPING = 0.85
 # NOT computed as 1.0 - PR_DAMPING: that IEEE expression yields
@@ -575,8 +576,7 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint()
         )
-    _LPA_STATE_CACHE[key] = (edges, labels)
-    return edges, labels
+    return session_cache.put(_LPA_STATE_CACHE, key, (edges, labels))
 
 
 def label_propagation_communities(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
+from . import session_cache
 from .corpus import quality_rules
 
 N_HASH_FEATURES = 256
@@ -113,7 +114,9 @@ _MODEL_CACHE: dict = {}
 def _cached_model(spark, sf_dir: str, docs):
     key = (id(spark.sparkContext), sf_dir)
     if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = train_quality_classifier(docs)
+        session_cache.put(
+            _MODEL_CACHE, key, train_quality_classifier(docs)
+        )
     return _MODEL_CACHE[key]
 
 
@@ -165,7 +168,83 @@ def holdout_auc(spark: SparkSession, sf_dir: str, model=None) -> float:
     return float(ev.evaluate(model.transform(holdout)))
 
 
-def isotonic_calibration(
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration — the ORACLE-PAIRED registry face
+    (REDEFINED r6 per the r5 verdict: PAV itself is deterministic, so
+    only the trained input score was keeping this rows-only; the face
+    now calibrates the DETERMINISTIC heuristic score while the
+    trained-score variant lives on as isotonic_calibration_model).
+
+    Calibrates distinct_ratio (an exact int/int IEEE division from
+    quality_rules) against the keep label on the HOLDOUT slice
+    (doc_id % 5 == 4 — you calibrate on the held-out sample, never
+    the full corpus). Per point: (doc_id, score, y_keep,
+    calibrated_rate) where calibrated_rate is the L2 isotonic fit in
+    (score, doc_id) order. PAVA executes as ONE applyInPandas group
+    over the sample-sized calibration set; the DuckDB twin evaluates
+    the closed-form minimax characterization fitted(i) =
+    max_{j<=i} min_{k>=i} mean(y[j..k]) over the same order — every
+    candidate value on both sides is a single IEEE division of exact
+    integers and rounding is monotone, so the fits agree BIT-EXACTLY
+    (the attained minimax value is the block mean both engines
+    compute as the same int pair division).
+    """
+    import pandas as pd
+
+    from ..pyfiles import ensure_shipped
+    from .corpus import quality_rules
+
+    ensure_shipped(spark)
+    cal = (
+        quality_rules(
+            table(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+        .where(F.pmod("doc_id", F.lit(HOLDOUT_MOD)) == HOLDOUT_MOD - 1)
+        .select(
+            "doc_id",
+            F.col("distinct_ratio").alias("score"),
+            F.col("keep").cast("int").alias("y_keep"),
+        )
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["score", "doc_id"]).reset_index(drop=True)
+        blocks: list[list] = []  # [n, sum_y]
+        for y in pdf["y_keep"]:
+            blocks.append([1, int(y)])
+            while (
+                len(blocks) > 1
+                and blocks[-1][1] * blocks[-2][0]
+                < blocks[-2][1] * blocks[-1][0]
+            ):
+                n2, s2 = blocks.pop()
+                blocks[-1][0] += n2
+                blocks[-1][1] += s2
+        rates: list[float] = []
+        for n, sy in blocks:
+            rates.extend([sy / n] * n)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "score": pdf["score"],
+                "y_keep": pdf["y_keep"],
+                "calibrated_rate": rates,
+            }
+        )
+
+    return (
+        cal.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            pava,
+            "doc_id long, score double, y_keep int,"
+            " calibrated_rate double",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def isotonic_calibration_model(
     spark: SparkSession, sf_dir: str, model=None
 ) -> DataFrame:
     """Isotonic (PAVA) calibration of the quality classifier's p_keep
@@ -181,8 +260,9 @@ def isotonic_calibration(
     calibration set — which is sample-sized BY DESIGN (you calibrate
     on thousands of points, not the corpus; at 100 TB the input to
     this operator is the held-out sample, never the full fact).
-    rows-only by contract (scores are trained floats), with an exact
-    brute-force PAVA equivalence unit in tests/test_quality_model.py.
+    rows-only by nature (scores are trained floats), with an exact
+    brute-force PAVA equivalence unit in tests/test_quality_model.py;
+    the deterministic registry face is isotonic_calibration.
     """
     import pandas as pd
 

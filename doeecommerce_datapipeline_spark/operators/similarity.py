@@ -20,6 +20,7 @@ from pyspark.sql.functions import pandas_udf
 from ..functions.text import tokens
 from ..functions.vectors import cosine, dot, norm
 from ..io import table
+from . import session_cache
 
 N_PLANES = 12  # 4096 buckets
 
@@ -514,8 +515,7 @@ def lattice_kmeans_assignments(
             )
         )
     final = assign(cents).localCheckpoint(eager=True)
-    _LATTICE_KMEANS_CACHE[key] = final
-    return final
+    return session_cache.put(_LATTICE_KMEANS_CACHE, key, final)
 
 
 DIM_STATS_SCALE = 1 << 20
@@ -765,8 +765,7 @@ def _ann_index_state(spark: SparkSession, sf_dir: str):
         for r in e.where(F.col("vec_id").isin(ANN_EVAL_QUERIES)).collect()
     }
     state = (e, assigned, centroids, books, coded, qrows)
-    _ANN_STATE_CACHE[key] = state
-    return state
+    return session_cache.put(_ANN_STATE_CACHE, key, state)
 
 
 def _cos_multi_udf(queries: dict):
@@ -848,8 +847,17 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def topk(scored: DataFrame) -> DataFrame:
+        # zero-norm guard: the Arrow kernels emit NaN for zero-norm
+        # vectors and Spark ranks NaN as the GREATEST double, so an
+        # unfiltered NaN row would sit at the top of the truth set;
+        # the JVM cosine HOF in the loop cross-check returns NULL
+        # (sorts last). Dropping NULL-or-NaN before the rank window
+        # makes both paths exclude zero-norm rows identically.
         return (
-            scored.withColumn("rk", F.row_number().over(wq))
+            scored.where(
+                F.col("cos").isNotNull() & ~F.isnan(F.col("cos"))
+            )
+            .withColumn("rk", F.row_number().over(wq))
             .where(F.col("rk") <= ANN_EVAL_K)
             .select("query_id", "vec_id")
         )
@@ -863,7 +871,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             cosm(F.col("query_id"), F.col("embedding")).alias("cos"),
         )
-    )  # ≤ Q·k rows; the cheap scan re-executes where reused
+    ).localCheckpoint(eager=True)
+    # ≤ Q·k rows by the rank cap — checkpointing is nearly free and
+    # stops the heaviest stage (the full embeddings × Q pandas-UDF
+    # cosine fan-out) from executing twice for its two consumers
+    # (hits join + tcount)
     probes = F.broadcast(
         spark.createDataFrame(
             [
@@ -941,6 +953,10 @@ def _ann_recall_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, assigned, centroids, books, coded, qrows = _ann_index_state(
         spark, sf_dir
     )
+    # same zero-norm exclusion as the batched path's topk(): the HOF
+    # cosine yields NULL on zero-norm rows, the ADC kernel NaN — drop
+    # both before ranking so loop ≡ batched holds on degenerate data
+    not_degenerate = F.col("cos").isNotNull() & ~F.isnan(F.col("cos"))
     rows = []
     for qid in ANN_EVAL_QUERIES:
         if qid not in qrows:
@@ -953,6 +969,7 @@ def _ann_recall_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e.join(F.broadcast(qdf))
                 .where(F.col("vec_id") != qid)
                 .select("vec_id", cosine("embedding", "qv").alias("cos"))
+                .where(not_degenerate)
                 .orderBy(F.desc("cos"), F.asc("vec_id"))
                 .limit(ANN_EVAL_K)
                 .collect()
@@ -968,6 +985,7 @@ def _ann_recall_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("vec_id") != qid)
                 .join(F.broadcast(qdf))
                 .select("vec_id", cosine("embedding", "qv").alias("cos"))
+                .where(not_degenerate)
                 .orderBy(F.desc("cos"), F.asc("vec_id"))
                 .limit(ANN_EVAL_K)
                 .collect()
@@ -981,6 +999,7 @@ def _ann_recall_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id",
                     _adc_cos_udf(query, books)(F.col("pq_code")).alias("cos"),
                 )
+                .where(not_degenerate)
                 .orderBy(F.desc("cos"), F.asc("vec_id"))
                 .limit(ANN_EVAL_K)
                 .collect()

@@ -327,6 +327,11 @@ def oov_metrics(
 
 
 BPE_N_MERGES = 8
+# hard cap on trainer rounds: each merge is one distributed aggregate
+# + a 1-row driver decision, so the driver-side state is O(n_merges).
+# A runaway request (e.g. a config typo asking for millions of merges)
+# must raise up front, not queue unbounded jobs.
+BPE_MAX_MERGES = 4096
 
 
 def _apply_merge(syms, a: str, b: str):
@@ -407,6 +412,11 @@ def bpe_merge_table(
     standard BPE tie rule). The word table is localCheckpointed per
     round so plans stay flat.
     """
+    if n_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds BPE_MAX_MERGES="
+            f"{BPE_MAX_MERGES} — refusing an unbounded driver loop"
+        )
     spark = docs.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     words = (
