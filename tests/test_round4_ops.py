@@ -2575,6 +2575,53 @@ def test_bitmap_filter_exact_at_word_boundaries(spark):
     assert [r.t for r in bitmap_key_filter(keys, "k", wide, "t").collect()] == []
 
 
+def test_bloom_filter_sparse_domain_no_false_negatives(spark):
+    """The bloom variant on a sparse ~1e12 key domain (where the dense
+    bitmap would be ~2 GB of words): every true member must survive
+    (no false negatives, the bloom contract), and survivors followed
+    by the exact join must equal the plain join exactly."""
+    import random
+
+    from doeecommerce_datapipeline_spark.operators.joins import (
+        bloom_key_filter,
+    )
+
+    rng = random.Random(42)
+    member_keys = sorted(rng.sample(range(10**12), 300))
+    non_members = sorted(
+        k + 1 for k in member_keys if k + 1 not in set(member_keys)
+    )[:300]
+    keys = spark.createDataFrame([(k,) for k in member_keys], "k long")
+    target = spark.createDataFrame(
+        [(t,) for t in member_keys + non_members], "t long"
+    )
+    survivors = {
+        r.t for r in bloom_key_filter(keys, "k", target, "t").collect()
+    }
+    assert set(member_keys) <= survivors  # no false negatives
+    # exactness restored by the join that follows
+    joined = sorted(
+        r.t
+        for r in bloom_key_filter(keys, "k", target, "t")
+        .join(keys, F.col("t") == F.col("k"), "left_semi")
+        .collect()
+    )
+    assert joined == member_keys
+
+
+def test_bloom_filter_revenue_matches_bitmap_path(spark):
+    """Both physical scale paths (dense bitmap / bloom) must produce
+    the identical logical answer."""
+    from doeecommerce_datapipeline_spark.operators.joins import (
+        bitmap_filter_revenue,
+        bloom_filter_revenue,
+    )
+
+    a = [tuple(r) for r in bitmap_filter_revenue(spark, SF).collect()]
+    b = [tuple(r) for r in bloom_filter_revenue(spark, SF).collect()]
+    assert a == b and len(a) > 0
+
+
 def test_k_anonymity_small_class_flagged(spark, tmp_path):
     from doeecommerce_datapipeline_spark.operators.analytics import (
         k_anonymity_classes,
