@@ -138,7 +138,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fact_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fact_deciles_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB decile path `customer_deciles` documents: a global
     ORDER BY window is a single-task sort, so at fact scale the same
     deciles come from GK-sketch bounds + a per-row bucket expression
@@ -147,9 +147,12 @@ def fact_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two passes, NO global sort: (1) approx_percentile computes the 9
     cut points in one sketch aggregate (mergeable, bounded memory);
     (2) every row buckets against the broadcast-literal bounds in a
-    codegen'd comparison chain, then a 10-group agg. Rows-only check:
-    the cut points are sketch-accuracy-dependent by design (the unit
-    bounds each decile's mass against the exact answer).
+    codegen'd comparison chain, then a 10-group agg. The cut points
+    (and so the per-bucket n_rows/lo/hi) are sketch-accuracy-
+    dependent by design — this full face has no SQL twin; the unit
+    bounds each decile's mass against the exact answer, and the
+    registry entry (fact_deciles_scalable) exposes the exact half
+    plus contract flags instead, which ARE oracle-pairable.
     """
     l = table(spark, sf_dir, "lineitem")
     qs = [i / 10.0 for i in range(1, 10)]
@@ -169,6 +172,52 @@ def fact_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.min("p").cast("double").alias("lo"),
             F.max("p").cast("double").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+def fact_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of the sketch-decile path, ORACLE-PAIRED since r6
+    (the approx_aggregates r5 pattern): per decile, the exact half
+    (n_total — the only decile-independent exact scalar) plus the two
+    sketch-contract verdicts — (decile, n_total, mass_within_10pct,
+    bounds_ordered).
+
+    Why the flags are deterministic while the raw buckets are not:
+    GK's guaranteed rank error at accuracy 10k is ~1e-4·n, so each
+    bucket's mass sits within ~2e-4·n of the ideal n/10 on ANY
+    engine — two orders of magnitude inside the 10%-relative flag
+    margin (the unit measures ≤3%). bounds_ordered is structurally
+    TRUE: bucket i holds prices ≤ cut_i and bucket i+1 prices >
+    cut_i, so hi_i < lo_{i+1} for every cut-point vector. The raw
+    (n_rows, lo, hi) stay visible via fact_deciles_full for the
+    mass-balance unit.
+    """
+    from pyspark.sql import Window
+
+    full = fact_deciles_full(spark, sf_dir)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wlead = Window.partitionBy().orderBy("decile")
+    ideal = F.col("n_total").cast("double") / F.lit(10.0)
+    return (
+        full.withColumn("n_total", F.sum("n_rows").over(wall))
+        .withColumn("next_lo", F.lead("lo").over(wlead))
+        .withColumn(
+            "pair_ok",
+            F.col("next_lo").isNull() | (F.col("hi") <= F.col("next_lo")),
+        )
+        .withColumn("bounds_ordered", F.min("pair_ok").over(wall))
+        .select(
+            "decile",
+            "n_total",
+            (
+                F.abs(F.col("n_rows").cast("double") - ideal) / ideal
+                < F.lit(0.10)
+            ).alias("mass_within_10pct"),
+            "bounds_ordered",
         )
         .orderBy("decile")
     )

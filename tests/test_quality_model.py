@@ -73,14 +73,14 @@ def test_isotonic_calibration_matches_bruteforce_and_is_monotone(
     import pytest
 
     from doeecommerce_datapipeline_spark.operators.quality_model import (
-        isotonic_calibration,
+        isotonic_calibration_model,
     )
 
     # verify via the operator's own kernel against an independent
     # reference PAVA on a fixture exercised through the full Spark path
     d = "/root/testdata/sf0.001"
     rows = sorted(
-        isotonic_calibration(spark, d).collect(),
+        isotonic_calibration_model(spark, d).collect(),
         key=lambda r: r.score_lo,
     )
     assert rows
@@ -113,9 +113,45 @@ def test_isotonic_calibration_matches_bruteforce_and_is_monotone(
             blk[-1][0] += n2
             blk[-1][1] += s2
     rows2 = sorted(
-        isotonic_calibration(spark, d, model=model).collect(),
+        isotonic_calibration_model(spark, d, model=model).collect(),
         key=lambda r: r.score_lo,
     )
     assert [r.n for r in rows2] == [n for n, _ in blk]
     for r, (n, s) in zip(rows2, blk):
         assert r.calibrated_rate == pytest.approx(s / n, abs=1e-12)
+
+
+def test_isotonic_registry_face_matches_minimax(spark):
+    """The r6 oracle-paired face: the PAVA per-point fit must equal
+    the closed-form minimax characterization fitted(i) = max_{j<=i}
+    min_{k>=i} mean(y[j..k]) BIT-EXACTLY (this identity is what the
+    DuckDB twin evaluates), and be nondecreasing in (score, doc_id)
+    order."""
+    from doeecommerce_datapipeline_spark.operators.quality_model import (
+        isotonic_calibration,
+    )
+
+    d = "/root/testdata/sf0.001"
+    got = isotonic_calibration(spark, d).collect()
+    assert got
+    # every holdout doc, exactly once
+    assert sorted(r.doc_id for r in got) == sorted(
+        set(r.doc_id for r in got)
+    )
+    assert all(r.doc_id % 5 == 4 for r in got)
+
+    pts = sorted((r.score, r.doc_id, r.y_keep) for r in got)
+    y = [p[2] for p in pts]
+    n = len(y)
+    cum = [0]
+    for v in y:
+        cum.append(cum[-1] + v)
+    mean = lambda j, k: (cum[k + 1] - cum[j]) / (k + 1 - j)  # noqa: E731
+    fitted = [
+        max(min(mean(j, k) for k in range(i, n)) for j in range(i + 1))
+        for i in range(n)
+    ]
+    by_id = {r.doc_id: r.calibrated_rate for r in got}
+    for (s, did, _), f in zip(pts, fitted):
+        assert by_id[did] == f, (did, s)
+    assert fitted == sorted(fitted)
