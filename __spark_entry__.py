@@ -206,10 +206,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     After this window the record-less queue = ship_sla_pchart
     onward: 105 entries (down from 153), ~2 more windows to drain.
 
-    ROUND-6 ROTATION PLAN: head = any r5-window red rows, then the
-    record-less queue from ship_sla_pchart in declaration order
-    (50 slots); round 7 takes the remainder (granger/copurchase
-    sections onward) plus the oldest r1-vintage re-checks.
+    ROUND-6 EXECUTED (registry 331 → 332: the one verdict-mandated
+    addition, bloom_filter_revenue; rows-only 13 → 11): _R6_WINDOW =
+    (1) sketch_rollup_daily_users (tightened post-window in r5; first
+    oracle-paired record); (2) fact_deciles_scalable and
+    isotonic_calibration, MOVED from rows-only to oracle-paired this
+    round per the r5 verdict — fact_deciles via the exact-total +
+    contract-flag face (raw buckets stay on fact_deciles_full),
+    isotonic via the deterministic-heuristic-score PAVA face whose
+    DuckDB twin evaluates the minimax characterization
+    max_{j<=i} min_{k>=i} mean(y[j..k]) (bit-exact: both sides reduce
+    to single IEEE divisions of exact ints; trained-score variant
+    lives on as isotonic_calibration_model, non-registry); (3)
+    bloom_filter_revenue, NEW — the sparse/huge-domain bloom runtime
+    filter promised at joins.bitmap_key_filter, oracle-paired because
+    FPs wash out in the exact join; (4) 46 record-less entries in
+    declaration order, ship_sla_pchart … char_entropy_flags
+    (isotonic pulled forward into (2)). ADVICE r5 fixes landing
+    inside this window: markov_removal_attribution p_full==0 guard +
+    bounded edge collect; outside it: ann_recall_eval zero-norm
+    NaN/NULL exclusion (batched ≡ loop preserved), truth-frame
+    localCheckpoint, session-cache eviction bounds
+    (operators/session_cache.py).
+
+    ROUND-7 ROTATION PLAN: head = any r6-window red rows, then the
+    record-less queue from rage_burst_users in declaration order
+    (~50 of the 59 remaining: rage_burst_users … through the
+    granger/copurchase/nmi sections); round 8 takes the last ~9 plus
+    the oldest r1-vintage re-checks.
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -386,7 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": CP.stratified_sample,
         "bigram_lm": T.bigram_lm,
         "orders_asof_priority_regime": SCD.orders_asof_priority_regime,
-        "fact_deciles_scalable": X.fact_deciles_scalable,  # rows-only, r2 record
+        "fact_deciles_scalable": X.fact_deciles_scalable,  # oracle-paired since r6 (exact total + contract flags; raw buckets = fact_deciles_full)
         # (e) built in round 4 — all oracle-paired (containment join,
         # quality-aware canonical pick, eval-side decontamination,
         # ExactSubstr-lite span coverage, Simpson mixture health,
@@ -531,7 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ac) round-4 continuation 24 — distribution-free forecast
         # uncertainty via split conformal
         "conformal_forecast_band": W.conformal_forecast_band,
-        "isotonic_calibration": QM.isotonic_calibration,  # rows-only (trained scores; PAVA unit-tested vs brute force)
+        "isotonic_calibration": QM.isotonic_calibration,  # oracle-paired since r6 (deterministic heuristic score; PAVA ≡ minimax twin; trained-score variant = isotonic_calibration_model)
         # (ad) round-4 continuation 25 — the MoM revenue waterfall
         "revenue_bridge_monthly": R.revenue_bridge_monthly,
         "dau_wau_stickiness": E.dau_wau_stickiness,
@@ -587,6 +611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contrastive negative sampling
         "hits_part_authorities": G.hits_part_authorities,
         "bitmap_filter_revenue": J.bitmap_filter_revenue,
+        # r6 (VERDICT item 4): the sparse/huge-domain bloom variant
+        # promised in bitmap_key_filter's docstring — same logical
+        # answer (FPs washed out by the exact join), bloom is physical
+        "bloom_filter_revenue": J.bloom_filter_revenue,
         "k_anonymity_classes": X.k_anonymity_classes,
         "contrastive_negatives": CP.contrastive_negatives,
         # (as) round-4 continuation 40 — MOSS winnowing fingerprint
@@ -781,15 +809,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the nonlinear dependence Pearson/Spearman/Kendall miss)
         "distance_correlation_daily": X.distance_correlation_daily,
     }
-    return {k: q[k] for k in _R5_WINDOW} | {
-        k: v for k, v in q.items() if k not in set(_R5_WINDOW)
+    return {k: q[k] for k in _R6_WINDOW} | {
+        k: v for k, v in q.items() if k not in set(_R6_WINDOW)
     }
 
 
-# Driver-visible head (first 50 entries = the r5 CORRECTNESS window).
-# Composition documented in queries.__doc__ (ROUND-5 EXECUTED); every
+# Driver-visible head (first 50 entries = the r6 CORRECTNESS window).
+# Composition documented in queries.__doc__ (ROUND-6 EXECUTED); every
 # name must exist in the declaration dict above
 # (tests/test_registry_window.py asserts it).
+_R6_WINDOW = [
+    # (1) tightened to oracle-paired in r5 AFTER the r5 window closed —
+    # first oracle-paired driver record lands here (planned in the r5
+    # ledger note)
+    "sketch_rollup_daily_users",
+    # (2) rows-only → oracle-paired THIS round (r5 verdict item 7):
+    # fact_deciles via the exact-total + contract-flag face;
+    # isotonic_calibration via the deterministic-score PAVA face with
+    # the minimax SQL twin
+    "fact_deciles_scalable",
+    "isotonic_calibration",
+    # (3) NEW this round (r5 verdict item 4): the sparse-domain bloom
+    # scale path promised in bitmap_key_filter's docstring
+    "bloom_filter_revenue",
+    # (4) record-less rotation, registry declaration order from
+    # ship_sla_pchart (isotonic_calibration pulled to (2) above);
+    # markov_removal_attribution's ADVICE fixes (p_full==0 guard,
+    # bounded collect) land inside this window
+    "ship_sla_pchart",
+    "revenue_feature_matrix",
+    "ar_aging_buckets",
+    "price_power_means",
+    "item_item_cosine",
+    "value_psi_drift",
+    "conformal_forecast_band",
+    "revenue_bridge_monthly",
+    "dau_wau_stickiness",
+    "supplier_hhi_by_nation",
+    "priority_mix_shift",
+    "eb_shrunk_user_conversion",
+    "ppl_filter_sweep",
+    "mix_epochs_plan",
+    "promo_did_estimate",
+    "retrieval_ndcg_eval",
+    "dedup_rate_by_source",
+    "order_value_ecdf",
+    "readability_scores",
+    "top_movers_monthly",
+    "copurchase_core_collapse",
+    "markov_removal_attribution",
+    "cuped_adjusted_ab",
+    "holt_winters_weekly",
+    "inventory_ss_policy",
+    "dsir_importance_weights",
+    "corpus_health_by_source",
+    "kneser_ney_bigrams",
+    "shapley_attribution",
+    "hits_part_authorities",
+    "bitmap_filter_revenue",
+    "k_anonymity_classes",
+    "contrastive_negatives",
+    "winnowing_fingerprints",
+    "abc_xyz_inventory",
+    "time_decay_attribution",
+    "query_likelihood_search",
+    "huber_trend_by_type",
+    "adamic_adar_parts",
+    "markov_entropy_rate",
+    "haar_energy_daily",
+    "theil_inequality_by_nation",
+    "ngram_novelty_by_source",
+    "loso_source_impact",
+    "label_propagation_communities",
+    "char_entropy_flags",
+]
+
+# r5 window kept for the ledger (CORRECTNESS_r05 rows map to this).
 _R5_WINDOW = [
     # (1) r4's one red row — the face now emits scalars only
     "pca_embeddings",
@@ -3492,6 +3587,64 @@ def _oracle_sql_literals() -> dict[str, str]:
                             THEN FALSE
                         ELSE TRUE END AS keep
             FROM s
+        """,
+        # r6: PAVA face oracle-paired via the minimax characterization
+        # fitted(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) — every
+        # candidate is a single IEEE division of exact ints and
+        # rounding is monotone, so the attained value is the block
+        # mean both engines compute identically (see
+        # quality_model.isotonic_calibration)
+        "isotonic_calibration": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE doc_id % 5 = 4
+            ), w AS (
+                SELECT doc_id, unnest(t) AS word FROM toks
+            ), pw AS (
+                SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+            ), s AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_distinct,
+                       MAX(c) AS top_count
+                FROM pw GROUP BY 1
+            ), pts AS (
+                SELECT doc_id,
+                       CAST(n_distinct AS DOUBLE) / n_tokens AS score,
+                       CASE WHEN n_tokens < 20 THEN 0
+                            WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.35
+                                THEN 0
+                            WHEN CAST(top_count AS DOUBLE) / n_tokens > 0.125
+                                THEN 0
+                            ELSE 1 END AS y_keep
+                FROM s
+            ), ord AS (
+                SELECT doc_id, score, y_keep,
+                       ROW_NUMBER() OVER (ORDER BY score, doc_id) AS i
+                FROM pts
+            ), pref AS (
+                SELECT i, SUM(y_keep) OVER (ORDER BY i) AS cum FROM ord
+            ), a AS (
+                SELECT j.i AS j, k.i AS k,
+                       CAST(k.cum - COALESCE(jm.cum, 0) AS DOUBLE)
+                           / (k.i - j.i + 1) AS m
+                FROM pref j
+                JOIN pref k ON k.i >= j.i
+                LEFT JOIN pref jm ON jm.i = j.i - 1
+            ), mn AS (
+                SELECT j, k,
+                       MIN(m) OVER (PARTITION BY j ORDER BY k DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS v
+                FROM a
+            ), fit AS (
+                SELECT k AS i, MAX(v) AS calibrated_rate FROM mn GROUP BY k
+            )
+            SELECT o.doc_id, o.score, CAST(o.y_keep AS INT) AS y_keep,
+                   f.calibrated_rate
+            FROM ord o JOIN fit f ON f.i = o.i
+            ORDER BY o.doc_id
         """,
         "source_mix_sample": """
             WITH b AS (
@@ -7435,6 +7588,17 @@ def _oracle_sql_literals() -> dict[str, str]:
             GROUP BY p.p_brand
             ORDER BY p.p_brand
         """,
+        # bloom path produces the identical logical answer — same
+        # oracle as bitmap_filter_revenue (the filter is physical-only)
+        "bloom_filter_revenue": """
+            SELECT p.p_brand, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type = 'ECONOMY' AND p.p_size >= 40
+            GROUP BY p.p_brand
+            ORDER BY p.p_brand
+        """,
         "k_anonymity_classes": """
             WITH spend AS (
                 SELECT o_custkey,
@@ -10793,6 +10957,18 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
                    TRUE AS approx_within_10pct
             FROM events GROUP BY 1
+        """,
+        # r6: the sketch-decile face tightened the approx_aggregates
+        # way — exact total + structurally/contract-true flags (GK
+        # rank error ~1e-4·n vs the 10% margin; hi_i < lo_{i+1} by
+        # bucket construction for ANY cut-point vector)
+        "fact_deciles_scalable": """
+            SELECT CAST(r.range AS BIGINT) AS decile,
+                   (SELECT COUNT(*) FROM lineitem) AS n_total,
+                   TRUE AS mass_within_10pct,
+                   TRUE AS bounds_ordered
+            FROM range(1, 11) r
+            ORDER BY decile
         """,
         "percentile_sketch_error": """
             WITH n AS (
