@@ -432,3 +432,20 @@ def test_ann_scoreboard_single_scan_per_method(spark, sf_dir):
     p = _plan(spark, sf_dir, "ann_recall_eval")
     assert "TakeOrderedAndProject" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_bloom_filter_probe_below_the_join(spark, sf_dir):
+    """bloom_filter_revenue (r6): the k-hash probe must evaluate as a
+    Filter directly over the fact scan — BELOW the broadcast join —
+    so non-matching lineitems die before any exchange; the join that
+    follows stays broadcast (never SortMergeJoin)."""
+    p = _plan(spark, sf_dir, "bloom_filter_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "shiftrightunsigned" in p  # the bit test is JVM expressions
+    # node (1) is the fact scan and node (2) — its direct parent — is
+    # the Filter carrying the xxhash64 probes: bloom over the scan,
+    # nothing (no exchange, no join) in between
+    assert "(1) Scan parquet" in p
+    filt = p.split("(2) Filter", 1)[1].split("\n(3)", 1)[0]
+    assert "xxhash64" in filt
