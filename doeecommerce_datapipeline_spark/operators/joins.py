@@ -323,8 +323,14 @@ def bloom_key_filter(
     NEGATIVES ever, so correctness is restored by the exact join that
     follows; false positives only cost those rows riding one join.
 
-    Build: each key sets `n_hashes` bits at pmod(xxhash64(key, i),
-    n_bits) — one explode + word-keyed bit_or aggregate, map-side
+    Build: each key sets `n_hashes` bits via Kirsch-Mitzenmacher
+    double hashing — position_i = pmod(h1 + i·h2, n_bits) from TWO
+    xxhash64 evaluations (seeds 0/1, h2 forced odd so the stride
+    cycles the power-of-two table), which preserves the asymptotic FP
+    rate of k independent hashes (Kirsch & Mitzenmacher, ESA'06)
+    while the per-row probe computes 2 hashes instead of k — the
+    difference that matters when the probe runs inside a 100 TB fact
+    scan. One explode + word-keyed bit_or aggregate, map-side
     combined, collecting exactly n_bits/64 longs (16 KB at the
     default) to the driver. Probe: AND of n_hashes O(1) element_at +
     shift tests against the single array Literal — pure JVM
@@ -333,15 +339,31 @@ def bloom_key_filter(
     ~8k keys: (1 - e^(-5·8k/131072))^5 ≈ 0.1%; size n_bits ≈ 10-16
     bits/key for ~1% at other cardinalities.
     """
-    pos = [
-        F.expr(
-            f"pmod(xxhash64(CAST({key_col} AS BIGINT),"
-            f" CAST({i} AS INT)), {n_bits})"
+
+    def _positions(col: str) -> list[str]:
+        # both hashes reduce mod n_bits BEFORE the i·h2 combine so the
+        # arithmetic stays far from int64 overflow (ANSI mode throws on
+        # it); |1 keeps the stride odd, which cycles the power-of-two
+        # table fully
+        h1 = (
+            f"pmod(xxhash64(CAST({col} AS BIGINT), CAST(0 AS INT)),"
+            f" {n_bits})"
         )
-        for i in range(n_hashes)
-    ]
+        h2 = (
+            f"(pmod(xxhash64(CAST({col} AS BIGINT), CAST(1 AS INT)),"
+            f" {n_bits}) | 1)"
+        )
+        return [
+            f"pmod({h1} + CAST({i} AS BIGINT) * {h2}, {n_bits})"
+            for i in range(n_hashes)
+        ]
+
     words = (
-        keys.select(F.explode(F.array(*pos)).alias("p"))
+        keys.select(
+            F.explode(
+                F.array(*[F.expr(p) for p in _positions(key_col)])
+            ).alias("p")
+        )
         .select(
             F.expr("CAST(shiftright(p, 6) AS INT)").alias("w"),
             F.expr(
@@ -357,11 +379,7 @@ def bloom_key_filter(
         arr[r.w] = r.m
     bloom = F.lit(arr).cast("array<bigint>")
     hit = None
-    for i in range(n_hashes):
-        p = (
-            f"pmod(xxhash64(CAST({target_key} AS BIGINT),"
-            f" CAST({i} AS INT)), {n_bits})"
-        )
+    for p in _positions(target_key):
         cond = F.expr(
             f"(shiftrightunsigned(element_at(__bloom,"
             f" CAST(shiftright({p}, 6) AS INT) + 1),"
