@@ -884,6 +884,68 @@ _R6_WINDOW = [
     "char_entropy_flags",
 ]
 
+# Pre-staged r7 rotation (NOT yet wired — queries() serves _R6_WINDOW
+# until the r6 driver record lands): the next 50 record-less entries
+# in declaration order. Round 7 opens by setting the head to any
+# r6-window red rows, then this queue; the r8 remainder is
+# event_hour_mi, embedding_intrinsic_dim, hopkins_statistic,
+# catalog_size_estimates, promo_return_odds, churn_logrank_test,
+# filter_mcnemar_test, distance_correlation_daily, plus
+# numeric_corr_matrix (r3 record predates its r4 reimplementation)
+# and the oldest r1-vintage re-checks.
+_R7_QUEUE = [
+    "rage_burst_users",
+    "heaps_law_fit",
+    "triplet_violation_rate",
+    "brand_diversity_deciles",
+    "click_conversion_by_hour",
+    "community_modularity",
+    "circadian_concentration",
+    "sprt_daily_monitor",
+    "image_downsample_metrics",
+    "dp_noisy_counts",
+    "asof_next_purchase",
+    "inventory_order_policies",
+    "trade_flow_matrix",
+    "best_of_n_selection",
+    "burrows_delta_sources",
+    "similar_payment_screen",
+    "split_repair_assignments",
+    "business_days_latency",
+    "budget_allocation_plan",
+    "source_js_divergence",
+    "textrank_keywords",
+    "part_skyline",
+    "runs_test_revenue",
+    "ljung_box_revenue",
+    "kendall_tau_daily",
+    "sorted_neighborhood_pairs",
+    "coverage_greedy_docs",
+    "hurst_rs_daily",
+    "median_polish_dow_hour",
+    "anova_value_by_type",
+    "cf_holdout_hitrate",
+    "granger_count_to_revenue",
+    "copurchase_clustering",
+    "term_burstiness",
+    "simpson_slope_check",
+    "bm25_prf_search",
+    "value_emd_drift",
+    "lsh_recall_eval",
+    "stl_residual_anomalies",
+    "value_qte_deciles",
+    "ann_recall_eval",
+    "doc_mahalanobis_outliers",
+    "price_indices_monthly",
+    "copurchase_assortativity",
+    "cem_promo_att",
+    "collocations_g2",
+    "revenue_shift_share",
+    "durbin_watson_trend",
+    "yule_k_by_source",
+    "cluster_source_nmi",
+]
+
 # r5 window kept for the ledger (CORRECTNESS_r05 rows map to this).
 _R5_WINDOW = [
     # (1) r4's one red row — the face now emits scalars only
