@@ -2609,6 +2609,33 @@ def test_bloom_filter_sparse_domain_no_false_negatives(spark):
     assert joined == member_keys
 
 
+def test_bloom_filter_fp_rate_within_design_bound(spark):
+    """Empirical false-positive rate of the KM double-hashed bloom at
+    the default sizing: 500 member keys in a 2^17-bit / 5-hash filter
+    has a theoretical FP rate ≈ (1-e^(-5·500/131072))^5 ≈ 2e-9; with
+    the KM scheme's constant-factor slack, probing 50k non-members
+    must still show well under 1% — the design margin the docstring
+    promises for ~8k keys."""
+    import random
+
+    from doeecommerce_datapipeline_spark.operators.joins import (
+        bloom_key_filter,
+    )
+
+    rng = random.Random(7)
+    members = rng.sample(range(10**12), 500)
+    mset = set(members)
+    non_members = []
+    while len(non_members) < 50_000:
+        k = rng.randrange(10**12)
+        if k not in mset:
+            non_members.append(k)
+    keys = spark.createDataFrame([(k,) for k in members], "k long")
+    probes = spark.createDataFrame([(t,) for t in non_members], "t long")
+    fp = bloom_key_filter(keys, "k", probes, "t").count()
+    assert fp / len(non_members) < 0.01, fp
+
+
 def test_bloom_filter_revenue_matches_bitmap_path(spark):
     """Both physical scale paths (dense bitmap / bloom) must produce
     the identical logical answer."""
