@@ -199,6 +199,12 @@ def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# dense-bitmap domain cap: 4M 64-bit words = 32 MB broadcast = a
+# 268M-key contiguous domain; past that the bloom variant is the
+# correct physical plan (see bitmap_key_filter's docstring)
+BITMAP_MAX_WORDS = 1 << 22
+
+
 def bitmap_key_filter(keys: DataFrame, key_col: str, target: DataFrame,
                       target_key: str) -> DataFrame:
     """Exact broadcast-bitmap runtime filter: keep only `target` rows
@@ -221,8 +227,11 @@ def bitmap_key_filter(keys: DataFrame, key_col: str, target: DataFrame,
     riding through a shuffle.
 
     Applies to dense integer key domains (TPC-H-style surrogate keys).
-    For sparse/huge domains, fall back to the bloom variant (false
-    positives washed out by the exact join that follows).
+    For sparse/huge domains, fall back to bloom_key_filter (false
+    positives washed out by the exact join that follows) — ENFORCED:
+    a domain needing more than BITMAP_MAX_WORDS words (32 MB of
+    broadcast longs) raises instead of silently building a
+    driver-side array the broadcast budget can't carry.
     """
     words = (
         keys.select(
@@ -239,6 +248,12 @@ def bitmap_key_filter(keys: DataFrame, key_col: str, target: DataFrame,
         .collect()
     )
     n_words = max(r.w for r in words) + 1 if words else 1
+    if n_words > BITMAP_MAX_WORDS:
+        raise ValueError(
+            f"key domain needs {n_words} bitmap words (> BITMAP_MAX_WORDS="
+            f"{BITMAP_MAX_WORDS}, 32 MB of broadcast longs) — use "
+            "bloom_key_filter for sparse/huge key domains"
+        )
     arr = [0] * n_words
     for r in words:
         arr[r.w] = r.m

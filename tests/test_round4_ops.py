@@ -2609,6 +2609,18 @@ def test_bloom_filter_sparse_domain_no_false_negatives(spark):
     assert joined == member_keys
 
 
+def test_bitmap_filter_sparse_domain_raises(spark, monkeypatch):
+    """A sparse/huge key domain must raise with a pointer to the bloom
+    variant, never silently build a domain-sized driver array."""
+    from doeecommerce_datapipeline_spark.operators import joins as J
+
+    monkeypatch.setattr(J, "BITMAP_MAX_WORDS", 4)
+    keys = spark.createDataFrame([(1_000_000,)], "k long")
+    target = spark.createDataFrame([(1,)], "t long")
+    with pytest.raises(ValueError, match="bloom_key_filter"):
+        J.bitmap_key_filter(keys, "k", target, "t")
+
+
 def test_bloom_filter_fp_rate_within_design_bound(spark):
     """Empirical false-positive rate of the KM double-hashed bloom at
     the default sizing: 500 member keys in a 2^17-bit / 5-hash filter
