@@ -1580,7 +1580,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_en,
                    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_keep,
-                   CAST(SUM(CAST(ROUND(wpb, 9) AS DECIMAL(18,9)))
+                   -- integer nano-unit quantization by floor (r6):
+                   -- ROUND(double,9) is engine-defined at boundaries
+                   CAST(SUM(CAST(floor(wpb * 1000000000.0) AS BIGINT))
                         AS DOUBLE) AS sw,
                    CAST(COUNT(wpb) AS BIGINT) AS nw
             FROM pd GROUP BY 1
@@ -1591,7 +1593,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_en AS DOUBLE) / CAST(h.n_docs AS DOUBLE)
                    AS pct_en,
                CASE WHEN nw > 0
-                    THEN sw / CAST(nw AS DOUBLE) END
+                    THEN sw / CAST(nw AS DOUBLE) / 1000000000.0 END
                    AS mean_dsir_per_bigram
         FROM h JOIN dd ON h.source = dd.source
         ORDER BY h.source
@@ -2998,11 +3000,14 @@ def _oracle_sql_literals() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "value_zscore_outliers": """
+            -- 2dp/4dp lattices keep the scaled sums < 2^53 so the
+            -- decimal->double seam is exact (r6; trap #4)
             WITH s AS (
                 SELECT event_type,
                        COUNT(*) AS n,
-                       SUM(CAST(value AS DECIMAL(28,10))) AS s1,
-                       SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+                       SUM(CAST(value AS DECIMAL(28,2))) AS s1,
+                       SUM(CAST(round(value * value, 4)
+                                AS DECIMAL(28,4))) AS s2
                 FROM events GROUP BY 1
             ), st0 AS (
                 SELECT event_type,
@@ -4597,10 +4602,13 @@ def _oracle_sql_literals() -> dict[str, str]:
                         (x, i) -> NOT list_contains(
                             coalesce(covl.cov, CAST([] AS BIGINT[])), i)))
                         AS BIGINT) AS n_removed,
-                   array_to_string(list_filter(t.toks,
+                   -- DuckDB array_to_string([]) is NULL while Spark
+                   -- array_join([]) is '' — a fully-boilerplate doc
+                   -- (appears at sf0.1) must agree on the empty string
+                   coalesce(array_to_string(list_filter(t.toks,
                         (x, i) -> NOT list_contains(
                             coalesce(covl.cov, CAST([] AS BIGINT[])), i)),
-                        ' ') AS clean_text
+                        ' '), '') AS clean_text
             FROM t LEFT JOIN covl USING (doc_id)
         """,
         "weighted_doc_sample": r"""
@@ -5038,32 +5046,39 @@ def _oracle_sql_literals() -> dict[str, str]:
                        CAST(rev AS DOUBLE) AS revenue,
                        CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
                        CAST(SUM(rev) OVER w AS DOUBLE) AS s,
-                       CAST(SUM(CAST(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
-                                     AS DECIMAL(38,6))) OVER w
+                       CAST(SUM(CAST(round(CAST(rev AS DOUBLE)
+                                           * CAST(rev AS DOUBLE), 0)
+                                     AS DECIMAL(38,0))) OVER w
                             AS DOUBLE) AS ss
                 FROM daily
                 WINDOW w AS (ORDER BY day
                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
             ), bands AS (
+                -- floor(x*1e6)/1e6 quantization: identical IEEE ops
+                -- on identical doubles (ROUND(double,6) is
+                -- implementation-defined at boundaries — r6)
                 SELECT day, revenue,
-                       ROUND(CASE WHEN n_win = 20
-                            THEN s / CAST(n_win AS DOUBLE) END, 6) AS mean20,
-                       ROUND(CASE WHEN n_win = 20
+                       floor(CASE WHEN n_win = 20
+                            THEN s / CAST(n_win AS DOUBLE) END
+                            * 1000000.0) / 1000000.0 AS mean20,
+                       floor(CASE WHEN n_win = 20
                             THEN s / CAST(n_win AS DOUBLE)
                                  + CAST('2.0' AS DOUBLE)
                                  * sqrt(GREATEST(
                                        (CAST(n_win AS DOUBLE) * ss - s * s)
                                        / (CAST(n_win AS DOUBLE)
                                           * (CAST(n_win AS DOUBLE) - 1)),
-                                       0.0)) END, 6) AS upper_band,
-                       ROUND(CASE WHEN n_win = 20
+                                       0.0)) END * 1000000.0)
+                           / 1000000.0 AS upper_band,
+                       floor(CASE WHEN n_win = 20
                             THEN s / CAST(n_win AS DOUBLE)
                                  - CAST('2.0' AS DOUBLE)
                                  * sqrt(GREATEST(
                                        (CAST(n_win AS DOUBLE) * ss - s * s)
                                        / (CAST(n_win AS DOUBLE)
                                           * (CAST(n_win AS DOUBLE) - 1)),
-                                       0.0)) END, 6) AS lower_band
+                                       0.0)) END * 1000000.0)
+                           / 1000000.0 AS lower_band
                 FROM win
             )
             SELECT day, revenue, mean20, upper_band, lower_band,
@@ -5578,12 +5593,19 @@ def _oracle_sql_literals() -> dict[str, str]:
                            / CAST(n_lines AS DOUBLE) AS p
                 FROM per p JOIN supplier s ON s.s_suppkey = p.l_suppkey
             )
+            -- z² must fold in DOUBLE: DuckDB's bare 1.96*1.96 is exact
+            -- DECIMAL 3.8416, Spark's double fold is 3.8415999999999997
+            -- — a 1-ulp wilson divergence on large-n suppliers (sf0.1)
             SELECT suppkey, s_name, n_lines, n_ontime,
                    p AS ontime_rate,
-                   (p + (1.96 * 1.96) / (2.0 * nd)
+                   (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                        / (2.0 * nd)
                       - 1.96 * sqrt(p * (1.0 - p) / nd
-                                    + (1.96 * 1.96) / (4.0 * nd * nd)))
-                   / (1.0 + (1.96 * 1.96) / nd) AS wilson_lower
+                                    + (CAST(1.96 AS DOUBLE)
+                                       * CAST(1.96 AS DOUBLE))
+                                      / (4.0 * nd * nd)))
+                   / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                            / nd) AS wilson_lower
             FROM c
         """,
         "leadtime_weighted_median": """
@@ -7554,12 +7576,15 @@ def _oracle_sql_literals() -> dict[str, str]:
                             AS DOUBLE) AS sx,
                        CAST(SUM(CAST(y AS DECIMAL(18,6)))
                             AS DOUBLE) AS sy,
-                       CAST(SUM(CAST(ROUND(x * x, 8)
-                            AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
-                       CAST(SUM(CAST(ROUND(y * y, 8)
-                            AS DECIMAL(28,8))) AS DOUBLE) AS syy,
-                       CAST(SUM(CAST(ROUND(x * y, 8)
-                            AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+                       -- 4dp product lattice (r6): X/Y are 2dp
+                       -- sums so the 4dp round is exact and the
+                       -- scaled moment sums stay under 2^53
+                       CAST(SUM(CAST(ROUND(x * x, 4)
+                            AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(ROUND(y * y, 4)
+                            AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(ROUND(x * y, 4)
+                            AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
                        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1
                                 ELSE 0 END) AS BIGINT) AS n0,
                        CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1
@@ -7825,16 +7850,22 @@ def _oracle_sql_literals() -> dict[str, str]:
                   AND t.tday <= CAST(p.ts AS DATE)
                   AND t.tday >= CAST(p.ts AS DATE) - 7
             ), shares AS (
+                -- exact micro-unit credits by integer floor division
+                -- (r6): floor(double(p/q)) == exact floor for these
+                -- magnitudes, so no float-rounding midpoints exist
                 SELECT event_id, event_type,
-                       CAST(ROUND(value * CAST(w AS DOUBLE)
-                                  / CAST(SUM(w) OVER (
-                                        PARTITION BY event_id) AS DOUBLE),
-                                  6) AS DECIMAL(18,6)) AS share
+                       CAST(floor(
+                           CAST(CAST(round(value * 100, 0) AS BIGINT)
+                                * w * 10000 AS DOUBLE)
+                           / CAST(SUM(w) OVER (
+                                 PARTITION BY event_id) AS DOUBLE))
+                           AS BIGINT) AS micro
                 FROM cand
             )
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_credited_purchases,
-                   CAST(SUM(share) AS DOUBLE) AS attributed_value
+                   CAST(SUM(micro) AS DOUBLE) / 1000000.0
+                       AS attributed_value
             FROM shares GROUP BY event_type
         """,
         # zero-tf terms contribute the smoothed background probability,
@@ -8315,8 +8346,13 @@ def _oracle_sql_literals() -> dict[str, str]:
         # per-user argmax is the (burst DESC, ts, event_id) total
         # order
         "rage_burst_users": """
+            -- sec = floor-to-second like Spark's unix_timestamp:
+            -- integer epoch_us // 1000000 (CAST(epoch(ts) AS BIGINT)
+            -- rounds half-even — trap #3 — and flipped bursts whose
+            -- events straddle a second boundary at sf0.1)
             WITH pts AS (
-                SELECT user_id, event_id, ts, CAST(epoch(ts) AS BIGINT) AS sec
+                SELECT user_id, event_id, ts,
+                       epoch_us(ts) // 1000000 AS sec
                 FROM events
             ), b AS (
                 SELECT user_id, event_id, ts,
@@ -8392,7 +8428,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-                           AS heaps_beta,
+                           + 0.0 AS heaps_beta,
                        ROUND(exp((CAST(sy AS DOUBLE)
                                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))

@@ -1020,8 +1020,11 @@ def corpus_health_by_source(
     Shape: the parents each scan the corpus once (their own audited
     plans); the composition adds only doc_id-keyed joins at the
     document grain and a source-grain rollup. The DSIR ratio is a
-    per-doc double division quantized at 9dp before the order-free
-    per-source sum.
+    per-doc double division quantized to integer NANO-units by
+    explicit floor(x·1e9) before the order-free exact sum (r6 —
+    round(double, 9) is implementation-defined at representation
+    boundaries and flipped one row at sf0.1; floor of the identical
+    double is engine-independent).
     """
     from .textops import dsir_importance_weights
 
@@ -1045,7 +1048,7 @@ def corpus_health_by_source(
             "n_en"
         ),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
-        F.sum(F.round(F.col("wpb"), 9).cast("decimal(18,9)"))
+        F.sum(F.floor(F.col("wpb") * F.lit(1e9)).cast("long"))
         .cast("double")
         .alias("sw"),
         F.count("wpb").alias("nw"),
@@ -1066,7 +1069,9 @@ def corpus_health_by_source(
             ).alias("pct_en"),
             F.when(
                 F.col("nw") > 0,
-                F.col("sw") / F.col("nw").cast("double"),
+                F.col("sw")
+                / F.col("nw").cast("double")
+                / F.lit(1e9),
             ).alias("mean_dsir_per_bigram"),
         )
         .orderBy("source")

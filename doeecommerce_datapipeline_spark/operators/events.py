@@ -273,13 +273,24 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero and zero-sigma groups (which would make z a 0/0 NaN with
     engine-dependent ordering) are dropped: a constant group has no
     outliers by definition.
+
+    Scale-stable lattices (r6 — the sf0.1 sweep caught the old
+    DECIMAL(28,10) sums double-rounding on the decimal→double seam,
+    trap #4): value is a 2dp quantity, so Σv sums on DECIMAL(28,2)
+    and Σv² quantizes the product to its natural 4dp lattice — both
+    scaled sums stay far under 2^53, where int128→double conversion
+    is exact in every engine. round-HALF_UP vs HALF_EVEN can't
+    diverge because a 2dp/4dp-intended double never sits on the next
+    digit's midpoint.
     """
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     stats = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+        F.sum(F.col("value").cast("decimal(28,2)")).alias("s1"),
         F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(28,10)")
+            F.round(F.col("value") * F.col("value"), 4).cast(
+                "decimal(28,4)"
+            )
         ).alias("s2"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
@@ -1399,9 +1410,13 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the decay weights are exact POWERS OF TWO (integers
     1..128), so per-purchase weight totals are exact BIGINTs — no
-    transcendental pow on either engine. Each touch's credit is
-    value * w / sum_w rounded at 6dp and quantized to DECIMAL(18,6)
-    before the order-free sum (the linear-attribution seam).
+    transcendental pow on either engine. Each touch's credit
+    quantizes to exact micro-units by FLOOR division of integers
+    (r6 — the old round-at-6dp of a float quotient sat on rounding
+    midpoints at sf0.1): micro = floor(cents·w·10⁴ / sum_w), where
+    floor(double(p/q)) equals exact integer floor whenever
+    floor(p/q)·q < 2^53 (here ≤ ~7e14), so every engine produces the
+    identical BIGINT and the rollup is an exact integer sum.
 
     Shape: identical to the linear model's — touches dedup to
     (user, day, type) first so the user-keyed range join fans out by
@@ -1445,21 +1460,20 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     win = Window.partitionBy("event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    num = (cents * F.col("w") * F.lit(10000)).cast("double")
     shares = cand.select(
         "event_id",
         "event_type",
-        F.round(
-            F.col("value")
-            * F.col("w").cast("double")
-            / F.sum("w").over(win).cast("double"),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("share"),
+        F.floor(num / F.sum("w").over(win).cast("double"))
+        .cast("long")
+        .alias("micro"),
     )
     return shares.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_credited_purchases"),
-        F.sum("share").cast("double").alias("attributed_value"),
+        (F.sum("micro").cast("double") / F.lit(1000000.0)).alias(
+            "attributed_value"
+        ),
     )
 
 
@@ -2336,8 +2350,11 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything derives from ONE user-grain aggregate + ONE moment
     rollup: per-user X/Y are conditional DECIMAL(18,6) exact sums
     (bit-identical doubles), cross-moments quantize the double
-    products at 8dp to DECIMAL(28,8) before the order-free sum (the
-    corr-matrix seam), and theta / rho² / the adjusted delta and z
+    products on their NATURAL 4dp lattice (X/Y are sums of 2dp
+    values, so X·Y has ≤4 true decimals and the 4dp round is a
+    no-op; r6 — the old 8dp scale pushed the moment sums past 2^53
+    scaled units where decimal→double conversion double-rounds per
+    engine, trap #4), and theta / rho² / the adjusted delta and z
     are closed-form in those moments — var(Y_cuped) = var(Y)(1-rho²)
     analytically, so NO second pass re-scores users. Scale: the only
     fact exchange is the user-grain aggregate; the moment rollup is
@@ -2363,7 +2380,7 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     dy = F.col("y").cast("decimal(18,6)")
 
     def _q(prod):
-        return F.round(prod, 8).cast("decimal(28,8)")
+        return F.round(prod, 4).cast("decimal(28,4)")
 
     row = per_user.agg(
         F.count(F.lit(1)).alias("n"),

@@ -1608,8 +1608,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     den = nd * sxx - sx * sx
     beta = (nd * sxy - sx * sy) / den
+    # + 0.0 canonicalizes IEEE negative zero (a saturated vocabulary
+    # makes the slope EXACTLY zero and the two engines disagree on its
+    # sign bit; -0.0 + 0.0 = +0.0, every other finite value unchanged)
     fit = stats.select(
-        F.round(beta, 6).alias("heaps_beta"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
         F.round(F.exp((sy - beta * sx) / nd), 6).alias("heaps_k"),
     )
     return (

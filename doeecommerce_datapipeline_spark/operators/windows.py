@@ -417,7 +417,15 @@ def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day").rowsBetween(-(BOLLINGER_WINDOW - 1), 0)
     revd = F.col("rev").cast("double")
-    sq = (revd * revd).cast("decimal(38,6)")
+    # squares quantize at SCALE 0 (r6): a 20-day window of ~2.6e14
+    # squares sums to ≲5e15 scaled units — under 2^53, where every
+    # engine's decimal→double conversion is exact (the old scale-6
+    # sums sat at ~2.6e20 and double-rounded differently per engine —
+    # trap #4, caught by the sf0.1 sweep). The integer rounding is
+    # midpoint-free: a 2dp value's square has fraction c/10⁴ with
+    # c = cents² mod 10⁴, and c = 5000 is impossible (squares mod 16
+    # are {0,1,4,9}, 5000 ≡ 8).
+    sq = F.round(revd * revd, 0).cast("decimal(38,0)")
     d = daily.select(
         "day",
         revd.alias("revenue"),
@@ -432,16 +440,19 @@ def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (n * ss - s * s) / (n * (n - 1))
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     full = F.col("n_win") == BOLLINGER_WINDOW
-    # 6dp rounding seam on the band surface (the DECIMAL(38,6) window
-    # sums exceed 2^53 so the engines' decimal→double casts can differ
-    # in the last ulp); the breach flag compares against the ROUNDED
-    # bands so the boolean is deterministic too
-    upper = F.round(F.when(full, mean + F.lit(BOLLINGER_K) * sd), 6)
-    lower = F.round(F.when(full, mean - F.lit(BOLLINGER_K) * sd), 6)
+    # band surface quantizes by EXPLICIT floor(x·1e6)/1e6 (r6): both
+    # engines then run the identical IEEE dag on identical doubles —
+    # round(double, 6) is implemented differently per engine
+    # (shortest-repr HALF_UP vs scaled-multiply) and flipped one
+    # boundary-straddling band at sf0.1. The breach flag compares
+    # against the quantized bands so the boolean stays deterministic.
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    upper = q6(F.when(full, mean + F.lit(BOLLINGER_K) * sd))
+    lower = q6(F.when(full, mean - F.lit(BOLLINGER_K) * sd))
     return d.select(
         "day",
         "revenue",
-        F.round(F.when(full, mean), 6).alias("mean20"),
+        q6(F.when(full, mean)).alias("mean20"),
         upper.alias("upper_band"),
         lower.alias("lower_band"),
         F.coalesce(
