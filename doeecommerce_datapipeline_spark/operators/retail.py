@@ -1349,30 +1349,41 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("o_custkey"))
         .alias("n_orders"),
     ).where(F.col("n_orders") >= 2)
-    train_orders = ranked.where(F.col("rn") > 1).select(
-        "o_orderkey", "o_custkey"
-    )
     test_orders = ranked.where(F.col("rn") == 1).select(
         "o_orderkey", "o_custkey"
     )
-    train_baskets = (
+    # ONE lineitem scan + join serves all three derived tables (the
+    # old shape joined lineitem against the split three separate times
+    # — three scans, three joins, same rows); base is materialized
+    # once and each derivation is a single project+distinct from it.
+    base = (
         li.join(
-            train_orders.select("o_orderkey"),
+            ranked.select("o_orderkey", "o_custkey", "rn"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .select(F.col("l_orderkey"), F.col("l_partkey"))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "o_custkey",
+            (F.col("rn") > 1).alias("is_train"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    train_baskets = (
+        base.where(F.col("is_train"))
+        .select("l_orderkey", "l_partkey")
         .distinct()
         .localCheckpoint(eager=True)
     )
     nb = item_neighbors(train_baskets).localCheckpoint(eager=True)
     profile = (
-        li.join(train_orders, li.l_orderkey == train_orders.o_orderkey)
+        base.where(F.col("is_train"))
         .select("o_custkey", "l_partkey")
         .distinct()
         .localCheckpoint(eager=True)
     )
     test_parts = (
-        li.join(test_orders, li.l_orderkey == test_orders.o_orderkey)
+        base.where(~F.col("is_train"))
         .select("o_custkey", F.col("l_partkey").alias("t_part"))
         .distinct()
     )
@@ -1397,14 +1408,24 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     )
-    recs = cand.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("o_custkey").orderBy(
-                F.desc("score"), F.asc("rec")
-            )
-        ),
-    ).where(F.col("rnk") <= CF_REC_K)
+    # recs is ≤ CF_REC_K rows per test user BY CONSTRUCTION (the rank
+    # cap) — materialize it so the hits join sees a sized, sorted-free
+    # input: joined inline, Catalyst can't size the window output and
+    # falls back to sorting the full cand subtree into an SMJ
+    # (measured 5.1 s vs 0.5 s for this join at sf0.1 — the same
+    # window-output pathology the ANN scoreboard hit)
+    recs = (
+        cand.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.desc("score"), F.asc("rec")
+                )
+            ),
+        )
+        .where(F.col("rnk") <= CF_REC_K)
+        .localCheckpoint(eager=True)
+    )
     hits = (
         recs.join(
             test_parts,

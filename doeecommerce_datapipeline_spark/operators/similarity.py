@@ -740,6 +740,11 @@ ANN_EVAL_K = 10
 # because localCheckpointed frames die with their session. Same
 # precedent as quality_model._MODEL_CACHE.
 _ANN_STATE_CACHE: dict = {}
+# exact-cosine truth top-k per (session, sf_dir): deterministic given
+# the dataset (the brute-force baseline over the fixed query panel),
+# so it shares the index-state contract — rebuilt when the corpus
+# changes, not on every scoreboard call.
+_ANN_TRUTH_CACHE: dict = {}
 
 
 def _ann_index_state(spark: SparkSession, sf_dir: str):
@@ -863,19 +868,32 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cosm = _cos_multi_udf(qrows)
-    truth = topk(
-        e.join(qids_df)
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosm(F.col("query_id"), F.col("embedding")).alias("cos"),
-        )
-    ).localCheckpoint(eager=True)
+    # the exact-cosine truth set is deterministic per (session,
+    # dataset) — same contract as the trained index state, so it lives
+    # in the same session cache: a production scoreboard recomputes the
+    # brute-force baseline when the corpus changes, not per report.
     # ≤ Q·k rows by the rank cap — checkpointing is nearly free and
     # stops the heaviest stage (the full embeddings × Q pandas-UDF
     # cosine fan-out) from executing twice for its two consumers
     # (hits join + tcount)
+    tkey = (spark.sparkContext.applicationId, sf_dir)
+    truth = _ANN_TRUTH_CACHE.get(tkey)
+    if truth is None:
+        truth = session_cache.put(
+            _ANN_TRUTH_CACHE,
+            tkey,
+            topk(
+                e.join(qids_df)
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    "vec_id",
+                    cosm(F.col("query_id"), F.col("embedding")).alias(
+                        "cos"
+                    ),
+                )
+            ).localCheckpoint(eager=True),
+        )
     probes = F.broadcast(
         spark.createDataFrame(
             [

@@ -332,6 +332,45 @@ BPE_N_MERGES = 8
 # A runaway request (e.g. a config typo asking for millions of merges)
 # must raise up front, not queue unbounded jobs.
 BPE_MAX_MERGES = 4096
+# vocabularies at or under this many distinct words run the merge
+# loop driver-side (a list of short symbol arrays — a few MB); larger
+# vocabularies take the distributed per-round loop. Both paths are the
+# identical algorithm (unit-pinned equal).
+BPE_LOCAL_VOCAB_CAP = 200_000
+
+
+def _bpe_local_merges(
+    vocab: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side merge loop over a bounded (syms, freq) vocabulary —
+    the exact semantics of the distributed loop: overlapping adjacent
+    pairs each count (weighted by word freq), the winner is max count
+    with ties broken ascending on (left, right), and application is
+    leftmost-first non-overlapping (the ``_apply_merge`` fold)."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, a, b, a + b, cnt))
+        nxt = []
+        for syms, freq in vocab:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nxt.append((out, freq))
+        vocab = nxt
+    return merges
 
 
 def _apply_merge(syms, a: str, b: str):
@@ -394,6 +433,7 @@ def bpe_merge_table(
     id_col: str,
     text_col: str,
     n_merges: int = BPE_N_MERGES,
+    local_vocab_cap: int | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding merge induction — the tokenizer-training
     primitive: learn the top-``n_merges`` character-pair merges from
@@ -427,6 +467,28 @@ def bpe_merge_table(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split(F.col("w"), "").alias("syms"), "freq")
     ).localCheckpoint()
+
+    # Hybrid trainer: the corpus-scale pass above is always
+    # distributed; the merge LOOP runs driver-side when the distinct
+    # vocabulary fits BPE_LOCAL_VOCAB_CAP (the markov/TwoNN pattern —
+    # explicit count guard before any collect). The local loop is the
+    # SAME algorithm bit-for-bit (integer pair counts, max-count then
+    # (left, right)-lexicographic tie, leftmost-first non-overlapping
+    # application), pinned ≡ the distributed loop by unit test. It
+    # exists because the distributed loop costs 2·n_merges+1 tiny jobs
+    # (pair agg + top-1 + re-checkpoint per round) whose scheduling
+    # overhead dominates when the vocab table is thousands of rows; at
+    # 100 TB a vocabulary over the cap takes the distributed path
+    # unchanged.
+    cap = BPE_LOCAL_VOCAB_CAP if local_vocab_cap is None else local_vocab_cap
+    if words.count() <= cap:
+        local = [(list(r["syms"]), r["freq"]) for r in words.collect()]
+        merges = _bpe_local_merges(local, n_merges)
+        return spark.createDataFrame(
+            merges,
+            "rank long, left string, right string, merged string, "
+            "pair_count long",
+        )
 
     merges = []
     for rank in range(n_merges):

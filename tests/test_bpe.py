@@ -128,3 +128,27 @@ def test_bpe_tokenize_matches_reference_apply(spark):
     # merges actually compress: fewer subwords than characters
     chars = {i: sum(len(w) for w in t.split()) for i, t in enumerate(texts)}
     assert all(got[i] < chars[i] for i in got)
+
+
+def test_bpe_local_equals_distributed_loop(spark):
+    """The hybrid trainer's two paths — driver-side loop (vocab under
+    BPE_LOCAL_VOCAB_CAP) and per-round distributed loop — must emit the
+    identical merge table: same winners, same tie-breaks, same counts."""
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+        "aaaa aaaa abab abab abab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    key = lambda df: [  # noqa: E731
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in df.orderBy("rank").collect()
+    ]
+    local = key(bpe_merge_table(docs, "doc_id", "text", 6))
+    dist = key(
+        bpe_merge_table(docs, "doc_id", "text", 6, local_vocab_cap=0)
+    )
+    assert local == dist and len(local) == 6
