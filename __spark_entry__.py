@@ -33,6 +33,7 @@ from doeecommerce_datapipeline_spark.operators import (
     graph as G,
     mllib_lsh as L,
     pca as PCA,
+    pii as PII,
     pq as PQ,
     profiling as PR,
     projections as P,
@@ -233,7 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     record-less queue from rage_burst_users in declaration order
     (~50 of the 59 remaining: rage_burst_users … through the
     granger/copurchase/nmi sections); round 8 takes the last ~9 plus
-    the oldest r1-vintage re-checks.
+    the r6 post-window additions (pii_scan_report,
+    pii_redaction_audit) and the oldest r1-vintage re-checks.
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -808,6 +810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cr) round-4 continuation 92 — distance correlation (catches
         # the nonlinear dependence Pearson/Spearman/Kendall miss)
         "distance_correlation_daily": X.distance_correlation_daily,
+        # (cs) round-6 post-window additions 93-94 — free-text PII
+        # detection + redaction (the privacy pass of the LLM-pipeline
+        # surface; regex subset shared Java∩RE2 so the oracle matches
+        # byte-for-byte; input = deterministic synth CRM notes, the
+        # synth_image_table fixture pattern). Queue for the r8 window.
+        "pii_scan_report": PII.pii_scan_report,
+        "pii_redaction_audit": PII.pii_redaction_audit,
     }
     return {k: q[k] for k in _R6_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R6_WINDOW)
@@ -1880,6 +1889,41 @@ def _markov_removal_oracle() -> str:
         FROM effq CROSS JOIN convval cv
         ORDER BY channel
     """
+
+
+# --- PII oracle building blocks (single-sourced: the regex constants
+# come from operators/pii.py, so Spark and DuckDB can never drift onto
+# different patterns; the notes CTE mirrors synth_crm_notes column by
+# column — integer multiply-mod on the non-negative key, then pure
+# string concatenation) -------------------------------------------------
+_PII_PHONE_SQL = (
+    "'+1-' || CAST((c_custkey*7919)%900+100 AS VARCHAR) || '-' || "
+    "CAST((c_custkey*104729)%900+100 AS VARCHAR) || '-' || "
+    "lpad(CAST(c_custkey%10000 AS VARCHAR), 4, '0')"
+)
+_PII_IP_SQL = (
+    "'192.168.' || CAST((c_custkey*13)%256 AS VARCHAR) || '.' || "
+    "CAST((c_custkey*31)%256 AS VARCHAR)"
+)
+_PII_EMAIL_SQL = "lower(replace(c_name, '#', '.')) || '@example.com'"
+_PII_NOTES_CTE = f"""
+            WITH notes AS (
+                SELECT c_custkey, c_mktsegment,
+                       CASE c_custkey % 5
+                       WHEN 0 THEN 'segment review for ' || c_mktsegment
+                            || ' account; no contact on file'
+                       WHEN 1 THEN 'followup sent to ' || {_PII_EMAIL_SQL}
+                            || ' re renewal'
+                       WHEN 2 THEN 'call placed to ' || {_PII_PHONE_SQL}
+                            || ' after hours'
+                       WHEN 3 THEN 'last portal login from '
+                            || {_PII_IP_SQL} || ' flagged'
+                       ELSE 'escalation: contact ' || {_PII_EMAIL_SQL}
+                            || ' or ' || {_PII_PHONE_SQL}
+                            || '; session ip ' || {_PII_IP_SQL}
+                       END AS note
+                FROM customer
+            )"""
 
 
 def _oracle_sql_literals() -> dict[str, str]:
@@ -11085,5 +11129,46 @@ def _oracle_sql_literals() -> dict[str, str]:
             WHERE r.rn = GREATEST(
                 1, CAST(CEIL(CAST(qs.q AS DOUBLE) * n.n) AS BIGINT))
             ORDER BY q
+        """,
+        "pii_scan_report": f"""
+            {_PII_NOTES_CTE},
+            scanned AS (
+                SELECT c_mktsegment,
+                       len(regexp_extract_all(note, '{PII.EMAIL_RE}'))
+                           AS n_e,
+                       len(regexp_extract_all(note, '{PII.PHONE_RE}'))
+                           AS n_p,
+                       len(regexp_extract_all(note, '{PII.IPV4_RE}'))
+                           AS n_i
+                FROM notes
+            )
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_notes,
+                   CAST(SUM(CASE WHEN n_e + n_p + n_i > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
+                   CAST(SUM(n_e) AS BIGINT) AS n_emails,
+                   CAST(SUM(n_p) AS BIGINT) AS n_phones,
+                   CAST(SUM(n_i) AS BIGINT) AS n_ipv4
+            FROM scanned GROUP BY c_mktsegment
+        """,
+        "pii_redaction_audit": f"""
+            {_PII_NOTES_CTE},
+            red AS (
+                SELECT c_custkey, note,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           note, '{PII.EMAIL_RE}', '{PII.EMAIL_TOKEN}', 'g'),
+                           '{PII.IPV4_RE}', '{PII.IPV4_TOKEN}', 'g'),
+                           '{PII.PHONE_RE}', '{PII.PHONE_TOKEN}', 'g')
+                           AS clean_text
+                FROM notes
+            )
+            SELECT c_custkey,
+                   CAST(len(regexp_extract_all(note, '{PII.EMAIL_RE}'))
+                        + len(regexp_extract_all(note, '{PII.PHONE_RE}'))
+                        + len(regexp_extract_all(note, '{PII.IPV4_RE}'))
+                        AS BIGINT) AS n_redactions,
+                   CAST(length(clean_text) AS BIGINT) AS clean_len,
+                   md5(clean_text) AS clean_md5
+            FROM red
         """,
     }

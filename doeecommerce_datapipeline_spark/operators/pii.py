@@ -1,0 +1,210 @@
+"""Text-level PII detection and redaction — the privacy pass every
+LLM training-data pipeline runs before a corpus leaves the building
+(emails, phone numbers, IP addresses scrubbed to typed placeholders;
+counts kept for the audit trail). The row-identifier pseudonymization
+sibling lives at ``corpus.pseudonymize_events``; THIS module handles
+PII embedded in free text, which only pattern matching can find.
+
+Reference scope: the reference pipeline has no free-text PII surface
+(its ``users`` silver table keeps raw emails: ``database/db_setup.py``
+silver.users DDL) — this is part of the LLM-extension surface, built
+Spark-first: per-row ``regexp_count`` / ``regexp_replace`` expressions
+(JVM codegen, scan-bound, zero shuffles for the per-doc pass; one
+hash-agg exchange for the rollup). At 100 TB the scan dominates and
+parallelizes embarrassingly; there is no state, no UDF, no collect.
+
+Cross-engine exactness: every pattern is written in the Java-regex ∩
+RE2 common subset (character classes, bounded/unbounded greedy
+repetition, non-capturing alternation only — no backreferences, no
+lookaround, no \\b) so Spark (java.util.regex) and the DuckDB oracle
+(RE2) find the IDENTICAL match set; both engines use leftmost,
+greedy-with-backtracking-semantics matching for these constructs, and
+replacement order (email → ipv4 → phone) is fixed so composed
+redactions agree byte-for-byte.
+
+The registry faces run over a DETERMINISTIC synthetic CRM-notes view
+built from the ``customer`` table (the driver corpus's ``documents``
+text is digit-free word salad — a PII scan over it would parity-pass
+vacuously; the synth-notes view interleaves key-derived phone/email/IP
+strings into one-fifth-each coverage classes, the same
+fixture-from-columns pattern as ``multimodal.media.synth_image_table``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+# Java ∩ RE2 subset — see module docstring. Kept as single-source
+# constants: the oracle SQL templates below interpolate THESE strings,
+# so Spark and DuckDB can never drift onto different patterns.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PHONE_RE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def synth_crm_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CRM-notes fixture over ``customer``: one free-text
+    note per customer whose PII content class is ``c_custkey % 5`` —
+    0 = no PII, 1 = email only, 2 = phone only, 3 = IP only,
+    4 = all three. Phone/IP digits derive from the key via integer
+    multiply-mod (non-negative operands, so Spark ``%`` ≡ DuckDB ``%``),
+    the email from ``lower(c_name)`` with '#' → '.'; every branch is a
+    pure per-row string expression both engines build identically."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit("+1-"),
+        ((k * 7919) % 900 + 100).cast("string"),
+        F.lit("-"),
+        ((k * 104729) % 900 + 100).cast("string"),
+        F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("192.168."),
+        ((k * 13) % 256).cast("string"),
+        F.lit("."),
+        ((k * 31) % 256).cast("string"),
+    )
+    cls = k % 5
+    note = (
+        F.when(
+            cls == 0,
+            F.concat(
+                F.lit("segment review for "),
+                F.col("c_mktsegment"),
+                F.lit(" account; no contact on file"),
+            ),
+        )
+        .when(
+            cls == 1,
+            F.concat(F.lit("followup sent to "), email, F.lit(" re renewal")),
+        )
+        .when(
+            cls == 2,
+            F.concat(F.lit("call placed to "), phone, F.lit(" after hours")),
+        )
+        .when(
+            cls == 3,
+            F.concat(F.lit("last portal login from "), ip, F.lit(" flagged")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("escalation: contact "),
+                email,
+                F.lit(" or "),
+                phone,
+                F.lit("; session ip "),
+                ip,
+            )
+        )
+    )
+    return c.select("c_custkey", "c_mktsegment", note.alias("note"))
+
+
+def pii_scan(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-row PII detection counts: (id, n_emails, n_phones, n_ipv4,
+    has_pii). One codegen'd projection — ``regexp_count`` per pattern,
+    no shuffle; attach to any (id, text) frame."""
+    t = F.col(text_col)
+    n_e = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_p = F.regexp_count(t, F.lit(PHONE_RE))
+    n_i = F.regexp_count(t, F.lit(IPV4_RE))
+    return frame.select(
+        F.col(id_col),
+        n_e.cast("long").alias("n_emails"),
+        n_p.cast("long").alias("n_phones"),
+        n_i.cast("long").alias("n_ipv4"),
+        ((n_e + n_p + n_i) > 0).alias("has_pii"),
+    )
+
+
+def pii_redact(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-row redaction: every email/IPv4/phone match replaced by its
+    typed placeholder, in the FIXED order email → ipv4 → phone (the
+    patterns are mutually non-overlapping on any input once emails go
+    first, so the composition is order-stable). Returns (id,
+    clean_text, n_redactions) with n_redactions counted on the
+    ORIGINAL text."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN),
+            IPV4_RE,
+            IPV4_TOKEN,
+        ),
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+    n_red = (
+        F.regexp_count(t, F.lit(EMAIL_RE))
+        + F.regexp_count(t, F.lit(PHONE_RE))
+        + F.regexp_count(t, F.lit(IPV4_RE))
+    )
+    return frame.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face: market-segment rollup of the PII scan over the
+    synth CRM notes — (c_mktsegment, n_notes, n_with_pii, n_emails,
+    n_phones, n_ipv4). Two-phase hash agg after the scan-bound
+    detection projection: one exchange total. Non-degenerate by
+    construction (every segment holds all five content classes)."""
+    scanned = pii_scan(
+        synth_crm_notes(spark, sf_dir).withColumn(
+            "seg", F.col("c_mktsegment")
+        ),
+        "seg",
+        "note",
+    )
+    return (
+        scanned.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_notes"),
+            F.sum(F.col("has_pii").cast("long")).alias("n_with_pii"),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("n_phones").alias("n_phones"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n_notes",
+            "n_with_pii",
+            "n_emails",
+            "n_phones",
+            "n_ipv4",
+        )
+    )
+
+
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face: per-customer redaction audit — (c_custkey,
+    n_redactions, clean_len, clean_md5). The md5 of the redacted text
+    pins the EXACT output bytes cross-engine (both engines emit
+    lowercase-hex md5), so a single placeholder drift or replacement
+    -order change hash-mismatches every affected row. Scan-bound,
+    shuffle-free."""
+    red = pii_redact(
+        synth_crm_notes(spark, sf_dir), "c_custkey", "note"
+    )
+    return red.select(
+        "c_custkey",
+        "n_redactions",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
