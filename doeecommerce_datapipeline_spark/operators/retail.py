@@ -1309,6 +1309,45 @@ def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 CF_REC_K = 10
 
 
+def _cf_recs(nb: DataFrame, profile: DataFrame) -> DataFrame:
+    """Top-``CF_REC_K`` unseen recommendations per test user: score
+    every (user, candidate) by the DECIMAL(18,6)-quantized (order-free)
+    sum of neighbor sims to the user's training profile, anti-join out
+    already-seen parts, rank with the (score desc, part asc) total
+    order. Returned UN-checkpointed so the plan-shape guard can assert
+    the decimal score sum and rank window on the construction path;
+    cf_holdout_hitrate materializes it before the hits join."""
+    cand = (
+        profile.join(
+            nb.select(
+                F.col("part_i").alias("l_partkey"),
+                F.col("part_j").alias("rec"),
+                "sim",
+            ),
+            "l_partkey",
+        )
+        .groupBy("o_custkey", "rec")
+        .agg(
+            F.sum(F.col("sim").cast("decimal(18,6)")).alias("score")
+        )
+        .join(
+            profile.select(
+                "o_custkey", F.col("l_partkey").alias("rec")
+            ),
+            ["o_custkey", "rec"],
+            "left_anti",
+        )
+    )
+    return cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.desc("score"), F.asc("rec")
+            )
+        ),
+    ).where(F.col("rnk") <= CF_REC_K)
+
+
 def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-last-order-out evaluation of the item-item CF
     recommender: hold out each multi-order customer's LAST order,
@@ -1387,45 +1426,14 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", F.col("l_partkey").alias("t_part"))
         .distinct()
     )
-    cand = (
-        profile.join(
-            nb.select(
-                F.col("part_i").alias("l_partkey"),
-                F.col("part_j").alias("rec"),
-                "sim",
-            ),
-            "l_partkey",
-        )
-        .groupBy("o_custkey", "rec")
-        .agg(
-            F.sum(F.col("sim").cast("decimal(18,6)")).alias("score")
-        )
-        .join(
-            profile.select(
-                "o_custkey", F.col("l_partkey").alias("rec")
-            ),
-            ["o_custkey", "rec"],
-            "left_anti",
-        )
-    )
     # recs is ≤ CF_REC_K rows per test user BY CONSTRUCTION (the rank
     # cap) — materialize it so the hits join sees a sized, sorted-free
     # input: joined inline, Catalyst can't size the window output and
     # falls back to sorting the full cand subtree into an SMJ
     # (measured 5.1 s vs 0.5 s for this join at sf0.1 — the same
-    # window-output pathology the ANN scoreboard hit)
-    recs = (
-        cand.withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("o_custkey").orderBy(
-                    F.desc("score"), F.asc("rec")
-                )
-            ),
-        )
-        .where(F.col("rnk") <= CF_REC_K)
-        .localCheckpoint(eager=True)
-    )
+    # window-output pathology the ANN scoreboard hit).
+    # tests/test_plans.py guards the pre-checkpoint plan via _cf_recs.
+    recs = _cf_recs(nb, profile).localCheckpoint(eager=True)
     hits = (
         recs.join(
             test_parts,

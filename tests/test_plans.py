@@ -390,9 +390,36 @@ def test_hurst_block_windows_are_partitioned(spark, sf_dir):
 
 def test_cf_holdout_score_sum_is_decimal(spark, sf_dir):
     # the (user, candidate) score aggregate sums DECIMAL-quantized
-    # sims (order-free), never raw doubles
-    p = _plan(spark, sf_dir, "cf_holdout_hitrate")
+    # sims (order-free), never raw doubles. Asserted on the
+    # PRE-checkpoint construction path (_cf_recs): the registry face
+    # materializes recs before the hits join (r6 — an inline window
+    # output forced an SMJ over the whole cand subtree), which hides
+    # the aggregate from the final face plan.
+    from pyspark.sql import functions as F
+
+    from doeecommerce_datapipeline_spark.io import table
+    from doeecommerce_datapipeline_spark.operators.retail import (
+        _cf_recs,
+        item_neighbors,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    profile = (
+        li.join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    df = _cf_recs(item_neighbors(baskets), profile)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert re.search(r"sum\(cast\(sim.* as decimal", p, re.I)
+    assert "Window" in p  # the rank cap rides a per-user window
 
 
 def test_clustering_triangle_join_is_oriented(spark, sf_dir):
