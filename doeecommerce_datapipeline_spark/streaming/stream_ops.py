@@ -471,6 +471,22 @@ def stream_enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def stream_pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming PII redaction: the identical per-row
+    regexp_count/regexp_replace projection as the batch pass
+    (operators/pii.pii_redact) applied to a document stream —
+    stateless, so Structured Streaming runs it per micro-batch with no
+    watermark and no state store, and the output is row-identical to
+    the batch twin over the same files (unit-pinned). The ingestion
+    shape every privacy-gated corpus needs: documents are scrubbed ON
+    ARRIVAL, so raw PII never lands in the silver layer at all."""
+    from ..operators.pii import pii_redact
+
+    return pii_redact(docs, id_col, text_col)
+
+
 def foreach_batch_psi_bins(
     bins_path: str,
     v_lo: float,

@@ -401,3 +401,39 @@ def test_stream_static_enrichment_matches_batch(spark, stream_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_pii_redact_equals_batch(spark, tmp_path):
+    """Streaming redaction over file micro-batches is row-identical to
+    the batch pass on the same directory (stateless projection — the
+    strongest batch≡stream contract in the repo)."""
+    from doeecommerce_datapipeline_spark.operators.pii import (
+        pii_redact,
+        synth_crm_notes,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        stream_pii_redact,
+    )
+
+    src = synth_crm_notes(spark, "/root/testdata/sf0.001").select(
+        "c_custkey", "note"
+    )
+    d = str(tmp_path / "notes_in")
+    src.limit(100).write.parquet(d)
+    src.orderBy("c_custkey").limit(150).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    run_stream_to_memory(
+        stream_pii_redact(stream, "c_custkey", "note"), "pii_out"
+    )
+    got = {
+        (r["c_custkey"], r["clean_text"], r["n_redactions"])
+        for r in spark.sql("SELECT * FROM pii_out").collect()
+    }
+    want = {
+        (r["c_custkey"], r["clean_text"], r["n_redactions"])
+        for r in pii_redact(
+            spark.read.parquet(d), "c_custkey", "note"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
