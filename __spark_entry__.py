@@ -4618,7 +4618,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         "boilerplate_removed": r"""
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
                 FROM documents
             ),
             g AS (
@@ -4660,7 +4660,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                 SELECT source, doc_id, n_chars,
                        pow(
                          CAST(CAST('0x' || substr(md5(regexp_replace(
-                                  trim(lower(text)), '\\s+', ' ', 'g')), 1, 13)
+                                  trim(lower(text)), '\s+', ' ', 'g')), 1, 13)
                               AS BIGINT) AS DOUBLE)
                          / 4503599627370496.0,
                          1.0 / CAST(n_chars AS DOUBLE)
@@ -4727,7 +4727,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "containment_pairs": r"""
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
                 FROM documents WHERE doc_id < 1000
             ), all_shingles AS (
                 SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -4762,7 +4762,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "canonical_by_quality": r"""
             WITH RECURSIVE toks AS (
-                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
                 FROM documents WHERE doc_id < 1000
             ), all_shingles AS (
                 SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -4820,7 +4820,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "eval_overlap_fraction": r"""
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
                 FROM documents
             ), grams AS (
                 SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
@@ -4850,7 +4850,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "duplicated_span_metrics": r"""
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
                 FROM documents
             ), g AS (
                 SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
@@ -4908,7 +4908,7 @@ def _oracle_sql_literals() -> dict[str, str]:
             ), n AS (SELECT COUNT(*) AS n_docs FROM d),
             tok AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       unnest(string_split_regex(trim(lower(text)), '\s+'))
                            AS term
                 FROM d
             ), tf AS (
