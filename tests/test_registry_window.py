@@ -64,3 +64,16 @@ def test_window_spends_slots_on_recordless_entries():
         assert name not in rec or name in changed_this_round, (
             f"{name} already has a driver record and did not change"
         )
+
+
+def test_oracle_sql_values_have_no_doubled_backslash():
+    """Escape-hygiene guard (r6 regression class): a doubled backslash
+    in an oracle SQL VALUE means a regex literal like \\s+ arrives at
+    DuckDB escaped — string_split_regex silently stops splitting and
+    six shingle-family twins go degenerate at sf0.1 while the unit
+    suite stays green. Source-level escape style is free (raw vs
+    non-raw strings); the VALUE must never carry a double backslash."""
+    import __spark_entry__ as entrymod
+
+    bad = {k for k, v in entrymod.oracle_sql().items() if "\\\\" in v}
+    assert not bad, f"doubled backslash in oracle SQL value(s): {sorted(bad)}"
