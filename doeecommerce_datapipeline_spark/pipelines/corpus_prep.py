@@ -2,7 +2,7 @@
 
 Chains the corpus operators into the flow an LLM data pipeline actually
 runs — quality filter → exact dedup → benchmark decontamination →
-content-hash split → sequence packing — and emits a per-stage funnel
+PII scrub → content-hash split → sequence packing — and emits a per-stage funnel
 report (the medallion-pipeline analog for training data; the reference
 stops at BI gold marts, SURVEY.md §2).
 
@@ -115,8 +115,31 @@ def prepare_corpus(
         hits.where(~F.col("contaminated")).select("doc_id"), "doc_id"
     ).localCheckpoint()
 
-    # 4. split: shared content-hash bucket (fingerprint already there)
-    split = clean.select(
+    # 3b. PII scrub: every email/phone/IPv4 replaced by its typed
+    # placeholder BEFORE anything ships downstream (the production
+    # order — split/pack see only redacted text, so raw PII never
+    # reaches a training shard). Conservation by construction:
+    # redaction rewrites rows, never drops them (asserted in the e2e
+    # funnel). The synthetic documents corpus is digit-free, so here
+    # the stage is a verified no-op; the operator's real behavior is
+    # pinned by tests/test_pii.py on PII-bearing fixtures.
+    from ..operators.pii import pii_redact
+
+    scrubbed = (
+        clean.drop("text")
+        .join(
+            pii_redact(clean, "doc_id", "text").select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+        .localCheckpoint()
+    )
+
+    # 4. split: shared content-hash bucket (fingerprint already there —
+    # computed on the ORIGINAL text, so the split assignment is stable
+    # under redaction-rule changes)
+    split = scrubbed.select(
         "doc_id",
         "source",
         "text",
@@ -134,6 +157,7 @@ def prepare_corpus(
             ("1b_corpus_quality", filtered.count()),
             ("2_exact_dedup", deduped.count()),
             ("3_decontaminated", clean.count()),
+            ("3b_pii_scrubbed", scrubbed.count()),
             ("4_split", split.count()),
             ("5_packed", packed.count()),
         ],
@@ -144,6 +168,7 @@ def prepare_corpus(
         "filtered": filtered,
         "deduped": deduped,
         "clean": clean,
+        "scrubbed": scrubbed,
         "split": split,
         "packed": packed,
         "funnel": funnel,

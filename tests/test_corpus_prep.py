@@ -27,7 +27,9 @@ def test_funnel_monotonic_and_reconciles(spark, stages):
     assert rows["0_input"] >= rows["1_quality"] >= rows["1b_corpus_quality"]
     assert rows["1b_corpus_quality"] >= rows["2_exact_dedup"]
     assert rows["2_exact_dedup"] >= rows["3_decontaminated"]
-    assert rows["3_decontaminated"] == rows["4_split"] == rows["5_packed"]
+    # PII scrub rewrites rows, never drops them — exact conservation
+    assert rows["3_decontaminated"] == rows["3b_pii_scrubbed"]
+    assert rows["3b_pii_scrubbed"] == rows["4_split"] == rows["5_packed"]
     assert rows["5_packed"] > 0
     # and the stages must actually discriminate on this corpus
     assert rows["1_quality"] < rows["0_input"]
@@ -182,3 +184,16 @@ def test_mcnemar_cells_and_symmetric_null(spark):
     # all four cells populated — the median ppl cut discriminates
     assert min(r.both_keep, r.heuristic_only, r.ppl_only,
                r.both_drop) > 0
+
+
+def test_scrubbed_corpus_scans_pii_clean(stages):
+    """Post-scrub text contains zero detectable PII — the property the
+    3b stage exists for (vacuously true on this digit-free corpus, but
+    the scan exercises the full plumbing; PII-bearing inputs are
+    covered by tests/test_pii.py)."""
+    from pyspark.sql import functions as F
+
+    from doeecommerce_datapipeline_spark.operators.pii import pii_scan
+
+    rescan = pii_scan(stages["scrubbed"], "doc_id", "text")
+    assert rescan.where(F.col("has_pii")).count() == 0
