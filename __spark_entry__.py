@@ -11153,22 +11153,30 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "pii_redaction_audit": f"""
             {_PII_NOTES_CTE},
+            -- staged exactly like the Spark pass: each pattern counts
+            -- on the text AS IT EXISTS when that pass runs, so nested
+            -- matches (a dotted quad inside an email's domain) are
+            -- never double-counted
             red AS (
                 SELECT c_custkey, note,
-                       regexp_replace(regexp_replace(regexp_replace(
-                           note, '{PII.EMAIL_RE}', '{PII.EMAIL_TOKEN}', 'g'),
-                           '{PII.IPV4_RE}', '{PII.IPV4_TOKEN}', 'g'),
-                           '{PII.PHONE_RE}', '{PII.PHONE_TOKEN}', 'g')
-                           AS clean_text
+                       regexp_replace(note, '{PII.EMAIL_RE}',
+                                      '{PII.EMAIL_TOKEN}', 'g') AS t1
                 FROM notes
+            ), red2 AS (
+                SELECT c_custkey, note, t1,
+                       regexp_replace(t1, '{PII.IPV4_RE}',
+                                      '{PII.IPV4_TOKEN}', 'g') AS t2
+                FROM red
             )
             SELECT c_custkey,
                    CAST(len(regexp_extract_all(note, '{PII.EMAIL_RE}'))
-                        + len(regexp_extract_all(note, '{PII.PHONE_RE}'))
-                        + len(regexp_extract_all(note, '{PII.IPV4_RE}'))
+                        + len(regexp_extract_all(t1, '{PII.IPV4_RE}'))
+                        + len(regexp_extract_all(t2, '{PII.PHONE_RE}'))
                         AS BIGINT) AS n_redactions,
-                   CAST(length(clean_text) AS BIGINT) AS clean_len,
-                   md5(clean_text) AS clean_md5
-            FROM red
+                   CAST(length(regexp_replace(t2, '{PII.PHONE_RE}',
+                        '{PII.PHONE_TOKEN}', 'g')) AS BIGINT) AS clean_len,
+                   md5(regexp_replace(t2, '{PII.PHONE_RE}',
+                       '{PII.PHONE_TOKEN}', 'g')) AS clean_md5
+            FROM red2
         """,
     }

@@ -130,15 +130,13 @@ def pii_scan(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def pii_redact(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-row redaction: every email/IPv4/phone match replaced by its
-    typed placeholder, in the FIXED order email → ipv4 → phone (the
-    patterns are mutually non-overlapping on any input once emails go
-    first, so the composition is order-stable). Returns (id,
-    clean_text, n_redactions) with n_redactions counted on the
-    ORIGINAL text."""
-    t = F.col(text_col)
-    clean = F.regexp_replace(
+def redact_expr(t):
+    """Column-level redaction expression: every email/IPv4/phone match
+    replaced by its typed placeholder, in the FIXED order email → ipv4
+    → phone. A pure projection — callers that only need the scrubbed
+    text (e.g. the corpus-prep 3b stage) apply it with ``withColumn``,
+    zero exchanges, no join."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN),
             IPV4_RE,
@@ -147,14 +145,28 @@ def pii_redact(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
         PHONE_RE,
         PHONE_TOKEN,
     )
+
+
+def pii_redact(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-row redaction via ``redact_expr``. Returns (id, clean_text,
+    n_redactions) where n_redactions counts the replacements each pass
+    ACTUALLY performs: emails on the original text, IPv4 on the
+    email-redacted text, phones on the email+ip-redacted text — so a
+    pattern embedded inside an earlier match (a dotted quad in an
+    email's domain, a phone-shaped local part) is never double-counted
+    and Σ n_redactions equals the number of placeholder tokens
+    emitted."""
+    t = F.col(text_col)
+    t1 = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+    t2 = F.regexp_replace(t1, IPV4_RE, IPV4_TOKEN)
     n_red = (
         F.regexp_count(t, F.lit(EMAIL_RE))
-        + F.regexp_count(t, F.lit(PHONE_RE))
-        + F.regexp_count(t, F.lit(IPV4_RE))
+        + F.regexp_count(t1, F.lit(IPV4_RE))
+        + F.regexp_count(t2, F.lit(PHONE_RE))
     )
     return frame.select(
         F.col(id_col),
-        clean.alias("clean_text"),
+        F.regexp_replace(t2, PHONE_RE, PHONE_TOKEN).alias("clean_text"),
         n_red.cast("long").alias("n_redactions"),
     )
 
@@ -166,29 +178,14 @@ def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection projection: one exchange total. Non-degenerate by
     construction (every segment holds all five content classes)."""
     scanned = pii_scan(
-        synth_crm_notes(spark, sf_dir).withColumn(
-            "seg", F.col("c_mktsegment")
-        ),
-        "seg",
-        "note",
+        synth_crm_notes(spark, sf_dir), "c_mktsegment", "note"
     )
-    return (
-        scanned.groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).alias("n_notes"),
-            F.sum(F.col("has_pii").cast("long")).alias("n_with_pii"),
-            F.sum("n_emails").alias("n_emails"),
-            F.sum("n_phones").alias("n_phones"),
-            F.sum("n_ipv4").alias("n_ipv4"),
-        )
-        .select(
-            F.col("seg").alias("c_mktsegment"),
-            "n_notes",
-            "n_with_pii",
-            "n_emails",
-            "n_phones",
-            "n_ipv4",
-        )
+    return scanned.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_notes"),
+        F.sum(F.col("has_pii").cast("long")).alias("n_with_pii"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum("n_ipv4").alias("n_ipv4"),
     )
 
 

@@ -123,18 +123,11 @@ def prepare_corpus(
     # funnel). The synthetic documents corpus is digit-free, so here
     # the stage is a verified no-op; the operator's real behavior is
     # pinned by tests/test_pii.py on PII-bearing fixtures.
-    from ..operators.pii import pii_redact
+    from ..operators.pii import redact_expr
 
-    scrubbed = (
-        clean.drop("text")
-        .join(
-            pii_redact(clean, "doc_id", "text").select(
-                "doc_id", F.col("clean_text").alias("text")
-            ),
-            "doc_id",
-        )
-        .localCheckpoint()
-    )
+    scrubbed = clean.withColumn(
+        "text", redact_expr(F.col("text"))
+    ).localCheckpoint()
 
     # 4. split: shared content-hash bucket (fingerprint already there —
     # computed on the ORIGINAL text, so the split assignment is stable

@@ -51,11 +51,20 @@ def test_redact_exact_output(spark):
 
 def test_redact_email_before_ip_order(spark):
     # a dotted-quad inside an email's domain must be consumed by the
-    # EMAIL replacement (emails redact first), not split by the IP pass
-    rows = [(0, "user@1.2.3.4.example.com logged in")]
-    r = pii_redact(_frame(spark, rows), "id", "text").collect()[0]
-    assert r["clean_text"] == "<EMAIL> logged in"
-    assert r["n_redactions"] >= 1
+    # EMAIL replacement (emails redact first), not split by the IP
+    # pass — and counted exactly ONCE: each pass counts on the text as
+    # it exists when that pass runs, so the nested quad contributes no
+    # phantom redaction
+    rows = [
+        (0, "user@1.2.3.4.example.com logged in"),
+        (1, "standalone 1.2.3.4 plus a@b.io"),
+    ]
+    got = {
+        r["id"]: (r["clean_text"], r["n_redactions"])
+        for r in pii_redact(_frame(spark, rows), "id", "text").collect()
+    }
+    assert got[0] == ("<EMAIL> logged in", 1)
+    assert got[1] == ("standalone <IP> plus <EMAIL>", 2)
 
 
 def test_synth_notes_class_coverage(spark):
