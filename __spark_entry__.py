@@ -230,12 +230,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     localCheckpoint, session-cache eviction bounds
     (operators/session_cache.py).
 
-    ROUND-7 ROTATION PLAN: head = any r6-window red rows, then the
-    record-less queue from rage_burst_users in declaration order
-    (~50 of the 59 remaining: rage_burst_users … through the
-    granger/copurchase/nmi sections); round 8 takes the last ~9 plus
-    the r6 post-window additions (pii_scan_report,
-    pii_redaction_audit) and the oldest r1-vintage re-checks.
+    ROUND-7 EXECUTED (r6 closed 50/50 green with zero reds, so the
+    window is exactly the pre-staged queue): _R7_WINDOW = the next 50
+    record-less entries in declaration order, rage_burst_users …
+    cluster_source_nmi. No contract changes ride inside the window —
+    every slot closes a never-driver-checked gap. After this window
+    the record-less queue = 10 entries (event_hour_mi …
+    distance_correlation_daily plus the two r6 PII faces); the
+    pre-staged _R8_QUEUE below finishes the 334/334 ledger: that
+    remainder + numeric_corr_matrix (r3 record predates its r4
+    lattice reimplementation) + all 37 r1-vintage re-checks + the two
+    r7 contract-change re-checks (quality_classifier_scores,
+    bpe_merges).
+    Round-7 registry growth stays ≤ a handful per the r6 verdict
+    (#8); registry changes this round:
+    quality_classifier_scores is REDEFINED to an oracle-paired
+    exact-halves + contract-flag face (per-doc scores live on as the
+    non-registry quality_classifier_scores_full) and bpe_merges gains
+    a full unrolled DuckDB oracle — rows-only 11 -> 9 (verdict #4);
+    both take the two re-check slots at the tail of _R8_QUEUE since
+    their contracts changed. The PII pass gains the Luhn-validated
+    credit-card class (verdict #5).
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -276,7 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_weights": CP.temperature_mix_weights,
         "value_drift_by_bucket": X.value_drift_by_bucket,
         "pq_topk": PQ.pq_topk,  # rows-only (trained codebook)
-        "bpe_merges": T.bpe_merges,  # rows-only (iterative driver probe)
+        "bpe_merges": T.bpe_merges,  # oracle-paired since r7 (unrolled DuckDB twin)
         "supplier_influence_rank": G.supplier_influence_rank,
         "near_dup_triangles": G.near_dup_triangles,
         "profile_events": PR.profile_events,
@@ -315,7 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # learned quality filter)
         "part_match_blocking": D.part_match_blocking,
         "collapse_adjacent_repeats": CP.collapse_adjacent_repeats,
-        "quality_classifier_scores": QM.quality_classifier_scores,  # rows-only (L-BFGS)
+        "quality_classifier_scores": QM.quality_classifier_scores,  # oracle-paired since r7 (exact halves + contract flags; per-doc scores -> non-registry _full)
         "peak_concurrent_sessions": E.peak_concurrent_sessions,
         "bm25_search": T.bm25_search,
         "dow_baseline_anomalies": X.dow_baseline_anomalies,
@@ -818,15 +833,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_report": PII.pii_scan_report,
         "pii_redaction_audit": PII.pii_redaction_audit,
     }
-    return {k: q[k] for k in _R6_WINDOW} | {
-        k: v for k, v in q.items() if k not in set(_R6_WINDOW)
+    return {k: q[k] for k in _R7_WINDOW} | {
+        k: v for k, v in q.items() if k not in set(_R7_WINDOW)
     }
 
 
-# Driver-visible head (first 50 entries = the r6 CORRECTNESS window).
-# Composition documented in queries.__doc__ (ROUND-6 EXECUTED); every
-# name must exist in the declaration dict above
-# (tests/test_registry_window.py asserts it).
+# r6 window kept for the ledger (CORRECTNESS_r06 rows map to this).
 _R6_WINDOW = [
     # (1) tightened to oracle-paired in r5 AFTER the r5 window closed —
     # first oracle-paired driver record lands here (planned in the r5
@@ -893,16 +905,13 @@ _R6_WINDOW = [
     "char_entropy_flags",
 ]
 
-# Pre-staged r7 rotation (NOT yet wired — queries() serves _R6_WINDOW
-# until the r6 driver record lands): the next 50 record-less entries
-# in declaration order. Round 7 opens by setting the head to any
-# r6-window red rows, then this queue; the r8 remainder is
-# event_hour_mi, embedding_intrinsic_dim, hopkins_statistic,
-# catalog_size_estimates, promo_return_odds, churn_logrank_test,
-# filter_mcnemar_test, distance_correlation_daily, plus
-# numeric_corr_matrix (r3 record predates its r4 reimplementation)
-# and the oldest r1-vintage re-checks.
-_R7_QUEUE = [
+# Driver-visible head (first 50 entries = the r7 CORRECTNESS window).
+# r6 closed with zero reds, so this is the pre-staged queue verbatim:
+# the next 50 record-less entries in declaration order. Composition
+# documented in queries.__doc__ (ROUND-7 EXECUTED); every name must
+# exist in the declaration dict above
+# (tests/test_registry_window.py asserts it).
+_R7_WINDOW = [
     "rage_burst_users",
     "heaps_law_fit",
     "triplet_violation_rate",
@@ -953,6 +962,75 @@ _R7_QUEUE = [
     "durbin_watson_trend",
     "yule_k_by_source",
     "cluster_source_nmi",
+]
+
+# Pre-staged r8 rotation (NOT yet wired — queries() serves _R7_WINDOW
+# until the r7 driver record lands). Finishes the 334/334 driver
+# ledger: (1) the 10-entry record-less remainder in declaration order
+# incl. the two r6 PII faces; (2) numeric_corr_matrix, whose r3
+# record predates the r4 int64-lattice reimplementation; (3) all 37
+# entries whose latest record is r1-vintage, in declaration order;
+# (4) the two entries whose CONTRACT changed in r7 (verdict #4
+# tightenings — quality_classifier_scores redefined to the
+# exact-halves + contract-flag face, bpe_merges gained the unrolled
+# DuckDB oracle): a contract change outranks an r2-vintage re-check
+# for the last two slots. Round 8 opens by setting the head to any
+# r7-window red rows, then this queue.
+_R8_QUEUE = [
+    # (1) record-less remainder
+    "event_hour_mi",
+    "embedding_intrinsic_dim",
+    "hopkins_statistic",
+    "catalog_size_estimates",
+    "promo_return_odds",
+    "churn_logrank_test",
+    "filter_mcnemar_test",
+    "distance_correlation_daily",
+    "pii_scan_report",
+    "pii_redaction_audit",
+    # (2) reimplementation re-check
+    "numeric_corr_matrix",
+    # (3) r1-vintage re-checks (latest driver record = round 1)
+    "null_counts",
+    "value_counts_topk",
+    "summary_stats",
+    "count_by_day",
+    "dedup_latest_event",
+    "dedup_first_event",
+    "distinct_projection",
+    "user_activity",
+    "revenue_by_region",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_slice",
+    "ts_range_filter",
+    "multi_source_union",
+    "string_normalize",
+    "date_math",
+    "bucketize",
+    "json_extract",
+    "text_stats",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_by_source",
+    "vocab_topk",
+    "exact_dedup_groups",
+    "embedding_near_dups",
+    "levenshtein_near_dups",
+    "embedding_topk",
+    "embedding_norms",
+    "tumbling_hourly",
+    "sliding_hourly",
+    "sessionize",
+    "session_stats",
+    "asof_join_last_order",
+    "range_join_same_day",
+    "minhash_dedup_docs",
+    "ann_topk_lsh",
+    "simhash_dedup_docs",
+    # (4) r7 contract-change re-checks
+    "quality_classifier_scores",
+    "bpe_merges",
 ]
 
 # r5 window kept for the ledger (CORRECTNESS_r05 rows map to this).
@@ -1714,7 +1792,100 @@ def oracle_sql() -> dict[str, str]:
         FROM credq CROSS JOIN pot p
         ORDER BY channel
     """
+    # r7 verdict-#4 tightenings: both deterministic rows-only entries
+    # gain full oracle pairing.
+    # (1) quality_classifier_scores — REDEFINED to the exact-halves +
+    # contract-flag face (per-doc trained scores live on as the
+    # non-registry quality_classifier_scores_full): slice sizes and
+    # Gopher-label counts are exact SQL over the gopher_quality parent;
+    # the model contract (confusion cells partition each slice;
+    # accuracy >= 0.70) is pinned as literal TRUE.
+    sql["quality_classifier_scores"] = f"""
+        WITH g AS ({sql["gopher_quality"]})
+        SELECT (doc_id % 5 = 4) AS is_holdout,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_heuristic_keep,
+               TRUE AS cells_conserve,
+               TRUE AS accuracy_ge_070
+        FROM g GROUP BY 1 ORDER BY 1
+    """
+    # (2) bpe_merges — the trainer is deterministic end-to-end, so the
+    # DuckDB twin replays the SAME algorithm with the merge loop
+    # unrolled (8 CTE rounds: weighted adjacent-pair count over the
+    # word-frequency table, argmax with the (count DESC, left, right)
+    # tie rule, leftmost-first list_reduce fold). Bit-exact: integer
+    # counts only.
+    sql["bpe_merges"] = _bpe_oracle_sql()
     return sql
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of textops.bpe_merge_table, merge loop unrolled.
+
+    Round k: p{k} counts OVERLAPPING adjacent symbol pairs weighted by
+    word frequency (same as the trainer's per-word scan), m{k} is the
+    argmax under the (pair_count DESC, left ASC, right ASC) tie rule,
+    v{k+1} applies the merge with a list_reduce fold whose accumulator
+    is the rebuilt symbol list — `acc[-1] = l AND cur = r` merges, the
+    trainer's exact leftmost-first non-overlapping semantics
+    (tests/test_bpe.py pins the same fold on overlap fixtures).
+    n_merges mirrors textops.BPE_N_MERGES; all quantities are integer
+    counts so the twin is bit-exact at any SF."""
+    parts = [
+        """
+        WITH wf AS (
+            SELECT w, COUNT(*)::BIGINT AS freq
+            FROM (
+                SELECT unnest(string_split_regex(
+                           trim(lower(text)), '\\s+')) AS w
+                FROM documents
+            )
+            WHERE w != ''
+            GROUP BY w
+        ),
+        v0 AS (SELECT string_split(w, '') AS syms, freq FROM wf)"""
+    ]
+    for k in range(n_merges):
+        parts.append(f""",
+        p{k} AS (
+            SELECT p.l AS l, p.r AS r,
+                   CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM (
+                SELECT unnest(list_transform(
+                           range(1, len(syms)),
+                           i -> struct_pack(l := syms[i],
+                                            r := syms[i + 1]))) AS p,
+                       freq
+                FROM v{k}
+            )
+            GROUP BY 1, 2
+        ),
+        m{k} AS (
+            SELECT l, r, pair_count FROM p{k}
+            ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+        )""")
+        if k < n_merges - 1:
+            parts.append(f""",
+        v{k + 1} AS (
+            SELECT list_reduce(
+                       list_transform(v{k}.syms, s -> [s]),
+                       (acc, cur) -> CASE
+                           WHEN acc[-1] = m{k}.l AND cur[1] = m{k}.r
+                           THEN list_concat(
+                               list_slice(acc, 1, len(acc) - 1),
+                               [m{k}.l || m{k}.r])
+                           ELSE list_concat(acc, cur) END
+                   ) AS syms,
+                   freq
+            FROM v{k}, m{k}
+        )""")
+    sel = "\n        UNION ALL ".join(
+        f'SELECT CAST({k} AS BIGINT) AS rank, l AS "left", '
+        f'r AS "right", l || r AS merged, pair_count FROM m{k}'
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n        " + sel + "\n        ORDER BY rank"
 
 
 def _holt_winters_oracle() -> str:
@@ -1906,10 +2077,41 @@ _PII_IP_SQL = (
     "CAST((c_custkey*31)%256 AS VARCHAR)"
 )
 _PII_EMAIL_SQL = "lower(replace(c_name, '#', '.')) || '@example.com'"
+# Card fixture mirror (r7): 15 base digits from the same multiply-mods
+# as pii.synth_crm_notes, check digit from the Luhn fold with
+# 16-digit-PAN parity (1-based odd positions double — the twin of the
+# Spark fold's 0-based even indices).
+_PII_CARD_D15 = "CAST((g1||g2||g3||g4)[i] AS INT)"
+_PII_CARD_CHK_SQL = f"""(10 - list_sum(list_transform(range(1, 16),
+                           i -> CASE WHEN i % 2 = 1
+                                THEN CASE WHEN 2*{_PII_CARD_D15} > 9
+                                     THEN 2*{_PII_CARD_D15} - 9
+                                     ELSE 2*{_PII_CARD_D15} END
+                                ELSE {_PII_CARD_D15} END)) % 10) % 10"""
+_PII_CARD_OK_SQL = (
+    "g1 || '-' || g2 || '-' || g3 || '-' || g4 || CAST(chk AS VARCHAR)"
+)
+_PII_CARD_BAD_SQL = (
+    "g1 || '-' || g2 || '-' || g3 || '-' || g4"
+    " || CAST((chk + 1) % 10 AS VARCHAR)"
+)
 _PII_NOTES_CTE = f"""
-            WITH notes AS (
+            WITH cardp AS (
+                SELECT c_custkey, c_mktsegment, c_name,
+                       lpad(CAST((c_custkey*48271)%10000 AS VARCHAR),
+                            4, '0') AS g1,
+                       lpad(CAST((c_custkey*7919)%10000 AS VARCHAR),
+                            4, '0') AS g2,
+                       lpad(CAST((c_custkey*104729)%10000 AS VARCHAR),
+                            4, '0') AS g3,
+                       lpad(CAST((c_custkey*13)%1000 AS VARCHAR),
+                            3, '0') AS g4
+                FROM customer
+            ), cardc AS (
+                SELECT *, {_PII_CARD_CHK_SQL} AS chk FROM cardp
+            ), notes AS (
                 SELECT c_custkey, c_mktsegment,
-                       CASE c_custkey % 5
+                       CASE c_custkey % 6
                        WHEN 0 THEN 'segment review for ' || c_mktsegment
                             || ' account; no contact on file'
                        WHEN 1 THEN 'followup sent to ' || {_PII_EMAIL_SQL}
@@ -1918,12 +2120,29 @@ _PII_NOTES_CTE = f"""
                             || ' after hours'
                        WHEN 3 THEN 'last portal login from '
                             || {_PII_IP_SQL} || ' flagged'
-                       ELSE 'escalation: contact ' || {_PII_EMAIL_SQL}
+                       WHEN 4 THEN 'escalation: contact ' || {_PII_EMAIL_SQL}
                             || ' or ' || {_PII_PHONE_SQL}
                             || '; session ip ' || {_PII_IP_SQL}
+                       ELSE 'payment card ' || {_PII_CARD_OK_SQL}
+                            || ' on file; declined card '
+                            || {_PII_CARD_BAD_SQL} || ' retry advised'
                        END AS note
-                FROM customer
+                FROM cardc
             )"""
+
+
+def _pii_valid_cards_sql(txt: str) -> str:
+    """Luhn-validated card candidates of a text expression — the
+    DuckDB twin of pii._valid_cards (nested lambda: regex candidates
+    filtered by the 16-digit fold)."""
+    d = "CAST(replace(c, '-', '')[i] AS INT)"
+    return (
+        f"list_filter(regexp_extract_all({txt}, '{PII.CARD_RE}'), "
+        f"c -> (list_sum(list_transform(range(1, 17), "
+        f"i -> CASE WHEN i % 2 = 1 "
+        f"THEN CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 ELSE 2*{d} END "
+        f"ELSE {d} END)) % 10 = 0))"
+    )
 
 
 def _oracle_sql_literals() -> dict[str, str]:
@@ -11139,16 +11358,18 @@ def _oracle_sql_literals() -> dict[str, str]:
                        len(regexp_extract_all(note, '{PII.PHONE_RE}'))
                            AS n_p,
                        len(regexp_extract_all(note, '{PII.IPV4_RE}'))
-                           AS n_i
+                           AS n_i,
+                       len({_pii_valid_cards_sql("note")}) AS n_c
                 FROM notes
             )
             SELECT c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n_notes,
-                   CAST(SUM(CASE WHEN n_e + n_p + n_i > 0
+                   CAST(SUM(CASE WHEN n_e + n_p + n_i + n_c > 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
                    CAST(SUM(n_e) AS BIGINT) AS n_emails,
                    CAST(SUM(n_p) AS BIGINT) AS n_phones,
-                   CAST(SUM(n_i) AS BIGINT) AS n_ipv4
+                   CAST(SUM(n_i) AS BIGINT) AS n_ipv4,
+                   CAST(SUM(n_c) AS BIGINT) AS n_cards
             FROM scanned GROUP BY c_mktsegment
         """,
         "pii_redaction_audit": f"""
@@ -11167,16 +11388,26 @@ def _oracle_sql_literals() -> dict[str, str]:
                        regexp_replace(t1, '{PII.IPV4_RE}',
                                       '{PII.IPV4_TOKEN}', 'g') AS t2
                 FROM red
+            ), red3 AS (
+                SELECT c_custkey, note, t1, t2,
+                       regexp_replace(t2, '{PII.PHONE_RE}',
+                                      '{PII.PHONE_TOKEN}', 'g') AS t3
+                FROM red2
             )
             SELECT c_custkey,
                    CAST(len(regexp_extract_all(note, '{PII.EMAIL_RE}'))
                         + len(regexp_extract_all(t1, '{PII.IPV4_RE}'))
                         + len(regexp_extract_all(t2, '{PII.PHONE_RE}'))
+                        + len({_pii_valid_cards_sql("t3")})
                         AS BIGINT) AS n_redactions,
-                   CAST(length(regexp_replace(t2, '{PII.PHONE_RE}',
-                        '{PII.PHONE_TOKEN}', 'g')) AS BIGINT) AS clean_len,
-                   md5(regexp_replace(t2, '{PII.PHONE_RE}',
-                       '{PII.PHONE_TOKEN}', 'g')) AS clean_md5
-            FROM red2
+                   CAST(length(list_reduce(
+                        list_prepend(t3, {_pii_valid_cards_sql("t3")}),
+                        (acc, x) -> replace(acc, x, '{PII.CARD_TOKEN}')))
+                        AS BIGINT) AS clean_len,
+                   md5(list_reduce(
+                       list_prepend(t3, {_pii_valid_cards_sql("t3")}),
+                       (acc, x) -> replace(acc, x, '{PII.CARD_TOKEN}')))
+                       AS clean_md5
+            FROM red3
         """,
     }

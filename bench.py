@@ -23,6 +23,32 @@ import __spark_entry__ as entrymod  # noqa: E402
 from doeecommerce_datapipeline_spark.session import get_spark  # noqa: E402
 
 
+def _prior_timings(repo_dir: str, sf: float | None) -> dict[str, float]:
+    """Previous round's committed per-query map (BENCH_LOCAL_r{N-1}),
+    used by the outlier re-time pass. Returns {} when no prior round
+    exists or the prior record was taken at a different scale factor
+    (cross-SF times aren't comparable). Override the reference file
+    with SPARK_GRAFT_BENCH_REF."""
+    ref = os.environ.get("SPARK_GRAFT_BENCH_REF")
+    if ref is None:
+        cands = []
+        for fn in os.listdir(repo_dir):
+            m = re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", fn)
+            if m:
+                cands.append((int(m.group(1)), fn))
+        if not cands:
+            return {}
+        ref = os.path.join(repo_dir, max(cands)[1])
+    try:
+        with open(ref) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if doc.get("sf") != sf:
+        return {}
+    return dict(doc.get("queries", {}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -105,6 +131,39 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Outlier re-time pass (r6 verdict #3): ~12 s of the committed r6
+    # table was host-contention noise (large_volume_customers 7.22 s
+    # committed vs 0.70 s standalone) — numbers known to be 10x wrong
+    # must not ship with a prose footnote. Any entry whose sweep time
+    # exceeds 3x its previous-round BENCH_LOCAL figure (and 0.3 s
+    # absolute, so sub-100ms jitter doesn't trigger) gets one
+    # standalone re-time at the END of the sweep, after the in-process
+    # co-tenant load has drained; the recorded figure is the min. The
+    # full-map file lists which entries were re-timed and their
+    # original sweep figures.
+    fns = dict(ordered)
+    prior = _prior_timings(os.path.dirname(os.path.abspath(__file__)), sf)
+    retimed: dict[str, float] = {}
+    for name in sorted(timings):
+        p = prior.get(name)
+        if p is None or timings[name] <= max(3 * p, 0.3):
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fns[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        retimed[name] = timings[name]
+        timings[name] = round(min(timings[name], best), 4)
+        print(
+            f"# retime {name}: sweep {retimed[name]:.3f}s -> "
+            f"{timings[name]:.3f}s (prior {p:.3f}s)",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 4)
     line = {
         "metric": "total_query_wall_seconds",
@@ -113,6 +172,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if retimed:
+        line["retimed_sweep_figures"] = retimed
     # the driver's BENCH_r{N}.json capture keeps only a ~2 KB tail of
     # stdout, and the full 331-query map is ~12 KB — printing it LAST
     # truncated its head and left five rounds of `parsed: null` in the

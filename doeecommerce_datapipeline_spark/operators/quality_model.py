@@ -120,11 +120,15 @@ def _cached_model(spark, sf_dir: str, docs):
     return _MODEL_CACHE[key]
 
 
-def quality_classifier_scores(
+def quality_classifier_scores_full(
     spark: SparkSession, sf_dir: str, model=None
 ) -> DataFrame:
     """Score EVERY document with the trained filter: (doc_id, heuristic
-    label, p_keep, predicted keep, holdout flag).
+    label, p_keep, predicted keep, holdout flag). Non-registry since
+    r7 (the fact_deciles_full pattern): per-doc p_keep is trained
+    float state, so this full face stays rows-only by nature and the
+    registry face ``quality_classifier_scores`` reduces it to the
+    oracle-paired exact-halves + contract-flag shape.
 
     ``model``: pass a pre-trained model to share one fit between
     scoring and evaluation (holdout_auc accepts the same) — combined
@@ -147,6 +151,54 @@ def quality_classifier_scores(
         ),
     )  # no orderBy: a global sort of a corpus-sized score table is a
     # scale smell, and the rows-only check doesn't need row order
+
+
+def quality_classifier_scores(
+    spark: SparkSession, sf_dir: str, model=None
+) -> DataFrame:
+    """Classifier evaluation summary — the ORACLE-PAIRED registry face
+    (REDEFINED r7 per the r6 verdict #4, the isotonic/fact_deciles
+    pattern: the fit is deterministic — fixed init, maxIter 15 — so
+    the confusion-matrix reduction is a stable exact shape; the raw
+    per-doc score table lives on as quality_classifier_scores_full).
+
+    One row per train/holdout slice: (is_holdout, n_docs,
+    n_heuristic_keep, cells_conserve, accuracy_ge_070). The first
+    three columns are EXACT and DuckDB-computable (slice sizes and the
+    Gopher-rule label counts — all int/int IEEE divisions, bit-equal
+    across engines); the two booleans are the model contract the
+    oracle pins as literal TRUE: the four confusion cells partition
+    each slice exactly (tp+fp+tn+fn = n_docs and tp+fn =
+    n_heuristic_keep), and slice accuracy clears the same 0.70 floor
+    the holdout-AUC unit enforces (measured: 0.76 holdout / 0.84
+    train at sf0.001, 0.87 / 0.86 at sf0.01).
+
+    Scale shape: the full-corpus scoring pass reduces straight to a
+    2-row hash aggregate — no sort, no per-doc output."""
+    s = quality_classifier_scores_full(spark, sf_dir, model=model)
+    mk, hk = F.col("model_keep"), F.col("heuristic_keep")
+    agg = s.groupBy("is_holdout").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(hk.cast("long")).alias("n_heuristic_keep"),
+        F.sum((mk & hk).cast("long")).alias("tp"),
+        F.sum((mk & ~hk).cast("long")).alias("fp"),
+        F.sum((~mk & hk).cast("long")).alias("fn"),
+        F.sum((~mk & ~hk).cast("long")).alias("tn"),
+    )
+    cells = F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")
+    acc = (F.col("tp") + F.col("tn")).cast("double") / F.col(
+        "n_docs"
+    ).cast("double")
+    return agg.select(
+        "is_holdout",
+        "n_docs",
+        "n_heuristic_keep",
+        (
+            (cells == F.col("n_docs"))
+            & (F.col("tp") + F.col("fn") == F.col("n_heuristic_keep"))
+        ).alias("cells_conserve"),
+        (acc >= F.lit(0.70)).alias("accuracy_ge_070"),
+    ).orderBy("is_holdout")
 
 
 def holdout_auc(spark: SparkSession, sf_dir: str, model=None) -> float:
@@ -269,7 +321,7 @@ def isotonic_calibration_model(
     from ..pyfiles import ensure_shipped
 
     ensure_shipped(spark)
-    scores = quality_classifier_scores(spark, sf_dir, model=model)
+    scores = quality_classifier_scores_full(spark, sf_dir, model=model)
     cal = scores.select(
         F.col("p_keep").cast("double").alias("s"),
         F.col("heuristic_keep").cast("int").alias("y"),

@@ -531,9 +531,16 @@ def bpe_merge_table(
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry shape: learn BPE_N_MERGES merges over the documents
-    corpus. rows-only check (iterative driver decisions aren't
-    SQL-expressible); tests/test_bpe.py pins the exact merge table on
-    a hand-computable corpus against a reference Python trainer."""
+    corpus. ORACLE-PAIRED since r7 (per the r6 verdict #4): the
+    trainer is fully deterministic (integer pair counts, max-count
+    then (left, right)-lexicographic ties, leftmost-first application),
+    so the DuckDB twin replays the SAME algorithm with the merge loop
+    unrolled — 8 chained CTE rounds of pair-count aggregate → argmax →
+    list_reduce fold over the word-frequency table (see the
+    ``bpe_merges`` entry in __spark_entry__.oracle_sql, built by
+    ``_bpe_oracle_sql``). tests/test_bpe.py additionally pins the
+    exact merge table on a hand-computable corpus against a reference
+    Python trainer."""
     return bpe_merge_table(
         table(spark, sf_dir, "documents"), "doc_id", "text"
     )

@@ -115,10 +115,14 @@ def prepare_corpus(
         hits.where(~F.col("contaminated")).select("doc_id"), "doc_id"
     ).localCheckpoint()
 
-    # 3b. PII scrub: every email/phone/IPv4 replaced by its typed
-    # placeholder BEFORE anything ships downstream (the production
-    # order — split/pack see only redacted text, so raw PII never
-    # reaches a training shard). Conservation by construction:
+    # 3b. PII scrub: every match of the SUPPORTED PII classes/formats
+    # (emails, +1-NNN-NNN-NNNN phones, dotted-quad IPv4, Luhn-valid
+    # dash-separated cards — the pattern set is fixture-aligned and
+    # extensible, not an exhaustive real-world PII taxonomy) replaced
+    # by its typed placeholder BEFORE anything ships downstream (the
+    # production order — split/pack see only redacted text, so no
+    # text matching those classes reaches a training shard).
+    # Conservation by construction:
     # redaction rewrites rows, never drops them (asserted in the e2e
     # funnel). The synthetic documents corpus is digit-free, so here
     # the stage is a verified no-op; the operator's real behavior is

@@ -6,6 +6,7 @@ from doeecommerce_datapipeline_spark.operators.quality_model import (
     HOLDOUT_MOD,
     holdout_auc,
     quality_classifier_scores,
+    quality_classifier_scores_full,
     train_quality_classifier,
 )
 
@@ -18,7 +19,7 @@ def test_holdout_auc_floor(spark):
 
 
 def test_scores_cover_every_document(spark):
-    rows = quality_classifier_scores(spark, SF).collect()
+    rows = quality_classifier_scores_full(spark, SF).collect()
     n_docs = spark.read.parquet(SF + "/documents.parquet").count()
     assert len(rows) == n_docs
     assert all(0.0 <= r["p_keep"] <= 1.0 for r in rows)
@@ -31,6 +32,24 @@ def test_scores_cover_every_document(spark):
     # it is a distillation, not an independent signal
     agree = sum(r["heuristic_keep"] == r["model_keep"] for r in rows)
     assert agree / len(rows) >= 0.8
+
+
+def test_registry_face_contract_flags_hold(spark):
+    """The r7 oracle-paired face: exact halves match an independent
+    recount of the full score table, and both contract flags are TRUE
+    on every slice (the oracle pins them as literals)."""
+    rows = {
+        r.is_holdout: r
+        for r in quality_classifier_scores(spark, SF).collect()
+    }
+    assert set(rows) == {True, False}
+    full = quality_classifier_scores_full(spark, SF).collect()
+    for flag, r in rows.items():
+        sl = [x for x in full if x.is_holdout == flag]
+        assert r.n_docs == len(sl)
+        assert r.n_heuristic_keep == sum(x.heuristic_keep for x in sl)
+        assert r.cells_conserve
+        assert r.accuracy_ge_070
 
 
 def test_training_survives_session_observations(spark):
@@ -48,7 +67,7 @@ def test_training_survives_session_observations(spark):
         "noop"
     ).mode("overwrite").save()
     assert obs.get["n"] == 10
-    scored = quality_classifier_scores(spark, SF)
+    scored = quality_classifier_scores_full(spark, SF)
     assert scored.count() > 0
     assert holdout_auc(spark, SF) >= 0.70
 
@@ -59,7 +78,7 @@ def test_shared_model_fits_once(spark):
     from doeecommerce_datapipeline_spark.io import table
 
     model = train_quality_classifier(table(spark, SF, "documents"))
-    scored = quality_classifier_scores(spark, SF, model=model)
+    scored = quality_classifier_scores_full(spark, SF, model=model)
     auc = holdout_auc(spark, SF, model=model)
     assert scored.count() > 0 and auc >= 0.70
 
@@ -93,7 +112,7 @@ def test_isotonic_calibration_matches_bruteforce_and_is_monotone(
 
     # independent reference PAVA over the same (score, label) pairs
     from doeecommerce_datapipeline_spark.operators.quality_model import (
-        quality_classifier_scores,
+        quality_classifier_scores_full,
         train_quality_classifier,
     )
     from doeecommerce_datapipeline_spark.io import table
@@ -101,7 +120,7 @@ def test_isotonic_calibration_matches_bruteforce_and_is_monotone(
     model = train_quality_classifier(table(spark, d, "documents"))
     pairs = sorted(
         (r.p_keep, r.doc_id, int(r.heuristic_keep))
-        for r in quality_classifier_scores(spark, d, model=model).collect()
+        for r in quality_classifier_scores_full(spark, d, model=model).collect()
     )
     vals = [y for _, _, y in pairs]
     # classic stack PAVA on rates

@@ -1,5 +1,6 @@
-"""The r6 driver window must be well-formed: 50 entries, all resolvable,
-no duplicates, no registry entry lost by the reorder."""
+"""The r7 driver window must be well-formed: 50 entries, all resolvable,
+no duplicates, no registry entry lost by the reorder; the pre-staged r8
+queue must finish the 334/334 driver ledger."""
 
 import json
 import os
@@ -9,61 +10,55 @@ import __spark_entry__ as entrymod
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _records_through(last_round):
+    rec = set()
+    for r in range(1, last_round + 1):
+        path = os.path.join(HERE, f"CORRECTNESS_r0{r}.json")
+        with open(path) as f:
+            rec.update(json.load(f))
+    return rec
+
+
 def test_window_names_resolve_and_lead():
     q = entrymod.queries()
     names = list(q)
-    win = entrymod._R6_WINDOW
-    assert len(win) == len(set(win)), "duplicate names in _R6_WINDOW"
+    win = entrymod._R7_WINDOW
+    assert len(win) == len(set(win)), "duplicate names in _R7_WINDOW"
     assert len(win) == 50, f"driver checks exactly 50; window has {len(win)}"
     assert names[: len(win)] == win, "window must lead the registry"
 
 
 def test_reorder_loses_nothing():
     q = entrymod.queries()
-    assert len(q) >= 332
+    assert len(q) >= 334
     # every window name maps to a callable
-    for name in entrymod._R6_WINDOW:
+    for name in entrymod._R7_WINDOW:
         assert callable(q[name]), name
 
 
-def test_window_head_is_the_contract_tightening():
-    """r6 head: the entries whose contract tightened to oracle-paired
-    (sketch rollup in r5 post-window, deciles + isotonic this round)
-    and the new bloom entry, then the record-less queue."""
-    assert entrymod._R6_WINDOW[:4] == [
-        "sketch_rollup_daily_users",
-        "fact_deciles_scalable",
-        "isotonic_calibration",
-        "bloom_filter_revenue",
-    ]
-    assert entrymod._R6_WINDOW[4] == "ship_sla_pchart"
-
-
 def test_window_spends_slots_on_recordless_entries():
-    """The rotation contract: every window slot either closes a gap
-    (no driver record yet) or re-checks an entry whose code/oracle
-    changed this round — no slot is wasted re-confirming an
+    """The rotation contract: every r7 window slot closes a gap — r6
+    finished 50/50 green with zero reds, so the window is exactly the
+    next 50 never-driver-checked entries; no slot re-confirms an
     already-green unchanged entry."""
-    rec = set()
-    for r in (1, 2, 3, 4, 5):
-        path = os.path.join(HERE, f"CORRECTNESS_r0{r}.json")
-        with open(path) as f:
-            rec.update(json.load(f))
-    changed_this_round = {
-        # tightened to oracle-paired after the r5 window closed
-        "sketch_rollup_daily_users",
-        # rows-only -> oracle-paired this round (r5 verdict item 7)
-        "fact_deciles_scalable",
-        "isotonic_calibration",
-        # new operator this round (r5 verdict item 4)
-        "bloom_filter_revenue",
-        # ADVICE r5 fixes (p_full==0 guard + bounded edge collect)
-        "markov_removal_attribution",
-    }
-    for name in entrymod._R6_WINDOW:
-        assert name not in rec or name in changed_this_round, (
+    rec = _records_through(6)
+    for name in entrymod._R7_WINDOW:
+        assert name not in rec, (
             f"{name} already has a driver record and did not change"
         )
+
+
+def test_r8_queue_finishes_the_ledger():
+    """After the r7 window lands, _R8_QUEUE must cover every entry
+    that will still lack a driver record, so r7+r8 = 334/334."""
+    q8 = entrymod._R8_QUEUE
+    assert len(q8) == len(set(q8)) == 50
+    names = set(entrymod.queries())
+    for name in q8:
+        assert name in names, f"_R8_QUEUE entry {name} not in registry"
+    rec = _records_through(6) | set(entrymod._R7_WINDOW)
+    missing = names - rec - set(q8)
+    assert not missing, f"entries with no record and no r8 slot: {sorted(missing)}"
 
 
 def test_oracle_sql_values_have_no_doubled_backslash():
@@ -72,8 +67,18 @@ def test_oracle_sql_values_have_no_doubled_backslash():
     DuckDB escaped — string_split_regex silently stops splitting and
     six shingle-family twins go degenerate at sf0.1 while the unit
     suite stays green. Source-level escape style is free (raw vs
-    non-raw strings); the VALUE must never carry a double backslash."""
-    import __spark_entry__ as entrymod
+    non-raw strings); the VALUE must never carry a double backslash.
 
-    bad = {k for k, v in entrymod.oracle_sql().items() if "\\\\" in v}
+    Allowlist mechanism (ADVICE r6): an oracle that genuinely needs to
+    match a literal backslash character (DuckDB regex value `\\\\`)
+    earns an entry in _DOUBLED_BACKSLASH_OK with a comment saying
+    which literal it matches; the guard then checks the rest.
+    """
+    _DOUBLED_BACKSLASH_OK: set[str] = set()  # none today
+
+    bad = {
+        k
+        for k, v in entrymod.oracle_sql().items()
+        if "\\\\" in v and k not in _DOUBLED_BACKSLASH_OK
+    }
     assert not bad, f"doubled backslash in oracle SQL value(s): {sorted(bad)}"
