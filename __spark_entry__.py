@@ -250,7 +250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a full unrolled DuckDB oracle — rows-only 11 -> 9 (verdict #4);
     both take the two re-check slots at the tail of _R8_QUEUE since
     their contracts changed. The PII pass gains the Luhn-validated
-    credit-card class (verdict #5).
+    credit-card class (verdict #5). Registry 334 -> 335: the one
+    addition is jpeg_roundtrip_audit (verdict #6 — a real pure-numpy
+    baseline JPEG codec now backs the multimodal decode seam;
+    oracle-paired via exact key-derived dims + codec-contract flags),
+    which takes dedup_first_event's r1-re-check slot in _R8_QUEUE.
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -832,6 +836,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # synth_image_table fixture pattern). Queue for the r8 window.
         "pii_scan_report": PII.pii_scan_report,
         "pii_redaction_audit": PII.pii_redaction_audit,
+        # (ct) round-7 addition 95 — baseline-JPEG codec roundtrip
+        # audit (real pure-numpy encode+decode at the mapInPandas
+        # seam, closing the r6 verdict's multimodal decode boundary;
+        # exact key-derived dims + codec-contract flags, the
+        # sketch_rollup oracle pattern). Queue for the r8 window.
+        "jpeg_roundtrip_audit": M.jpeg_roundtrip_audit,
     }
     return {k: q[k] for k in _R7_WINDOW} | {
         k: v for k, v in q.items() if k not in set(_R7_WINDOW)
@@ -996,7 +1006,9 @@ _R8_QUEUE = [
     "summary_stats",
     "count_by_day",
     "dedup_latest_event",
-    "dedup_first_event",
+    # (dedup_first_event's r1 re-check yields its slot to the new r7
+    # jpeg face below: same W1/W3 window code path as dedup_latest,
+    # lowest re-check value in the r1 tail)
     "distinct_projection",
     "user_activity",
     "revenue_by_region",
@@ -1028,9 +1040,10 @@ _R8_QUEUE = [
     "minhash_dedup_docs",
     "ann_topk_lsh",
     "simhash_dedup_docs",
-    # (4) r7 contract-change re-checks
+    # (4) r7 contract-change re-checks + the one r7 addition
     "quality_classifier_scores",
     "bpe_merges",
+    "jpeg_roundtrip_audit",
 ]
 
 # r5 window kept for the ledger (CORRECTNESS_r05 rows map to this).
@@ -11371,6 +11384,20 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(SUM(n_i) AS BIGINT) AS n_ipv4,
                    CAST(SUM(n_c) AS BIGINT) AS n_cards
             FROM scanned GROUP BY c_mktsegment
+        """,
+        # r7: the JPEG codec audit — exact key-derived halves (the
+        # same dim formulas as the other image fixtures) + the three
+        # codec-contract booleans pinned TRUE (deterministic pure-numpy
+        # codec; bound measured at 46 vs the 64 contract,
+        # decode.JPEG_MAX_ABS_ERR)
+        "jpeg_roundtrip_audit": """
+            SELECT doc_id AS media_id,
+                   CAST(8 + doc_id % 24 AS INTEGER) AS width,
+                   CAST(8 + n_chars % 24 AS INTEGER) AS height,
+                   TRUE AS magic_ok,
+                   TRUE AS dims_match,
+                   TRUE AS max_err_le_bound
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "pii_redaction_audit": f"""
             {_PII_NOTES_CTE},

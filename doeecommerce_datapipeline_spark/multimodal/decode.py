@@ -3,12 +3,13 @@ opaque binary columns + typed metadata, with decode / feature-extract /
 resize / frame-sample as Arrow-batched mapInPandas stages.
 
 The Spark side — schema, partitioning, UDF signatures, batch shapes —
-is real and tested. The codec seam has two real pure-Python decoders
-for uncompressed containers — PPM (P6 binary / P3 ascii) images and
-RIFF/WAV PCM audio — dispatched on payload magic bytes;
-`real_decode=True` only raises NotImplementedError for formats that
-genuinely need external libraries (JPEG/PNG/MP3/...; PIL/torchaudio
-would slot into `_real_decode` unchanged). The default path produces
+is real and tested. The codec seam has three real pure-Python decoders
+dispatched on payload magic bytes — PPM (P6 binary / P3 ascii) images,
+RIFF/WAV PCM audio, and (since r7) baseline JPEG via
+``multimodal/jpeg.py`` — so `real_decode=True` only raises
+NotImplementedError for formats that genuinely need external
+libraries (PNG/MP3/video, progressive JPEG; PIL/torchaudio would slot
+into `_real_decode` unchanged). The default path produces
 a deterministic fake feature vector derived from the bytes (stable
 across engines and runs) so oracle-paired queries stay engine-neutral
 on the synthetic corpus, whose payloads are text bytes, not media.
@@ -201,14 +202,43 @@ def _decode_wav(payload: bytes) -> list[float]:
     )
 
 
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """Baseline JPEG decode (multimodal/jpeg.py — pure numpy, no
+    codec library) + the same pixel statistics as the PPM path.
+
+    Feature layout (16 floats): [1=image tag, width, height, 255,
+    mean_r, mean_g, mean_b, min_lum, max_lum, mean_lum, n_pixels,
+    0...] — identical to _decode_ppm so downstream feature consumers
+    are container-agnostic."""
+    import numpy as np
+
+    from .jpeg import decode_baseline_jpeg
+
+    px = decode_baseline_jpeg(payload)
+    if px.ndim == 2:  # grayscale: replicate to RGB for a uniform layout
+        px = np.stack([px] * 3, axis=-1)
+    h, w = px.shape[:2]
+    rgb = px.reshape(h * w, 3).astype(np.float64) / 255.0
+    lum = rgb @ np.array([0.299, 0.587, 0.114])
+    means = rgb.mean(axis=0)
+    return _pad16(
+        [1.0, w, h, 255, means[0], means[1], means[2],
+         lum.min(), lum.max(), lum.mean(), float(h * w)]
+    )
+
+
 def _real_decode(payload: bytes) -> list[float]:
     """Magic-byte dispatch to the real decoders; formats needing
-    external codec libraries raise (PIL/torchaudio slot in here)."""
+    external codec libraries raise (PIL/torchaudio slot in here —
+    since r7 JPEG baseline is decoded natively by multimodal/jpeg.py,
+    so the raise covers PNG/MP3/video and progressive JPEG only)."""
     p = payload or b""
     if p[:2] in (b"P6", b"P3"):
         return _decode_ppm(p)
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return _decode_wav(p)
+    if p[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg(p)
     raise NotImplementedError(
         f"no pure-Python decoder for payload magic {p[:4]!r} — "
         "plug PIL/torchaudio here; the Spark plumbing is complete"
@@ -597,3 +627,100 @@ def image_downsample_summary(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, DS_SUMMARY_SCHEMA
     )
+
+
+JPEG_ENCODE_QUALITY = 90
+# measured max |decoded - original| over every fixture image at all
+# three SFs is 46 at quality 90 (4:4:4); a broken Huffman/IDCT/zigzag
+# path lands >=128. The bound is a deterministic contract: the codec
+# is pure numpy with a fixed operation order, so the error per image
+# is bit-identical across runs/hosts.
+JPEG_MAX_ABS_ERR = 64
+
+
+def synth_jpeg(df: DataFrame) -> DataFrame:
+    """(media_id, width, height) -> (media_id, width, height,
+    payload): build REAL baseline JPEG bytes per row (4:4:4, quality
+    JPEG_ENCODE_QUALITY, pixels from the same _synth_pixels hash
+    family as the PPM fixture), Arrow batch at a time."""
+    from .jpeg import encode_baseline_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "payload": [
+                        encode_baseline_jpeg(
+                            _synth_pixels(int(m), int(w) * int(h))
+                            .reshape(int(h), int(w), 3),
+                            quality=JPEG_ENCODE_QUALITY,
+                        )
+                        for m, w, h in zip(
+                            pdf["media_id"], pdf["width"], pdf["height"]
+                        )
+                    ],
+                }
+            )
+
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(
+        batches, "media_id long, width int, height int, payload binary"
+    )
+
+
+JPEG_AUDIT_SCHEMA = (
+    "media_id long, width int, height int, magic_ok boolean, "
+    "dims_match boolean, max_err_le_bound boolean"
+)
+
+
+def jpeg_roundtrip_summary(df: DataFrame) -> DataFrame:
+    """Decode every JPEG payload through the REAL baseline decoder
+    (multimodal/jpeg.py) and audit the roundtrip against the
+    regenerated source pixels: payload magic, decoded dims, and the
+    JPEG_MAX_ABS_ERR reconstruction bound. Arrow-batched mapInPandas
+    over (media_id, width, height, payload) — scan-bound, no shuffle,
+    the decode seam's plumbing contract unchanged. The exact halves
+    (media_id, width, height) are SQL-derivable; the three booleans
+    are the codec contract the oracle pins as literal TRUE."""
+    import numpy as np
+
+    from .jpeg import decode_baseline_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "magic_ok": [], "dims_match": [], "max_err_le_bound": [],
+            }
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["payload"],
+            ):
+                p = bytes(payload or b"")
+                mid, w, h = int(mid), int(w), int(h)
+                magic = p[:3] == b"\xff\xd8\xff"
+                dims = False
+                err_ok = False
+                if magic:
+                    dec = decode_baseline_jpeg(p)
+                    dims = dec.shape[:2] == (h, w)
+                    if dims:
+                        src = _synth_pixels(mid, w * h).reshape(h, w, 3)
+                        err = np.abs(
+                            dec.astype(np.int64) - src.astype(np.int64)
+                        ).max()
+                        err_ok = bool(err <= JPEG_MAX_ABS_ERR)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["magic_ok"].append(magic)
+                out["dims_match"].append(dims)
+                out["max_err_le_bound"].append(err_ok)
+            yield pd.DataFrame(out)
+
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(batches, JPEG_AUDIT_SCHEMA)

@@ -151,6 +151,33 @@ def image_ppm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ppm_summary(synth_image_table(spark, sf_dir))
 
 
+def jpeg_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face (r7): the baseline-JPEG codec exercised
+    end-to-end on the synth image fixture — build real JPEG bytes
+    (multimodal/jpeg.py encoder, 4:4:4 quality 90), decode them
+    through the real baseline decoder, audit payload magic, decoded
+    dims, and the measured reconstruction bound per image. Exact
+    halves (media_id, width, height — the same key-derived dims as
+    synth_image_table) are SQL-derivable; the three booleans are the
+    codec contract the oracle pins as literal TRUE (the codec is
+    deterministic pure numpy, so each flag is a fixed fact of the
+    fixture, not a flaky measurement). Two chained mapInPandas stages
+    (encode, then decode+audit), scan-bound, zero shuffles."""
+    from .decode import jpeg_roundtrip_summary, synth_jpeg
+
+    d = table(spark, sf_dir, "documents")
+    img = d.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(IMG_DIM_BASE) + F.col("doc_id") % IMG_DIM_MOD)
+        .cast("int")
+        .alias("width"),
+        (F.lit(IMG_DIM_BASE) + F.col("n_chars") % IMG_DIM_MOD)
+        .cast("int")
+        .alias("height"),
+    )
+    return jpeg_roundtrip_summary(synth_jpeg(img))
+
+
 def image_downsample_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Channel means of the 2x2 box-downsampled synth images through
     the full build -> parse -> pool path — decode-transform-feature
