@@ -303,16 +303,27 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     scaled_n = n_docs * TFIDF_COSINE_SCALE
-    w = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    ).select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.expr(f"{scaled_n} div df")).alias("w"),
+    # the weighted index is consumed FOUR times (both join sides +
+    # norms, itself joined twice) — localCheckpoint it once (the
+    # minhash barrier pattern: no shared subtrees across join
+    # branches), or the explode + df-window re-evaluate per branch
+    # (r7: 4 scans / 4 Windows in the executed plan, measured
+    # 4.3 s -> 2.8 s at sf0.1; the remaining time is the shared-term
+    # pair join itself, the operator's real work)
+    w = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.expr(f"{scaled_n} div df")).alias("w"),
+        )
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("norm_sq")
-    )
+    ).localCheckpoint()
     a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
     dots = (
