@@ -23,18 +23,25 @@ import __spark_entry__ as entrymod  # noqa: E402
 from doeecommerce_datapipeline_spark.session import get_spark  # noqa: E402
 
 
-def _prior_timings(repo_dir: str, sf: float | None) -> dict[str, float]:
+def _prior_timings(
+    repo_dir: str, sf: float | None, out_file: str | None
+) -> dict[str, float]:
     """Previous round's committed per-query map (BENCH_LOCAL_r{N-1}),
     used by the outlier re-time pass. Returns {} when no prior round
     exists or the prior record was taken at a different scale factor
     (cross-SF times aren't comparable). Override the reference file
-    with SPARK_GRAFT_BENCH_REF."""
+    with SPARK_GRAFT_BENCH_REF. The file THIS run writes (out_file)
+    is never a candidate — a mid-round re-run must compare against
+    the committed cross-round record, not its own first attempt
+    (caught live in r7: the second run inherited the first run's
+    contention spikes as 'priors' and skipped re-timing them)."""
     ref = os.environ.get("SPARK_GRAFT_BENCH_REF")
     if ref is None:
+        out_abs = os.path.abspath(out_file) if out_file else None
         cands = []
         for fn in os.listdir(repo_dir):
             m = re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", fn)
-            if m:
+            if m and os.path.abspath(os.path.join(repo_dir, fn)) != out_abs:
                 cands.append((int(m.group(1)), fn))
         if not cands:
             return {}
@@ -142,7 +149,11 @@ def main() -> None:
     # full-map file lists which entries were re-timed and their
     # original sweep figures.
     fns = dict(ordered)
-    prior = _prior_timings(os.path.dirname(os.path.abspath(__file__)), sf)
+    prior = _prior_timings(
+        os.path.dirname(os.path.abspath(__file__)),
+        sf,
+        os.environ.get("SPARK_GRAFT_BENCH_OUT"),
+    )
     retimed: dict[str, float] = {}
     for name in sorted(timings):
         p = prior.get(name)
