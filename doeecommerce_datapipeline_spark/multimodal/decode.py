@@ -280,8 +280,9 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage signature (stub): passes metadata through with the
-    new target dims recorded; the pixel work is the decoder's."""
+    """Metadata-only resize (kept for MEDIA_SCHEMA frames whose
+    payloads have no decoder); the REAL pixel path for JPEG payloads
+    is ``resize_jpeg`` below (r7)."""
     return df.withColumn(
         "meta",
         F.struct(
@@ -724,3 +725,60 @@ def jpeg_roundtrip_summary(df: DataFrame) -> DataFrame:
 
     ensure_shipped(df.sparkSession)
     return df.mapInPandas(batches, JPEG_AUDIT_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, out_w int, out_h int, "
+    "n_bytes_in long, n_bytes_out long"
+)
+
+
+def resize_jpeg(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize stage over JPEG payloads (r7 — upgrades the
+    metadata-only ``resize_stub`` now that ``multimodal/jpeg.py``
+    exists): decode the baseline stream, nearest-neighbor resample to
+    the target dims on a deterministic integer index map
+    (src_i = floor(dst_i * src_dim / dst_dim) — no float coordinates,
+    so output pixels are engine/host-exact), re-encode at
+    JPEG_ENCODE_QUALITY. The thumbnail pass every multimodal corpus
+    prep runs between ingest and feature extraction.
+
+    Arrow-batched mapInPandas over (media_id, payload) — scan-bound,
+    no shuffle; at 100 TB, repartition by byte size ahead of this
+    seam (see jpeg_roundtrip_audit) and the codec work parallelizes
+    per-partition with no state."""
+    import numpy as np
+
+    from .jpeg import decode_baseline_jpeg, encode_baseline_jpeg
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad target dims {width}x{height}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "payload": [], "out_w": [], "out_h": [],
+                "n_bytes_in": [], "n_bytes_out": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload or b"")
+                px = decode_baseline_jpeg(p)
+                sh, sw = px.shape[:2]
+                yi = (np.arange(height, dtype=np.int64) * sh) // height
+                xi = (np.arange(width, dtype=np.int64) * sw) // width
+                resized = px[yi][:, xi]
+                enc = encode_baseline_jpeg(
+                    resized, quality=JPEG_ENCODE_QUALITY
+                )
+                out["media_id"].append(int(mid))
+                out["payload"].append(enc)
+                out["out_w"].append(width)
+                out["out_h"].append(height)
+                out["n_bytes_in"].append(len(p))
+                out["n_bytes_out"].append(len(enc))
+            yield pd.DataFrame(out)
+
+    ensure_shipped(df.sparkSession)
+    return df.select("media_id", "payload").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )

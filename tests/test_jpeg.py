@@ -130,3 +130,44 @@ def test_registry_face_flags_all_true(spark):
         r["magic_ok"] and r["dims_match"] and r["max_err_le_bound"]
         for r in rows
     )
+
+
+def test_resize_jpeg_real_pixels(spark):
+    """The real resize stage: decode -> nearest-neighbor resample ->
+    re-encode. Output payloads are valid JPEGs at the target dims and
+    the resampled content tracks the source (exact index-map
+    comparison on a flat-color image, where resampling is lossless up
+    to codec error)."""
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        resize_jpeg,
+    )
+
+    flat = np.full((20, 28, 3), 100, dtype=np.uint8)
+    grad = _gradient(20, 28)
+    rows = [
+        (1, bytearray(encode_baseline_jpeg(flat, 90))),
+        (2, bytearray(encode_baseline_jpeg(grad, 90))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r for r in resize_jpeg(df, 9, 7).collect()
+    }
+    assert set(got) == {1, 2}
+    for mid, r in got.items():
+        assert (r["out_w"], r["out_h"]) == (9, 7)
+        assert r["n_bytes_in"] > 0 and r["n_bytes_out"] > 0
+        dec = decode_baseline_jpeg(bytes(r["payload"]))
+        assert dec.shape == (7, 9, 3)
+    # flat image survives the whole pipeline within codec error
+    dec1 = decode_baseline_jpeg(bytes(got[1]["payload"]))
+    assert np.abs(dec1.astype(int) - 100).max() <= 8
+
+
+def test_resize_jpeg_rejects_bad_dims(spark):
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        resize_jpeg,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "media_id long, payload binary")
+    with pytest.raises(ValueError):
+        resize_jpeg(df, 0, 4)
