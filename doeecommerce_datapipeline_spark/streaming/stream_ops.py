@@ -657,3 +657,19 @@ def foreach_batch_moments_merge(
         )
 
     return _write
+
+
+def stream_media_decode(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Streaming multimodal decode: the identical Arrow-batched
+    mapInPandas codec stage as the batch pass
+    (multimodal/decode.decode_media) applied to a media-row stream —
+    stateless per micro-batch (no watermark, no state store), output
+    row-identical to the batch twin over the same files (unit-pinned).
+    The ingestion shape a multimodal corpus needs: payload bytes are
+    decoded/fingerprinted ON ARRIVAL (n_bytes, sha256, features), so
+    corrupt or duplicate media surfaces at the stream edge instead of
+    inside a training epoch. ``real_decode=True`` routes through the
+    real PPM/WAV/JPEG codecs, same as batch."""
+    from ..multimodal.decode import decode_media
+
+    return decode_media(media, real_decode=real_decode)

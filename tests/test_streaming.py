@@ -437,3 +437,54 @@ def test_stream_pii_redact_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_media_decode_equals_batch(spark, tmp_path):
+    """Streaming media decode over file micro-batches is row-identical
+    to the batch codec pass on the same directory — including through
+    the REAL JPEG decoder (stateless mapInPandas projection; the
+    multimodal twin of the pii stream contract)."""
+    import numpy as np
+
+    from doeecommerce_datapipeline_spark.multimodal.decode import (
+        decode_media,
+    )
+    from doeecommerce_datapipeline_spark.multimodal.jpeg import (
+        encode_baseline_jpeg,
+    )
+    from doeecommerce_datapipeline_spark.streaming.stream_ops import (
+        stream_media_decode,
+    )
+
+    rows = []
+    for mid in range(1, 9):
+        rng = np.random.default_rng(mid)
+        img = rng.integers(0, 256, (8 + mid, 10, 3), dtype=np.uint8)
+        rows.append(
+            (mid, "image", "image/jpeg",
+             bytearray(encode_baseline_jpeg(img, 90)), None)
+        )
+    schema = (
+        "media_id long, kind string, mime string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:long>"
+    )
+    src = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "media_in")
+    src.limit(5).write.parquet(d)
+    src.write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    run_stream_to_memory(
+        stream_media_decode(stream, real_decode=True), "media_out"
+    )
+    got = {
+        (r["media_id"], r["n_bytes"], r["sha256"], tuple(r["features"]))
+        for r in spark.sql("SELECT * FROM media_out").collect()
+    }
+    want = {
+        (r["media_id"], r["n_bytes"], r["sha256"], tuple(r["features"]))
+        for r in decode_media(
+            spark.read.parquet(d), real_decode=True
+        ).collect()
+    }
+    assert got == want and len(got) > 0
