@@ -112,3 +112,82 @@ def test_pack_by_budget_matches_sequential_scan(spark, docs, budget):
             want[i] = (cum // budget, cum % budget)
             cum += n_tok
     assert got == want
+
+
+@st.composite
+def _change_streams(draw):
+    n = draw(st.integers(1, 24))
+    rows = []
+    for i in range(n):
+        k = draw(st.integers(1, 3))
+        attr = draw(st.sampled_from(["A", "B", "C"]))
+        day = draw(st.integers(1, 12))
+        rows.append((k, attr, f"2024-01-{day:02d}", i))
+    return rows
+
+
+def _reference_scd2(rows):
+    """Sequential gaps-and-islands over (key, attr, date, id) rows
+    ordered by (date, id) within key — independent of the windowed
+    implementation."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, attr, d, i in rows:
+        by_key[k].append((d, i, attr))
+    out = []
+    for k, seq in by_key.items():
+        seq.sort()
+        islands = []  # [attr, from_date, n_rows]
+        for d, _i, attr in seq:
+            if islands and islands[-1][0] == attr:
+                islands[-1][2] += 1
+            else:
+                islands.append([attr, d, 1])
+        for idx, (attr, frm, n) in enumerate(islands):
+            nxt = islands[idx + 1][1] if idx + 1 < len(islands) else None
+            out.append((k, frm, attr, nxt, nxt is None, n))
+    return sorted(out, key=_iv_key)
+
+
+def _iv_key(t):
+    # None effective_to sorts as "" — two same-day same-attr islands
+    # of one key can differ only there, and None<str comparison raises
+    return (t[0], t[1], t[2], t[3] or "", t[4], t[5])
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_change_streams())
+def test_scd2_matches_sequential_reference(spark, rows):
+    """The windowed SCD2 kernel == a sequential per-key scan on random
+    change streams — same-day flips, reopened attribute runs, and
+    single-row keys included."""
+    from doeecommerce_datapipeline_spark.operators.scd import scd2
+
+    df = spark.createDataFrame(
+        rows, "k long, attr string, d string, id long"
+    ).withColumn("d", F.to_date("d"))
+    out = scd2(
+        df,
+        key="k",
+        attr="attr",
+        order=[F.col("d").asc(), F.col("id").asc()],
+        event_date=F.col("d"),
+    )
+    got = sorted(
+        (
+            (
+                r["k"],
+                str(r["effective_from"]),
+                r["attr"],
+                str(r["effective_to"]) if r["effective_to"] else None,
+                r["is_current"],
+                r["n_rows"],
+            )
+            for r in out.collect()
+        ),
+        key=_iv_key,
+    )
+    # sorted multisets, not a dict: two same-day islands of one key
+    # share (k, effective_from), and dict keying would hide one
+    assert got == _reference_scd2(rows)
