@@ -191,3 +191,55 @@ def test_scd2_matches_sequential_reference(spark, rows):
     # sorted multisets, not a dict: two same-day islands of one key
     # share (k, effective_from), and dict keying would hide one
     assert got == _reference_scd2(rows)
+
+
+def _ref_shingles(text, n=3):
+    toks = text.lower().split()
+    if len(toks) <= n - 1:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@st.composite
+def _shingle_corpora(draw):
+    # small vocabulary so documents actually overlap
+    vocab = ["red", "blue", "fox", "dog", "runs", "fast", "home"]
+    n = draw(st.integers(2, 12))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(1, 8))
+        words = [draw(st.sampled_from(vocab)) for _ in range(k)]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_shingle_corpora(), tau=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_jaccard_join_is_lossless(spark, docs, tau):
+    """The PPJoin prefix filter must lose NO qualifying pair and admit
+    no false positive at any threshold — pinned against brute-force
+    all-pairs Jaccard over the same 3-word shingle sets on random
+    overlapping corpora."""
+    from doeecommerce_datapipeline_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, tau=tau).collect()
+    }
+    sh = {i: _ref_shingles(t) for i, t in docs}
+    want = {}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            j = inter / union if union else 0.0
+            if j >= tau:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-9, pair
