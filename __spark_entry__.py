@@ -11386,14 +11386,18 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM scanned GROUP BY c_mktsegment
         """,
         # r7: the JPEG codec audit — exact key-derived halves (the
-        # same dim formulas as the other image fixtures) + the three
+        # same dim formulas as the other image fixtures, interpolated
+        # from media's shared constants so a fixture change cannot
+        # silently desynchronize the twin — r8 ADVICE) + the three
         # codec-contract booleans pinned TRUE (deterministic pure-numpy
-        # codec; bound measured at 46 vs the 64 contract,
-        # decode.JPEG_MAX_ABS_ERR)
-        "jpeg_roundtrip_audit": """
+        # codec; bound measured at 46 vs the randomized-worst-case 96
+        # contract, decode.JPEG_MAX_ABS_ERR)
+        "jpeg_roundtrip_audit": f"""
             SELECT doc_id AS media_id,
-                   CAST(8 + doc_id % 24 AS INTEGER) AS width,
-                   CAST(8 + n_chars % 24 AS INTEGER) AS height,
+                   CAST({M.IMG_DIM_BASE} + doc_id % {M.IMG_DIM_MOD}
+                        AS INTEGER) AS width,
+                   CAST({M.IMG_DIM_BASE} + n_chars % {M.IMG_DIM_MOD}
+                        AS INTEGER) AS height,
                    TRUE AS magic_ok,
                    TRUE AS dims_match,
                    TRUE AS max_err_le_bound

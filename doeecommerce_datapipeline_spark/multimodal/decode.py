@@ -632,11 +632,17 @@ def image_downsample_summary(df: DataFrame) -> DataFrame:
 
 JPEG_ENCODE_QUALITY = 90
 # measured max |decoded - original| over every fixture image at all
-# three SFs is 46 at quality 90 (4:4:4); a broken Huffman/IDCT/zigzag
-# path lands >=128. The bound is a deterministic contract: the codec
-# is pure numpy with a fixed operation order, so the error per image
-# is bit-identical across runs/hosts.
-JPEG_MAX_ABS_ERR = 64
+# three SFs is 46 at quality 90 (4:4:4), and the codec's own
+# randomized property suite (tests/test_jpeg_properties.py) needs 96
+# on adversarial noise images. The contract bound is the RANDOMIZED
+# worst case, not the fixture measurement, so a future fixture change
+# (dims, SYNTH_MUL, quality) cannot push the audit red without a real
+# codec bug — a broken Huffman/IDCT/zigzag path lands >=128 (r8
+# ADVICE: the previous 64 was fixture-coupled). The bound stays a
+# deterministic contract: the codec is pure numpy with a fixed
+# operation order, so the error per image is bit-identical across
+# runs/hosts.
+JPEG_MAX_ABS_ERR = 96
 
 
 def synth_jpeg(df: DataFrame) -> DataFrame:

@@ -408,7 +408,11 @@ class _BitReader:
         self.nbits = 0
         d, p = self.data, self.pos
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            # _fill left pos at the 0xFF of the marker it saw; consume
+            # the 0xFF Dx pair so a caller that catches EOFError and
+            # retries cannot re-read the same marker forever
             self.marker = None
+            self.pos = p + 2
             return
         while p + 1 < len(d) and not (
             d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
@@ -464,6 +468,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # B.1.1.2: any number of 0xFF fill bytes may pad the space
+        # before a marker id; treating a fill byte as the marker would
+        # desynchronize the length-payload walk
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -549,49 +558,55 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         c["pred"] = 0
 
     br = _BitReader(data, sos_pos)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                br.restart()
+    # a truncated/garbled scan surfaces as EOFError inside the bit
+    # reader; the documented contract is ValueError for malformed
+    # streams (EOFError stays the reader's internal signal only)
+    try:
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    br.restart()
+                    for c in comps:
+                        c["pred"] = 0
+                mcu_count += 1
                 for c in comps:
-                    c["pred"] = 0
-            mcu_count += 1
-            for c in comps:
-                dc_tab = huff[(0, c["td"])]
-                ac_tab = huff[(1, c["ta"])]
-                for by_i in range(c["v"]):
-                    for bx_i in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _huff_decode(br, dc_tab)
-                        diff = _extend(
-                            br.bits(size) if size else 0, size
-                        )
-                        c["pred"] += diff
-                        zz[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(br, ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, sz = sym >> 4, sym & 0xF
-                            if sz == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                raise ValueError(
-                                    f"bad AC symbol 0x{sym:02X}"
-                                )
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            zz[k] = _extend(br.bits(sz), sz)
-                            k += 1
-                        c["coef"][
-                            my * c["v"] + by_i, mx * c["h"] + bx_i
-                        ] = zz
+                    dc_tab = huff[(0, c["td"])]
+                    ac_tab = huff[(1, c["ta"])]
+                    for by_i in range(c["v"]):
+                        for bx_i in range(c["h"]):
+                            zz = np.zeros(64, dtype=np.int64)
+                            size = _huff_decode(br, dc_tab)
+                            diff = _extend(
+                                br.bits(size) if size else 0, size
+                            )
+                            c["pred"] += diff
+                            zz[0] = c["pred"]
+                            k = 1
+                            while k < 64:
+                                sym = _huff_decode(br, ac_tab)
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, sz = sym >> 4, sym & 0xF
+                                if sz == 0:
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    raise ValueError(
+                                        f"bad AC symbol 0x{sym:02X}"
+                                    )
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run overflow")
+                                zz[k] = _extend(br.bits(sz), sz)
+                                k += 1
+                            c["coef"][
+                                my * c["v"] + by_i, mx * c["h"] + bx_i
+                            ] = zz
+    except EOFError as exc:
+        raise ValueError(f"malformed JPEG ({exc})") from exc
 
     planes = []
     for c in comps:

@@ -171,3 +171,41 @@ def test_resize_jpeg_rejects_bad_dims(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "media_id long, payload binary")
     with pytest.raises(ValueError):
         resize_jpeg(df, 0, 4)
+
+
+def test_fill_bytes_between_segments_tolerated():
+    """B.1.1.2 padding: 0xFF fill bytes before a marker id must not
+    desynchronize the segment walk (r8 ADVICE fix)."""
+    img = _gradient(12, 12)
+    data = bytes(encode_baseline_jpeg(img, 90))
+    base = decode_baseline_jpeg(data)
+    # inject fill bytes before the DQT, DHT, and SOF markers
+    padded = data
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0"):
+        i = padded.find(marker)
+        assert i >= 0
+        padded = padded[:i] + b"\xff\xff\xff" + padded[i:]
+    got = decode_baseline_jpeg(padded)
+    assert np.array_equal(got, base)
+
+
+def test_truncated_scan_raises_valueerror():
+    """The documented malformed-stream contract is ValueError, even
+    when the failure surfaces inside the entropy-coded scan (r8
+    ADVICE fix: EOFError stays internal to the bit reader)."""
+    img = _gradient(24, 24)
+    data = bytes(encode_baseline_jpeg(img, 90))
+    sos = data.find(b"\xff\xda")
+    assert sos >= 0
+    # cut the stream mid-scan (keep the headers + a few scan bytes)
+    truncated = data[: sos + 20]
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(truncated)
+    # garble the scan so a marker appears mid-MCU: also ValueError
+    cut = data[: len(data) // 2] + b"\xff\xc0" + data[len(data) // 2 + 2 :]
+    try:
+        decode_baseline_jpeg(cut)
+    except ValueError:
+        pass
+    except NotImplementedError:
+        pass  # the garbled byte may masquerade as a SOF marker

@@ -62,9 +62,9 @@ def test_restart_streams_decode_identically(img, sub, ri):
 def test_high_quality_444_error_bound(img):
     """At quality 90, 4:4:4: reconstruction error on arbitrary noise
     stays within the quantization budget (measured max 46 on the
-    fixture corpus; 64 is the audit contract; 96 here covers the
-    randomized worst case with margin while still failing hard on a
-    real codec bug, which lands >=128)."""
+    fixture corpus; 96 — the audit contract, decode.JPEG_MAX_ABS_ERR —
+    covers the randomized worst case with margin while still failing
+    hard on a real codec bug, which lands >=128)."""
     from doeecommerce_datapipeline_spark.multimodal.jpeg import (
         decode_baseline_jpeg,
         encode_baseline_jpeg,
