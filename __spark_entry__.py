@@ -248,13 +248,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact-halves + contract-flag face (per-doc scores live on as the
     non-registry quality_classifier_scores_full) and bpe_merges gains
     a full unrolled DuckDB oracle — rows-only 11 -> 9 (verdict #4);
-    both take the two re-check slots at the tail of _R8_QUEUE since
+    both take the two re-check slots at the tail of _R8_WINDOW since
     their contracts changed. The PII pass gains the Luhn-validated
     credit-card class (verdict #5). Registry 334 -> 335: the one
     addition is jpeg_roundtrip_audit (verdict #6 — a real pure-numpy
     baseline JPEG codec now backs the multimodal decode seam;
     oracle-paired via exact key-derived dims + codec-contract flags),
-    which takes dedup_first_event's r1-re-check slot in _R8_QUEUE.
+    which takes dedup_first_event's r1-re-check slot in _R8_WINDOW.
+
+    ROUND-8 EXECUTED (registry 335 -> 336; rows-only 9 -> 7):
+    _R8_WINDOW = the pre-staged r8 queue with three verdict-mandated
+    slot swaps (see the _R8_WINDOW header comment): lsh_recall_eval
+    and ann_recall_eval are TIGHTENED from rows-only to oracle-paired
+    contract faces (r7 verdict #3 — exact truth-set halves via the
+    deterministic n-gram-Jaccard / nonzero-norm-embedding CTEs + the
+    recall/precision floor booleans pinned TRUE; raw scoreboards live
+    on as lsh_recall_eval_full / ann_recall_eval_full, cross-checked
+    by the planted-dup and batched≡loop units), and the one registry
+    addition is png_roundtrip_audit (r7 verdict #4 — a real
+    stdlib-zlib+numpy 8-bit PNG codec at multimodal/png.py closes the
+    last bulk-corpus decode boundary; LOSSLESS exact-pixel contract,
+    disjoint doc_id % 3 == 1 fixture slice). The three displaced r1
+    re-checks head _R9_QUEUE. JPEG codec hardened per r7 ADVICE
+    (fill-byte tolerance, restart-marker advance, ValueError
+    boundary, randomized-worst-case JPEG_MAX_ABS_ERR=96, interpolated
+    audit-oracle dims). After this window every registry entry has a
+    driver record; _R9_QUEUE starts the currency rotation (oldest
+    vintage first).
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -762,7 +782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDF-area metric completing the KS/PSI/χ² drift triad)
         "value_emd_drift": E.value_emd_drift,
         # (bw) round-4 continuation 71 — LSH candidate-quality eval
-        # vs exact Jaccard truth (rows-only: engine-side hash seeds)
+        # vs exact Jaccard truth. r8 (verdict #3): tightened from
+        # rows-only to the oracle-paired contract face (exact
+        # truth-pair counts + recall/precision floor booleans pinned
+        # TRUE); raw scoreboard lives on as lsh_recall_eval_full
         "lsh_recall_eval": D.lsh_recall_eval,
         # (bx) round-4 continuation 72 — seasonally-adjusted anomaly
         # days (STL residual / robust MAD scale)
@@ -770,8 +793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (by) round-4 continuation 73 — quantile-treatment-effect
         # deciles: WHERE in the distribution the drift happened
         "value_qte_deciles": E.value_qte_deciles,
-        # (bz) round-4 continuation 74 — ANN recall@10 scoreboard
-        # (rows-only: trained float state + engine hashes)
+        # (bz) round-4 continuation 74 — ANN recall@10 scoreboard.
+        # r8 (verdict #3): tightened from rows-only to the
+        # oracle-paired contract face (exact panel/truth-set sizes +
+        # the panel-mean recall floor boolean pinned TRUE); raw
+        # per-query scoreboard lives on as ann_recall_eval_full
         "ann_recall_eval": S.ann_recall_eval,
         # (ca) round-4 continuation 75 — 2-D Mahalanobis document
         # outliers (covariance-aware joint screen)
@@ -842,9 +868,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact key-derived dims + codec-contract flags, the
         # sketch_rollup oracle pattern). Queue for the r8 window.
         "jpeg_roundtrip_audit": M.jpeg_roundtrip_audit,
+        # --- round-8 addition ----------------------------------------
+        # (r8-1) verdict #4 — the 8-bit PNG codec roundtrip audit
+        # (real stdlib-zlib+numpy encode+decode at the mapInPandas
+        # seam; LOSSLESS contract: exact pixel equality, strictly
+        # stronger than the JPEG error bound; disjoint doc_id % 3 == 1
+        # fixture slice). Oracle-paired via exact key-derived dims +
+        # codec-contract flags.
+        "png_roundtrip_audit": M.png_roundtrip_audit,
     }
-    return {k: q[k] for k in _R7_WINDOW} | {
-        k: v for k, v in q.items() if k not in set(_R7_WINDOW)
+    return {k: q[k] for k in _R8_WINDOW} | {
+        k: v for k, v in q.items() if k not in set(_R8_WINDOW)
     }
 
 
@@ -915,12 +949,7 @@ _R6_WINDOW = [
     "char_entropy_flags",
 ]
 
-# Driver-visible head (first 50 entries = the r7 CORRECTNESS window).
-# r6 closed with zero reds, so this is the pre-staged queue verbatim:
-# the next 50 record-less entries in declaration order. Composition
-# documented in queries.__doc__ (ROUND-7 EXECUTED); every name must
-# exist in the declaration dict above
-# (tests/test_registry_window.py asserts it).
+# r7 window kept for the ledger (CORRECTNESS_r07 rows map to this).
 _R7_WINDOW = [
     "rage_burst_users",
     "heaps_law_fit",
@@ -974,19 +1003,25 @@ _R7_WINDOW = [
     "cluster_source_nmi",
 ]
 
-# Pre-staged r8 rotation (NOT yet wired — queries() serves _R7_WINDOW
-# until the r7 driver record lands). Finishes the 334/334 driver
-# ledger: (1) the 10-entry record-less remainder in declaration order
-# incl. the two r6 PII faces; (2) numeric_corr_matrix, whose r3
-# record predates the r4 int64-lattice reimplementation; (3) all 37
-# entries whose latest record is r1-vintage, in declaration order;
-# (4) the two entries whose CONTRACT changed in r7 (verdict #4
-# tightenings — quality_classifier_scores redefined to the
-# exact-halves + contract-flag face, bpe_merges gained the unrolled
-# DuckDB oracle): a contract change outranks an r2-vintage re-check
-# for the last two slots. Round 8 opens by setting the head to any
-# r7-window red rows, then this queue.
-_R8_QUEUE = [
+# Driver-visible head (first 50 entries = the r8 CORRECTNESS window).
+# r7 closed 48 green + 2 rows-only-by-contract, zero reds, so this is
+# the pre-staged r8 queue with THREE slot swaps mandated by the r7
+# verdict (#3 and #4): the two recall scoreboards whose contracts
+# were TIGHTENED this round (rows-only -> oracle-paired faces) and
+# the new png_roundtrip_audit take the tail; the three lowest-value
+# r1 re-checks they displace (distinct_projection — trivial built-in
+# distinct; customers_without_orders — same semi/anti join file as
+# customers_with_orders, which stays; sliding_hourly — same window
+# fan-out code as tumbling_hourly, which stays) move to the head of
+# _R9_QUEUE below. Composition: (1) the 10-entry record-less
+# remainder in declaration order incl. the two r6 PII faces; (2)
+# numeric_corr_matrix, whose r3 record predates the r4 int64-lattice
+# reimplementation; (3) the r1-vintage re-checks, in declaration
+# order; (4) contract changes: quality_classifier_scores + bpe_merges
+# (r7 tightenings), lsh_recall_eval + ann_recall_eval (r8
+# tightenings), jpeg_roundtrip_audit (r7 addition),
+# png_roundtrip_audit (r8 addition).
+_R8_WINDOW = [
     # (1) record-less remainder
     "event_hour_mi",
     "embedding_intrinsic_dim",
@@ -1006,14 +1041,14 @@ _R8_QUEUE = [
     "summary_stats",
     "count_by_day",
     "dedup_latest_event",
-    # (dedup_first_event's r1 re-check yields its slot to the new r7
-    # jpeg face below: same W1/W3 window code path as dedup_latest,
-    # lowest re-check value in the r1 tail)
-    "distinct_projection",
+    # (dedup_first_event's r1 re-check yielded its slot to the r7
+    # jpeg face: same W1/W3 window code path as dedup_latest, lowest
+    # re-check value in the r1 tail; distinct_projection and
+    # customers_without_orders yield theirs to the r8 tightened
+    # scoreboards per the header note)
     "user_activity",
     "revenue_by_region",
     "customers_with_orders",
-    "customers_without_orders",
     "daily_slice",
     "ts_range_filter",
     "multi_source_union",
@@ -1032,7 +1067,7 @@ _R8_QUEUE = [
     "embedding_topk",
     "embedding_norms",
     "tumbling_hourly",
-    "sliding_hourly",
+    # (sliding_hourly yields its slot to png_roundtrip_audit)
     "sessionize",
     "session_stats",
     "asof_join_last_order",
@@ -1040,10 +1075,79 @@ _R8_QUEUE = [
     "minhash_dedup_docs",
     "ann_topk_lsh",
     "simhash_dedup_docs",
-    # (4) r7 contract-change re-checks + the one r7 addition
+    # (4) contract-change re-checks + codec-audit additions
     "quality_classifier_scores",
     "bpe_merges",
     "jpeg_roundtrip_audit",
+    "lsh_recall_eval",
+    "ann_recall_eval",
+    "png_roundtrip_audit",
+]
+
+# Pre-staged r9 rotation (NOT yet wired — queries() serves _R8_WINDOW
+# until the r8 driver record lands). With the r8 window the driver
+# ledger is complete (336/336 entries have a record); r9 starts the
+# CURRENCY rotation the r7 verdict prescribed (#6): oldest vintage
+# first. Head: the four entries whose latest record is still
+# r1-vintage (the three slot-swap displacements above plus
+# dedup_first_event, displaced in r7); then all 41 r2-vintage entries
+# in declaration order; then the first 5 r3-vintage entries
+# (user_retention_cohorts … part_metrics_unpivot). After this window
+# ~40 r3-vintage entries remain for r10.
+_R9_QUEUE = [
+    # (1) r1-vintage re-checks
+    "dedup_first_event",
+    "distinct_projection",
+    "customers_without_orders",
+    "sliding_hourly",
+    # (2) r2-vintage re-checks, declaration order
+    "rollup_revenue",
+    "cube_order_counts",
+    "pivot_linestatus",
+    "grouping_sets_revenue",
+    "funnel_conversion",
+    "simple_filter_agg",
+    "shipping_priority",
+    "large_volume_customers",
+    "small_quantity_revenue",
+    "volume_shipping",
+    "best_supplier_per_part",
+    "promo_part_suppliers",
+    "last_shipper_wins",
+    "order_count_histogram",
+    "part_supplier_counts",
+    "idle_rich_customers",
+    "late_ship_priority_counts",
+    "returned_top_customers",
+    "promo_revenue_pct",
+    "market_share",
+    "profit_by_nation_year",
+    "ngram_jaccard_pairs",
+    "dedup_components",
+    "mllib_lsh_join",
+    "local_supplier_revenue",
+    "part_value_concentration",
+    "top_supplier_revenue",
+    "bracket_revenue",
+    "hash_split",
+    "decontaminate",
+    "gopher_quality",
+    "source_mix_sample",
+    "pack_sequences",
+    "chunk_documents",
+    "pseudonymize_events",
+    "split_leakage_pairs",
+    "source_overlap_matrix",
+    "near_dedup_corpus",
+    "stratified_sample",
+    "bigram_lm",
+    "orders_asof_priority_regime",
+    # (3) r3-vintage head, declaration order
+    "user_retention_cohorts",
+    "event_type_cooccurrence",
+    "price_histogram",
+    "user_set_ops",
+    "part_metrics_unpivot",
 ]
 
 # r5 window kept for the ledger (CORRECTNESS_r05 rows map to this).
@@ -2739,6 +2843,88 @@ def _oracle_sql_literals() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        # r8 (verdict #3): lsh_recall_eval's contract face — the truth
+        # side is the SAME deterministic n-gram Jaccard CTE family as
+        # ngram_jaccard_pairs (doc_id < 1000, df-cap {D.NGRAM_DF_CAP}, word
+        # 3-shingles), counted per eval threshold (interpolated from
+        # dedup.LSH_EVAL_THRESHOLDS); the recall/precision floor
+        # booleans are the codec-contract pattern: deterministic
+        # engine-hash-dependent quantities pinned TRUE (measured 1.0 /
+        # 1.0 at every threshold and SF vs floors 0.9 / 0.5)
+        "lsh_recall_eval": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents WHERE doc_id < 1000
+            ), all_shingles AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), shingles AS (
+                SELECT doc_id, shingle FROM all_shingles
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM all_shingles
+                    GROUP BY shingle HAVING COUNT(*) > {D.NGRAM_DF_CAP}
+                )
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT CAST(n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+            ), ths AS (
+                SELECT CAST(unnest([{", ".join(repr(t) for t in D.LSH_EVAL_THRESHOLDS)}]) AS DOUBLE)
+                       AS threshold
+            )
+            SELECT t.threshold,
+                   CAST(COUNT(p.jaccard) AS BIGINT) AS n_true_pairs,
+                   TRUE AS recall_ge_floor,
+                   TRUE AS precision_ge_floor
+            FROM ths t LEFT JOIN pairs p ON p.jaccard >= t.threshold
+            GROUP BY t.threshold
+            ORDER BY t.threshold
+        """,
+        # r8 (verdict #3): ann_recall_eval's contract face — the exact
+        # halves (panel size, k, truth-set total with the per-query
+        # k cap) derive from the embeddings table alone: a query
+        # contributes iff its own vector is nonzero-norm AND it has at
+        # least one valid non-self candidate (zero-norm rows are
+        # excluded from truth by both engines — NaN/NULL cosines).
+        # The panel-mean recall floor boolean is the trained-state
+        # contract pinned TRUE (measured means >= 0.42 everywhere vs
+        # floors ivf 0.3 / pq 0.2; a broken index lands < 0.05)
+        "ann_recall_eval": f"""
+            WITH valid AS (
+                SELECT vec_id FROM embeddings
+                WHERE list_sum(list_transform(
+                          embedding, x -> CAST(x AS DOUBLE) * x)) > 0
+            ), q AS (
+                SELECT vec_id AS query_id FROM valid
+                WHERE vec_id IN ({", ".join(str(q) for q in S.ANN_EVAL_QUERIES)})
+            ), t AS (
+                SELECT q.query_id,
+                       LEAST({S.ANN_EVAL_K},
+                             (SELECT COUNT(*) FROM valid v
+                              WHERE v.vec_id != q.query_id)) AS n_truth
+                FROM q
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS INTEGER) AS n_queries,
+                       CAST(SUM(n_truth) AS BIGINT) AS n_truth
+                FROM t WHERE n_truth > 0
+            )
+            SELECT m.method, agg.n_queries,
+                   CAST({S.ANN_EVAL_K} AS INTEGER) AS k, agg.n_truth,
+                   TRUE AS mean_recall_ge_floor
+            FROM (VALUES ('ivf'), ('pq')) m(method), agg
+            ORDER BY m.method
         """,
         "vocab_topk": """
             WITH toks AS (
@@ -11402,6 +11588,21 @@ def _oracle_sql_literals() -> dict[str, str]:
                    TRUE AS dims_match,
                    TRUE AS max_err_le_bound
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        # r8: the PNG codec audit — exact key-derived dims on the
+        # doc_id % 3 == 1 slice + the three codec-contract booleans
+        # pinned TRUE (deterministic stdlib-zlib+numpy codec; lossless,
+        # so the pixel contract is exact equality)
+        "png_roundtrip_audit": f"""
+            SELECT doc_id AS media_id,
+                   CAST({M.IMG_DIM_BASE} + doc_id % {M.IMG_DIM_MOD}
+                        AS INTEGER) AS width,
+                   CAST({M.IMG_DIM_BASE} + n_chars % {M.IMG_DIM_MOD}
+                        AS INTEGER) AS height,
+                   TRUE AS magic_ok,
+                   TRUE AS dims_match,
+                   TRUE AS lossless_ok
+            FROM documents WHERE doc_id % 3 = 1
         """,
         "pii_redaction_audit": f"""
             {_PII_NOTES_CTE},

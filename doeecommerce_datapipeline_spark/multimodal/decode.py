@@ -3,13 +3,14 @@ opaque binary columns + typed metadata, with decode / feature-extract /
 resize / frame-sample as Arrow-batched mapInPandas stages.
 
 The Spark side — schema, partitioning, UDF signatures, batch shapes —
-is real and tested. The codec seam has three real pure-Python decoders
+is real and tested. The codec seam has four real pure-Python decoders
 dispatched on payload magic bytes — PPM (P6 binary / P3 ascii) images,
-RIFF/WAV PCM audio, and (since r7) baseline JPEG via
-``multimodal/jpeg.py`` — so `real_decode=True` only raises
-NotImplementedError for formats that genuinely need external
-libraries (PNG/MP3/video, progressive JPEG; PIL/torchaudio would slot
-into `_real_decode` unchanged). The default path produces
+RIFF/WAV PCM audio, baseline JPEG via ``multimodal/jpeg.py`` (r7),
+and 8-bit PNG via ``multimodal/png.py`` (r8) — so `real_decode=True`
+only raises NotImplementedError for formats that genuinely need
+external libraries (MP3/video, progressive JPEG, interlaced/16-bit
+PNG; PIL/torchaudio would slot into `_real_decode` unchanged). The
+default path produces
 a deterministic fake feature vector derived from the bytes (stable
 across engines and runs) so oracle-paired queries stay engine-neutral
 on the synthetic corpus, whose payloads are text bytes, not media.
@@ -227,11 +228,40 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     )
 
 
+def _decode_png(payload: bytes) -> list[float]:
+    """8-bit PNG decode (multimodal/png.py — stdlib zlib + numpy, no
+    codec library) + the same pixel statistics as the PPM/JPEG paths.
+
+    Feature layout (16 floats): identical to _decode_ppm/_decode_jpeg
+    so downstream feature consumers are container-agnostic; alpha (if
+    present) is dropped for the RGB statistics."""
+    import numpy as np
+
+    from .png import decode_png
+
+    px = decode_png(payload)
+    if px.ndim == 2:  # grayscale: replicate to RGB for a uniform layout
+        px = np.stack([px] * 3, axis=-1)
+    elif px.shape[2] == 2:  # gray+alpha: replicate luma, drop alpha
+        px = np.stack([px[..., 0]] * 3, axis=-1)
+    elif px.shape[2] == 4:  # RGBA: drop alpha
+        px = px[..., :3]
+    h, w = px.shape[:2]
+    rgb = px.reshape(h * w, 3).astype(np.float64) / 255.0
+    lum = rgb @ np.array([0.299, 0.587, 0.114])
+    means = rgb.mean(axis=0)
+    return _pad16(
+        [1.0, w, h, 255, means[0], means[1], means[2],
+         lum.min(), lum.max(), lum.mean(), float(h * w)]
+    )
+
+
 def _real_decode(payload: bytes) -> list[float]:
     """Magic-byte dispatch to the real decoders; formats needing
     external codec libraries raise (PIL/torchaudio slot in here —
-    since r7 JPEG baseline is decoded natively by multimodal/jpeg.py,
-    so the raise covers PNG/MP3/video and progressive JPEG only)."""
+    JPEG baseline decodes natively via multimodal/jpeg.py since r7 and
+    8-bit PNG via multimodal/png.py since r8, so the raise covers
+    MP3/video, progressive JPEG, and interlaced/16-bit PNG only)."""
     p = payload or b""
     if p[:2] in (b"P6", b"P3"):
         return _decode_ppm(p)
@@ -239,6 +269,8 @@ def _real_decode(payload: bytes) -> list[float]:
         return _decode_wav(p)
     if p[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(p)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(p)
     raise NotImplementedError(
         f"no pure-Python decoder for payload magic {p[:4]!r} — "
         "plug PIL/torchaudio here; the Spark plumbing is complete"
@@ -731,6 +763,93 @@ def jpeg_roundtrip_summary(df: DataFrame) -> DataFrame:
 
     ensure_shipped(df.sparkSession)
     return df.mapInPandas(batches, JPEG_AUDIT_SCHEMA)
+
+
+def synth_png(df: DataFrame) -> DataFrame:
+    """(media_id, width, height) -> (media_id, width, height,
+    payload): build REAL 8-bit RGB PNG bytes per row (lossless,
+    min-SAD per-row filter heuristic — the synth hash-family pixels
+    exercise all five filter types; pixels from the same
+    _synth_pixels family as the PPM/JPEG fixtures), Arrow batch at a
+    time."""
+    from .png import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "payload": [
+                        encode_png(
+                            _synth_pixels(int(m), int(w) * int(h))
+                            .reshape(int(h), int(w), 3)
+                        )
+                        for m, w, h in zip(
+                            pdf["media_id"], pdf["width"], pdf["height"]
+                        )
+                    ],
+                }
+            )
+
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(
+        batches, "media_id long, width int, height int, payload binary"
+    )
+
+
+PNG_AUDIT_SCHEMA = (
+    "media_id long, width int, height int, magic_ok boolean, "
+    "dims_match boolean, lossless_ok boolean"
+)
+
+
+def png_roundtrip_summary(df: DataFrame) -> DataFrame:
+    """Decode every PNG payload through the REAL decoder
+    (multimodal/png.py) and audit the roundtrip against the
+    regenerated source pixels: payload signature, decoded dims, and —
+    because PNG is LOSSLESS — exact pixel equality, a strictly
+    stronger contract than the JPEG face's error bound. Arrow-batched
+    mapInPandas over (media_id, width, height, payload) — scan-bound,
+    no shuffle. The exact halves (media_id, width, height) are
+    SQL-derivable; the three booleans are the codec contract the
+    oracle pins as literal TRUE."""
+    import numpy as np
+
+    from .png import PNG_SIGNATURE, decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "magic_ok": [], "dims_match": [], "lossless_ok": [],
+            }
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["payload"],
+            ):
+                p = bytes(payload or b"")
+                mid, w, h = int(mid), int(w), int(h)
+                magic = p[: len(PNG_SIGNATURE)] == PNG_SIGNATURE
+                dims = False
+                lossless = False
+                if magic:
+                    dec = decode_png(p)
+                    dims = dec.shape == (h, w, 3)
+                    if dims:
+                        src = _synth_pixels(mid, w * h).reshape(h, w, 3)
+                        lossless = bool(np.array_equal(dec, src))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["magic_ok"].append(magic)
+                out["dims_match"].append(dims)
+                out["lossless_ok"].append(lossless)
+            yield pd.DataFrame(out)
+
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(batches, PNG_AUDIT_SCHEMA)
 
 
 RESIZED_SCHEMA = (

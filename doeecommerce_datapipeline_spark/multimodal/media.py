@@ -186,6 +186,38 @@ def jpeg_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_roundtrip_summary(synth_jpeg(img))
 
 
+def png_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face (r8, verdict #4): the 8-bit PNG codec exercised
+    end-to-end on the synth image fixture — build real PNG bytes
+    (multimodal/png.py encoder, min-SAD filter heuristic over the
+    hash-family pixels, which exercises all five scanline filters),
+    decode them through the real decoder, and audit payload
+    signature, decoded dims, and EXACT pixel equality (PNG is
+    lossless — a strictly stronger contract than the JPEG face's
+    error bound). Image rows are the doc_id % 3 == 1 slice (disjoint
+    from the JPEG face's % 3 == 0 slice, widening fixture coverage);
+    dims are the same key-derived formulas, so the exact halves are
+    SQL-derivable and the three booleans are deterministic codec
+    contracts the oracle pins as literal TRUE. Same repartition ahead
+    of the two chained mapInPandas stages as the JPEG face — the
+    single-row-group trap fix (r7) applies identically."""
+    from .decode import png_roundtrip_summary, synth_png
+
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    img = d.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(IMG_DIM_BASE) + F.col("doc_id") % IMG_DIM_MOD)
+        .cast("int")
+        .alias("width"),
+        (F.lit(IMG_DIM_BASE) + F.col("n_chars") % IMG_DIM_MOD)
+        .cast("int")
+        .alias("height"),
+    )
+    return png_roundtrip_summary(synth_png(img))
+
+
 def image_downsample_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Channel means of the 2x2 box-downsampled synth images through
     the full build -> parse -> pool path — decode-transform-feature

@@ -1506,7 +1506,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_EVAL_THRESHOLDS = [0.3, 0.5, 0.7]
 
 
-def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-quality evaluation of the MinHash-LSH near-dup path
     against exact n-gram Jaccard ground truth (same bounded universe
     and df-cap as ngram_jaccard_pairs): per true-similarity threshold,
@@ -1516,10 +1516,13 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     junk (precision — the verification bill). Completes the
     evaluation trio: retrieval_ndcg_eval judges the search stack,
     cf_holdout_hitrate the recommender, THIS the dedup stack.
-    Rows-only by contract: LSH buckets hinge on engine-side xxhash64
-    seeds, so no SQL twin exists — the planted-dup units pin recall
-    floors instead. Returns per threshold: (threshold, n_true_pairs,
-    n_candidates, n_hit, recall, candidate_precision).
+    The raw scoreboard (n_candidates, recall, candidate_precision)
+    hinges on engine-side xxhash64 seeds, so it has no SQL twin — the
+    registry serves the oracle-paired contract face lsh_recall_eval
+    below (r8 tightening, same pattern as quality_classifier_scores);
+    THIS full face backs it and the planted-dup units. Returns per
+    threshold: (threshold, n_true_pairs, n_candidates, n_hit, recall,
+    candidate_precision).
 
     Shape: truth reuses the df-capped inverted-index join; candidates
     reuse the banded-bucket join (both id-pair tables, checkpointed
@@ -1569,4 +1572,42 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nc > 0, F.col("n_hit").cast("double") / nc).alias(
             "candidate_precision"
         ),
+    ).orderBy("threshold")
+
+
+# Contract floors for the registry face. Measured on the fixture
+# corpus: recall 1.0 and precision 1.0 at every threshold and every
+# test SF (the planted near-dups sit at jaccard ~1.0, where 16-band
+# MinHash surfaces a pair essentially surely); a broken banding or
+# shingle path collapses both toward 0. The floors are deliberately
+# below every measured value by >=2x margin while still failing hard
+# on a real regression.
+LSH_RECALL_FLOOR = 0.9
+LSH_PRECISION_FLOOR = 0.5
+
+
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry contract face of the LSH dedup scoreboard (r8, verdict
+    #3 tightening — rows-only -> oracle-paired): per threshold, the
+    EXACT truth-pair count (deterministic n-gram Jaccard, fully
+    SQL-expressible — the same CTE family as ngram_jaccard_pairs) plus
+    two contract booleans the oracle pins TRUE: recall >=
+    LSH_RECALL_FLOOR and candidate precision >= LSH_PRECISION_FLOOR.
+    Vacuous-grid guard: with zero true pairs (resp. zero candidates)
+    the recall (resp. precision) flag is vacuously TRUE — the full
+    face emits NULL there, and a NULL-vs-TRUE drift would be an
+    oracle mismatch, not a quality signal. The raw scoreboard lives on
+    as lsh_recall_eval_full (non-registry)."""
+    full = lsh_recall_eval_full(spark, sf_dir)
+    return full.select(
+        "threshold",
+        "n_true_pairs",
+        F.coalesce(
+            F.col("recall") >= F.lit(LSH_RECALL_FLOOR),
+            F.col("n_true_pairs") == 0,
+        ).alias("recall_ge_floor"),
+        F.coalesce(
+            F.col("candidate_precision") >= F.lit(LSH_PRECISION_FLOOR),
+            F.col("n_candidates") == 0,
+        ).alias("precision_ge_floor"),
     ).orderBy("threshold")

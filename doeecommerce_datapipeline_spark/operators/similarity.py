@@ -817,15 +817,17 @@ def _cos_multi_udf(queries: dict):
     return cos
 
 
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of every ANN index in the repo against exact
     brute-force cosine, over a fixed 5-query panel — the dedup-eval's
     sibling for the similarity family: an index whose recall you
     haven't measured is a rumor. Per (method, query): (method,
-    query_id, k, n_hit, recall). Rows-only by contract: IVF/PQ carry
-    trained float state and LSH hinges on engine hashes, so no SQL
-    twin — the recall floor UNITS (ivf/pq panel means) pin absolute
-    quality; THIS surfaces the comparison as a first-class query.
+    query_id, k, n_truth, n_hit, recall). The raw per-query recalls
+    carry trained float state (IVF/PQ), so this full face has no SQL
+    twin — the registry serves the oracle-paired contract face
+    ann_recall_eval below (r8, verdict #3 tightening); the recall
+    floor UNITS (ivf/pq panel means) pin absolute quality and THIS
+    backs both.
 
     Shape (round-5 batched rewrite — was a driver loop of ~25
     sequential TakeOrdered mini-jobs): the index state trains ONCE
@@ -850,7 +852,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, assigned, centroids, books, coded, qrows = _ann_index_state(
         spark, sf_dir
     )
-    schema = "method string, query_id long, k int, n_hit int, recall double"
+    schema = ("method string, query_id long, k int, n_truth int, "
+              "n_hit int, recall double")
     if not qrows:
         return spark.createDataFrame([], schema)
     qids_df = F.broadcast(
@@ -956,6 +959,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "method",
             "query_id",
             F.lit(ANN_EVAL_K).alias("k"),
+            F.col("n_truth").cast("int").alias("n_truth"),
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
             (
                 F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
@@ -963,6 +967,50 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("method", "query_id")
+    )
+
+
+# Contract floors for the registry face, per method over the panel
+# MEAN. Measured panel means on the fixture embeddings: ivf 0.68
+# (sf0.001) / 0.52 (sf0.01), pq 0.42 / 0.56 — every floor sits >=1.7x
+# below the worst measured value, while a broken index (bad probe
+# routing, scrambled codebook) lands near k/N < 0.05. The trained
+# state is seeded-deterministic per (session, dataset), so the
+# booleans are reproducible contract pins, not flaky thresholds.
+ANN_PANEL_FLOOR = {"ivf": 0.3, "pq": 0.2}
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry contract face of the ANN scoreboard (r8, verdict #3
+    tightening — rows-only -> oracle-paired, the
+    quality_classifier_scores pattern): per method, the exact halves
+    (n_queries: panel queries present with a nonempty truth set; k;
+    n_truth: total truth rows, each query capped at k — all derivable
+    by the DuckDB twin from the embeddings table alone) plus one
+    contract boolean pinned TRUE: panel-MEAN recall >=
+    ANN_PANEL_FLOOR[method]. Raw per-query recalls live on as
+    ann_recall_eval_full (non-registry), cross-checked row-for-row
+    against the independent per-query loop in tests/test_ivf.py."""
+    full = ann_recall_eval_full(spark, sf_dir)
+    floor = (
+        F.when(F.col("method") == "ivf", F.lit(ANN_PANEL_FLOOR["ivf"]))
+        .otherwise(F.lit(ANN_PANEL_FLOOR["pq"]))
+    )
+    return (
+        full.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_queries"),
+            F.sum("n_truth").cast("long").alias("n_truth"),
+            F.avg("recall").alias("_mean_recall"),
+        )
+        .select(
+            "method",
+            "n_queries",
+            F.lit(ANN_EVAL_K).cast("int").alias("k"),
+            "n_truth",
+            (F.col("_mean_recall") >= floor).alias("mean_recall_ge_floor"),
+        )
+        .orderBy("method")
     )
 
 
@@ -1037,11 +1085,19 @@ def _ann_recall_eval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         for method, got in (("ivf", ivf_got), ("pq", pq_got)):
             hit = len(truth & got)
             rows.append(
-                (method, qid, ANN_EVAL_K, hit, hit / float(len(truth)))
+                (
+                    method,
+                    qid,
+                    ANN_EVAL_K,
+                    len(truth),
+                    hit,
+                    hit / float(len(truth)),
+                )
             )
     return spark.createDataFrame(
         rows,
-        "method string, query_id long, k int, n_hit int, recall double",
+        "method string, query_id long, k int, n_truth int, "
+        "n_hit int, recall double",
     ).orderBy("method", "query_id")
 
 

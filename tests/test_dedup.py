@@ -317,7 +317,7 @@ def test_lsh_recall_eval_planted_dups(spark, tmp_path):
     LSH → recall 1.0 at every threshold; unrelated docs create no
     true pairs."""
     from doeecommerce_datapipeline_spark.operators.dedup import (
-        lsh_recall_eval,
+        lsh_recall_eval_full,
     )
 
     d = str(tmp_path / "sf_lsheval")
@@ -336,7 +336,7 @@ def test_lsh_recall_eval_planted_dups(spark, tmp_path):
         "doc_id long, text string, lang string, source string,"
         " n_chars long",
     ).write.parquet(d + "/documents.parquet")
-    out = {r.threshold: r for r in lsh_recall_eval(spark, d).collect()}
+    out = {r.threshold: r for r in lsh_recall_eval_full(spark, d).collect()}
     for t in (0.3, 0.5, 0.7):
         r = out[t]
         assert r.n_true_pairs == 15  # C(6,2) duplicate pairs

@@ -101,7 +101,7 @@ def test_ann_recall_eval_zero_norm_vectors(spark, tmp_path):
     from doeecommerce_datapipeline_spark.operators.similarity import (
         ANN_EVAL_QUERIES,
         _ann_recall_eval_loop,
-        ann_recall_eval,
+        ann_recall_eval_full,
     )
 
     rng = np.random.default_rng(7)
@@ -119,7 +119,7 @@ def test_ann_recall_eval_zero_norm_vectors(spark, tmp_path):
         rows, "vec_id long, embedding array<float>, label int"
     ).write.parquet(d + "/embeddings.parquet")
 
-    batched = [tuple(r) for r in ann_recall_eval(spark, d).collect()]
+    batched = [tuple(r) for r in ann_recall_eval_full(spark, d).collect()]
     loop = [tuple(r) for r in _ann_recall_eval_loop(spark, d).collect()]
     assert batched == loop
     assert len(batched) == 2 * len(ANN_EVAL_QUERIES)

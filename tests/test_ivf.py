@@ -68,10 +68,10 @@ def test_ann_recall_eval_floors(spark):
     """The scoreboard runs both indexes over the 5-query panel and
     every recall respects the family's documented floors."""
     from doeecommerce_datapipeline_spark.operators.similarity import (
-        ann_recall_eval,
+        ann_recall_eval_full,
     )
 
-    rows = ann_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    rows = ann_recall_eval_full(spark, "/root/testdata/sf0.001").collect()
     by_m = {}
     for r in rows:
         assert 0.0 <= r.recall <= 1.0
@@ -90,11 +90,11 @@ def test_ann_recall_eval_batched_equals_loop(spark):
     bug in the batched path."""
     from doeecommerce_datapipeline_spark.operators.similarity import (
         _ann_recall_eval_loop,
-        ann_recall_eval,
+        ann_recall_eval_full,
     )
 
     sf = "/root/testdata/sf0.001"
-    got = [tuple(r) for r in ann_recall_eval(spark, sf).collect()]
+    got = [tuple(r) for r in ann_recall_eval_full(spark, sf).collect()]
     want = [tuple(r) for r in _ann_recall_eval_loop(spark, sf).collect()]
     assert got == want
 

@@ -114,3 +114,29 @@ def test_luhn_fold_matches_reference(spark, nums):
     }
     for c in cands:
         assert got[c] == _luhn_reference(c.replace("-", "")), c
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    img=_imgs(),
+    ch=st.sampled_from([1, 3, 4]),
+    level=st.integers(1, 9),
+)
+def test_png_roundtrip_lossless_any_dims(img, ch, level):
+    """PNG (r8): encode->decode is EXACT for every shape, channel
+    count, and zlib level — lossless is the whole contract, so any
+    single-byte divergence is a filter/unfilter bug."""
+    from doeecommerce_datapipeline_spark.multimodal.png import (
+        decode_png,
+        encode_png,
+    )
+
+    if ch == 1:
+        src = img[:, :, 0]
+    elif ch == 3:
+        src = img
+    else:
+        src = np.concatenate([img, img[:, :, :1]], axis=2)
+    dec = decode_png(encode_png(src, level=level))
+    assert dec.shape == src.shape and dec.dtype == np.uint8
+    assert np.array_equal(dec, src)
