@@ -442,8 +442,9 @@ def test_stream_pii_redact_equals_batch(spark, tmp_path):
 def test_stream_media_decode_equals_batch(spark, tmp_path):
     """Streaming media decode over file micro-batches is row-identical
     to the batch codec pass on the same directory — including through
-    the REAL JPEG decoder (stateless mapInPandas projection; the
-    multimodal twin of the pii stream contract)."""
+    BOTH real image decoders, JPEG (r7) and PNG (r8), dispatched by
+    payload magic per micro-batch (stateless mapInPandas projection;
+    the multimodal twin of the pii stream contract)."""
     import numpy as np
 
     from doeecommerce_datapipeline_spark.multimodal.decode import (
@@ -456,14 +457,23 @@ def test_stream_media_decode_equals_batch(spark, tmp_path):
         stream_media_decode,
     )
 
+    from doeecommerce_datapipeline_spark.multimodal.png import (
+        encode_png,
+    )
+
     rows = []
     for mid in range(1, 9):
         rng = np.random.default_rng(mid)
         img = rng.integers(0, 256, (8 + mid, 10, 3), dtype=np.uint8)
-        rows.append(
-            (mid, "image", "image/jpeg",
-             bytearray(encode_baseline_jpeg(img, 90)), None)
-        )
+        # alternate containers: the stream must dispatch BOTH real
+        # codecs (JPEG r7, PNG r8) per micro-batch
+        if mid % 2:
+            payload = bytearray(encode_baseline_jpeg(img, 90))
+            mime = "image/jpeg"
+        else:
+            payload = bytearray(encode_png(img))
+            mime = "image/png"
+        rows.append((mid, "image", mime, payload, None))
     schema = (
         "media_id long, kind string, mime string, payload binary, "
         "meta struct<width:int,height:int,duration_ms:long>"
