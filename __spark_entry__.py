@@ -237,7 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every slot closes a never-driver-checked gap. After this window
     the record-less queue = 10 entries (event_hour_mi …
     distance_correlation_daily plus the two r6 PII faces); the
-    pre-staged _R8_QUEUE below finishes the 334/334 ledger: that
+    pre-staged r8 queue (now _R8_WINDOW) finishes the ledger: that
     remainder + numeric_corr_matrix (r3 record predates its r4
     lattice reimplementation) + all 37 r1-vintage re-checks + the two
     r7 contract-change re-checks (quality_classifier_scores,
