@@ -256,7 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-paired via exact key-derived dims + codec-contract flags),
     which takes dedup_first_event's r1-re-check slot in _R8_WINDOW.
 
-    ROUND-8 EXECUTED (registry 335 -> 336; rows-only 9 -> 7):
+    ROUND-8 EXECUTED (registry 335 -> 336; rows-only 9 -> 6):
     _R8_WINDOW = the pre-staged r8 queue with three verdict-mandated
     slot swaps (see the _R8_WINDOW header comment): lsh_recall_eval
     and ann_recall_eval are TIGHTENED from rows-only to oracle-paired
@@ -274,7 +274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     boundary, randomized-worst-case JPEG_MAX_ABS_ERR=96, interpolated
     audit-oracle dims). After this window every registry entry has a
     driver record; _R9_QUEUE starts the currency rotation (oldest
-    vintage first).
+    vintage first). Late-r8 (after the window froze): pca_embeddings
+    tightened to an oracle-paired contract face too (component/row/dim
+    exact halves + the var-nonincreasing and orthonormality booleans;
+    raw projections -> pca_embeddings_full) — its re-check rides at
+    the head of _R9_QUEUE, the same late-tightening path
+    sketch_rollup_daily_users took in r5->r6. Rows-only 7 -> 6.
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -345,7 +350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blamed_suppliers": Q.blamed_suppliers,
         "revenue_day_over_day": W.revenue_day_over_day,
         "boilerplate_removed": CP.boilerplate_removed,
-        "pca_embeddings": PCA.pca_embeddings,  # rows-only (eigenbasis)
+        # r8 tightening: pca_embeddings is now the oracle-paired
+        # contract face (exact component/row/dim halves + the
+        # var-nonincreasing and orthonormality booleans pinned TRUE);
+        # raw projections live on as pca_embeddings_full
+        "pca_embeddings": PCA.pca_embeddings,
         "weighted_doc_sample": CP.weighted_doc_sample,
         "revenue_changepoint": X.revenue_changepoint,
         "session_window_agg": E.session_window_agg,
@@ -1090,17 +1099,23 @@ _R8_WINDOW = [
 # CURRENCY rotation the r7 verdict prescribed (#6): oldest vintage
 # first. Head: the four entries whose latest record is still
 # r1-vintage (the three slot-swap displacements above plus
-# dedup_first_event, displaced in r7); then all 41 r2-vintage entries
-# in declaration order; then the first 5 r3-vintage entries
-# (user_retention_cohorts … part_metrics_unpivot). After this window
-# ~40 r3-vintage entries remain for r10.
+# dedup_first_event, displaced in r7); then the late-r8
+# pca_embeddings contract change; then all 41 r2-vintage entries in
+# declaration order; then the first 4 r3-vintage entries
+# (user_retention_cohorts … user_set_ops). After this window ~41
+# r3-vintage entries remain for r10.
 _R9_QUEUE = [
     # (1) r1-vintage re-checks
     "dedup_first_event",
     "distinct_projection",
     "customers_without_orders",
     "sliding_hourly",
-    # (2) r2-vintage re-checks, declaration order
+    # (2) r8 contract change (pca_embeddings tightened to the
+    # oracle-paired contract face late in r8, after the r8 window was
+    # frozen — a contract change outranks an r3 re-check, so it takes
+    # part_metrics_unpivot's tail slot)
+    "pca_embeddings",
+    # (3) r2-vintage re-checks, declaration order
     "rollup_revenue",
     "cube_order_counts",
     "pivot_linestatus",
@@ -1142,12 +1157,11 @@ _R9_QUEUE = [
     "stratified_sample",
     "bigram_lm",
     "orders_asof_priority_regime",
-    # (3) r3-vintage head, declaration order
+    # (4) r3-vintage head, declaration order
     "user_retention_cohorts",
     "event_type_cooccurrence",
     "price_histogram",
     "user_set_ops",
-    "part_metrics_unpivot",
 ]
 
 # r5 window kept for the ledger (CORRECTNESS_r05 rows map to this).
@@ -2891,6 +2905,22 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM ths t LEFT JOIN pairs p ON p.jaccard >= t.threshold
             GROUP BY t.threshold
             ORDER BY t.threshold
+        """,
+        # r8: pca_embeddings' contract face — exact halves from the
+        # embeddings table alone; the two eigenbasis booleans are the
+        # contracts the pca module docstring has always named
+        # (variance ordering is the eigendecomposition's definition,
+        # orthonormality holds to ~1e-15 vs the 1e-9 tolerance)
+        "pca_embeddings": f"""
+            SELECT CAST(unnest(range(1, {PCA.PCA_K} + 1)) AS BIGINT)
+                       AS component,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+                       AS n_rows,
+                   (SELECT CAST(MAX(len(embedding)) AS INTEGER)
+                    FROM embeddings) AS dim,
+                   TRUE AS var_nonincreasing,
+                   TRUE AS orthonormal_ok
+            ORDER BY component
         """,
         # r8 (verdict #3): ann_recall_eval's contract face — the exact
         # halves (panel size, k, truth-set total with the per-query

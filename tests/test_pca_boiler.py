@@ -15,7 +15,7 @@ def test_pca_variance_ordering_and_shape(spark):
     # the registry face unpacks all 8 coordinates to scalar columns
     # (driver-hashable — the r4 red-row lesson); variance ordering
     # must hold across the unpacked matrix
-    df = P.pca_embeddings(spark, SF_DIR)
+    df = P.pca_embeddings_full(spark, SF_DIR)
     names = [f"pc{i}" for i in range(1, 9)]
     assert df.columns == ["vec_id", "label"] + names
     rows = df.collect()
@@ -98,3 +98,13 @@ def test_remove_boilerplate_keeps_short_docs_whole(spark):
     assert out[101].n_removed == 0 and out[101].clean_text == "common words"
     # the long docs ARE fully boilerplate at this cap
     assert out[0].n_removed == out[0].n_tokens
+
+
+def test_pca_contract_face_flags_true(spark):
+    """The r8 registry contract face: exact halves match the table
+    and both eigenbasis booleans hold."""
+    rows = P.pca_embeddings(spark, SF_DIR).collect()
+    assert [r.component for r in rows] == list(range(1, P.PCA_K + 1))
+    for r in rows:
+        assert r.dim == 64 and r.n_rows > 0
+        assert r.var_nonincreasing and r.orthonormal_ok
