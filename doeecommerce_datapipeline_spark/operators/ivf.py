@@ -152,10 +152,17 @@ def build_ivf_index(
         # refinement below sees the full table
         n = vecs.count()
         stride = max(1, n // FIT_SAMPLE)
+        # orderBy makes the seeded init — and therefore the whole
+        # trained state — independent of partitioning: collect()
+        # otherwise returns partition order, so the same data
+        # repartitioned differently would train different centroids
+        # (caught by the r8 distributed≡sequential Lloyd property
+        # test). The sort is over the ≤FIT_SAMPLE-row sample only.
         sample = [
             [float(x) for x in r["_emb"]]
             for r in vecs.where(F.pmod("vec_id", F.lit(stride)) == 0)
-            .select("_emb")
+            .select("vec_id", "_emb")
+            .orderBy("vec_id")
             .collect()
         ]
         centroids = _kmeanspp_init(sample, n_clusters, seed)

@@ -243,3 +243,90 @@ def test_prefix_jaccard_join_is_lossless(spark, docs, tau):
     assert set(got) == set(want)
     for pair, j in want.items():
         assert abs(got[pair] - j) < 1e-9, pair
+
+
+def _reference_lloyd(vecs, k, seed, iters, fit_sample):
+    """Sequential numpy reference of build_ivf_index's training loop:
+    same stride sample, same seeded k-means++ init (shared driver-side
+    code — the property isolates the DISTRIBUTED pieces: Arrow-batched
+    assignment + per-partition partial sums), then plain sequential
+    Lloyd with the same tie rule (argmin first-match) and the same
+    empty-cluster-keeps-previous rule."""
+    import numpy as np
+
+    from doeecommerce_datapipeline_spark.operators.ivf import (
+        _kmeanspp_init,
+    )
+
+    pts = np.asarray(vecs, dtype=np.float64)
+    n = len(pts)
+    stride = max(1, n // fit_sample)
+    sample = [list(map(float, pts[i])) for i in range(n) if i % stride == 0]
+    cents = np.asarray(_kmeanspp_init(sample, k, seed), dtype=np.float64)
+    for _ in range(iters):
+        d2 = (
+            (pts * pts).sum(axis=1)[:, None]
+            - 2.0 * (pts @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        cid = np.argmin(d2, axis=1)
+        new = []
+        for i in range(k):
+            members = pts[cid == i]
+            new.append(
+                members.sum(axis=0) / len(members)
+                if len(members)
+                else cents[i]
+            )
+        cents = np.asarray(new)
+    d2 = (
+        (pts * pts).sum(axis=1)[:, None]
+        - 2.0 * (pts @ cents.T)
+        + (cents * cents).sum(axis=1)
+    )
+    return cents, np.argmin(d2, axis=1)
+
+
+@st.composite
+def _int_vector_sets(draw):
+    n = draw(st.integers(12, 60))
+    dim = draw(st.integers(2, 6))
+    seed = draw(st.integers(0, 2**31 - 1))
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # INTEGER-valued coordinates: partial sums are exact in float64
+    # regardless of partition summation order, so distributed ==
+    # sequential must hold bit-for-bit, not approximately
+    return rng.integers(-50, 51, size=(n, dim)).astype(float), draw(
+        st.integers(2, 6)
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(vk=_int_vector_sets(), n_parts=st.integers(1, 7))
+def test_distributed_lloyd_matches_sequential_reference(spark, vk, n_parts):
+    """build_ivf_index's distributed training (Arrow assignment +
+    per-partition partial sums, no shuffle) == sequential numpy Lloyd
+    on integer-valued vectors, under ANY partitioning — centroids and
+    final assignments both. Isolates the two distributed kernels; the
+    shared seeded init keeps the comparison deterministic."""
+    vecs, k = vk
+    from doeecommerce_datapipeline_spark.operators.ivf import (
+        build_ivf_index,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(n_parts)
+    assigned, cents = build_ivf_index(df, n_clusters=k, seed=7, lloyd_iters=2)
+    got_cents = [[float(x) for x in c] for c in cents]
+    got_assign = {
+        r["vec_id"]: r["cluster_id"] for r in assigned.collect()
+    }
+    want_cents, want_assign = _reference_lloyd(
+        vecs, k, seed=7, iters=2, fit_sample=2048
+    )
+    assert got_cents == [[float(x) for x in c] for c in want_cents]
+    assert got_assign == {i: int(c) for i, c in enumerate(want_assign)}
