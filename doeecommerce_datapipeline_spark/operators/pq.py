@@ -178,14 +178,19 @@ def train_pq_codebooks(
     try:
         # bounded deterministic stride sample seeds the codebooks
         # (same scheme as ivf.build_ivf_index); the Lloyd refinement
-        # below sees the full table
+        # below sees the full table. orderBy makes the seeded init —
+        # and therefore the trained codebooks — independent of
+        # partitioning (collect() otherwise returns partition order;
+        # same r8 hardening as ivf.build_ivf_index, pinned by the
+        # distributed≡sequential PQ property test)
         n = vecs.count()
         stride = max(1, n // FIT_SAMPLE)
         sample = np.asarray(
             [
                 r["_emb"]
                 for r in vecs.where(F.pmod("vec_id", F.lit(stride)) == 0)
-                .select("_emb")
+                .select("vec_id", "_emb")
+                .orderBy("vec_id")
                 .collect()
             ],
             dtype=np.float64,

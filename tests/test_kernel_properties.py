@@ -330,3 +330,79 @@ def test_distributed_lloyd_matches_sequential_reference(spark, vk, n_parts):
     )
     assert got_cents == [[float(x) for x in c] for c in want_cents]
     assert got_assign == {i: int(c) for i, c in enumerate(want_assign)}
+
+
+def _reference_pq(vecs, m, k, seed, iters, fit_sample):
+    """Sequential numpy reference of train_pq_codebooks: same stride
+    sample + per-subspace seeded init (seed + j), then sequential
+    per-subspace Lloyd with argmin-first-match ties and
+    empty-codeword-keeps-previous."""
+    import numpy as np
+
+    from doeecommerce_datapipeline_spark.operators.ivf import (
+        _kmeanspp_init,
+    )
+
+    pts = np.asarray(vecs, dtype=np.float64)
+    n, dim = pts.shape
+    stride = max(1, n // fit_sample)
+    sample = pts[[i for i in range(n) if i % stride == 0]]
+    ss = sample.reshape(len(sample), m, dim // m)
+    books = [
+        np.asarray(
+            _kmeanspp_init([list(v) for v in ss[:, j, :]], k, seed + j),
+            dtype=np.float64,
+        )
+        for j in range(m)
+    ]
+    sub = pts.reshape(n, m, dim // m)
+    for _ in range(iters):
+        new = []
+        for j in range(m):
+            x = sub[:, j, :]
+            c = books[j]
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)
+            )
+            cid = np.argmin(d2, axis=1)
+            nb = []
+            for ci in range(k):
+                members = x[cid == ci]
+                nb.append(
+                    members.sum(axis=0) / len(members)
+                    if len(members)
+                    else c[ci]
+                )
+            new.append(np.asarray(nb))
+        books = new
+    return [[list(map(float, row)) for row in b] for b in books]
+
+
+@settings(max_examples=6, deadline=None)
+@given(vk=_int_vector_sets(), n_parts=st.integers(1, 7))
+def test_distributed_pq_training_matches_sequential_reference(
+    spark, vk, n_parts
+):
+    """train_pq_codebooks' distributed per-subspace partial sums ==
+    sequential numpy Lloyd per subspace on integer-valued vectors,
+    under ANY partitioning — the PQ twin of the IVF Lloyd property."""
+    vecs, k = vk
+    import numpy as np
+
+    # dim must divide evenly by m: pad columns to a multiple of 2
+    if vecs.shape[1] % 2:
+        vecs = np.concatenate([vecs, vecs[:, :1]], axis=1)
+    m = 2
+    from doeecommerce_datapipeline_spark.operators.pq import (
+        train_pq_codebooks,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(n_parts)
+    got = train_pq_codebooks(df, m=m, k=k, seed=11, lloyd_iters=2)
+    want = _reference_pq(vecs, m, k, seed=11, iters=2, fit_sample=2048)
+    assert [[list(map(float, r)) for r in b] for b in got] == want
