@@ -6160,15 +6160,24 @@ def _oracle_sql_literals() -> dict[str, str]:
             JOIN norms nb ON nb.label = d.label_b
         """,
         "hll_distinct_users": """
+            -- r8: the first multiply is SPLIT into 16-bit halves
+            -- exactly like sketches._hll_hash — the naive
+            -- (user_id % 2^32) * 2654435761 overflows int64 on
+            -- 64-bit production ids (caught by the sf1 scale probe);
+            -- both engines now compute the identical split form
             WITH h1 AS (
                 SELECT event_type,
-                       ((user_id % 4294967296) * 2654435761)
-                           % 4294967296 AS a
+                       ((((user_id % 4294967296) // 65536)
+                          * 2654435761) % 4294967296) * 65536
+                       + ((user_id % 4294967296) % 65536) * 2654435761
+                           AS a_raw
                 FROM events
+            ), h1m AS (
+                SELECT event_type, a_raw % 4294967296 AS a FROM h1
             ), h2 AS (
                 SELECT event_type,
                        (xor(a, a >> 15) * 133371337) % 4294967296 AS b
-                FROM h1
+                FROM h1m
             ), hashed AS (
                 SELECT event_type,
                        xor(b, b >> 13) % 64 AS bucket,

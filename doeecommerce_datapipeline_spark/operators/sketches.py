@@ -107,8 +107,23 @@ HLL_REST_BITS = 26  # 32 - log2(m) bits feed the rho count
 def _hll_hash(u):
     """32-bit deterministic mix (multiply / xor-shift / multiply) in
     pure int64-safe arithmetic — every product stays below 2^63, so
-    BOTH engines compute identical values with no wrap semantics."""
-    h1 = (u % F.lit(HLL_MOD) * F.lit(HLL_MUL1)) % F.lit(HLL_MOD)
+    BOTH engines compute identical values with no wrap semantics.
+
+    The first multiply is SPLIT into 16-bit halves: a naive
+    (u % 2^32) * MUL1 overflows int64 once the key's low 32 bits
+    exceed ~3.47e9 — fine on small test ids, an ANSI
+    ARITHMETIC_OVERFLOW (or a silent non-ANSI wrap) on production
+    64-bit snowflake-style ids. Caught by the r8 sf1 scale probe
+    (keys offset by 10^9 per replica); the split keeps every product
+    <= ~5.6e14. The h2 multiply is safe as-is (h1 < 2^32, MUL2 ~2^27
+    -> product < 2^59)."""
+    u32 = u % F.lit(HLL_MOD)
+    hi = (u32 / F.lit(1 << 16)).cast("long")
+    lo = u32 % F.lit(1 << 16)
+    h1 = (
+        ((hi * F.lit(HLL_MUL1)) % F.lit(HLL_MOD)) * F.lit(1 << 16)
+        + lo * F.lit(HLL_MUL1)
+    ) % F.lit(HLL_MOD)
     h2 = (
         h1.bitwiseXOR(F.shiftright(h1, 15)) * F.lit(HLL_MUL2)
     ) % F.lit(HLL_MOD)

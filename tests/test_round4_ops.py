@@ -693,6 +693,36 @@ def test_hll_hash_mixes_sequential_ids(spark):
     assert n_buckets >= 60  # near-full occupancy at 1000 keys
 
 
+def test_hll_hash_safe_on_64bit_ids(spark):
+    """r8 regression (caught by the sf1 scale probe): the first mix
+    multiply must not overflow int64 on production 64-bit ids — the
+    split form must run under ANSI mode AND equal the mathematical
+    (u mod 2^32) * MUL1 mod 2^32 chain computed in Python ints."""
+    from doeecommerce_datapipeline_spark.operators.sketches import (
+        HLL_MOD,
+        HLL_MUL1,
+        HLL_MUL2,
+        _hll_hash,
+    )
+    from pyspark.sql import functions as FF
+
+    ids = [0, 1, 3_470_000_000, 4_294_967_295, 9_000_149_999,
+           2**62 + 12345, 9_223_372_036_854_775_807]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", _hll_hash(FF.col("id")).alias("h")).collect()
+    }
+
+    def ref(u):
+        h1 = (u % HLL_MOD) * HLL_MUL1 % HLL_MOD
+        h2 = (h1 ^ (h1 >> 15)) * HLL_MUL2 % HLL_MOD
+        return h2 ^ (h2 >> 13)
+
+    for i in ids:
+        assert got[i] == ref(i), i
+
+
 # ---- round-4 continuation batch 10 (Mann-Whitney U drift) ------------
 
 from doeecommerce_datapipeline_spark.operators.profiling import (  # noqa: E402

@@ -20,7 +20,11 @@ Output: BENCH_SCALE.md with per-query sf0.1 vs sf1 wall seconds and
 the scaling ratio; anything super-linear beyond 10x*(1+slack) is
 flagged for inspection.
 
-Usage: python tools/scale_probe.py [N_QUERIES]   (default 20)
+Usage:
+    python tools/scale_probe.py [N_QUERIES]     # top-N by r7 cost
+    python tools/scale_probe.py --names a,b,c   # explicit slice;
+        appends a named section to BENCH_SCALE.md instead of
+        overwriting the top-N table
 """
 
 from __future__ import annotations
@@ -109,7 +113,12 @@ def top_queries(n: int) -> list[str]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    explicit = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--names":
+        explicit = [x for x in sys.argv[2].split(",") if x]
+        n = len(explicit)
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     generate_sf1()
 
     sys.path.insert(0, REPO)
@@ -131,7 +140,11 @@ def main() -> None:
         .getOrCreate()
     )
     queries = mod.queries()
-    names = [q for q in top_queries(n) if q in queries]
+    names = [
+        q
+        for q in (explicit if explicit is not None else top_queries(n))
+        if q in queries
+    ]
 
     def run(name: str, sf_dir: str) -> float:
         best = None
@@ -154,6 +167,21 @@ def main() -> None:
               flush=True)
 
     out = os.path.join(REPO, "BENCH_SCALE.md")
+    if explicit is not None:
+        with open(out, "a") as f:
+            f.write(
+                "\n## Named slice (appended)\n\n"
+                "| query | sf0.1 s | sf1 s | ratio | note |\n"
+                "|---|---|---|---|---|\n"
+            )
+            for name, a, b, r in sorted(rows, key=lambda x: -x[3]):
+                note = "SUPER-LINEAR" if r > 15 else ""
+                f.write(
+                    f"| {name} | {a:.2f} | {b:.2f} | {r:.1f}x | {note} |\n"
+                )
+        print(f"appended to {out}")
+        spark.stop()
+        return
     with open(out, "w") as f:
         f.write(
             "# sf0.1 -> sf1 scale probe (r8, verdict #5)\n\n"
