@@ -35,6 +35,12 @@ def main() -> int:
     spark = get_spark("sweep-oracle")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # resume/partition knob for long sweeps at big SFs: skip the first
+    # N entries (they were covered by an earlier partial run)
+    skip = int(os.environ.get("SPARK_GRAFT_SWEEP_SKIP", "0"))
+    if skip:
+        names_in_order = list(queries)
+        queries = {k: queries[k] for k in names_in_order[skip:]}
     report: dict[str, dict] = {}
     n_red = 0
     t_start = time.time()
