@@ -269,17 +269,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stdlib-zlib+numpy 8-bit PNG codec at multimodal/png.py closes the
     last bulk-corpus decode boundary; LOSSLESS exact-pixel contract,
     disjoint doc_id % 3 == 1 fixture slice). The three displaced r1
-    re-checks head _R9_QUEUE. JPEG codec hardened per r7 ADVICE
+    re-checks head _R9_WINDOW. JPEG codec hardened per r7 ADVICE
     (fill-byte tolerance, restart-marker advance, ValueError
     boundary, randomized-worst-case JPEG_MAX_ABS_ERR=96, interpolated
     audit-oracle dims). After this window every registry entry has a
-    driver record; _R9_QUEUE starts the currency rotation (oldest
+    driver record; _R9_WINDOW starts the currency rotation (oldest
     vintage first). Late-r8 (after the window froze): pca_embeddings
     tightened to an oracle-paired contract face too (component/row/dim
     exact halves + the var-nonincreasing and orthonormality booleans;
     raw projections -> pca_embeddings_full) — its re-check rides at
-    the head of _R9_QUEUE, the same late-tightening path
+    the head of _R9_WINDOW, the same late-tightening path
     sketch_rollup_daily_users took in r5->r6. Rows-only 7 -> 6.
+
+    ROUND-9 EXECUTED: _R9_WINDOW wired (the pre-staged currency
+    rotation, unchanged): 4 r1-vintage re-checks displaced from the
+    r8 window, the late-r8 pca_embeddings contract-face re-check,
+    all 41 r2-vintage re-checks in declaration order, then the first
+    4 r3-vintage entries. After this window ~41 r3-vintage entries
+    remain for r10 (pre-staged as _R10_QUEUE). Registry changes this
+    round per the r8 verdict: #3 — key_filter_auto face added
+    (adaptive bitmap-vs-bloom dispatch on a cheap key-domain
+    estimate, so the dense-bitmap cap is an internal routing
+    decision, not a user-facing raise at scale); #4 — ivf_topk and
+    pq_topk TIGHTENED from rows-only to oracle-paired contract faces
+    (exact halves: panel size, k, dims, nonzero-norm counts + the
+    recall-vs-brute-force floor booleans pinned TRUE; raw neighbor
+    grids live on as ivf_topk_full / pq_topk_full) — rows-only
+    6 -> 4.
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -309,7 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_priority": SCD.scd2_customer_priority,
         # (c) new/changed this round (star CC, quantizer, real codec)
         "dedup_components_star": D.dedup_components_star,
-        "ivf_topk": IVF.ivf_topk,  # rows-only; k-means|| style init this round
+        "ivf_topk": IVF.ivf_topk,  # oracle-paired since r9 (contract face; grid -> ivf_topk_full)
         "media_decode": M.media_decode,
         "media_frame_sample": M.media_frame_sample,
         # (c2) new this round — no record yet (cross-doc boilerplate,
@@ -319,7 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_new_docs": D.incremental_dedup_new_docs,
         "temperature_mix_weights": CP.temperature_mix_weights,
         "value_drift_by_bucket": X.value_drift_by_bucket,
-        "pq_topk": PQ.pq_topk,  # rows-only (trained codebook)
+        "pq_topk": PQ.pq_topk,  # oracle-paired since r9 (contract face; grid -> pq_topk_full)
         "bpe_merges": T.bpe_merges,  # oracle-paired since r7 (unrolled DuckDB twin)
         "supplier_influence_rank": G.supplier_influence_rank,
         "near_dup_triangles": G.near_dup_triangles,
@@ -886,8 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec-contract flags.
         "png_roundtrip_audit": M.png_roundtrip_audit,
     }
-    return {k: q[k] for k in _R8_WINDOW} | {
-        k: v for k, v in q.items() if k not in set(_R8_WINDOW)
+    return {k: q[k] for k in _R9_WINDOW} | {
+        k: v for k, v in q.items() if k not in set(_R9_WINDOW)
     }
 
 
@@ -1022,7 +1038,7 @@ _R7_WINDOW = [
 # distinct; customers_without_orders — same semi/anti join file as
 # customers_with_orders, which stays; sliding_hourly — same window
 # fan-out code as tumbling_hourly, which stays) move to the head of
-# _R9_QUEUE below. Composition: (1) the 10-entry record-less
+# _R9_WINDOW below. Composition: (1) the 10-entry record-less
 # remainder in declaration order incl. the two r6 PII faces; (2)
 # numeric_corr_matrix, whose r3 record predates the r4 int64-lattice
 # reimplementation; (3) the r1-vintage re-checks, in declaration
@@ -1093,8 +1109,9 @@ _R8_WINDOW = [
     "png_roundtrip_audit",
 ]
 
-# Pre-staged r9 rotation (NOT yet wired — queries() serves _R8_WINDOW
-# until the r8 driver record lands). With the r8 window the driver
+# r9 window (WIRED — queries() serves this head; the r8 driver record
+# landed as CORRECTNESS_r08: 47 green + 3 rows-only-by-contract, 0
+# red, completing the ledger). With the r8 window the driver
 # ledger is complete (336/336 entries have a record); r9 starts the
 # CURRENCY rotation the r7 verdict prescribed (#6): oldest vintage
 # first. Head: the four entries whose latest record is still
@@ -1104,7 +1121,7 @@ _R8_WINDOW = [
 # declaration order; then the first 4 r3-vintage entries
 # (user_retention_cohorts … user_set_ops). After this window ~41
 # r3-vintage entries remain for r10.
-_R9_QUEUE = [
+_R9_WINDOW = [
     # (1) r1-vintage re-checks
     "dedup_first_event",
     "distinct_projection",
@@ -1157,11 +1174,16 @@ _R9_QUEUE = [
     "stratified_sample",
     "bigram_lm",
     "orders_asof_priority_regime",
-    # (4) r3-vintage head, declaration order
+    # (4) r9 contract changes (verdict #4: ivf_topk / pq_topk
+    # tightened rows-only -> oracle-paired contract faces THIS round,
+    # before the window ran — a contract change outranks an r3
+    # re-check, so they take the last two r3 slots; price_histogram
+    # and user_set_ops move to the r10 queue head)
+    "ivf_topk",
+    "pq_topk",
+    # (5) r3-vintage head, declaration order
     "user_retention_cohorts",
     "event_type_cooccurrence",
-    "price_histogram",
-    "user_set_ops",
 ]
 
 # r5 window kept for the ledger (CORRECTNESS_r05 rows map to this).
@@ -2954,7 +2976,46 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST({S.ANN_EVAL_K} AS INTEGER) AS k, agg.n_truth,
                    TRUE AS mean_recall_ge_floor
             FROM (VALUES ('ivf'), ('pq')) m(method), agg
+            WHERE agg.n_queries > 0
             ORDER BY m.method
+        """,
+        # r9 (verdict #4): ivf_topk / pq_topk contract faces — the
+        # exact halves derive from the embeddings table alone; the
+        # booleans are the trained-state contracts pinned TRUE
+        # (recall floors: measured mins 0.3/0.2 across fixtures vs
+        # floors 0.2/0.1; a broken index lands at k/n ≈ 0.02). For PQ
+        # n_results is itself exact: the ADC scan scores every
+        # non-query row, so the count is LEAST(k, n-1) independent of
+        # the codebooks. Neighbor grids live on as the non-registry
+        # *_full faces, cross-checked by the recall-floor units.
+        "ivf_topk": """
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+                       AS n_vectors,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+                    WHERE list_sum(list_transform(
+                              embedding, x -> CAST(x AS DOUBLE) * x)) > 0)
+                       AS n_nonzero_norm,
+                   (SELECT CAST(MAX(len(embedding)) AS INTEGER)
+                    FROM embeddings) AS dim,
+                   CAST(10 AS INTEGER) AS k,
+                   TRUE AS n_results_eq_k,
+                   TRUE AS cos_bounded,
+                   TRUE AS recall_ge_floor
+        """,
+        "pq_topk": """
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+                       AS n_vectors,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+                    WHERE list_sum(list_transform(
+                              embedding, x -> CAST(x AS DOUBLE) * x)) > 0)
+                       AS n_nonzero_norm,
+                   (SELECT CAST(MAX(len(embedding)) AS INTEGER)
+                    FROM embeddings) AS dim,
+                   CAST(10 AS INTEGER) AS k,
+                   CAST(LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1)
+                        AS INTEGER) AS n_results,
+                   TRUE AS cos_bounded,
+                   TRUE AS recall_ge_floor
         """,
         "vocab_topk": """
             WITH toks AS (

@@ -473,6 +473,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         # desynchronize the length-payload walk
         while pos + 1 < n and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG: stream ends in fill bytes")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

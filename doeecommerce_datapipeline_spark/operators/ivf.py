@@ -19,9 +19,13 @@ driver-side — centroids are k×dim floats), then exact cosine over just
 those clusters' members. Persist partitioned by cluster id — a probe
 then reads only n_probe partitions (partition pruning IS the index).
 
-rows-only correctness (FP summation order across partitions makes the
-trained centroids implementation-specific); recall@10 vs the exact
-brute force is unit-tested with an explicit floor.
+Correctness: the registry face ivf_topk is an oracle-paired CONTRACT
+face (r8 verdict #4 — exact halves from the embeddings table + pinned
+recall/shape booleans); the raw neighbor grid (trained-state-specific:
+which neighbors the probe surfaces depends on the learned centroids,
+which no independent SQL engine can re-derive) lives on as
+ivf_topk_full, and recall@10 vs the exact brute force is additionally
+unit-tested with an explicit floor.
 
 Reference analog: none — the reference has no similarity search; this
 is north-star surface (SURVEY.md §2.3 planned-extension note).
@@ -207,7 +211,7 @@ def _nearest_clusters(
     return order[:n_probe]
 
 
-def ivf_topk(
+def ivf_topk_full(
     spark: SparkSession,
     sf_dir: str,
     query_vec_id: int = 0,
@@ -217,7 +221,12 @@ def ivf_topk(
     """ANN top-k for one stored vector: probe the n_probe nearest
     clusters only. The candidate set is ~n_probe/n_clusters of the
     table; on a cluster-partitioned layout the non-probed partitions
-    are never read."""
+    are never read.
+
+    Raw neighbor grid — the registry serves the oracle-paired
+    contract face ivf_topk below (r8 verdict #4: neighbor ids are
+    trained-state-specific, so they live here, cross-checked by the
+    recall-floor unit in tests/test_ivf.py)."""
     e = table(spark, sf_dir, "embeddings")
     assigned, centroids = build_ivf_index(e)
     qrow = e.where(F.col("vec_id") == query_vec_id).select("embedding").head()
@@ -241,5 +250,69 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str, k: int = 10) -> float:
     from .similarity import brute_force_topk
 
     exact = {r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()}
-    approx = {r["vec_id"] for r in ivf_topk(spark, sf_dir, 0, k).collect()}
+    approx = {r["vec_id"] for r in ivf_topk_full(spark, sf_dir, 0, k).collect()}
     return len(exact & approx) / max(len(exact), 1)
+
+
+# Measured single-query (vec_id=0) recall@10 per shipped fixture:
+# 0.6 / 0.6 / 0.3 at sf0.001 / 0.01 / 0.1 — deterministic per fixture
+# since the r8 partition-independent trainer; a broken index lands at
+# the random baseline k/n ≈ 0.02, an order of magnitude under the floor.
+IVF_TOPK_RECALL_FLOOR = 0.2
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Oracle-paired CONTRACT face of the IVF probe (r8 verdict #4,
+    the quality_classifier_scores / ann_recall_eval tightening
+    pattern): one row of exact halves the DuckDB twin derives from
+    the embeddings table alone — n_vectors, n_nonzero_norm, dim, k —
+    plus three contract booleans pinned TRUE: the probe returned a
+    full k results (with the shipped n_probe/n_clusters the probed
+    clusters always hold ≥ k candidates), every cosine is in
+    [-1, 1] (nonzero-norm candidates only), and recall@k vs the
+    exact brute-force scan clears IVF_TOPK_RECALL_FLOOR. The raw
+    neighbor grid lives on as ivf_topk_full (non-registry).
+
+    The two collects are k-row-bounded (approx + exact top-k)."""
+    from .similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    stats = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            (
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+                > 0
+            ).cast("long")
+        ).alias("n_nonzero_norm"),
+        F.max(F.size("embedding")).cast("int").alias("dim"),
+    ).first()
+    approx = ivf_topk_full(spark, sf_dir, 0, k).collect()  # bounded: k rows
+    exact = {
+        r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()
+    }  # bounded: k rows
+    got = {r["vec_id"] for r in approx}
+    recall = len(got & exact) / max(len(exact), 1)
+    eps = 1e-9
+    row = (
+        stats["n_vectors"],
+        stats["n_nonzero_norm"],
+        stats["dim"],
+        k,
+        len(approx) == k,
+        all(
+            r["cos"] is not None and -1 - eps <= r["cos"] <= 1 + eps
+            for r in approx
+        ),
+        recall >= IVF_TOPK_RECALL_FLOOR,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vectors long, n_nonzero_norm long, dim int, k int, "
+        "n_results_eq_k boolean, cos_bounded boolean, "
+        "recall_ge_floor boolean",
+    )

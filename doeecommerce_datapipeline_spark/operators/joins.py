@@ -278,16 +278,59 @@ def bitmap_key_filter(keys: DataFrame, key_col: str, target: DataFrame,
     )
 
 
+def key_filter_auto(
+    keys: DataFrame,
+    key_col: str,
+    target: DataFrame,
+    target_key: str,
+) -> DataFrame:
+    """Adaptive runtime key filter: route to the EXACT dense bitmap
+    (bitmap_key_filter) or the constant-size bloom (bloom_key_filter)
+    from a cheap key-domain estimate, so a caller never sees the
+    dense path's 32 MB domain cap as a raise — the r8-verdict fix for
+    `bitmap_filter_revenue` erroring at sf1 on the replica model's
+    sparse 9e9-spread key domain.
+
+    The estimate is ONE min/max aggregate over the keys side — the
+    keys side of a runtime filter is by construction the selective,
+    dimension-sized relation (and in the registry faces it is already
+    localCheckpointed, so the extra pass reads a cached block, not
+    the source scan). Dispatch: a domain whose dense bitset fits the
+    broadcast budget ((max_key >> 6) + 1 <= BITMAP_MAX_WORDS) and has
+    no negative keys gets the exact bitmap; anything else — sparse or
+    multi-billion surrogate domains, negative keys — falls back to
+    the bloom, whose false positives are washed out by the exact join
+    every caller performs afterwards. Both primitives are unchanged;
+    the cap inside bitmap_key_filter stays enforced as the
+    last-resort invariant.
+    """
+    row = keys.agg(
+        F.min(F.col(key_col).cast("long")).alias("lo"),
+        F.max(F.col(key_col).cast("long")).alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    if hi is None:  # empty keys: bitmap degenerates to drop-all, exact
+        return bitmap_key_filter(keys, key_col, target, target_key)
+    if lo >= 0 and (hi >> 6) + 1 <= BITMAP_MAX_WORDS:
+        return bitmap_key_filter(keys, key_col, target, target_key)
+    return bloom_key_filter(keys, key_col, target, target_key)
+
+
 def bitmap_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by brand for large ECONOMY parts, with the selective
     part predicate (p_type = 'ECONOMY' AND p_size >= 40 — ~4% of the
-    dim) pushed onto the lineitem scan as an exact broadcast-bitmap
-    key filter before the join. Returns (p_brand, n_items, revenue)
-    — the result is identical to the plain join (the bitmap is
-    exact), which is what makes it oracle-pairable; the bitmap is
-    purely the physical scale path.
+    dim) pushed onto the lineitem scan as an exact runtime key filter
+    before the join, DISPATCHED adaptively (key_filter_auto): dense
+    in-budget key domains get the broadcast bitmap, sparse/huge
+    domains (the sf1 replica model's 9e9-spread keys) fall back to
+    the constant-size bloom instead of raising. Returns (p_brand,
+    n_items, revenue) — the result is identical to the plain join on
+    EITHER path (the bitmap is exact; bloom false positives are
+    washed out by the exact join that follows), which is what makes
+    it oracle-pairable; the runtime filter is purely the physical
+    scale path.
 
-    Plan shape: fact rows that fail the bitmap die inside the scan
+    Plan shape: fact rows that fail the filter die inside the scan
     stage's WholeStageCodegen; only survivors (~4%) reach the
     join exchange. The join that follows fetches p_brand and is
     dimension-sized on its build side.
@@ -301,7 +344,7 @@ def bitmap_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    survivors = bitmap_key_filter(part_keys, "p_partkey", li, "l_partkey")
+    survivors = key_filter_auto(part_keys, "p_partkey", li, "l_partkey")
     return (
         survivors.join(
             F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey")

@@ -18,8 +18,12 @@ built driver-side (m·k doubles), broadcast in the scoring UDF's
 closure, and each row's approximate cosine is m table lookups. Top-k
 via TakeOrderedAndProject.
 
-rows-only correctness (trained codebooks are implementation-specific
-floats); recall@10 vs exact brute force is unit-tested with an
+Correctness: the registry face pq_topk is an oracle-paired CONTRACT
+face (r8 verdict #4 — exact halves from the embeddings table + pinned
+recall/shape booleans; the ADC scan scores EVERY non-query row, so
+n_results = LEAST(k, n_vectors - 1) is itself an exact half); the raw
+neighbor grid (trained-codebook-specific) lives on as pq_topk_full.
+recall@10 vs exact brute force is additionally unit-tested with an
 explicit floor, and the ADC score's fidelity is bounded by a rank-
 correlation check (tests/test_pq.py).
 
@@ -239,7 +243,7 @@ def pq_encode(df: DataFrame, codebooks) -> DataFrame:
     )
 
 
-def pq_topk(
+def pq_topk_full(
     spark: SparkSession,
     sf_dir: str,
     query_vec_id: int = 0,
@@ -247,7 +251,12 @@ def pq_topk(
 ) -> DataFrame:
     """ADC top-k for one stored query vector over the PQ-compressed
     table: every row costs m lookups, no float vectors are read at
-    query time (at scale the codes column is the only scan)."""
+    query time (at scale the codes column is the only scan).
+
+    Raw neighbor grid — the registry serves the oracle-paired
+    contract face pq_topk below (r8 verdict #4: neighbor ids are
+    trained-codebook-specific, so they live here, cross-checked by
+    the recall-floor unit in tests/test_pq.py)."""
     e = table(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(e)
     coded = pq_encode(e, books)
@@ -278,9 +287,78 @@ def pq_recall_vs_exact(
     exact = {r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()}
     approx = {
         r["vec_id"]
-        for r in pq_topk(spark, sf_dir, 0, k_approx or k).collect()
+        for r in pq_topk_full(spark, sf_dir, 0, k_approx or k).collect()
     }
     return len(exact & approx) / max(len(exact), 1)
+
+
+# Measured single-query (vec_id=0) recall@10 per shipped fixture:
+# 0.2 / 0.7 / 0.3 at sf0.001 / 0.01 / 0.1 — deterministic per fixture
+# since the r8 partition-independent trainer; a broken codebook lands
+# at the random baseline k/n ≈ 0.02, half an order under the floor.
+PQ_TOPK_RECALL_FLOOR = 0.1
+
+
+def pq_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Oracle-paired CONTRACT face of the ADC scan (r8 verdict #4,
+    the ivf_topk / ann_recall_eval tightening pattern): one row of
+    exact halves the DuckDB twin derives from the embeddings table
+    alone — n_vectors, n_nonzero_norm, dim, k, and n_results, which
+    for PQ is ITSELF exact (the ADC scan scores every non-query row,
+    so the result count is LEAST(k, n_vectors - 1), independent of
+    the trained codebooks) — plus two contract booleans pinned TRUE:
+    every ADC cosine is finite and in [-1-ε, 1+ε] (ADC approximates
+    the true cosine with quantization error; ε covers codeword-norm
+    rounding) and recall@k vs the exact brute-force scan clears
+    PQ_TOPK_RECALL_FLOOR. The raw neighbor grid lives on as
+    pq_topk_full (non-registry).
+
+    The two collects are k-row-bounded (approx + exact top-k)."""
+    from .similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    stats = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            (
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+                > 0
+            ).cast("long")
+        ).alias("n_nonzero_norm"),
+        F.max(F.size("embedding")).cast("int").alias("dim"),
+    ).first()
+    approx = pq_topk_full(spark, sf_dir, 0, k).collect()  # bounded: k rows
+    exact = {
+        r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()
+    }  # bounded: k rows
+    got = {r["vec_id"] for r in approx}
+    recall = len(got & exact) / max(len(exact), 1)
+    # ADC cosine carries quantization error on top of the exact one;
+    # the bound is a sanity envelope, not a tight cosine identity
+    eps = 0.25
+    row = (
+        stats["n_vectors"],
+        stats["n_nonzero_norm"],
+        stats["dim"],
+        k,
+        len(approx),
+        all(
+            r["cos"] is not None
+            and r["cos"] == r["cos"]  # not NaN
+            and -1 - eps <= r["cos"] <= 1 + eps
+            for r in approx
+        ),
+        recall >= PQ_TOPK_RECALL_FLOOR,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vectors long, n_nonzero_norm long, dim int, k int, "
+        "n_results int, cos_bounded boolean, recall_ge_floor boolean",
+    )
 
 
 def _adc_cos_multi_udf(queries: dict, codebooks):

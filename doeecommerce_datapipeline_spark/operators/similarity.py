@@ -992,10 +992,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_recall_eval_full (non-registry), cross-checked row-for-row
     against the independent per-query loop in tests/test_ivf.py."""
     full = ann_recall_eval_full(spark, sf_dir)
-    floor = (
-        F.when(F.col("method") == "ivf", F.lit(ANN_PANEL_FLOOR["ivf"]))
-        .otherwise(F.lit(ANN_PANEL_FLOOR["pq"]))
-    )
+    # r8 ADVICE: chained when per known key with otherwise(NULL) — a
+    # future method added to the _full face surfaces as a null floor
+    # (null contract boolean) instead of silently inheriting pq's.
+    floor = F.lit(None).cast("double")
+    for _m, _f in ANN_PANEL_FLOOR.items():
+        floor = F.when(F.col("method") == _m, F.lit(_f)).otherwise(floor)
     return (
         full.groupBy("method")
         .agg(

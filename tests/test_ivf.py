@@ -11,15 +11,30 @@ from doeecommerce_datapipeline_spark.operators.ivf import (
     build_ivf_index,
     ivf_recall_vs_exact,
     ivf_topk,
+    ivf_topk_full,
 )
 from doeecommerce_datapipeline_spark.io import table
 
 
-def test_ivf_topk_shape(spark, sf_dir):
-    rows = ivf_topk(spark, sf_dir, 0, 10).collect()
+def test_ivf_topk_full_shape(spark, sf_dir):
+    rows = ivf_topk_full(spark, sf_dir, 0, 10).collect()
     assert len(rows) == 10
     cosines = [r["cos"] for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_contract_face(spark, sf_dir):
+    """The r9 registry face: one row of exact halves + pinned
+    booleans (the oracle-pairing contract)."""
+    rows = ivf_topk(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n = table(spark, sf_dir, "embeddings").count()
+    assert r["n_vectors"] == n and r["n_nonzero_norm"] == n
+    assert r["dim"] == 64 and r["k"] == 10
+    assert r["n_results_eq_k"] is True
+    assert r["cos_bounded"] is True
+    assert r["recall_ge_floor"] is True
 
 
 def test_ivf_recall_floor(spark, sf_dir):

@@ -42,6 +42,23 @@ def test_pq_recall_floor(spark):
     assert recall >= 0.6, f"recall@10 (k_approx=50) collapsed: {recall}"
 
 
+def test_pq_topk_contract_face(spark):
+    """The r9 registry face: one row of exact halves (n_results is
+    exact for PQ: the ADC scan scores every non-query row) + pinned
+    booleans (the oracle-pairing contract)."""
+    from doeecommerce_datapipeline_spark.io import table
+
+    rows = pq.pq_topk(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n = table(spark, SF, "embeddings").count()
+    assert r["n_vectors"] == n and r["n_nonzero_norm"] == n
+    assert r["dim"] == 64 and r["k"] == 10
+    assert r["n_results"] == min(10, n - 1)
+    assert r["cos_bounded"] is True
+    assert r["recall_ge_floor"] is True
+
+
 def test_adc_scores_track_exact_cosine(spark, trained):
     """ADC approximate cosine must rank like the exact cosine: among
     the exact top-10, the mean ADC score must exceed the corpus mean

@@ -89,9 +89,12 @@ def generate_sf1() -> None:
                     "ELSE text || ' shard' || r.i END AS text"
                 )
             elif t == "documents" and c == "n_chars":
+                # r8 ADVICE: bump by the true appended length so the
+                # fixture invariant n_chars == length(text) survives
+                # replication (' shard' = 6 chars + the digits of i)
                 sel.append(
                     "CASE WHEN r.i = 0 THEN n_chars "
-                    "ELSE n_chars + 6 + CAST(r.i >= 10 AS BIGINT) "
+                    "ELSE n_chars + length(' shard' || r.i) "
                     "END AS n_chars"
                 )
             else:
