@@ -128,8 +128,18 @@ def _rowset(cols, rows):
 
 
 def run_oracle(sql: str, sf_dir: str):
-    """Execute oracle SQL; returns (cols, declared duckdb types, rows)."""
+    """Execute oracle SQL; returns (cols, declared duckdb types, rows).
+
+    Big-SF sweeps (the sf1 parity sweep) can bound the twin's memory
+    and let DuckDB spill to disk instead of OOMing the process:
+    SPARK_GRAFT_ORACLE_MEM (e.g. '24GB') sets the memory_limit and a
+    /tmp spill directory. Unset (the default, and the driver's
+    configuration) leaves DuckDB untouched."""
     con = duckdb.connect()
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(

@@ -25,6 +25,11 @@ Usage:
     python tools/scale_probe.py --names a,b,c   # explicit slice;
         appends a named section to BENCH_SCALE.md instead of
         overwriting the top-N table
+    python tools/scale_probe.py --perturbed --names a,b,c
+        # same, against the perturbed-clone replica (sf1p): part
+        # names suffixed per shard, embedding dims rotated per shard
+        # — density preserved, exact-clone pair blowup gone (r8
+        # verdict #5)
 """
 
 from __future__ import annotations
@@ -36,6 +41,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.path.join(REPO, ".scale_probe", "sf1")
+# perturbed-clone variant (r8 verdict #5): same 10x replication, but
+# clone artifacts that are adversarial for pair-enumeration operators
+# are removed while preserving density — see generate_sf1(perturbed=)
+SF1P_DIR = os.path.join(REPO, ".scale_probe", "sf1p")
 SF01_DIR = "/root/testdata/sf0.1"
 OFFSET = 10**9
 REPLICAS = 10
@@ -54,13 +63,33 @@ _KEYED = {
 _FIXED = ["nation", "region"]
 
 
-def generate_sf1() -> None:
+def generate_sf1(dst_dir: str = SF1_DIR, perturbed: bool = False) -> None:
+    """10x replica generator. perturbed=True (r8 verdict #5) removes
+    the exact-clone artifacts that are adversarial for
+    pair-enumeration operators while preserving density:
+
+    - part.p_name: replicas i>0 get a per-shard letter-run suffix
+      (' ' || repeat(chr(97+i), 6+i)). WITHIN a shard both names of
+      any pair carry the identical suffix, so every levenshtein
+      distance — and hence each shard's match set — is exactly
+      sf0.1's; ACROSS shards the suffixes alone differ by >5 edits,
+      so clone pairs stop matching. Blocked-quadratic match output
+      grows linearly (10x) instead of ~100x.
+    - embeddings.embedding: replica i>0 gets its DIMENSIONS rotated
+      by 7*i (mod dim; 7*i is distinct mod 64 for i=0..9). A shared
+      permutation preserves norms and every WITHIN-shard dot product
+      bit-for-bit (each shard reproduces sf0.1's near-dup geometry),
+      while CROSS-shard clones decorrelate to ~random cosine —
+      exact-clone pair enumeration (mllib_lsh_join's measured 26.8x)
+      collapses to linear.
+    - documents.text already gets the replica-unique token suffix in
+      both modes (exact-dup dedup stays honest)."""
     import duckdb
 
-    os.makedirs(SF1_DIR, exist_ok=True)
+    os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
     for t in _FIXED:
-        dst = os.path.join(SF1_DIR, f"{t}.parquet")
+        dst = os.path.join(dst_dir, f"{t}.parquet")
         if os.path.exists(dst):
             continue
         con.sql(
@@ -68,7 +97,7 @@ def generate_sf1() -> None:
             f"TO '{dst}' (FORMAT PARQUET)"
         )
     for t, keys in _KEYED.items():
-        dst = os.path.join(SF1_DIR, f"{t}.parquet")
+        dst = os.path.join(dst_dir, f"{t}.parquet")
         if os.path.exists(dst):
             continue
         cols = [
@@ -97,6 +126,20 @@ def generate_sf1() -> None:
                     "ELSE n_chars + length(' shard' || r.i) "
                     "END AS n_chars"
                 )
+            elif perturbed and t == "part" and c == "p_name":
+                sel.append(
+                    "CASE WHEN r.i = 0 THEN p_name "
+                    "ELSE p_name || ' ' || "
+                    "repeat(chr(CAST(97 + r.i AS INTEGER)), 6 + r.i) "
+                    "END AS p_name"
+                )
+            elif perturbed and t == "embeddings" and c == "embedding":
+                sel.append(
+                    "CASE WHEN r.i = 0 THEN embedding "
+                    "ELSE list_transform(range(0, len(embedding)), d -> "
+                    "embedding[((d + 7 * r.i) % len(embedding)) + 1]) "
+                    "END AS embedding"
+                )
             else:
                 sel.append(c)
         con.sql(
@@ -116,13 +159,19 @@ def top_queries(n: int) -> list[str]:
 
 
 def main() -> None:
+    argv = sys.argv[1:]
+    perturbed = False
+    if argv and argv[0] == "--perturbed":
+        perturbed = True
+        argv = argv[1:]
     explicit = None
-    if len(sys.argv) > 2 and sys.argv[1] == "--names":
-        explicit = [x for x in sys.argv[2].split(",") if x]
+    if len(argv) > 1 and argv[0] == "--names":
+        explicit = [x for x in argv[1].split(",") if x]
         n = len(explicit)
     else:
-        n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    generate_sf1()
+        n = int(argv[0]) if argv else 20
+    big_dir = SF1P_DIR if perturbed else SF1_DIR
+    generate_sf1(big_dir, perturbed)
 
     sys.path.insert(0, REPO)
     import importlib.util
@@ -163,7 +212,7 @@ def main() -> None:
         # warm (plan/code caches) then time both SFs back-to-back
         queries[name](spark, SF01_DIR).foreach(lambda _: None)
         t_small = run(name, SF01_DIR)
-        t_big = run(name, SF1_DIR)
+        t_big = run(name, big_dir)
         ratio = t_big / t_small if t_small > 0 else float("inf")
         rows.append((name, t_small, t_big, ratio))
         print(f"{name}: sf0.1 {t_small:.2f}s sf1 {t_big:.2f}s x{ratio:.1f}",
@@ -171,10 +220,16 @@ def main() -> None:
 
     out = os.path.join(REPO, "BENCH_SCALE.md")
     if explicit is not None:
+        title = (
+            "\n## Perturbed-clone slice (appended; sf1p — see "
+            "generate_sf1(perturbed=True))\n\n"
+            if perturbed
+            else "\n## Named slice (appended)\n\n"
+        )
         with open(out, "a") as f:
             f.write(
-                "\n## Named slice (appended)\n\n"
-                "| query | sf0.1 s | sf1 s | ratio | note |\n"
+                title
+                + "| query | sf0.1 s | sf1 s | ratio | note |\n"
                 "|---|---|---|---|---|\n"
             )
             for name, a, b, r in sorted(rows, key=lambda x: -x[3]):
