@@ -1,7 +1,8 @@
-"""The r8 driver window must be well-formed: 50 entries, all resolvable,
-no duplicates, no registry entry lost by the reorder; with the r8 window
-every registry entry holds a driver record (336/336), and the pre-staged
-r9 queue must spend every slot on the oldest record vintages."""
+"""The r9 driver window must be well-formed: 50 entries, all resolvable,
+no duplicates, no registry entry lost by the reorder; the ledger is
+complete since r8 (336/336 driver records), so every r9 slot must spend
+itself on the CURRENCY rotation — an r1–r3-vintage record or a contract
+change (pca_embeddings late-r8; ivf_topk / pq_topk tightened r9)."""
 
 import json
 import os
@@ -23,8 +24,8 @@ def _records_through(last_round):
 def test_window_names_resolve_and_lead():
     q = entrymod.queries()
     names = list(q)
-    win = entrymod._R8_WINDOW
-    assert len(win) == len(set(win)), "duplicate names in _R8_WINDOW"
+    win = entrymod._R9_WINDOW
+    assert len(win) == len(set(win)), "duplicate names in _R9_WINDOW"
     assert len(win) == 50, f"driver checks exactly 50; window has {len(win)}"
     assert names[: len(win)] == win, "window must lead the registry"
 
@@ -33,70 +34,55 @@ def test_reorder_loses_nothing():
     q = entrymod.queries()
     assert len(q) >= 336
     # every window name maps to a callable
-    for name in entrymod._R8_WINDOW:
+    for name in entrymod._R9_WINDOW:
         assert callable(q[name]), name
 
 
-def test_window_spends_slots_on_gaps_or_changes():
-    """The rotation contract: every r8 window slot either closes a
-    never-driver-checked gap, refreshes an r1-vintage record, re-checks
-    a contract change (quality_classifier_scores, bpe_merges from r7;
-    lsh_recall_eval, ann_recall_eval tightened in r8), re-checks a
-    reimplementation (numeric_corr_matrix, r4 lattice rewrite), or
-    lands a new codec-audit face."""
-    contract_changes = {
-        "quality_classifier_scores",
-        "bpe_merges",
-        "lsh_recall_eval",
-        "ann_recall_eval",
-        "numeric_corr_matrix",
-    }
-    recordless_or_new = set(entrymod.queries()) - _records_through(7)
-    r1_only = _records_through(1) - _records_through_later(2, 7)
-    for name in entrymod._R8_WINDOW:
-        assert (
-            name in contract_changes
-            or name in recordless_or_new
-            or name in r1_only
-        ), f"{name} spends a slot on an already-current record"
-
-
-def _records_through_later(first_round, last_round):
-    rec = set()
-    for r in range(first_round, last_round + 1):
+def _latest_vintage(name, through=8):
+    latest = None
+    for r in range(1, through + 1):
         path = os.path.join(HERE, f"CORRECTNESS_r0{r}.json")
         with open(path) as f:
-            rec.update(json.load(f))
-    return rec
+            if name in json.load(f):
+                latest = r
+    return latest
 
 
-def test_r8_window_finishes_the_ledger():
-    """With the r8 window, every registry entry has a driver record:
-    records r1–r7 + the r8 window = the full registry."""
-    win = entrymod._R8_WINDOW
-    names = set(entrymod.queries())
-    missing = names - _records_through(7) - set(win)
-    assert not missing, f"entries with no record and no r8 slot: {sorted(missing)}"
+def test_ledger_complete_through_r8():
+    """Since r8 every registry entry has a driver record — the
+    currency-rotation precondition."""
+    missing = set(entrymod.queries()) - _records_through(8)
+    assert not missing, f"entries with no driver record: {sorted(missing)}"
 
 
-def test_r9_queue_well_formed():
-    """The pre-staged r9 currency rotation: 50 unique resolvable
-    entries, headed by the four r1-vintage stragglers the r7/r8 slot
-    swaps displaced."""
-    q9 = entrymod._R9_QUEUE
-    assert len(q9) == len(set(q9)) == 50
-    names = set(entrymod.queries())
-    for name in q9:
-        assert name in names, f"_R9_QUEUE entry {name} not in registry"
-    assert q9[:4] == [
+def test_window_spends_slots_on_stale_or_changed():
+    """The currency-rotation contract: every r9 window slot either
+    refreshes an r1–r3-vintage record (oldest first) or re-checks a
+    contract change (pca_embeddings tightened late-r8 after the r8
+    window froze; ivf_topk / pq_topk tightened to oracle-paired
+    contract faces in r9)."""
+    contract_changes = {"pca_embeddings", "ivf_topk", "pq_topk"}
+    for name in entrymod._R9_WINDOW:
+        if name in contract_changes:
+            continue
+        v = _latest_vintage(name)
+        assert v is not None and v <= 3, (
+            f"{name} spends a slot on an already-current record "
+            f"(latest vintage r{v})"
+        )
+
+
+def test_window_heads_with_r1_stragglers():
+    """The four entries whose latest record is still r1-vintage (the
+    r7/r8 slot-swap displacements) must head the rotation."""
+    assert entrymod._R9_WINDOW[:4] == [
         "dedup_first_event",
         "distinct_projection",
         "customers_without_orders",
         "sliding_hourly",
     ]
-    # no overlap with the r8 window — every slot re-checks something
-    # the r8 window does not already cover
-    assert not set(q9) & set(entrymod._R8_WINDOW)
+    for name in entrymod._R9_WINDOW[:4]:
+        assert _latest_vintage(name) == 1
 
 
 def test_oracle_sql_values_have_no_doubled_backslash():
