@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dsum, exact_avg
+from ..functions.scalars import dec_sum, dsum, exact_avg
 from ..io import table
 
 
@@ -37,12 +37,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            # scale ≤6 keeps sum×10^s < 2^53 at bench SFs, so the final
-            # decimal→double conversion is exact on every engine (at
-            # scale 8 the scaled integer tops 2^53 and engines' rounding
-            # of the conversion diverges by 1 ulp)
-            dsum(disc_price, "decimal(28,6)").alias("sum_disc_price"),
-            dsum(charge, "decimal(28,6)").alias("sum_charge"),
+            # the two wide product-sums are emitted as EXACT DECIMAL,
+            # not double: their scaled integer crosses 2^53 at sf1
+            # (sum_charge ≈ 2.8e10 × 10^6 ≈ 2.8e16 > 2^53) and past
+            # that boundary engines' int128→double conversions
+            # double-round differently by 1 ulp — caught by the r9 sf1
+            # parity sweep. A decimal output has no conversion seam at
+            # ANY scale; the scale-2 money sums keep the double face
+            # (their boundary is ~9e13, three orders above sf1)
+            dec_sum(disc_price, "decimal(28,6)").alias("sum_disc_price"),
+            dec_sum(charge, "decimal(28,6)").alias("sum_charge"),
             exact_avg("l_quantity").alias("avg_qty"),
             exact_avg("l_extendedprice").alias("avg_price"),
             exact_avg("l_discount", "decimal(18,4)").alias("avg_disc"),
