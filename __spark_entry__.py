@@ -5865,7 +5865,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                 SELECT media_id, n, UNNEST(range(n)) AS i FROM a
             ), x AS (
                 SELECT media_id, n,
-                       CAST((media_id * 2654435761 + i * 40503) % 65536
+                       CAST(((media_id % 65536) * (2654435761 % 65536) + i * 40503) % 65536
                             - 32768 AS DOUBLE) / 32768.0 AS v
                 FROM s
             )
@@ -5886,7 +5886,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                 SELECT media_id, UNNEST(range(n)) AS i FROM a
             ), x AS (
                 SELECT media_id, i // 400 AS window_idx,
-                       CAST((media_id * 2654435761 + i * 40503) % 65536
+                       CAST(((media_id % 65536) * (2654435761 % 65536) + i * 40503) % 65536
                             - 32768 AS DOUBLE) / 32768.0 AS v
                 FROM s
             ), per AS (
@@ -5914,7 +5914,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                 FROM a
             ), chan AS (
                 SELECT media_id, width, height, i // 3 AS px, i % 3 AS c,
-                       (media_id * 2654435761 + i * 40503) % 256 AS p
+                       ((media_id % 256) * (2654435761 % 256) + i * 40503) % 256 AS p
                 FROM s
             ), perpx AS (
                 SELECT media_id, width, height, px,
@@ -9299,7 +9299,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                 FROM a
             ), chan AS (
                 SELECT media_id, width, height, i // 3 AS px, i % 3 AS c,
-                       (media_id * 2654435761 + i * 40503) % 256 AS p
+                       ((media_id % 256) * (2654435761 % 256) + i * 40503) % 256 AS p
                 FROM s
             ), coords AS (
                 SELECT media_id, width, height, c, p,

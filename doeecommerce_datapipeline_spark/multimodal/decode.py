@@ -415,11 +415,22 @@ def _synth_samples(media_id: int, n: int):
     """Deterministic 16-bit PCM samples for media row `media_id`:
     k_i = (media_id*SYNTH_MUL + i*SYNTH_STEP) mod 2^16 - 2^15. Pure
     int64 arithmetic so ANY engine (numpy here, DuckDB SQL in the
-    oracle) reproduces the exact sample stream."""
+    oracle) reproduces the exact sample stream.
+
+    The multiply is computed as (media_id % 2^16) * (SYNTH_MUL % 2^16)
+    — identical by the modular identity (a*b) mod m == ((a mod m)
+    * (b mod m)) mod m, but bounded ≤ 65535 * 31153 ≈ 2.0e9, so it
+    never leaves int64. The naive product overflows int64 once
+    media_id passes ~3.47e9 (production snowflake-style ids; the sf1
+    replica's offset keys) — numpy wraps silently, DuckDB raises —
+    the identical at-scale bug class as the r8 HLL hash fix, caught
+    by the r9 sf1 parity sweep."""
     import numpy as np
 
     i = np.arange(n, dtype=np.int64)
-    k = (media_id * SYNTH_MUL + i * SYNTH_STEP) % 65536 - 32768
+    k = (
+        (media_id % 65536) * (SYNTH_MUL % 65536) + i * SYNTH_STEP
+    ) % 65536 - 32768
     return k.astype("<i2")
 
 
@@ -521,11 +532,15 @@ LUM_R, LUM_G, LUM_B = 299, 587, 114  # BT.601 coefficients x1000
 def _synth_pixels(media_id: int, n_px: int):
     """Deterministic 8-bit RGB stream: byte_i = (media_id*SYNTH_MUL +
     i*SYNTH_STEP) mod 256 over the flat 3*n_px channel stream — the
-    same int64 hash family as the audio samples, reproducible in SQL."""
+    same int64 hash family as the audio samples, reproducible in SQL.
+    Mod-split multiply for the same int64-overflow reason as
+    _synth_samples (identical values by the modular identity)."""
     import numpy as np
 
     i = np.arange(3 * n_px, dtype=np.int64)
-    return ((media_id * SYNTH_MUL + i * SYNTH_STEP) % 256).astype(np.uint8)
+    return (
+        ((media_id % 256) * (SYNTH_MUL % 256) + i * SYNTH_STEP) % 256
+    ).astype(np.uint8)
 
 
 def _build_ppm(media_id: int, w: int, h: int) -> bytes:
