@@ -6401,8 +6401,10 @@ def _oracle_sql_literals() -> dict[str, str]:
                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
             ), tq AS (
                 SELECT day, revenue, trend,
-                       CAST(round(revenue - trend, 6)
-                            AS DECIMAL(18,6)) AS detr_q,
+                       -- floor lattice, not round(): same IEEE dag
+                       -- as the Spark face (r9 sf1 catch)
+                       CAST(FLOOR((revenue - trend) * 1000000.0 + 0.5)
+                            / 1000000.0 AS DECIMAL(18,6)) AS detr_q,
                        CAST(isodow(day) - 1 AS INTEGER) AS dow
                 FROM t
             ), dw AS (
@@ -6411,7 +6413,8 @@ def _oracle_sql_literals() -> dict[str, str]:
                            / CAST(COUNT(*) AS DOUBLE) AS s_raw
                 FROM tq WHERE trend IS NOT NULL GROUP BY 1
             ), sm AS (
-                SELECT CAST(SUM(CAST(round(s_raw, 9) AS DECIMAL(18,9)))
+                SELECT CAST(SUM(CAST(FLOOR(s_raw * 1000000000.0 + 0.5)
+                                     / 1000000000.0 AS DECIMAL(18,9)))
                             AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS s_mean
                 FROM dw
@@ -6904,8 +6907,10 @@ def _oracle_sql_literals() -> dict[str, str]:
             WITH st AS (
                 SELECT event_type,
                        CAST(COUNT(*) AS BIGINT) AS n,
-                       SUM(CAST(value AS DECIMAL(28,10))) AS s1,
-                       SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+                       -- scales 2/4, NOT 10: 2-dp money double; scale
+                       -- 10 scaled sums cross 2^53 at sf1 (r9 catch)
+                       SUM(CAST(value AS DECIMAL(28,2))) AS s1,
+                       SUM(CAST(value * value AS DECIMAL(28,4))) AS s2
                 FROM events
                 WHERE event_type IN ('purchase', 'click')
                 GROUP BY event_type
@@ -10153,8 +10158,10 @@ def _oracle_sql_literals() -> dict[str, str]:
         "anova_value_by_type": """
             WITH g AS (
                 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                       SUM(CAST(value AS DECIMAL(28,10))) AS s1,
-                       SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+                       -- scales 2/4, NOT 10: 2-dp money double; scale
+                       -- 10 scaled sums cross 2^53 at sf1 (r9 catch)
+                       SUM(CAST(value AS DECIMAL(28,2))) AS s1,
+                       SUM(CAST(value * value AS DECIMAL(28,4))) AS s2
                 FROM events GROUP BY 1
             ), terms AS (
                 SELECT n, s1, s2,
@@ -10341,8 +10348,10 @@ def _oracle_sql_literals() -> dict[str, str]:
         "pairwise_welch_fdr": """
             WITH st AS (
                 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                       SUM(CAST(value AS DECIMAL(28,10))) AS s1,
-                       SUM(CAST(value * value AS DECIMAL(28,10))) AS s2
+                       -- scales 2/4, NOT 10: 2-dp money double; scale
+                       -- 10 scaled sums cross 2^53 at sf1 (r9 catch)
+                       SUM(CAST(value AS DECIMAL(28,2))) AS s1,
+                       SUM(CAST(value * value AS DECIMAL(28,4))) AS s2
                 FROM events GROUP BY 1
             ), pairs AS (
                 SELECT a.event_type AS type_a, b.event_type AS type_b,

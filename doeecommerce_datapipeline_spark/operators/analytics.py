@@ -1116,9 +1116,22 @@ def stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trend"),
         )
         .withColumn(
+            # floor(x*s + 0.5)/s, NOT F.round: round() is a DIFFERENT
+            # algorithm per engine (Spark exact-BigDecimal vs DuckDB
+            # scaled-float) and the two diverge in the boundary zone
+            # once |x|*s carries enough magnitude — the r9 sf1 sweep
+            # caught exactly this on the 9dp seasonal seam below. The
+            # explicit floor lattice is the SAME IEEE dag on both
+            # engines, so it agrees at any magnitude (the holt/ewma
+            # recursion idiom).
             "detr_q",
-            F.round(F.col("revenue") - F.col("trend"), STL_SEASON_DECIMALS)
-            .cast("decimal(18,6)"),
+            (
+                F.floor(
+                    (F.col("revenue") - F.col("trend")) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).cast("decimal(18,6)"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1135,7 +1148,13 @@ def stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dow.agg(
                 (
                     F.sum(
-                        F.round(F.col("s_raw"), 9).cast("decimal(18,9)")
+                        (
+                            F.floor(
+                                F.col("s_raw") * F.lit(1000000000.0)
+                                + F.lit(0.5)
+                            )
+                            / F.lit(1000000000.0)
+                        ).cast("decimal(18,9)")
                     ).cast("double")
                     / F.count(F.lit(1)).cast("double")
                 ).alias("s_mean")

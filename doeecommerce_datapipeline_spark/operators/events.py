@@ -1547,9 +1547,9 @@ def welch_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+            F.sum(F.col("value").cast("decimal(28,2)")).alias("s1"),
             F.sum(
-                (F.col("value") * F.col("value")).cast("decimal(28,10)")
+                (F.col("value") * F.col("value")).cast("decimal(28,4)")
             ).alias("s2"),
         )
     )
@@ -2726,9 +2726,9 @@ def event_moments(e: DataFrame) -> DataFrame:
     (foreach_batch_moments_merge) drain bit-identical to batch."""
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+        F.sum(F.col("value").cast("decimal(28,2)")).alias("s1"),
         F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(28,10)")
+            (F.col("value") * F.col("value")).cast("decimal(28,4)")
         ).alias("s2"),
     )
 
@@ -2812,9 +2812,9 @@ def pairwise_welch_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     st = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,10)")).alias("s1"),
+        F.sum(F.col("value").cast("decimal(28,2)")).alias("s1"),
         F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(28,10)")
+            (F.col("value") * F.col("value")).cast("decimal(28,4)")
         ).alias("s2"),
     )
     a = st.select(

@@ -644,8 +644,8 @@ def foreach_batch_moments_merge(
                 .groupBy("event_type")
                 .agg(
                     F.sum("n").cast("long").alias("n"),
-                    F.sum("s1").cast("decimal(28,10)").alias("s1"),
-                    F.sum("s2").cast("decimal(28,10)").alias("s2"),
+                    F.sum("s1").cast("decimal(28,2)").alias("s1"),
+                    F.sum("s2").cast("decimal(28,4)").alias("s2"),
                 )
             )
         else:
