@@ -17,6 +17,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from doeecommerce_datapipeline_spark.functions.scalars import (
+    dec_to_double_split_sql,
+)
 from doeecommerce_datapipeline_spark.multimodal import media as M
 from doeecommerce_datapipeline_spark.operators import (
     aggregates as A,
@@ -8690,11 +8693,17 @@ def _oracle_sql_literals() -> dict[str, str]:
             ), p1f AS (SELECT * FROM p1 WHERE m = 2),
             e1 AS (
                 SELECT CAST(1 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                       CAST(SUM(CAST(ROUND(
-                           CAST(y0 - y1 AS DOUBLE) * CAST(y0 - y1 AS DOUBLE)
-                           / 65536.0, 4)
-                           AS DECIMAL(28,4))) AS DOUBLE) * 32768.0 AS energy
+                       -- first factor widened to DECIMAL(19,0): DuckDB
+                       -- multiplies two DECIMAL(<=18)s in int64 and
+                       -- overflows before widening (catalogued trap #7)
+                       SUM(CAST(CAST(CAST(y0 - y1 AS DECIMAL(16,2)) * 100 AS DECIMAL(19,0))
+                                * CAST(CAST(y0 - y1 AS DECIMAL(16,2)) * 100 AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS s2x
                 FROM p1f
+            ), en1 AS (
+                SELECT level, n_pairs,
+                       """ + dec_to_double_split_sql("s2x") + """ * 0.5 / 10000.0 AS energy
+                FROM e1
             ), s1 AS (
                 SELECT j AS i, y0 + y1 AS y FROM p1f
             ), p2 AS (
@@ -8705,11 +8714,17 @@ def _oracle_sql_literals() -> dict[str, str]:
             ), p2f AS (SELECT * FROM p2 WHERE m = 2),
             e2 AS (
                 SELECT CAST(2 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                       CAST(SUM(CAST(ROUND(
-                           CAST(y0 - y1 AS DOUBLE) * CAST(y0 - y1 AS DOUBLE)
-                           / 65536.0, 4)
-                           AS DECIMAL(28,4))) AS DOUBLE) * 16384.0 AS energy
+                       -- first factor widened to DECIMAL(19,0): DuckDB
+                       -- multiplies two DECIMAL(<=18)s in int64 and
+                       -- overflows before widening (catalogued trap #7)
+                       SUM(CAST(CAST(CAST(y0 - y1 AS DECIMAL(16,2)) * 100 AS DECIMAL(19,0))
+                                * CAST(CAST(y0 - y1 AS DECIMAL(16,2)) * 100 AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS s2x
                 FROM p2f
+            ), en2 AS (
+                SELECT level, n_pairs,
+                       """ + dec_to_double_split_sql("s2x") + """ * 0.25 / 10000.0 AS energy
+                FROM e2
             ), s2 AS (
                 SELECT j AS i, y0 + y1 AS y FROM p2f
             ), p3 AS (
@@ -8720,20 +8735,35 @@ def _oracle_sql_literals() -> dict[str, str]:
             ), p3f AS (SELECT * FROM p3 WHERE m = 2),
             e3 AS (
                 SELECT CAST(3 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                       CAST(SUM(CAST(ROUND(
-                           CAST(y0 - y1 AS DOUBLE) * CAST(y0 - y1 AS DOUBLE)
-                           / 65536.0, 4)
-                           AS DECIMAL(28,4))) AS DOUBLE) * 8192.0 AS energy
+                       -- first factor widened to DECIMAL(19,0): DuckDB
+                       -- multiplies two DECIMAL(<=18)s in int64 and
+                       -- overflows before widening (catalogued trap #7)
+                       SUM(CAST(CAST(CAST(y0 - y1 AS DECIMAL(16,2)) * 100 AS DECIMAL(19,0))
+                                * CAST(CAST(y0 - y1 AS DECIMAL(16,2)) * 100 AS DECIMAL(18,0))
+                           AS DECIMAL(38,0))) AS s2x
                 FROM p3f
+            ), en3 AS (
+                SELECT level, n_pairs,
+                       """ + dec_to_double_split_sql("s2x") + """ * 0.125 / 10000.0 AS energy
+                FROM e3
+            ), w AS (
+                -- te: fixed-order (e1 + e2) + e3, mirroring the face
+                SELECT a.n_pairs AS np1, a.energy AS x1,
+                       b.n_pairs AS np2, b.energy AS x2,
+                       c.n_pairs AS np3, c.energy AS x3,
+                       (a.energy + b.energy) + c.energy AS te
+                FROM en1 a, en2 b, en3 c
             ), lv AS (
-                SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
-            ), total AS (
-                SELECT SUM(CAST(energy AS DECIMAL(28,6))) AS te FROM lv
+                SELECT CAST(1 AS BIGINT) AS level, np1 AS n_pairs, x1 AS energy, te FROM w
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), np2, x2, te FROM w
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), np3, x3, te FROM w
             )
             SELECT level, n_pairs, energy,
-                   CASE WHEN CAST(te AS DOUBLE) > 0
-                        THEN ROUND(energy / CAST(te AS DOUBLE), 6) END AS energy_share
-            FROM lv, total ORDER BY level
+                   CASE WHEN te > 0
+                        THEN ROUND(energy / te, 6) END AS energy_share
+            FROM lv ORDER BY level
         """,
         # per-customer Theil terms quantize at 9dp before the
         # within-group sum; contrib columns reproduce the global

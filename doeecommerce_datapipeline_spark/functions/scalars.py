@@ -26,6 +26,46 @@ def dec_sum(col: Column | str, scale: str = MONEY) -> Column:
     return F.sum(c.cast(scale))
 
 
+def dec_to_double_split(col: Column) -> Column:
+    """Engine-agreed decimal→double conversion for sums whose scaled
+    digits exceed 2^53 — the boundary past which engines' native
+    int128→double conversions double-round differently by 1 ulp (the
+    r9 sf1 sweep's pricing_summary/haar class).
+
+    The exact decimal is split into three 2^26-limbs (l0, h1, h2 with
+    value = (h2·2^26 + h1)·2^26 + l0); each limb is < 2^53 so its own
+    double cast is EXACT, and the recombine is a fixed IEEE dag
+    (power-of-two scalings are exact; two rounded adds) that every
+    engine evaluates identically when the twin mirrors the same
+    expression. Valid while |value| < 2^105 ≈ 4e31 (h2 must stay
+    under 2^53) — five orders beyond a 100 TB-scale money sum.
+    Verified correctly-rounded on boundary values (2^53+1, ~1e22) on
+    both engines. Intended for nonnegative sums (sums of squares);
+    the limb identity also holds for negatives since both engines'
+    `%` is dividend-signed."""
+    m = F.lit(1 << 26).cast("decimal(38,0)")
+    l0 = col % m
+    r1 = (col - l0) / m
+    h1 = r1 % m
+    h2 = (r1 - h1) / m
+    return (
+        h2.cast("double") * F.lit(float(1 << 26)) + h1.cast("double")
+    ) * F.lit(float(1 << 26)) + l0.cast("double")
+
+
+def dec_to_double_split_sql(expr: str) -> str:
+    """The DuckDB mirror of dec_to_double_split — the SAME limb dag,
+    textually, so a twin can convert an over-2^53 decimal sum to the
+    bit-identical double."""
+    return (
+        f"((CAST(((({expr}) - ({expr}) % 67108864) / 67108864"
+        f" - ((({expr}) - ({expr}) % 67108864) / 67108864) % 67108864)"
+        f" / 67108864 AS DOUBLE) * 67108864.0"
+        f" + CAST(((({expr}) - ({expr}) % 67108864) / 67108864) % 67108864"
+        f" AS DOUBLE)) * 67108864.0 + CAST(({expr}) % 67108864 AS DOUBLE))"
+    )
+
+
 def dsum(col: Column | str, scale: str = MONEY) -> Column:
     """Order-independent SUM surfaced as DOUBLE.
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dsum
+from ..functions.scalars import dec_to_double_split, dsum
 from ..io import table
 
 
@@ -2010,53 +2010,81 @@ def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .where(F.col("m") == 2)  # odd tail drops
         )
-        d = (F.col("y0") - F.col("y1")).cast("double")
+        # d² is EXACT INTEGER arithmetic end-to-end (r9 redesign): the
+        # cent-scaled difference d100 = (y0-y1)·100 is an exact
+        # integer ≤ ~1e13 even at sf100, its square stays inside
+        # DECIMAL(38,0)'s int128, and the level sum s2x is exact with
+        # no quantization anywhere. The one double conversion happens
+        # ONCE per level via dec_to_double_split (2^26-limb dag,
+        # engine-agreed past 2^53 up to 2^105) — the r8 design's fixed
+        # 2^-16 prescale kept the scaled sum under 2^53 only at bench
+        # SFs and crossed it at sf1 (caught by the r9 parity sweep; a
+        # fixed prescale always fails at SOME scale, limbs don't).
+        d100 = (
+            (F.col("y0") - F.col("y1")).cast("decimal(16,2)") * 100
+        ).cast("decimal(18,0)")
+        lvl = paired.agg(
+            F.lit(level).cast("long").alias("level"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((d100 * d100).cast("decimal(38,0)")).alias("s2x"),
+        )
         energies.append(
-            paired.agg(
-                F.lit(level).cast("long").alias("level"),
-                F.count(F.lit(1)).alias("n_pairs"),
-                # d² prescales by 2^-16 before the 4dp quantization so
-                # the decimal SUM stays under 2^53 scaled digits — the
-                # oracle engine's int128→double conversion double-
-                # rounds past that (the twap_user_day lesson); the
-                # final 2^(16-level) restore is an EXACT IEEE scaling,
-                # and no further rounding touches the energy (at ~1e14
-                # a 6dp round sits below the double ulp and diverges)
+            lvl.select(
+                "level",
+                "n_pairs",
+                # energy = Σd² · 2^-level; s2x is 1e4·Σd² (cent²)
                 (
-                    F.sum(
-                        F.round(d * d / F.lit(float(2 ** 16)), 4).cast(
-                            "decimal(28,4)"
-                        )
-                    ).cast("double")
-                    * F.lit(float(2 ** (16 - level)))
+                    dec_to_double_split(F.col("s2x"))
+                    * F.lit(float(2.0 ** (-level)))
+                    / F.lit(10000.0)
                 ).alias("energy"),
             )
         )
         series = paired.select(
             F.col("j").alias("i"), (F.col("y0") + F.col("y1")).alias("y")
         ).localCheckpoint()
-    lv = energies[0]
-    for e in energies[1:]:
-        lv = lv.unionByName(e)
-    lv = lv.localCheckpoint()
-    total = lv.agg(F.sum(F.col("energy").cast("decimal(28,6)")).alias("te"))
-    return (
-        lv.crossJoin(F.broadcast(total))
-        .select(
-            "level",
-            "n_pairs",
-            "energy",
-            # constant series has zero total energy — share is NULL,
-            # not a crash (ANSI mode raises on /0)
-            F.when(
-                F.col("te").cast("double") > 0,
-                F.round(
-                    F.col("energy") / F.col("te").cast("double"), 6
-                ),
-            ).alias("energy_share"),
-        )
-        .orderBy("level")
+    # te = fixed-order double sum (e1 + e2) + e3 — an aggregate SUM's
+    # order is engine/partition-dependent, and a decimal re-sum would
+    # re-open the >2^53 conversion seam the limbs just closed
+    wide = energies[0].select(
+        F.col("n_pairs").alias("np1"), F.col("energy").alias("en1")
     )
+    for k, e in enumerate(energies[1:], start=2):
+        wide = wide.crossJoin(
+            F.broadcast(
+                e.select(
+                    F.col("n_pairs").alias(f"np{k}"),
+                    F.col("energy").alias(f"en{k}"),
+                )
+            )
+        )
+    te = F.col("en1")
+    for k in range(2, len(energies) + 1):
+        te = te + F.col(f"en{k}")
+    wide = wide.select("*", te.alias("te")).localCheckpoint()
+    parts = [
+        wide.select(
+            F.lit(k).cast("long").alias("level"),
+            F.col(f"np{k}").alias("n_pairs"),
+            F.col(f"en{k}").alias("energy"),
+            "te",
+        )
+        for k in range(1, len(energies) + 1)
+    ]
+    lv = parts[0]
+    for p in parts[1:]:
+        lv = lv.unionByName(p)
+    return lv.select(
+        "level",
+        "n_pairs",
+        "energy",
+        # constant series has zero total energy — share is NULL,
+        # not a crash (ANSI mode raises on /0)
+        F.when(
+            F.col("te") > 0,
+            F.round(F.col("energy") / F.col("te"), 6),
+        ).alias("energy_share"),
+    ).orderBy("level")
 
 
 def theil_inequality_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:

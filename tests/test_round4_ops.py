@@ -3029,13 +3029,41 @@ def test_haar_energy_isolates_alternating_signal(spark, tmp_path):
         "o_totalprice",
     ).write.parquet(d + "/orders.parquet")
     got = {r.level: r for r in haar_energy_daily(spark, d).collect()}
-    # level 1: 8 pairs, each d = 200; energy = 8·q(200²)·2^15 where
-    # q is the documented 2^-16-prescaled 4dp lattice
-    q = round(200.0 * 200.0 / 65536.0, 4)
+    # level 1: 8 pairs, each d = 200; energy = 8·200²·2^-1 exactly
+    # (the r9 redesign is exact integer arithmetic — no lattice)
     assert got[1].n_pairs == 8
-    assert abs(got[1].energy - 8 * q * 2 ** 15) < 1e-6
+    assert abs(got[1].energy - 8 * 200.0 * 200.0 / 2.0) < 1e-6
     assert got[2].energy == 0.0 and got[3].energy == 0.0
     assert abs(got[1].energy_share - 1.0) < 1e-9
+
+
+def test_dec_to_double_split_boundary_magnitudes(spark):
+    """The 2^26-limb decimal→double conversion must be exact-limbed
+    and correctly rounded at magnitudes where native int128→double
+    conversions diverge cross-engine (past 2^53, up to ~1e23)."""
+    from doeecommerce_datapipeline_spark.functions.scalars import (
+        dec_to_double_split,
+    )
+
+    vals = [
+        0,
+        7,
+        (1 << 26) - 1,
+        (1 << 53) + 1,
+        (1 << 53) + 3,
+        10**16 + 1,
+        10**22 + 12345678901234567,
+        98765432109876543210987,
+    ]
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string").select(
+        F.col("s").alias("sv"), F.col("s").cast("decimal(38,0)").alias("d")
+    )
+    got = {
+        r["sv"]: r["x"]
+        for r in df.select("sv", dec_to_double_split(F.col("d")).alias("x")).collect()
+    }
+    for v in vals:
+        assert got[str(v)] == float(v), (v, got[str(v)])
 
 
 def test_theil_contribs_sum_to_global_index(spark):
