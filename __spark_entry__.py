@@ -5047,32 +5047,41 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM stats CROSS JOIN hot
         """,
         "trade_reach": """
-            WITH pairs AS (
+            -- AS MATERIALIZED: each BFS level references the previous
+            -- ones AND edges; un-materialized, DuckDB re-inlines the
+            -- 6M-row base join into every reference (the l3 plan
+            -- nests l2's plan twice, which nests l1's twice, ...) and
+            -- the exponential plan spilled ~80 GB at sf1 (r9 sweep)
+            WITH pairs AS MATERIALIZED (
                 SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             ),
-            edges AS (
+            edges AS MATERIALIZED (
                 SELECT c AS src, s AS dst FROM pairs
                 UNION ALL SELECT s AS src, c AS dst FROM pairs
             ),
-            l0 AS (SELECT MIN(src) AS node FROM edges),
-            l1 AS (
+            l0 AS MATERIALIZED (SELECT MIN(src) AS node FROM edges),
+            -- NOT EXISTS, not NOT IN: node keys are non-null, the
+            -- semantics are identical, and DuckDB hash-plans the
+            -- anti join where NOT IN's three-valued logic forced a
+            -- nested-loop that spilled ~80 GB at sf1 (r9 sweep)
+            l1 AS MATERIALIZED (
                 SELECT DISTINCT e.dst AS node
                 FROM edges e JOIN l0 ON e.src = l0.node
-                WHERE e.dst NOT IN (SELECT node FROM l0)
+                WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = e.dst)
             ),
-            l2 AS (
+            l2 AS MATERIALIZED (
                 SELECT DISTINCT e.dst AS node
                 FROM edges e JOIN l1 ON e.src = l1.node
-                WHERE e.dst NOT IN (SELECT node FROM l0)
-                  AND e.dst NOT IN (SELECT node FROM l1)
+                WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = e.dst)
+                  AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.node = e.dst)
             ),
-            l3 AS (
+            l3 AS MATERIALIZED (
                 SELECT DISTINCT e.dst AS node
                 FROM edges e JOIN l2 ON e.src = l2.node
-                WHERE e.dst NOT IN (SELECT node FROM l0)
-                  AND e.dst NOT IN (SELECT node FROM l1)
-                  AND e.dst NOT IN (SELECT node FROM l2)
+                WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = e.dst)
+                  AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.node = e.dst)
+                  AND NOT EXISTS (SELECT 1 FROM l2 y WHERE y.node = e.dst)
             ),
             allv AS (
                 SELECT node, 0 AS dist FROM l0
@@ -8071,41 +8080,46 @@ def _oracle_sql_literals() -> dict[str, str]:
                      r.l_partkey ASC
             LIMIT 15
         """,
+        # every CTE MATERIALIZED: the unrolled iteration levels
+        # reference earlier levels AND the base edge CTE; left to
+        # inline, DuckDB nests each level's plan inside the next and
+        # the exponential plan spilled ~80 GB at sf1 (r9 sweep —
+        # the trade_reach fix, applied to the whole unrolled family)
         "copurchase_core_collapse": """
-            WITH b AS (
+            WITH b AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                 FROM lineitem
-            ), pd AS (
+            ), pd AS MATERIALIZED (
                 SELECT DISTINCT a.pk AS u, c.pk AS v
                 FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
-            ), e0 AS (
+            ), e0 AS MATERIALIZED (
                 SELECT u AS src, v AS dst FROM pd
                 UNION ALL SELECT v, u FROM pd
-            ), k1 AS (
+            ), k1 AS MATERIALIZED (
                 SELECT src AS node FROM e0
                 GROUP BY src HAVING COUNT(*) >= 100
-            ), e1 AS (
+            ), e1 AS MATERIALIZED (
                 SELECT e.src, e.dst FROM e0 e
                 JOIN k1 a ON e.src = a.node
                 JOIN k1 b2 ON e.dst = b2.node
-            ), k2 AS (
+            ), k2 AS MATERIALIZED (
                 SELECT src AS node FROM e1
                 GROUP BY src HAVING COUNT(*) >= 100
-            ), e2 AS (
+            ), e2 AS MATERIALIZED (
                 SELECT e.src, e.dst FROM e1 e
                 JOIN k2 a ON e.src = a.node
                 JOIN k2 b2 ON e.dst = b2.node
-            ), k3 AS (
+            ), k3 AS MATERIALIZED (
                 SELECT src AS node FROM e2
                 GROUP BY src HAVING COUNT(*) >= 100
-            ), e3 AS (
+            ), e3 AS MATERIALIZED (
                 SELECT e.src, e.dst FROM e2 e
                 JOIN k3 a ON e.src = a.node
                 JOIN k3 b2 ON e.dst = b2.node
-            ), k4 AS (
+            ), k4 AS MATERIALIZED (
                 SELECT src AS node FROM e3
                 GROUP BY src HAVING COUNT(*) >= 100
-            ), e4 AS (
+            ), e4 AS MATERIALIZED (
                 SELECT e.src, e.dst FROM e3 e
                 JOIN k4 a ON e.src = a.node
                 JOIN k4 b2 ON e.dst = b2.node
@@ -9159,65 +9173,70 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         # Newman Q over the LPA partition (same unrolled 3-round CTEs);
         # W_c / D_c / |E2| exact BIGINTs, q_terms quantize at 9dp
+        # every CTE MATERIALIZED: the unrolled iteration levels
+        # reference earlier levels AND the base edge CTE; left to
+        # inline, DuckDB nests each level's plan inside the next and
+        # the exponential plan spilled ~80 GB at sf1 (r9 sweep —
+        # the trade_reach fix, applied to the whole unrolled family)
         "community_modularity": """
-            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-            edges AS (
+            WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            edges AS MATERIALIZED (
                 SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
                 FROM li a JOIN li b USING (l_orderkey)
                 WHERE a.l_partkey <> b.l_partkey
-            ), l0 AS (
+            ), l0 AS MATERIALIZED (
                 SELECT DISTINCT l_partkey AS node, l_partkey AS label FROM li
-            ), v1 AS (
+            ), v1 AS MATERIALIZED (
                 SELECT e.dst, l.label, COUNT(*) AS cnt
                 FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2
-            ), w1 AS (
+            ), w1 AS MATERIALIZED (
                 SELECT dst AS node, label AS new_label FROM (
                     SELECT dst, label, ROW_NUMBER() OVER (
                         PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
                     FROM v1) WHERE rn = 1
-            ), l1 AS (
+            ), l1 AS MATERIALIZED (
                 SELECT l.node, COALESCE(w.new_label, l.label) AS label
                 FROM l0 l LEFT JOIN w1 w USING (node)
-            ), v2 AS (
+            ), v2 AS MATERIALIZED (
                 SELECT e.dst, l.label, COUNT(*) AS cnt
                 FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2
-            ), w2 AS (
+            ), w2 AS MATERIALIZED (
                 SELECT dst AS node, label AS new_label FROM (
                     SELECT dst, label, ROW_NUMBER() OVER (
                         PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
                     FROM v2) WHERE rn = 1
-            ), l2 AS (
+            ), l2 AS MATERIALIZED (
                 SELECT l.node, COALESCE(w.new_label, l.label) AS label
                 FROM l1 l LEFT JOIN w2 w USING (node)
-            ), v3 AS (
+            ), v3 AS MATERIALIZED (
                 SELECT e.dst, l.label, COUNT(*) AS cnt
                 FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2
-            ), w3 AS (
+            ), w3 AS MATERIALIZED (
                 SELECT dst AS node, label AS new_label FROM (
                     SELECT dst, label, ROW_NUMBER() OVER (
                         PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
                     FROM v3) WHERE rn = 1
-            ), l3 AS (
+            ), l3 AS MATERIALIZED (
                 SELECT l.node, COALESCE(w.new_label, l.label) AS label
                 FROM l2 l LEFT JOIN w3 w USING (node)
             ),
-            within AS (
+            within AS MATERIALIZED (
                 SELECT ls.label AS community, COUNT(*) AS w_c
                 FROM edges e
                 JOIN l3 ls ON ls.node = e.src
                 JOIN l3 ld ON ld.node = e.dst
                 WHERE ls.label = ld.label
                 GROUP BY 1
-            ), deg AS (
+            ), deg AS MATERIALIZED (
                 SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
-            ), dsum_c AS (
+            ), dsum_c AS MATERIALIZED (
                 SELECT l.label AS community,
                        CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS d_c,
                        CAST(COUNT(*) AS BIGINT) AS n_members
                 FROM l3 l LEFT JOIN deg d ON l.node = d.src
                 GROUP BY 1
-            ), e2 AS (SELECT COUNT(*) AS e2 FROM edges),
-            per_c AS (
+            ), e2 AS MATERIALIZED (SELECT COUNT(*) AS e2 FROM edges),
+            per_c AS MATERIALIZED (
                 SELECT s.community, s.n_members,
                        CAST(floor(COALESCE(w.w_c, 0) / 2.0) AS BIGINT)
                            AS internal_edges,
@@ -9227,7 +9246,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                                * (CAST(s.d_c AS DOUBLE) / CAST(t.e2 AS DOUBLE)),
                              9) AS q_term
                 FROM dsum_c s LEFT JOIN within w USING (community) CROSS JOIN e2 t
-            ), q AS (
+            ), q AS MATERIALIZED (
                 SELECT ROUND(CAST(SUM(CAST(q_term AS DECIMAL(18,9))) AS DOUBLE), 6)
                     AS q_total
                 FROM per_c
@@ -10024,68 +10043,73 @@ def _oracle_sql_literals() -> dict[str, str]:
             WHERE levenshtein(pr.name_a, t.p_name) <= 10
             ORDER BY key_a, key_b
         """,
+        # every CTE MATERIALIZED: the unrolled iteration levels
+        # reference earlier levels AND the base edge CTE; left to
+        # inline, DuckDB nests each level's plan inside the next and
+        # the exponential plan spilled ~80 GB at sf1 (r9 sweep —
+        # the trade_reach fix, applied to the whole unrolled family)
         "coverage_greedy_docs": """
-            WITH toks AS (
+            WITH toks AS MATERIALIZED (
                 SELECT doc_id,
                        string_split_regex(trim(lower(text)), '\\s+') AS t
                 FROM documents
-            ), bg AS (
+            ), bg AS MATERIALIZED (
                 SELECT doc_id, t[i] || ' ' || t[i + 1] AS tok
                 FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
                       FROM toks)
-            ), terms AS (
+            ), terms AS MATERIALIZED (
                 SELECT DISTINCT doc_id, tok FROM bg WHERE tok != ' '
-            ), g1 AS (
+            ), g1 AS MATERIALIZED (
                 SELECT doc_id, COUNT(*) AS gain FROM terms GROUP BY 1
-            ), p1 AS (
+            ), p1 AS MATERIALIZED (
                 SELECT doc_id, gain FROM g1
                 ORDER BY gain DESC, doc_id LIMIT 1
-            ), c1 AS (
+            ), c1 AS MATERIALIZED (
                 SELECT DISTINCT tok FROM terms
                 WHERE doc_id IN (SELECT doc_id FROM p1)
-            ), g2 AS (
+            ), g2 AS MATERIALIZED (
                 SELECT doc_id, COUNT(*) AS gain FROM terms
                 WHERE doc_id NOT IN (SELECT doc_id FROM p1)
                   AND tok NOT IN (SELECT tok FROM c1)
                 GROUP BY 1
-            ), p2 AS (
+            ), p2 AS MATERIALIZED (
                 SELECT doc_id, gain FROM g2
                 ORDER BY gain DESC, doc_id LIMIT 1
-            ), c2 AS (
+            ), c2 AS MATERIALIZED (
                 SELECT tok FROM c1
                 UNION
                 SELECT tok FROM terms
                 WHERE doc_id IN (SELECT doc_id FROM p2)
-            ), g3 AS (
+            ), g3 AS MATERIALIZED (
                 SELECT doc_id, COUNT(*) AS gain FROM terms
                 WHERE doc_id NOT IN (SELECT doc_id FROM p1
                                      UNION ALL SELECT doc_id FROM p2)
                   AND tok NOT IN (SELECT tok FROM c2)
                 GROUP BY 1
-            ), p3 AS (
+            ), p3 AS MATERIALIZED (
                 SELECT doc_id, gain FROM g3
                 ORDER BY gain DESC, doc_id LIMIT 1
-            ), c3 AS (
+            ), c3 AS MATERIALIZED (
                 SELECT tok FROM c2
                 UNION
                 SELECT tok FROM terms
                 WHERE doc_id IN (SELECT doc_id FROM p3)
-            ), g4 AS (
+            ), g4 AS MATERIALIZED (
                 SELECT doc_id, COUNT(*) AS gain FROM terms
                 WHERE doc_id NOT IN (SELECT doc_id FROM p1
                                      UNION ALL SELECT doc_id FROM p2
                                      UNION ALL SELECT doc_id FROM p3)
                   AND tok NOT IN (SELECT tok FROM c3)
                 GROUP BY 1
-            ), p4 AS (
+            ), p4 AS MATERIALIZED (
                 SELECT doc_id, gain FROM g4
                 ORDER BY gain DESC, doc_id LIMIT 1
-            ), c4 AS (
+            ), c4 AS MATERIALIZED (
                 SELECT tok FROM c3
                 UNION
                 SELECT tok FROM terms
                 WHERE doc_id IN (SELECT doc_id FROM p4)
-            ), g5 AS (
+            ), g5 AS MATERIALIZED (
                 SELECT doc_id, COUNT(*) AS gain FROM terms
                 WHERE doc_id NOT IN (SELECT doc_id FROM p1
                                      UNION ALL SELECT doc_id FROM p2
@@ -10093,10 +10117,10 @@ def _oracle_sql_literals() -> dict[str, str]:
                                      UNION ALL SELECT doc_id FROM p4)
                   AND tok NOT IN (SELECT tok FROM c4)
                 GROUP BY 1
-            ), p5 AS (
+            ), p5 AS MATERIALIZED (
                 SELECT doc_id, gain FROM g5
                 ORDER BY gain DESC, doc_id LIMIT 1
-            ), picks AS (
+            ), picks AS MATERIALIZED (
                 SELECT 1 AS round, doc_id, gain FROM p1
                 UNION ALL SELECT 2, doc_id, gain FROM p2
                 UNION ALL SELECT 3, doc_id, gain FROM p3

@@ -139,7 +139,11 @@ def run_oracle(sql: str, sf_dir: str):
     mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # per-PID spill dir: two DuckDB processes sharing one temp
+        # directory collide on the numbered spill files and abort
+        con.execute(
+            f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'"
+        )
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(
