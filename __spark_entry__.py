@@ -1124,6 +1124,73 @@ _R8_WINDOW = [
 # declaration order; then the first 4 r3-vintage entries
 # (user_retention_cohorts … user_set_ops). After this window ~41
 # r3-vintage entries remain for r10.
+# Pre-staged r10 rotation (NOT yet wired — queries() serves
+# _R9_WINDOW until the r9 driver record lands). Composition, by the
+# currency rule (a changed face outranks a stale re-check):
+# (1) the 13 faces whose CODE or CONTRACT changed in r9 OUTSIDE the
+#     r9 window — pricing_summary's wide sums became exact DECIMAL
+#     output, bitmap_filter_revenue now dispatches via
+#     key_filter_auto, and the eleven sf1-sweep seam fixes
+#     (stl/welch/anova/pairwise_welch/haar/adf/granger + the four
+#     synth-media faces) — all sweep-verified green at
+#     sf0.01/sf0.1/sf1 at r9 HEAD, but the bar is a driver record;
+# (2) the two displaced r3 re-checks (price_histogram, user_set_ops);
+# (3) the r3-vintage remainder in declaration order. After this
+#     window 4 r3-vintage entries remain for r11.
+_R10_QUEUE = [
+    "pricing_summary",
+    "bitmap_filter_revenue",
+    "stl_daily_revenue",
+    "welch_value_ttest",
+    "anova_value_by_type",
+    "pairwise_welch_fdr",
+    "haar_energy_daily",
+    "adf_daily_revenue",
+    "granger_count_to_revenue",
+    "audio_pcm_metrics",
+    "audio_window_report",
+    "image_ppm_metrics",
+    "image_downsample_metrics",
+    "price_histogram",
+    "user_set_ops",
+    "part_metrics_unpivot",
+    "returnflag_price_quartiles",
+    "daily_revenue_gapfilled",
+    "doc_repetition_metrics",
+    "ship_latency_quartiles",
+    "salted_value_stats",
+    "active_users_trailing_7d",
+    "daily_orders_vs_events_full_outer",
+    "referential_audit",
+    "activity_streaks",
+    "revenue_pareto",
+    "silver_products",
+    "session_event_paths",
+    "value_zscore_outliers",
+    "scd2_customer_priority",
+    "dedup_components_star",
+    "media_decode",
+    "media_frame_sample",
+    "boilerplate_fraction",
+    "oov_ratio",
+    "incremental_dedup_new_docs",
+    "temperature_mix_weights",
+    "value_drift_by_bucket",
+    "supplier_influence_rank",
+    "near_dup_triangles",
+    "profile_events",
+    "doc_perplexity",
+    "semdedup_keep",
+    "jaccard_prefix_join",
+    "winsorized_value_stats",
+    "order_rank_metrics",
+    "revenue_attribution",
+    "daily_revenue_interpolated",
+    "market_basket_lift",
+    "rfm_segments",
+]
+
+
 _R9_WINDOW = [
     # (1) r1-vintage re-checks
     "dedup_first_event",
