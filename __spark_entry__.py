@@ -298,7 +298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (exact halves: panel size, k, dims, nonzero-norm counts + the
     recall-vs-brute-force floor booleans pinned TRUE; raw neighbor
     grids live on as ivf_topk_full / pq_topk_full) — rows-only
-    6 -> 4.
+    6 -> 4. Late-r9: ann_topk_lsh gains FULL oracle pairing (its
+    hyperplanes are Python-computed literals, so the twin
+    interpolates the same constants and reproduces the LSH bucket
+    bit-for-bit; within-bucket it is the embedding_topk exact-cosine
+    shape) — rows-only 4 -> 3; its re-check heads _R10_QUEUE.
     """
     q = {
         # --- round-3 window ------------------------------------------
@@ -434,7 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_last_order": E.asof_join_last_order,
         "range_join_same_day": E.range_join_same_day,
         "minhash_dedup_docs": D.minhash_dedup_docs,  # rows-only, r1 record
-        "ann_topk_lsh": S.ann_topk_lsh,  # rows-only, r1 record
+        "ann_topk_lsh": S.ann_topk_lsh,  # FULL oracle pairing since r9 (interpolated hyperplane literals)
         "simhash_dedup_docs": D.simhash_dedup_docs,  # rows-only, r1 record
         # --- tail: r2-record, unchanged ------------------------------
         "rollup_revenue": X.rollup_revenue,
@@ -1138,6 +1142,9 @@ _R8_WINDOW = [
 # (3) the r3-vintage remainder in declaration order. After this
 #     window 4 r3-vintage entries remain for r11.
 _R10_QUEUE = [
+    # (0) late-r9 full-pairing change (rows-only -> oracle-paired):
+    # first oracle-paired driver record lands here
+    "ann_topk_lsh",
     "pricing_summary",
     "bitmap_filter_revenue",
     "stl_daily_revenue",
@@ -1187,8 +1194,8 @@ _R10_QUEUE = [
     "revenue_attribution",
     "daily_revenue_interpolated",
     "market_basket_lift",
-    "rfm_segments",
 ]
+# (rfm_segments moves to the r11 remainder to keep the queue at 50)
 
 
 _R9_WINDOW = [
@@ -1470,6 +1477,27 @@ def _median_polish_sql(sweeps: int = 2) -> str:
         JOIN coleff{sweeps} ce ON g.hour = ce.hour
         ORDER BY g.dow, g.hour
     """
+
+
+def _lsh_bucket_sql_expr(col: str) -> str:
+    """DuckDB twin of similarity.lsh_bucket: the 12 sign-bit
+    projections against the SAME Python-computed hyperplane literals
+    the Spark face bakes into its plan (repr() round-trips each
+    double exactly through DuckDB's literal parser), summed as
+    disjoint powers of two. Projection = the identical left-to-right
+    zip-multiply-sum dag as the face's zip_with/aggregate fold, so a
+    sign can only flip if BOTH engines flip it — buckets match
+    bit-for-bit (the oracle-constant interpolation pattern)."""
+    parts = []
+    for pl in range(S.N_PLANES):
+        plane = S._hyperplane(64, pl)
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        proj = (
+            f"list_aggregate(list_transform(list_zip({col}, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END)")
+    return " + ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2040,6 +2068,36 @@ def oracle_sql() -> dict[str, str]:
     # tie rule, leftmost-first list_reduce fold). Bit-exact: integer
     # counts only.
     sql["bpe_merges"] = _bpe_oracle_sql()
+    # (3, r9) ann_topk_lsh — FULL oracle pairing, not just a contract
+    # face: the hyperplanes are Python-computed literals baked into
+    # the Spark plan, so the twin interpolates the SAME constants
+    # (_lsh_bucket_sql_expr) and reproduces the bucket bit-for-bit;
+    # within the bucket it is the embedding_topk exact-cosine shape.
+    # Registry rows-only 4 -> 3.
+    sql["ann_topk_lsh"] = f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   {_lsh_bucket_sql_expr("embedding")} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0
+        ), scored AS (
+            SELECT e.vec_id, e.label,
+                   list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d,
+                   sqrt(list_aggregate(list_transform(list_zip(e.embedding, e.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS ne,
+                   sqrt(list_aggregate(list_transform(list_zip(q.qv, q.qv),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS nq
+            FROM b e, q
+            WHERE e.vec_id <> 0 AND e.bucket = q.qb
+        )
+        SELECT vec_id, label,
+               CASE WHEN ne > 0 AND nq > 0 THEN d / (ne * nq) END AS cos
+        FROM scored
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT 10
+    """
     return sql
 
 

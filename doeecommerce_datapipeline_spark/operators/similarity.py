@@ -80,7 +80,16 @@ def lsh_bucket(df: DataFrame, dim: int = 64) -> DataFrame:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for vec_id=0: exact cosine, but only within the
     query's LSH bucket — the candidate set is |bucket| ≈ n/4096.
-    rows-only check (recall vs the exact baseline is unit-tested)."""
+
+    FULLY oracle-paired since r9: the hyperplanes are deterministic
+    Python-computed literals baked into the plan, so the DuckDB twin
+    interpolates the identical constants and reproduces the bucket
+    bit-for-bit (the same left-to-right zip-multiply-sum dag decides
+    every sign on both engines); within the bucket it is the
+    embedding_topk exact-cosine shape. Recall vs the exact baseline
+    is additionally unit-tested on the multi-table kNN join (a single
+    12-bit bucket on near-uniform vectors is a candidate filter, not
+    a recall device)."""
     e = lsh_bucket(table(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
