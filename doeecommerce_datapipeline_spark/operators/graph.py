@@ -78,6 +78,21 @@ def pagerank(
     n = nodes.count()
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     for _ in range(iters):
+        # r9 optimization: the 14-dp contribution quantize is kept (the
+        # cross-engine seam), but the per-edge DECIMAL(28,14) cast + the
+        # BigDecimal-buffered decimal SUM become an exact LONG sum on the
+        # same 1e-14 lattice — bit-identical by construction:
+        # round(x,14) is the nearest double to m/1e14 for an integer m
+        # (|m| <= 1e14 since rank/outdeg <= 1), so round(x,14)*1e14 is
+        # within m*2^-52 + 0.5ulp < 0.03 of m and never within 0.47 of a
+        # .5 boundary -> floor(+0.5) recovers m exactly; the per-node
+        # lattice sum (total graph mass ~1 -> unscaled sum <= ~1e14 <
+        # 2^53) converts to double exactly, and the final /1e14 division
+        # is the same single correctly-rounded step the decimal->double
+        # cast performed. Measured (sf0.1 trade graph, 1.17M edges x 3
+        # iterations): the decimal path spent ~0.4-0.6 s/iteration in
+        # per-row Decimal allocation + decimal agg buffers; the long sum
+        # rides the codegen'd 8-byte fast path.
         contribs = (
             edges.join(
                 F.broadcast(ranks.select(F.col("node").alias("src"), "rank")),
@@ -85,9 +100,13 @@ def pagerank(
             )
             .select(
                 F.col("dst").alias("node"),
-                F.round(
-                    F.col("rank") / F.col("outdeg").cast("double"), 14
-                ).cast("decimal(28,14)").alias("c"),
+                F.floor(
+                    F.round(
+                        F.col("rank") / F.col("outdeg").cast("double"), 14
+                    )
+                    * F.lit(1e14)
+                    + F.lit(0.5)
+                ).alias("c"),
             )
         )
         summed = contribs.groupBy("node").agg(F.sum("c").alias("in_mass"))
@@ -100,7 +119,10 @@ def pagerank(
                 (
                     F.lit(teleport) / F.lit(float(n))
                     + F.lit(damping)
-                    * F.coalesce(F.col("in_mass").cast("double"), F.lit(0.0))
+                    * F.coalesce(
+                        F.col("in_mass").cast("double") / F.lit(1e14),
+                        F.lit(0.0),
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
@@ -123,7 +145,12 @@ def supplier_influence_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole iteration runs on LONG node ids (2·custkey for
     # customers, 2·suppkey+1 for suppliers — parity is the namespace):
     # hashing/shuffling longs beats 8-char strings on every exchange;
-    # the display string materializes only on the final 20 rows
+    # the display string materializes only on the final 20 rows.
+    # r9: the pair build is materialized ONCE — un-checkpointed, the
+    # join+distinct subtree was evaluated FOUR times (twice through the
+    # symmetrizing union, twice more through pagerank's outdeg
+    # aggregate over that union; measured ~1.2 s per evaluation at
+    # sf0.1); every consumer now scans the materialized pair table
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
@@ -131,6 +158,7 @@ def supplier_influence_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
+        .localCheckpoint()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -244,6 +272,11 @@ def trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r9: materialize the pair build, not the symmetrized edge list —
+    # the old edges.localCheckpoint() evaluated the join+distinct twice
+    # (once per union branch); checkpointing pairs runs it once, and
+    # the union downstream is two projections over the materialized
+    # table (BFS consumers re-scan in-memory blocks, not the lineage)
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
@@ -251,11 +284,11 @@ def trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    edges = edges.localCheckpoint()
     source = edges.agg(F.min("src").alias("node"))
     out = bfs_levels(edges, source, max_depth=3)
     node_str = F.when(

@@ -1939,12 +1939,17 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("w1", "w2").alias("u"),
         F.greatest("w1", "w2").alias("v"),
     )
+    # r9: materialized ONCE — un-checkpointed, the explode + distinct +
+    # pair-df aggregate was evaluated four times (symmetrizing union x
+    # pagerank's outdeg aggregate over it); the edge set is bounded by
+    # recurring bigram diversity, so the barrier is graph-sized
     pairs = (
         canon.distinct()
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("pair_docs"))
         .where(F.col("pair_docs") >= TEXTRANK_MIN_PAIR_DOCS)
         .select("u", "v")
+        .localCheckpoint()
     )
     edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))

@@ -41,6 +41,20 @@ def main() -> int:
     if skip:
         names_in_order = list(queries)
         queries = {k: queries[k] for k in names_in_order[skip:]}
+    # targeted-verification knob (r9 optimization round): run ONLY the
+    # named entries — used to oracle-verify each changed query at
+    # several SFs without paying a full sweep per edit. The end-of-round
+    # insurance sweep still runs the full registry.
+    only = {
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_SWEEP_NAMES", "").split(",")
+        if n.strip()
+    }
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown SWEEP_NAMES entries: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in only}
     report: dict[str, dict] = {}
     # documented twin-skips for big-SF sweeps: entries whose DuckDB
     # twin (or the row-set comparator itself) is infeasible at the
