@@ -2561,29 +2561,6 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIAN_POLISH_SWEEPS = 2
 
 
-def _grouped_median(df: DataFrame, keys: list, v: str) -> DataFrame:
-    """Exact rank-based median per group: avg of the two middle order
-    statistics (the same row twice when the group is odd). All inputs
-    here are dyadic rationals (integer counts minus accumulated
-    halves), so the halving arithmetic is EXACT in doubles and
-    engine-identical — the reason median polish can be oracle-paired
-    at all."""
-    w = Window.partitionBy(*keys).orderBy(v)
-    cw = Window.partitionBy(*keys)
-    t = (
-        df.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(cw))
-    )
-    hit = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
-        F.col("rn") == F.floor((F.col("n") + 2) / 2)
-    )
-    return (
-        t.where(hit)
-        .groupBy(*keys)
-        .agg((F.sum(v) / F.count(F.lit(1))).alias("med"))
-    )
-
-
 def median_polish_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey's median polish of the day-of-week × hour event-count
     grid: decompose count(dow, hour) = overall + row_eff(dow) +
@@ -2604,96 +2581,80 @@ def median_polish_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one fact shuffle to the 168-cell grid; every sweep after
     that is constant-size work. At any scale this is the cheapest
     robust decomposition there is.
+
+    r9 optimization: the sweeps CLOSE ON THE DRIVER over the collected
+    168-cell grid (bounded by the 7×24 calendar at ANY fact scale —
+    the same bounded-driver-close contract as the ivf/pq faces and
+    embedding_intrinsic_dim). The old all-DataFrame unroll spent ~2 s
+    of its 2.4 s building and scheduling a 57-exchange/84-window plan
+    over ≤168-row states (3 eager checkpoints + ~10 window stages of
+    constant-size data); the distributed part that scales with the
+    fact — the (dow, hour) count — is unchanged, and the Python
+    sweeps perform the IDENTICAL IEEE dag (rank-midpoint medians,
+    dyadic-exact adds/subtracts in doubles), so every cell is
+    bit-identical to the DataFrame unroll and the SQL oracle's.
     """
     e = table(spark, sf_dir, "events")
     counts = e.groupBy(
         F.weekday("ts").cast("int").alias("dow"),
         F.hour("ts").cast("int").alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    spine = (
-        spark.range(7)
-        .select(F.col("id").cast("int").alias("dow"))
-        .crossJoin(
-            spark.range(24).select(F.col("id").cast("int").alias("hour"))
-        )
-    )
-    grid = (
-        spine.join(counts, ["dow", "hour"], "left")
-        .select(
-            "dow",
-            "hour",
-            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    resid = grid.select(
-        "dow", "hour", F.col("n_events").cast("double").alias("v")
-    )
-    roweff = grid.select("dow").distinct().select(
-        "dow", F.lit(0.0).alias("r")
-    )
-    coleff = grid.select("hour").distinct().select(
-        "hour", F.lit(0.0).alias("c")
-    )
-    overall = spark.range(1).select(F.lit(0.0).alias("o"))
+    # bounded collect: ≤168 rows by construction (7 weekdays × 24 h)
+    obs = {
+        (r["dow"], r["hour"]): r["n_events"] for r in counts.collect()
+    }
+    n_ev = {
+        (d, h): int(obs.get((d, h), 0))
+        for d in range(7)
+        for h in range(24)
+    }
+    resid = {cell: float(v) for cell, v in n_ev.items()}
+    roweff = {d: 0.0 for d in range(7)}
+    coleff = {h: 0.0 for h in range(24)}
+    overall = 0.0
+
+    def med(vals: list) -> float:
+        # rank-midpoint median (the oracle twin's dag): average of
+        # the two middle order statistics (same row twice when odd),
+        # computed as sum/count exactly like the SQL aggregate; all
+        # inputs are dyadic rationals (integer counts minus
+        # accumulated halves) so the halving is EXACT in doubles and
+        # engine-identical — the reason this face oracle-pairs at all
+        s = sorted(vals)
+        k = len(s)
+        a = s[(k + 1) // 2 - 1]
+        b = s[(k + 2) // 2 - 1]
+        return (a + b) / 2.0
+
     for _ in range(MEDIAN_POLISH_SWEEPS):
-        rm = _grouped_median(resid, ["dow"], "v")
-        resid = (
-            resid.join(rm, "dow")
-            .select("dow", "hour", (F.col("v") - F.col("med")).alias("v"))
-        )
-        roweff = roweff.join(rm, "dow").select(
-            "dow", (F.col("r") + F.col("med")).alias("r")
-        )
-        rmed = _grouped_median(
-            roweff.select(F.lit(1).alias("g"), F.col("r").alias("v")),
-            ["g"], "v",
-        ).select(F.col("med").alias("shift"))
-        overall = overall.crossJoin(rmed).select(
-            (F.col("o") + F.col("shift")).alias("o")
-        )
-        roweff = roweff.crossJoin(F.broadcast(rmed)).select(
-            "dow", (F.col("r") - F.col("shift")).alias("r")
-        )
-        cm = _grouped_median(resid, ["hour"], "v")
-        resid = (
-            resid.join(cm, "hour")
-            .select("dow", "hour", (F.col("v") - F.col("med")).alias("v"))
-        )
-        coleff = coleff.join(cm, "hour").select(
-            "hour", (F.col("c") + F.col("med")).alias("c")
-        )
-        cmed = _grouped_median(
-            coleff.select(F.lit(1).alias("g"), F.col("c").alias("v")),
-            ["g"], "v",
-        ).select(F.col("med").alias("shift"))
-        overall = overall.crossJoin(cmed).select(
-            (F.col("o") + F.col("shift")).alias("o")
-        )
-        coleff = coleff.crossJoin(F.broadcast(cmed)).select(
-            "hour", (F.col("c") - F.col("shift")).alias("c")
-        )
-        # only the 168-row residual grid needs a barrier per sweep —
-        # the effect vectors are ≤24 rows and two sweeps of expression
-        # growth stay tiny, while each eager checkpoint costs a whole
-        # Spark job (8 → 2 jobs per run)
-        resid = resid.localCheckpoint(eager=True)
-    return (
-        grid.join(resid, ["dow", "hour"])
-        .join(F.broadcast(roweff), "dow")
-        .join(F.broadcast(coleff), "hour")
-        .crossJoin(F.broadcast(overall))
-        .select(
-            "dow",
-            "hour",
-            "n_events",
-            F.col("o").alias("overall"),
-            F.col("r").alias("row_eff"),
-            F.col("c").alias("col_eff"),
-            F.col("v").alias("resid"),
-        )
-        .orderBy("dow", "hour")
-    )
+        for d in range(7):
+            m = med([resid[(d, h)] for h in range(24)])
+            for h in range(24):
+                resid[(d, h)] = resid[(d, h)] - m
+            roweff[d] = roweff[d] + m
+        shift = med(list(roweff.values()))
+        overall = overall + shift
+        for d in range(7):
+            roweff[d] = roweff[d] - shift
+        for h in range(24):
+            m = med([resid[(d, h)] for d in range(7)])
+            for d in range(7):
+                resid[(d, h)] = resid[(d, h)] - m
+            coleff[h] = coleff[h] + m
+        shift = med(list(coleff.values()))
+        overall = overall + shift
+        for h in range(24):
+            coleff[h] = coleff[h] - shift
+    rows = [
+        (d, h, n_ev[(d, h)], overall, roweff[d], coleff[h], resid[(d, h)])
+        for d in range(7)
+        for h in range(24)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dow int, hour int, n_events long, overall double, "
+        "row_eff double, col_eff double, resid double",
+    ).orderBy("dow", "hour")
 
 
 def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:

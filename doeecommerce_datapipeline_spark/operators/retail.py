@@ -706,11 +706,22 @@ def item_neighbors(baskets: DataFrame, topk: int | None = None) -> DataFrame:
     b = baskets.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("j")
     )
+    # r9: the canonical (i < j) join+aggregate subtree fed BOTH union
+    # branches un-materialized, so Spark evaluated it twice (no
+    # subtree sharing across union branches). Materialize the
+    # half-size canonical pair table once, then symmetrize by a cheap
+    # re-projected union over the materialized rows — one join + one
+    # aggregate over half the rows/groups instead of two of each (or
+    # of one double-size i != j aggregate, which measured slower here:
+    # the two half-size branches overlap while a 2× aggregate sits on
+    # the critical path). The (i, j) counts are identical because
+    # co-occurrence is symmetric.
     pair = (
         a.join(b, "o")
         .where(F.col("i") < F.col("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("n_ij"))
+        .localCheckpoint(eager=True)
     )
     both = pair.unionByName(
         pair.select(
@@ -1311,24 +1322,42 @@ CF_REC_K = 10
 
 def _cf_recs(nb: DataFrame, profile: DataFrame) -> DataFrame:
     """Top-``CF_REC_K`` unseen recommendations per test user: score
-    every (user, candidate) by the DECIMAL(18,6)-quantized (order-free)
-    sum of neighbor sims to the user's training profile, anti-join out
+    every (user, candidate) by the order-free 6-dp-lattice sum of
+    neighbor sims to the user's training profile (exact LONG lattice
+    integers floor(sim*1e6+0.5) — value-identical to the old
+    DECIMAL(18,6)-quantized sum, see the inline r9 note), anti-join out
     already-seen parts, rank with the (score desc, part asc) total
     order. Returned UN-checkpointed so the plan-shape guard can assert
-    the decimal score sum and rank window on the construction path;
+    the lattice score sum and rank window on the construction path;
     cf_holdout_hitrate materializes it before the hits join."""
+    # r9: the order-free score sum keeps its 6-dp lattice but rides an
+    # exact LONG sum instead of a per-row DECIMAL(18,6) cast + decimal
+    # agg buffer (the pagerank lattice argument: sim = round(x, 6) is
+    # the nearest double to m/1e6 with 0 <= m <= 1e6, so
+    # floor(sim*1e6+0.5) recovers m exactly; per-(user,candidate) sums
+    # stay orders of magnitude under 2^53). Only the RANKING consumes
+    # the score (desc score, asc rec), and long order == decimal order
+    # on the shared lattice, so the emitted recommendations — and the
+    # registry face's hit-rate/MRR — are bit-identical. The neighbor
+    # lists are topk-bounded per part (dimension-sized), so they
+    # BROADCAST; the only fact-sized exchange left is the
+    # (user, candidate) aggregate.
     cand = (
         profile.join(
-            nb.select(
-                F.col("part_i").alias("l_partkey"),
-                F.col("part_j").alias("rec"),
-                "sim",
+            F.broadcast(
+                nb.select(
+                    F.col("part_i").alias("l_partkey"),
+                    F.col("part_j").alias("rec"),
+                    "sim",
+                )
             ),
             "l_partkey",
         )
         .groupBy("o_custkey", "rec")
         .agg(
-            F.sum(F.col("sim").cast("decimal(18,6)")).alias("score")
+            F.sum(
+                F.floor(F.col("sim") * F.lit(1e6) + F.lit(0.5))
+            ).alias("score")
         )
         .join(
             profile.select(
@@ -1361,10 +1390,10 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit_rate, mrr).
 
     Determinism: similarities are the item_neighbors 6-dp seam; the
-    per-(user, candidate) score SUM quantizes them into
-    DECIMAL(18,6) (order-free); ranking ties break on part key; MRR
-    terms 1/rank round at 9 dp into decimals before the user-level
-    mean.
+    per-(user, candidate) score SUM rides the exact 6-dp lattice
+    (order-free long sum, value-identical to the former DECIMAL(18,6)
+    quantize — r9); ranking ties break on part key; MRR terms 1/rank
+    round at 9 dp into decimals before the user-level mean.
 
     Shape: the train/test split is one customer-keyed window over
     ORDERS (never lineitem); the neighbor kernel reuses the

@@ -388,9 +388,12 @@ def test_hurst_block_windows_are_partitioned(spark, sf_dir):
             or "hashpartitioning(_groupingexpression" in p)
 
 
-def test_cf_holdout_score_sum_is_decimal(spark, sf_dir):
-    # the (user, candidate) score aggregate sums DECIMAL-quantized
-    # sims (order-free), never raw doubles. Asserted on the
+def test_cf_holdout_score_sum_is_lattice_long(spark, sf_dir):
+    # the (user, candidate) score aggregate sums the 6-dp LATTICE
+    # integers floor(sim*1e6+0.5) (order-free, exact — r9: the long
+    # fast path replaced the value-identical DECIMAL(18,6) cast + sum;
+    # sim = round(x,6) is lattice-aligned so the floor recovers the
+    # unscaled decimal exactly), never raw doubles. Asserted on the
     # PRE-checkpoint construction path (_cf_recs): the registry face
     # materializes recs before the hits join (r6 — an inline window
     # output forced an SMJ over the whole cand subtree), which hides
@@ -418,7 +421,8 @@ def test_cf_holdout_score_sum_is_decimal(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     p = buf.getvalue()
-    assert re.search(r"sum\(cast\(sim.* as decimal", p, re.I)
+    assert re.search(r"sum\(FLOOR\(\(\(sim", p, re.I)
+    assert not re.search(r"sum\(cast\(sim.* as decimal", p, re.I)
     assert "Window" in p  # the rank cap rides a per-user window
 
 

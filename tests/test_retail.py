@@ -431,3 +431,26 @@ def test_odds_ratio_planted_return_prone_promos(spark, tmp_path):
     r = promo_return_odds(spark, d).collect()[0]
     assert abs(r.odds_ratio - 9.0) < 1e-6  # (100·900)/(100·100)
     assert r.ci_lo > 1.0 and r.significant
+
+
+def test_cf_score_lattice_equals_decimal_quantize(spark):
+    """r9 optimization guard: the _cf_recs score sum switched from
+    sum(cast(sim as DECIMAL(18,6))) to the exact long-lattice
+    sum(floor(sim*1e6 + 0.5)). Pin the value identity the rewrite
+    rests on: for every sim produced by the item_neighbors dag
+    (round(x, 6) of a cosine in [0, 1]), the lattice integer equals
+    the decimal's unscaled value, per row and therefore per sum."""
+    import random
+
+    rnd = random.Random(96)
+    sims = [round(rnd.random(), 6) for _ in range(20_000)] + [
+        0.0, 1.0, 0.5, 0.0000005, 0.9999995, 0.123455, 0.123465
+    ]
+    df = spark.createDataFrame([(s,) for s in sims], "sim double")
+    rows = df.select(
+        F.floor(F.col("sim") * F.lit(1e6) + F.lit(0.5)).alias("lat"),
+        (F.col("sim").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("dec_unscaled"),
+    ).collect()
+    assert all(r.lat == r.dec_unscaled for r in rows)
