@@ -418,20 +418,26 @@ def kcore_peel_ledger(
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= k)
             .select(F.col("src").alias("node"))
+            # r9: the survivor set feeds TWO broadcast builds (src and
+            # dst semi-joins) — un-materialized, the degree aggregate
+            # over the full edge table ran twice per round
+            .localCheckpoint(eager=True)
         )
-        e = (
-            e.join(
-                F.broadcast(keep.select(F.col("node").alias("src"))),
-                "src",
-                "left_semi",
-            )
-            .join(
-                F.broadcast(keep.select(F.col("node").alias("dst"))),
-                "dst",
-                "left_semi",
-            )
-            .localCheckpoint()
+        e = e.join(
+            F.broadcast(keep.select(F.col("node").alias("src"))),
+            "src",
+            "left_semi",
+        ).join(
+            F.broadcast(keep.select(F.col("node").alias("dst"))),
+            "dst",
+            "left_semi",
         )
+        # the final round's edge set feeds exactly ONE consumer (its
+        # ledger aggregate) — materializing it would be a pure extra
+        # job; every earlier round's feeds three (ledger + next
+        # round's degree aggregate and semi-join input)
+        if r < rounds:
+            e = e.localCheckpoint()
         ledger = ledger.unionByName(_row(r, e))
     return ledger
 
@@ -455,15 +461,33 @@ def copurchase_core_collapse(
     table.
     """
     li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        "l_orderkey", "l_partkey"
     )
-    b = li.distinct()
-    b2 = b.select(F.col("ok"), F.col("pk").alias("pk2"))
+    # r9: build the canonical (u < v) pair set MAP-SIDE from each
+    # order's sorted part set instead of distinct + self-join — ONE
+    # fact-sized exchange (the groupBy(l_orderkey)) instead of three
+    # (the dedup exchange, evaluated twice through the un-checkpointed
+    # join sides, plus the join's own), with the identical pair set:
+    # array_sort(collect_set(...)) is order-insensitive and the
+    # i-indexed slice enumerates exactly the u < v combinations. The
+    # C(basket,2) ≤ C(7,2) fan-out bound is unchanged. Materialized
+    # once for the symmetrizing union below (no subtree sharing
+    # across union branches — the item_item_cosine/pagerank lesson).
     pairs = (
-        b.join(b2, "ok")
-        .where(F.col("pk") < F.col("pk2"))
-        .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
