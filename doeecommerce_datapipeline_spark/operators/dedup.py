@@ -295,6 +295,15 @@ def jaccard_pairs_over(
     sh = d.repartition(d.sparkSession.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
+    # materialize the shingle stream once: the raw stream feeds the
+    # hot-set build AND the anti-join application side, and the
+    # filtered stream feeds THREE more consumers (sizes + both pair
+    # sides) — Spark shares no subtrees across join branches, so the
+    # un-checkpointed explode ran up to 6x per evaluation (r9; the
+    # tfidf_cosine_pairs barrier lesson). At 100 TB the bounded-scope
+    # contract (callers cap the doc window) keeps both
+    # materializations small.
+    sh = sh.localCheckpoint(eager=True)
     # word_shingles is distinct-per-doc, so df == row count per shingle
     hot = (
         sh.groupBy("shingle")
@@ -302,7 +311,9 @@ def jaccard_pairs_over(
         .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -391,31 +402,48 @@ def connected_components(
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("component")
     ).localCheckpoint()
+    comp_type = labels.schema["component"].dataType
     for _ in range(max_rounds):
-        nbr = (
-            edges.join(
+        # one round = one broadcast of the node-grain label table into
+        # the edge join (edges stream map-side, no edge exchange) plus
+        # ONE min-aggregate over (neighbor candidates ∪ self) — the
+        # r9 rewrite of the former join→agg→join-back shape (3+
+        # exchanges/round → 1) with identical labels: min over
+        # {self} ∪ {neighbor labels}. `old` rides the self branch
+        # (exactly one row per node, so max() recovers it), and
+        # changed-detection needs no join-back either. The broadcast
+        # is justified by the helper's bounded-scope contract (callers
+        # cap the node window; the star variant below is the
+        # unbounded-scale path).
+        nbr_cand = edges.join(
+            F.broadcast(
                 labels.select(
                     F.col("doc_id").alias("_nb"),
                     F.col("component").alias("_nb_comp"),
-                ),
-                F.col("dst") == F.col("_nb"),
-            )
-            .groupBy("src")
-            .agg(F.min("_nb_comp").alias("nbr_min"))
+                )
+            ),
+            F.col("dst") == F.col("_nb"),
+        ).select(
+            F.col("src").alias("doc_id"),
+            F.col("_nb_comp").alias("cand"),
+            F.lit(None).cast(comp_type).alias("old"),
+        )
+        self_cand = labels.select(
+            "doc_id",
+            F.col("component").alias("cand"),
+            F.col("component").alias("old"),
         )
         stepped = (
-            labels.join(
-                nbr.select(F.col("src").alias("_s"), "nbr_min"),
-                F.col("doc_id") == F.col("_s"),
-                "left",
+            nbr_cand.unionByName(self_cand)
+            .groupBy("doc_id")
+            .agg(
+                F.min("cand").alias("component"),
+                F.max("old").alias("old"),
             )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("_changed"),
+                "component",
+                (F.col("component") < F.col("old")).alias("_changed"),
             )
             .localCheckpoint()
         )
@@ -558,16 +586,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list is materialized ONCE via localCheckpoint before the
     loop so pair generation runs exactly once.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-            )
-        )
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .localCheckpoint()
+    # materialize the pair build once: the mirror union otherwise
+    # evaluates the whole jaccard subtree per branch (r9; the
+    # supplier_influence_rank pair-build lesson). The union over the
+    # materialized rows is a cheap projection, so it needs no second
+    # checkpoint of its own.
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     nodes = (
         table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 1000)
