@@ -92,26 +92,47 @@ def quality_rules(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     int/int divisions in IEEE double, so verdicts are bit-identical
     across engines.
 
-    One explode → two-level aggregate, keyed by the document id — the
-    natural parallel shape; no joins, no global state. The repartition
-    spreads the explode across cores (testdata tables arrive as one
-    parquet row-group; on a real cluster the scan is already split).
+    Every statistic is DOCUMENT-LOCAL, so the whole filter is one
+    per-row projection over the scan — ZERO exchanges at any scale
+    (r9; the former explode → two-level aggregate shape shuffled the
+    full token stream twice for numbers each row already determines).
+    Token multiplicities come from a run-length fold over the SORTED
+    token array: n_tokens = |arr| (the explode emitted one row per
+    element, including empty-string tokens of blank docs — split
+    never returns an empty array for non-null text, so per-doc
+    groups and rows match one-to-one), n_distinct =
+    |array_distinct(arr)|, top_count = longest equal-run of the
+    sorted array = max multiplicity. All exact integers → identical
+    ratios. Null text produced no exploded rows, hence the
+    isNotNull guard.
     """
-    spark = docs.sparkSession
     chars = F.length(
         F.regexp_replace(F.col(text_col), r"\s+", "")
     ).alias("chars")
-    toks = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col(id_col), chars,
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    arr = tokens(F.lower(F.col(text_col)))
+    run = lambda s, x: F.when(  # noqa: E731
+        s["prev"].eqNullSafe(x), s["run"] + F.lit(1).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
+    top_count = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda s, x: F.struct(
+            F.greatest(s["best"], run(s, x)).alias("best"),
+            run(s, x).alias("run"),
+            x.alias("prev"),
+        ),
+        lambda s: s["best"],
     )
-    per_word = toks.groupBy(id_col, "chars", "word").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    stats = per_word.groupBy(id_col, "chars").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_count"),
+    stats = docs.where(arr.isNotNull()).select(
+        F.col(id_col),
+        chars,
+        F.size(arr).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+        top_count.alias("top_count"),
     )
     distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
     top_frac = F.col("top_count").cast("double") / F.col("n_tokens")

@@ -194,3 +194,62 @@ def test_bigrams_safe_on_short_documents(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+
+def test_quality_rules_hof_equals_explode_reference(spark):
+    """r9 optimization guard: quality_rules switched from an explode →
+    two-level aggregate to per-row array expressions (size /
+    array_distinct / sorted run-length fold). Pin the value identity
+    on adversarial docs — blank text (one empty-string token), ties
+    for the top word, runs at array boundaries, a null text row
+    (excluded by both shapes)."""
+    from doeecommerce_datapipeline_spark.functions.text import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),
+            (2, ""),
+            (3, "   "),
+            (4, "x"),
+            (5, "b a b a"),           # tie: both words twice
+            (6, "z z z z"),           # run at the array tail
+            (7, "Mixed CASE mixed case MIXED"),
+            (8, None),
+            (9, " ".join(f"w{i % 7}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality_rules(docs, "doc_id", "text").collect()
+    }
+    # inline reference: the former explode → two-level aggregate
+    chars = F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias(
+        "chars"
+    )
+    toks = docs.select(
+        "doc_id", chars, F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    per_word = toks.groupBy("doc_id", "chars", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ref = {
+        r["doc_id"]: r
+        for r in per_word.groupBy("doc_id", "chars")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)  # row universe identical (8 absent)
+    for k, r in ref.items():
+        g = got[k]
+        assert g["n_tokens"] == r["n_tokens"], k
+        exp_dr = r["n_distinct"] / r["n_tokens"]
+        exp_tf = r["top_count"] / r["n_tokens"]
+        exp_wl = r["chars"] / r["n_tokens"]
+        assert g["distinct_ratio"] == exp_dr, k
+        assert g["top_frac"] == exp_tf, k
+        assert g["mean_wlen"] == exp_wl, k
