@@ -615,65 +615,93 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     this RANKS them for a query, the search-index half of corpus
     tooling).
 
-    Shape: one token explode feeds both per-doc lengths (all tokens)
-    and query-term tf (IN-list filtered before the aggregate — the
-    explode's fan-out for scoring is |query| terms, not the
-    vocabulary). df (|query| rows) and the (N, avgdl) stats row are
-    broadcast; the only fact-sized exchange is the per-doc tf/length
-    aggregate. Top-k via TakeOrderedAndProject.
+    Shape (r9): the query is FIXED and tiny, so per-doc length and
+    per-term tf are document-local array counts — one per-row
+    projection computes (dl, tf_t…) with NO explode and NO fact-sized
+    exchange at all; the (N, avgdl, df_t…) corpus constants reduce to
+    ONE broadcast row (map-side partial aggregation to a single row
+    per partition), and scoring + top-k is a second scan pass ending
+    in TakeOrderedAndProject. The former shape exploded the token
+    stream three times and shuffled it twice for the same integers.
 
     Score = Σ_t idf(t) · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with the
     Robertson idf ln((N−df+0.5)/(df+0.5)+1). idf/score are double
     arithmetic with a libm ln — rounded to 6 decimals on BOTH engines
     to absorb sub-ulp divergence (the quartile-rounding pattern,
-    aggregates.py:returnflag_price_quartiles).
+    aggregates.py:returnflag_price_quartiles). Per-term scores still
+    quantize to DECIMAL(18,9) before the per-doc sum; a term the doc
+    lacks contributes an exact decimal zero (tf = 0 ⇒ score term
+    +0.0 ⇒ round 0E-9), so the fixed-order 3-way decimal addition
+    equals the former per-existing-row decimal SUM bit-for-bit
+    (decimal addition is exact, hence order-free).
     """
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = d.select(
-        "doc_id", F.explode(tokens(F.lower("text"))).alias("word")
-    ).where(F.col("word") != "")
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+    arr = tokens(F.lower("text"))
+
+    def count_eq(term: str):
+        return F.size(F.filter(arr, lambda w: w == F.lit(term))).cast(
+            "long"
+        )
+
+    # doc-grain (id, dl, tf…) longs — materialized once so the token
+    # arrays are scanned a single time for both the stats reduce and
+    # the scoring pass (a few longs per document, far smaller than
+    # the text it summarizes, so the materialization is sound at any
+    # scale)
+    per_doc = (
+        d.where(arr.isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.filter(arr, lambda w: w != F.lit("")))
+            .cast("long")
+            .alias("dl"),
+            *[
+                count_eq(t).alias(f"tf_{i}")
+                for i, t in enumerate(BM25_QUERY_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
+        F.sum((F.col("dl") > 0).cast("long")).alias("n_docs"),
         F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
     )
-    tf = (
-        toks.where(F.col("word").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = F.col("n_docs").cast("double")
     avgdl = F.col("total_len").cast("double") / n
-    idf = F.log(
-        (n - F.col("df").cast("double") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
-        + 1.0
-    )
-    tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
-    term_score = idf * (
-        tfd
-        * (BM25_K1 + 1.0)
-        / (tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / avgdl))
-    )
+
+    def term_score(i: int):
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        tfd = F.col(f"tf_{i}").cast("double")
+        ts = idf * (
+            tfd
+            * (BM25_K1 + 1.0)
+            / (tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / avgdl))
+        )
+        return F.round(ts, 9).cast("decimal(18,9)")
+
+    score = term_score(0)
+    for i in range(1, len(BM25_QUERY_TERMS)):
+        score = score + term_score(i)
     scored = (
-        tf.join(doclen, "doc_id")
-        .join(F.broadcast(df_tbl), "word")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        # per-term scores quantize to DECIMAL(18,9) before the sum so
-        # the ≤|query|-way addition is order-free across partitions
-        # (doc_perplexity's NLL pattern), then one rounding at the seam
-        .agg(
-            F.round(
-                F.sum(F.round(term_score, 9).cast("decimal(18,9)")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("bm25")
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(
+            sum(
+                (F.col(f"tf_{i}") > 0).cast("int")
+                for i in range(len(BM25_QUERY_TERMS))
+            )
+            > 0
+        )
+        .select(
+            "doc_id",
+            F.round(score.cast("double"), 6).alias("bm25"),
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP)
@@ -2055,7 +2083,14 @@ def bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
     )
-    doclen = wf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # doc-grain lengths materialized once (r9): doclen feeds BOTH
+    # score() passes and the stats reduce — un-checkpointed, each of
+    # those three consumers re-aggregated the fact-sized wf table
+    doclen = (
+        wf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),

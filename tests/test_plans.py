@@ -263,11 +263,15 @@ def test_peak_concurrency_no_global_sort(spark, sf_dir):
 
 
 def test_bm25_broadcasts_df_and_topk(spark, sf_dir):
-    # df + corpus stats broadcast onto the |query|-bounded tf stream;
-    # top-k is TakeOrderedAndProject, never a global sort
+    # r9 shape: per-row array tf/dl counts — NO token explode
+    # (Generate) and no fact-sized join at all; the 1-row (N, avgdl,
+    # df…) reduce broadcasts back onto the doc-grain table (single-row
+    # build → BroadcastNestedLoopJoin); top-k is
+    # TakeOrderedAndProject, never a global sort
     p = _plan(spark, sf_dir, "bm25_search")
-    assert "BroadcastHashJoin" in p
+    assert "Generate" not in p
     assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
 
 
