@@ -527,29 +527,39 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none — extension surface (graph family).
     """
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
+    # r9: one basket aggregate + map-side pair enumeration (the
+    # copurchase_edges rewrite) replaces distinct + sizes-join +
+    # self-join — ONE fact-sized exchange instead of four. Identical
+    # pairs and weights: size(array_sort(collect_set(part))) is the
+    # former per-order distinct-part count s (same int → double →
+    # 1/ln dag, same 9-dp decimal quantum), the i-indexed slice
+    # enumerates exactly the part_a < part_b combinations, and
+    # single-part baskets enumerate no pairs (the former s >= 2 cut).
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    sizes = (
+    baskets = (
         li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .where(F.col("s") >= 2)
-        .select(
-            "l_orderkey",
-            F.round(F.lit(1.0) / F.log(F.col("s").cast("double")), 9)
-            .cast("decimal(18,9)")
-            .alias("aa_w"),
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        # single-part baskets enumerate no pairs anyway; the explicit
+        # cut keeps 1/ln(1) = inf out of the decimal cast (the former
+        # shape filtered s >= 2 before computing the weight too)
+        .where(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.round(
+            F.lit(1.0) / F.log(F.size("parts").cast("double")), 9
         )
-    )
-    b = li.join(sizes, "l_orderkey")
-    a_side = b.select("l_orderkey", F.col("l_partkey").alias("part_a"), "aa_w")
-    b_side = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = a_side.join(b_side, "l_orderkey").where(
-        F.col("part_a") < F.col("part_b")
-    )
+        .cast("decimal(18,9)")
+        .alias("aa_w"),
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p"),
+    ).select("p.part_a", "p.part_b", "aa_w")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(
@@ -588,22 +598,33 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
     hit = _LPA_STATE_CACHE.get(key)
     if hit is not None:
         return hit
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # r9: canonical (u < v) pairs via the basket enumerator (ONE
+    # orderkey exchange + one pair-grain distinct instead of the
+    # distinct + self-join + both-direction distinct chain), then a
+    # cheap mirrored union for symmetry — identical edge set
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # both directions so adoption is symmetric
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = li.select(F.col("l_partkey").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).localCheckpoint()
@@ -765,19 +786,30 @@ MIN_COPURCHASE_ORDERS = 2
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (u < v) support-2 copurchase edges, checkpointed —
     the shared graph substrate for copurchase_clustering and
-    copurchase_assortativity (one basket self-join, C(basket,2)
-    fan-out per order, recurring-pair cut)."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    copurchase_assortativity. r9: built MAP-SIDE from each order's
+    array_sort(collect_set(part)) via the transform/slice pair
+    enumerator (the copurchase_core_collapse rewrite) — ONE
+    fact-sized exchange (the groupBy(l_orderkey)) instead of three
+    (the dedup exchange evaluated twice through the un-checkpointed
+    self-join sides plus the join's own), identical pair set and
+    per-pair order counts (collect_set ≡ the former distinct;
+    C(basket,2) fan-out bound unchanged)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
     return (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.u", "p.v")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= MIN_COPURCHASE_ORDERS)
         .select("u", "v")

@@ -43,32 +43,42 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is the orderkey-partitioned self-join the fact table
     already wants for any per-order analysis.
     """
-    # the distinct basket table feeds FOUR consumers (both self-join
-    # sides, the per-part counts, the order count) — materialize it
-    # once or every branch re-scans the fact and re-runs the distinct
-    # (plan audit showed 5 scans / 9 exchanges without this)
-    li = (
+    # r9: ONE basket aggregate (groupBy(l_orderkey) over the fact —
+    # the only fact-sized exchange) materialized once feeds all four
+    # consumers; pairs enumerate MAP-SIDE from each order's
+    # array_sort(collect_set(part)) (the copurchase_core_collapse
+    # transform/slice rewrite — identical pair set, C(basket,2)
+    # fan-out bound unchanged), per-part order counts explode the
+    # same arrays, and the order count is the basket row count. The
+    # former distinct + self-join re-exchanged the checkpointed
+    # basket table by orderkey on both join sides.
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
     )
-    a = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = a.join(b, "okey").where(F.col("part_a") < F.col("part_b"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     pair_counts = (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 2)
     )
-    part_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    part_counts = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
     )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     return (
         pair_counts.join(
             F.broadcast(
