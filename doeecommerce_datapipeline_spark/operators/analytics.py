@@ -3263,13 +3263,26 @@ def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     n = daily.count()
     nd = float(n)
-    rows_m = pairs.groupBy("da").agg(
-        (F.sum("ax") / F.lit(nd)).alias("rmx"),
-        (F.sum("ay") / F.lit(nd)).alias("rmy"),
-    ).localCheckpoint(eager=True)
-    gm = pairs.groupBy().agg(
-        (F.sum("ax") / F.lit(nd * nd)).alias("gmx"),
-        (F.sum("ay") / F.lit(nd * nd)).alias("gmy"),
+    # r9: row means and the grand mean come from ONE rollup pass over
+    # the materialized pair table instead of two full passes — the
+    # grand-total row (da IS NULL; the day spine itself is never
+    # null) carries the same exact sums (ax is an exact integer in
+    # double, ay an exact 30-bit dyadic, so the rollup's grand sum is
+    # the identical order-free value), divided by the identical
+    # literals.
+    ms = (
+        pairs.rollup("da")
+        .agg(F.sum("ax").alias("sx"), F.sum("ay").alias("sy"))
+        .localCheckpoint(eager=True)
+    )
+    rows_m = ms.where(F.col("da").isNotNull()).select(
+        "da",
+        (F.col("sx") / F.lit(nd)).alias("rmx"),
+        (F.col("sy") / F.lit(nd)).alias("rmy"),
+    )
+    gm = ms.where(F.col("da").isNull()).select(
+        (F.col("sx") / F.lit(nd * nd)).alias("gmx"),
+        (F.col("sy") / F.lit(nd * nd)).alias("gmy"),
     )
     cols_m = rows_m.select(
         F.col("da").alias("db"),
@@ -3289,15 +3302,31 @@ def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("B"),
         )
     )
+    # r9: the three pair-table sums ride an exact LONG 6-dp lattice
+    # instead of a per-row DECIMAL(38,6) cast + BigDecimal agg buffer
+    # (the cf/pagerank lattice substitution): round(x, 6) is the
+    # nearest double to m/1e6, so floor(round6·1e6 + 0.5) recovers
+    # the unscaled m exactly (the pagerank lattice-alignment lemma),
+    # the long sum is the identical order-free integer total, and
+    # long→double (exact under the operator's documented Σ|m| < 2^53
+    # envelope — the same envelope the decimal→double conversion
+    # already relied on, maintained by the 2^-30 prescale) followed
+    # by /1e6 is the same single correctly-rounded step the
+    # decimal→double cast performed.
+    q6l = lambda c: F.sum(  # noqa: E731
+        F.floor(F.round(c, 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    # Pearson's daily-grain sums below stay on the decimal seam (≤
+    # |days| rows — no lattice needed there)
     q6 = lambda c: F.sum(F.round(c, 6).cast("decimal(38,6)"))  # noqa: E731
     sums = centered.groupBy().agg(
-        q6(F.col("A") * F.col("B")).alias("sab"),
-        q6(F.col("A") * F.col("A")).alias("saa"),
-        q6(F.col("B") * F.col("B")).alias("sbb"),
+        q6l(F.col("A") * F.col("B")).alias("sab"),
+        q6l(F.col("A") * F.col("A")).alias("saa"),
+        q6l(F.col("B") * F.col("B")).alias("sbb"),
     )
-    sab = F.col("sab").cast("double")
-    saa = F.col("saa").cast("double")
-    sbb = F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double") / F.lit(1e6)
+    saa = F.col("saa").cast("double") / F.lit(1e6)
+    sbb = F.col("sbb").cast("double") / F.lit(1e6)
     dcor2 = F.greatest(sab, F.lit(0.0)) / F.sqrt(saa * sbb)
     # Pearson on the same daily series, same exact-moment seam
     p_m = daily.select(

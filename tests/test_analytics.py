@@ -138,3 +138,40 @@ def test_percentile_sketch_error_within_rank_bound(spark):
         true_rank = o.where(F.col("o_totalprice") <= r.approx).count()
         assert abs(true_rank - r.q * n) <= n / 100 + 1, r
         assert r.within_rank_bound is True, r
+
+
+def test_dcor_lattice_equals_decimal_quantize(spark):
+    """r9 optimization guard: distance_correlation_daily's three
+    pair-table sums switched from sum(cast(round(x,6) AS
+    DECIMAL(38,6))) to the exact long-lattice sum
+    floor(round(x,6)*1e6 + 0.5). Pin the per-row identity the rewrite
+    rests on — for 6-dp-rounded doubles of either sign across the
+    operator's magnitude envelope, the lattice integer equals the
+    decimal's unscaled value."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(1909)
+    xs = []
+    # raw (un-rounded) products of either sign; Spark's own
+    # round(x, 6) below produces the lattice-aligned doubles the
+    # operator feeds the sum — the identity's domain is exactly the
+    # image of round(·, 6). Magnitudes up to 1e9 keep unscaled m
+    # under ~1e15, inside the operator's documented Σ|m| < 2^53
+    # envelope (beyond it BOTH the old decimal→double conversion and
+    # the lattice recovery lose exactness).
+    for mag in (1e-6, 1e-3, 1.0, 1e3, 1e6, 1e9):
+        xs += [rnd.uniform(-mag, mag) for _ in range(2000)]
+    xs += [0.0, -0.0, 0.0000005, -0.0000005, 123456.1234565,
+           -123456.1234565, 1e9 + 0.5e-6, -(1e9 + 0.5e-6)]
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    r6 = F.round(F.col("x"), 6)
+    rows = df.select(
+        F.floor(r6 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lat"),
+        (r6.cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("dec_unscaled"),
+    ).collect()
+    bad = [r for r in rows if r.lat != r.dec_unscaled]
+    assert not bad, bad[:5]
