@@ -338,28 +338,84 @@ def price_power_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_extendedprice") > 0
     )
-    qln = F.round(F.log("l_extendedprice"), 7).cast("decimal(18,7)")
-    qinv = F.round(
-        F.lit(1.0) / F.col("l_extendedprice"), 9
-    ).cast("decimal(18,9)")
-    g = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-            "s"
-        ),
-        F.sum(qln).alias("s_ln"),
-        F.sum(qinv).alias("s_inv"),
+    # r9: the three per-row DECIMAL casts + BigDecimal agg buffers
+    # (measured 5.6 s of the operator's 6.9 s at sf0.1 — the count
+    # alone is 0.9 s) become exact LONG lattice sums, with the three
+    # decimal totals RECONSTRUCTED exactly on the |returnflag| output
+    # rows so every closing double is the same single correctly-
+    # rounded conversion the decimal sums performed, at ANY scale:
+    # - cents: l_extendedprice is a 2-dp value, so the stored double
+    #   is the nearest double to c/100 and floor(x·100 + 0.5)
+    #   recovers c exactly (the established cent-lattice lemma);
+    #   Σc ≤ rows·10⁷ stays under 2⁶³ through 100 TB (6·10¹¹ rows →
+    #   6.6·10¹⁸).
+    # - ln: m = floor(round(ln x, 7)·10⁷ + 0.5) recovers the 7-dp
+    #   quantum exactly (|m| ≤ 1.2·10⁸ ≪ 2⁵¹ — the pagerank
+    #   lattice-alignment lemma); Σm would pass 2⁶³ near 10 TB, so
+    #   the sum is SPLIT (hi = m div 10⁴, lo = m mod 10⁴ — both
+    #   row-bounded, each partial sum ≤ ~10¹⁶ at 100 TB) and
+    #   recombined exactly in decimal on the output rows.
+    # - inv: m = floor(round(1/x, 9)·10⁹ + 0.5), |m| ≤ ~10⁶ for
+    #   TPC-H price floors → Σm ≤ 10¹⁸ at 100 TB.
+    # The reconstruction multiplies each integer total by an exact
+    # decimal quantum (10⁻², 10⁻⁷, 10⁻⁹) — exact decimal products —
+    # and the final .cast("double") is the identical single rounding
+    # of the identical rational the old decimal→double cast did.
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    m_ln = F.floor(
+        F.round(F.log("l_extendedprice"), 7) * F.lit(1e7) + F.lit(0.5)
+    ).cast("long")
+    m_inv = F.floor(
+        F.round(F.lit(1.0) / F.col("l_extendedprice"), 9) * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    ln_lo = F.pmod(m_ln, F.lit(10000))
+    # exact floor-division for either sign: (m − pmod) is a multiple
+    # of 10⁴ ≤ 1.2·10⁸, so the double division is an exact integer
+    ln_hi = ((m_ln - ln_lo) / F.lit(10000)).cast("long")
+    rows = li.select(
+        "l_returnflag",
+        cents.alias("c"),
+        ln_hi.alias("ln_hi"),
+        ln_lo.alias("ln_lo"),
+        m_inv.alias("mi"),
     )
+    g = rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("c_sum"),
+        F.sum("ln_hi").alias("ln_hi"),
+        F.sum("ln_lo").alias("ln_lo"),
+        F.sum("mi").alias("mi_sum"),
+    )
+    # operand precisions kept narrow so every product stays <= the
+    # 38-digit cap WITH its full scale (p1+p2+1 <= 38) — Spark
+    # silently REDUCES the scale past the cap (the round-4 trap), so
+    # e.g. decimal(30,0) * decimal(9,9) would round the total. The
+    # integer totals fit the narrowed precisions with >= 8 digits of
+    # headroom at 100 TB (bounds above).
+    q2 = F.lit(0.01).cast("decimal(2,2)")
+    q7 = F.lit(1e-7).cast("decimal(7,7)")
+    q9 = F.lit(1e-9).cast("decimal(9,9)")
+    s = F.col("c_sum").cast("decimal(28,0)") * q2
+    sum_m_ln = (
+        F.col("ln_hi").cast("decimal(24,0)")
+        * F.lit(10000).cast("decimal(5,0)")
+        + F.col("ln_lo").cast("decimal(24,0)")
+    ).cast("decimal(30,0)")
+    s_ln = sum_m_ln * q7
+    s_inv = F.col("mi_sum").cast("decimal(28,0)") * q9
     nd = F.col("n").cast("double")
     return g.select(
         "l_returnflag",
         "n",
-        (F.col("s").cast("double") / nd).alias("mean_arith"),
+        (s.cast("double") / nd).alias("mean_arith"),
         F.round(
-            F.exp(F.col("s_ln").cast("double") / nd), 6
+            F.exp(s_ln.cast("double") / nd), 6
         ).alias("mean_geom"),
         F.round(
-            nd / F.col("s_inv").cast("double"), 6
+            nd / s_inv.cast("double"), 6
         ).alias("mean_harm"),
     )
 

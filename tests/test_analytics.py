@@ -175,3 +175,37 @@ def test_dcor_lattice_equals_decimal_quantize(spark):
     ).collect()
     bad = [r for r in rows if r.lat != r.dec_unscaled]
     assert not bad, bad[:5]
+
+
+def test_price_power_lattice_equals_decimal_sums(spark):
+    """r9 optimization guard: price_power_means switched its three
+    per-row DECIMAL casts + decimal agg buffers to exact LONG lattice
+    sums with an exact decimal reconstruction of each total. Pin the
+    per-row identities on synthetic 2-dp prices across the TPC-H
+    magnitude envelope: cents, the 7-dp ln quantum, and the 9-dp
+    reciprocal quantum each recover the decimal's unscaled value."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(424)
+    prices = [round(rnd.uniform(0.01, 200000.0), 2) for _ in range(20000)]
+    prices += [0.01, 0.02, 0.99, 1.0, 900.91, 104949.5, 199999.99]
+    df = spark.createDataFrame([(float(p),) for p in prices], "x double")
+    r7 = F.round(F.log("x"), 7)
+    r9 = F.round(F.lit(1.0) / F.col("x"), 9)
+    rows = df.select(
+        (
+            F.floor(F.col("x") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            == (F.col("x").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("c_ok"),
+        (
+            F.floor(r7 * F.lit(1e7) + F.lit(0.5)).cast("long")
+            == (r7.cast("decimal(18,7)") * 10000000).cast("long")
+        ).alias("ln_ok"),
+        (
+            F.floor(r9 * F.lit(1e9) + F.lit(0.5)).cast("long")
+            == (r9.cast("decimal(18,9)") * 1000000000).cast("long")
+        ).alias("inv_ok"),
+    ).collect()
+    assert all(r.c_ok and r.ln_ok and r.inv_ok for r in rows)
