@@ -83,6 +83,57 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(train, bench, "doc_id", "text")
 
 
+def _quality_stat_cols(text_col: str) -> dict:
+    """The per-row Gopher statistics as named Column expressions —
+    shared by quality_rules and by composites (corpus_health) that
+    fold the keep verdict inline instead of joining the verdict table
+    back onto the same scan. Order: chars, n_tokens, n_distinct,
+    top_count."""
+    chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    arr = tokens(F.lower(F.col(text_col)))
+    run = lambda s, x: F.when(  # noqa: E731
+        s["prev"].eqNullSafe(x), s["run"] + F.lit(1).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
+    top_count = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda s, x: F.struct(
+            F.greatest(s["best"], run(s, x)).alias("best"),
+            run(s, x).alias("run"),
+            x.alias("prev"),
+        ),
+        lambda s: s["best"],
+    )
+    return {
+        "chars": chars,
+        "n_tokens": F.size(arr).cast("long"),
+        "n_distinct": F.size(F.array_distinct(arr)).cast("long"),
+        "top_count": top_count,
+    }
+
+
+def gopher_keep_col(text_col: str):
+    """The Gopher keep verdict as ONE per-row boolean Column —
+    identical to quality_rules' (reason == 'ok'): none of the three
+    rule conditions fires. n_tokens ≥ 1 for any non-null text (split
+    never returns an empty array), so the ratios are never null and
+    the conjunction is a non-null boolean; a null text yields
+    n_tokens = -1 → FALSE, matching the left-join-then-null
+    composition (null keep counted as not-kept)."""
+    c = _quality_stat_cols(text_col)
+    dr = c["n_distinct"].cast("double") / c["n_tokens"]
+    tf = c["top_count"].cast("double") / c["n_tokens"]
+    return (
+        (c["n_tokens"] >= MIN_TOKENS)
+        & (dr >= MIN_DISTINCT_RATIO)
+        & (tf <= MAX_TOP_WORD_FRAC)
+    )
+
+
 def quality_rules(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher/C4-style heuristic quality filter.
 
@@ -106,33 +157,14 @@ def quality_rules(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ratios. Null text produced no exploded rows, hence the
     isNotNull guard.
     """
-    chars = F.length(
-        F.regexp_replace(F.col(text_col), r"\s+", "")
-    ).alias("chars")
-    arr = tokens(F.lower(F.col(text_col)))
-    run = lambda s, x: F.when(  # noqa: E731
-        s["prev"].eqNullSafe(x), s["run"] + F.lit(1).cast("long")
-    ).otherwise(F.lit(1).cast("long"))
-    top_count = F.aggregate(
-        F.array_sort(arr),
-        F.struct(
-            F.lit(0).cast("long").alias("best"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(None).cast("string").alias("prev"),
-        ),
-        lambda s, x: F.struct(
-            F.greatest(s["best"], run(s, x)).alias("best"),
-            run(s, x).alias("run"),
-            x.alias("prev"),
-        ),
-        lambda s: s["best"],
-    )
-    stats = docs.where(arr.isNotNull()).select(
+    stats = docs.where(
+        tokens(F.lower(F.col(text_col))).isNotNull()
+    ).select(
         F.col(id_col),
-        chars,
-        F.size(arr).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
-        top_count.alias("top_count"),
+        *(
+            c.alias(name)
+            for name, c in _quality_stat_cols(text_col).items()
+        ),
     )
     distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
     top_frac = F.col("top_count").cast("double") / F.col("n_tokens")
@@ -650,6 +682,10 @@ def remove_boilerplate(
         "i",
         F.array_join(F.slice("toks", F.col("i"), 3), " ").alias("gram"),
     )
+    # r9: the gram stream feeds the df aggregate AND the coverage
+    # join — materialize it once (the tfidf barrier pattern) or the
+    # tokenize + explode + slice/join pipeline runs twice
+    g = g.localCheckpoint(eager=True)
     hot = (
         g.groupBy("gram")
         .agg(F.countDistinct(id_col).alias("df"))
@@ -1049,20 +1085,24 @@ def corpus_health_by_source(
     """
     from .textops import dsir_importance_weights
 
+    # r9: the Gopher verdict is a per-row expression since the
+    # quality_rules rewrite, so it folds INLINE into the base scan —
+    # the former doc-grain join of gopher_quality's output back onto
+    # the same documents table (two exchanges) is gone; only the dsir
+    # aggregate (a genuine bigram rollup) still joins.
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang"
+        "doc_id", "source", "lang", gopher_keep_col("text").alias("keep")
     )
     dd = dedup_rate_by_source(spark, sf_dir).select(
         "source", "dup_rate"
     )
-    g = gopher_quality(spark, sf_dir).select("doc_id", "keep")
     w = dsir_importance_weights(spark, sf_dir).select(
         "doc_id",
         (
             F.col("dsir_logweight") / F.col("n_bigrams").cast("double")
         ).alias("wpb"),
     )
-    pd_ = d.join(g, "doc_id", "left").join(w, "doc_id", "left")
+    pd_ = d.join(w, "doc_id", "left")
     h = pd_.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
