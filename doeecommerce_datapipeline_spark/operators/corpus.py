@@ -905,6 +905,10 @@ def duplicated_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
     )
+    # r9: two consumers (df agg + coverage join) — materialize the
+    # gram explode once (the remove_duplicated_spans/boilerplate
+    # barrier) instead of tokenizing + exploding per branch
+    g = g.localCheckpoint(eager=True)
     dup_grams = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("ddf"))
@@ -981,33 +985,40 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ddf") >= 2)
         .select("gram")
     )
-    covered = g.join(F.broadcast(dup_grams), "gram").select(
-        "doc_id",
-        F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("j"),
-    )
-    pos = t.select(
-        "doc_id", F.posexplode("toks").alias("p", "tok")
-    ).select("doc_id", (F.col("p") + 1).alias("j"), "tok")
-    kept = pos.join(covered, ["doc_id", "j"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "tok"))),
-                lambda x: x.tok,
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
-    return (
-        t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
+    # r9: covered positions collapse to ONE per-doc array and the
+    # rebuild is the per-row indexed F.filter over the original token
+    # array (the remove_boilerplate shape) — the former
+    # position-explode → anti-join → collect_list/array_sort rebuild
+    # paid two more token-grain exchanges for the same kept-token
+    # sequence (F.filter preserves array order, so no sort key is
+    # needed at all). Identical rows: a fully-covered doc keeps an
+    # empty array (n_kept 0, empty text — the old left-join coalesce),
+    # an uncovered doc coalesces to an empty coverage set.
+    cov = (
+        g.join(F.broadcast(dup_grams), "gram")
         .select(
             "doc_id",
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (n - 1))
+            ).alias("j"),
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    withcov = t.join(cov, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<int>"))
+    )
+    clean = F.filter(
+        "toks",
+        lambda x, i: ~F.array_contains(
+            "cov", (i + F.lit(1)).cast("int")
+        ),
+    )
+    return withcov.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(clean).cast("long").alias("n_kept"),
+        F.array_join(clean, " ").alias("cleaned_text"),
     )
 
 
