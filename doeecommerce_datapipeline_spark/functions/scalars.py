@@ -88,6 +88,158 @@ def lattice_sum_6dp_sql(expr: str) -> str:
     return f"SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
 
 
+def lattice_2dp(col: Column | str) -> Column:
+    """Exact integer lattice point of a 2-dp money value: the stored
+    double is the nearest double to k/100 (|k| ≤ 2^52/100), so
+    floor(x·100 + 0.5) recovers k exactly for either sign — the
+    established cent-lattice lemma (price_power_means, r9). Returns
+    LONG. CONTRACT: the input must be a 2-dp value (all fixture money
+    columns are — verified across tables/SFs); for sub-cent inputs
+    the decimal cast's HALF_UP (away from zero) and this floor dag
+    (toward +inf) differ on exact half-cents."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def lattice_split_sum(
+    m: Column,
+    frac_digits: int,
+    out_type: str,
+    split_digits: int = 5,
+) -> Column:
+    """Exact, order-free SUM of LONG lattice points, value-identical to
+    ``F.sum(x.cast(decimal))`` when m == x·10^frac_digits exactly per
+    row — but accumulated in two PRIMITIVE LONG agg buffers instead of
+    a per-row double→decimal cast (Double.toString + BigDecimal) and a
+    BigDecimal buffer (guide §1.2/§2.3: the cast alone measured
+    0.8–1.6 s per fact-grain sum at sf0.1; the long sums ~0.1 s —
+    the price_power_means variant probe, r9).
+
+    int64 headroom: m is split per row as lo = pmod(m, S),
+    hi = (m − lo)/S with S = 10^split_digits — (m − lo) is a multiple
+    of S and |m| < 2^53, so the double division is an exact integer;
+    the identity holds for negative m because pmod is nonnegative.
+    Each partial sum then carries |Σ| ≤ rows·max(|m|)/S (hi) and
+    rows·S (lo) — both orders of magnitude under 2^63 at 100 TB for
+    every call site (bounds documented per site). The two long totals
+    recombine EXACTLY in decimal on the (small) output grain and the
+    quantum product keeps full scale: operand precision is capped at
+    38 − frac_digits − 1, so Spark never hits the silent
+    scale-reduction path (the round-4 decimal-38 trap). The final
+    cast to ``out_type`` (the OLD decimal sum's result type) is an
+    exact widening, so downstream type algebra and every output bit
+    match the decimal-sum original.
+    """
+    s_lit = 10**split_digits
+    lo = F.pmod(m, F.lit(s_lit))
+    hi = ((m - lo) / F.lit(s_lit)).cast("long")
+    p_cap = 38 - frac_digits - 1
+    total = (
+        F.sum(hi).cast(f"decimal({p_cap - split_digits - 1},0)")
+        * F.lit(s_lit).cast(f"decimal({split_digits + 1},0)")
+        + F.sum(lo).cast(f"decimal({p_cap - 1},0)")
+    ).cast(f"decimal({p_cap},0)")
+    quantum = F.lit(10.0**-frac_digits).cast(
+        f"decimal({frac_digits},{frac_digits})"
+    )
+    return (total * quantum).cast(out_type)
+
+
+def money_lattice_sum(col: Column | str, scale: str = MONEY) -> Column:
+    """dec_sum(col, scale) for a 2-dp money column, computed as an
+    exact LONG cent sum (split for headroom) and reconstructed to the
+    identical decimal type/value. ``scale`` must have p ≤ 28 and
+    s ≥ 2 (the reconstruction widens exactly)."""
+    m = lattice_2dp(col)
+    p, s = _dec_params(scale)
+    return lattice_split_sum(m, 2, f"decimal({p + 10},{s})", split_digits=4)
+
+
+def _dec_params(scale: str) -> tuple[int, int]:
+    import re as _re
+
+    mm = _re.match(r"decimal\((\d+),\s*(\d+)\)", scale)
+    assert mm, scale
+    return int(mm.group(1)), int(mm.group(2))
+
+
+def lattice_sum_9dp_rounded(
+    col: Column, out_type: str = "decimal(28,9)"
+) -> Column:
+    """``F.sum(F.round(col, 9).cast('decimal(18,9)'))`` via the exact
+    long lattice: m = floor(round(col,9)·1e9 + 0.5) recovers the 9-dp
+    quantum's unscaled value exactly while |round(col,9)| ≤ 2^51/1e9
+    ≈ 2.25e6 (the pagerank lattice-alignment lemma — round(x,9) is
+    the nearest double to m/1e9, so the recovery dag cannot cross a
+    half-quantum). Callers must keep terms inside that envelope
+    (documented per site)."""
+    m = F.floor(F.round(col, 9) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return lattice_split_sum(m, 9, out_type)
+
+
+def money_lattice_dsum(col: Column | str, scale: str = MONEY) -> Column:
+    """dsum(col, scale) for a 2-dp money column via the long lattice —
+    same exact decimal, same single closing double conversion."""
+    return money_lattice_sum(col, scale).cast("double")
+
+
+def money_lattice_avg(col: Column | str, scale: str = MONEY) -> Column:
+    """exact_avg(col, scale) for a 2-dp money column via the long
+    lattice — identical decimal sum, identical count, identical one
+    IEEE division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return money_lattice_sum(c, scale).cast("double") / F.count(c)
+
+
+def disc_rev_m(
+    price: Column | str = "l_extendedprice",
+    disc: Column | str = "l_discount",
+) -> Column:
+    """LONG lattice point of price·(1−disc) on the 1e-4 grid: both
+    factors are 2-dp values, so the product is EXACTLY
+    c·(100−d)/10⁴ with c = cents(price), d = cents-scale discount —
+    pure int64 arithmetic per row (|m| ≤ 1.05e9 on TPC-H price
+    ceilings). The double expression's decimal(28,6) cast provably
+    recovers the same 4-dp rational (abs error ≤ ~3.5e-11 ≪ the 5e-7
+    half-quantum; pinned by test + 3-SF oracle sweeps)."""
+    return lattice_2dp(price) * (F.lit(100).cast("long") - lattice_2dp(disc))
+
+
+def disc_rev_sum(
+    price: Column | str = "l_extendedprice",
+    disc: Column | str = "l_discount",
+    out_type: str = "decimal(38,6)",
+) -> Column:
+    """dec_sum(price·(1−disc), 'decimal(28,6)') via the exact long
+    lattice. Headroom: |m| ≤ 1.05e9 → split-1e5 partials ≤ 6.3e15 /
+    6e16 at 6e11 rows (100 TB lineitem)."""
+    return lattice_split_sum(disc_rev_m(price, disc), 4, out_type)
+
+
+def charge_m(
+    price: Column | str = "l_extendedprice",
+    disc: Column | str = "l_discount",
+    tax: Column | str = "l_tax",
+) -> Column:
+    """LONG lattice point of price·(1−disc)·(1+tax) on the 1e-6 grid:
+    m = c·(100−d)·(100+t), |m| ≤ 1.14e11 < 2^53."""
+    return disc_rev_m(price, disc) * (
+        F.lit(100).cast("long") + lattice_2dp(tax)
+    )
+
+
+def charge_sum(
+    price: Column | str = "l_extendedprice",
+    disc: Column | str = "l_discount",
+    tax: Column | str = "l_tax",
+    out_type: str = "decimal(38,6)",
+) -> Column:
+    """dec_sum(price·(1−disc)·(1+tax), 'decimal(28,6)') via the exact
+    long lattice. Headroom: split-1e5 partials ≤ 6.8e17 / 6e16 at
+    6e11 rows."""
+    return lattice_split_sum(charge_m(price, disc, tax), 6, out_type)
+
+
 def dsum(col: Column | str, scale: str = MONEY) -> Column:
     """Order-independent SUM surfaced as DOUBLE.
 

@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dec_sum, dsum, exact_avg
+from ..functions.scalars import (
+    charge_sum,
+    disc_rev_sum,
+    lattice_2dp,
+    money_lattice_avg,
+    money_lattice_dsum,
+    money_lattice_sum,
+)
 from ..io import table
 
 
@@ -29,14 +36,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One pass over the fact table; filter pushed to the parquet scan.
     """
     l = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            # r9 opt: every measure rides an exact LONG lattice sum
+            # (guide §1.2/§2.3 — the per-row double→decimal casts were
+            # this scan's dominant cost) and is reconstructed to the
+            # IDENTICAL decimal type/value on the 4 output rows.
+            money_lattice_dsum("l_quantity").alias("sum_qty"),
+            money_lattice_dsum("l_extendedprice").alias("sum_base_price"),
             # the two wide product-sums are emitted as EXACT DECIMAL,
             # not double: their scaled integer crosses 2^53 at sf1
             # (sum_charge ≈ 2.8e10 × 10^6 ≈ 2.8e16 > 2^53) and past
@@ -45,11 +54,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # parity sweep. A decimal output has no conversion seam at
             # ANY scale; the scale-2 money sums keep the double face
             # (their boundary is ~9e13, three orders above sf1)
-            dec_sum(disc_price, "decimal(28,6)").alias("sum_disc_price"),
-            dec_sum(charge, "decimal(28,6)").alias("sum_charge"),
-            exact_avg("l_quantity").alias("avg_qty"),
-            exact_avg("l_extendedprice").alias("avg_price"),
-            exact_avg("l_discount", "decimal(18,4)").alias("avg_disc"),
+            disc_rev_sum().alias("sum_disc_price"),
+            charge_sum().alias("sum_charge"),
+            money_lattice_avg("l_quantity").alias("avg_qty"),
+            money_lattice_avg("l_extendedprice").alias("avg_price"),
+            money_lattice_avg("l_discount", "decimal(18,4)").alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,10 +77,10 @@ def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.to_date("o_orderdate").alias("activity_date"))
         .agg(
             F.count("o_orderkey").alias("orders_count"),
-            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias(
-                "total_revenue"
-            ),
-            exact_avg("o_totalprice").alias("avg_order_value"),
+            money_lattice_dsum(
+                F.coalesce(F.col("o_totalprice"), F.lit(0))
+            ).alias("total_revenue"),
+            money_lattice_avg("o_totalprice").alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
     )
@@ -84,7 +95,7 @@ def category_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("product_count"),
         F.min("p_retailprice").alias("min_price"),
         F.max("p_retailprice").alias("max_price"),
-        exact_avg("p_retailprice").alias("avg_price"),
+        money_lattice_avg("p_retailprice").alias("avg_price"),
     )
 
 
@@ -99,8 +110,8 @@ def finance_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(day), F.to_date("o_orderdate") == F.col("d"))
         .agg(
-            dsum("o_totalprice").alias("total_revenue"),
-            exact_avg("o_totalprice").alias("average_order_value"),
+            money_lattice_dsum("o_totalprice").alias("total_revenue"),
+            money_lattice_avg("o_totalprice").alias("average_order_value"),
             F.count(F.lit(1)).alias("orders_count"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
@@ -154,7 +165,7 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.agg(
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
-        exact_avg("c_acctbal").alias("avg_bal"),
+        money_lattice_avg("c_acctbal").alias("avg_bal"),
         F.median("c_acctbal").alias("median_bal"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -256,16 +267,23 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Singleton categories have no leave-one-out peers → NULL.
     """
     o = table(spark, sf_dir, "orders")
+    # r9 opt: the per-row double→decimal cast (Double.toString) both in
+    # the stats sum AND in the leave-one-out projection becomes pure
+    # long-lattice arithmetic; the numerator (Σc − c)/100 is rebuilt as
+    # an exact decimal so the closing double is the identical single
+    # conversion. Σ cents per priority ≤ ~1.5e18 at 100 TB (3e10
+    # orders × ≤5e7 cents) — inside int64.
     stats = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_cat"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-            "s_cat"
-        ),
+        F.sum(lattice_2dp("o_totalprice")).alias("s_cents"),
     )
     loo = F.when(
         F.col("n_cat") > 1,
         (
-            F.col("s_cat") - F.col("o_totalprice").cast("decimal(18,2)")
+            (F.col("s_cents") - lattice_2dp("o_totalprice")).cast(
+                "decimal(19,0)"
+            )
+            * F.lit(0.01).cast("decimal(2,2)")
         ).cast("double")
         / (F.col("n_cat") - F.lit(1)).cast("double"),
     )
@@ -305,9 +323,7 @@ def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = open_o.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-            "val_q"
-        ),
+        money_lattice_sum("o_totalprice").alias("val_q"),
     )
     wt = Window.partitionBy()
     return g.select(

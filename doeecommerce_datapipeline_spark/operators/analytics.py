@@ -14,7 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dec_to_double_split, dsum, lattice_sum_6dp
+from ..functions.scalars import (
+    dec_to_double_split,
+    dsum,
+    lattice_2dp,
+    lattice_split_sum,
+    lattice_sum_6dp,
+    money_lattice_dsum,
+)
 from ..io import table
 
 
@@ -29,7 +36,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .rollup("order_year", "order_month")
         .agg(
-            dsum("o_totalprice").alias("revenue"),
+            money_lattice_dsum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -40,7 +47,7 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("revenue"),
+        money_lattice_dsum("o_totalprice").alias("revenue"),
     )
 
 
@@ -1630,15 +1637,22 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < BOOT_CDF[4], 4)
         .otherwise(5)
     )
+    # r9 opt: the ×B fan-out made the per-row decimal cast + decimal
+    # multiply the query's whole cost (B× the fact). w·price rides the
+    # exact cent lattice instead: m = w·c is pure int64 (w ≤ 5,
+    # c ≤ 5e7 ⇒ |m| ≤ 2.5e8/row; split-1e4 partials ≤ 3.8e15 per
+    # replicate at 100 TB), reconstructed to the identical
+    # decimal(38,2) value — w·cast(price) = w·c/100 exactly, so this
+    # is an integer identity, not an approximation.
     per_rep = (
         reps.select("b", "o_totalprice", w.alias("w"))
         .groupBy("b")
         .agg(
-            F.sum(
-                (
-                    F.col("o_totalprice").cast("decimal(18,2)")
-                    * F.col("w")
-                )
+            lattice_split_sum(
+                lattice_2dp("o_totalprice") * F.col("w").cast("long"),
+                2,
+                "decimal(38,2)",
+                split_digits=4,
             ).alias("sw_price"),
             F.sum("w").alias("sw"),
         )
@@ -1652,7 +1666,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = o.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("sum_price"),
+        money_lattice_dsum("o_totalprice").alias("sum_price"),
     ).select(
         "n_orders",
         (F.col("sum_price") / F.col("n_orders").cast("double")).alias(
@@ -1773,7 +1787,7 @@ def k_anonymity_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
-        dsum("o_totalprice", "decimal(28,6)").alias("spend")
+        money_lattice_dsum("o_totalprice", "decimal(28,6)").alias("spend")
     )
     enriched = c.join(
         F.broadcast(spend),

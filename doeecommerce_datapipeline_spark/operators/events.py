@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dsum
+from ..functions.scalars import (
+    lattice_2dp,
+    lattice_split_sum,
+    money_lattice_dsum,
+    money_lattice_sum,
+)
 from ..io import table
 from .skew import salted_aggregate
 
@@ -36,7 +41,7 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "decimal(18,6)").alias("total_value"),
+            money_lattice_dsum("value", "decimal(18,6)").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -60,7 +65,7 @@ def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "decimal(18,6)").alias("total_value"),
+            money_lattice_dsum("value", "decimal(18,6)").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -113,7 +118,7 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
                 "duration_sec"
             ),
-            dsum("value", "decimal(18,6)").alias("session_value"),
+            money_lattice_dsum("value", "decimal(18,6)").alias("session_value"),
         )
     )
 
@@ -286,11 +291,12 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     stats = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,2)")).alias("s1"),
-        F.sum(
-            F.round(F.col("value") * F.col("value"), 4).cast(
-                "decimal(28,4)"
-            )
+        money_lattice_sum("value", "decimal(28,2)").alias("s1"),
+        lattice_split_sum(
+            lattice_2dp("value") * lattice_2dp("value"),
+            4,
+            "decimal(38,4)",
+            split_digits=6,
         ).alias("s2"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
@@ -535,7 +541,7 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        money_lattice_sum("o_totalprice").alias("rev")
     )
     total = per_cust.agg(F.sum("rev").alias("tot"))
     w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
@@ -625,7 +631,7 @@ def revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("attr_type")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("revenue"),
+            money_lattice_dsum("o_totalprice").alias("revenue"),
         )
         .select(
             F.col("attr_type").alias("event_type"), "n_orders", "revenue"
@@ -703,7 +709,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "decimal(18,6)").alias("session_value"),
+            money_lattice_dsum("value", "decimal(18,6)").alias("session_value"),
         )
         .select(
             "user_id",
@@ -1547,9 +1553,12 @@ def welch_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,2)")).alias("s1"),
-            F.sum(
-                (F.col("value") * F.col("value")).cast("decimal(28,4)")
+            money_lattice_sum("value", "decimal(28,2)").alias("s1"),
+            lattice_split_sum(
+                lattice_2dp("value") * lattice_2dp("value"),
+                4,
+                "decimal(38,4)",
+                split_digits=6,
             ).alias("s2"),
         )
     )
@@ -1663,13 +1672,17 @@ def twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dt"),
     )
     held = stepped.where(F.col("dt").isNotNull() & (F.col("dt") > 0))
-    q = F.col("value").cast("decimal(12,2)") * F.col("dt")
+    # exact integer identity: value(12,2)·dt = c·dt/100 with c·dt
+    # ≤ 4.2e15 per row (value ≤ $490, dt ≤ 86400e6 µs) — int64-safe
+    q_m = lattice_2dp("value") * F.col("dt")
     agg = (
         stepped.groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .join(
             held.groupBy("user_id", "day").agg(
-                F.sum(q).alias("s_vdt"),
+                lattice_split_sum(q_m, 2, "decimal(38,2)").alias(
+                    "s_vdt"
+                ),
                 F.sum("dt").alias("s_dt"),
             ),
             ["user_id", "day"],
@@ -1827,7 +1840,7 @@ def dow_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            money_lattice_sum("value").cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_value"),
     )
@@ -2299,7 +2312,7 @@ def markov_removal_attribution(
             vstart[var] = v["START"]
 
     conv_value = states.where(F.col("st") == "CONV").agg(
-        dsum("value", "decimal(18,6)").alias("total_value")
+        money_lattice_dsum("value", "decimal(18,6)").alias("total_value")
     )
     schema = (
         "channel string, removal_effect double,"
@@ -2687,9 +2700,15 @@ def event_moments(e: DataFrame) -> DataFrame:
     (foreach_batch_moments_merge) drain bit-identical to batch."""
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,2)")).alias("s1"),
-        F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(28,4)")
+        money_lattice_sum("value", "decimal(28,2)").alias("s1"),
+        # Σv² rides the exact 1e-4 lattice: m = c² with c = cents(v)
+        # (pure int64; split-1e6 partials stay inside 2^63 while
+        # |v| ≤ ~$38k — far above the event-value domain)
+        lattice_split_sum(
+            lattice_2dp("value") * lattice_2dp("value"),
+            4,
+            "decimal(38,4)",
+            split_digits=6,
         ).alias("s2"),
     )
 
@@ -2773,9 +2792,15 @@ def pairwise_welch_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     st = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,2)")).alias("s1"),
-        F.sum(
-            (F.col("value") * F.col("value")).cast("decimal(28,4)")
+        money_lattice_sum("value", "decimal(28,2)").alias("s1"),
+        # Σv² rides the exact 1e-4 lattice: m = c² with c = cents(v)
+        # (pure int64; split-1e6 partials stay inside 2^63 while
+        # |v| ≤ ~$38k — far above the event-value domain)
+        lattice_split_sum(
+            lattice_2dp("value") * lattice_2dp("value"),
+            4,
+            "decimal(38,4)",
+            split_digits=6,
         ).alias("s2"),
     )
     a = st.select(

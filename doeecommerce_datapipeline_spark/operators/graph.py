@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import lattice_split_sum
 from ..io import table
 from . import session_cache
 
@@ -546,12 +547,22 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shape filtered s >= 2 before computing the weight too)
         .where(F.size("parts") >= 2)
     )
+    # r9 opt: the weight rides the exact 9-dp long lattice (m =
+    # floor(round(1/ln s, 9)·1e9 + 0.5) ≤ 1.45e9 — the pagerank
+    # lattice-alignment lemma), so the C(basket,2)-grain exchange
+    # carries a LONG and the per-pair sum runs on primitive buffers;
+    # the decimal total is reconstructed per output pair
+    # (value-identical to the former decimal(18,9) quantize-sum).
     pairs = baskets.select(
-        F.round(
-            F.lit(1.0) / F.log(F.size("parts").cast("double")), 9
+        F.floor(
+            F.round(
+                F.lit(1.0) / F.log(F.size("parts").cast("double")), 9
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
         )
-        .cast("decimal(18,9)")
-        .alias("aa_w"),
+        .cast("long")
+        .alias("aa_m"),
         F.explode(
             F.expr(
                 "flatten(transform(parts, (x, i) -> "
@@ -559,12 +570,17 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "y -> struct(x AS part_a, y AS part_b))))"
             )
         ).alias("p"),
-    ).select("p.part_a", "p.part_b", "aa_w")
+    ).select("p.part_a", "p.part_b", "aa_m")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(
             F.count(F.lit(1)).alias("n_common_orders"),
-            F.round(F.sum("aa_w").cast("double"), 6).alias("aa_score"),
+            F.round(
+                lattice_split_sum(
+                    F.col("aa_m"), 9, "decimal(28,9)"
+                ).cast("double"),
+                6,
+            ).alias("aa_score"),
         )
         .orderBy(
             F.desc("aa_score"), F.asc("part_a"), F.asc("part_b")

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dsum
+from ..functions.scalars import (
+    disc_rev_m,
+    disc_rev_sum,
+    lattice_split_sum,
+    money_lattice_dsum,
+)
 from ..io import table
 
 
@@ -41,7 +46,9 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.countDistinct("o_orderkey").alias("_cnt"),
-            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias("_total"),
+            money_lattice_dsum(
+                F.coalesce(F.col("o_totalprice"), F.lit(0))
+            ).alias("_total"),
             F.max(F.to_date("o_orderdate")).alias("_last"),
         )
     )
@@ -71,11 +78,14 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,6)"
-    )
+    # r9 opt: the per-row decimal cast becomes a LONG lattice point
+    # computed BEFORE the join, so the orderkey shuffle carries an
+    # 8-byte long instead of a 16-byte decimal (guide §2.3) and the
+    # aggregate runs on primitive long buffers; the exact decimal is
+    # reconstructed on the 5 region rows (bit-identical, scalars.py
+    # lattice lemma).
     return (
-        l.select("l_orderkey", rev.alias("rev"))
+        l.select("l_orderkey", disc_rev_m().alias("rev"))
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(c.select("c_custkey", "c_nationkey")),
@@ -91,7 +101,9 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("r_name")
         .agg(
-            F.sum("rev").cast("double").alias("revenue"),
+            lattice_split_sum(F.col("rev"), 4, "decimal(38,6)")
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("lineitem_count"),
         )
     )
@@ -137,7 +149,7 @@ def daily_orders_vs_events_full_outer(
     e = table(spark, sf_dir, "events")
     o_daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "decimal(18,2)").alias("order_revenue"),
+        money_lattice_dsum("o_totalprice").alias("order_revenue"),
     )
     e_daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
@@ -352,10 +364,7 @@ def bitmap_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "decimal(28,6)",
-            ).alias("revenue"),
+            disc_rev_sum().cast("double").alias("revenue"),
         )
         .orderBy("p_brand")
     )
@@ -475,10 +484,7 @@ def bloom_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "decimal(28,6)",
-            ).alias("revenue"),
+            disc_rev_sum().cast("double").alias("revenue"),
         )
         .orderBy("p_brand")
     )

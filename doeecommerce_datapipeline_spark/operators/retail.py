@@ -18,7 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dec_sum, dsum
+from ..functions.scalars import (
+    dec_sum,
+    disc_rev_sum,
+    dsum,
+    lattice_2dp,
+    lattice_split_sum,
+    lattice_sum_9dp_rounded,
+    money_lattice_dsum,
+    money_lattice_sum,
+)
 from ..io import table
 
 
@@ -141,7 +150,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_day"),
             F.count(F.lit(1)).alias("frequency"),
-            dsum("o_totalprice").alias("monetary"),
+            money_lattice_dsum("o_totalprice").alias("monetary"),
         )
         .crossJoin(F.broadcast(ref))
         .select(
@@ -210,7 +219,7 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = aged.groupBy("cohort_month", "age_months").agg(
         F.countDistinct("o_custkey").alias("n_active"),
-        dec_sum("o_totalprice").alias("rev"),
+        money_lattice_sum("o_totalprice").alias("rev"),
     )
     w = (
         Window.partitionBy("cohort_month")
@@ -253,7 +262,7 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         "o_orderpriority", F.to_date("o_orderdate").alias("day")
-    ).agg(dec_sum("o_totalprice").alias("rev"))
+    ).agg(money_lattice_sum("o_totalprice").alias("rev"))
     stats = (
         daily.select(
             "o_orderpriority",
@@ -433,7 +442,7 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"), "n_name"
     )
     rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        money_lattice_sum("o_totalprice").alias("rev")
     )
     tagged = rev.join(F.broadcast(c), "custkey").join(
         F.broadcast(n), "c_nationkey"
@@ -643,7 +652,7 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        money_lattice_sum("o_totalprice").alias("rev")
     )
     w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
     deciled = per_cust.select(
@@ -790,7 +799,7 @@ def revenue_bridge_monthly(
         "o_custkey",
         F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        money_lattice_sum("o_totalprice").alias("rev")
     ).localCheckpoint(eager=True)  # both join sides below
     cur = cm.select("o_custkey", "m", F.col("rev").alias("rev_cur"))
     prv = cm.select(
@@ -1070,11 +1079,8 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part"),
         F.trunc("l_shipdate", "month").alias("mon"),
     ).agg(
-        dec_sum("l_quantity", "decimal(18,2)").alias("q"),
-        dec_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")),
-            "decimal(28,6)",
-        ).alias("rev"),
+        money_lattice_sum("l_quantity").alias("q"),
+        disc_rev_sum().alias("rev"),
     )
     per_part = pm.groupBy("part").agg(
         F.count(F.lit(1)).alias("n_mon"),
@@ -1165,13 +1171,18 @@ def brand_diversity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = Window.partitionBy("o_custkey")
     prob = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
-    term = F.round(-prob * F.log(prob), 9).cast("decimal(18,9)")
+    # r9 opt: both the -p·ln p terms (9 dp) and the per-decile entropy
+    # sums (6 dp, below) ride exact long lattices — value-identical
+    # (|term| ≤ 1/e, entropy ≤ ln |brands|: far inside the envelopes)
+    term = -prob * F.log(prob)
     per_cust = (
         cb.select("o_custkey", "n", term.alias("t"))
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_brands"),
-            F.round(F.sum("t").cast("double"), 6).alias("entropy"),
+            F.round(
+                lattice_sum_9dp_rounded(F.col("t")).cast("double"), 6
+            ).alias("entropy"),
         )
     )
     wd = Window.orderBy(F.asc("entropy"), F.asc("o_custkey"))
@@ -1181,7 +1192,13 @@ def brand_diversity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(
-                F.sum(F.col("entropy").cast("decimal(18,6)")).cast("double")
+                lattice_split_sum(
+                    F.floor(
+                        F.col("entropy") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("long"),
+                    6,
+                    "decimal(28,6)",
+                ).cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("mean_entropy"),
@@ -1227,7 +1244,7 @@ def inventory_order_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", F.col("l_shipdate").alias("day"))
-        .agg(dec_sum("l_quantity", "decimal(18,2)").alias("q"))
+        .agg(money_lattice_sum("l_quantity").alias("q"))
         .localCheckpoint()  # day-grain, feeds stats + the rank window
     )
     stats = daily.groupBy("p_brand").agg(
@@ -1534,8 +1551,8 @@ def price_indices_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part"),
         F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
     ).agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        money_lattice_sum("l_extendedprice").alias("rev"),
+        money_lattice_sum("l_quantity").alias("qty"),
     ).where(F.col("qty") > 0).localCheckpoint(eager=True)
     base_month = pm.groupBy().agg(F.min("month").alias("bm"))
     up = (F.col("rev").cast("double") / F.col("qty").cast("double"))
@@ -1606,9 +1623,7 @@ def cem_promo_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outcome = li.groupBy("l_partkey").agg(
         (
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                "double"
-            )
+            money_lattice_sum("l_extendedprice").cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("y_raw")
     )
@@ -1696,17 +1711,23 @@ def revenue_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("prio"),
         )
         .agg(
-            F.sum(
+            lattice_split_sum(
                 F.when(
                     F.year("o_orderdate") == SHIFT_SHARE_Y0,
-                    F.col("o_totalprice").cast("decimal(18,2)"),
-                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                    lattice_2dp("o_totalprice"),
+                ).otherwise(F.lit(0).cast("long")),
+                2,
+                "decimal(28,2)",
+                split_digits=4,
             ).alias("r0"),
-            F.sum(
+            lattice_split_sum(
                 F.when(
                     F.year("o_orderdate") == SHIFT_SHARE_Y1,
-                    F.col("o_totalprice").cast("decimal(18,2)"),
-                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                    lattice_2dp("o_totalprice"),
+                ).otherwise(F.lit(0).cast("long")),
+                2,
+                "decimal(28,2)",
+                split_digits=4,
             ).alias("r1"),
         )
         .localCheckpoint(eager=True)

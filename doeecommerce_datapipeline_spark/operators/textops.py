@@ -22,6 +22,7 @@ from ..functions.text import (
     token_count,
     tokens,
 )
+from ..functions.scalars import lattice_sum_9dp_rounded
 from ..io import table
 
 
@@ -579,17 +580,19 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_pair = Window.partitionBy("w1", "w2")
     w_head = Window.partitionBy("w1")
-    nll_q = F.round(
-        -F.log(F.col("n_pair").cast("double") / F.col("n_head").cast("double")),
-        9,
-    ).cast("decimal(18,9)")
+    nll = -F.log(
+        F.col("n_pair").cast("double") / F.col("n_head").cast("double")
+    )
     per_doc = (
         inst.withColumn("n_pair", F.count(F.lit(1)).over(w_pair))
         .withColumn("n_head", F.count(F.lit(1)).over(w_head))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(nll_q).alias("sum_nll"),
+            # r9 opt: the per-bigram decimal quantize+BigDecimal sum
+            # becomes the exact 9-dp long-lattice sum (value-identical;
+            # |nll| ≤ ln(corpus bigrams) ≪ the 2^51/1e9 envelope)
+            lattice_sum_9dp_rounded(nll).alias("sum_nll"),
         )
     )
     avg = F.round(
@@ -1371,14 +1374,16 @@ def dsir_importance_weights(
             "doc_id",
             "lang",
             "c",
-            F.round(F.col("c").cast("double") * F.col("llr"), 9)
-            .cast("decimal(18,9)")
-            .alias("contrib"),
+            (F.col("c").cast("double") * F.col("llr")).alias("contrib"),
         )
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("c").alias("n_bigrams"),
-            F.sum("contrib").cast("double").alias("dsir_logweight"),
+            # r9 opt: 9-dp long-lattice sum (value-identical; |c·llr|
+            # ≤ doc_len·|ln ratio| ≪ the 2^51/1e9 envelope)
+            lattice_sum_9dp_rounded(F.col("contrib"))
+            .cast("double")
+            .alias("dsir_logweight"),
         )
     )
 

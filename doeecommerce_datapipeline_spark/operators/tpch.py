@@ -9,7 +9,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dec_sum, dsum
+from ..functions.scalars import (
+    dec_sum,
+    disc_rev_m,
+    disc_rev_sum,
+    dsum,
+    lattice_2dp,
+    lattice_split_sum,
+    money_lattice_avg,
+    money_lattice_dsum,
+    money_lattice_sum,
+)
 from ..io import table
 
 
@@ -26,9 +36,13 @@ def simple_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(
-                F.col("l_extendedprice") * F.col("l_discount"), "decimal(28,6)"
-            ).alias("revenue"),
+            lattice_split_sum(
+                lattice_2dp("l_extendedprice") * lattice_2dp("l_discount"),
+                4,
+                "decimal(38,6)",
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -54,10 +68,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "decimal(28,6)",
-            ).alias("revenue")
+            disc_rev_sum().cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -71,16 +82,13 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small aggregate, broadcast back onto the fact scan."""
     l = table(spark, sf_dir, "lineitem")
     per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-            / F.count("l_quantity")
-        ).alias("avg_qty")
+        money_lattice_avg("l_quantity").alias("avg_qty")
     )
     return (
         l.join(F.broadcast(per_part), l.l_partkey == F.col("pk"))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            dsum("l_extendedprice").alias("total_price"),
+            money_lattice_dsum("l_extendedprice").alias("total_price"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -134,10 +142,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "decimal(28,6)",
-            ).alias("revenue")
+            disc_rev_sum().cast("double").alias("revenue")
         )
     )
 
@@ -214,7 +219,7 @@ def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sp), F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
     )
     per_supp = shipped.groupBy("l_suppkey").agg(
-        dec_sum("l_quantity", "decimal(18,2)").alias("qty_dec")
+        money_lattice_sum("l_quantity").alias("qty_dec")
     )
     w_all = Window.partitionBy()
     per_supp = per_supp.withColumn(
@@ -251,7 +256,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     big = (
         l.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("total_qty"))
+        .agg(money_lattice_dsum("l_quantity").alias("total_qty"))
         .where(F.col("total_qty") > 300)
     )
     return (
@@ -371,7 +376,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     avg_bal = c.agg(
         (
-            dec_sum("c_acctbal").cast("double") / F.count("c_acctbal")
+            money_lattice_avg("c_acctbal")
         ).alias("ab")
     )
     o = table(spark, sf_dir, "orders").select("o_custkey")
@@ -382,7 +387,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            dsum("c_acctbal").alias("total_bal"),
+            money_lattice_dsum("c_acctbal").alias("total_bal"),
         )
     )
 
@@ -429,10 +434,7 @@ def returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "decimal(28,6)",
-            ).alias("lost_revenue")
+            disc_rev_sum().cast("double").alias("lost_revenue")
         )
     )
     c = (
@@ -465,14 +467,16 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
         "p_partkey", F.col("p_name").startswith("small").alias("is_promo")
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,6)"
-    )
+    m = disc_rev_m()
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0).cast("decimal(28,6)"))).alias("_promo"),
-            F.sum(rev).alias("_total"),
+            lattice_split_sum(
+                F.when(F.col("is_promo"), m).otherwise(F.lit(0).cast("long")),
+                4,
+                "decimal(38,6)",
+            ).alias("_promo"),
+            lattice_split_sum(m, 4, "decimal(38,6)").alias("_total"),
         )
         .select(
             (
@@ -527,7 +531,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    m = disc_rev_m()
     joined = (
         l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -536,8 +540,12 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(F.when(F.col("is_target"), rev).otherwise(F.lit(0).cast("decimal(28,6)"))).alias("_t"),
-            F.sum(rev).alias("_all"),
+            lattice_split_sum(
+                F.when(F.col("is_target"), m).otherwise(F.lit(0).cast("long")),
+                4,
+                "decimal(38,6)",
+            ).alias("_t"),
+            lattice_split_sum(m, 4, "decimal(38,6)").alias("_all"),
         )
         .select(
             "o_year",
@@ -571,16 +579,21 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(28,6)")
+    # profit rides the 1e-4 lattice: both arms are products of 2-dp
+    # values, so m = c·(100−d) − r·q is exact int64 (|m| ≤ 1.05e9)
+    profit_m = disc_rev_m() - lattice_2dp("p_retailprice") * lattice_2dp(
+        "l_quantity"
+    )
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(profit).cast("double").alias("profit"))
+        .agg(
+            lattice_split_sum(profit_m, 4, "decimal(38,6)")
+            .cast("double")
+            .alias("profit")
+        )
     )
 
 
@@ -608,10 +621,7 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "decimal(28,6)",
-            ).alias("revenue")
+            disc_rev_sum().cast("double").alias("revenue")
         )
     )
 
@@ -622,11 +632,17 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds both aggregates; the single-row global total broadcasts onto
     the per-part rollup (never a shuffle)."""
     l = table(spark, sf_dir, "lineitem")
-    value = F.col("l_extendedprice") * F.col("l_quantity")
+    value_m = lattice_2dp("l_extendedprice") * lattice_2dp("l_quantity")
     per_part = l.groupBy("l_partkey").agg(
-        dsum(value, "decimal(28,6)").alias("part_value")
+        lattice_split_sum(value_m, 4, "decimal(38,6)")
+        .cast("double")
+        .alias("part_value")
     )
-    total = l.agg(dsum(value, "decimal(28,6)").alias("_total"))
+    total = l.agg(
+        lattice_split_sum(value_m, 4, "decimal(38,6)")
+        .cast("double")
+        .alias("_total")
+    )
     return (
         per_part.join(F.broadcast(total))
         .where(F.col("part_value") > F.col("_total") * 0.001)
@@ -644,10 +660,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
     )
     per_supp = l.groupBy("l_suppkey").agg(
-        dsum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")),
-            "decimal(28,6)",
-        ).alias("total_revenue")
+        disc_rev_sum().cast("double").alias("total_revenue")
     )
     best = per_supp.agg(F.max("total_revenue").alias("_best"))
     s = table(spark, sf_dir, "supplier")
@@ -686,10 +699,7 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.where(bracket).agg(
-        dsum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")),
-            "decimal(28,6)",
-        ).alias("revenue"),
+        disc_rev_sum().cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -786,10 +796,7 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "decimal(28,6)",
-            ).alias("rev"),
+            disc_rev_sum().alias("rev"),
         )
     )
     wrow = Window.partitionBy("cust_nation")

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import dec_sum, dsum
+from ..functions.scalars import (
+    disc_rev_sum,
+    money_lattice_dsum,
+    money_lattice_sum,
+)
 from ..io import table
 
 
@@ -90,11 +94,7 @@ def top_products_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
         )
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(28,6)"
-                )
-            ).alias("revenue")
+            disc_rev_sum().alias("revenue")
         )
     )
     w = Window.partitionBy("ship_month").orderBy(
@@ -203,7 +203,7 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     )
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        dsum("o_totalprice", "decimal(18,2)").alias("revenue")
+        money_lattice_dsum("o_totalprice").alias("revenue")
     )
     spine = (
         daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
@@ -271,7 +271,7 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     )
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        dsum("o_totalprice").alias("revenue")
+        money_lattice_dsum("o_totalprice").alias("revenue")
     )
     spine = (
         daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
@@ -333,7 +333,7 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        dec_sum("o_totalprice").alias("rev")
+        money_lattice_sum("o_totalprice").alias("rev")
     )
     wts = F.array(*[F.lit(1 << (13 - i)) for i in range(14)])
     contribs = daily.select(
@@ -372,7 +372,7 @@ def revenue_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        dec_sum("o_totalprice").alias("rev")
+        money_lattice_sum("o_totalprice").alias("rev")
     )
     w = Window.orderBy("day")
     d = daily.select(
@@ -413,7 +413,7 @@ def bollinger_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        dec_sum("o_totalprice").alias("rev")
+        money_lattice_sum("o_totalprice").alias("rev")
     )
     w = Window.orderBy("day").rowsBetween(-(BOLLINGER_WINDOW - 1), 0)
     revd = F.col("rev").cast("double")
@@ -588,7 +588,7 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        dsum("o_totalprice").alias("revenue")
+        money_lattice_dsum("o_totalprice").alias("revenue")
     )
     w = Window.orderBy("d").rowsBetween(-6, 0)
     arr = F.array_sort(F.collect_list("revenue").over(w))
@@ -631,7 +631,7 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        dsum("o_totalprice").alias("revenue")
+        money_lattice_dsum("o_totalprice").alias("revenue")
     )
     w = Window.orderBy("d")
     wd = Window.orderBy(F.col("d").desc())
@@ -725,7 +725,7 @@ def conformal_forecast_band(
     """
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        dsum("o_totalprice").alias("revenue")
+        money_lattice_dsum("o_totalprice").alias("revenue")
     ).localCheckpoint(eager=True)  # day-grain; 3 consumers below
     w = Window.orderBy("d")
     resid = daily.select(
