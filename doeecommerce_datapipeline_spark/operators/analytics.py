@@ -741,6 +741,19 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ACF_MAX_LAG = 7
 
 
+def _daily_revenue_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue rollup (day, rev) with a lazy localCheckpoint
+    barrier — the shared day-grain spine of the ACF/Ljung-Box pair.
+    Calendar-bounded at any fact scale; the barrier keeps the one
+    fact-sized aggregate from re-running once per consumer branch."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .localCheckpoint()
+    )
+
+
 def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the daily-revenue series at lags 1..7 —
     (lag, n_pairs, acf) — the seasonality detector that tells a
@@ -750,6 +763,9 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one fact shuffle to the daily rollup; the lag spine
     (7 rows) broadcasts onto it, and the shifted copy equi-joins back
     on the date key — dates-sized work end-to-end after the rollup.
+    The rollup localCheckpoints once for its two join sides (r9: the
+    un-checkpointed subtree re-ran the fact aggregate per side — the
+    kendall_tau_daily barrier).
     Determinism: daily revenue is an exact DECIMAL sum; per-lag
     sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) follow the
     numeric_corr_matrix seam — cross products multiply in DOUBLE
@@ -757,10 +773,13 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL before the order-free sum; the closing Pearson arithmetic
     is a fixed dag of double ops on bit-identical operands.
     """
-    o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
-    )
+    return _acf_over(spark, _daily_revenue_ckpt(spark, sf_dir))
+
+
+def _acf_over(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """ACF body over an already-materialized (day, rev) spine — shared
+    by daily_revenue_acf and ljung_box_revenue so the composition pays
+    the fact rollup exactly once."""
     lags = spark.range(1, ACF_MAX_LAG + 1).select(
         F.col("id").cast("int").alias("lag")
     )
@@ -2393,15 +2412,17 @@ def ljung_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer operands.
 
     Shape: the parent's one fact shuffle; the LB extension is a
-    7-row window — free.
+    7-row window — free. r9: n_days counts the SAME checkpointed
+    (day, rev) spine the ACF body reads (one row per distinct day by
+    construction, so the count is identical to the former
+    distinct-days scan) instead of re-scanning the fact — the
+    composition pays exactly one fact pass.
     """
     from pyspark.sql import Window as W
 
-    acf = daily_revenue_acf(spark, sf_dir)
-    o = table(spark, sf_dir, "orders")
-    nd = o.select(F.to_date("o_orderdate").alias("day")).distinct().groupBy().agg(
-        F.count(F.lit(1)).alias("n_days")
-    )
+    daily = _daily_revenue_ckpt(spark, sf_dir)
+    acf = _acf_over(spark, daily)
+    nd = daily.groupBy().agg(F.count(F.lit(1)).alias("n_days"))
     term = F.round(
         F.col("acf") * F.col("acf")
         / (F.col("n_days").cast("double") - F.col("lag").cast("double")),
@@ -2522,9 +2543,12 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
+    # r9: barrier after the index window — idx feeds BOTH the block
+    # spine and the nrow scalar, so the un-checkpointed fact rollup ran
+    # once per consumer (day-grain state, calendar-bounded)
     idx = daily.withColumn(
         "rn", F.row_number().over(Window.orderBy("day"))
-    )
+    ).localCheckpoint()
     nrow = idx.groupBy().agg(F.count(F.lit(1)).alias("nd"))
     ms = spark.createDataFrame(
         [(m,) for m in HURST_BLOCKS], "m int"
@@ -2578,6 +2602,9 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = F.round(
         F.when(m2var > 0, rm / F.sqrt(m2var)), 9
     ).cast("decimal(18,9)")
+    # r9: barrier — per_m feeds both the log-log fit and the returned
+    # crossJoin, so without it the whole block pipeline (back to the
+    # fact rollup) re-ran per consumer; ≤4 rows at any scale
     per_m = (
         per_block.select("m", rs.alias("rs"))
         .where(F.col("rs").isNotNull())
@@ -2591,6 +2618,7 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_blocks").cast("double")
             ).alias("mean_rs"),
         )
+        .localCheckpoint()
     )
     # 4-point log-log fit as a fixed closed-form dag: pivot the four
     # (u, v) pairs into one row so no order-dependent float sum exists
@@ -2645,9 +2673,12 @@ def adf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
     )
+    # r9: barrier before the lag self-join — the un-checkpointed
+    # (rollup + index window) subtree re-ran the fact aggregate once
+    # per join side (the kendall_tau_daily pattern); day-grain state
     idx = daily.withColumn(
         "rn", F.row_number().over(Window.orderBy("day"))
-    )
+    ).localCheckpoint()
     cur = idx.select(F.col("rn").alias("rn"), F.col("y").alias("y_t"))
     prev = idx.select(
         (F.col("rn") + 1).alias("rn"), F.col("y").alias("y_lag")
@@ -2726,12 +2757,14 @@ def granger_count_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     days-sized, ending in a single-row reduce.
     """
     o = table(spark, sf_dir, "orders")
+    # r9: barrier before the lag self-join (the adf/kendall pattern) —
+    # without it the fact rollup + index window re-ran per join side
     joint = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
         F.count(F.lit(1)).alias("cnt"),
     ).withColumn(
         "rn", F.row_number().over(Window.orderBy("day"))
-    )
+    ).localCheckpoint()
     sc = F.lit(1048576.0)  # 2^20 for the money series
     # 2^6 for the count series: 1e6/64 = 15625 is INTEGRAL, so an
     # integer count lands EXACTLY on the 6dp lattice (zero

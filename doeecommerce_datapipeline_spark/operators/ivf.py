@@ -273,11 +273,22 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     exact brute-force scan clears IVF_TOPK_RECALL_FLOOR. The raw
     neighbor grid lives on as ivf_topk_full (non-registry).
 
-    The two collects are k-row-bounded (approx + exact top-k)."""
+    The two collects are k-row-bounded (approx + exact top-k).
+
+    r9: the three building blocks — the stats aggregate, the exact
+    brute-force top-k, and the IVF train/probe chain — are mutually
+    independent jobs submitted sequentially by driver code, so the
+    cluster idled through each one's tail (guide §2.6). They now run
+    from a small thread pool (job descriptions/results unchanged;
+    every job computes exactly what it did): the stats and brute
+    scans back-fill executors while the Lloyd loop's driver-side
+    barriers leave them idle. Wall clock ≈ the training chain alone."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .similarity import brute_force_topk
 
     e = table(spark, sf_dir, "embeddings")
-    stats = e.agg(
+    stats_df = e.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.sum(
             (
@@ -290,11 +301,18 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             ).cast("long")
         ).alias("n_nonzero_norm"),
         F.max(F.size("embedding")).cast("int").alias("dim"),
-    ).first()
-    approx = ivf_topk_full(spark, sf_dir, 0, k).collect()  # bounded: k rows
-    exact = {
-        r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()
-    }  # bounded: k rows
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_stats = pool.submit(stats_df.first)
+        f_exact = pool.submit(
+            lambda: {
+                r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()
+            }  # bounded: k rows
+        )
+        # bounded: k rows
+        approx = ivf_topk_full(spark, sf_dir, 0, k).collect()
+        stats = f_stats.result()
+        exact = f_exact.result()
     got = {r["vec_id"] for r in approx}
     recall = len(got & exact) / max(len(exact), 1)
     eps = 1e-9

@@ -313,11 +313,19 @@ def pq_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     PQ_TOPK_RECALL_FLOOR. The raw neighbor grid lives on as
     pq_topk_full (non-registry).
 
-    The two collects are k-row-bounded (approx + exact top-k)."""
+    The two collects are k-row-bounded (approx + exact top-k).
+
+    r9: the stats aggregate, the exact brute-force top-k, and the PQ
+    train/encode/ADC chain are mutually independent jobs — they now
+    run from a small thread pool (guide §2.6, the ivf_topk note: each
+    job computes exactly what it did; the independent scans back-fill
+    executors idled by the trainer's driver-side barriers)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .similarity import brute_force_topk
 
     e = table(spark, sf_dir, "embeddings")
-    stats = e.agg(
+    stats_df = e.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.sum(
             (
@@ -330,11 +338,18 @@ def pq_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             ).cast("long")
         ).alias("n_nonzero_norm"),
         F.max(F.size("embedding")).cast("int").alias("dim"),
-    ).first()
-    approx = pq_topk_full(spark, sf_dir, 0, k).collect()  # bounded: k rows
-    exact = {
-        r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()
-    }  # bounded: k rows
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_stats = pool.submit(stats_df.first)
+        f_exact = pool.submit(
+            lambda: {
+                r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()
+            }  # bounded: k rows
+        )
+        # bounded: k rows
+        approx = pq_topk_full(spark, sf_dir, 0, k).collect()
+        stats = f_stats.result()
+        exact = f_exact.result()
     got = {r["vec_id"] for r in approx}
     recall = len(got & exact) / max(len(exact), 1)
     # ADC cosine carries quantization error on top of the exact one;

@@ -1428,8 +1428,13 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |profile|×topk per user, keyed exchanges end-to-end; the verdict
     is a single-row reduce.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # r9: barrier — ranked feeds BOTH the base join and the
+    # test_orders/users branch, so the un-checkpointed orders window
+    # ran once per consumer (orders-grain state)
     ranked = o.select(
         "o_orderkey",
         "o_custkey",
@@ -1443,7 +1448,7 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(Window.partitionBy("o_custkey"))
         .alias("n_orders"),
-    ).where(F.col("n_orders") >= 2)
+    ).where(F.col("n_orders") >= 2).localCheckpoint()
     test_orders = ranked.where(F.col("rn") == 1).select(
         "o_orderkey", "o_custkey"
     )
@@ -1464,19 +1469,26 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    train_baskets = (
-        base.where(F.col("is_train"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nb = item_neighbors(train_baskets).localCheckpoint(eager=True)
-    profile = (
-        base.where(F.col("is_train"))
-        .select("o_custkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # r9: the profile build is independent of the train_baskets → nb
+    # chain (both read the materialized base), so its eager checkpoint
+    # job runs from a worker thread and back-fills executors while the
+    # neighbor kernel's sequential jobs leave them idle (guide §2.6);
+    # each job computes exactly what it did
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_profile = _pool.submit(
+            lambda: base.where(F.col("is_train"))
+            .select("o_custkey", "l_partkey")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        train_baskets = (
+            base.where(F.col("is_train"))
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nb = item_neighbors(train_baskets).localCheckpoint(eager=True)
+        profile = _f_profile.result()
     test_parts = (
         base.where(~F.col("is_train"))
         .select("o_custkey", F.col("l_partkey").alias("t_part"))
