@@ -909,8 +909,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec-contract flags.
         "png_roundtrip_audit": M.png_roundtrip_audit,
     }
-    return {k: q[k] for k in _R9_WINDOW} | {
-        k: v for k, v in q.items() if k not in set(_R9_WINDOW)
+    # r10: the r9 driver record landed (CORRECTNESS_r09 — 49 green +
+    # 1 rows-only-by-contract, 0 red), so the pre-staged _R10_QUEUE
+    # becomes the served window: the 13 r9-changed faces
+    # (pricing_summary's DECIMAL outputs, key_filter_auto dispatch,
+    # the sf1 seam fixes, ann_topk_lsh's late full pairing) get their
+    # driver records first, then the r3-vintage currency remainder.
+    return {k: q[k] for k in _R10_QUEUE} | {
+        k: v for k, v in q.items() if k not in set(_R10_QUEUE)
     }
 
 

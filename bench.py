@@ -7,6 +7,13 @@ Each query is timed end-to-end (construct + plan + execute to a noop
 sink); the reported figure is the min of 2 consecutive runs, which
 strips one-shot codegen-compile cost and host noise and reports the
 engine's reproducible steady-state throughput.
+
+r10 measurement fix (r9 verdict #2): the operator memo caches
+(session_cache registry — LPA fixed point, lattice k-means, ANN index
+and truth, quality-classifier fit) are EMPTIED before every timed run,
+so each figure measures computation from the parquet inputs rather
+than a warm-pass cache hit. ~8 faces get honestly slower as a result;
+the deltas are documented in OPTIMIZATION_r10.md / BENCH.md.
 """
 
 from __future__ import annotations
@@ -20,6 +27,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from doeecommerce_datapipeline_spark.operators import (  # noqa: E402
+    session_cache,
+)
 from doeecommerce_datapipeline_spark.session import get_spark  # noqa: E402
 
 
@@ -127,6 +137,14 @@ def main() -> None:
         # that work must not escape the clock.
         best = None
         for _ in range(2):
+            # r10 (r9 verdict #2): empty every operator memo cache so
+            # the timed run computes trained/fixed-point state from
+            # the parquet inputs — the untimed warm pass above
+            # populated them, so ~8 faces (LPA pair, lattice-kmeans
+            # pair, ANN scoreboard, quality-classifier consumers)
+            # previously timed cache hits. Intra-run evaluate-once
+            # sharing inside ONE query is untouched.
+            session_cache.clear_all()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: every expression/shuffle/join executes
@@ -161,6 +179,7 @@ def main() -> None:
             continue
         best = None
         for _ in range(2):
+            session_cache.clear_all()  # same cold-state rule as above
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -742,7 +742,7 @@ ACF_MAX_LAG = 7
 
 
 def _daily_revenue_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-revenue rollup (day, rev) with a lazy localCheckpoint
+    """Daily-revenue rollup (day, rev) with an eager localCheckpoint
     barrier — the shared day-grain spine of the ACF/Ljung-Box pair.
     Calendar-bounded at any fact scale; the barrier keeps the one
     fact-sized aggregate from re-running once per consumer branch."""
@@ -2602,9 +2602,11 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs = F.round(
         F.when(m2var > 0, rm / F.sqrt(m2var)), 9
     ).cast("decimal(18,9)")
-    # r9: barrier — per_m feeds both the log-log fit and the returned
-    # crossJoin, so without it the whole block pipeline (back to the
-    # fact rollup) re-ran per consumer; ≤4 rows at any scale
+    # per_m feeds both the log-log fit and the returned crossJoin;
+    # re-running the block pipeline once per consumer only re-reads
+    # the idx barrier above (day-grain, calendar-bounded), so no
+    # second barrier here — it would also truncate the plan and hide
+    # the partitioned block windows from the plan guard
     per_m = (
         per_block.select("m", rs.alias("rs"))
         .where(F.col("rs").isNotNull())
@@ -2618,7 +2620,6 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_blocks").cast("double")
             ).alias("mean_rs"),
         )
-        .localCheckpoint()
     )
     # 4-point log-log fit as a fixed closed-form dag: pivot the four
     # (u, v) pairs into one row so no order-dependent float sum exists

@@ -593,7 +593,7 @@ LPA_ROUNDS = 3
 LPA_TOP = 25
 
 
-_LPA_STATE_CACHE: dict = {}
+_LPA_STATE_CACHE: dict = session_cache.register({})
 
 
 def lpa_labels(spark: SparkSession, sf_dir: str):

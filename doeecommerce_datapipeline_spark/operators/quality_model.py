@@ -108,7 +108,7 @@ def train_quality_classifier(docs: DataFrame):
 # seeds, fixed iteration budget), so every consumer — scoring, holdout
 # AUC, isotonic calibration — shares the same model instead of
 # re-running the full L-BFGS fit (~4.5 s at sf0.1 per redundant fit)
-_MODEL_CACHE: dict = {}
+_MODEL_CACHE: dict = session_cache.register({})
 
 
 def _cached_model(spark, sf_dir: str, docs):

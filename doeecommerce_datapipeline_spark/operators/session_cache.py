@@ -19,6 +19,28 @@ from __future__ import annotations
 # a session touches at most a couple of sf dirs; 4 is generous.
 MAX_LIVE_ENTRIES = 4
 
+# Every module-level memo cache registers itself here so a measurement
+# harness can empty ALL of them between timed runs (r9 verdict: the
+# bench's untimed warm pass populated these, so ~8 timed figures
+# measured cache hits instead of computation). Operators never call
+# clear_all themselves — intra-query evaluate-once reuse is the point
+# of the caches; only the bench's timing loop resets them.
+_REGISTERED: list[dict] = []
+
+
+def register(cache: dict) -> dict:
+    """Track `cache` for clear_all(). Returns it for assignment."""
+    _REGISTERED.append(cache)
+    return cache
+
+
+def clear_all() -> None:
+    """Empty every registered cache (bench timing hygiene: the next
+    query construction recomputes trained/fixed-point state from the
+    parquet inputs instead of reading a warm-pass memo)."""
+    for c in _REGISTERED:
+        c.clear()
+
 
 def put(cache: dict, key: tuple, value):
     """Insert `value` under `key` (= (session_identity, ...)) and

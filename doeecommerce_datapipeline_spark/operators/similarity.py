@@ -440,7 +440,7 @@ KMEANS_K = 4
 KMEANS_ITERS = 3
 
 
-_LATTICE_KMEANS_CACHE: dict = {}
+_LATTICE_KMEANS_CACHE: dict = session_cache.register({})
 
 
 def lattice_kmeans_assignments(
@@ -759,12 +759,12 @@ ANN_EVAL_K = 10
 # search (3.1 s of the eval's 6.2 s at sf0.1). Keyed by applicationId
 # because localCheckpointed frames die with their session. Same
 # precedent as quality_model._MODEL_CACHE.
-_ANN_STATE_CACHE: dict = {}
+_ANN_STATE_CACHE: dict = session_cache.register({})
 # exact-cosine truth top-k per (session, sf_dir): deterministic given
 # the dataset (the brute-force baseline over the fixed query panel),
 # so it shares the index-state contract — rebuilt when the corpus
 # changes, not on every scoreboard call.
-_ANN_TRUTH_CACHE: dict = {}
+_ANN_TRUTH_CACHE: dict = session_cache.register({})
 
 
 def _ann_index_state(spark: SparkSession, sf_dir: str):

@@ -1,7 +1,8 @@
 """Plan-only capture: write ``DIR/<name>_<TAG>.txt`` with the
 ``.explain(formatted)`` output for each named registry query, without
-executing anything (construction + Catalyst only — safe to run under
-ambient load, unlike tools/qtime.py whose numbers need an idle box).
+running the query's own action (construction + Catalyst only — safe to
+run under ambient load, unlike tools/qtime.py whose numbers need an
+idle box; see the NOTE below for the eager-construction exception).
 
 Usage:
     python tools/plandump.py --plans plans/r09 --tag before name [name...]
