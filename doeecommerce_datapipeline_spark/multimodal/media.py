@@ -171,17 +171,24 @@ def jpeg_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split)."""
     from .decode import jpeg_roundtrip_summary, synth_jpeg
 
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    img = d.where(F.col("doc_id") % 3 == 0).select(
-        F.col("doc_id").alias("media_id"),
-        (F.lit(IMG_DIM_BASE) + F.col("doc_id") % IMG_DIM_MOD)
-        .cast("int")
-        .alias("width"),
-        (F.lit(IMG_DIM_BASE) + F.col("n_chars") % IMG_DIM_MOD)
-        .cast("int")
-        .alias("height"),
+    # r10 (guide §2.3): filter + project BEFORE the spreading
+    # repartition — the exchange used to carry every documents column
+    # (including the text payload, never read by the codec) for 3x the
+    # rows; now it moves three ints per image. Same row set, same
+    # per-media_id output.
+    d = table(spark, sf_dir, "documents")
+    img = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(IMG_DIM_BASE) + F.col("doc_id") % IMG_DIM_MOD)
+            .cast("int")
+            .alias("width"),
+            (F.lit(IMG_DIM_BASE) + F.col("n_chars") % IMG_DIM_MOD)
+            .cast("int")
+            .alias("height"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return jpeg_roundtrip_summary(synth_jpeg(img))
 
@@ -203,17 +210,21 @@ def png_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row-group trap fix (r7) applies identically."""
     from .decode import png_roundtrip_summary, synth_png
 
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    img = d.where(F.col("doc_id") % 3 == 1).select(
-        F.col("doc_id").alias("media_id"),
-        (F.lit(IMG_DIM_BASE) + F.col("doc_id") % IMG_DIM_MOD)
-        .cast("int")
-        .alias("width"),
-        (F.lit(IMG_DIM_BASE) + F.col("n_chars") % IMG_DIM_MOD)
-        .cast("int")
-        .alias("height"),
+    # r10: same filter/project-before-repartition as the JPEG face
+    # (guide §2.3) — the exchange moves three ints, not documents.text
+    d = table(spark, sf_dir, "documents")
+    img = (
+        d.where(F.col("doc_id") % 3 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(IMG_DIM_BASE) + F.col("doc_id") % IMG_DIM_MOD)
+            .cast("int")
+            .alias("width"),
+            (F.lit(IMG_DIM_BASE) + F.col("n_chars") % IMG_DIM_MOD)
+            .cast("int")
+            .alias("height"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return png_roundtrip_summary(synth_png(img))
 

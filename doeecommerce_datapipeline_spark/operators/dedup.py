@@ -1563,16 +1563,31 @@ def lsh_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer join.
     """
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    truth = (
-        jaccard_pairs_over(d, threshold=min(LSH_EVAL_THRESHOLDS))
-        .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager=True)
-    )
-    cand = (
-        minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.0)
-        .select("id_a", "id_b", F.lit(True).alias("is_cand"))
-        .localCheckpoint(eager=True)
-    )
+    # r10 (guide §2.6): the exact-Jaccard truth build and the banded
+    # MinHash candidate build are independent job chains over the same
+    # bounded slice — their eager materializations now overlap from a
+    # 2-thread pool (each chain computes exactly what it did; the
+    # tail of one back-fills executors idled by the other's barriers)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _truth():
+        return (
+            jaccard_pairs_over(d, threshold=min(LSH_EVAL_THRESHOLDS))
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+
+    def _cand():
+        return (
+            minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.0)
+            .select("id_a", "id_b", F.lit(True).alias("is_cand"))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth = pool.submit(_truth)
+        cand = _cand()
+        truth = f_truth.result()
     joined = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
         F.col("jaccard"),
         F.coalesce("is_cand", F.lit(False)).alias("is_cand"),

@@ -411,7 +411,18 @@ def kcore_peel_ledger(
             (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
         )
 
-    e = edges.localCheckpoint()
+    # r10 (r9 verdict #4 — the peel was scheduling-bound at small SF:
+    # 2 eager driver-blocking jobs per round): the edge checkpoints
+    # are now LAZY — each round's eager survivor job is the first
+    # consumer of the previous round's edge set, so it materializes
+    # that checkpoint in-line (local checkpoint partitions cache as
+    # computed); the ledger rows and semi-joins then read the cached
+    # blocks. One driver-blocking job per round instead of two, same
+    # per-round evaluate-once materialization at any scale. `keep`
+    # stays EAGER: lazy, its two broadcast builds (src/dst sides) race
+    # on the driver's broadcast pool and would re-run the full-edge
+    # degree aggregate twice per round (the exact r9 fix).
+    e = edges.localCheckpoint(eager=False)
     ledger = _row(0, e)
     for r in range(1, rounds + 1):
         keep = (
@@ -438,7 +449,7 @@ def kcore_peel_ledger(
         # job; every earlier round's feeds three (ledger + next
         # round's degree aggregate and semi-join input)
         if r < rounds:
-            e = e.localCheckpoint()
+            e = e.localCheckpoint(eager=False)
         ledger = ledger.unionByName(_row(r, e))
     return ledger
 

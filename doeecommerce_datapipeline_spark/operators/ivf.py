@@ -227,7 +227,21 @@ def ivf_topk_full(
     contract face ivf_topk below (r8 verdict #4: neighbor ids are
     trained-state-specific, so they live here, cross-checked by the
     recall-floor unit in tests/test_ivf.py)."""
-    e = table(spark, sf_dir, "embeddings")
+    return ivf_topk_full_over(
+        spark, table(spark, sf_dir, "embeddings"), query_vec_id, k, n_probe
+    )
+
+
+def ivf_topk_full_over(
+    spark: SparkSession,
+    e: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """ivf_topk_full body over an already-loaded embeddings frame —
+    lets ivf_topk share ONE persisted scan across its three job
+    chains (r10, guide §5/§2.1)."""
     assigned, centroids = build_ivf_index(e)
     qrow = e.where(F.col("vec_id") == query_vec_id).select("embedding").head()
     if qrow is None:
@@ -285,9 +299,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     barriers leave them idle. Wall clock ≈ the training chain alone."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from .similarity import brute_force_topk
+    from .similarity import brute_force_topk_over
 
-    e = table(spark, sf_dir, "embeddings")
+    # r10 (guide §5/§2.1, verdict #3): ONE persisted embeddings scan
+    # feeds all three chains — stats, the brute-force baseline, the
+    # sample collect and every Lloyd pass read the cached columnar
+    # batches instead of re-scanning parquet per job; unpersisted
+    # before returning (the returned 1-row frame is driver-built).
+    # Identical results: same rows feed every chain, trained state is
+    # seeded by the data alone.
+    e = table(spark, sf_dir, "embeddings").persist()
     stats_df = e.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.sum(
@@ -302,17 +323,21 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         ).alias("n_nonzero_norm"),
         F.max(F.size("embedding")).cast("int").alias("dim"),
     )
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_stats = pool.submit(stats_df.first)
-        f_exact = pool.submit(
-            lambda: {
-                r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()
-            }  # bounded: k rows
-        )
-        # bounded: k rows
-        approx = ivf_topk_full(spark, sf_dir, 0, k).collect()
-        stats = f_stats.result()
-        exact = f_exact.result()
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_stats = pool.submit(stats_df.first)
+            f_exact = pool.submit(
+                lambda: {
+                    r["vec_id"]
+                    for r in brute_force_topk_over(e).collect()
+                }  # bounded: k rows
+            )
+            # bounded: k rows
+            approx = ivf_topk_full_over(spark, e, 0, k).collect()
+            stats = f_stats.result()
+            exact = f_exact.result()
+    finally:
+        e.unpersist()
     got = {r["vec_id"] for r in approx}
     recall = len(got & exact) / max(len(exact), 1)
     eps = 1e-9

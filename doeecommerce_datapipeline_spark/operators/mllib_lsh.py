@@ -43,9 +43,13 @@ def mllib_similarity_join(
     """
     if not HAVE_ML:
         raise ImportError("pyspark.ml unavailable")
+    # r10 (guide §2.1): the vectorized frame feeds THREE consumers —
+    # the fit scan and both sides of the approx self-join — so it
+    # materializes once; rows unchanged (the model is seeded and
+    # data-determined, the checkpoint only truncates lineage)
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
+    ).localCheckpoint(eager=True)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

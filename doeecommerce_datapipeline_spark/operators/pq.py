@@ -257,7 +257,20 @@ def pq_topk_full(
     contract face pq_topk below (r8 verdict #4: neighbor ids are
     trained-codebook-specific, so they live here, cross-checked by
     the recall-floor unit in tests/test_pq.py)."""
-    e = table(spark, sf_dir, "embeddings")
+    return pq_topk_full_over(
+        spark, table(spark, sf_dir, "embeddings"), query_vec_id, k
+    )
+
+
+def pq_topk_full_over(
+    spark: SparkSession,
+    e: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """pq_topk_full body over an already-loaded embeddings frame —
+    lets pq_topk share ONE persisted scan across its three job chains
+    (r10, guide §5/§2.1)."""
     books = train_pq_codebooks(e)
     coded = pq_encode(e, books)
     qrow = e.where(F.col("vec_id") == query_vec_id).select("embedding").head()
@@ -322,9 +335,11 @@ def pq_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     executors idled by the trainer's driver-side barriers)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from .similarity import brute_force_topk
+    from .similarity import brute_force_topk_over
 
-    e = table(spark, sf_dir, "embeddings")
+    # r10 (guide §5/§2.1, verdict #3): ONE persisted embeddings scan
+    # feeds all three chains (the ivf_topk note applies verbatim)
+    e = table(spark, sf_dir, "embeddings").persist()
     stats_df = e.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.sum(
@@ -339,17 +354,21 @@ def pq_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         ).alias("n_nonzero_norm"),
         F.max(F.size("embedding")).cast("int").alias("dim"),
     )
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_stats = pool.submit(stats_df.first)
-        f_exact = pool.submit(
-            lambda: {
-                r["vec_id"] for r in brute_force_topk(spark, sf_dir).collect()
-            }  # bounded: k rows
-        )
-        # bounded: k rows
-        approx = pq_topk_full(spark, sf_dir, 0, k).collect()
-        stats = f_stats.result()
-        exact = f_exact.result()
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_stats = pool.submit(stats_df.first)
+            f_exact = pool.submit(
+                lambda: {
+                    r["vec_id"]
+                    for r in brute_force_topk_over(e).collect()
+                }  # bounded: k rows
+            )
+            # bounded: k rows
+            approx = pq_topk_full_over(spark, e, 0, k).collect()
+            stats = f_stats.result()
+            exact = f_exact.result()
+    finally:
+        e.unpersist()
     got = {r["vec_id"] for r in approx}
     recall = len(got & exact) / max(len(exact), 1)
     # ADC cosine carries quantization error on top of the exact one;

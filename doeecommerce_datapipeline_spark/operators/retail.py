@@ -699,9 +699,9 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable.
     """
     li = table(spark, sf_dir, "lineitem")
-    # the distinct basket table feeds three consumers (both join
-    # sides + the per-part counts) — materialize the fact shuffle
-    # once (the market_basket_lift pattern)
+    # the distinct basket table feeds two consumers (the basket
+    # enumerator + the per-part counts) — materialize the fact
+    # shuffle once (the market_basket_lift pattern)
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
@@ -719,25 +719,29 @@ def item_neighbors(baskets: DataFrame, topk: int | None = None) -> DataFrame:
     n_i = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_i")
     )
-    a = baskets.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("j")
-    )
-    # r9: the canonical (i < j) join+aggregate subtree fed BOTH union
-    # branches un-materialized, so Spark evaluated it twice (no
-    # subtree sharing across union branches). Materialize the
-    # half-size canonical pair table once, then symmetrize by a cheap
-    # re-projected union over the materialized rows — one join + one
-    # aggregate over half the rows/groups instead of two of each (or
-    # of one double-size i != j aggregate, which measured slower here:
-    # the two half-size branches overlap while a 2× aggregate sits on
-    # the critical path). The (i, j) counts are identical because
-    # co-occurrence is symmetric.
+    # r9 materialized the half-size canonical (i < j) pair table once
+    # for the symmetrizing union; r10 builds it with the basket
+    # enumerator (the copurchase/adamic/market-basket rewrite, guide
+    # §2.4): ONE orderkey-keyed exchange + the pair-grain aggregate
+    # instead of re-exchanging both self-join sides by orderkey.
+    # Identical counts: array_sort(collect_set(part)) over the
+    # pre-deduped baskets is each order's distinct-part basket, the
+    # i-indexed slice enumerates exactly the i < j combinations, and
+    # n_ij remains the number of shared orders per pair. The
+    # C(basket,2) ≤ C(7,2) fan-out bound is unchanged.
     pair = (
-        a.join(b, "o")
-        .where(F.col("i") < F.col("j"))
+        baskets.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS i, y AS j))))"
+                )
+            ).alias("p")
+        )
+        .select("p.i", "p.j")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("n_ij"))
         .localCheckpoint(eager=True)
@@ -1434,7 +1438,11 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # r9: barrier — ranked feeds BOTH the base join and the
     # test_orders/users branch, so the un-checkpointed orders window
-    # ran once per consumer (orders-grain state)
+    # ran once per consumer (orders-grain state). NOTE (r9 ADVICE):
+    # ranked and base are both pinned for the query's lifetime
+    # (~2x orders-grain executor storage; localCheckpoints can't be
+    # released early, and deriving users from base would miscount
+    # customers whose held-out order had no lineitems)
     ranked = o.select(
         "o_orderkey",
         "o_custkey",

@@ -32,7 +32,13 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect at plan time, so the same plan works when the "query set"
     is a table of thousands of vectors.
     """
-    e = table(spark, sf_dir, "embeddings")
+    return brute_force_topk_over(table(spark, sf_dir, "embeddings"))
+
+
+def brute_force_topk_over(e: DataFrame) -> DataFrame:
+    """brute_force_topk body over an already-loaded embeddings frame —
+    lets the ivf_topk/pq_topk contract faces share ONE persisted scan
+    across their stats/brute/train chains (r10, guide §5/§2.1)."""
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (
         e.join(F.broadcast(q))
@@ -306,12 +312,16 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     term.
     """
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    n_docs = d.count()  # tiny driver scalar, like tfidf_topk's
+    # r10: the doc count rides the plan as a broadcast 1-row scalar
+    # instead of a separate driver count() job — (nd · SCALE) div df
+    # is the same long integer division, so every weight is unchanged
+    nd = d.agg(
+        (F.count(F.lit(1)) * F.lit(TFIDF_COSINE_SCALE)).alias("scaled_n")
+    )
     toks = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    scaled_n = n_docs * TFIDF_COSINE_SCALE
     # the weighted index is consumed FOUR times (both join sides +
     # norms, itself joined twice) — localCheckpoint it once (the
     # minhash barrier pattern: no shared subtrees across join
@@ -323,10 +333,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
         )
+        .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
             "term",
-            (F.col("tf") * F.expr(f"{scaled_n} div df")).alias("w"),
+            (F.col("tf") * F.expr("scaled_n div df")).alias("w"),
         )
         .localCheckpoint()
     )
@@ -781,14 +792,38 @@ def _ann_index_state(spark: SparkSession, sf_dir: str):
     if hit is not None:
         return hit
     e = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
-    assigned, centroids = build_ivf_index(e)
-    assigned = assigned.localCheckpoint(eager=True)
-    books = train_pq_codebooks(e)
-    coded = pq_encode(e, books).localCheckpoint(eager=True)
-    qrows = {
-        r.vec_id: [float(x) for x in r.embedding]
-        for r in e.where(F.col("vec_id").isin(ANN_EVAL_QUERIES)).collect()
-    }
+    # r10 (guide §2.6): the IVF train chain, the PQ train/encode
+    # chain, and the panel-vector collect are mutually independent
+    # consumers of the checkpointed scan — submitted from a small
+    # thread pool so each chain's jobs back-fill executors idled by
+    # the others' driver-side Lloyd barriers. Trained state depends
+    # only on the data (seeded init + fixed iterations), never on job
+    # interleaving, so the result is identical to the sequential
+    # build (pinned by the distributed≡sequential property suites).
+    # Note (r9 ADVICE): plain pool threads don't inherit Spark
+    # inheritable local properties, so these jobs escape the caller's
+    # job group/description — acceptable here (nothing sets one).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ivf():
+        assigned, centroids = build_ivf_index(e)
+        return assigned.localCheckpoint(eager=True), centroids
+
+    def _pq():
+        books = train_pq_codebooks(e)
+        return books, pq_encode(e, books).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_ivf = pool.submit(_ivf)
+        f_pq = pool.submit(_pq)
+        qrows = {
+            r.vec_id: [float(x) for x in r.embedding]
+            for r in e.where(
+                F.col("vec_id").isin(ANN_EVAL_QUERIES)
+            ).collect()
+        }
+        assigned, centroids = f_ivf.result()
+        books, coded = f_pq.result()
     state = (e, assigned, centroids, books, coded, qrows)
     return session_cache.put(_ANN_STATE_CACHE, key, state)
 
@@ -1331,79 +1366,79 @@ def hopkins_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two NN minima are exact; √d² terms quantize at 6 dp before
     the order-free sums.
 
-    Shape: probes×sample and m×sample bounded joins (m = 100); the
-    per-dimension bounding box is one broadcast aggregate.
+    Shape (r10, guide §2.3/§2.4): ONE lattice-array projection of the
+    bounded sample is checkpointed; probes and held points broadcast
+    as whole lattice arrays onto it, and each candidate distance is a
+    single zip_with/aggregate fold over the fixed-dim arrays — the
+    former per-dimension explode + join on the 64-value `dim` key
+    built ~13M intermediate rows across four exchanges for the same
+    ~200k candidate distances (and the dim key skewed every
+    partition). Exchanges: the two NN-min aggregates only. Values are
+    unchanged: same per-dimension lattice points in dim order, same
+    int64 squared-distance sums, same 6-dp quantized seam.
     """
-    e = (
+    samp = (
         table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 1000)
-        .select("vec_id", "embedding")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda v: F.floor(
+                    v.cast("double") * F.lit(float(CENTROID_SCALE))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("karr"),
+        )
         .localCheckpoint(eager=True)
     )
-    comp = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "v")
-    ).select(
-        "vec_id",
-        "dim",
-        F.floor(
-            F.col("v").cast("double") * F.lit(float(CENTROID_SCALE))
-            + F.lit(0.5)
-        ).cast("long").alias("k"),
-    ).localCheckpoint(eager=True)
-    box = comp.groupBy("dim").agg(
-        F.min("k").alias("lo"), F.max("k").alias("hi")
+    # per-dimension bounding box, folded to ONE dim-ordered array row
+    # (posexplode position == array index, so b[d] is dimension d)
+    boxarr = (
+        samp.select(F.posexplode("karr").alias("dim", "k"))
+        .groupBy("dim")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "lo", "hi"))
+            ).alias("b")
+        )
     )
     probes = (
         spark.range(HOPKINS_PROBES)
         .select(F.col("id").alias("p"))
-        .crossJoin(F.broadcast(box))
+        .crossJoin(F.broadcast(boxarr))
         .select(
             "p",
-            "dim",
-            (
-                F.col("lo")
+            F.transform(
+                "b",
+                lambda s: s.lo
                 + F.pmod(
-                    (F.col("p") * 1000003 + F.col("dim") * 7919 + 17)
+                    (F.col("p") * 1000003 + s.dim * 7919 + 17)
                     * F.lit(2654435761),
-                    F.col("hi") - F.col("lo") + 1,
-                )
-            ).alias("k"),
+                    s.hi - s.lo + 1,
+                ),
+            ).alias("pk"),
         )
     )
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     u = (
-        probes.join(
-            comp.select(
-                F.col("vec_id").alias("x"), "dim", F.col("k").alias("kx")
-            ),
-            "dim",
-        )
-        .groupBy("p", "x")
-        .agg(
-            F.sum(
-                (F.col("k") - F.col("kx")) * (F.col("k") - F.col("kx"))
-            ).alias("d2")
-        )
+        samp.crossJoin(F.broadcast(probes))
+        .select("p", d2(F.col("karr"), F.col("pk")).alias("d2"))
         .groupBy("p")
         .agg(F.min("d2").alias("nn2"))
     )
-    held = comp.where(F.col("vec_id") < HOPKINS_PROBES)
+    held = samp.where(F.col("vec_id") < HOPKINS_PROBES).select(
+        F.col("vec_id").alias("q"), F.col("karr").alias("qk")
+    )
     w = (
-        held.select(
-            F.col("vec_id").alias("q"), "dim", F.col("k").alias("kq")
-        )
-        .join(
-            comp.select(
-                F.col("vec_id").alias("x"), "dim", F.col("k").alias("kx")
-            ),
-            "dim",
-        )
-        .where(F.col("q") != F.col("x"))
-        .groupBy("q", "x")
-        .agg(
-            F.sum(
-                (F.col("kq") - F.col("kx")) * (F.col("kq") - F.col("kx"))
-            ).alias("d2")
-        )
+        samp.crossJoin(F.broadcast(held))
+        .where(F.col("q") != F.col("vec_id"))
+        .select("q", d2(F.col("qk"), F.col("karr")).alias("d2"))
         .groupBy("q")
         .agg(F.min("d2").alias("nn2"))
     )
@@ -1416,7 +1451,7 @@ def hopkins_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = w.groupBy().agg(
         F.count(F.lit(1)).alias("n_held"), q6(F.col("nn2")).alias("sw")
     )
-    ns = e.groupBy().agg(F.count(F.lit(1)).alias("n_sample"))
+    ns = samp.groupBy().agg(F.count(F.lit(1)).alias("n_sample"))
     sud = F.col("su").cast("double")
     swd = F.col("sw").cast("double")
     return (

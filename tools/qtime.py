@@ -26,6 +26,9 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from doeecommerce_datapipeline_spark.operators import (  # noqa: E402
+    session_cache,
+)
 from doeecommerce_datapipeline_spark.session import get_spark  # noqa: E402
 
 
@@ -65,6 +68,9 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(args.runs):
+            # mirror bench.py's r10 cold-state rule: timed runs
+            # compute trained/fixed-point state, never a memo hit
+            session_cache.clear_all()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
