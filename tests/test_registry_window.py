@@ -22,19 +22,24 @@ def _records_through(last_round):
 
 
 def test_window_names_resolve_and_lead():
+    """r10: the r9 driver record landed (CORRECTNESS_r09, 0 red), so
+    queries() now serves the pre-staged _R10_QUEUE as the driver
+    correctness window; _R9_WINDOW stays as the r9 ledger map."""
     q = entrymod.queries()
     names = list(q)
-    win = entrymod._R9_WINDOW
-    assert len(win) == len(set(win)), "duplicate names in _R9_WINDOW"
+    win = entrymod._R10_QUEUE
+    assert len(win) == len(set(win)), "duplicate names in _R10_QUEUE"
     assert len(win) == 50, f"driver checks exactly 50; window has {len(win)}"
     assert names[: len(win)] == win, "window must lead the registry"
+    r9 = entrymod._R9_WINDOW
+    assert len(r9) == len(set(r9)) == 50, "_R9_WINDOW ledger map malformed"
 
 
 def test_reorder_loses_nothing():
     q = entrymod.queries()
     assert len(q) >= 336
     # every window name maps to a callable
-    for name in entrymod._R9_WINDOW:
+    for name in entrymod._R9_WINDOW + entrymod._R10_QUEUE:
         assert callable(q[name]), name
 
 
