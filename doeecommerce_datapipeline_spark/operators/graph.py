@@ -632,30 +632,78 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
     # orderkey exchange + one pair-grain distinct instead of the
     # distinct + self-join + both-direction distinct chain), then a
     # cheap mirrored union for symmetry — identical edge set
-    pairs = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("p")
+    # r10 (guide §2.4 + §2.6): three structural changes, values
+    # untouched.
+    # (1) The edge table is PERSISTED pre-partitioned and pre-sorted
+    #     on src (the key every round joins on). Unlike a
+    #     localCheckpoint (whose Scan ExistingRDD hides partitioning
+    #     from the planner — probed empirically), InMemoryTableScan
+    #     advertises its cached plan's partitioning/ordering, so the
+    #     per-round edge-to-label SortMergeJoin needs NO edge-side
+    #     exchange and NO edge-side sort — only the node-grain label
+    #     table (orders of magnitude smaller than the pair-grain edge
+    #     table) moves each round. community_modularity's two edge
+    #     joins and its degree aggregate reuse the same partitioning.
+    # (2) Per-round label state persists lazily instead of eagerly
+    #     checkpointing: evaluate-once still holds (each round's cache
+    #     fills on first use), but the whole 3-round propagation runs
+    #     inside the consumer's ONE job instead of 4+ sequential
+    #     driver-blocking jobs (the copurchase scheduling lesson).
+    # (3) The initial-labels build and the pairs->edges chain are
+    #     independent fact scans — overlapped from a 2-thread pool.
+    def _edges():
+        pairs = (
+            li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(parts, (x, i) -> "
+                        "transform(slice(parts, i + 2, size(parts)), "
+                        "y -> struct(x AS src, y AS dst))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.src", "p.dst")
+            .distinct()
+            .persist()
         )
-        .select("p.src", "p.dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # both directions so adoption is symmetric
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = li.select(F.col("l_partkey").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    ).localCheckpoint()
-    from pyspark.sql import Window
+        # both directions so adoption is symmetric
+        ed = (
+            pairs.unionByName(
+                pairs.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .repartition("src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        # materialize in-thread so the overlap does the work and the
+        # rounds start from a hot, partitioned cache; the half-size
+        # canonical pair cache only feeds this build — drop it once
+        # the mirrored partitioned edge cache is hot
+        ed.write.format("noop").mode("overwrite").save()
+        pairs.unpersist(False)
+        return ed
+
+    def _labels():
+        lab = (
+            li.select(F.col("l_partkey").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .persist()
+        )
+        lab.write.format("noop").mode("overwrite").save()
+        return lab
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_edges = pool.submit(_edges)
+        f_labels = pool.submit(_labels)
+        edges = f_edges.result()
+        labels = f_labels.result()
 
     for _ in range(LPA_ROUNDS):
         votes = (
@@ -665,22 +713,33 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("dst").orderBy(
-            F.desc("cnt"), F.asc("label")
-        )
-        winners = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), F.col("label").alias("new_label"))
-        )
+        # argmax as one aggregate (was a row_number window over the
+        # same partitioning — an extra sort): min over struct(-cnt,
+        # label) = highest count, ties -> smallest label, on exact
+        # ints; identical winner per node
+        winners = votes.groupBy("dst").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            )["label"].alias("new_label")
+        ).withColumnRenamed("dst", "node")
         labels = (
             labels.join(winners, "node", "left")
             .select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint()
+            .persist()
         )
+    # NOTE deliberately NO closing barrier: a localCheckpoint here
+    # re-plans the whole cached-lineage tree through the non-AQE
+    # Dataset.rdd path and measured 4-6 s of pure overhead — the lazy
+    # per-round caches already give evaluate-once when the consumer's
+    # single action runs the 3 rounds in one job. Consequence for the
+    # plan DUMPS: explain() recurses into each InMemoryRelation's
+    # build plan, so the printed tree repeats the build subplans
+    # ~2^rounds times; the EXECUTED exchanges per round are three
+    # node/pair-grain ones (labels-side join exchange, (dst,label)
+    # count, winner argmax) — the edge side moves zero times.
     return session_cache.put(_LPA_STATE_CACHE, key, (edges, labels))
 
 

@@ -60,7 +60,7 @@ def _featurize(docs: DataFrame) -> DataFrame:
     return asm.transform(tf.transform(labeled))
 
 
-def train_quality_classifier(docs: DataFrame):
+def train_quality_classifier(docs: DataFrame, feat: DataFrame = None):
     """Fit on the doc_id % HOLDOUT_MOD != 4 slice; returns the model.
 
     The fitted model is save/load round-tripped before returning: the
@@ -72,6 +72,10 @@ def train_quality_classifier(docs: DataFrame):
     tests/test_quality_model.py). Persist-then-load is also the honest
     production flow: score with the artifact you would deploy, not the
     trainer's working state.
+
+    ``feat``: pass a pre-featurized TRAIN slice (see _cached_model) so
+    the featurization pipeline runs once per session instead of once
+    per fit AND per scoring pass.
     """
     import shutil
     import tempfile
@@ -81,9 +85,10 @@ def train_quality_classifier(docs: DataFrame):
         LogisticRegressionModel,
     )
 
-    feat = _featurize(docs).where(
-        F.pmod("doc_id", F.lit(HOLDOUT_MOD)) != HOLDOUT_MOD - 1
-    )
+    if feat is None:
+        feat = _featurize(docs).where(
+            F.pmod("doc_id", F.lit(HOLDOUT_MOD)) != HOLDOUT_MOD - 1
+        )
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -110,14 +115,46 @@ def train_quality_classifier(docs: DataFrame):
 # re-running the full L-BFGS fit (~4.5 s at sf0.1 per redundant fit)
 _MODEL_CACHE: dict = session_cache.register({})
 
+# L-BFGS gradient-pass sizing (r10, guide §1.2/§2.2): every fit
+# iteration is one treeAggregate job over the instances, and MLlib
+# reaches them through Dataset.rdd — the non-AQE path, so the tiny
+# featurized shuffle keeps all spark.sql.shuffle.partitions partitions
+# and each of the ~18 barrier jobs launches that many near-empty
+# tasks (measured: 7.9 s -> 1.1 s at sf0.1 after persist + coalesce,
+# coefficients unchanged). The target is rows-per-partition, so the
+# partition count GROWS with the corpus (scale-adaptive, not a
+# local[32] constant): 64k docs/task is ms-scale compute for a
+# ~260-dim gradient.
+_FIT_ROWS_PER_PARTITION = 65536
 
-def _cached_model(spark, sf_dir: str, docs):
+
+def _cached_model(spark, sf_dir: str, docs, with_features: bool = False):
+    """The session's (model, persisted featurized corpus) pair.
+
+    The featurization pipeline (quality_rules join + HashingTF +
+    assembler) is computed ONCE and persisted; the fit reads its train
+    slice from that cache (coalesced to the rows-per-partition
+    target), and scoring consumers read the same cache instead of
+    re-running featurization per face."""
+    import math
+
     key = (id(spark.sparkContext), sf_dir)
     if key not in _MODEL_CACHE:
-        session_cache.put(
-            _MODEL_CACHE, key, train_quality_classifier(docs)
+        feat_all = _featurize(docs).persist()
+        n_docs = docs.count()  # parquet metadata count — cheap
+        npart = max(
+            1, math.ceil(n_docs / _FIT_ROWS_PER_PARTITION)
         )
-    return _MODEL_CACHE[key]
+        feat_train = feat_all.where(
+            F.pmod("doc_id", F.lit(HOLDOUT_MOD)) != HOLDOUT_MOD - 1
+        ).coalesce(npart)
+        session_cache.put(
+            _MODEL_CACHE,
+            key,
+            (train_quality_classifier(docs, feat=feat_train), feat_all),
+        )
+    model, feat_all = _MODEL_CACHE[key]
+    return (model, feat_all) if with_features else model
 
 
 def quality_classifier_scores_full(
@@ -138,8 +175,12 @@ def quality_classifier_scores_full(
 
     docs = table(spark, sf_dir, "documents")
     if model is None:
-        model = _cached_model(spark, sf_dir, docs)
-    scored = model.transform(_featurize(docs))
+        model, feat = _cached_model(
+            spark, sf_dir, docs, with_features=True
+        )
+    else:
+        feat = _featurize(docs)
+    scored = model.transform(feat)
     p_keep = F.element_at(vector_to_array(F.col("probability")), 2)
     return scored.select(
         "doc_id",
@@ -210,8 +251,12 @@ def holdout_auc(spark: SparkSession, sf_dir: str, model=None) -> float:
 
     docs = table(spark, sf_dir, "documents")
     if model is None:
-        model = _cached_model(spark, sf_dir, docs)
-    holdout = _featurize(docs).where(
+        model, feat = _cached_model(
+            spark, sf_dir, docs, with_features=True
+        )
+    else:
+        feat = _featurize(docs)
+    holdout = feat.where(
         F.pmod("doc_id", F.lit(HOLDOUT_MOD)) == HOLDOUT_MOD - 1
     )
     ev = BinaryClassificationEvaluator(

@@ -469,11 +469,18 @@ def lattice_kmeans_assignments(
     ivf.py (k-means++ init, float Lloyd, recall floors); THIS pins
     the iteration MECHANICS against an independent engine.
 
-    Shape per iteration: points x centroids distance table is
-    (n·k·dim) exploded rows aggregated by exact int sums — two
-    exchanges per round, centroids broadcast back; 3 unrolled rounds
-    keep the whole thing one declarative dag (no driver loop state
-    beyond plan construction).
+    Shape per iteration (r10, guide §2.3/§2.4 — the hopkins array
+    rewrite applied to the Lloyd loop): the lattice points ride ONE
+    checkpointed (vec_id, karr) ARRAY row per vector; assignment is a
+    per-row zip_with/aggregate fold against the k broadcast centroid
+    arrays (ZERO data exchange — the former per-dim explode + join on
+    `dim` shuffled n·k·dim rows through two exchanges per round); the
+    centroid update explodes only for its (cid, dim) mean — map-side
+    partial aggregation reduces that exchange to ≤ k·dim rows per
+    task. Values are bit-identical: same per-dimension lattice ints
+    in dim order, same int64 squared-distance sums (addition is
+    order-free on exact ints), same trunc(double Σk / n) centroid,
+    same min-(d2, cid) tie rule via array_min over structs.
 
     Cached per (session, dataset) like lpa_labels/_ann_index_state:
     one partition, two registry readouts (kmeans_lattice_clusters'
@@ -486,45 +493,63 @@ def lattice_kmeans_assignments(
     if hit is not None:
         return hit
     e = table(spark, sf_dir, "embeddings")
-    comp = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "v")
-    ).select(
+    earr = e.select(
         "vec_id",
-        "dim",
-        F.floor(
-            F.col("v").cast("double") * F.lit(float(CENTROID_SCALE))
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("k"),
+        F.transform(
+            "embedding",
+            lambda v: F.floor(
+                v.cast("double") * F.lit(float(CENTROID_SCALE))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("karr"),
     ).localCheckpoint(eager=True)  # reused by every iteration
     # seeds: the K lowest vec_ids, centroid c = that point's lattice
-    seed_ids = e.select("vec_id").orderBy("vec_id").limit(KMEANS_K)
-    seeds = (
-        comp.join(F.broadcast(seed_ids), "vec_id")
-        .select("vec_id", "dim", "k")
-    )
     w_seed = Window.orderBy("vec_id")
-    cid_map = seed_ids.select(
-        "vec_id",
-        (F.row_number().over(w_seed) - 1).cast("int").alias("cid"),
-    )
-    cents = seeds.join(F.broadcast(cid_map), "vec_id").select(
-        "cid", "dim", F.col("k").alias("c")
+    cents = (
+        earr.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            (F.row_number().over(w_seed) - 1).cast("int").alias("cid"),
+            F.col("karr").alias("carr"),
+        )
     )
 
-    def assign(centroids):
-        d = comp.join(F.broadcast(centroids), "dim")
-        dist = d.groupBy("vec_id", "cid").agg(
-            F.sum(
-                (F.col("k") - F.col("c")) * (F.col("k") - F.col("c"))
-            ).alias("d2")
+    # exact int64 squared distance: fold over the fixed-dim arrays —
+    # identical ints to the former per-dim (k−c)² sum
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        return dist.groupBy("vec_id").agg(
-            F.min_by(F.col("cid"), F.struct(F.col("d2"), F.col("cid"))).alias(
-                "cid"
-            ),
-            F.min(F.struct(F.col("d2"), F.col("cid")))["d2"].alias("d2"),
+
+    def assign(centroids):
+        crow = centroids.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "carr"))
+            ).alias("cents")
+        )
+        # array_min over struct(d2, cid) = the former
+        # min_by(cid, struct(d2, cid)) / min(struct(d2, cid)).d2 pair:
+        # field-order comparison picks smallest d2, ties -> lowest cid
+        best = F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    d2(F.col("karr"), c["carr"]).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return (
+            earr.crossJoin(F.broadcast(crow))
+            .select("vec_id", "karr", best.alias("best"))
+            .select(
+                "vec_id",
+                "karr",
+                F.col("best")["cid"].alias("cid"),
+                F.col("best")["d2"].alias("d2"),
+            )
         )
 
     for _ in range(KMEANS_ITERS):
@@ -534,7 +559,7 @@ def lattice_kmeans_assignments(
         # SQL TRUNC — identical bits on both engines even for the
         # negative-component case where div/floor semantics differ
         cents = (
-            comp.join(a.select("vec_id", "cid"), "vec_id")
+            a.select("cid", F.posexplode("karr").alias("dim", "k"))
             .groupBy("cid", "dim")
             .agg(
                 (
@@ -544,8 +569,22 @@ def lattice_kmeans_assignments(
                 .cast("long")
                 .alias("c")
             )
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "c"))
+                ).alias("dc")
+            )
+            .select(
+                "cid",
+                F.transform("dc", lambda s: s["c"]).alias("carr"),
+            )
         )
-    final = assign(cents).localCheckpoint(eager=True)
+    final = (
+        assign(cents)
+        .select("vec_id", "cid", "d2")
+        .localCheckpoint(eager=True)
+    )
     return session_cache.put(_LATTICE_KMEANS_CACHE, key, final)
 
 
