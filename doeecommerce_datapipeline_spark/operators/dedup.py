@@ -295,15 +295,18 @@ def jaccard_pairs_over(
     sh = d.repartition(d.sparkSession.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
-    # materialize the shingle stream once: the raw stream feeds the
+    # evaluate-once for the shingle stream: the raw stream feeds the
     # hot-set build AND the anti-join application side, and the
     # filtered stream feeds THREE more consumers (sizes + both pair
     # sides) — Spark shares no subtrees across join branches, so the
-    # un-checkpointed explode ran up to 6x per evaluation (r9; the
-    # tfidf_cosine_pairs barrier lesson). At 100 TB the bounded-scope
-    # contract (callers cap the doc window) keeps both
-    # materializations small.
-    sh = sh.localCheckpoint(eager=True)
+    # un-materialized explode ran up to 6x per evaluation (r9; the
+    # tfidf_cosine_pairs barrier lesson). r10: LAZY persist instead of
+    # two eager localCheckpoints — each cache fills on first use
+    # inside the consumer's ONE job (no driver-blocking build jobs,
+    # no non-AQE Dataset.rdd materialization pass; the LPA lesson).
+    # At 100 TB the bounded-scope contract (callers cap the doc
+    # window) keeps both caches small.
+    sh = sh.persist()
     # word_shingles is distinct-per-doc, so df == row count per shingle
     hot = (
         sh.groupBy("shingle")
@@ -311,9 +314,7 @@ def jaccard_pairs_over(
         .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
-        eager=True
-    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -397,7 +398,12 @@ def connected_components(
     rather than returning silently-wrong labels. At 100 TB swap
     localCheckpoint for reliable checkpoint() and consider
     small-star/large-star (same join primitive, provably O(log n)
-    rounds on skewed graphs).
+    rounds on skewed graphs). NOTE (r10): a per-round persist was
+    tried instead of the checkpoint and REVERTED — labels feed two
+    branches per round, so without lineage truncation the logical
+    plan DOUBLES per round (2^rounds analysis blow-up on
+    high-diameter fix-point graphs); the barrier is load-bearing in
+    to-fix-point loops, unlike the fixed-3-round LPA.
     """
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("component")
@@ -516,7 +522,10 @@ def _alternating_star_cc(
     set is localCheckpointed every round (at 100 TB: reliable
     checkpoint()), and the convergence probe (edge set unchanged:
     equal count + empty one-sided difference) runs on materialized
-    blocks. Raises if max_rounds is hit.
+    blocks. Raises if max_rounds is hit. (r10: per-round persist
+    tried and reverted — see connected_components; the star rewrite
+    consumes canon in multiple branches per round, same 2^rounds
+    logical-plan blow-up without the barrier.)
     """
     canon = _canon_edges(edges).localCheckpoint()
     n_edges = canon.count()
@@ -588,9 +597,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # materialize the pair build once: the mirror union otherwise
     # evaluates the whole jaccard subtree per branch (r9; the
-    # supplier_influence_rank pair-build lesson). The union over the
-    # materialized rows is a cheap projection, so it needs no second
-    # checkpoint of its own.
+    # supplier_influence_rank pair-build lesson), and the eager
+    # barrier keeps the jaccard subtree OUT of every CC round's plan.
     pairs = (
         ngram_jaccard_pairs(spark, sf_dir)
         .select("id_a", "id_b")
