@@ -145,6 +145,14 @@ def main() -> None:
             # previously timed cache hits. Intra-run evaluate-once
             # sharing inside ONE query is untouched.
             session_cache.clear_all()
+            # ... and drop every SQL-cache entry: operators that
+            # persist() intermediates register them in the
+            # CacheManager, which matches SEMANTICALLY IDENTICAL
+            # plans across constructions — without this, a timed
+            # run's materializations silently become cache hits on
+            # the warm pass's still-persisted data (cross-run
+            # caching, the exact thing the cold-state rule forbids)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: every expression/shuffle/join executes
@@ -180,6 +188,7 @@ def main() -> None:
         best = None
         for _ in range(2):
             session_cache.clear_all()  # same cold-state rule as above
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -432,7 +432,11 @@ def kcore_peel_ledger(
             .select(F.col("src").alias("node"))
             # r9: the survivor set feeds TWO broadcast builds (src and
             # dst semi-joins) — un-materialized, the degree aggregate
-            # over the full edge table ran twice per round
+            # over the full edge table ran twice per round. (r10: an
+            # AQE-noop persist was tried here and REVERTED — measured
+            # 3.99 vs 7.69 s against the eager checkpoint; the
+            # survivor job is entangled with the prior round's lazy
+            # edge checkpoint and re-plans it adaptively per round.)
             .localCheckpoint(eager=True)
         )
         e = e.join(
@@ -705,7 +709,7 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
         edges = f_edges.result()
         labels = f_labels.result()
 
-    for _ in range(LPA_ROUNDS):
+    for i in range(LPA_ROUNDS):
         votes = (
             edges.join(
                 labels.withColumnRenamed("node", "src"), "src"
@@ -722,24 +726,25 @@ def lpa_labels(spark: SparkSession, sf_dir: str):
                 F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             )["label"].alias("new_label")
         ).withColumnRenamed("dst", "node")
-        labels = (
-            labels.join(winners, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").alias("label"),
-            )
-            .persist()
+        stepped = labels.join(winners, "node", "left").select(
+            "node",
+            F.coalesce("new_label", "label").alias("label"),
         )
-    # NOTE deliberately NO closing barrier: a localCheckpoint here
-    # re-plans the whole cached-lineage tree through the non-AQE
-    # Dataset.rdd path and measured 4-6 s of pure overhead — the lazy
-    # per-round caches already give evaluate-once when the consumer's
-    # single action runs the 3 rounds in one job. Consequence for the
-    # plan DUMPS: explain() recurses into each InMemoryRelation's
-    # build plan, so the printed tree repeats the build subplans
-    # ~2^rounds times; the EXECUTED exchanges per round are three
-    # node/pair-grain ones (labels-side join exchange, (dst,label)
-    # count, winner argmax) — the edge side moves zero times.
+        # Alternating barrier: labels feeds TWO branches per round, so
+        # unbarriered lineage doubles the logical plan per round
+        # (2^rounds Catalyst re-analysis — the dedup CC lesson), while
+        # a barrier EVERY round pays a driver-blocking non-AQE
+        # Dataset.rdd job each time. Checkpointing every other round
+        # bounds plan growth to <=2 copies AND halves the blocking
+        # jobs; odd rounds persist lazily and their cache fills inside
+        # the next barrier's (or the consumer's) job. The partitioned
+        # edge CACHE stays a persist — that is what the planner must
+        # SEE to skip the edge-side exchange/sort every round.
+        labels = (
+            stepped.localCheckpoint()
+            if i % 2 == 1
+            else stepped.persist()
+        )
     return session_cache.put(_LPA_STATE_CACHE, key, (edges, labels))
 
 

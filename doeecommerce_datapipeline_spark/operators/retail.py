@@ -744,8 +744,14 @@ def item_neighbors(baskets: DataFrame, topk: int | None = None) -> DataFrame:
         .select("p.i", "p.j")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("n_ij"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    # materialize through the AQE write path, not Dataset.rdd: the
+    # eager localCheckpoint here planned the pair build non-adaptively
+    # (r10; the quality-fit/LPA lesson). The mirror union's two
+    # branches then read the hot cache instead of race-computing the
+    # pair aggregate twice.
+    pair.write.format("noop").mode("overwrite").save()
     both = pair.unionByName(
         pair.select(
             F.col("j").alias("i"),
@@ -1456,7 +1462,12 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(Window.partitionBy("o_custkey"))
         .alias("n_orders"),
-    ).where(F.col("n_orders") >= 2).localCheckpoint()
+    ).where(F.col("n_orders") >= 2).persist()
+    # r10: every materialization in this build switches from the eager
+    # localCheckpoint (whose Dataset.rdd path plans non-adaptively) to
+    # persist + a noop write through the AQE path — same barriers,
+    # same evaluate-once, measurably cheaper jobs.
+    ranked.write.format("noop").mode("overwrite").save()
     test_orders = ranked.where(F.col("rn") == 1).select(
         "o_orderkey", "o_custkey"
     )
@@ -1475,27 +1486,37 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             (F.col("rn") > 1).alias("is_train"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    base.write.format("noop").mode("overwrite").save()
     # r9: the profile build is independent of the train_baskets → nb
     # chain (both read the materialized base), so its eager checkpoint
     # job runs from a worker thread and back-fills executors while the
     # neighbor kernel's sequential jobs leave them idle (guide §2.6);
     # each job computes exactly what it did
-    with ThreadPoolExecutor(max_workers=1) as _pool:
-        _f_profile = _pool.submit(
-            lambda: base.where(F.col("is_train"))
+    def _profile():
+        p = (
+            base.where(F.col("is_train"))
             .select("o_custkey", "l_partkey")
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        p.write.format("noop").mode("overwrite").save()
+        return p
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_profile = _pool.submit(_profile)
+        # train_baskets persists LAZILY: item_neighbors' pair
+        # materialization is its first (and only) computing consumer,
+        # and the later n_i branch reads the then-hot cache
         train_baskets = (
             base.where(F.col("is_train"))
             .select("l_orderkey", "l_partkey")
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        nb = item_neighbors(train_baskets).localCheckpoint(eager=True)
+        nb = item_neighbors(train_baskets).persist()
+        nb.write.format("noop").mode("overwrite").save()
         profile = _f_profile.result()
     test_parts = (
         base.where(~F.col("is_train"))
@@ -1509,7 +1530,8 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 5.1 s vs 0.5 s for this join at sf0.1 — the same
     # window-output pathology the ANN scoreboard hit).
     # tests/test_plans.py guards the pre-checkpoint plan via _cf_recs.
-    recs = _cf_recs(nb, profile).localCheckpoint(eager=True)
+    recs = _cf_recs(nb, profile).persist()
+    recs.write.format("noop").mode("overwrite").save()
     hits = (
         recs.join(
             test_parts,

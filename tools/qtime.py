@@ -69,8 +69,12 @@ def main() -> None:
         best = None
         for _ in range(args.runs):
             # mirror bench.py's r10 cold-state rule: timed runs
-            # compute trained/fixed-point state, never a memo hit
+            # compute trained/fixed-point state, never a memo hit —
+            # including SQL-cache entries, which the CacheManager
+            # would otherwise serve to semantically identical plans
+            # from the previous construction
             session_cache.clear_all()
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
