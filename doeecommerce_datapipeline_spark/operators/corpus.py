@@ -1596,40 +1596,51 @@ def coverage_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    covered = None
-    picked = None
-    out = None
+    # r10 (§5/§1.2): each round's pick is ONE row by construction (the
+    # argmax), so it collects to the driver — a k-bounded collect, the
+    # median_polish/ann-panel class — and the picked/covered state
+    # becomes literal filters over the one checkpointed (doc, term)
+    # table. The former all-declarative unroll paid 3 eager
+    # driver-blocking checkpoints per round (pick, covered-union,
+    # picked-union: 15 non-AQE Dataset.rdd jobs for 5 rounds of tiny
+    # state); now each round is exactly one job. Identical picks: the
+    # (gain DESC, doc_id ASC) argmax, the not-yet-picked candidate
+    # cut, and the covered-term anti-join are the same sets — the
+    # covered set is rebuilt per round as a filtered distinct over the
+    # terms checkpoint instead of a growing union chain.
+    picked_ids: list = []
+    rows: list = []
+    total = 0
     for r in range(1, COVERAGE_ROUNDS + 1):
-        cand = terms if picked is None else terms.join(
-            picked, "doc_id", "left_anti"
+        cand = (
+            terms
+            if not picked_ids
+            else terms.where(~F.col("doc_id").isin(picked_ids))
         )
-        marg = cand if covered is None else cand.join(
-            covered, "tok", "left_anti"
-        )
-        gains = marg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
-        pick = (
-            gains.orderBy(F.desc("gain"), F.asc("doc_id"))
+        if picked_ids:
+            covered = (
+                terms.where(F.col("doc_id").isin(picked_ids))
+                .select("tok")
+                .distinct()
+            )
+            marg = cand.join(covered, "tok", "left_anti")
+        else:
+            marg = cand
+        got = (
+            marg.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        newcov = terms.join(pick.select("doc_id"), "doc_id").select("tok")
-        covered = (
-            newcov if covered is None else covered.unionByName(newcov)
-        ).distinct().localCheckpoint(eager=True)
-        picked = (
-            pick.select("doc_id")
-            if picked is None
-            else picked.unionByName(pick.select("doc_id")).localCheckpoint()
-        )
-        row = pick.select(
-            F.lit(r).cast("int").alias("round"),
-            "doc_id",
-            F.col("gain").cast("long").alias("marginal_gain"),
-        )
-        out = row if out is None else out.unionByName(row)
-    cum = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
-    return out.withColumn(
-        "covered_total", F.sum("marginal_gain").over(cum).cast("long")
+        if not got:
+            break  # universe saturated: zero-gain rounds emit nothing
+        total += int(got[0].gain)
+        rows.append((r, int(got[0].doc_id), int(got[0].gain), total))
+        picked_ids.append(int(got[0].doc_id))
+    return spark.createDataFrame(
+        rows,
+        "round int, doc_id long, marginal_gain long, covered_total long",
     ).orderBy("round")
 
 
